@@ -1,0 +1,279 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+North-star extension (SURVEY.md §7.4): the reference's only dedup is an
+all-column ``dropDuplicates`` (data_process.py:242). A 100 TB corpus
+needs a family of strategies, each with a different cost/recall point:
+
+- exact: hash-groupBy on a content fingerprint — one shuffle on a
+  16-byte key regardless of row width.
+- minhash_near_duplicates: shingle → MinHash → LSH banding → bucket
+  join. Candidate generation is linear in corpus size (band buckets),
+  NOT quadratic; only within-bucket pairs are scored.
+- simhash_near_duplicates: 32/64-bit fingerprint, near-dups differ in
+  few bits; banding on bit-slices for candidate generation.
+- embedding near-dup: cosine threshold over LSH buckets (see
+  operators/similarity.py for the bucketing).
+
+Everything is DataFrame-native: shuffles only on narrow derived keys,
+no driver-side loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Groups of exact (normalized) duplicate documents.
+
+    Returns one row per duplicated fingerprint: (fp, n_docs, keep_id)
+    where keep_id is the smallest id — the canonical survivor.
+    """
+    fp = textfns.fingerprint(F.col(text_col)).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per normalized-content fingerprint.
+
+    Window-free alternative to groupBy+join-back would be
+    ``dropDuplicates([fp])``, but that keeps an arbitrary row; min-id is
+    deterministic, which correctness gates and reruns need.
+    """
+    fp = textfns.fingerprint(F.col(text_col)).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    return df.withColumn(
+        out_col, textfns.minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    *,
+    sig_col: str = "minhash",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing ANY band of the signature are candidate
+    near-duplicates. Output: (id_a, id_b) distinct pairs, id_a < id_b.
+
+    Plan shape at scale: explode to (band_idx, band_key, id) — linear —
+    then a self-equi-join on (band_idx, band_key). AQE handles skewed
+    buckets (e.g. boilerplate-heavy corpora); a band_key salting pass
+    can be added for pathological cases.
+    """
+    band_rows = []
+    for b in range(bands):
+        key = F.array_join(
+            F.transform(
+                F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            "-",
+        )
+        band_rows.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array(*band_rows)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pairs with estimated Jaccard >= threshold.
+
+    Estimated Jaccard = fraction of agreeing signature slots, computed
+    only for banded candidates (linear candidate generation, then an
+    id-keyed join back to the signatures).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = with_minhash(
+        df.select(id_col, text_col), text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).select(F.col(id_col).alias("doc"), "minhash")
+    cands = minhash_candidates(
+        sigs, "doc", bands=bands, rows_per_band=rows_per_band
+    )
+    a = sigs.select(F.col("doc").alias("id_a"), F.col("minhash").alias("sig_a"))
+    b = sigs.select(F.col("doc").alias("id_b"), F.col("minhash").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact similarity on candidate pairs / small corpora)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for pairs of docs.
+
+    ``candidates`` (id_a, id_b) bounds the comparison set — at scale
+    ALWAYS pass the MinHash candidates (linear); with None this computes
+    a same-length-bucketed self-join suitable only for small corpora or
+    verification runs, never the 100 TB path.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        textfns.shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    if candidates is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        pairs = a.join(b, F.col("a.doc") < F.col("b.doc")).select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+    else:
+        a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.try_divide(inter.cast("double"), union.cast("double"))
+    return pairs.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+
+def with_simhash(
+    df: DataFrame, text_col: str, *, bits: int = 32, out_col: str = "simhash"
+) -> DataFrame:
+    return df.withColumn(out_col, textfns.simhash(F.col(text_col), bits))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: split the fingerprint into ``bands`` bit
+    slices; by pigeonhole, any pair within distance < bands shares at
+    least one exact slice → equi-join per slice (linear), then exact
+    Hamming check via popcount on the XOR. Requires bands > max_hamming.
+    """
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for pigeonhole completeness")
+    slice_bits = bits // bands
+    sigs = with_simhash(df.select(id_col, text_col), text_col, bits=bits).select(
+        F.col(id_col).alias("doc"), "simhash"
+    )
+    slices = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * slice_bits)
+            .bitwiseAND(F.lit((1 << slice_bits) - 1))
+            .alias("key"),
+        )
+        for i in range(bands)
+    ]
+    exploded = sigs.select(
+        "doc", "simhash", F.explode(F.array(*slices)).alias("bk")
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

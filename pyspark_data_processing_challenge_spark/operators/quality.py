@@ -1,0 +1,88 @@
+"""Data-quality gates — single-pass, scale-safe.
+
+Re-expresses the reference's three gates (SURVEY.md §2.3):
+
+- Q1 input row-count gate (reference: data_process.py:267-294) — the
+  reference ran a full ``df.count()``; at 100 TB that is a complete
+  extra scan just to check ">= 10 rows". Here: a LIMIT-probe that stops
+  after finding ``min_rows`` rows.
+- Q2 required-columns gate (reference: :283-292) — metadata only.
+- Q3 output not-null gate (reference: :296-313) — the reference ran ONE
+  JOB PER COLUMN; here a single aggregate computes all null counts in
+  one pass. It also names columns post-rename explicitly instead of
+  leaning on analyzer missing-reference resolution.
+
+Gates raise ``QualityError`` (or return a report) instead of the
+reference's log-and-exit-0 contract (SURVEY §2.1 S7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class QualityError(ValueError):
+    """A data-quality gate failed."""
+
+
+@dataclass
+class QualityReport:
+    passed: bool
+    checks: dict[str, object] = field(default_factory=dict)
+
+
+def has_min_rows(df: DataFrame, min_rows: int) -> bool:
+    """True iff df has at least ``min_rows`` rows.
+
+    ``limit(n).count()`` lets Spark stop scanning once n rows are found
+    (CollectLimit short-circuits) — O(min_rows), not O(table).
+    """
+    if min_rows <= 0:
+        return True
+    return df.limit(min_rows).count() >= min_rows
+
+
+def missing_columns(df: DataFrame, required: Sequence[str]) -> list[str]:
+    """Required-columns check — pure metadata, no job."""
+    have = set(df.columns)
+    return [c for c in required if c not in have]
+
+
+def null_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-row DataFrame with a null-count per listed column, computed in
+    a SINGLE aggregate pass (vs the reference's one filter+count job per
+    column). Map-side partial aggregation makes this a near-free scan.
+    """
+    return df.select(
+        [
+            F.sum(F.col(c).isNull().cast("long")).alias(c)
+            for c in cols
+        ]
+    )
+
+
+def check_input(
+    df: DataFrame, *, min_rows: int = 0, required_columns: Sequence[str] = ()
+) -> QualityReport:
+    """Input gate = Q1 + Q2. Raises QualityError on failure."""
+    missing = missing_columns(df, required_columns)
+    if missing:
+        raise QualityError(f"missing required columns: {missing}")
+    if not has_min_rows(df, min_rows):
+        raise QualityError(f"fewer than {min_rows} input rows")
+    return QualityReport(True, {"min_rows": min_rows, "required": list(required_columns)})
+
+
+def check_no_nulls(df: DataFrame, cols: Sequence[str]) -> QualityReport:
+    """Output gate = Q3. Raises QualityError listing offending columns."""
+    if not cols:
+        return QualityReport(True, {})
+    row = null_counts(df, cols).first()
+    bad = {c: int(row[c]) for c in cols if row[c]}
+    if bad:
+        raise QualityError(f"null values present: {bad}")
+    return QualityReport(True, {c: 0 for c in cols})

@@ -1,0 +1,111 @@
+"""Import + basic-API smoke tests for every module."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_data_processing_challenge_spark import config
+from pyspark_data_processing_challenge_spark.functions import textfns, vectors
+from pyspark_data_processing_challenge_spark.operators import (
+    dedup,
+    quality,
+    relational,
+    similarity,
+)
+from pyspark_data_processing_challenge_spark.sources import load_tables
+
+
+def test_schema_builder():
+    st = config.build_schema(
+        [
+            {"name": "a", "type": "string"},
+            {"name": "b", "type": "double", "nullable": False},
+            {"name": "c", "type": "array<float>"},
+            {"name": "d", "type": "decimal(12,2)"},
+            {"name": "e", "type": "binary"},
+        ]
+    )
+    assert [f.dataType.simpleString() for f in st.fields] == [
+        "string",
+        "double",
+        "array<float>",
+        "decimal(12,2)",
+        "binary",
+    ]
+    assert not st["b"].nullable
+
+
+def test_load_and_basic_ops(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "documents"))
+    li = t["lineitem"]
+    out = relational.filter_date_range(
+        li.withColumn("d", F.to_date("l_shipdate")), "d", "1995-01-01", "1996-12-31"
+    )
+    assert out.limit(1).count() == 1
+
+    docs = t["documents"].limit(50)
+    enriched = docs.select(
+        "doc_id",
+        textfns.token_count(F.col("text")).alias("n_tok"),
+        textfns.fingerprint(F.col("text")).alias("fp"),
+        textfns.lang_id(F.col("text")).alias("lang"),
+        textfns.simhash(F.col("text")).alias("sh"),
+        textfns.minhash_signature(F.col("text"), 8).alias("mh"),
+        textfns.quality_score(F.col("text")).alias("q"),
+    )
+    rows = enriched.collect()
+    assert all(r["n_tok"] > 0 for r in rows)
+    assert all(len(r["mh"]) == 8 for r in rows)
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_quality_gates(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    assert quality.has_min_rows(li, 10)
+    assert quality.missing_columns(li, ["l_orderkey", "nope"]) == ["nope"]
+    nc = quality.null_counts(li, ["l_orderkey", "l_quantity"]).first()
+    assert nc["l_orderkey"] == 0
+
+
+def test_vector_ops(spark, sf_dir):
+    import math
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].limit(20)
+    row = emb.select(
+        vectors.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).first()
+    assert math.isclose(row["c"], 1.0, rel_tol=1e-9)
+    top = similarity.cosine_topk(emb, emb.limit(2), k=3)
+    got = top.collect()
+    assert len(got) == 6
+    assert all(r["rank"] <= 3 for r in got)
+
+
+def test_dedup_ops(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "The quick  brown fox jumps over the lazy dog"),
+            (4, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_duplicates(df, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3 and groups[0]["keep_id"] == 1
+    kept = dedup.drop_exact_duplicates(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+
+    near = dedup.minhash_near_duplicates(
+        df, "text", "doc_id", num_hashes=16, bands=4, threshold=0.9
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in near}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+    sim = dedup.simhash_near_duplicates(
+        df, "text", "doc_id", bits=32, max_hamming=4, bands=8
+    ).collect()
+    sim_pairs = {(r["id_a"], r["id_b"]) for r in sim}
+    assert (1, 2) in sim_pairs
