@@ -1,0 +1,82 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is fully materialized via a noop write (no driver-side
+collect, no result-transfer skew) after a warm-up of the session; JVM
+startup is excluded from per-query times, matching BASELINE.md's note
+that the reference's ~19.5 s e2e is ~7 s session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_data_processing_challenge_spark.session import get_session  # noqa: E402
+
+# Representative mix: the reference pipeline, heavy relational shapes,
+# and every north-star operator family (text, dedup, ANN).
+HEADLINE = [
+    "ref_flagship_pipeline",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_orders",
+    "sessionize_events",
+    "asof_join_purchases",
+    "docs_token_stats",
+    "docs_quality",
+    "dedup_drop_exact",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_lsh_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    spark = get_session("bench", master=f"local[{cpus}]")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # Warm the JVM/session so the first measured query isn't paying init.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -91,23 +91,40 @@ def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     return coeffs
 
 
-def minhash_signature(c: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature: array<long> of length ``num_hashes``.
+def shingle_hashes(c: Column, shingle_n: int = 3) -> Column:
+    """array<long> of char_hash over the doc's n-gram shingles.
 
-    sig[j] = min over shingles s of (a_j * char_hash(s) + b_j) mod p.
-    Signature of an empty doc is p for every slot (sentinel max).
-    Fully oracle-checkable — see the matching SQL in __spark_entry__.
+    PERFORMANCE: this subtree is the expensive part of MinHash/SimHash
+    (a char-level fold per shingle). Evaluate it into ITS OWN projected
+    column before fanning out to per-slot/per-bit expressions — an
+    expression referencing it k times recomputes it k times (HOFs are
+    interpreted, no common-subexpression elimination), while a projected
+    alias referenced k times is computed once (CollapseProject refuses
+    to inline non-cheap multi-use aliases). See minhash_from_hashes /
+    simhash_from_hashes and operators/dedup.py for the staged pattern.
     """
-    sh = shingles(c, shingle_n)
-    hashes = F.transform(sh, char_hash)
+    return F.transform(shingles(c, shingle_n), char_hash)
+
+
+def token_hashes(c: Column) -> Column:
+    """array<long> of char_hash over lowercased whitespace tokens."""
+    return F.transform(tokens(F.lower(c)), char_hash)
+
+
+def minhash_from_hashes(hs: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a (pre-materialized) hash-array column.
+
+    sig[j] = min over hashes h of (a_j * h + b_j) mod p; empty docs get
+    the sentinel p in every slot.
+    """
+    # NB: single-parameter lambdas only — pyspark binds lambda variables
+    # by parameter count, so captured default args would be mis-bound.
+    def perm_fn(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
     slots = [
         F.coalesce(
-            F.array_min(
-                F.transform(
-                    hashes,
-                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
-                )
-            ),
+            F.array_min(F.transform(hs, perm_fn(a, b))),
             F.lit(MINHASH_P).cast("long"),
         )
         for a, b in minhash_coeffs(num_hashes)
@@ -115,14 +132,22 @@ def minhash_signature(c: Column, num_hashes: int = 16, shingle_n: int = 3) -> Co
     return F.array(*slots)
 
 
-def simhash(c: Column, bits: int = 32) -> Column:
-    """SimHash fingerprint over whitespace tokens (32-bit by default).
+def minhash_signature(c: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature: array<long> of length ``num_hashes``.
 
-    bit_i(doc) = sign of sum over tokens of (2*((char_hash(tok)>>i)&1)-1);
-    ties (sum==0) resolve to 0. Returned as a long. Near-duplicate docs
-    differ in few bits (Hamming distance).
+    Single-expression form (the hash subtree is re-evaluated per slot —
+    fine for tests/small data). Hot paths stage ``shingle_hashes`` into
+    a column first and call :func:`minhash_from_hashes`.
     """
-    hs = F.transform(tokens(F.lower(c)), char_hash)
+    return minhash_from_hashes(shingle_hashes(c, shingle_n), num_hashes)
+
+
+def simhash_from_hashes(hs: Column, bits: int = 32) -> Column:
+    """SimHash from a (pre-materialized) hash-array column.
+
+    bit_i = sign of sum over hashes h of (2*((h>>i)&1)-1); ties → 0.
+    Returned as a long.
+    """
     acc = F.lit(0).cast("long")
 
     def vote_fn(i: int):
@@ -140,6 +165,21 @@ def simhash(c: Column, bits: int = 32) -> Column:
         term = bit * F.lit(2**i).cast("long")
         out = term if out is None else out + term
     return out
+
+
+def simhash(c: Column, bits: int = 32, shingle_n: int | None = None) -> Column:
+    """SimHash fingerprint (32-bit by default) over whitespace tokens,
+    or over word n-gram shingles when ``shingle_n`` is given.
+
+    Near-duplicate docs differ in few bits (Hamming distance). Shingle
+    mode is far more discriminative on corpora with a shared vocabulary
+    — token mode considers any two docs with similar word SETS
+    near-identical. Single-expression form: the hash subtree re-evaluates
+    per bit; hot paths stage ``shingle_hashes``/``token_hashes`` into a
+    column and call :func:`simhash_from_hashes`.
+    """
+    hs = shingle_hashes(c, shingle_n) if shingle_n else token_hashes(c)
+    return simhash_from_hashes(hs, bits)
 
 
 def stopword_count(c: Column, words: tuple[str, ...]) -> Column:

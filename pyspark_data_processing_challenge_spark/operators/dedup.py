@@ -80,9 +80,18 @@ def with_minhash(
     shingle_n: int = 3,
     out_col: str = "minhash",
 ) -> DataFrame:
-    return df.withColumn(
-        out_col, textfns.minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    """Two-stage plan: materialize the shingle-hash array as its own
+    projected column, then derive the signature from it. The staged
+    alias is referenced ``num_hashes`` times downstream — Catalyst keeps
+    the projection split (non-cheap multi-use alias), so the char-level
+    fold runs ONCE per row instead of once per slot (a ~16x win; see
+    textfns.shingle_hashes)."""
+    staged = df.withColumn(
+        "__shingle_hs", textfns.shingle_hashes(F.col(text_col), shingle_n)
     )
+    return staged.withColumn(
+        out_col, textfns.minhash_from_hashes(F.col("__shingle_hs"), num_hashes)
+    ).drop("__shingle_hs")
 
 
 def minhash_candidates(
@@ -141,30 +150,52 @@ def minhash_near_duplicates(
     """End-to-end near-dup pairs with estimated Jaccard >= threshold.
 
     Estimated Jaccard = fraction of agreeing signature slots, computed
-    only for banded candidates (linear candidate generation, then an
-    id-keyed join back to the signatures).
+    only for banded candidates. The full signature rides along through
+    the band explode, so the expensive text→signature fold is evaluated
+    once per side of the self-join — no join-back to the corpus.
     """
     rows_per_band = num_hashes // bands
     sigs = with_minhash(
         df.select(id_col, text_col), text_col, num_hashes=num_hashes, shingle_n=shingle_n
     ).select(F.col(id_col).alias("doc"), "minhash")
-    cands = minhash_candidates(
-        sigs, "doc", bands=bands, rows_per_band=rows_per_band
-    )
-    a = sigs.select(F.col("doc").alias("id_a"), F.col("minhash").alias("sig_a"))
-    b = sigs.select(F.col("doc").alias("id_b"), F.col("minhash").alias("sig_b"))
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                "-",
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sigs.select(
+        "doc", "minhash", F.explode(F.array(*band_rows)).alias("bk")
+    ).select("doc", "minhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l, r = exploded.alias("l"), exploded.alias("r")
     agree = F.size(
         F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            F.zip_with(F.col("l.minhash"), F.col("r.minhash"), lambda x, y: x == y),
             lambda eq: eq,
         )
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", est.alias("est_jaccard"))
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
@@ -220,9 +251,24 @@ def ngram_jaccard_pairs(
 
 
 def with_simhash(
-    df: DataFrame, text_col: str, *, bits: int = 32, out_col: str = "simhash"
+    df: DataFrame,
+    text_col: str,
+    *,
+    bits: int = 32,
+    shingle_n: int | None = None,
+    out_col: str = "simhash",
 ) -> DataFrame:
-    return df.withColumn(out_col, textfns.simhash(F.col(text_col), bits))
+    """Two-stage plan (see with_minhash): hash array materialized once,
+    then ``bits`` per-bit vote folds read it — ~32x fewer char folds."""
+    hs = (
+        textfns.shingle_hashes(F.col(text_col), shingle_n)
+        if shingle_n
+        else textfns.token_hashes(F.col(text_col))
+    )
+    staged = df.withColumn("__unit_hs", hs)
+    return staged.withColumn(
+        out_col, textfns.simhash_from_hashes(F.col("__unit_hs"), bits)
+    ).drop("__unit_hs")
 
 
 def simhash_near_duplicates(
@@ -233,6 +279,7 @@ def simhash_near_duplicates(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -244,9 +291,9 @@ def simhash_near_duplicates(
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for pigeonhole completeness")
     slice_bits = bits // bands
-    sigs = with_simhash(df.select(id_col, text_col), text_col, bits=bits).select(
-        F.col(id_col).alias("doc"), "simhash"
-    )
+    sigs = with_simhash(
+        df.select(id_col, text_col), text_col, bits=bits, shingle_n=shingle_n
+    ).select(F.col(id_col).alias("doc"), "simhash")
     slices = [
         F.struct(
             F.lit(i).alias("band"),

@@ -223,6 +223,7 @@ def standardize_units(
     price_out: str = "precio_estandar",
     unit_out: str = "unidad_estandar",
     price_scale: int = 2,
+    reference_round: bool = False,
 ) -> DataFrame:
     """Conditional unit conversion (reference R8, data_process.py:182-212).
 
@@ -234,14 +235,20 @@ def standardize_units(
 
     Division uses ``try_divide`` (null on zero/null divisor) — the
     reference's bare ``/`` throws DIVIDE_BY_ZERO under ANSI (SURVEY §0).
-    Rounding uses the portable :func:`round2`.
+    Rounding uses the portable :func:`round2`; ``reference_round=True``
+    switches to Spark's native ``round`` (BigDecimal HALF_UP) for
+    bit-parity with the reference's committed golden outputs.
     """
     is_conv = F.upper(F.col(unit_col)) == F.lit(from_unit.upper())
     qty_std = F.when(is_conv, F.col(qty_col) * F.lit(factor)).otherwise(F.col(qty_col))
     out = df.withColumn(qty_out, qty_std)
-    price_std = F.when(
-        is_conv, round2(F.try_divide(F.col(price_col), F.col(qty_out)), price_scale)
-    ).otherwise(F.col(price_col))
+    divided = F.try_divide(F.col(price_col), F.col(qty_out))
+    rounded = (
+        F.round(divided, price_scale)
+        if reference_round
+        else round2(divided, price_scale)
+    )
+    price_std = F.when(is_conv, rounded).otherwise(F.col(price_col))
     out = out.withColumn(price_out, price_std)
     return out.withColumn(unit_out, F.lit(to_unit))
 

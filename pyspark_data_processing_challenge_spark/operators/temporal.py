@@ -1,0 +1,99 @@
+"""Temporal operators Spark lacks natively: as-of join, sessionization.
+
+Both are implemented as compositions of built-in operators (one shuffle
+each, no UDFs) — the scale path for event-stream enrichment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: for each left row, attach the right row with the
+    greatest ``right_ts <= left_ts`` within the same ``on`` keys
+    (DuckDB/pandas ``merge_asof`` 'backward' semantics).
+
+    Implementation: union both sides with a marker, one window sort per
+    key ordered by (ts, marker) — right rows sort before left rows at
+    equal ts, so ties match — then ``last_value(..., ignoreNulls)``
+    carries the latest right values forward. ONE shuffle on ``on`` keys,
+    linear in |left|+|right|; no per-key quadratic join. Right rows must
+    be unique per (keys, ts) for deterministic output — pre-aggregate
+    duplicates first.
+    """
+    on = list(on)
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+    l_marked = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_marked = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    merged = l_marked.unionByName(r_marked)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *on,
+        "__ts",
+        "__is_left",
+        *lcols,
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .withColumnRenamed("__ts", left_ts)
+        .drop("__is_left")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap from
+    the previous event exceeds ``gap_minutes``. Adds ``session_id``
+    (1-based per key). One shuffle on ``key``; cumulative-sum window.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in order_tiebreak]]
+    w_order = Window.partitionBy(key).orderBy(*order)
+    gap_sec = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w_order).cast(
+        "double"
+    )
+    new_session = F.when(
+        gap_sec.isNull() | (gap_sec > gap_minutes * 60.0), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        "session_id", F.sum(new_session).over(w_cum).cast("long")
+    )

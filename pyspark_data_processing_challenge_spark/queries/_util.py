@@ -1,0 +1,120 @@
+"""Shared helpers for the query catalog and its DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import HASH_MOD, MINHASH_P, minhash_coeffs
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet holds TIMESTAMP(NANOS) — illegal for Spark's
+    vectorized reader. Read nanos as long (legacy conf, set here so any
+    host session works) and truncate to microseconds, matching the
+    oracle's ``CAST(ts AS TIMESTAMP)`` (TIMESTAMP_NS → µs truncation).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer division: epoch-nanos (~1.7e18) don't fit a double mantissa
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def round_to(c: Column, scale: int) -> Column:
+    """Engine-portable half-up rounding (see relational.round2)."""
+    m = float(10**scale)
+    return F.floor(c * m + F.lit(0.5)) / F.lit(m)
+
+
+def sql_round(expr: str, scale: int) -> str:
+    """The DuckDB-side twin of :func:`round_to` — identical IEEE ops."""
+    m = float(10**scale)
+    return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments mirroring functions/textfns.py (verified bit-identical
+# against the Spark expressions — see tests/test_oracle_parity.py)
+# ---------------------------------------------------------------------------
+
+
+def sql_char_hash(s: str) -> str:
+    """DuckDB twin of textfns.char_hash."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({s}, ''), c -> ascii(c)::BIGINT)), "
+        f"(a, b) -> (a * 31 + b) % {HASH_MOD})"
+    )
+
+
+def sql_tokens(s: str) -> str:
+    """DuckDB twin of textfns.tokens (whitespace split, blank → [])."""
+    return (
+        f"(case when length(trim({s})) = 0 then []::VARCHAR[] "
+        f"else regexp_split_to_array(trim({s}), '\\s+') end)"
+    )
+
+
+def sql_token_count(s: str) -> str:
+    return f"length({sql_tokens(s)})::BIGINT"
+
+
+def sql_fingerprint(s: str) -> str:
+    """DuckDB twin of textfns.fingerprint (md5 of normalized text)."""
+    return f"md5(regexp_replace(lower(trim({s})), '\\s+', ' ', 'g'))"
+
+
+def sql_shingles(s: str, n: int) -> str:
+    """DuckDB twin of textfns.shingles: distinct word n-grams of the
+    lowercased text; <n tokens → one shingle of all tokens."""
+    toks = sql_tokens(f"lower({s})")
+    grams = (
+        f"list_transform(range(1, greatest(length(__t) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(__t[i:i+{n - 1}], ' '))"
+    )
+    return (
+        f"(select case when length(__t) = 0 then []::VARCHAR[] "
+        f"else list_distinct({grams}) end from (select {toks} as __t))"
+    )
+
+
+def sql_minhash_slots(hashes_expr: str, num_hashes: int) -> list[str]:
+    """Per-slot MinHash SQL over a BIGINT[] column of shingle hashes."""
+    return [
+        f"coalesce(list_min(list_transform({hashes_expr}, "
+        f"h -> ({a}::BIGINT * h + {b}) % {MINHASH_P})), {MINHASH_P})::BIGINT"
+        for a, b in minhash_coeffs(num_hashes)
+    ]
+
+
+def sql_simhash(hashes_expr: str, bits: int) -> str:
+    """DuckDB twin of textfns.simhash over a BIGINT[] of token hashes."""
+    terms = [
+        f"(case when list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({hashes_expr}, h -> ((h >> {i}) & 1) * 2 - 1)), "
+        f"(a, b) -> a + b) > 0 then {1 << i}::BIGINT else 0 end)"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_dot(a: str, b: str, dim: int) -> str:
+    """Left-to-right fold dot product — same op order as vectors.dot."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def sql_cosine(a: str, b: str, dim: int) -> str:
+    return (
+        f"({sql_dot(a, b, dim)} / "
+        f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})))"
+    )

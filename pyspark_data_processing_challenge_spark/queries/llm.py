@@ -1,0 +1,578 @@
+"""LLM training-data pipeline queries: text analysis, dedup families,
+similarity search, multimodal plumbing (north star, SURVEY.md §7.4).
+
+Every query here — including MinHash and SimHash — has a full DuckDB
+oracle, because the underlying hashes are engine-portable by design
+(functions/textfns.py). The oracle SQL is generated from the same
+coefficient constants the Spark expressions use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textfns, vectors
+from ..functions.textfns import LANG_STOPWORDS, PUNCT_CLASS
+from ..operators import dedup, similarity
+from ._util import (
+    round_to,
+    sql_char_hash,
+    sql_cosine,
+    sql_fingerprint,
+    sql_minhash_slots,
+    sql_round,
+    sql_shingles,
+    sql_simhash,
+    sql_token_count,
+    sql_tokens,
+    t,
+)
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ft = textfns.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        ft["n_tokens"].alias("n_tokens"),
+        round_to(ft["mean_token_len"], 6).alias("mean_token_len"),
+        ft["punct_count"].alias("punct_count"),
+        round_to(ft["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    scores = textfns.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        textfns.lang_id(F.col("text")).alias("lang_pred"),
+        scores["en"].alias("en_hits"),
+        scores["es"].alias("es_hits"),
+    )
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textfns.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textfns.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted-id copy — a corpus where every text occurs
+    exactly twice, so exact-dedup queries have non-trivial output."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+
+
+_AUG_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+"""
+
+PERTURB_SUFFIX = " zz9 qq8 vv7"
+
+
+def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ slightly-perturbed copy (3 appended junk tokens) —
+    planted near-duplicates with 3-gram Jaccard ≈ S/(S+3). The realistic
+    near-dup workload: a few true positives in a sea of unrelated docs,
+    so LSH buckets stay small and candidate generation stays linear
+    (unigram similarity on this shared-vocabulary synthetic corpus is
+    degenerate — half of all pairs match, which is a quadratic trap)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.select(
+            (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(PERTURB_SUFFIX)).alias("text"),
+        )
+    )
+
+
+_PERTURB_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || '{PERTURB_SUFFIX}' AS text
+  FROM documents
+"""
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups (fingerprint, n_docs, canonical keep_id) on the
+    doubled corpus — exact dedup via hash-groupBy on a 16-byte key."""
+    return dedup.exact_duplicates(
+        _augmented_docs(spark, sf_dir), "text", "doc_id"
+    ).select(F.col("fp"), F.col("n_docs"), F.col("keep_id"))
+
+
+def dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving doc ids after exact dedup of the doubled corpus (the
+    min-id row of each duplicate group survives)."""
+    return dedup.drop_exact_duplicates(
+        _augmented_docs(spark, sf_dir), "text", "doc_id"
+    ).select("doc_id")
+
+
+MH_HASHES, MH_SHINGLE_N = 16, 3
+JAC_THRESHOLD = 0.8
+MH_ND_BANDS, MH_ND_THRESHOLD = 4, 0.5
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (16 perms over 3-gram shingles),
+    one column per slot for exact schema/value comparison. Staged plan:
+    hash array → signature array → slot columns, each a separate
+    projection so no stage recomputes its producer (see
+    textfns.shingle_hashes)."""
+    d = t(spark, sf_dir, "documents")
+    staged = dedup.with_minhash(
+        d.select("doc_id", "text"),
+        "text",
+        num_hashes=MH_HASHES,
+        shingle_n=MH_SHINGLE_N,
+    )
+    return staged.select(
+        "doc_id",
+        *[F.col("minhash")[i].alias(f"mh_{i}") for i in range(MH_HASHES)],
+    )
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded near-duplicate pairs on 3-gram MinHash over the
+    planted-duplicate corpus. Banding is part of the query semantics —
+    the oracle reproduces the same band-match condition, so recall loss
+    vs all-pairs is pinned, not hidden."""
+    d = _perturbed_docs(spark, sf_dir)
+    return dedup.minhash_near_duplicates(
+        d,
+        "text",
+        "doc_id",
+        num_hashes=MH_HASHES,
+        shingle_n=MH_SHINGLE_N,
+        bands=MH_ND_BANDS,
+        threshold=MH_ND_THRESHOLD,
+    )
+
+
+SH_BITS, SH_BANDS, SH_MAX_HAMMING, SH_SHINGLE_N = 32, 4, 3, 3
+
+
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level SimHash per doc (the classic fingerprint); staged."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.with_simhash(d.select("doc_id", "text"), "text", bits=SH_BITS).select(
+        "doc_id", "simhash"
+    )
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-SimHash pairs within Hamming distance 3 on the planted-
+    duplicate corpus. bands(4) > max_hamming(3) → pigeonhole-complete
+    candidates, so the result EXACTLY equals the all-pairs Hamming
+    predicate (which is what the oracle computes). 32-bit/8-bit slices
+    size buckets at ~N/256 — a 100 TB corpus would move to 64-bit
+    fingerprints (two independent 30-bit char-hashes) for ~N/65k."""
+    d = _perturbed_docs(spark, sf_dir)
+    return dedup.simhash_near_duplicates(
+        d,
+        "text",
+        "doc_id",
+        bits=SH_BITS,
+        max_hamming=SH_MAX_HAMMING,
+        bands=SH_BANDS,
+        shingle_n=SH_SHINGLE_N,
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over MinHash-banded candidates of the
+    planted-duplicate corpus."""
+    d = _perturbed_docs(spark, sf_dir)
+    sigs = dedup.with_minhash(
+        d.select("doc_id", "text"), "text", num_hashes=MH_HASHES, shingle_n=MH_SHINGLE_N
+    ).select(F.col("doc_id").alias("doc"), "minhash")
+    cands = dedup.minhash_candidates(
+        sigs, "doc", bands=MH_ND_BANDS, rows_per_band=MH_HASHES // MH_ND_BANDS
+    )
+    return dedup.ngram_jaccard_pairs(
+        d,
+        "text",
+        "doc_id",
+        shingle_n=MH_SHINGLE_N,
+        threshold=JAC_THRESHOLD,
+        candidates=cands,
+    ).select("id_a", "id_b", round_to(F.col("jaccard"), 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+TOPK_K, TOPK_NQUERIES = 5, 10
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k for a small broadcast query set."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES)
+    out = similarity.cosine_topk(emb, queries, k=TOPK_K)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        round_to(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
+EMB_ND_THRESHOLD = 0.4
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine >= 0.4 (exact mode — the
+    verification baseline for the LSH-bucketed scale path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_duplicates(
+        emb, threshold=EMB_ND_THRESHOLD, exact=True
+    )
+    return out.select(
+        "id_a", "id_b", round_to(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+LSH_PLANES, LSH_SEED = 6, 11
+
+
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection bucket id per vector — the candidate
+    generator for the linear-time ANN path. Plane constants come from a
+    shared LCG, so the oracle derives identical buckets."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.with_lsh_bucket(
+        emb, num_planes=LSH_PLANES, dim=EMB_DIM, seed=LSH_SEED
+    ).select("vec_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary payload plumbing: byte length, head bytes (hex), and
+    a deterministic fake 'decoded' width/height — the schema/partition
+    shape of an image pipeline with the codec stubbed out (the real
+    decode path lives in operators/multimodal.py as a pandas UDF)."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    plen = F.length(payload).cast("long")
+    return d.select(
+        "doc_id",
+        plen.alias("payload_len"),
+        F.hex(F.substring(payload, 1, 8)).alias("head_hex"),
+        (plen % F.lit(640) + F.lit(1)).alias("fake_width"),
+        ((plen * F.lit(7)) % F.lit(480) + F.lit(1)).alias("fake_height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generation
+# ---------------------------------------------------------------------------
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    toks = sql_tokens("lower(text)")
+    return (
+        f"length(list_filter({toks}, t__ -> "
+        f"list_contains({_sql_list(LANG_STOPWORDS[lang])}, t__)))::BIGINT"
+    )
+
+
+def _sql_lang_id() -> str:
+    langs = list(LANG_STOPWORDS)
+    hits = {lg: f"s_{lg}" for lg in langs}
+    best = f"greatest({', '.join(hits.values())})"
+    expr = "'und'"
+    for lg in reversed(langs):
+        expr = f"CASE WHEN {hits[lg]} = __best THEN '{lg}' ELSE {expr} END"
+    return f"CASE WHEN __best = 0 THEN 'und' ELSE {expr} END"
+
+
+_PUNCT_SQL = PUNCT_CLASS.replace("'", "''")
+
+_TOKEN_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {sql_tokens("text")} AS toks FROM documents
+)
+SELECT doc_id,
+  length(toks)::BIGINT AS n_tokens,
+  {sql_round("list_sum(list_transform(toks, t__ -> length(t__)))::DOUBLE / length(toks)::DOUBLE", 6)} AS mean_token_len,
+  (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))::BIGINT AS punct_count,
+  {sql_round(_sql_stop_hits("en") + "::DOUBLE / " + sql_token_count("text") + "::DOUBLE", 6)} AS stopword_ratio
+FROM base
+"""
+
+_LANG_SQL = f"""
+WITH scores AS (
+  SELECT doc_id,
+    {_sql_stop_hits("en")} AS s_en, {_sql_stop_hits("es")} AS s_es,
+    {_sql_stop_hits("fr")} AS s_fr, {_sql_stop_hits("de")} AS s_de
+  FROM documents
+), withbest AS (
+  SELECT *, greatest(s_en, s_es, s_fr, s_de) AS __best FROM scores
+)
+SELECT doc_id, {_sql_lang_id()} AS lang_pred,
+       s_en AS en_hits, s_es AS es_hits
+FROM withbest
+"""
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {sql_tokens("text")} AS toks FROM documents
+), ft AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    length(toks)::BIGINT AS n_tokens,
+    list_sum(list_transform(toks, t__ -> length(t__)))::DOUBLE
+      / nullif(length(toks), 0)::DOUBLE AS mtl,
+    {_sql_stop_hits("en")}::DOUBLE / nullif(length(toks), 0)::DOUBLE AS sr
+  FROM base
+)
+SELECT doc_id,
+  (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN mtl BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN sr >= 0.02 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END) AS quality
+FROM ft
+"""
+
+
+def _sql_minhash_sig_cte(
+    source_sql: str, num_hashes: int, shingle_n: int
+) -> str:
+    """CTE 'sigs' with doc_id + mh_0..mh_{k-1} from a doc source."""
+    slots = sql_minhash_slots("hs", num_hashes)
+    slot_cols = ", ".join(f"{s} AS mh_{i}" for i, s in enumerate(slots))
+    return f"""
+  docs_src AS ({source_sql}),
+  hashed AS (
+    SELECT doc_id,
+      list_transform({sql_shingles("text", shingle_n)}, s__ -> {sql_char_hash("s__")}) AS hs
+    FROM docs_src
+  ),
+  sigs AS (SELECT doc_id, {slot_cols} FROM hashed)
+"""
+
+
+_MINHASH_SIG_SQL = (
+    "WITH"
+    + _sql_minhash_sig_cte("SELECT doc_id, text FROM documents", MH_HASHES, MH_SHINGLE_N)
+    + "SELECT * FROM sigs"
+)
+
+
+def _sql_band_match(rows_per_band: int, bands: int) -> str:
+    conds = []
+    for b in range(bands):
+        eqs = [
+            f"a.mh_{b * rows_per_band + r} = b.mh_{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        ]
+        conds.append("(" + " AND ".join(eqs) + ")")
+    return " OR ".join(conds)
+
+
+_MH_RPB = MH_HASHES // MH_ND_BANDS
+_MH_AGREE = " + ".join(
+    f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(MH_HASHES)
+)
+
+_MINHASH_ND_SQL = (
+    "WITH"
+    + _sql_minhash_sig_cte(_PERTURB_SQL, MH_HASHES, MH_SHINGLE_N)
+    + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ({_MH_AGREE})::DOUBLE / {float(MH_HASHES)} AS est_jaccard
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE ({_sql_band_match(_MH_RPB, MH_ND_BANDS)})
+  AND ({_MH_AGREE})::DOUBLE / {float(MH_HASHES)} >= {MH_ND_THRESHOLD}
+"""
+)
+
+_SIMHASH_SQL = (
+    "WITH hashed AS ("
+    f"  SELECT doc_id, list_transform({sql_tokens('lower(text)')}, "
+    f"  t__ -> {sql_char_hash('t__')}) AS hs FROM documents"
+    f") SELECT doc_id, {sql_simhash('hs', SH_BITS)} AS simhash FROM hashed"
+)
+
+_SIMHASH_ND_SQL = f"""
+WITH aug AS ({_PERTURB_SQL}),
+hashed AS (
+  SELECT doc_id,
+    list_transform({sql_shingles("text", SH_SHINGLE_N)}, s__ -> {sql_char_hash("s__")}) AS hs
+  FROM aug
+),
+sims AS (SELECT doc_id, {sql_simhash("hs", SH_BITS)} AS simhash FROM hashed)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SH_MAX_HAMMING}
+"""
+
+_JACCARD_SQL = (
+    "WITH"
+    + _sql_minhash_sig_cte(_PERTURB_SQL, MH_HASHES, MH_SHINGLE_N)
+    + f""",
+  sh AS (
+    SELECT doc_id, {sql_shingles("text", MH_SHINGLE_N)} AS s
+    FROM (SELECT * FROM docs_src)
+  ),
+  cands AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE {_sql_band_match(_MH_RPB, MH_ND_BANDS)}
+  )
+SELECT id_a, id_b,
+  {sql_round("length(list_intersect(x.s, y.s))::DOUBLE / length(list_distinct(list_concat(x.s, y.s)))::DOUBLE", 6)} AS jaccard
+FROM cands JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+WHERE length(list_intersect(x.s, y.s))::DOUBLE
+      / length(list_distinct(list_concat(x.s, y.s)))::DOUBLE >= {JAC_THRESHOLD}
+"""
+)
+
+_EMB = "embedding::DOUBLE[]"
+
+_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_EMB} AS qv FROM embeddings
+  WHERE vec_id < {TOPK_NQUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, {_EMB} AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, {sql_cosine("qv", "cv", EMB_DIM)} AS cos_raw
+  FROM q JOIN c ON query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {sql_round("cos_raw", 6)} AS cosine, rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+_EMB_ND_SQL = f"""
+WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  {sql_round(sql_cosine("a.e", "b.e", EMB_DIM), 6)} AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {sql_cosine("a.e", "b.e", EMB_DIM)} >= {EMB_ND_THRESHOLD}
+"""
+
+
+def _sql_lsh_buckets() -> str:
+    planes = vectors.random_planes(LSH_PLANES, EMB_DIM, LSH_SEED)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(f"{x!r}::DOUBLE" for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN {sql_dot_const(arr)} >= 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        )
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings)
+SELECT vec_id, ({' + '.join(terms)}) AS bucket FROM v
+"""
+
+
+def sql_dot_const(plane_arr: str) -> str:
+    """Dot of the row vector 'e' with a constant plane array — identical
+    left-to-right fold as vectors.dot."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {EMB_DIM + 1}), i -> e[i] * ({plane_arr})[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+  octet_length(encode(text))::BIGINT AS payload_len,
+  hex(encode(substring(text, 1, 8))) AS head_hex,
+  octet_length(encode(text))::BIGINT % 640 + 1 AS fake_width,
+  (octet_length(encode(text))::BIGINT * 7) % 480 + 1 AS fake_height
+FROM documents
+"""
+
+QUERIES = {
+    "docs_token_stats": docs_token_stats,
+    "docs_lang_id": docs_lang_id,
+    "docs_quality": docs_quality,
+    "docs_fingerprint": docs_fingerprint,
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_drop_exact": dedup_drop_exact,
+    "minhash_signatures": minhash_signatures,
+    "minhash_near_dup": minhash_near_dup,
+    "simhash_values": simhash_values,
+    "simhash_near_dup": simhash_near_dup,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "embedding_topk": embedding_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "embedding_lsh_buckets": embedding_lsh_buckets,
+    "multimodal_meta": multimodal_meta,
+}
+
+ORACLES = {
+    "docs_token_stats": _TOKEN_STATS_SQL,
+    "docs_lang_id": _LANG_SQL,
+    "docs_quality": _QUALITY_SQL,
+    "docs_fingerprint": f"SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents",
+    "dedup_exact_groups": f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT {sql_fingerprint("text")} AS fp,
+               count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM aug GROUP BY 1 HAVING count(*) > 1
+    """,
+    "dedup_drop_exact": f"""
+        WITH aug AS ({_AUG_SQL}),
+        ranked AS (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY {sql_fingerprint("text")} ORDER BY doc_id) AS rn
+          FROM aug
+        )
+        SELECT doc_id FROM ranked WHERE rn = 1
+    """,
+    "minhash_signatures": _MINHASH_SIG_SQL,
+    "minhash_near_dup": _MINHASH_ND_SQL,
+    "simhash_values": _SIMHASH_SQL,
+    "simhash_near_dup": _SIMHASH_ND_SQL,
+    "ngram_jaccard_pairs": _JACCARD_SQL,
+    "embedding_topk": _TOPK_SQL,
+    "embedding_near_dup": _EMB_ND_SQL,
+    "embedding_lsh_buckets": _sql_lsh_buckets(),
+    "multimodal_meta": _MULTIMODAL_SQL,
+}

@@ -1,0 +1,349 @@
+"""Relational-analytics queries: aggregation, joins, windows, set ops,
+pivot/rollup, time windows, sessionization, as-of join.
+
+The reference has NONE of these (SURVEY.md §2.5) — they complete the
+engine's query surface. Plans are written for scale: dimension joins
+broadcast, aggregations single-pass with map-side combine, window ops
+shuffle once on their partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import temporal
+from ._util import round_to, sql_round, t
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style: one hash aggregate over lineitem (partial agg
+    map-side, then one shuffle on the tiny group key)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_to(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_to(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_to(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("sum_disc_price"),
+            round_to(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_to(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation revenue rollup. nation is tiny →
+    explicit broadcast; customer⋈orders shuffles on the join key once."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            round_to(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (deterministic tie-break)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer ordered by order date (frame spec)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        round_to(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def sort_top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — no full sort."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having >=1 urgent order (left semi — no row explosion)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left anti)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT surface: building-segment customers that do have
+    open ('O') orders, minus those that also have 'F' orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_open = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    with_f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(with_open).exceptAll(with_f.distinct()).select("custkey")
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted by type (explicit value list so the
+    plan is a single aggregate — no distinct-scan to discover columns)."""
+    e = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, subset=types)
+    )
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (returnflag, linestatus)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_to(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation (batch twin of the streaming
+    query in streaming/events.py — same results, same oracle)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_to(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user."""
+    e = t(spark, sf_dir, "events")
+    out = temporal.sessionize(
+        e, key="user_id", ts_col="ts", gap_minutes=30.0, order_tiebreak=("event_id",)
+    )
+    return (
+        out.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the user's latest prior-or-equal click
+    (classic as-of enrichment). Right side pre-deduped per (user, ts)
+    for determinism.
+    """
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = temporal.asof_join(
+        purchases,
+        clicks,
+        on=("user_id",),
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("click_id",),
+        suffix="",
+    )
+    return out.select("user_id", "purchase_id", F.col("click_id").alias("click_id"))
+
+
+_EVENTS_NORM = '''
+  events_norm AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+  )
+'''
+
+QUERIES = {
+    "agg_pricing_summary": agg_pricing_summary,
+    "join_revenue_by_nation": join_revenue_by_nation,
+    "window_topk_orders": window_topk_orders,
+    "window_running_total": window_running_total,
+    "sort_top20_orders": sort_top20_orders,
+    "semi_join_urgent_customers": semi_join_urgent_customers,
+    "anti_join_quiet_customers": anti_join_quiet_customers,
+    "set_ops_segments": set_ops_segments,
+    "pivot_event_counts": pivot_event_counts,
+    "rollup_lineitem": rollup_lineitem,
+    "events_hourly": events_hourly,
+    "sessionize_events": sessionize_events,
+    "asof_join_purchases": asof_join_purchases,
+}
+
+ORACLES = {
+    "agg_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+          {sql_round("sum(l_quantity)", 2)} AS sum_qty,
+          {sql_round("sum(l_extendedprice)", 2)} AS sum_base_price,
+          {sql_round("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS sum_disc_price,
+          {sql_round("avg(l_quantity)", 4)} AS avg_qty,
+          {sql_round("avg(l_discount)", 4)} AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_revenue_by_nation": f"""
+        SELECT n_name,
+          {sql_round("sum(o_totalprice)", 2)} AS revenue,
+          count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "window_topk_orders": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+    """,
+    "window_running_total": f"""
+        SELECT o_custkey, o_orderkey,
+          {sql_round("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)}
+            AS running_total
+        FROM orders
+    """,
+    "sort_top20_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "semi_join_urgent_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+    "anti_join_quiet_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "set_ops_segments": """
+        SELECT custkey FROM (
+          SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          INTERSECT
+          SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        EXCEPT ALL
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "pivot_event_counts": f"""
+        WITH {_EVENTS_NORM}
+        SELECT CAST(ts AS DATE) AS day,
+          count(*) FILTER (WHERE event_type = 'click') AS click,
+          count(*) FILTER (WHERE event_type = 'view') AS "view",
+          count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          count(*) FILTER (WHERE event_type = 'error') AS error
+        FROM events_norm GROUP BY 1
+    """,
+    "rollup_lineitem": f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          {sql_round("sum(l_quantity)", 2)} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "events_hourly": f"""
+        WITH {_EVENTS_NORM}
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+          count(*) AS n, {sql_round("sum(value)", 4)} AS sum_value
+        FROM events_norm GROUP BY 1, 2
+    """,
+    "sessionize_events": f"""
+        WITH {_EVENTS_NORM},
+        flagged AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events_norm
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id, ts,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sessions GROUP BY 1, 2
+    """,
+    "asof_join_purchases": f"""
+        WITH {_EVENTS_NORM},
+        purchases AS (
+          SELECT user_id, ts, event_id AS purchase_id FROM events_norm
+          WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, ts, max(event_id) AS click_id FROM events_norm
+          WHERE event_type = 'click' GROUP BY user_id, ts
+        )
+        SELECT p.user_id AS user_id, p.purchase_id AS purchase_id,
+               c.click_id AS click_id
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+}

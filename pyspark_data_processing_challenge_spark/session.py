@@ -30,6 +30,10 @@ _DEFAULTS: dict[str, str] = {
     # Keep parquet scans pruned + pushed down (defaults, pinned explicitly
     # so a misconfigured cluster profile can't silently disable them).
     "spark.sql.parquet.filterPushdown": "true",
+    # The synthetic events table stores TIMESTAMP(NANOS) parquet, which
+    # Spark rejects by default; read as epoch-nanos long and convert
+    # explicitly (see queries/_util.events_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
 }
 

@@ -1,0 +1,100 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is strictly batch (SURVEY.md §2.5); these provide the
+streaming side of the engine: watermarked tumbling-window aggregation
+and streaming sessionization. Each has a batch twin in
+``queries/relational.py`` computing identical results, which is how the
+tests verify them (drive a bounded parquet stream to completion with a
+memory sink, compare to the batch answer — the driver's oracle story,
+one level up).
+
+Scale notes: watermark bounds state; the window aggregate's state key is
+(window, event_type) — small; sessionization state is per-user and
+evicted by the same watermark. On a real deployment the source becomes
+Kafka and the sink a transactional ``foreachBatch`` writer; the
+transformation graph is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos (see queries/_util)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Bounded parquet directory as a stream (smoke/test source; swap for
+    Kafka in production — the downstream graph is source-agnostic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source requires a directory: scan sf_dir with a
+    # glob filter selecting just the events file
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour aggregation — streaming twin of the
+    batch ``events_hourly`` query (same grouping, same aggregates)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming sessionization via ``session_window`` — merges
+    events within ``gap`` per user into one session row."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a bounded stream to completion synchronously into an
+    in-memory table ``name`` (complete mode — test harness only)."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

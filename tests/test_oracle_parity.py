@@ -1,0 +1,118 @@
+"""Driver-style correctness gate, run locally: every query in the
+catalog executes on Spark AND its DuckDB oracle on the same sf0.01
+parquet, and results must match exactly (row count, column names,
+order-insensitive values). This is a strict superset of the driver's
+hash compare — floats are compared bit-exactly because the whole
+catalog is built on engine-portable arithmetic.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF01_DIR
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF01_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "quantize"):  # Decimal
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _sort_key(row):
+    return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+
+def _spark_rows(df, cols):
+    return sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in df.collect()),
+        key=_sort_key,
+    )
+
+
+def _duck_rows(con, sql, cols):
+    res = con.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    return sorted(
+        (tuple(_norm(row[i]) for i in idx) for row in res.fetchall()),
+        key=_sort_key,
+    )
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+def test_every_query_has_oracle():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o.keys()) <= set(q.keys())
+    # round-1 goal: full oracle coverage
+    assert set(o.keys()) == set(q.keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    assert sql is not None, f"{name} has no oracle"
+    df = qfn(spark, SF01_DIR)
+    cols = sorted(df.columns)
+    duck_names = [d[0] for d in duck.execute(sql).description]
+    assert sorted(duck_names) == cols, (
+        f"{name}: column mismatch spark={cols} duck={sorted(duck_names)}"
+    )
+    s_rows = _spark_rows(df, cols)
+    d_rows = _duck_rows(duck, sql, cols)
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,90 @@
+"""Streaming + multimodal plumbing tests.
+
+Streaming queries are verified against their batch twins (same inputs,
+same grouping) — the strongest oracle available without a second
+streaming engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_data_processing_challenge_spark.operators import multimodal
+from pyspark_data_processing_challenge_spark.queries.relational import events_hourly
+from pyspark_data_processing_challenge_spark.streaming import events as sev
+from tests.conftest import SF_DIR
+
+
+def test_streaming_hourly_matches_batch(spark):
+    stream = sev.read_events_stream(spark, SF_DIR)
+    sev.run_to_memory(sev.hourly_counts(stream), "hourly_out")
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], round(r["sum_value_raw"], 6))
+        for r in events_hourly(spark, SF_DIR)
+        .withColumn("sum_value_raw", F.col("sum_value"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, _) in want.items():
+        assert got[k][0] == n
+
+
+def test_streaming_session_windows(spark):
+    stream = sev.read_events_stream(spark, SF_DIR)
+    sev.run_to_memory(sev.session_windows(stream), "sessions_out")
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    assert rows
+    total_events = sum(r["n_events"] for r in rows)
+    assert total_events == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_multimodal_stub_decode(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    media = multimodal.attach_payload(docs, "text", "doc_id")
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "payload",
+        "mime",
+        "meta",
+    ]
+    decoded = multimodal.decode_image_batch(media)
+    rows = decoded.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert 1 <= r["width"] <= 640
+        assert 1 <= r["height"] <= 480
+        assert r["n_bytes"] > 0
+        assert len(r["checksum"]) == 32
+
+    sampled = multimodal.frame_sample(media, every_n=10)
+    assert sampled.count() == sum(1 for r in docs.collect() if r["doc_id"] % 10 == 0)
+
+
+def test_multimodal_real_codec_raises(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1)
+    media = multimodal.attach_payload(docs, "text", "doc_id")
+    try:
+        multimodal.decode_image_batch(media, codec="jpeg")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_multimodal_feature_udf(spark):
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    media = multimodal.attach_payload(docs, "text", "doc_id")
+
+    def fake_embed(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: [float(len(b) % 7), float(len(b) % 11)] if b is not None else None
+        )
+
+    out = multimodal.with_feature(media, fake_embed, out_col="emb")
+    rows = out.select("media_id", "emb").collect()
+    assert all(len(r["emb"]) == 2 for r in rows)
