@@ -110,6 +110,93 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (deterministic tie-break: smallest centroid id).
+
+    ``centroids`` is small (the codebook) → broadcast; the corpus is
+    scanned once, scoring |codebook| cosines per row JVM-side. Output:
+    (id, vec, centroid_id). At 100 TB this is the linear pass that
+    buckets the corpus; writing the result partitioned by centroid_id
+    gives pruned ANN probes on read.
+    """
+    c = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
+    cb = centroids.select(
+        F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cv")
+    )
+    scored = c.join(F.broadcast(cb)).select(
+        "doc", "vec", "cid", vectors.cosine(F.col("vec"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc", "vec", F.col("cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN search: score only corpus vectors whose centroid is among
+    the query's ``nprobe`` nearest centroids. Recall < 1 by construction
+    (the IVF trade); raise nprobe → exact at nprobe=|codebook|.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded.
+    """
+    cb = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = ivf_assign(
+        corpus,
+        cb,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id="cid",
+        centroid_vec="cv",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qscored = q.join(F.broadcast(cb)).select(
+        "query_id", "qvec", "cid",
+        vectors.cosine(F.col("qvec"), F.col("cv")).alias("qcos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cid"))
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qvec", F.col("cid").alias("centroid_id"))
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col("doc")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("doc").alias("neighbor_id"),
+        vectors.cosine(F.col("qvec"), F.col("vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,

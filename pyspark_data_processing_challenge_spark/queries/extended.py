@@ -1,0 +1,341 @@
+"""Extended analytics queries: JSON extraction, advanced windows, cube,
+corpus term statistics, TF-IDF, exact percentiles, IVF ANN search.
+
+Wave 2 of the catalog — everything here keeps the engine-portable
+arithmetic contract (no transcendental functions in hashed outputs:
+TF-IDF uses a rational idf so Spark and the oracle agree bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns
+from ..operators import similarity
+from ._util import round_to, sql_round, sql_tokens, t
+
+# ---------------------------------------------------------------------------
+# JSON surface
+# ---------------------------------------------------------------------------
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the props JSON column (semi-structured surface): per
+    event_type stats over props.k. JSON path evaluation is JVM-side
+    (get_json_object) — no UDF."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            round_to(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# advanced window functions
+# ---------------------------------------------------------------------------
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value delta vs previous event (lag with tie-break)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return e.select(
+        "event_id", "user_id", round_to(delta, 6).alias("delta")
+    )
+
+
+def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of orders by price (global ntile; deterministic
+    total order so bucket assignment is engine-independent)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type — the
+    exact form (F.percentile); the scale path swaps in
+    percentile_approx, trading the oracle for a tolerance check."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        round_to(F.percentile("value", 0.5), 6).alias("p50"),
+        round_to(F.percentile("value", 0.9), 6).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cube
+# ---------------------------------------------------------------------------
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_to(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus term statistics
+# ---------------------------------------------------------------------------
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 terms: explode → count → top-k. The explode
+    fans out ~n_tokens rows per doc, the aggregate map-side combines —
+    the canonical wordcount at scale."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(textfns.tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by TF-IDF with a RATIONAL idf (N/df, no log)
+    so the score is integer-ratio arithmetic — bit-identical in any
+    engine. Two aggregates (per-doc tf, corpus df) + a broadcast join
+    of the tiny df table back onto terms."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver-side scalar: one cheap count of a dimension-sized table
+    terms = d.select(
+        "doc_id",
+        F.explode(textfns.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    score = (
+        F.col("tf").cast("double")
+        / F.col("len").cast("double")
+        * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+    )
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .select("doc_id", "term", score.alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", round_to(F.col("tfidf"), 6).alias("tfidf"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+IVF_NCENTROIDS, IVF_NPROBE, IVF_K = 8, 2, 5
+IVF_QUERY_LO, IVF_QUERY_HI = 100, 110
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment with a deterministic codebook (the first 8
+    vectors) — every vector → nearest centroid by cosine."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = similarity.ivf_assign(
+        emb, cent, centroid_id="cid", centroid_vec="cv"
+    )
+    return out.select(F.col("doc").alias("vec_id"), "centroid_id")
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the 2 nearest centroid lists per query, exact
+    top-5 within them."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS)
+    queries = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    )
+    out = similarity.ivf_topk(
+        emb, queries, cent, k=IVF_K, nprobe=IVF_NPROBE
+    )
+    return out.select(
+        "query_id", "neighbor_id", round_to(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_EVENTS_JSON_SQL = f"""
+WITH ek AS (
+  SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
+)
+SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+  {sql_round("avg(k)", 4)} AS avg_k,
+  min(k) AS min_k, max(k) AS max_k
+FROM ek GROUP BY event_type
+"""
+
+_LAG_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+)
+SELECT event_id, user_id,
+  {sql_round("value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)", 6)}
+    AS delta
+FROM e
+"""
+
+_NTILE_SQL = """
+SELECT o_orderkey,
+  ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+"""
+
+_PCT_SQL = f"""
+SELECT event_type,
+  {sql_round("quantile_cont(value, 0.5)", 6)} AS p50,
+  {sql_round("quantile_cont(value, 0.9)", 6)} AS p90
+FROM events GROUP BY event_type
+"""
+
+_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  {sql_round("sum(o_totalprice)", 2)} AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+_TOP_TERMS_SQL = f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest({sql_tokens("lower(text)")}) AS term FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({sql_tokens("lower(text)")}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), doc_len AS (
+  SELECT doc_id, count(*) AS len FROM terms GROUP BY 1
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    tf.tf::DOUBLE / doc_len.len::DOUBLE * (n.n_docs / df.df::DOUBLE) AS tfidf
+  FROM tf JOIN doc_len USING (doc_id) JOIN df USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, {sql_round("tfidf", 6)} AS tfidf, rn
+FROM ranked WHERE rn <= 3
+"""
+
+_IVF_COS = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (x, y) -> x + y) / "
+    "(sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, 65), i -> {a}[i] * {a}[i])), (x, y) -> x + y)) * "
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, 65), i -> {b}[i] * {b}[i])), (x, y) -> x + y)))"
+)
+
+_IVF_ASSIGN_CTE = f"""
+  v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+           WHERE vec_id < {IVF_NCENTROIDS}),
+  scored AS (
+    SELECT v.vec_id, v.e, cent.cid,
+      {_IVF_COS.format(a="v.e", b="cent.cv")} AS cos
+    FROM v, cent
+  ),
+  assigned AS (
+    SELECT vec_id, e, cid AS centroid_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid) AS rn
+      FROM scored
+    ) WHERE rn = 1
+  )
+"""
+
+_IVF_ASSIGN_SQL = "WITH" + _IVF_ASSIGN_CTE + "SELECT vec_id, centroid_id FROM assigned"
+
+_IVF_TOPK_SQL = (
+    "WITH"
+    + _IVF_ASSIGN_CTE
+    + f""",
+  q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+  qprobe AS (
+    SELECT query_id, qv, cid AS centroid_id FROM (
+      SELECT q.query_id, q.qv, cent.cid,
+        {_IVF_COS.format(a="q.qv", b="cent.cv")} AS qcos,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="cent.cv")} DESC,
+                                    cent.cid) AS rn
+      FROM q, cent
+    ) WHERE rn <= {IVF_NPROBE}
+  ),
+  cand AS (
+    SELECT qprobe.query_id, qprobe.qv, assigned.vec_id AS neighbor_id, assigned.e
+    FROM qprobe JOIN assigned USING (centroid_id)
+    WHERE qprobe.query_id <> assigned.vec_id
+  ),
+  ranked AS (
+    SELECT query_id, neighbor_id,
+      {_IVF_COS.format(a="qv", b="e")} AS cos_raw,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY {_IVF_COS.format(a="qv", b="e")} DESC,
+                                  neighbor_id) AS rank
+    FROM cand
+  )
+SELECT query_id, neighbor_id, {sql_round("cos_raw", 6)} AS cosine, rank
+FROM ranked WHERE rank <= {IVF_K}
+"""
+)
+
+QUERIES = {
+    "events_json_stats": events_json_stats,
+    "window_lag_delta": window_lag_delta,
+    "window_ntile_orders": window_ntile_orders,
+    "percentiles_by_type": percentiles_by_type,
+    "cube_orders": cube_orders,
+    "top_terms": top_terms,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ivf_assignments": ivf_assignments,
+    "ivf_topk": ivf_topk,
+}
+
+ORACLES = {
+    "events_json_stats": _EVENTS_JSON_SQL,
+    "window_lag_delta": _LAG_SQL,
+    "window_ntile_orders": _NTILE_SQL,
+    "percentiles_by_type": _PCT_SQL,
+    "cube_orders": _CUBE_SQL,
+    "top_terms": _TOP_TERMS_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
+    "ivf_assignments": _IVF_ASSIGN_SQL,
+    "ivf_topk": _IVF_TOPK_SQL,
+}
