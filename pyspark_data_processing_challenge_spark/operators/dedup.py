@@ -146,6 +146,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     bands: int = 4,
     threshold: float = 0.7,
+    arrow: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup pairs with estimated Jaccard >= threshold.
 
@@ -153,11 +154,24 @@ def minhash_near_duplicates(
     only for banded candidates. The full signature rides along through
     the band explode, so the expensive text→signature fold is evaluated
     once per side of the self-join — no join-back to the corpus.
+
+    ``arrow=True`` (default) computes signatures via the numpy pandas
+    UDF (functions/fast_text.py) — bit-identical values (same oracle),
+    ~5x faster per row; set False for a pure-JVM plan.
     """
     rows_per_band = num_hashes // bands
-    sigs = with_minhash(
-        df.select(id_col, text_col), text_col, num_hashes=num_hashes, shingle_n=shingle_n
-    ).select(F.col(id_col).alias("doc"), "minhash")
+    if arrow:
+        from ..functions.fast_text import with_minhash_fast
+
+        sigs = with_minhash_fast(
+            df.select(id_col, text_col), text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ).select(F.col(id_col).alias("doc"), "minhash")
+    else:
+        sigs = with_minhash(
+            df.select(id_col, text_col), text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ).select(F.col(id_col).alias("doc"), "minhash")
     band_rows = [
         F.struct(
             F.lit(b).alias("band"),
@@ -280,6 +294,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bands: int = 4,
     shingle_n: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -291,9 +306,17 @@ def simhash_near_duplicates(
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for pigeonhole completeness")
     slice_bits = bits // bands
-    sigs = with_simhash(
-        df.select(id_col, text_col), text_col, bits=bits, shingle_n=shingle_n
-    ).select(F.col(id_col).alias("doc"), "simhash")
+    if arrow:
+        from ..functions.fast_text import simhash_udf
+
+        sigs = df.select(
+            F.col(id_col).alias("doc"),
+            simhash_udf(bits, shingle_n)(F.col(text_col)).alias("simhash"),
+        )
+    else:
+        sigs = with_simhash(
+            df.select(id_col, text_col), text_col, bits=bits, shingle_n=shingle_n
+        ).select(F.col(id_col).alias("doc"), "simhash")
     slices = [
         F.struct(
             F.lit(i).alias("band"),

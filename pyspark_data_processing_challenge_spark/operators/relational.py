@@ -44,9 +44,17 @@ def round2(c: Column, scale: int = 2) -> Column:
     bit-for-bit; this formula is plain IEEE ops, so any engine computes
     the identical double. Correct for non-negative inputs (prices,
     quantities); symmetric half-away-from-zero would need a sign branch.
+
+    Overflow guard (hypothesis-found): Spark's ``floor`` yields a LONG,
+    which overflows past 2^63 — and beyond 2^53 a double has no
+    sub-integer precision to round anyway — so magnitudes >= 1e15 pass
+    through unchanged. The SQL twin (queries/_util.sql_round) applies
+    the same guard for bit parity.
     """
     m = float(10**scale)
-    return F.floor(c * m + F.lit(0.5)) / F.lit(m)
+    return F.when(F.abs(c) >= F.lit(1e15), c).otherwise(
+        F.floor(c * m + F.lit(0.5)) / F.lit(m)
+    )
 
 
 # --------------------------------------------------------------------------

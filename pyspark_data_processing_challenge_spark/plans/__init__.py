@@ -1,0 +1,21 @@
+from .inspect import (
+    broadcast_join_count,
+    exchange_count,
+    executed_plan,
+    has_pushed_filters,
+    optimized_plan,
+    scan_read_schema,
+    sort_merge_join_count,
+    wholestage_codegen_count,
+)
+
+__all__ = [
+    "executed_plan",
+    "optimized_plan",
+    "has_pushed_filters",
+    "scan_read_schema",
+    "broadcast_join_count",
+    "sort_merge_join_count",
+    "exchange_count",
+    "wholestage_codegen_count",
+]

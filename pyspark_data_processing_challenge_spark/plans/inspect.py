@@ -1,0 +1,58 @@
+"""Physical-plan inspection helpers.
+
+Scale discipline is a plan property, not a hope: filters must reach the
+scan (PushedFilters), dimension joins must broadcast, shuffle counts
+must match the algebra. These helpers turn ``.explain`` into
+assertions, so the plan shape of every headline query is pinned by a
+regression test (tests/test_plan_shapes.py) and a future edit that
+silently introduces an extra shuffle or loses pushdown fails CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The physical plan string (post-AQE initial plan)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if any file scan in the plan carries non-empty PushedFilters."""
+    plan = executed_plan(df)
+    return bool(re.search(r"PushedFilters: \[(?!\])", plan))
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """ReadSchema column lists of each file scan (column-pruning check)."""
+    plan = executed_plan(df)
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Broadcast joins of either flavor: hash (equi) or nested-loop
+    (non-equi, e.g. a != filter over a broadcast side)."""
+    plan = executed_plan(df)
+    return plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+
+
+def sort_merge_join_count(df: DataFrame) -> int:
+    return executed_plan(df).count("SortMergeJoin")
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the initial physical plan (AQE may
+    later coalesce them, never add)."""
+    plan = executed_plan(df)
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    return len(re.findall(r"\*\(\d+\)", executed_plan(df)))

@@ -27,15 +27,21 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def round_to(c: Column, scale: int) -> Column:
-    """Engine-portable half-up rounding (see relational.round2)."""
-    m = float(10**scale)
-    return F.floor(c * m + F.lit(0.5)) / F.lit(m)
+    """Engine-portable half-up rounding (see relational.round2, incl.
+    the >=1e15 overflow guard)."""
+    from ..operators.relational import round2
+
+    return round2(c, scale)
 
 
 def sql_round(expr: str, scale: int) -> str:
-    """The DuckDB-side twin of :func:`round_to` — identical IEEE ops."""
+    """The DuckDB-side twin of :func:`round_to` — identical IEEE ops,
+    identical overflow guard."""
     m = float(10**scale)
-    return f"floor(({expr}) * {m} + 0.5) / {m}"
+    return (
+        f"(CASE WHEN abs({expr}) >= 1e15 THEN ({expr}) "
+        f"ELSE floor(({expr}) * {m} + 0.5) / {m} END)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -158,6 +158,25 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-path twin of minhash_signatures (numpy pandas UDF). Shares
+    the SAME oracle — passing the hash compare proves the vectorized
+    path is bit-identical to the Column-expression path."""
+    from ..functions.fast_text import with_minhash_fast
+
+    d = t(spark, sf_dir, "documents")
+    staged = with_minhash_fast(
+        d.select("doc_id", "text"),
+        "text",
+        num_hashes=MH_HASHES,
+        shingle_n=MH_SHINGLE_N,
+    )
+    return staged.select(
+        "doc_id",
+        *[F.col("minhash")[i].alias(f"mh_{i}") for i in range(MH_HASHES)],
+    )
+
+
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded near-duplicate pairs on 3-gram MinHash over the
     planted-duplicate corpus. Banding is part of the query semantics —
@@ -536,6 +555,7 @@ QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_drop_exact": dedup_drop_exact,
     "minhash_signatures": minhash_signatures,
+    "minhash_signatures_fast": minhash_signatures_fast,
     "minhash_near_dup": minhash_near_dup,
     "simhash_values": simhash_values,
     "simhash_near_dup": simhash_near_dup,
@@ -567,6 +587,7 @@ ORACLES = {
         SELECT doc_id FROM ranked WHERE rn = 1
     """,
     "minhash_signatures": _MINHASH_SIG_SQL,
+    "minhash_signatures_fast": _MINHASH_SIG_SQL,
     "minhash_near_dup": _MINHASH_ND_SQL,
     "simhash_values": _SIMHASH_SQL,
     "simhash_near_dup": _SIMHASH_ND_SQL,

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: pin the plan properties that make
+these queries scale — pushdown reaching the scan, dimension joins
+broadcasting, bounded shuffle counts, column pruning. A change that
+silently loses one of these properties fails here long before a 100 TB
+run finds out."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_data_processing_challenge_spark import plans
+from pyspark_data_processing_challenge_spark.queries import (
+    extended,
+    llm,
+    reference,
+    relational,
+)
+from tests.conftest import SF_DIR
+
+
+def test_date_filter_pushes_to_scan(spark):
+    df = reference.op_date_filter(spark, SF_DIR)
+    assert plans.has_pushed_filters(df)
+
+
+def test_flagship_has_single_shuffle(spark):
+    # dedup (one hash-aggregate exchange) is the ONLY shuffle in the
+    # whole reference pipeline; filters/projections stay narrow
+    df = reference.ref_flagship_pipeline(spark, SF_DIR)
+    assert plans.exchange_count(df) == 1
+
+
+def test_revenue_join_broadcasts_nation(spark):
+    df = relational.join_revenue_by_nation(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_topk_brute_force_broadcasts_queries(spark):
+    df = llm.embedding_topk(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    # corpus side must not shuffle for the join itself: only the window
+    # top-k repartitions (by query_id)
+    assert plans.exchange_count(df) <= 2
+
+
+def test_ivf_broadcasts_codebook(spark):
+    df = extended.ivf_topk(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 3  # codebook x2 + probe map
+    # no sort-merge joins anywhere: every join side is broadcast-small
+    assert plans.sort_merge_join_count(df) == 0
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = relational.sort_top20_orders(spark, SF_DIR)
+    schemas = plans.scan_read_schema(df)
+    assert schemas, "expected a file scan"
+    # only the 3 projected columns are read, not all 6 order columns
+    assert all(len(s.split(",")) == 3 for s in schemas)
+
+
+def test_top20_uses_take_ordered(spark):
+    df = relational.sort_top20_orders(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)
+
+
+def test_agg_is_two_phase(spark):
+    # partial (map-side) + final aggregate around one exchange
+    df = relational.agg_pricing_summary(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert plans.exchange_count(df) == 1
+
+
+def test_semi_join_stays_semi(spark):
+    df = relational.semi_join_urgent_customers(spark, SF_DIR)
+    assert "LeftSemi" in plans.executed_plan(df)
+
+
+def test_null_counts_single_pass(spark):
+    from pyspark_data_processing_challenge_spark.operators import quality
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = quality.null_counts(li, ["l_orderkey", "l_quantity", "l_tax"])
+    # one aggregate pass: exactly one exchange (partial->final), one scan
+    assert plans.exchange_count(df) == 1
+    assert plans.executed_plan(df).count("FileScan") == 1

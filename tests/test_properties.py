@@ -1,0 +1,168 @@
+"""Property-based tests (hypothesis) for the semantics that must hold on
+ANY input, not just the fixtures: unit-conversion algebra (SURVEY.md
+§5.2.4), portable rounding vs DuckDB, membership-filter equivalence,
+and the char-hash/duckdb parity over arbitrary ASCII text."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pyspark_data_processing_challenge_spark.functions import textfns
+from pyspark_data_processing_challenge_spark.operators import relational
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+prices = st.floats(min_value=0.0, max_value=1e6, allow_nan=False, width=64)
+# zero exercises the try_divide branch; positive values stay >= 1e-3 so
+# price/qty can't overflow to inf (denormal qty is outside any real
+# domain — IEEE division then yields inf, which the operator passes
+# through unrounded like any >=1e15 magnitude)
+quantities = st.one_of(
+    st.just(0.0),
+    st.floats(min_value=1e-3, max_value=1e4, allow_nan=False, width=64),
+)
+units = st.sampled_from(["CS", "ST", "cs", "Xx", None])
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(prices, quantities, units), min_size=1, max_size=12
+    )
+)
+def test_unit_conversion_properties(spark, rows):
+    df = spark.createDataFrame(
+        [(float(p), float(q), u) for p, q, u in rows],
+        "precio double, cantidad double, unidad string",
+    )
+    out = relational.standardize_units(
+        df,
+        qty_col="cantidad",
+        price_col="precio",
+        unit_col="unidad",
+        from_unit="CS",
+        factor=20.0,
+        to_unit="ST",
+        qty_out="q_std",
+        price_out="p_std",
+        unit_out="u_std",
+    ).collect()
+    for (p, q, u), r in zip(rows, out):
+        conv = u is not None and u.upper() == "CS"
+        # qty algebra
+        assert r["q_std"] == (q * 20.0 if conv else q)
+        # unconverted rows pass price through untouched
+        if not conv:
+            assert r["p_std"] == p
+        # converted rows: either null (zero qty → try_divide) or
+        # total reconstruction error bounded by the rounding step
+        elif r["q_std"] == 0.0:
+            assert r["p_std"] is None
+        else:
+            assert r["p_std"] is not None
+            assert abs(r["p_std"] * r["q_std"] - p) <= 0.005 * r["q_std"] + 1e-9
+        # unit column is unconditionally the target unit
+        assert r["u_std"] == "ST"
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1e9, allow_nan=False, width=64),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_round2_matches_duckdb(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["y"] for r in df.select(relational.round2(F.col("x")).alias("y")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute("select floor(? * 100.0 + 0.5) / 100.0", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want  # bit-identical, not approx
+
+
+@SETTINGS
+@given(
+    values=st.lists(st.sampled_from(["A", "B", "C", "D", None]), min_size=1, max_size=15),
+    set1=st.sets(st.sampled_from(["A", "B", "C"]), min_size=1, max_size=3),
+    set2=st.sets(st.sampled_from(["B", "C", "D"]), min_size=1, max_size=3),
+)
+def test_membership_filter_union_vs_single_scan(spark, values, set1, set2):
+    df = spark.createDataFrame([(v,) for v in values], "k string")
+    single = relational.filter_membership(df, "k", [set1, set2]).collect()
+    union = relational.filter_membership(
+        df, "k", [set1, set2], union_semantics=True
+    ).collect()
+    # single-scan == set semantics
+    assert sorted(r["k"] for r in single) == sorted(
+        v for v in values if v in (set1 | set2)
+    )
+    # union mode duplicates overlap rows — pinned reference semantics
+    expected_union = [v for v in values if v in set1] + [
+        v for v in values if v in set2
+    ]
+    assert sorted(r["k"] for r in union) == sorted(expected_union)
+
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@SETTINGS
+@given(texts=st.lists(ascii_text, min_size=1, max_size=10))
+def test_char_hash_parity_with_duckdb(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [
+        r["h"]
+        for r in df.select(textfns.char_hash(F.col("s")).alias("h")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "select list_reduce(list_prepend(0::BIGINT, "
+            "list_transform(string_split(?, ''), c -> ascii(c)::BIGINT)), "
+            "(a,b) -> (a*31+b) % 1000000007)",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+@SETTINGS
+@given(texts=st.lists(ascii_text.filter(lambda t: t.strip()), min_size=1, max_size=8))
+def test_fast_minhash_matches_expression(spark, texts):
+    """The Arrow/numpy path and the Column-expression path must agree on
+    arbitrary ASCII input, not just the fixture corpus."""
+    from pyspark_data_processing_challenge_spark.functions.fast_text import (
+        with_minhash_fast,
+    )
+    from pyspark_data_processing_challenge_spark.operators.dedup import with_minhash
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {
+        r["doc_id"]: list(r["minhash"])
+        for r in with_minhash(df, "text", num_hashes=8, shingle_n=2).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["minhash"])
+        for r in with_minhash_fast(df, "text", num_hashes=8, shingle_n=2).collect()
+    }
+    assert a == b
