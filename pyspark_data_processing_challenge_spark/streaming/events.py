@@ -85,6 +85,42 @@ def session_windows(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and value sum, maintained as explicit state
+    across micro-batches (the escape hatch for semantics windowed aggs
+    can't express — e.g. lifetime counters, custom eviction).
+
+    State is one row per user (two longs + a double) — bounded by user
+    cardinality, not stream length. Emits one updated row per user per
+    micro-batch.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a bounded stream to completion synchronously into an
     in-memory table ``name`` (complete mode — test harness only)."""

@@ -1,0 +1,135 @@
+"""Source/sink round-trip tests: CSV and JSON scans with declared
+schemas + lineage, partitioned writes, cardinality guard, logging setup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_data_processing_challenge_spark import logging_setup
+from pyspark_data_processing_challenge_spark.sources import read_table, write_table
+from tests.conftest import SF_DIR
+
+SCHEMA = [
+    {"name": "pais", "type": "string"},
+    {"name": "fecha_proceso", "type": "string"},
+    {"name": "precio", "type": "double"},
+    {"name": "cantidad", "type": "double"},
+]
+
+ROWS = [
+    ("GT", "20250114", 12.5, 3.0),
+    ("PE", "20250115", 0.0, 10.0),
+    ("EC", "20250116", 7.25, 1.0),
+]
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    p = tmp_path / "raw csv dir"
+    p.mkdir()
+    f = p / "deliveries (part 1).csv"  # space in name: lineage URL-decode case
+    f.write_text(
+        "pais,fecha_proceso,precio,cantidad\n"
+        + "\n".join(",".join(str(x) for x in r) for r in ROWS)
+        + "\n"
+    )
+    return str(p)
+
+
+def test_csv_read_with_schema_and_lineage(spark, csv_dir):
+    df = read_table(
+        spark,
+        {
+            "path": csv_dir,
+            "format": "csv",
+            "options": {"header": True},
+            "schema": SCHEMA,
+            "lineage_col": "filename",
+        },
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert df.schema["precio"].dataType.simpleString() == "double"
+    # url_decode=True default: raw filename with the space restored
+    assert rows[0]["filename"] == "deliveries (part 1).csv"
+
+    # bug-compatible reference mode: URL-encoded basename
+    enc = read_table(
+        spark,
+        {
+            "path": csv_dir,
+            "format": "csv",
+            "options": {"header": True},
+            "schema": SCHEMA,
+            "lineage_col": "filename",
+            "url_decode": False,
+        },
+    ).first()["filename"]
+    assert enc == "deliveries%20(part%201).csv"
+
+
+def test_json_roundtrip(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    out = str(tmp_path / "nation_json")
+    write_table(src, {"path": out, "format": "json"})
+    back = read_table(
+        spark,
+        {
+            "path": out,
+            "format": "json",
+            "schema": [
+                {"name": "n_nationkey", "type": "int"},
+                {"name": "n_name", "type": "string"},
+                {"name": "n_regionkey", "type": "int"},
+            ],
+        },
+    )
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "flag", F.col("l_returnflag")
+    )
+    out = str(tmp_path / "part_out")
+    write_table(li, {"path": out, "partition_by": ["flag"]})
+    dirs = {d for d in os.listdir(out) if d.startswith("flag=")}
+    assert dirs == {"flag=A", "flag=N", "flag=R"}
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+
+def test_partition_cardinality_guard(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    with pytest.raises(ValueError, match="partitions"):
+        write_table(
+            li,
+            {
+                "path": "/tmp/should_not_exist",
+                "partition_by": ["l_orderkey"],
+                "check_partition_cardinality": True,
+            },
+            max_partitions=100,
+        )
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(ValueError, match="format"):
+        read_table(spark, {"path": "/tmp/x", "format": "avro"})
+
+
+def test_logging_setup(tmp_path):
+    log_file = str(tmp_path / "logs" / "run.log")
+    logger = logging_setup.setup_logging(log_file=log_file, log_level="INFO")
+    logger.info("hello pipeline")
+    logger2 = logging_setup.setup_logging(log_file=log_file)  # idempotent
+    logger2.info("second line")
+    content = open(log_file).read()
+    assert "hello pipeline" in content and "second line" in content
+    assert len(logger2.handlers) == 2  # file + stdout, no duplicates

@@ -42,6 +42,39 @@ def test_streaming_session_windows(spark):
     assert all(r["session_end"] >= r["session_start"] for r in rows)
 
 
+def test_streaming_stateful_running_totals(spark):
+    stream = sev.read_events_stream(spark, SF_DIR)
+    q = (
+        sev.running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode: last emitted row per user is the lifetime total
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM totals_out"
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    assert len(got) == len(batch)
+    for r in batch:
+        n, v = got[r["user_id"]]
+        assert n == r["n"]
+        assert abs(v - r["v"]) < 1e-6
+
+
 def test_multimodal_stub_decode(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
     media = multimodal.attach_payload(docs, "text", "doc_id")
