@@ -39,6 +39,10 @@ HEADLINE = [
     "simhash_near_dup",
     "embedding_topk",
     "embedding_lsh_buckets",
+    "ivf_topk",
+    "tfidf_top_terms",
+    "agg_salted_revenue",
+    "events_json_stats",
 ]
 
 

@@ -75,6 +75,48 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregate (operators/skew.py): revenue
+    per order status via salted partial groups. Registers the SAME
+    oracle as a direct GROUP BY — the equivalence proof that salting
+    changes the physical plan, never the result. Note the sums are
+    rounded only AFTER the final combine (per-phase rounding would
+    change the value)."""
+    from ..operators.skew import salted_sum_count
+
+    o = t(spark, sf_dir, "orders")
+    # integer cents: exact + associative, so partial-group order can't
+    # perturb the total (double sums aren't associative)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    out = salted_sum_count(
+        o,
+        ["o_orderstatus"],
+        {"cents": cents},
+        buckets=16,
+        count_alias="n",
+    )
+    return out.select(
+        "o_orderstatus",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        "n",
+    )
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact
+    distinct/quantiles (HLL++ / KLL sketches, constant memory per
+    group). Deliberately registered WITHOUT an oracle: sketch outputs
+    are algorithm-specific, so no external engine reproduces them
+    bit-for-bit; the driver's rows-only check applies and
+    tests/test_approx_tolerance.py bounds the error vs exact values."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # cube
 # ---------------------------------------------------------------------------
@@ -321,6 +363,8 @@ QUERIES = {
     "window_lag_delta": window_lag_delta,
     "window_ntile_orders": window_ntile_orders,
     "percentiles_by_type": percentiles_by_type,
+    "agg_salted_revenue": agg_salted_revenue,
+    "approx_distinct_stats": approx_distinct_stats,
     "cube_orders": cube_orders,
     "top_terms": top_terms,
     "tfidf_top_terms": tfidf_top_terms,
@@ -333,6 +377,12 @@ ORACLES = {
     "window_lag_delta": _LAG_SQL,
     "window_ntile_orders": _NTILE_SQL,
     "percentiles_by_type": _PCT_SQL,
+    "agg_salted_revenue": """
+        SELECT o_orderstatus,
+          sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0 AS revenue,
+          count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
     "cube_orders": _CUBE_SQL,
     "top_terms": _TOP_TERMS_SQL,
     "tfidf_top_terms": _TFIDF_SQL,

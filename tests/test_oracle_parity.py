@@ -83,19 +83,27 @@ def _duck_rows(con, sql, cols):
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
+# sketch-based aggregates have no cross-engine bit-exact oracle by
+# nature; they get tolerance tests instead (test_approx_tolerance.py)
+NO_ORACLE_ALLOWED = {"approx_distinct_stats"}
+
+
 def test_every_query_has_oracle():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o.keys()) <= set(q.keys())
-    # round-1 goal: full oracle coverage
-    assert set(o.keys()) == set(q.keys())
+    missing = set(q.keys()) - set(o.keys())
+    assert missing <= NO_ORACLE_ALLOWED, f"queries without oracle: {missing}"
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
     qfn = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
-    assert sql is not None, f"{name} has no oracle"
+    if sql is None:
+        if name in NO_ORACLE_ALLOWED:
+            pytest.skip(f"{name}: sketch-based, tolerance-tested instead")
+        raise AssertionError(f"{name} has no oracle")
     df = qfn(spark, SF01_DIR)
     cols = sorted(df.columns)
     duck_names = [d[0] for d in duck.execute(sql).description]
