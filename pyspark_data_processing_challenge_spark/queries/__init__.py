@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import extended, llm, reference, relational
+from . import cdcq, extended, llm, reference, relational
 
-_MODULES = (reference, relational, llm, extended)
+_MODULES = (reference, relational, llm, extended, cdcq)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -9,6 +9,10 @@ from ..functions.textfns import HASH_MOD, MINHASH_P, minhash_coeffs
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp semantics are session-TZ dependent (to_date, collect);
+    # the oracle's timestamps are TZ-naive (UTC). Pin UTC on whatever
+    # session the host hands us so date truncation can't shift a day.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
