@@ -186,6 +186,45 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface over part names: case, pad,
+    slice, translate, reverse, edit distance — all JVM expressions."""
+    p = t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.upper(name).alias("up"),
+        F.lpad(name, 12, "*").alias("padded"),
+        F.substring(name, 2, 5).alias("mid"),
+        F.translate(name, "ae", "43").alias("leet"),
+        F.reverse(name).alias("rev"),
+        F.length(F.replace(name, F.lit(" "), F.lit(""))).alias("nospace_len"),
+        F.levenshtein(name, F.col("p_brand")).alias("dist_to_brand"),
+        F.concat_ws("|", name, F.col("p_type")).alias("joined"),
+    )
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date-function surface over order dates: parts extraction,
+    arithmetic, boundaries (dayofweek excluded — Spark counts from
+    Sunday=1, DuckDB from Sunday=0; an engine-semantics gap worth
+    knowing, not worth papering over in a catalog query)."""
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_add(d, 30).alias("plus30"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_ref"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN
 # ---------------------------------------------------------------------------
@@ -368,6 +407,8 @@ QUERIES = {
     "cube_orders": cube_orders,
     "top_terms": top_terms,
     "tfidf_top_terms": tfidf_top_terms,
+    "string_functions": string_functions,
+    "date_functions": date_functions,
     "ivf_assignments": ivf_assignments,
     "ivf_topk": ivf_topk,
 }
@@ -386,6 +427,31 @@ ORACLES = {
     "cube_orders": _CUBE_SQL,
     "top_terms": _TOP_TERMS_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
+    "string_functions": """
+        SELECT p_partkey,
+          upper(p_name) AS up,
+          lpad(p_name, 12, '*') AS padded,
+          substr(p_name, 2, 5) AS mid,
+          translate(p_name, 'ae', '43') AS leet,
+          reverse(p_name) AS rev,
+          length(replace(p_name, ' ', '')) AS nospace_len,
+          levenshtein(p_name, p_brand) AS dist_to_brand,
+          concat_ws('|', p_name, p_type) AS joined
+        FROM part
+    """,
+    "date_functions": """
+        SELECT o_orderkey,
+          year(CAST(o_orderdate AS DATE)) AS y,
+          quarter(CAST(o_orderdate AS DATE)) AS q,
+          month(CAST(o_orderdate AS DATE)) AS m,
+          day(CAST(o_orderdate AS DATE)) AS dom,
+          dayofyear(CAST(o_orderdate AS DATE)) AS doy,
+          week(CAST(o_orderdate AS DATE)) AS iso_week,
+          CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+          last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_ref
+        FROM orders
+    """,
     "ivf_assignments": _IVF_ASSIGN_SQL,
     "ivf_topk": _IVF_TOPK_SQL,
 }

@@ -55,6 +55,28 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same revenue rollup expressed through the SQL API surface
+    (temp views + spark.sql) — Catalyst compiles both to the same plan;
+    the oracle is shared with join_revenue_by_nation."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(v_nation) */ n_name,
+          CASE WHEN abs(sum(o_totalprice)) >= 1e15 THEN sum(o_totalprice)
+               ELSE floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0
+          END AS revenue,
+          count(*) AS n_orders
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
 def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price (deterministic tie-break)."""
     o = t(spark, sf_dir, "orders")
@@ -216,9 +238,21 @@ _EVENTS_NORM = '''
   )
 '''
 
+_REVENUE_SQL = f"""
+    SELECT n_name,
+      {sql_round("sum(o_totalprice)", 2)} AS revenue,
+      count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "join_revenue_by_nation": join_revenue_by_nation,
+    "sql_revenue_by_nation": sql_revenue_by_nation,
+    "sql_revenue_by_nation": sql_revenue_by_nation,
     "window_topk_orders": window_topk_orders,
     "window_running_total": window_running_total,
     "sort_top20_orders": sort_top20_orders,
@@ -245,15 +279,9 @@ ORACLES = {
         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "join_revenue_by_nation": f"""
-        SELECT n_name,
-          {sql_round("sum(o_totalprice)", 2)} AS revenue,
-          count(*) AS n_orders
-        FROM orders
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_name
-    """,
+    "join_revenue_by_nation": _REVENUE_SQL,
+    # same oracle — the SQL-API query computes the identical rollup
+    "sql_revenue_by_nation": _REVENUE_SQL,
     "window_topk_orders": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
           SELECT o_custkey, o_orderkey, o_totalprice,
