@@ -244,6 +244,44 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", round_to(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the minhash near-dup pairs: (node,
+    component) per involved doc, component = min reachable id —
+    iterative min-label propagation (operators/graph.py). The oracle
+    computes the same closure with a recursive CTE."""
+    from ..operators import graph
+
+    pairs = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
+    return graph.connected_components(pairs)
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the flagship LLM-pipeline
+    composition: quality gate + language gate + deterministic hash
+    sampling + near-dup canonicalization (keep each cluster's min id)
+    over the planted-duplicate corpus. Output: the surviving corpus
+    with its quality metadata."""
+    from ..operators import graph
+
+    d = _perturbed_docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        textfns.quality_score(F.col("text")).alias("quality"),
+        textfns.lang_id(F.col("text")).alias("lang"),
+        textfns.token_count(F.col("text")).alias("n_tokens"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("lang") == "en")
+        & (F.col("doc_id") % 10 < 8)  # deterministic 80% sample
+    )
+    pairs = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
+    components = graph.connected_components(pairs)
+    return graph.cluster_canonical(gated, components, "doc_id").select(
+        "doc_id", "quality", "lang", "n_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -385,7 +423,7 @@ SELECT doc_id,
   (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 0.25 ELSE 0.0 END
    + CASE WHEN mtl BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END
    + CASE WHEN sr >= 0.02 THEN 0.25 ELSE 0.0 END
-   + CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END) AS quality
+   + CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality
 FROM ft
 """
 
@@ -484,6 +522,68 @@ WHERE length(list_intersect(x.s, y.s))::DOUBLE
 """
 )
 
+# near-dup pair CTEs over the perturbed corpus (shared by the cluster
+# and curation oracles); ends with a 'pairs' CTE
+_PAIRS_CTES = (
+    _sql_minhash_sig_cte(_PERTURB_SQL, MH_HASHES, MH_SHINGLE_N)
+    + f""",
+  pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE ({_sql_band_match(_MH_RPB, MH_ND_BANDS)})
+      AND ({_MH_AGREE})::DOUBLE / {float(MH_HASHES)} >= {MH_ND_THRESHOLD}
+  ),
+  sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+  ),
+  reach(id, label) AS (
+    SELECT u AS id, u AS label FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v AS id, r.label FROM reach r JOIN sym s ON s.u = r.id
+  ),
+  comp AS (SELECT id AS node, min(label) AS component FROM reach GROUP BY id)
+"""
+)
+
+_CLUSTERS_SQL = "WITH RECURSIVE" + _PAIRS_CTES + "SELECT node, component FROM comp"
+
+_CURATE_SQL = (
+    "WITH RECURSIVE"
+    + _PAIRS_CTES
+    + f""",
+  scored AS (
+    SELECT doc_id,
+      (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN list_sum(list_transform({sql_tokens("text")}, t__ -> length(t__)))::DOUBLE
+                / nullif(length({sql_tokens("text")}), 0)::DOUBLE BETWEEN 3 AND 12
+              THEN 0.25 ELSE 0.0 END
+       + CASE WHEN {_sql_stop_hits("en")}::DOUBLE
+                / nullif(length({sql_tokens("text")}), 0)::DOUBLE >= 0.02
+              THEN 0.25 ELSE 0.0 END
+       + CASE WHEN length({sql_tokens("text")}) >= 10 THEN 0.25 ELSE 0.0 END
+      )::DOUBLE AS quality,
+      (SELECT CASE WHEN __best = 0 THEN 'und' ELSE {_sql_lang_id()} END
+       FROM (SELECT
+         {_sql_stop_hits("en")} AS s_en, {_sql_stop_hits("es")} AS s_es,
+         {_sql_stop_hits("fr")} AS s_fr, {_sql_stop_hits("de")} AS s_de,
+         greatest({_sql_stop_hits("en")}, {_sql_stop_hits("es")},
+                  {_sql_stop_hits("fr")}, {_sql_stop_hits("de")}) AS __best)
+      ) AS lang,
+      {sql_token_count("text")} AS n_tokens
+    FROM docs_src
+  ),
+  gated AS (
+    SELECT * FROM scored
+    WHERE quality >= 0.5 AND lang = 'en' AND doc_id % 10 < 8
+  ),
+  losers AS (SELECT node FROM comp WHERE node <> component)
+SELECT doc_id, quality, lang, n_tokens FROM gated
+WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
+)
+
 _EMB = "embedding::DOUBLE[]"
 
 _TOPK_SQL = f"""
@@ -557,6 +657,8 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_signatures_fast": minhash_signatures_fast,
     "minhash_near_dup": minhash_near_dup,
+    "near_dup_clusters": near_dup_clusters,
+    "curate_corpus": curate_corpus,
     "simhash_values": simhash_values,
     "simhash_near_dup": simhash_near_dup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -589,6 +691,8 @@ ORACLES = {
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_signatures_fast": _MINHASH_SIG_SQL,
     "minhash_near_dup": _MINHASH_ND_SQL,
+    "near_dup_clusters": _CLUSTERS_SQL,
+    "curate_corpus": _CURATE_SQL,
     "simhash_values": _SIMHASH_SQL,
     "simhash_near_dup": _SIMHASH_ND_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,

@@ -125,9 +125,11 @@ def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders at all (left anti)."""
+    """Customers with no URGENT orders (left anti against a filtered
+    build side — non-empty at every scale factor, unlike no-orders-at-
+    all, which is vacuous on this data)."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -308,7 +310,9 @@ ORACLES = {
     """,
     "anti_join_quiet_customers": """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
     """,
     "set_ops_segments": """
         SELECT custkey FROM (
