@@ -342,7 +342,7 @@ def simhash_near_duplicates(
         .select(
             F.col("l.doc").alias("id_a"),
             F.col("r.doc").alias("id_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -60,7 +60,7 @@ def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return o.select(
-        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+        "o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile")
     )
 
 
@@ -182,7 +182,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", round_to(F.col("tfidf"), 6).alias("tfidf"), "rn")
+        .select("doc_id", "term", round_to(F.col("tfidf"), 6).alias("tfidf"), F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -198,8 +198,8 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(name, 2, 5).alias("mid"),
         F.translate(name, "ae", "43").alias("leet"),
         F.reverse(name).alias("rev"),
-        F.length(F.replace(name, F.lit(" "), F.lit(""))).alias("nospace_len"),
-        F.levenshtein(name, F.col("p_brand")).alias("dist_to_brand"),
+        F.length(F.replace(name, F.lit(" "), F.lit(""))).cast("long").alias("nospace_len"),
+        F.levenshtein(name, F.col("p_brand")).cast("long").alias("dist_to_brand"),
         F.concat_ws("|", name, F.col("p_type")).alias("joined"),
     )
 
@@ -213,15 +213,15 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.to_date("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.year(d).alias("y"),
-        F.quarter(d).alias("q"),
-        F.month(d).alias("m"),
-        F.dayofmonth(d).alias("dom"),
-        F.dayofyear(d).alias("doy"),
-        F.weekofyear(d).alias("iso_week"),
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
         F.date_add(d, 30).alias("plus30"),
         F.last_day(d).alias("month_end"),
-        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_ref"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias("days_to_ref"),
     )
 
 
@@ -258,7 +258,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, cent, k=IVF_K, nprobe=IVF_NPROBE
     )
     return out.select(
-        "query_id", "neighbor_id", round_to(F.col("cosine"), 6).alias("cosine"), "rank"
+        "query_id", "neighbor_id", round_to(F.col("cosine"), 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -270,7 +270,7 @@ _EVENTS_JSON_SQL = f"""
 WITH ek AS (
   SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
 )
-SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+SELECT event_type, count(*) AS n, sum(k)::BIGINT AS sum_k,
   {sql_round("avg(k)", 4)} AS avg_k,
   min(k) AS min_k, max(k) AS max_k
 FROM ek GROUP BY event_type

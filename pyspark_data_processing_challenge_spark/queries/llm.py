@@ -298,7 +298,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         round_to(F.col("cosine"), 6).alias("cosine"),
-        "rank",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
