@@ -121,6 +121,40 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: state holds seen ids within
+    the watermark horizon; duplicates arriving later than the watermark
+    are dropped by time, not by memory growth — the bounded-state form
+    of the batch dropDuplicates."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def write_parquet_exactly_once(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Transactional-sink pattern: ``foreachBatch`` writes each micro-
+    batch into an epoch-partitioned directory with dynamic partition
+    overwrite — replays of an epoch overwrite their own partition
+    instead of duplicating rows (idempotent = effectively exactly-once
+    on top of the checkpoint's at-least-once replay)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a bounded stream to completion synchronously into an
     in-memory table ``name`` (complete mode — test harness only)."""

@@ -1,0 +1,55 @@
+"""Policy-surface tests: the ANSI hazards SURVEY.md §7.5.1 documents —
+malformed dates and zero divisors — must be a CHOICE here, not a
+landmine. Pins both policies."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_data_processing_challenge_spark.operators import quality, relational
+
+
+def test_date_policy_try_nulls_malformed(spark):
+    df = spark.createDataFrame(
+        [("20250114",), ("not-a-date",), (None,)], "d string"
+    )
+    out = relational.with_date(df, "d", "yyyyMMdd", policy="try").collect()
+    vals = [r["d"] for r in out]
+    assert str(vals[0]) == "2025-01-14"
+    assert vals[1] is None and vals[2] is None
+
+
+def test_date_policy_strict_raises(spark):
+    df = spark.createDataFrame([("garbage",)], "d string")
+    with pytest.raises(Exception, match="CANNOT_PARSE|Text .* could not|DateTimeParse"):
+        relational.with_date(df, "d", "yyyyMMdd", policy="strict").collect()
+
+
+def test_zero_quantity_division_yields_null_not_error(spark):
+    # the reference would throw DIVIDE_BY_ZERO under ANSI here
+    df = spark.createDataFrame(
+        [(100.0, 0.0, "CS")], "precio double, cantidad double, unidad string"
+    )
+    row = relational.standardize_units(
+        df,
+        qty_col="cantidad",
+        price_col="precio",
+        unit_col="unidad",
+        from_unit="CS",
+        factor=20.0,
+        to_unit="ST",
+        qty_out="q",
+        price_out="p",
+        unit_out="u",
+    ).first()
+    assert row["q"] == 0.0 and row["p"] is None
+
+
+def test_quality_gate_raises_typed_errors(spark):
+    df = spark.createDataFrame([(1, None)], "a long, b string")
+    with pytest.raises(quality.QualityError, match="missing required"):
+        quality.check_input(df, required_columns=["a", "zz"])
+    with pytest.raises(quality.QualityError, match="fewer than"):
+        quality.check_input(df, min_rows=5)
+    with pytest.raises(quality.QualityError, match="null values"):
+        quality.check_no_nulls(df, ["b"])

@@ -75,6 +75,22 @@ def test_streaming_stateful_running_totals(spark):
         assert abs(v - r["v"]) < 1e-6
 
 
+def test_streaming_dedup_and_exactly_once_sink(spark, tmp_path):
+    stream = sev.read_events_stream(spark, SF_DIR)
+    deduped = sev.stream_dedup(stream)
+    q = sev.write_parquet_exactly_once(
+        deduped, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(str(tmp_path / "out"))
+    src_count = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert written.count() == src_count  # event_ids unique in source
+    assert written.select("event_id").distinct().count() == src_count
+
+
 def test_multimodal_stub_decode(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
     media = multimodal.attach_payload(docs, "text", "doc_id")
