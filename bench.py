@@ -57,8 +57,18 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # Warm the JVM/session so the first measured query isn't paying init.
+    # Warm the JVM/session AND the Python/Arrow worker pool so the first
+    # measured query isn't paying one-time init (workers are long-lived
+    # on a real cluster).
     spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(1000).select(_warm(col("id"))).collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -122,6 +122,24 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def array_agg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: per order, the sorted list of its
+    line quantities (sorted → deterministic; collect_list alone has
+    partition-dependent order) rendered as a string for engine-neutral
+    comparison."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_quantity").cast("string"))),
+                ",",
+            ).alias("quantities"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all 4 grouping combinations."""
     o = t(spark, sf_dir, "orders")
@@ -404,6 +422,7 @@ QUERIES = {
     "percentiles_by_type": percentiles_by_type,
     "agg_salted_revenue": agg_salted_revenue,
     "approx_distinct_stats": approx_distinct_stats,
+    "array_agg_lineitems": array_agg_lineitems,
     "cube_orders": cube_orders,
     "top_terms": top_terms,
     "tfidf_top_terms": tfidf_top_terms,
@@ -423,6 +442,12 @@ ORACLES = {
           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0 AS revenue,
           count(*) AS n
         FROM orders GROUP BY o_orderstatus
+    """,
+    "array_agg_lineitems": """
+        SELECT l_orderkey,
+          array_to_string(list_sort(list(l_quantity::VARCHAR)), ',') AS quantities,
+          count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
     """,
     "cube_orders": _CUBE_SQL,
     "top_terms": _TOP_TERMS_SQL,
