@@ -19,6 +19,8 @@ import re
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark_data_processing_challenge_spark.session import get_session  # noqa: E402
@@ -61,7 +63,6 @@ def main() -> None:
     # measured query isn't paying one-time init (workers are long-lived
     # on a real cluster).
     spark.range(1000).selectExpr("sum(id)").collect()
-    import pandas as pd
     from pyspark.sql.functions import col, pandas_udf
 
     @pandas_udf("long")
