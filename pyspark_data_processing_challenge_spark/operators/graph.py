@@ -32,6 +32,12 @@ def connected_components(
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Deterministic. Isolated nodes absent from the
     edge list are absent from the output (join them back if needed).
+
+    Contract: raises ``RuntimeError`` if labels are still changing when
+    ``max_iter`` is exhausted — partially-propagated labels are WRONG
+    answers, not approximations, so non-convergence is an explicit
+    error (callers can retry with a larger ``max_iter``; rounds needed
+    ≈ graph diameter, so 20 covers chains up to ~20 hops).
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.unionByName(
@@ -43,6 +49,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    n_changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.v == labels.id)
@@ -66,6 +73,12 @@ def connected_components(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(labels still changing); increase max_iter — rounds needed is "
+            "about the graph diameter"
+        )
     return labels.select(F.col("id").alias("node"), F.col("label").alias("component"))
 
 

@@ -343,10 +343,13 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     plen = F.length(payload).cast("long")
+    # head bytes: slice CHARACTERS first, then encode — the oracle's
+    # encode(substring(text,1,8)) slices characters too, so both engines
+    # agree on non-ASCII text (substring on binary would slice bytes)
     return d.select(
         "doc_id",
         plen.alias("payload_len"),
-        F.hex(F.substring(payload, 1, 8)).alias("head_hex"),
+        F.hex(F.encode(F.substring(F.col("text"), 1, 8), "UTF-8")).alias("head_hex"),
         (plen % F.lit(640) + F.lit(1)).alias("fake_width"),
         ((plen * F.lit(7)) % F.lit(480) + F.lit(1)).alias("fake_height"),
     )

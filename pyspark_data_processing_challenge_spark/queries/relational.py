@@ -254,7 +254,6 @@ QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "join_revenue_by_nation": join_revenue_by_nation,
     "sql_revenue_by_nation": sql_revenue_by_nation,
-    "sql_revenue_by_nation": sql_revenue_by_nation,
     "window_topk_orders": window_topk_orders,
     "window_running_total": window_running_total,
     "sort_top20_orders": sort_top20_orders,

@@ -122,11 +122,17 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def stream_dedup(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup on event_id: state holds seen ids within
-    the watermark horizon; duplicates arriving later than the watermark
-    are dropped by time, not by memory growth — the bounded-state form
-    of the batch dropDuplicates."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Streaming exact dedup on event_id with watermark-bounded state.
+
+    ``dropDuplicatesWithinWatermark`` is required for bounded state
+    here: plain ``dropDuplicates(['event_id'])`` only evicts state by
+    watermark when the event-time column is part of the dedup subset,
+    so keying on event_id alone would grow state forever on a
+    long-running stream. The WithinWatermark variant expires each seen
+    id once it falls behind the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def write_parquet_exactly_once(
