@@ -29,6 +29,7 @@ from pyspark_data_processing_challenge_spark.session import get_session  # noqa:
 # and every north-star operator family (text, dedup, ANN).
 HEADLINE = [
     "ref_flagship_pipeline",
+    "ref_flagship_pipeline_keyed",
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "window_topk_orders",

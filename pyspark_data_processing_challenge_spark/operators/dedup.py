@@ -20,6 +20,8 @@ no driver-side loops, no UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,6 +49,46 @@ def exact_duplicates(
             F.min(id_col).alias("keep_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def with_row_fingerprint(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    out_cols: tuple[str, str] = ("__fp0", "__fp1"),
+) -> DataFrame:
+    """Attach a 128-bit whole-row fingerprint as two long columns.
+
+    Two independently-seeded ``xxhash64`` calls over the column values —
+    JVM-native, type-aware (no string-concat ambiguity, nulls hashed
+    distinctly from empty), and 128 combined bits keep the collision
+    probability negligible at 100 TB row counts, where a single 64-bit
+    hash would already see birthday collisions (~4e9 rows).
+    """
+    cols = list(cols) if cols is not None else df.columns
+    return df.withColumns(
+        {
+            out_cols[0]: F.xxhash64(F.lit(0), *cols),
+            out_cols[1]: F.xxhash64(F.lit(1), *cols),
+        }
+    )
+
+
+def drop_duplicate_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Whole-row exact dedup keyed on the 128-bit row fingerprint —
+    result-identical to ``dropDuplicates()`` (groups under a fingerprint
+    are identical rows, so the kept row is deterministic by value), but
+    the hash aggregate groups on two longs instead of comparing every
+    column of a wide row. The reference's all-column dedup
+    (data_process.py:242) is the scale-killer this replaces: same
+    output, narrow grouping key.
+    """
+    fp_cols = ("__fp0", "__fp1")
+    return (
+        with_row_fingerprint(df, cols, out_cols=fp_cols)
+        .dropDuplicates(list(fp_cols))
+        .drop(*fp_cols)
     )
 
 

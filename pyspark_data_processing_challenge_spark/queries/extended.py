@@ -102,18 +102,45 @@ def agg_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates — the 100 TB substitutes for exact
-    distinct/quantiles (HLL++ / KLL sketches, constant memory per
-    group). Deliberately registered WITHOUT an oracle: sketch outputs
-    are algorithm-specific, so no external engine reproduces them
-    bit-for-bit; the driver's rows-only check applies and
-    tests/test_approx_tolerance.py bounds the error vs exact values."""
+def approx_distinct_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate + exact aggregates side by side in ONE pass: HLL++
+    distinct and KLL-style quantile sketches (constant memory per group,
+    the 100 TB substitutes for exact distinct/quantiles) next to their
+    exact counterparts. Used by approx_distinct_stats and the tolerance
+    test; raw sketch values are algorithm-specific so they can't be
+    hash-compared across engines."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch correctness as a TOLERANCE CONTRACT the oracle can check:
+    emit the exact values plus booleans asserting the sketch estimates
+    (computed in the same aggregate) land within their error bounds
+    (HLL++ default rsd 5% → 10% bound; percentile_approx default
+    accuracy → 5% relative bound). The DuckDB oracle produces the exact
+    values and literal ``true`` — a sketch outside tolerance fails the
+    hash compare, so the driver row is a real verdict, not `no_oracle`.
+    tests/test_approx_tolerance.py checks the raw estimates too."""
+    d = approx_distinct_detail(spark, sf_dir)
+    return d.select(
+        "l_returnflag",
+        "n_parts",
+        "n",
+        (
+            F.abs(F.col("approx_parts") - F.col("n_parts"))
+            <= F.lit(0.1) * F.col("n_parts")
+        ).alias("approx_parts_ok"),
+        (
+            F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
+            <= F.lit(0.05) * F.abs(F.col("exact_median_price"))
+        ).alias("approx_median_ok"),
     )
 
 
@@ -442,6 +469,17 @@ ORACLES = {
           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0 AS revenue,
           count(*) AS n
         FROM orders GROUP BY o_orderstatus
+    """,
+    # tolerance contract: exact values + literal true; the Spark side
+    # computes the booleans from its own sketches vs the same exact
+    # aggregates, so an out-of-bounds sketch breaks the hash compare
+    "approx_distinct_stats": """
+        SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS n_parts,
+          count(*) AS n,
+          true AS approx_parts_ok,
+          true AS approx_median_ok
+        FROM lineitem GROUP BY l_returnflag
     """,
     "array_agg_lineitems": """
         SELECT l_orderkey,

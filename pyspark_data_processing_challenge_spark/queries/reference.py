@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as dedup_ops
 from ..operators import quality, relational
 from ._util import sql_round, t
 
@@ -22,16 +23,15 @@ FLAG_SETS = {"flag_a": ("A",), "flag_r": ("R",)}
 FACTOR = 20.0
 
 
-def ref_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's full transform chain (data_process.py:235-265) on
-    lineitem: dedup → date cast+filter → membership filter → indicators
-    → null fill → unit standardization → total → rename/reorder.
-    """
-    li = t(spark, sf_dir, "lineitem")
-    df = relational.dedup(li)  # R1
+def _flagship_filters(df: DataFrame) -> DataFrame:
+    """R2+R3+R5: date cast, range filter, membership filter."""
     df = df.withColumn("ship_date", F.to_date("l_shipdate"))  # R2
     df = relational.filter_date_range(df, "ship_date", DATE_LO, DATE_HI)  # R3
-    df = relational.filter_membership(df, "l_returnflag", [("A",), ("R",)])  # R5
+    return relational.filter_membership(df, "l_returnflag", [("A",), ("R",)])  # R5
+
+
+def _flagship_tail(df: DataFrame) -> DataFrame:
+    """R6–R10: everything in the flagship after dedup + filters."""
     df = relational.with_indicators(df, "l_returnflag", FLAG_SETS)  # R6
     df = relational.fill_nulls(  # R7 (no-op on this data; plan parity)
         df,
@@ -75,6 +75,41 @@ def ref_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_std",
         ],
     )
+
+
+def ref_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full transform chain (data_process.py:235-265) on
+    lineitem: dedup → date cast+filter → membership filter → indicators
+    → null fill → unit standardization → total → rename/reorder.
+
+    R1 here is the reference's all-column ``dropDuplicates`` — kept
+    bug-compatible for golden parity, but it hash-aggregates on every
+    column of the wide row; ``ref_flagship_pipeline_keyed`` is the
+    scale path.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    df = relational.dedup(li)  # R1 (all-column, reference order)
+    return _flagship_tail(_flagship_filters(df))
+
+
+def ref_flagship_pipeline_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe flagship twin — identical results to
+    ``ref_flagship_pipeline`` (same oracle), restructured for scale:
+
+    - filters run BEFORE dedup (legal: whole-row dedup commutes with
+      deterministic row-level predicates), so the date/flag predicates
+      reach the parquet scan — ``dropDuplicates`` on a key subset plans
+      first()-aggregates for the other columns, which blocks Catalyst
+      from pushing filters through it;
+    - R1 dedups on a 128-bit row fingerprint
+      (operators/dedup.drop_duplicate_rows), so the hash aggregate
+      groups on two longs instead of comparing every column of the wide
+      row — the form that survives a 100× scale-up.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    df = _flagship_filters(li)
+    df = dedup_ops.drop_duplicate_rows(df)  # R1 (fingerprint-keyed)
+    return _flagship_tail(df)
 
 
 _FLAGSHIP_SQL = f"""
@@ -222,6 +257,7 @@ def op_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ref_flagship_pipeline": ref_flagship_pipeline,
+    "ref_flagship_pipeline_keyed": ref_flagship_pipeline_keyed,
     "op_dedup_subset": op_dedup_subset,
     "op_date_filter": op_date_filter,
     "op_equality_filter": op_equality_filter,
@@ -236,6 +272,9 @@ QUERIES = {
 
 ORACLES = {
     "ref_flagship_pipeline": _FLAGSHIP_SQL,
+    # identical semantics (fingerprint groups hold identical rows) →
+    # identical oracle
+    "ref_flagship_pipeline_keyed": _FLAGSHIP_SQL,
     "op_dedup_subset": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "op_date_filter": f"""
         SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date

@@ -1,11 +1,13 @@
-"""Tolerance checks for the approximate aggregates (no bit-exact oracle
-exists for sketches; correctness is a bounded-error contract)."""
+"""Tolerance checks for the approximate aggregates: the raw sketch
+estimates (no bit-exact cross-engine oracle exists for sketches) and
+the catalog query's tolerance-contract booleans."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from pyspark_data_processing_challenge_spark.queries.extended import (
+    approx_distinct_detail,
     approx_distinct_stats,
 )
 from tests.conftest import SF01_DIR
@@ -13,7 +15,7 @@ from tests.conftest import SF01_DIR
 
 def test_approx_within_tolerance(spark):
     got = {
-        r["l_returnflag"]: r for r in approx_distinct_stats(spark, SF01_DIR).collect()
+        r["l_returnflag"]: r for r in approx_distinct_detail(spark, SF01_DIR).collect()
     }
     li = spark.read.parquet(f"{SF01_DIR}/lineitem.parquet")
     exact = {
@@ -27,7 +29,15 @@ def test_approx_within_tolerance(spark):
     }
     for flag, e in exact.items():
         g = got[flag]
+        assert g["n_parts"] == e["parts"]
+        assert abs(g["exact_median_price"] - e["median"]) < 1e-9
         # HLL++ default rsd = 5%
         assert abs(g["approx_parts"] - e["parts"]) <= 0.1 * e["parts"]
         # percentile_approx default accuracy: generous 5% relative bound
         assert abs(g["approx_median_price"] - e["median"]) <= 0.05 * e["median"]
+
+
+def test_approx_contract_booleans_true(spark):
+    rows = approx_distinct_stats(spark, SF01_DIR).collect()
+    assert rows
+    assert all(r["approx_parts_ok"] and r["approx_median_ok"] for r in rows)

@@ -30,6 +30,15 @@ def test_flagship_has_single_shuffle(spark):
     assert plans.exchange_count(df) == 1
 
 
+def test_flagship_keyed_pushes_filters_single_shuffle(spark):
+    # the scale twin: date/flag predicates reach the parquet scan
+    # (filter-before-dedup restructure) and the fingerprint dedup is
+    # still the only exchange
+    df = reference.ref_flagship_pipeline_keyed(spark, SF_DIR)
+    assert plans.has_pushed_filters(df)
+    assert plans.exchange_count(df) == 1
+
+
 def test_revenue_join_broadcasts_nation(spark):
     df = relational.join_revenue_by_nation(spark, SF_DIR)
     assert plans.broadcast_join_count(df) >= 1
