@@ -6,15 +6,27 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas`` so the heavy per-item work happens
 executor-side in columnar batches, never row-at-a-time.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-``decode_image_batch`` ships a deterministic stub behind
-``codec="stub"`` and raises ``NotImplementedError`` for real codecs —
-the Spark-side plumbing (schema, batch iteration, partition-size
-control) is real and tested.
+Codecs available in this container (no PIL/ffmpeg):
+
+- ``codec="headers"`` — REAL container-format parsing in pure Python:
+  PNG (signature + IHDR), JPEG (marker walk to SOF0/1/2), GIF
+  (logical-screen descriptor). Extracts format + dimensions from the
+  actual bytes; handles any real file of these formats.
+- ``codec="stub"`` — deterministic fake decode (dims derived from
+  payload length) for plumbing tests where payloads aren't images.
+
+Full pixel decode (``codec="jpeg"`` etc.) still raises
+``NotImplementedError`` — raster decoding needs an image library.
+``encode_png``/``encode_jpeg``/``encode_gif`` generate real payloads
+(valid PNG incl. CRCs and zlib IDAT; JPEG/GIF structurally valid with
+stub entropy data) so tests and oracle queries can plant media with
+known dimensions.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 from typing import Callable
 
@@ -61,6 +73,117 @@ def attach_payload(
     )
 
 
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# pure-python encoders (planted test media with known dimensions)
+# --------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int) -> bytes:
+    """A fully valid 8-bit grayscale PNG (correct CRCs, zlib IDAT) with
+    a deterministic gradient raster — decodable by any PNG library."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * 31 + y * 17) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_jpeg(width: int, height: int) -> bytes:
+    """Structurally valid JPEG byte stream: SOI + JFIF APP0 + SOF0
+    (carrying the real dimensions) + SOS with stub entropy data. The
+    marker segments are spec-conformant; only the compressed scan data
+    is fake — enough for any header parser, not for raster decode."""
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + sof0 + sos + b"\x00" + b"\xff\xd9"
+
+
+def encode_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a: header + logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+
+
+# --------------------------------------------------------------------------
+# real header parsing (the "headers" codec)
+# --------------------------------------------------------------------------
+
+# SOF markers carrying frame dimensions: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from real container bytes; (None, None,
+    None) when the payload is null or no known signature matches."""
+    if payload is None:
+        return None, None, None
+    b = bytes(payload)
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                i += 2
+                continue
+            if marker == 0xDA:  # scan data — dims must precede it
+                break
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF and i + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seglen
+        return None, None, None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    return None, None, None
+
+
 def _stub_decode(payload: bytes | None) -> tuple[int | None, int | None]:
     """Deterministic fake decode: derives a (width, height) from payload
     length — stands in for an image codec so the batch plumbing and
@@ -80,11 +203,37 @@ def decode_image_batch(
     iterates batches, never rows. ``repartition`` upstream controls
     batch memory (payloads are large — size partitions so a batch of
     them fits executor memory; see SURVEY.md §7.5.3).
+
+    ``codec="headers"`` parses REAL PNG/JPEG/GIF container bytes
+    (format + dimensions, see :func:`parse_image_header`) and returns
+    ``HEADER_SCHEMA``; ``codec="stub"`` returns ``DECODED_SCHEMA`` with
+    length-derived fake dims. Full raster decode raises — it needs an
+    image library not present in this container.
     """
+    if codec == "headers":
+
+        def parse_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                parsed = [parse_image_header(p) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "fmt": [p[0] for p in parsed],
+                        "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                        "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                        "n_bytes": [
+                            len(p) if p is not None else None
+                            for p in pdf["payload"]
+                        ],
+                    }
+                )
+
+        return df.mapInPandas(parse_fn, HEADER_SCHEMA)
     if codec != "stub":
         raise NotImplementedError(
             f"codec {codec!r} needs an image library not present in this "
-            "container; only the deterministic 'stub' codec is available"
+            "container; 'headers' (real PNG/JPEG/GIF header parse) and "
+            "'stub' are available"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -112,6 +261,31 @@ def decode_image_batch(
             )
 
     return df.mapInPandas(fn, DECODED_SCHEMA)
+
+
+def plant_image_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic media corpus for decode verification: per id, a
+    REAL image payload (format cycling png/jpeg/gif by ``id % 3``) whose
+    dimensions are arithmetic functions of the id — so an oracle can
+    predict what a genuine decode must return:
+
+        width  = id % 64 + 1,  height = (id * 7) % 48 + 1
+
+    Generation runs executor-side as an Arrow-batched pandas UDF.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        encoders = (encode_png, encode_jpeg, encode_gif)
+        return ids.map(
+            lambda i: encoders[int(i) % 3](int(i) % 64 + 1, (int(i) * 7) % 48 + 1)
+        )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _gen(F.col(id_col)).alias("payload"),
+    )
 
 
 def frame_sample(

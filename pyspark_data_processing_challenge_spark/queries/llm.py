@@ -355,6 +355,31 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-verifiable: plant genuine PNG/JPEG/GIF
+    payloads whose dimensions are arithmetic functions of doc_id
+    (operators/multimodal.plant_image_payloads), parse the actual
+    container bytes with the ``headers`` codec, and emit what the parse
+    found. The oracle computes the same dimensions arithmetically — a
+    broken parser (or encoder) mismatches immediately. n_bytes is
+    excluded: IDAT length depends on the zlib build."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.plant_image_payloads(d, "doc_id")
+    decoded = multimodal.decode_image_batch(media, codec="headers")
+    return decoded.select("media_id", "fmt", "width", "height")
+
+
+_MULTIMODAL_DECODE_SQL = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+  CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+  CAST((doc_id * 7) % 48 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL generation
 # ---------------------------------------------------------------------------
@@ -669,6 +694,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "embedding_lsh_buckets": embedding_lsh_buckets,
     "multimodal_meta": multimodal_meta,
+    "multimodal_decode": multimodal_decode,
 }
 
 ORACLES = {
@@ -703,4 +729,5 @@ ORACLES = {
     "embedding_near_dup": _EMB_ND_SQL,
     "embedding_lsh_buckets": _sql_lsh_buckets(),
     "multimodal_meta": _MULTIMODAL_SQL,
+    "multimodal_decode": _MULTIMODAL_DECODE_SQL,
 }

@@ -113,7 +113,7 @@ def test_multimodal_stub_decode(spark):
     assert sampled.count() == sum(1 for r in docs.collect() if r["doc_id"] % 10 == 0)
 
 
-def test_multimodal_real_codec_raises(spark):
+def test_multimodal_raster_codec_raises(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1)
     media = multimodal.attach_payload(docs, "text", "doc_id")
     try:
@@ -121,6 +121,56 @@ def test_multimodal_real_codec_raises(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_parse_image_header_known_bytes():
+    # hand-rolled encoders → parser roundtrip at exact dimensions
+    assert multimodal.parse_image_header(multimodal.encode_png(640, 480)) == (
+        "png",
+        640,
+        480,
+    )
+    assert multimodal.parse_image_header(multimodal.encode_jpeg(123, 45)) == (
+        "jpeg",
+        123,
+        45,
+    )
+    assert multimodal.parse_image_header(multimodal.encode_gif(7, 9)) == (
+        "gif",
+        7,
+        9,
+    )
+    # PNG signature integrity: valid CRCs and decompressible IDAT
+    import struct
+    import zlib
+
+    png = multimodal.encode_png(5, 3)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    idat_off = png.index(b"IDAT")
+    (idat_len,) = struct.unpack(">I", png[idat_off - 4 : idat_off])
+    idat = png[idat_off + 4 : idat_off + 4 + idat_len]
+    raw = zlib.decompress(idat)
+    assert len(raw) == 3 * (1 + 5)  # filter byte + 5 px per scanline
+    # non-image and null payloads degrade to (None, None, None)
+    assert multimodal.parse_image_header(b"not an image") == (None, None, None)
+    assert multimodal.parse_image_header(None) == (None, None, None)
+    # truncated JPEG (SOI only) must not crash
+    assert multimodal.parse_image_header(b"\xff\xd8\xff") == (None, None, None)
+
+
+def test_multimodal_headers_codec_end_to_end(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    media = multimodal.plant_image_payloads(docs, "doc_id")
+    decoded = multimodal.decode_image_batch(media, codec="headers")
+    rows = decoded.collect()
+    assert len(rows) == 60
+    fmts = {0: "png", 1: "jpeg", 2: "gif"}
+    for r in rows:
+        i = r["media_id"]
+        assert r["fmt"] == fmts[i % 3]
+        assert r["width"] == i % 64 + 1
+        assert r["height"] == (i * 7) % 48 + 1
+        assert r["n_bytes"] > 0
 
 
 def test_multimodal_feature_udf(spark):
