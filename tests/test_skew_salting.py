@@ -1,0 +1,99 @@
+"""Skew guard for LSH band buckets: the blocked self-join in
+operators/dedup.banded_pairs must produce the IDENTICAL pair set as the
+plain self-join while bounding the rows any single join task sees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_processing_challenge_spark.operators import dedup
+from pyspark_data_processing_challenge_spark.queries import llm
+from tests.conftest import SF_DIR
+
+HOT_N = 60  # one boilerplate bucket, well above the test threshold
+NUM_BLOCKS = 4
+
+
+@pytest.fixture()
+def banded(spark):
+    """A banded table with one hot bucket (60 docs share (0, 'boiler'))
+    and many cold ones."""
+    hot = spark.range(HOT_N).select(
+        F.col("id").alias("doc"),
+        F.lit(0).alias("band"),
+        F.lit("boiler").alias("key"),
+    )
+    cold = spark.range(100, 140).select(
+        F.col("id").alias("doc"),
+        F.lit(1).alias("band"),
+        (F.col("id") % 20).cast("string").alias("key"),
+    )
+    return hot.unionByName(cold)
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_blocked_pairs_identical_to_plain(spark, banded):
+    plain = _pair_set(dedup.banded_pairs(banded, hot_threshold=10**9))
+    salted = _pair_set(
+        dedup.banded_pairs(banded, hot_threshold=16, num_blocks=NUM_BLOCKS)
+    )
+    # plain pair count sanity: C(60,2) hot + 2 per cold key
+    assert len(plain) == HOT_N * (HOT_N - 1) // 2 + 20
+    assert salted == plain
+
+
+def test_blocked_join_bounds_per_task_bucket(spark, banded):
+    # reproduce the replication: per (band, key, b1, b2) join group, each
+    # side holds only the docs of the two participating blocks — the
+    # worst group must be ~2n/B rows, not n
+    blk = F.pmod(F.xxhash64(F.col("doc")), F.lit(NUM_BLOCKS)).cast("int")
+    sizes = (
+        banded.filter(F.col("key") == "boiler")
+        .withColumn("__blk", blk)
+        .groupBy("__blk")
+        .count()
+        .collect()
+    )
+    per_block = {r["__blk"]: r["count"] for r in sizes}
+    assert sum(per_block.values()) == HOT_N
+    worst_group = max(per_block.values()) * 2
+    assert worst_group < HOT_N  # strictly smaller than the unsalted bucket
+
+
+def test_minhash_near_dup_salting_invariant(spark):
+    """End-to-end: forcing every bucket through the blocked path changes
+    nothing about the query result (the driver-verified oracle query
+    runs with the default threshold)."""
+    d = llm._perturbed_docs(spark, SF_DIR).limit(300)
+    base = dedup.minhash_near_duplicates(
+        d, "text", "doc_id", num_hashes=16, shingle_n=3, bands=4, threshold=0.5,
+        hot_threshold=10**9,
+    )
+    salted = dedup.minhash_near_duplicates(
+        d, "text", "doc_id", num_hashes=16, shingle_n=3, bands=4, threshold=0.5,
+        hot_threshold=1, num_blocks=3,
+    )
+    b = {(r["id_a"], r["id_b"], round(r["est_jaccard"], 9)) for r in base.collect()}
+    s = {(r["id_a"], r["id_b"], round(r["est_jaccard"], 9)) for r in salted.collect()}
+    assert b == s
+    assert b  # non-vacuous: planted near-dups produce pairs
+
+
+def test_simhash_near_dup_salting_invariant(spark):
+    d = llm._perturbed_docs(spark, SF_DIR).limit(200)
+    base = dedup.simhash_near_duplicates(
+        d, "text", "doc_id", bits=32, max_hamming=3, bands=4, shingle_n=3,
+        hot_threshold=10**9,
+    )
+    salted = dedup.simhash_near_duplicates(
+        d, "text", "doc_id", bits=32, max_hamming=3, bands=4, shingle_n=3,
+        hot_threshold=1, num_blocks=3,
+    )
+    b = {(r["id_a"], r["id_b"], r["hamming"]) for r in base.collect()}
+    s = {(r["id_a"], r["id_b"], r["hamming"]) for r in salted.collect()}
+    assert b == s
+    assert b
