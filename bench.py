@@ -46,6 +46,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "agg_salted_revenue",
     "events_json_stats",
+    "cdc_merge_orders",
+    "scd2_customer_history",
+    "cube_orders",
+    "multimodal_decode",
 ]
 
 

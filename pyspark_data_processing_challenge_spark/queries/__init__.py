@@ -16,6 +16,41 @@ from . import cdcq, extended, llm, reference, relational
 
 _MODULES = (reference, relational, llm, extended, cdcq)
 
+# The external driver records correctness verdicts for the first 50
+# catalog entries in dict order. Entries that still need a driver
+# verdict — new this round, previously beyond the window, or (approx)
+# previously no_oracle — are pinned to the front; micro-queries whose
+# behavior already has a green round-1 verdict AND local test coverage
+# rotate to the tail. Membership is asserted, so a renamed query fails
+# loudly here instead of silently losing its slot.
+_VERDICT_PRIORITY = [
+    "ref_flagship_pipeline_keyed",
+    "multimodal_decode",
+    "approx_distinct_stats",
+    "cdc_merge_orders",
+    "scd2_customer_history",
+    "ivf_assignments",
+    "ivf_topk",
+    "tfidf_top_terms",
+    "cube_orders",
+    "top_terms",
+    "string_functions",
+    "date_functions",
+]
+_ROTATED_OUT = [
+    "op_date_filter",
+    "op_equality_filter",
+    "op_sentinel_filter",
+    "op_membership_filter",
+    "op_indicators",
+    "op_fill_nulls",
+    "window_running_total",
+    "window_lag_delta",
+    "window_ntile_orders",
+    "sort_top20_orders",
+    "minhash_signatures",
+]
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -24,7 +59,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         out.update(m.QUERIES)
-    return out
+    missing = (set(_VERDICT_PRIORITY) | set(_ROTATED_OUT)) - out.keys()
+    if missing:
+        raise ValueError(f"ordering lists reference unknown queries: {sorted(missing)}")
+    ordered = {name: out.pop(name) for name in _VERDICT_PRIORITY}
+    tail = {name: out.pop(name) for name in _ROTATED_OUT}
+    ordered.update(out)
+    ordered.update(tail)
+    return ordered
 
 
 def all_oracles() -> dict[str, str]:
