@@ -1,0 +1,57 @@
+"""Connected-components contract tests: deep-chain convergence via
+pointer jumping, the explicit non-convergence error, and determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_processing_challenge_spark.operators import graph
+
+CHAIN_N = 200  # diameter far above the round budget of plain propagation
+
+
+def _chain_edges(spark, n):
+    return spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # neighbor-min alone would need ~200 rounds; pointer jumping must
+    # finish a 200-hop chain within 12
+    edges = _chain_edges(spark, CHAIN_N)
+    comp = graph.connected_components(edges, max_iter=12)
+    rows = comp.collect()
+    assert len(rows) == CHAIN_N
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_nonconvergence_raises(spark):
+    edges = _chain_edges(spark, 50)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(edges, max_iter=2)
+
+
+def test_multiple_components_and_determinism(spark):
+    # two chains + one triangle with shuffled edge directions
+    e = spark.createDataFrame(
+        [(5, 3), (3, 4), (10, 12), (11, 10), (20, 21), (21, 22), (22, 20)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(e, max_iter=10).collect()
+    }
+    want = {
+        (3, 3), (4, 3), (5, 3),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+    assert got == want
+    # rerun is bit-identical (deterministic min labels)
+    again = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(e, max_iter=10).collect()
+    }
+    assert again == want
