@@ -135,14 +135,13 @@ def stream_dedup(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-def write_parquet_exactly_once(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
-):
-    """Transactional-sink pattern: ``foreachBatch`` writes each micro-
-    batch into an epoch-partitioned directory with dynamic partition
-    overwrite — replays of an epoch overwrite their own partition
-    instead of duplicating rows (idempotent = effectively exactly-once
-    on top of the checkpoint's at-least-once replay)."""
+def epoch_sink(out_dir: str):
+    """The idempotent foreachBatch writer: each micro-batch lands in an
+    epoch-partitioned directory under dynamic partition overwrite, so a
+    REPLAY of an epoch (at-least-once delivery after checkpoint
+    recovery) overwrites its own partition instead of appending
+    duplicates. Exposed separately so tests can invoke a replay
+    directly."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -154,8 +153,17 @@ def write_parquet_exactly_once(
             .parquet(out_dir)
         )
 
+    return sink
+
+
+def write_parquet_exactly_once(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Transactional-sink pattern: ``foreachBatch`` + :func:`epoch_sink`
+    (idempotent overwrite per epoch = effectively exactly-once on top of
+    the checkpoint's at-least-once replay)."""
     return (
-        stream_df.writeStream.foreachBatch(sink)
+        stream_df.writeStream.foreachBatch(epoch_sink(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -91,6 +91,43 @@ def test_streaming_dedup_and_exactly_once_sink(spark, tmp_path):
     assert written.select("event_id").distinct().count() == src_count
 
 
+def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
+    """At-least-once delivery means an epoch can be REPLAYED after
+    checkpoint recovery; the epoch-partitioned dynamic-overwrite sink
+    must absorb the replay without duplicating or altering rows."""
+    out = str(tmp_path / "out")
+    stream = sev.read_events_stream(spark, SF_DIR)
+    q = sev.write_parquet_exactly_once(stream, out, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snapshot():
+        df = spark.read.parquet(out)
+        rows = frozenset(
+            (r["event_id"], r["__epoch"]) for r in df.select("event_id", "__epoch").collect()
+        )
+        return df.count(), rows
+
+    n_before, rows_before = snapshot()
+    # replay epoch 0 with the exact batch content it carried (single
+    # source file + maxFilesPerTrigger=1 → epoch 0 was the whole table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyspark.sql.functions as SF
+
+    batch = (
+        spark.read.schema(sev.EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+        .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+    )
+    sev.epoch_sink(out)(batch, 0)
+    n_after, rows_after = snapshot()
+    assert n_after == n_before
+    assert rows_after == rows_before
+
+
 def test_multimodal_stub_decode(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
     media = multimodal.attach_payload(docs, "text", "doc_id")
