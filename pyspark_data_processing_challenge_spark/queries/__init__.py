@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cdcq, extended, llm, reference, relational
+from . import cdcq, extended, extra, llm, reference, relational
 
-_MODULES = (reference, relational, llm, extended, cdcq)
+_MODULES = (reference, relational, llm, extended, cdcq, extra)
 
 # The external driver records correctness verdicts for the first 50
 # catalog entries in dict order. Entries that still need a driver
@@ -36,6 +36,14 @@ _VERDICT_PRIORITY = [
     "top_terms",
     "string_functions",
     "date_functions",
+    "range_join_promos",
+    "unpivot_lineitem",
+    "grouping_sets_orders",
+    "stratified_sample_docs",
+    "posexplode_tokens",
+    "regex_extract_parts",
+    "window_rank_stats",
+    "agg_conditional",
 ]
 _ROTATED_OUT = [
     "op_date_filter",
@@ -49,6 +57,14 @@ _ROTATED_OUT = [
     "window_ntile_orders",
     "sort_top20_orders",
     "minhash_signatures",
+    "op_union_membership",
+    "op_standardize_units",
+    "op_null_counts",
+    "dedup_exact_groups",
+    "simhash_values",
+    "docs_fingerprint",
+    "events_json_stats",
+    "percentiles_by_type",
 ]
 
 

@@ -1,0 +1,309 @@
+"""Round-2 surface widening: range join, unpivot, grouping sets,
+deterministic stratified sampling, positional explode, regex scalar
+surface, rank-statistics windows, conditional aggregates.
+
+None of these exist in the reference (its surface is the fixed ETL
+chain in data_process.py); they complete the engine's relational/text
+coverage. Every query has a DuckDB oracle with identical column names
+and engine-portable arithmetic (queries/_util.round_to / sql_round,
+char_hash for portable hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns
+from ._util import round_to, sql_char_hash, sql_round, sql_tokens, t
+
+# ---------------------------------------------------------------------------
+# range (interval) join
+# ---------------------------------------------------------------------------
+
+PROMO_YEARS = range(1990, 2006)
+
+
+def range_join_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders matched to first-half-year promo periods by a genuine
+    range join (d BETWEEN start AND end). The period table is tiny and
+    broadcast, so the non-equi join is a broadcast nested-loop over a
+    handful of rows per partition — the scale-correct shape for
+    interval enrichment against a small calendar dimension."""
+    periods = spark.createDataFrame(
+        [(f"promo_{y}", f"{y}-01-01", f"{y}-06-30") for y in PROMO_YEARS],
+        "promo string, start_s string, end_s string",
+    ).select(
+        "promo",
+        F.col("start_s").cast("date").alias("start"),
+        F.col("end_s").cast("date").alias("end"),
+    )
+    o = t(spark, sf_dir, "orders").withColumn("d", F.to_date("o_orderdate"))
+    joined = o.join(
+        F.broadcast(periods),
+        (F.col("d") >= F.col("start")) & (F.col("d") <= F.col("end")),
+    )
+    return joined.groupBy("promo").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_to(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+SELECT 'promo_' || CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) AS promo,
+  count(*) AS n_orders,
+  {sql_round("sum(o_totalprice)", 2)} AS revenue
+FROM orders
+WHERE month(CAST(o_orderdate AS DATE)) <= 6
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt
+# ---------------------------------------------------------------------------
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape of three lineitem measures via the native
+    ``unpivot`` (no explode-of-structs detour; stays in whole-stage
+    codegen as a single Expand node)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, metric, val FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  l_discount FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount
+  INTO NAME metric VALUE val
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouping sets
+# ---------------------------------------------------------------------------
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) with grouping()
+    markers so subtotal rows are distinguishable from data nulls."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          count(*) AS n
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+  count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 60, "de": 30, "fr": 30, "es": 30}
+SAMPLE_DEFAULT_RATE = 10
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-stratum sampling — the training-data form of
+    sampling: membership is a pure function of the row key (portable
+    char_hash of the id, modulo 100, compared to the stratum's rate),
+    so reruns, backfills and the oracle agree row-for-row. Spark's
+    ``sampleBy`` is seeded but engine-specific; a hash gate is the
+    portable, restart-stable equivalent."""
+    d = t(spark, sf_dir, "documents")
+    bucket = textfns.char_hash(F.col("doc_id").cast("string")) % 100
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+def _sample_sql() -> str:
+    rate = str(SAMPLE_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = f"CASE WHEN lang = '{lang}' THEN {r} ELSE {rate} END"
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {sql_char_hash("CAST(doc_id AS VARCHAR)")} % 100 < {rate}
+"""
+
+
+# ---------------------------------------------------------------------------
+# positional explode
+# ---------------------------------------------------------------------------
+
+POSEXPLODE_MAX_POS = 3
+
+
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading tokens of each document with their positions via
+    ``posexplode`` (generator surface; position is part of the output
+    contract, unlike plain explode)."""
+    d = t(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id", F.posexplode(textfns.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    return out.filter(F.col("pos") < POSEXPLODE_MAX_POS).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "tok"
+    )
+
+
+_POSEXPLODE_SQL = f"""
+WITH base AS (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents),
+expl AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, length(toks) + 1),
+                          i -> {{'pos': i - 1, 'tok': toks[i]}})) AS u
+  FROM base
+)
+SELECT doc_id, CAST(u['pos'] AS INT) AS pos, u['tok'] AS tok
+FROM expl WHERE u['pos'] < {POSEXPLODE_MAX_POS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# regex scalar surface
+# ---------------------------------------------------------------------------
+
+
+def regex_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / regex predicate over part
+    names (patterns chosen to always match, where Spark and DuckDB
+    regex dialects agree)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.regexp_extract("p_name", "[a-z]+$", 0).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("widget").cast("int").alias("is_widget"),
+    )
+
+
+_REGEX_SQL = """
+SELECT p_partkey,
+  regexp_extract(p_name, '^[a-z]+') AS first_word,
+  regexp_extract(p_name, '[a-z]+$') AS last_word,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+  CAST(regexp_matches(p_name, 'widget') AS INT) AS is_widget
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# rank-statistics windows
+# ---------------------------------------------------------------------------
+
+
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / dense_rank per status by price — all
+    tie-stable (equal inputs get equal outputs), so deterministic
+    without a tiebreak column."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        round_to(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_to(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+_RANK_STATS_SQL = f"""
+SELECT o_orderkey, o_orderstatus,
+  {sql_round("percent_rank() OVER w", 6)} AS pct_rank,
+  {sql_round("cume_dist() OVER w", 6)} AS cume,
+  CAST(dense_rank() OVER w AS BIGINT) AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+"""
+
+
+# ---------------------------------------------------------------------------
+# conditional aggregates
+# ---------------------------------------------------------------------------
+
+BIG_ORDER = 150_000.0
+JUMBO_ORDER = 400_000.0
+
+
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / FILTERed sum / bool_or — the conditional-aggregate
+    surface, one pass over orders."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > BIG_ORDER).alias("n_big"),
+        round_to(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("urgent_revenue"),
+        F.bool_or(F.col("o_totalprice") > JUMBO_ORDER).alias("any_jumbo"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_AGG_COND_SQL = f"""
+SELECT o_orderstatus,
+  count(*) FILTER (WHERE o_totalprice > {BIG_ORDER}) AS n_big,
+  {sql_round(f"coalesce(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 0.0)", 2)}
+    AS urgent_revenue,
+  bool_or(o_totalprice > {JUMBO_ORDER}) AS any_jumbo,
+  count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "range_join_promos": range_join_promos,
+    "unpivot_lineitem": unpivot_lineitem,
+    "grouping_sets_orders": grouping_sets_orders,
+    "stratified_sample_docs": stratified_sample_docs,
+    "posexplode_tokens": posexplode_tokens,
+    "regex_extract_parts": regex_extract_parts,
+    "window_rank_stats": window_rank_stats,
+    "agg_conditional": agg_conditional,
+}
+
+ORACLES = {
+    "range_join_promos": _RANGE_JOIN_SQL,
+    "unpivot_lineitem": _UNPIVOT_SQL,
+    "grouping_sets_orders": _GROUPING_SETS_SQL,
+    "stratified_sample_docs": _sample_sql(),
+    "posexplode_tokens": _POSEXPLODE_SQL,
+    "regex_extract_parts": _REGEX_SQL,
+    "window_rank_stats": _RANK_STATS_SQL,
+    "agg_conditional": _AGG_COND_SQL,
+}
