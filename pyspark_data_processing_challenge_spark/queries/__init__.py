@@ -44,6 +44,8 @@ _VERDICT_PRIORITY = [
     "regex_extract_parts",
     "window_rank_stats",
     "agg_conditional",
+    "kmeans_update_centroids",
+    "doc_length_histogram",
 ]
 _ROTATED_OUT = [
     "op_date_filter",
@@ -65,6 +67,8 @@ _ROTATED_OUT = [
     "docs_fingerprint",
     "events_json_stats",
     "percentiles_by_type",
+    "rollup_lineitem",
+    "array_agg_lineitems",
 ]
 
 

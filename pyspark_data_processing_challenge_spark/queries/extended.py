@@ -307,6 +307,31 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration on DataFrames — the iterative-ML shape:
+    E-step is the IVF assignment (broadcast codebook, linear scan),
+    M-step the per-(centroid, dimension) mean in LONG format
+    (posexplode + groupBy) so the 64-dim mean is one aggregate instead
+    of 64 columns. At scale each iteration is one broadcast join + one
+    shuffle on (centroid, dim) — no driver-side math."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(emb, cent, centroid_id="cid", centroid_vec="cv")
+    expl = assigned.select("centroid_id", F.posexplode("vec").alias("dim", "v"))
+    return (
+        expl.groupBy("centroid_id", "dim")
+        .agg(
+            round_to(F.avg("v"), 6).alias("c"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "centroid_id", F.col("dim").cast("int").alias("dim"), "c", "n_members"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -408,6 +433,21 @@ _IVF_ASSIGN_CTE = f"""
 
 _IVF_ASSIGN_SQL = "WITH" + _IVF_ASSIGN_CTE + "SELECT vec_id, centroid_id FROM assigned"
 
+_KMEANS_SQL = (
+    "WITH"
+    + _IVF_ASSIGN_CTE
+    + f""",
+  expl AS (
+    SELECT centroid_id,
+      unnest(list_transform(range(1, 65), i -> {{'dim': i - 1, 'v': e[i]}})) AS u
+    FROM assigned
+  )
+SELECT centroid_id, CAST(u['dim'] AS INT) AS dim,
+  {sql_round("avg(u['v'])", 6)} AS c, count(*) AS n_members
+FROM expl GROUP BY 1, 2
+"""
+)
+
 _IVF_TOPK_SQL = (
     "WITH"
     + _IVF_ASSIGN_CTE
@@ -457,6 +497,7 @@ QUERIES = {
     "date_functions": date_functions,
     "ivf_assignments": ivf_assignments,
     "ivf_topk": ivf_topk,
+    "kmeans_update_centroids": kmeans_update_centroids,
 }
 
 ORACLES = {
@@ -517,4 +558,5 @@ ORACLES = {
     """,
     "ivf_assignments": _IVF_ASSIGN_SQL,
     "ivf_topk": _IVF_TOPK_SQL,
+    "kmeans_update_centroids": _KMEANS_SQL,
 }

@@ -286,6 +286,35 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# histogram
+# ---------------------------------------------------------------------------
+
+HIST_BIN, HIST_MAX_BUCKET = 200, 10
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution histogram over documents (the corpus-shape
+    diagnostic every curation run starts with): fixed-width bins with a
+    clamped tail bucket, one aggregate pass."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / F.lit(HIST_BIN)), F.lit(HIST_MAX_BUCKET)
+    ).cast("long")
+    return (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_HIST_SQL = f"""
+SELECT least(floor(n_chars / {HIST_BIN}), {HIST_MAX_BUCKET})::BIGINT AS bucket,
+  count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "range_join_promos": range_join_promos,
     "unpivot_lineitem": unpivot_lineitem,
@@ -295,6 +324,7 @@ QUERIES = {
     "regex_extract_parts": regex_extract_parts,
     "window_rank_stats": window_rank_stats,
     "agg_conditional": agg_conditional,
+    "doc_length_histogram": doc_length_histogram,
 }
 
 ORACLES = {
@@ -306,4 +336,5 @@ ORACLES = {
     "regex_extract_parts": _REGEX_SQL,
     "window_rank_stats": _RANK_STATS_SQL,
     "agg_conditional": _AGG_COND_SQL,
+    "doc_length_histogram": _HIST_SQL,
 }

@@ -59,6 +59,17 @@ def test_ivf_broadcasts_codebook(spark):
     assert plans.sort_merge_join_count(df) == 0
 
 
+def test_range_join_broadcasts_calendar(spark):
+    # non-equi join against the tiny period table must broadcast, never
+    # shuffle the orders side
+    from pyspark_data_processing_challenge_spark.queries import extra
+
+    df = extra.range_join_promos(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plans.sort_merge_join_count(df) == 0
+
+
 def test_column_pruning_reaches_scan(spark):
     df = relational.sort_top20_orders(spark, SF_DIR)
     schemas = plans.scan_read_schema(df)
