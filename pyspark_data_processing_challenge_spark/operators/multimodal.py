@@ -184,6 +184,138 @@ def parse_image_header(
     return None, None, None
 
 
+MEDIA_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def encode_wav(
+    sample_rate: int, n_samples: int, *, channels: int = 1, bits: int = 16
+) -> bytes:
+    """RIFF/WAVE PCM header (spec-conformant fmt and data chunks) with
+    stub sample data: the data chunk declares the true size but carries
+    at most 64 bytes — enough for any header parser, not for playback
+    (same stance as the JPEG entropy stub)."""
+    block_align = channels * bits // 8
+    data_size = n_samples * block_align
+    fmt_chunk = b"fmt " + struct.pack(
+        "<IHHIIHH",
+        16,
+        1,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    data_chunk = b"data" + struct.pack("<I", data_size) + b"\x00" * min(data_size, 64)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + fmt_chunk
+        + data_chunk
+    )
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def encode_mp4(duration_ms: int, *, timescale: int = 1000) -> bytes:
+    """Minimal ISO-BMFF stream: ftyp + moov(mvhd v0) carrying the real
+    timescale/duration. Box structure is spec-conformant; there are no
+    media tracks (header-only stub)."""
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+        + struct.pack(">I", 0x00010000)  # rate
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + _mp4_box(b"moov", mvhd)
+
+
+def _parse_wav(b: bytes):
+    """(sample_rate, channels, duration_ms) from RIFF chunks; sizes come
+    from chunk headers (robust to stub sample data)."""
+    i, sr, ch, block_align, data_size = 12, None, None, None, None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if tag == b"fmt " and i + 24 <= len(b):
+            _, ch, sr, _, block_align, _ = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+        elif tag == b"data":
+            data_size = size
+            break  # declared size may exceed the stub bytes present
+        i += 8 + size + (size & 1)
+    if sr and ch and block_align and data_size is not None:
+        n_samples = data_size // block_align
+        return sr, ch, n_samples * 1000 // sr
+    return None, None, None
+
+
+def _parse_mp4(b: bytes):
+    """duration_ms from moov/mvhd (version 0 or 1)."""
+    i = 0
+    while i + 8 <= len(b):
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        if size < 8:
+            break
+        if b[i + 4 : i + 8] == b"moov":
+            j = i + 8
+            end = min(i + size, len(b))
+            while j + 8 <= end:
+                bsize = struct.unpack(">I", b[j : j + 4])[0]
+                if bsize < 8:
+                    break
+                if b[j + 4 : j + 8] == b"mvhd" and j + 28 <= end:
+                    ver = b[j + 8]
+                    if ver == 1:
+                        ts, dur = struct.unpack(">IQ", b[j + 28 : j + 40])
+                    else:
+                        ts, dur = struct.unpack(">II", b[j + 20 : j + 28])
+                    if ts:
+                        return dur * 1000 // ts
+                j += bsize
+        i += size
+    return None
+
+
+def parse_media_header(payload: bytes | None):
+    """(fmt, width, height, sample_rate, channels, duration_ms) across
+    the image formats plus WAV audio and MP4 video; fields that don't
+    apply to the format are None."""
+    fmt, w, h = parse_image_header(payload)
+    if fmt is not None:
+        return fmt, w, h, None, None, None
+    if payload is None:
+        return None, None, None, None, None, None
+    b = bytes(payload)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        sr, ch, dur = _parse_wav(b)
+        return ("wav", None, None, sr, ch, dur) if sr else (None,) * 6
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        dur = _parse_mp4(b)
+        if dur is not None:
+            return "mp4", None, None, None, None, dur
+    return None, None, None, None, None, None
+
+
 def _stub_decode(payload: bytes | None) -> tuple[int | None, int | None]:
     """Deterministic fake decode: derives a (width, height) from payload
     length — stands in for an image codec so the batch plumbing and
@@ -261,6 +393,62 @@ def decode_image_batch(
             )
 
     return df.mapInPandas(fn, DECODED_SCHEMA)
+
+
+def decode_media_batch(df: DataFrame) -> DataFrame:
+    """Full-spectrum header decode (images + WAV + MP4) via
+    ``mapInPandas`` — same batch shape as :func:`decode_image_batch`,
+    wider metadata schema."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_media_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "channels": pd.array([p[4] for p in parsed], dtype="Int32"),
+                    "duration_ms": pd.array([p[5] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, MEDIA_HEADER_SCHEMA)
+
+
+def plant_media_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic mixed-modality corpus: format cycles png/jpeg/gif/
+    wav/mp4 by ``id % 5``, every metadata field an arithmetic function
+    of the id (see the query oracle in queries/llm.py):
+
+        images: width = id % 64 + 1, height = (id * 7) % 48 + 1
+        wav:    sample_rate = 8000 + (id % 4) * 4000,
+                duration_ms = (id % 10 + 1) * 100
+        mp4:    duration_ms = (id % 20 + 1) * 500
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def make(i: int) -> bytes:
+            m = i % 5
+            if m < 3:
+                enc = (encode_png, encode_jpeg, encode_gif)[m]
+                return enc(i % 64 + 1, (i * 7) % 48 + 1)
+            if m == 3:
+                sr = 8000 + (i % 4) * 4000
+                dur_ms = (i % 10 + 1) * 100
+                return encode_wav(sr, sr * dur_ms // 1000)
+            return encode_mp4((i % 20 + 1) * 500)
+
+        return ids.map(lambda i: make(int(i)))
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _gen(F.col(id_col)).alias("payload"),
+    )
 
 
 def plant_image_payloads(df: DataFrame, id_col: str) -> DataFrame:

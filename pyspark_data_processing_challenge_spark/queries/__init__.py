@@ -46,6 +46,7 @@ _VERDICT_PRIORITY = [
     "agg_conditional",
     "kmeans_update_centroids",
     "doc_length_histogram",
+    "multimodal_media_decode",
 ]
 _ROTATED_OUT = [
     "op_date_filter",
@@ -69,6 +70,7 @@ _ROTATED_OUT = [
     "percentiles_by_type",
     "rollup_lineitem",
     "array_agg_lineitems",
+    "pivot_event_counts",
 ]
 
 

@@ -371,6 +371,36 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_id", "fmt", "width", "height")
 
 
+def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality decode (image + audio + video): plant real PNG/
+    JPEG/GIF/WAV/MP4 payloads with id-derived metadata, parse the
+    actual container bytes (RIFF chunk walk, ISO-BMFF box walk, image
+    headers), emit what the parse found; the oracle recomputes the
+    planted values arithmetically."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.plant_media_payloads(d, "doc_id")
+    return multimodal.decode_media_batch(media).select(
+        "media_id", "fmt", "width", "height", "sample_rate", "duration_ms"
+    )
+
+
+_MULTIMODAL_MEDIA_SQL = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                  WHEN 3 THEN 'wav' ELSE 'mp4' END AS fmt,
+  CASE WHEN doc_id % 5 < 3 THEN CAST(doc_id % 64 + 1 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 5 < 3 THEN CAST((doc_id * 7) % 48 + 1 AS INTEGER) END AS height,
+  CASE WHEN doc_id % 5 = 3 THEN CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) END
+    AS sample_rate,
+  CASE WHEN doc_id % 5 = 3 THEN CAST((doc_id % 10 + 1) * 100 AS BIGINT)
+       WHEN doc_id % 5 = 4 THEN CAST((doc_id % 20 + 1) * 500 AS BIGINT) END
+    AS duration_ms
+FROM documents
+"""
+
+
 _MULTIMODAL_DECODE_SQL = """
 SELECT doc_id AS media_id,
   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
@@ -695,6 +725,7 @@ QUERIES = {
     "embedding_lsh_buckets": embedding_lsh_buckets,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
+    "multimodal_media_decode": multimodal_media_decode,
 }
 
 ORACLES = {
@@ -730,4 +761,5 @@ ORACLES = {
     "embedding_lsh_buckets": _sql_lsh_buckets(),
     "multimodal_meta": _MULTIMODAL_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,
 }

@@ -195,6 +195,46 @@ def test_parse_image_header_known_bytes():
     assert multimodal.parse_image_header(b"\xff\xd8\xff") == (None, None, None)
 
 
+def test_parse_media_header_wav_mp4():
+    # WAV roundtrip: declared data size drives duration, stub bytes ok
+    got = multimodal.parse_media_header(multimodal.encode_wav(16000, 8000))
+    assert got == ("wav", None, None, 16000, 1, 500)
+    got = multimodal.parse_media_header(
+        multimodal.encode_wav(44100, 44100, channels=2)
+    )
+    assert got == ("wav", None, None, 44100, 2, 1000)
+    # MP4 roundtrip incl. a non-1000 timescale
+    got = multimodal.parse_media_header(multimodal.encode_mp4(2500))
+    assert got == ("mp4", None, None, None, None, 2500)
+    got = multimodal.parse_media_header(multimodal.encode_mp4(2000, timescale=90000))
+    assert got == ("mp4", None, None, None, None, 2000)
+    # images flow through with dims only
+    assert multimodal.parse_media_header(multimodal.encode_png(9, 4)) == (
+        "png", 9, 4, None, None, None,
+    )
+    # junk and truncated containers degrade to all-None
+    assert multimodal.parse_media_header(b"RIFFxxxxWAVE") == (None,) * 6
+    assert multimodal.parse_media_header(b"\x00\x00\x00\x08ftyp") == (None,) * 6
+
+
+def test_multimodal_media_decode_end_to_end(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    media = multimodal.plant_media_payloads(docs, "doc_id")
+    rows = multimodal.decode_media_batch(media).collect()
+    assert len(rows) == 50
+    fmts = {0: "png", 1: "jpeg", 2: "gif", 3: "wav", 4: "mp4"}
+    for r in rows:
+        i = r["media_id"]
+        assert r["fmt"] == fmts[i % 5]
+        if i % 5 < 3:
+            assert (r["width"], r["height"]) == (i % 64 + 1, (i * 7) % 48 + 1)
+        elif i % 5 == 3:
+            assert r["sample_rate"] == 8000 + (i % 4) * 4000
+            assert r["duration_ms"] == (i % 10 + 1) * 100
+        else:
+            assert r["duration_ms"] == (i % 20 + 1) * 500
+
+
 def test_multimodal_headers_codec_end_to_end(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
     media = multimodal.plant_image_payloads(docs, "doc_id")
