@@ -121,6 +121,23 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    cols: tuple[str, ...] = ("c_mktsegment",),
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch
+    dimension table. The static side is re-planned per micro-batch (so
+    slowly-changing dims refresh on read) and explicitly broadcast —
+    the stream side never shuffles, which is the only sane shape for a
+    high-rate stream against a small dim."""
+    d = dim.select(F.col(on_right).alias(on_left), *cols)
+    return events.join(F.broadcast(d), on_left, "left")
+
+
 def stream_dedup(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state.
 

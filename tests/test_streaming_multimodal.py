@@ -128,6 +128,30 @@ def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
     assert rows_after == rows_before
 
 
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join twin-checked against the same join
+    done in batch: per-segment event counts must agree."""
+    stream = sev.read_events_stream(spark, SF_DIR)
+    dim = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    enriched = sev.enrich_with_dim(stream, dim)
+    agg = enriched.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    sev.run_to_memory(agg, "enriched_out")
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r["c_mktsegment"]: r["n"]
+        for r in sev.enrich_with_dim(events, dim)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert sum(got.values()) == events.count()
+
+
 def test_multimodal_stub_decode(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
     media = multimodal.attach_payload(docs, "text", "doc_id")
