@@ -47,6 +47,7 @@ _VERDICT_PRIORITY = [
     "kmeans_update_centroids",
     "doc_length_histogram",
     "multimodal_media_decode",
+    "docs_bpe_token_count",
 ]
 _ROTATED_OUT = [
     "op_date_filter",
@@ -71,6 +72,7 @@ _ROTATED_OUT = [
     "rollup_lineitem",
     "array_agg_lineitems",
     "pivot_event_counts",
+    "events_hourly",
 ]
 
 

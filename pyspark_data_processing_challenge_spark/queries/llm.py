@@ -371,6 +371,43 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_id", "fmt", "width", "height")
 
 
+# GPT-style pre-tokenizer classes: letter runs, digit runs, punctuation
+# runs (unicode classes — supported by both Java regex and RE2)
+BPE_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-style pre-tokenization regex
+    (letter/digit/punctuation runs) next to the whitespace count — the
+    cheap LLM-cost estimator that runs JVM-side (regexp_count), no
+    tokenizer library needed."""
+    d = t(spark, sf_dir, "documents")
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).cast("long")
+    return d.select(
+        "doc_id",
+        bpe.alias("bpe_tokens"),
+        textfns.token_count(F.col("text")).alias("ws_tokens"),
+        round_to(
+            F.try_divide(F.length("text").cast("double"), bpe.cast("double")), 4
+        ).alias("chars_per_token"),
+    )
+
+
+_BPE_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS bpe_tokens
+  FROM documents
+)
+SELECT doc_id, bpe_tokens,
+  {sql_token_count("text")} AS ws_tokens,
+  CASE WHEN bpe_tokens = 0 THEN NULL
+       ELSE {sql_round("length(text)::DOUBLE / bpe_tokens::DOUBLE", 4)}
+  END AS chars_per_token
+FROM c
+"""
+
+
 def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-modality decode (image + audio + video): plant real PNG/
     JPEG/GIF/WAV/MP4 payloads with id-derived metadata, parse the
@@ -726,6 +763,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_media_decode": multimodal_media_decode,
+    "docs_bpe_token_count": docs_bpe_token_count,
 }
 
 ORACLES = {
@@ -762,4 +800,5 @@ ORACLES = {
     "multimodal_meta": _MULTIMODAL_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,
+    "docs_bpe_token_count": _BPE_SQL,
 }

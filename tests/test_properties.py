@@ -166,3 +166,34 @@ def test_fast_minhash_matches_expression(spark, texts):
         for r in with_minhash_fast(df, "text", num_hashes=8, shingle_n=2).collect()
     }
     assert a == b
+
+
+@SETTINGS
+@given(
+    w=st.integers(1, 128),
+    h=st.integers(1, 128),
+    sr=st.sampled_from([8000, 11025, 16000, 22050, 44100, 48000]),
+    n=st.integers(1, 500_000),
+    ch=st.integers(1, 8),
+    dur=st.integers(1, 10**7),
+    ts=st.sampled_from([600, 1000, 90000, 44100]),
+)
+def test_media_codec_roundtrip_properties(w, h, sr, n, ch, dur, ts):
+    """Every encoder/parser pair must roundtrip on arbitrary valid
+    parameters — not just the planted corpus values."""
+    from pyspark_data_processing_challenge_spark.operators import multimodal as mm
+
+    assert mm.parse_media_header(mm.encode_png(w, h)) == ("png", w, h, None, None, None)
+    assert mm.parse_media_header(mm.encode_jpeg(w, h)) == (
+        "jpeg", w, h, None, None, None,
+    )
+    assert mm.parse_media_header(mm.encode_gif(w, h)) == ("gif", w, h, None, None, None)
+    fmt, _, _, got_sr, got_ch, got_dur = mm.parse_media_header(
+        mm.encode_wav(sr, n, channels=ch)
+    )
+    assert (fmt, got_sr, got_ch) == ("wav", sr, ch)
+    assert got_dur == n * 1000 // sr
+    fmt, *_, got_dur = mm.parse_media_header(mm.encode_mp4(dur, timescale=ts))
+    assert fmt == "mp4"
+    # encoder floors duration to whole timescale ticks
+    assert got_dur == (dur * ts // 1000) * 1000 // ts

@@ -133,3 +133,51 @@ def test_logging_setup(tmp_path):
     content = open(log_file).read()
     assert "hello pipeline" in content and "second line" in content
     assert len(logger2.handlers) == 2  # file + stdout, no duplicates
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    from pyspark_data_processing_challenge_spark.sources import maintenance
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.repartition(40).write.parquet(src)  # simulate a small-file mess
+
+    frag = spark.read.parquet(src)
+    n_in, total_bytes = maintenance.input_file_stats(frag)
+    assert n_in >= 40 and total_bytes > 0
+
+    n_out = maintenance.compact_parquet(spark, src, dst, target_file_mb=256)
+    out = spark.read.parquet(dst)
+    n_files, _ = maintenance.input_file_stats(out)
+    assert n_out == 1  # sf0.001 lineitem is far below 256 MB
+    assert n_files < n_in
+    assert out.count() == li.count()
+
+
+def test_sorted_compaction_gives_disjoint_ranges(spark, tmp_path):
+    from pyspark_data_processing_challenge_spark.sources import maintenance
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "sorted")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.repartition(16).write.parquet(src)
+    # force >1 output file to exercise the range partitioning
+    _, total = maintenance.input_file_stats(spark.read.parquet(src))
+    target_mb = (total / 3) / (1024 * 1024)
+    maintenance.compact_parquet(
+        spark, src, dst, target_file_mb=target_mb, sort_by="l_orderkey"
+    )
+    out = spark.read.parquet(dst)
+    assert out.count() == li.count()
+    # per-file key ranges must not overlap (the pruning property)
+    ranges = (
+        out.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    assert len(spans) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert lo_next >= hi_prev
