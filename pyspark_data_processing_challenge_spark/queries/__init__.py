@@ -48,6 +48,8 @@ _VERDICT_PRIORITY = [
     "doc_length_histogram",
     "multimodal_media_decode",
     "docs_bpe_token_count",
+    "join_regional_revenue",
+    "rolling_7d_revenue",
 ]
 _ROTATED_OUT = [
     "op_date_filter",
@@ -73,6 +75,8 @@ _ROTATED_OUT = [
     "array_agg_lineitems",
     "pivot_event_counts",
     "events_hourly",
+    "semi_join_urgent_customers",
+    "anti_join_quiet_customers",
 ]
 
 

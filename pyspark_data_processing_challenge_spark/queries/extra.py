@@ -287,6 +287,96 @@ FROM orders GROUP BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# multi-table join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+
+def join_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join (TPC-H Q5 shape): lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation ⋈ region, with the local-supplier
+    condition (customer and supplier share a nation). The three
+    dimension tables broadcast; only the two fact-fact joins shuffle —
+    the join-order / broadcast-selection stress test."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)  # local supplier
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        round_to(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_REGIONAL_SQL = f"""
+SELECT r_name, n_name,
+  {sql_round("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling range-frame window
+# ---------------------------------------------------------------------------
+
+
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per day: aggregate to days FIRST (shrinks
+    the window input from rows to days — the scale move), then a RANGE
+    frame over the day number so calendar gaps are handled correctly
+    (a ROWS frame would silently span gaps)."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn("day", F.to_date("o_orderdate"))
+        .groupBy("day")
+        .agg(F.sum("o_totalprice").alias("day_rev"))
+    )
+    daynum = F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")).cast("long")
+    w = (
+        Window.orderBy(daynum)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        round_to(F.col("day_rev"), 2).alias("day_rev"),
+        round_to(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    )
+
+
+_ROLLING_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS day_rev
+  FROM orders GROUP BY 1
+), numbered AS (
+  SELECT day, day_rev, datediff('day', DATE '1990-01-01', day) AS dn FROM daily
+)
+SELECT day, {sql_round("day_rev", 2)} AS day_rev,
+  {sql_round("sum(day_rev) OVER (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)", 2)}
+    AS rev_7d
+FROM numbered
+"""
+
+
+# ---------------------------------------------------------------------------
 # histogram
 # ---------------------------------------------------------------------------
 
@@ -325,6 +415,8 @@ QUERIES = {
     "window_rank_stats": window_rank_stats,
     "agg_conditional": agg_conditional,
     "doc_length_histogram": doc_length_histogram,
+    "join_regional_revenue": join_regional_revenue,
+    "rolling_7d_revenue": rolling_7d_revenue,
 }
 
 ORACLES = {
@@ -337,4 +429,6 @@ ORACLES = {
     "window_rank_stats": _RANK_STATS_SQL,
     "agg_conditional": _AGG_COND_SQL,
     "doc_length_histogram": _HIST_SQL,
+    "join_regional_revenue": _REGIONAL_SQL,
+    "rolling_7d_revenue": _ROLLING_SQL,
 }

@@ -70,6 +70,28 @@ def test_range_join_broadcasts_calendar(spark):
     assert plans.sort_merge_join_count(df) == 0
 
 
+def test_q5_join_broadcasts_all_dims(spark):
+    from pyspark_data_processing_challenge_spark.queries import extra
+
+    df = extra.join_regional_revenue(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 3  # supplier, nation, region
+
+
+def test_unpivot_is_shuffle_free_expand(spark):
+    from pyspark_data_processing_challenge_spark.queries import extra
+
+    df = extra.unpivot_lineitem(spark, SF_DIR)
+    assert "Expand" in plans.executed_plan(df)
+    assert plans.exchange_count(df) == 0
+
+
+def test_kmeans_broadcasts_codebook(spark):
+    df = extended.kmeans_update_centroids(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.exchange_count(df) <= 2  # assignment window + M-step agg
+
+
 def test_column_pruning_reaches_scan(spark):
     df = relational.sort_top20_orders(spark, SF_DIR)
     schemas = plans.scan_read_schema(df)
