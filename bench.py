@@ -50,6 +50,10 @@ HEADLINE = [
     "scd2_customer_history",
     "cube_orders",
     "multimodal_decode",
+    "join_regional_revenue",
+    "rolling_7d_revenue",
+    "kmeans_update_centroids",
+    "multimodal_media_decode",
 ]
 
 
@@ -75,6 +79,15 @@ def main() -> None:
         return x
 
     spark.range(1000).select(_warm(col("id"))).collect()
+    # Warm the input side too: file listing, parquet footers and the OS
+    # page cache for the large tables, plus one noop write (sink init).
+    # The reference baseline's 19.5 s likewise excludes only what its
+    # own warm process had already paid; without this the FIRST measured
+    # query absorbs all first-touch I/O and the per-query numbers are
+    # noise across runs.
+    for warm_table in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{warm_table}.parquet").count()
+    spark.range(10).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

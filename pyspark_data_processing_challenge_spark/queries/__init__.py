@@ -50,6 +50,7 @@ _VERDICT_PRIORITY = [
     "docs_bpe_token_count",
     "join_regional_revenue",
     "rolling_7d_revenue",
+    "agg_topk_orders",
 ]
 _ROTATED_OUT = [
     "op_date_filter",
@@ -77,6 +78,7 @@ _ROTATED_OUT = [
     "events_hourly",
     "semi_join_urgent_customers",
     "anti_join_quiet_customers",
+    "set_ops_segments",
 ]
 
 

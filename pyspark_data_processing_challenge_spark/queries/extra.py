@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ._util import round_to, sql_char_hash, sql_round, sql_tokens, t
+from .relational import ORACLES as _REL_ORACLES
 
 # ---------------------------------------------------------------------------
 # range (interval) join
@@ -377,6 +378,42 @@ FROM numbered
 
 
 # ---------------------------------------------------------------------------
+# aggregation-based top-k (window-free twin of window_topk_orders)
+# ---------------------------------------------------------------------------
+
+TOPK_N = 3
+
+
+def agg_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer WITHOUT a window: collect per-group
+    structs, sort_array + slice inside the aggregate, explode back.
+    Same results and oracle as ``window_topk_orders``, different
+    physical shape — one hash aggregate (partial + final) instead of a
+    full per-partition sort, which wins when groups are small and
+    numerous (the common case at scale). The desc sort with an asc
+    tiebreak rides on struct ordering: (price, -orderkey) sorted desc.
+    """
+    o = t(spark, sf_dir, "orders")
+    item = F.struct(
+        F.col("o_totalprice").alias("p"),
+        (-F.col("o_orderkey")).cast("long").alias("nk"),
+    )
+    agged = o.groupBy("o_custkey").agg(
+        F.slice(F.sort_array(F.collect_list(item), asc=False), 1, TOPK_N).alias(
+            "top"
+        )
+    )
+    return agged.select(
+        "o_custkey", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "o_custkey",
+        (-F.col("s.nk")).alias("o_orderkey"),
+        F.col("s.p").alias("o_totalprice"),
+        (F.col("pos") + 1).cast("long").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # histogram
 # ---------------------------------------------------------------------------
 
@@ -417,6 +454,7 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "join_regional_revenue": join_regional_revenue,
     "rolling_7d_revenue": rolling_7d_revenue,
+    "agg_topk_orders": agg_topk_orders,
 }
 
 ORACLES = {
@@ -431,4 +469,7 @@ ORACLES = {
     "doc_length_histogram": _HIST_SQL,
     "join_regional_revenue": _REGIONAL_SQL,
     "rolling_7d_revenue": _ROLLING_SQL,
+    # same semantics as the window form → same oracle; passing both
+    # proves the two physical strategies agree bit-for-bit
+    "agg_topk_orders": _REL_ORACLES["window_topk_orders"],
 }
