@@ -181,3 +181,65 @@ def test_sorted_compaction_gives_disjoint_ranges(spark, tmp_path):
     assert len(spans) >= 2
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert lo_next >= hi_prev
+
+
+@pytest.fixture()
+def corrupt_csv_dir(tmp_path):
+    p = tmp_path / "corrupt"
+    p.mkdir()
+    (p / "data.csv").write_text(
+        "pais,fecha_proceso,precio,cantidad\n"
+        "GT,20250114,12.5,3.0\n"
+        "PE,20250115,not_a_number,10.0\n"  # malformed double
+        "EC,20250116,7.25,1.0\n"
+    )
+    return str(p)
+
+
+def test_csv_malformed_row_policies(spark, corrupt_csv_dir):
+    """The three production stances toward bad rows, all config-driven
+    through the same reader (at 100 TB a single bad row must be a
+    POLICY decision, not a surprise):
+    PERMISSIVE nulls the bad field, DROPMALFORMED removes the row,
+    FAILFAST aborts the job."""
+    base = {
+        "path": corrupt_csv_dir,
+        "format": "csv",
+        "schema": SCHEMA,
+    }
+    permissive = read_table(
+        spark, {**base, "options": {"header": True, "mode": "PERMISSIVE"}}
+    ).collect()
+    assert len(permissive) == 3
+    assert any(r["precio"] is None for r in permissive)
+
+    dropped = read_table(
+        spark, {**base, "options": {"header": True, "mode": "DROPMALFORMED"}}
+    ).collect()
+    assert len(dropped) == 2
+    assert all(r["precio"] is not None for r in dropped)
+
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_table(
+            spark, {**base, "options": {"header": True, "mode": "FAILFAST"}}
+        ).collect()
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on the partition column must prune directories at plan
+    time — the scan's partition count, not a post-scan filter, is what
+    makes date-partitioned layouts work at 100 TB."""
+    from pyspark_data_processing_challenge_spark import plans
+
+    out = str(tmp_path / "by_year")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.withColumn("ship_year", F.year(F.to_date("l_shipdate"))).write.partitionBy(
+        "ship_year"
+    ).parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("ship_year") == 1995)
+    plan = plans.executed_plan(df)
+    assert "PartitionFilters: [" in plan
+    assert "ship_year" in plan.split("PartitionFilters:")[1].split("]")[0]
+    got_years = {r["ship_year"] for r in df.select("ship_year").distinct().collect()}
+    assert got_years == {1995}
