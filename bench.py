@@ -85,6 +85,9 @@ def main() -> None:
     # own warm process had already paid; without this the FIRST measured
     # query absorbs all first-touch I/O and the per-query numbers are
     # noise across runs.
+    # events.parquet is TIMESTAMP(NANOS) — the legacy conf is required
+    # on any session that didn't come from session.get_session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for warm_table in ("lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{warm_table}.parquet").count()
     spark.range(10).write.format("noop").mode("overwrite").save()

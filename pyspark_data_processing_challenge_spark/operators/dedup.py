@@ -61,16 +61,23 @@ def with_row_fingerprint(
     """Attach a 128-bit whole-row fingerprint as two long columns.
 
     Two independently-seeded ``xxhash64`` calls over the column values —
-    JVM-native, type-aware (no string-concat ambiguity, nulls hashed
-    distinctly from empty), and 128 combined bits keep the collision
-    probability negligible at 100 TB row counts, where a single 64-bit
-    hash would already see birthday collisions (~4e9 rows).
+    JVM-native, type-aware (no string-concat ambiguity), and 128
+    combined bits keep the collision probability negligible at 100 TB
+    row counts, where a single 64-bit hash would already see birthday
+    collisions (~4e9 rows).
+
+    Null safety: ``xxhash64`` SKIPS null arguments entirely, so hashing
+    bare columns would collide rows that differ only in which column is
+    null (('x', NULL) vs (NULL, 'x')). Each column is therefore
+    preceded by a never-null is-null indicator, which pins both the
+    position and the nullness of every value in the hashed sequence.
     """
     cols = list(cols) if cols is not None else df.columns
+    tagged = [x for c in cols for x in (F.isnull(F.col(c)).cast("int"), F.col(c))]
     return df.withColumns(
         {
-            out_cols[0]: F.xxhash64(F.lit(0), *cols),
-            out_cols[1]: F.xxhash64(F.lit(1), *cols),
+            out_cols[0]: F.xxhash64(F.lit(0), *tagged),
+            out_cols[1]: F.xxhash64(F.lit(1), *tagged),
         }
     )
 
@@ -130,12 +137,14 @@ def banded_pairs(
     task): buckets above ``hot_threshold`` are routed through a BLOCKED
     self-join — each hot row is replicated ``num_blocks`` times under
     key ``(min(block, q), max(block, q))`` for every block q, where
-    ``block = hash(doc) % num_blocks``; a pair (a, b) meets on exactly
-    one replica key, so the pair set is IDENTICAL to the plain join
-    while the worst task shrinks from n² to (n/num_blocks)² pairs at a
-    num_blocks× replication of only the hot rows. Cold buckets take the
-    plain join. The hot-key list is bounded by rows/hot_threshold and
-    broadcast.
+    ``block = hash(doc) % num_blocks``; the join additionally requires
+    the replica key to equal the pair's actual (ordered) block pair, so
+    a pair (a, b) meets exactly once — including when both docs hash to
+    the same block, where the replica keys (p, q) coincide for every q
+    and the key match alone would emit the pair num_blocks times. The
+    pair set is therefore IDENTICAL to the plain join while the worst
+    task shrinks from n² to (n/num_blocks)² pairs at a num_blocks×
+    replication of only the hot rows. Cold buckets take the plain join.
     """
     carry = [payload_col] if payload_col else []
     # bucket sizes via a window count over the SAME key the self-join
@@ -182,7 +191,15 @@ def banded_pairs(
                 ),
             )
         ),
-    ).select("doc", *carry, "band", "key", F.col("__bp.b1").alias("b1"), F.col("__bp.b2").alias("b2"))
+    ).select(
+        "doc",
+        *carry,
+        "band",
+        "key",
+        "__blk",
+        F.col("__bp.b1").alias("b1"),
+        F.col("__bp.b2").alias("b2"),
+    )
     hl, hr = replicated.alias("l"), replicated.alias("r")
     hot_pairs = pair_select(
         hl.join(
@@ -191,6 +208,10 @@ def banded_pairs(
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.b1") == F.col("r.b1"))
             & (F.col("l.b2") == F.col("r.b2"))
+            # replica key must BE this pair's block pair (kills the
+            # same-block num_blocks× duplication)
+            & (F.col("l.b1") == F.least(F.col("l.__blk"), F.col("r.__blk")))
+            & (F.col("l.b2") == F.greatest(F.col("l.__blk"), F.col("r.__blk")))
             & (F.col("l.doc") < F.col("r.doc")),
         )
     )

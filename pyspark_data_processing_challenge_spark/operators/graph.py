@@ -42,6 +42,8 @@ def connected_components(
     ≈ log2(diameter) + 2 with pointer jumping, so the default 20 covers
     any graph that fits on hardware).
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.unionByName(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))

@@ -167,6 +167,9 @@ def parse_image_header(
             if b[i] != 0xFF:
                 break
             marker = b[i + 1]
+            if marker == 0xFF:  # optional 0xFF fill byte before a marker
+                i += 1
+                continue
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
                 i += 2
                 continue
@@ -283,12 +286,14 @@ def _parse_mp4(b: bytes):
                 bsize = struct.unpack(">I", b[j : j + 4])[0]
                 if bsize < 8:
                     break
-                if b[j + 4 : j + 8] == b"mvhd" and j + 28 <= end:
-                    ver = b[j + 8]
-                    if ver == 1:
+                if b[j + 4 : j + 8] == b"mvhd":
+                    ver = b[j + 8] if j + 9 <= end else None
+                    if ver == 1 and j + 40 <= end:
                         ts, dur = struct.unpack(">IQ", b[j + 28 : j + 40])
-                    else:
+                    elif ver == 0 and j + 28 <= end:
                         ts, dur = struct.unpack(">II", b[j + 20 : j + 28])
+                    else:
+                        return None  # truncated mvhd — malformed, not a crash
                     if ts:
                         return dur * 1000 // ts
                 j += bsize

@@ -55,3 +55,9 @@ def test_multiple_components_and_determinism(spark):
         for r in graph.connected_components(e, max_iter=10).collect()
     }
     assert again == want
+
+
+def test_zero_max_iter_rejected(spark):
+    edges = _chain_edges(spark, 5)
+    with pytest.raises(ValueError, match="max_iter"):
+        graph.connected_components(edges, max_iter=0)

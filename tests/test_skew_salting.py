@@ -97,3 +97,18 @@ def test_simhash_near_dup_salting_invariant(spark):
     s = {(r["id_a"], r["id_b"], r["hamming"]) for r in salted.collect()}
     assert b == s
     assert b
+
+
+def test_blocked_pairs_no_same_block_duplication(spark):
+    """Pairs whose docs hash to the SAME block must appear exactly once
+    (the replica keys coincide for every q there — the join must pick
+    one), so banded_pairs output needs no .distinct() to be a set."""
+    hot = spark.range(40).select(
+        F.col("id").alias("doc"),
+        F.lit(0).alias("band"),
+        F.lit("boiler").alias("key"),
+    )
+    out = dedup.banded_pairs(hot, hot_threshold=4, num_blocks=4)
+    rows = out.select("id_a", "id_b").collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 40 * 39 // 2

@@ -288,3 +288,41 @@ def test_multimodal_feature_udf(spark):
     out = multimodal.with_feature(media, fake_embed, out_col="emb")
     rows = out.select("media_id", "emb").collect()
     assert all(len(r["emb"]) == 2 for r in rows)
+
+
+def test_parse_media_header_hardening():
+    import struct
+
+    # truncated version-1 mvhd must degrade, not crash
+    mvhd_v1_short = multimodal._mp4_box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 8)
+    bad = multimodal._mp4_box(b"ftyp", b"isom") + multimodal._mp4_box(
+        b"moov", mvhd_v1_short
+    )
+    assert multimodal.parse_media_header(bad) == (None,) * 6
+    # version-1 mvhd with a full body parses
+    mvhd_v1 = multimodal._mp4_box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 90000, 90000 * 3),
+    )
+    ok = multimodal._mp4_box(b"ftyp", b"isom") + multimodal._mp4_box(b"moov", mvhd_v1)
+    assert multimodal.parse_media_header(ok) == ("mp4", None, None, None, None, 3000)
+    # JPEG with 0xFF fill bytes before SOF still yields dimensions
+    j = multimodal.encode_jpeg(31, 17)
+    sof_at = j.index(b"\xff\xc0")
+    padded = j[:sof_at] + b"\xff\xff\xff" + j[sof_at:]
+    assert multimodal.parse_media_header(padded) == ("jpeg", 31, 17, None, None, None)
+
+
+def test_row_fingerprint_null_position(spark):
+    """Rows differing only in WHICH column is null are distinct rows —
+    the fingerprint must not collide them (xxhash64 skips nulls)."""
+    from pyspark_data_processing_challenge_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), ("x", None)], "a string, b string"
+    )
+    out = dedup.drop_duplicate_rows(df)
+    assert out.count() == 2
+    assert df.dropDuplicates().count() == 2
