@@ -148,11 +148,17 @@ def banded_pairs(
     """
     carry = [payload_col] if payload_col else []
     # bucket sizes via a window count over the SAME key the self-join
-    # shuffles on — the exchange is shared (no separate aggregate +
-    # broadcast join, which would force a second evaluation of the
-    # signature stage feeding ``exploded``)
+    # shuffles on, then MATERIALIZE once: the cold/hot × left/right
+    # split creates four consumers whose subtrees differ (different
+    # filters), so exchange reuse can no longer deduplicate the
+    # expensive signature stage feeding ``exploded`` — without the
+    # checkpoint it re-executes once per consumer (measured 8 scans /
+    # 8 Arrow UDF evaluations at sf0.1). The 100 TB equivalent is
+    # writing the signature table to storage and joining from there.
     w = Window.partitionBy("band", "key")
-    tagged = exploded.withColumn("__bn", F.count(F.lit(1)).over(w))
+    tagged = exploded.withColumn(
+        "__bn", F.count(F.lit(1)).over(w)
+    ).localCheckpoint()
     cold = tagged.filter(F.col("__bn") <= hot_threshold).drop("__bn")
     hot = tagged.filter(F.col("__bn") > hot_threshold).drop("__bn")
 
