@@ -442,6 +442,74 @@ FROM documents GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# quantile-based outlier trim
+# ---------------------------------------------------------------------------
+
+TRIM_Q = 0.95
+
+
+def docs_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation trim: keep documents at or below the p95 length.
+    The quantile is one scalar aggregate broadcast back over the corpus
+    (cross-join of a 1-row frame — no shuffle of the documents side)."""
+    d = t(spark, sf_dir, "documents")
+    p95 = d.agg(
+        F.expr(f"percentile(n_chars, {TRIM_Q})").alias("__p95")
+    )
+    return (
+        d.crossJoin(F.broadcast(p95))
+        .filter(F.col("n_chars") <= F.col("__p95"))
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+_TRIM_SQL = f"""
+SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents
+WHERE n_chars <= (SELECT quantile_cont(n_chars, {TRIM_Q}) FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance) join
+# ---------------------------------------------------------------------------
+
+FUZZY_PROBES = ("cold widget", "large bolt", "smal widget", "grean gear")
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy lookup of (possibly misspelled) probe strings against part
+    names: broadcast the tiny probe list, levenshtein <= 2. The
+    broadcast nested-loop is right when one side is a handful of
+    probes; at corpus-vs-corpus scale the candidate generator would be
+    the n-gram LSH in operators/dedup instead."""
+    p = t(spark, sf_dir, "part")
+    probes = spark.createDataFrame(
+        [(q,) for q in FUZZY_PROBES], "probe string"
+    )
+    joined = p.join(
+        F.broadcast(probes),
+        F.levenshtein(F.col("p_name"), F.col("probe")) <= FUZZY_MAX_DIST,
+    )
+    return joined.select(
+        "probe",
+        "p_partkey",
+        "p_name",
+        F.levenshtein(F.col("p_name"), F.col("probe")).cast("long").alias("dist"),
+    )
+
+
+def _fuzzy_sql() -> str:
+    probes = " UNION ALL ".join(f"SELECT '{q}' AS probe" for q in FUZZY_PROBES)
+    return f"""
+WITH probes AS ({probes})
+SELECT probe, p_partkey, p_name,
+  levenshtein(p_name, probe)::BIGINT AS dist
+FROM part JOIN probes ON levenshtein(p_name, probe) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "range_join_promos": range_join_promos,
     "unpivot_lineitem": unpivot_lineitem,
@@ -455,6 +523,8 @@ QUERIES = {
     "join_regional_revenue": join_regional_revenue,
     "rolling_7d_revenue": rolling_7d_revenue,
     "agg_topk_orders": agg_topk_orders,
+    "docs_outlier_trim": docs_outlier_trim,
+    "fuzzy_match_parts": fuzzy_match_parts,
 }
 
 ORACLES = {
@@ -472,4 +542,6 @@ ORACLES = {
     # same semantics as the window form → same oracle; passing both
     # proves the two physical strategies agree bit-for-bit
     "agg_topk_orders": _REL_ORACLES["window_topk_orders"],
+    "docs_outlier_trim": _TRIM_SQL,
+    "fuzzy_match_parts": _fuzzy_sql(),
 }
