@@ -155,10 +155,15 @@ def banded_pairs(
     # checkpoint it re-executes once per consumer (measured 8 scans /
     # 8 Arrow UDF evaluations at sf0.1). The 100 TB equivalent is
     # writing the signature table to storage and joining from there.
+    # persist(), not localCheckpoint(): under AQE a DataFrame
+    # checkpoint forces the query stages to materialize at CONSTRUCTION
+    # time (even with eager=False — toRdd runs the adaptive stages), so
+    # building the frame to inspect its plan would execute the job.
+    # persist() is truly lazy, computes the signature stage once on
+    # first action, and all four consumers read the cached blocks; the
+    # cache is evicted by LRU / released when the frame is collected.
     w = Window.partitionBy("band", "key")
-    tagged = exploded.withColumn(
-        "__bn", F.count(F.lit(1)).over(w)
-    ).localCheckpoint()
+    tagged = exploded.withColumn("__bn", F.count(F.lit(1)).over(w)).persist()
     cold = tagged.filter(F.col("__bn") <= hot_threshold).drop("__bn")
     hot = tagged.filter(F.col("__bn") > hot_threshold).drop("__bn")
 

@@ -51,6 +51,8 @@ _VERDICT_PRIORITY = [
     "join_regional_revenue",
     "rolling_7d_revenue",
     "agg_topk_orders",
+    "docs_outlier_trim",
+    "fuzzy_match_parts",
 ]
 _ROTATED_OUT = [
     "op_date_filter",
@@ -79,6 +81,8 @@ _ROTATED_OUT = [
     "semi_join_urgent_customers",
     "anti_join_quiet_customers",
     "set_ops_segments",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
 ]
 
 

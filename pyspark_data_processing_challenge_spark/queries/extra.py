@@ -488,15 +488,15 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame(
         [(q,) for q in FUZZY_PROBES], "probe string"
     )
-    joined = p.join(
-        F.broadcast(probes),
-        F.levenshtein(F.col("p_name"), F.col("probe")) <= FUZZY_MAX_DIST,
-    )
-    return joined.select(
-        "probe",
-        "p_partkey",
-        "p_name",
-        F.levenshtein(F.col("p_name"), F.col("probe")).cast("long").alias("dist"),
+    # stage the distance once (join-condition + projection would each
+    # evaluate levenshtein; see the staging rule in CLAUDE.md)
+    return (
+        p.crossJoin(F.broadcast(probes))
+        .withColumn(
+            "dist", F.levenshtein(F.col("p_name"), F.col("probe")).cast("long")
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("probe", "p_partkey", "p_name", "dist")
     )
 
 
