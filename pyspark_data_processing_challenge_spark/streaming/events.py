@@ -138,6 +138,44 @@ def enrich_with_dim(
     return events.join(F.broadcast(d), on_left, "left")
 
 
+def purchases_with_recent_clicks(
+    events: DataFrame, *, lookback: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-STREAM interval join: each purchase matched to the same
+    user's clicks within the preceding ``lookback``. Both sides carry a
+    watermark and the join condition bounds event time on both ends, so
+    Spark can size the state store and evict expired rows — the two
+    requirements for an unbounded stream-stream inner join. (Without
+    the time bound the state grows forever; without watermarks nothing
+    is ever evicted.)"""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "p_ts", "c_ts"
+    )
+
+
 def stream_dedup(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state.
 
