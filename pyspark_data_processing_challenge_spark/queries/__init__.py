@@ -53,6 +53,8 @@ _VERDICT_PRIORITY = [
     "agg_topk_orders",
     "docs_outlier_trim",
     "fuzzy_match_parts",
+    "docs_pii_scrub",
+    "docs_repetition",
 ]
 _ROTATED_OUT = [
     "op_date_filter",
@@ -83,6 +85,8 @@ _ROTATED_OUT = [
     "set_ops_segments",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
+    "sql_revenue_by_nation",
+    "asof_join_purchases",
 ]
 
 

@@ -371,6 +371,109 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_id", "fmt", "width", "height")
 
 
+# PII patterns portable across Java regex (Spark) and RE2 (DuckDB)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def _pii_augmented(text, doc_id):
+    """Deterministic planted PII per doc (the synthetic corpus has
+    none): one email, one phone, one URL derived from the id."""
+    return F.concat(
+        text,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@mail.example or 202-555-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+        F.lit(" see http://d"),
+        doc_id.cast("string"),
+        F.lit(".example.org/page"),
+    )
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the curation step every released corpus needs:
+    plant deterministic email/phone/URL strings, count them, and scrub
+    them to typed placeholders with portable regexes. The md5 of the
+    scrubbed text is part of the output, so the oracle verifies the
+    exact redacted string, not just the counts."""
+    d = t(spark, sf_dir, "documents")
+    aug = _pii_augmented(F.col("text"), F.col("doc_id"))
+    staged = d.select("doc_id", aug.alias("__aug"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("__aug"), PII_EMAIL, "<EMAIL>"),
+            PII_URL,
+            "<URL>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_count(F.col("__aug"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("__aug"), F.lit(PII_URL)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col("__aug"), F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or "
+    "202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' see http://d' || CAST(doc_id AS VARCHAR) || '.example.org/page'"
+)
+
+_PII_SQL = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS a FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(a, '{PII_EMAIL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(a, '{PII_URL}'))::BIGINT AS n_urls,
+  len(regexp_extract_all(a, '{PII_PHONE}'))::BIGINT AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(a,
+      '{PII_EMAIL}', '<EMAIL>', 'g'),
+      '{PII_URL}', '<URL>', 'g'),
+      '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition score — max token frequency over total tokens; the
+    cheap spam/boilerplate signal. One explode + two aggregates, all
+    shuffles on (doc_id[, token])."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(textfns.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        freq.groupBy("doc_id")
+        .agg(F.max("f").alias("max_f"), F.sum("f").alias("n_toks"))
+        .select(
+            "doc_id",
+            "max_f",
+            "n_toks",
+            round_to(
+                F.col("max_f").cast("double") / F.col("n_toks").cast("double"), 6
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens("lower(text)")}) AS tok FROM documents
+), freq AS (
+  SELECT doc_id, tok, count(*) AS f FROM toks GROUP BY 1, 2
+)
+SELECT doc_id, max(f) AS max_f, sum(f) AS n_toks,
+  {sql_round("max(f)::DOUBLE / sum(f)::DOUBLE", 6)} AS rep_ratio
+FROM freq GROUP BY doc_id
+"""
+
+
 # GPT-style pre-tokenizer classes: letter runs, digit runs, punctuation
 # runs (unicode classes — supported by both Java regex and RE2)
 BPE_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
@@ -764,6 +867,8 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_media_decode": multimodal_media_decode,
     "docs_bpe_token_count": docs_bpe_token_count,
+    "docs_pii_scrub": docs_pii_scrub,
+    "docs_repetition": docs_repetition,
 }
 
 ORACLES = {
@@ -801,4 +906,6 @@ ORACLES = {
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,
     "docs_bpe_token_count": _BPE_SQL,
+    "docs_pii_scrub": _PII_SQL,
+    "docs_repetition": _REPETITION_SQL,
 }
