@@ -243,3 +243,37 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert "ship_year" in plan.split("PartitionFilters:")[1].split("]")[0]
     got_years = {r["ship_year"] for r in df.select("ship_year").distinct().collect()}
     assert got_years == {1995}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Evolving tables: files written before a column existed must
+    still union into the widened schema (mergeSchema) with nulls for
+    the missing column — the 100 TB reality of append-only datasets."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        f"{out}/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(f"{out}/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(df.columns) >= {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    """AQE must shrink the configured 32 shuffle partitions down to
+    what the data actually needs — the runtime re-plan this session
+    enables (session.py) and the reason static partition tuning isn't
+    load-bearing at small scale."""
+    from pyspark_data_processing_challenge_spark import plans
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = plans.executed_plan(df)
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
