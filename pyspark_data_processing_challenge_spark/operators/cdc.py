@@ -36,6 +36,64 @@ def merge_upsert(
     return keep.unionByName(source)
 
 
+def merge_apply(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    *,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Full MERGE semantics including deletes: ``WHEN MATCHED AND
+    op='D' THEN DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    MATCHED [AND op<>'D'] THEN INSERT *``.
+
+    Every source key removes its target row (anti-join); non-delete
+    source rows then re-insert their new version. Still one shuffle on
+    the key plus a union — the delete arm costs nothing extra.
+    """
+    keep = target.join(source.select(*keys), list(keys), "left_anti")
+    upserts = source.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    return keep.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-data-capture BETWEEN two snapshots: emit one row per
+    changed key with op I (new only), D (old only), or U (present in
+    both, any compare column differs). Unchanged keys are silent.
+
+    One full-outer join on the key; comparisons are null-safe (<=>),
+    and presence is detected via never-null marker columns so nullable
+    compare columns can't masquerade as absent rows.
+    The reverse of merge_apply: diff(old, merge_apply(old, src)) == src.
+    """
+    o = old.select(*keys, F.lit(1).alias("__in_old"),
+                   *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(*keys, F.lit(1).alias("__in_new"),
+                   *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    j = o.join(n, list(keys), "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*keys, op_col)
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     changes: DataFrame,

@@ -55,6 +55,8 @@ _VERDICT_PRIORITY = [
     "fuzzy_match_parts",
     "docs_pii_scrub",
     "docs_repetition",
+    "cdc_merge_delete_orders",
+    "snapshot_diff_orders",
 ]
 _ROTATED_OUT = [
     "op_date_filter",
@@ -87,6 +89,8 @@ _ROTATED_OUT = [
     "embedding_near_dup",
     "sql_revenue_by_nation",
     "asof_join_purchases",
+    "multimodal_meta",
+    "window_topk_orders",
 ]
 
 

@@ -48,6 +48,52 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELETED_LO, DELETED_HI = 100, 200
+
+
+def _order_changes_with_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert change set plus an op column and a delete batch
+    (keys in [DELETED_LO, DELETED_HI))."""
+    o = t(spark, sf_dir, "orders")
+    base = _order_changes(spark, sf_dir)
+    tagged = base.withColumn(
+        "op",
+        F.when(F.col("o_orderkey") >= NEW_OFFSET, F.lit("I")).otherwise(F.lit("U")),
+    )
+    deletes = (
+        o.filter(
+            (F.col("o_orderkey") >= DELETED_LO) & (F.col("o_orderkey") < DELETED_HI)
+        )
+        .select(*base.columns)
+        .withColumn("op", F.lit("D"))
+    )
+    return tagged.unionByName(deletes)
+
+
+def cdc_merge_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE semantics including the delete arm: updates, inserts
+    AND deletes applied in one pass (operators/cdc.merge_apply)."""
+    target = t(spark, sf_dir, "orders")
+    merged = cdc.merge_apply(
+        target, _order_changes_with_ops(spark, sf_dir), ["o_orderkey"]
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC: diff the original orders against the
+    merged-with-deletes version and emit one (key, op) row per change —
+    I for inserts, U for updates, D for deletes; unchanged keys silent.
+    Round-trips the merge: the diff recovers exactly the change set."""
+    old = t(spark, sf_dir, "orders")
+    new = cdc.merge_apply(
+        old, _order_changes_with_ops(spark, sf_dir), ["o_orderkey"]
+    )
+    return cdc.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
 SCD2_V1, SCD2_V2 = 10, 20
 SCD2_OPEN = 999_999
 
@@ -84,6 +130,8 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cdc_merge_orders": cdc_merge_orders,
     "scd2_customer_history": scd2_customer_history,
+    "cdc_merge_delete_orders": cdc_merge_delete_orders,
+    "snapshot_diff_orders": snapshot_diff_orders,
 }
 
 ORACLES = {
@@ -103,6 +151,36 @@ ORACLES = {
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
         UNION ALL
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM source
+    """,
+    "cdc_merge_delete_orders": f"""
+        WITH source_keys AS (
+          SELECT o_orderkey FROM orders WHERE o_orderkey < {CHANGED_BELOW}
+          UNION ALL
+          SELECT o_orderkey + {NEW_OFFSET} FROM orders WHERE o_orderkey < 50
+          UNION ALL
+          SELECT o_orderkey FROM orders
+          WHERE o_orderkey >= {DELETED_LO} AND o_orderkey < {DELETED_HI}
+        ), upserts AS (
+          SELECT o_orderkey, 'X' AS o_orderstatus,
+                 o_totalprice + {PRICE_BUMP} AS o_totalprice
+          FROM orders WHERE o_orderkey < {CHANGED_BELOW}
+          UNION ALL
+          SELECT o_orderkey + {NEW_OFFSET}, 'N', o_totalprice
+          FROM orders WHERE o_orderkey < 50
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source_keys)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM upserts
+    """,
+    "snapshot_diff_orders": f"""
+        SELECT o_orderkey, 'U' AS op FROM orders
+        WHERE o_orderkey < {CHANGED_BELOW}
+        UNION ALL
+        SELECT o_orderkey + {NEW_OFFSET}, 'I' FROM orders WHERE o_orderkey < 50
+        UNION ALL
+        SELECT o_orderkey, 'D' FROM orders
+        WHERE o_orderkey >= {DELETED_LO} AND o_orderkey < {DELETED_HI}
     """,
     "scd2_customer_history": f"""
         WITH versions AS (
