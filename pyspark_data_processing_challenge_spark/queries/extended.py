@@ -39,6 +39,28 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-path twin of events_json_stats (Spark 4 semi-structured
+    type): parse_json once into a variant, variant_get the field.
+    Shares the JSON twin's oracle — both decode paths must agree. At
+    scale the variant binary encoding beats repeated string JSON-path
+    evaluation when several fields are extracted per row."""
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            round_to(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # advanced window functions
 # ---------------------------------------------------------------------------
@@ -498,6 +520,7 @@ QUERIES = {
     "ivf_assignments": ivf_assignments,
     "ivf_topk": ivf_topk,
     "kmeans_update_centroids": kmeans_update_centroids,
+    "events_variant_stats": events_variant_stats,
 }
 
 ORACLES = {
@@ -559,4 +582,6 @@ ORACLES = {
     "ivf_assignments": _IVF_ASSIGN_SQL,
     "ivf_topk": _IVF_TOPK_SQL,
     "kmeans_update_centroids": _KMEANS_SQL,
+    # same oracle as the JSON-path twin — both decode paths must agree
+    "events_variant_stats": _EVENTS_JSON_SQL,
 }

@@ -277,3 +277,27 @@ def test_aqe_coalesces_small_shuffles(spark):
     df.collect()  # materialize so AQE finalizes the plan
     plan = plans.executed_plan(df)
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_python_datasource_connector(spark):
+    """Spark 4 Python DataSource API: the custom connector plans its own
+    partitions driver-side and generates rows executor-side, and the
+    result is deterministic across reads."""
+    from pyspark_data_processing_challenge_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 97)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.count() == 97
+    assert df.rdd.getNumPartitions() == 5
+    assert df.columns == ["doc_id", "text", "lang"]
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b
+    assert a[0][0] == 0 and a[-1][0] == 96
+    langs = {r[2] for r in a}
+    assert langs == {"en", "de", "fr", "es"}
