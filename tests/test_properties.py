@@ -197,3 +197,35 @@ def test_media_codec_roundtrip_properties(w, h, sr, n, ch, dur, ts):
     assert fmt == "mp4"
     # encoder floors duration to whole timescale ticks
     assert got_dur == (dur * ts // 1000) * 1000 // ts
+
+
+@SETTINGS
+@given(
+    assignments=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3)),  # (band, bucket)
+        min_size=2,
+        max_size=60,
+    ),
+    num_blocks=st.integers(2, 5),
+    hot_threshold=st.integers(1, 10),
+)
+def test_banded_pairs_equals_plain_join(
+    spark, assignments, num_blocks, hot_threshold
+):
+    """The skew-guarded pair generator must produce EXACTLY the plain
+    self-join's pair multiset for arbitrary bucket structures, block
+    counts and thresholds — the property the blocked replication plus
+    block-pair predicate is supposed to guarantee."""
+    from pyspark_data_processing_challenge_spark.operators import dedup
+
+    rows = [
+        (i, band, f"k{bucket}") for i, (band, bucket) in enumerate(assignments)
+    ]
+    exploded = spark.createDataFrame(rows, "doc long, band int, key string")
+    plain = dedup.banded_pairs(exploded, hot_threshold=10**9)
+    guarded = dedup.banded_pairs(
+        exploded, hot_threshold=hot_threshold, num_blocks=num_blocks
+    )
+    p = sorted((r["id_a"], r["id_b"]) for r in plain.collect())
+    g = sorted((r["id_a"], r["id_b"]) for r in guarded.collect())
+    assert p == g
