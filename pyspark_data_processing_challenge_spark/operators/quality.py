@@ -65,6 +65,37 @@ def null_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def duplicate_key_probe(
+    df: DataFrame, keys: Sequence[str], *, max_report: int = 5
+) -> list[tuple]:
+    """Up to ``max_report`` key tuples that appear more than once —
+    empty means the keys are unique. One aggregate + a LIMIT, so the
+    scan stops materializing output after the first few offenders (the
+    aggregate itself is the unavoidable full pass; there is no cheaper
+    honest uniqueness check).
+
+    This is the precondition ``cdc.merge_upsert`` documents (duplicate
+    source keys make MERGE ambiguous; Delta raises at runtime) — run it
+    on the change set before merging.
+    """
+    rows = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(max_report)
+        .collect()
+    )
+    return [tuple(r[k] for k in keys) for r in rows]
+
+
+def check_unique_keys(df: DataFrame, keys: Sequence[str]) -> QualityReport:
+    """Uniqueness gate. Raises QualityError naming sample offenders."""
+    dupes = duplicate_key_probe(df, keys)
+    if dupes:
+        raise QualityError(f"duplicate keys on {list(keys)}: sample {dupes}")
+    return QualityReport(True, {"unique_on": list(keys)})
+
+
 def check_input(
     df: DataFrame, *, min_rows: int = 0, required_columns: Sequence[str] = ()
 ) -> QualityReport:

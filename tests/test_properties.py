@@ -229,3 +229,50 @@ def test_banded_pairs_equals_plain_join(
     p = sorted((r["id_a"], r["id_b"]) for r in plain.collect())
     g = sorted((r["id_a"], r["id_b"]) for r in guarded.collect())
     assert p == g
+
+
+@SETTINGS
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["U", "I", "D"])),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_snapshot_diff_roundtrips_merge(spark, changes):
+    """diff(old, merge_apply(old, src)) must recover exactly src's ops:
+    U for changed existing keys, I for new keys, D for deleted keys —
+    on arbitrary change sets."""
+    from pyspark_data_processing_challenge_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(20)], "k long, v string"
+    )
+    src_rows, expect = [], {}
+    for key, op in changes:
+        exists = key < 20
+        if op == "D":
+            if not exists:
+                continue  # deleting a non-row is a no-op; skip
+            src_rows.append((key, "whatever", "D"))
+            expect[key] = "D"
+        elif op == "I":
+            if exists:
+                continue
+            src_rows.append((key, f"new{key}", "I"))
+            expect[key] = "I"
+        else:
+            if not exists:
+                continue
+            src_rows.append((key, f"changed{key}", "U"))
+            expect[key] = "U"
+    if not src_rows:
+        return
+    src = spark.createDataFrame(src_rows, "k long, v string, op string")
+    new = cdc.merge_apply(old, src, ["k"])
+    got = {
+        r["k"]: r["op"]
+        for r in cdc.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == expect

@@ -109,3 +109,22 @@ def test_dedup_ops(spark):
     ).collect()
     sim_pairs = {(r["id_a"], r["id_b"]) for r in sim}
     assert (1, 2) in sim_pairs
+
+
+def test_unique_key_gate(spark):
+    from pyspark_data_processing_challenge_spark.operators import quality
+
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert quality.duplicate_key_probe(ok, ["k"]) == []
+    assert quality.check_unique_keys(ok, ["k"]).passed
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (2, "d"), (3, "e")], "k long, v string"
+    )
+    offenders = quality.duplicate_key_probe(dup, ["k"])
+    assert set(offenders) == {(1,), (2,)}
+    try:
+        quality.check_unique_keys(dup, ["k"])
+        raise AssertionError("expected QualityError")
+    except quality.QualityError as e:
+        assert "duplicate keys" in str(e)
