@@ -85,11 +85,18 @@ def with_row_fingerprint(
 def drop_duplicate_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Whole-row exact dedup keyed on the 128-bit row fingerprint —
     result-identical to ``dropDuplicates()`` (groups under a fingerprint
-    are identical rows, so the kept row is deterministic by value), but
-    the hash aggregate groups on two longs instead of comparing every
-    column of a wide row. The reference's all-column dedup
-    (data_process.py:242) is the scale-killer this replaces: same
-    output, narrow grouping key.
+    are identical rows, so the kept row is deterministic by value).
+
+    Honest cost accounting (measured, 6M cached rows, local[32]):
+    single-pass wall is roughly NEUTRAL vs all-column ``dropDuplicates``
+    (2.1s vs 1.8s) — Tungsten hash-aggregates on the UnsafeRow's binary
+    bytes, so "16 columns" is not 16 hash calls. What the fingerprint
+    buys instead: (a) a narrow persistable key — store the two longs
+    and anti-join NEW batches against the historical fingerprint table
+    for INCREMENTAL dedup without re-reading old data (the actual 100 TB
+    pattern; all-column dedup can't do this without re-shuffling the
+    corpus); (b) dedup across sources whose row layouts differ but whose
+    fingerprinted columns agree.
     """
     fp_cols = ("__fp0", "__fp1")
     return (
@@ -97,6 +104,29 @@ def drop_duplicate_rows(df: DataFrame, cols: Sequence[str] | None = None) -> Dat
         .dropDuplicates(list(fp_cols))
         .drop(*fp_cols)
     )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    cols: Sequence[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The 100 TB ingest pattern the row fingerprint exists for: dedup a
+    NEW batch against the full corpus WITHOUT touching old data.
+
+    ``seen_fps`` is the stored fingerprint table (just the two longs —
+    16 bytes/row regardless of corpus row width). Returns
+    ``(fresh_rows, updated_seen_fps)``: rows never seen before (batch-
+    internal duplicates also collapsed), and the store to persist for
+    the next batch. Per batch this shuffles only the batch plus an
+    anti-join against the fingerprint table; re-running whole-corpus
+    ``dropDuplicates`` nightly re-shuffles everything ever ingested.
+    """
+    fp_cols = ["__fp0", "__fp1"]
+    batch = with_row_fingerprint(new_df, cols).dropDuplicates(fp_cols)
+    fresh = batch.join(seen_fps, fp_cols, "left_anti")
+    updated = seen_fps.unionByName(fresh.select(*fp_cols))
+    return fresh.drop(*fp_cols), updated
 
 
 def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -98,13 +98,14 @@ def ref_flagship_pipeline_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - filters run BEFORE dedup (legal: whole-row dedup commutes with
       deterministic row-level predicates), so the date/flag predicates
-      reach the parquet scan — ``dropDuplicates`` on a key subset plans
-      first()-aggregates for the other columns, which blocks Catalyst
-      from pushing filters through it;
+      reach the parquet scan and only surviving rows shuffle — this is
+      the dominant measured win (≈2× at sf0.1) and grows with filter
+      selectivity at scale;
     - R1 dedups on a 128-bit row fingerprint
-      (operators/dedup.drop_duplicate_rows), so the hash aggregate
-      groups on two longs instead of comparing every column of the wide
-      row — the form that survives a 100× scale-up.
+      (operators/dedup.drop_duplicate_rows) — roughly cost-neutral for
+      a single pass (see its docstring for the honest measurement), but
+      the narrow persistable key is what enables INCREMENTAL dedup of
+      new batches against a stored fingerprint table at 100 TB.
     """
     li = t(spark, sf_dir, "lineitem")
     df = _flagship_filters(li)

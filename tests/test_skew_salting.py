@@ -112,3 +112,27 @@ def test_blocked_pairs_no_same_block_duplication(spark):
     rows = out.select("id_a", "id_b").collect()
     pairs = [(r["id_a"], r["id_b"]) for r in rows]
     assert len(pairs) == len(set(pairs)) == 40 * 39 // 2
+
+
+def test_incremental_exact_dedup(spark):
+    """Batch-over-batch dedup against the stored fingerprint table:
+    previously-seen rows are dropped without touching old row data,
+    batch-internal duplicates collapse, and the store accumulates."""
+    schema = "k long, v string"
+    empty_store = spark.createDataFrame([], "__fp0 long, __fp1 long")
+
+    b1 = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], schema)
+    fresh1, store1 = dedup.incremental_exact_dedup(b1, empty_store)
+    assert sorted(tuple(r) for r in fresh1.collect()) == [(1, "a"), (2, "b")]
+    assert store1.count() == 2
+
+    # batch 2: one repeat of batch 1, one internal dup, one new row
+    b2 = spark.createDataFrame([(2, "b"), (3, "c"), (3, "c"), (1, "z")], schema)
+    fresh2, store2 = dedup.incremental_exact_dedup(b2, store1)
+    assert sorted(tuple(r) for r in fresh2.collect()) == [(1, "z"), (3, "c")]
+    assert store2.count() == 4
+
+    # a third pass with nothing new yields nothing
+    fresh3, store3 = dedup.incremental_exact_dedup(b1, store2)
+    assert fresh3.count() == 0
+    assert store3.count() == 4
