@@ -224,6 +224,54 @@ def write_parquet_exactly_once(
     )
 
 
+def dedup_ingest_sink(out_dir: str, fp_store_dir: str, cols=None):
+    """foreachBatch sink with CROSS-BATCH exact dedup: each micro-batch
+    anti-joins the persistent fingerprint store
+    (operators/dedup.incremental_exact_dedup), writes only never-seen
+    rows, and appends the new fingerprints — both epoch-partitioned
+    with dynamic overwrite.
+
+    Replay safety: the store read FILTERS to epochs strictly before the
+    current one, so a replayed epoch sees exactly the prior state it
+    saw the first time and overwrites its own row and fingerprint
+    partitions — idempotent under at-least-once delivery, including the
+    dedup decision itself.
+    """
+    from ..operators.dedup import incremental_exact_dedup
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            store = (
+                spark.read.parquet(fp_store_dir)
+                .filter(F.col("__epoch") < F.lit(epoch_id))
+                .select("__fp0", "__fp1")
+            )
+        except Exception:  # first epoch: no store yet
+            store = spark.createDataFrame([], "__fp0 long, __fp1 long")
+        fresh, _ = incremental_exact_dedup(batch_df, store, cols)
+        fresh = fresh.localCheckpoint()  # compute the dedup ONCE for both writes
+        (
+            fresh.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(out_dir)
+        )
+        from ..operators.dedup import with_row_fingerprint
+
+        (
+            with_row_fingerprint(fresh, cols)
+            .select("__fp0", "__fp1")
+            .withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(fp_store_dir)
+        )
+
+    return sink
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a bounded stream to completion synchronously into an
     in-memory table ``name`` (complete mode — test harness only)."""

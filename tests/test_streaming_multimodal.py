@@ -356,3 +356,53 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert want  # non-vacuous: the fixture stream contains matches
+
+
+def test_streaming_cross_batch_dedup_ingest(spark, tmp_path):
+    """Multi-batch ingest with a persistent fingerprint store: rows
+    repeated across micro-batches are written exactly once, and
+    replaying an epoch leaves outputs byte-identical."""
+    src = tmp_path / "src"
+    src.mkdir()
+    # three single-file batches with planted cross-batch duplicates
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame(
+        [(2, "b"), (3, "c")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "f2.parquet"))
+    spark.createDataFrame(
+        [(1, "a"), (3, "c"), (4, "d")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "f3.parquet"))
+
+    out, fps = str(tmp_path / "out"), str(tmp_path / "fps")
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    sink = sev.dedup_ingest_sink(out, fps)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    written = spark.read.parquet(out)
+    rows = sorted((r["k"], r["v"]) for r in written.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]  # each once
+    n_epochs = written.select("__epoch").distinct().count()
+    assert n_epochs >= 2  # dedup genuinely spanned micro-batches
+
+    # replay an already-committed epoch: outputs must not change
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    replayed_batch = spark.read.parquet(str(src / "f1.parquet"))
+    sink(replayed_batch, 0)
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert after == before
