@@ -399,6 +399,115 @@ def minhash_near_duplicates(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int,
+    shingle_n: int,
+    bands: int,
+    arrow: bool,
+) -> DataFrame:
+    """(doc, minhash, band, key) banded signature table for a corpus —
+    the persistable representation incremental near-dup joins against."""
+    rows_per_band = num_hashes // bands
+    if arrow:
+        from ..functions.fast_text import with_minhash_fast
+
+        sigs = with_minhash_fast(
+            df.select(id_col, text_col), text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ).select(F.col(id_col).alias("doc"), "minhash")
+    else:
+        sigs = with_minhash(
+            df.select(id_col, text_col), text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ).select(F.col(id_col).alias("doc"), "minhash")
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                "-",
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc", "minhash", F.explode(F.array(*band_rows)).alias("bk")
+    ).select(
+        "doc", "minhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def incremental_minhash_near_duplicates(
+    new_df: DataFrame,
+    seen_banded: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+    arrow: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup detection of a NEW batch against corpus history without
+    recomputing historical signatures — the batch-over-batch form of
+    :func:`minhash_near_duplicates`.
+
+    ``seen_banded`` is the persisted banded signature table
+    (doc, minhash, band, key) built by earlier calls (or empty with
+    that schema). Returns ``(pairs, updated_banded)``: near-dup pairs
+    of new docs against history AND within the batch, plus the table to
+    persist. Per batch this shuffles only the batch's bands and
+    equi-joins the (partitionable-by-band/key) store — history text is
+    never re-read. Results equal a full recompute over the union
+    corpus, restricted to pairs touching the new batch.
+    """
+    new_banded = _banded_signatures(
+        new_df, text_col, id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, bands=bands, arrow=arrow,
+    ).persist()  # three consumers (within l/r, versus); see banded_pairs
+
+    def est(a, b):
+        agree = F.size(
+            F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda eq: eq)
+        )
+        return agree.cast("double") / F.lit(float(num_hashes))
+
+    l, r = new_banded.alias("l"), new_banded.alias("r")
+    within = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col("l.doc") < F.col("r.doc")),
+    ).select(
+        F.col("l.doc").alias("id_a"),
+        F.col("r.doc").alias("id_b"),
+        est(F.col("l.minhash"), F.col("r.minhash")).alias("est_jaccard"),
+    )
+    n, h = new_banded.alias("n"), seen_banded.alias("h")
+    versus = n.join(
+        h,
+        (F.col("n.band") == F.col("h.band")) & (F.col("n.key") == F.col("h.key")),
+    ).select(
+        F.least(F.col("h.doc"), F.col("n.doc")).alias("id_a"),
+        F.greatest(F.col("h.doc"), F.col("n.doc")).alias("id_b"),
+        est(F.col("n.minhash"), F.col("h.minhash")).alias("est_jaccard"),
+    )
+    pairs = (
+        within.unionByName(versus)
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+    return pairs, seen_banded.unionByName(new_banded)
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard (exact similarity on candidate pairs / small corpora)
 # --------------------------------------------------------------------------

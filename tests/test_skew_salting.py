@@ -136,3 +136,37 @@ def test_incremental_exact_dedup(spark):
     fresh3, store3 = dedup.incremental_exact_dedup(b1, store2)
     assert fresh3.count() == 0
     assert store3.count() == 4
+
+
+def test_incremental_minhash_matches_full_recompute(spark):
+    """Batch-over-batch near-dup must equal the full-corpus recompute:
+    feed originals as batch 1 and their perturbed near-dups as batch 2;
+    the union of per-batch pair sets equals minhash_near_duplicates on
+    the whole corpus."""
+    full_corpus = llm._perturbed_docs(spark, SF_DIR).limit(200).cache()
+    batch1 = full_corpus.filter(F.col("doc_id") < 100000)
+    batch2 = full_corpus.filter(F.col("doc_id") >= 100000)
+    params = dict(num_hashes=16, shingle_n=3, bands=4, threshold=0.5)
+
+    empty = spark.createDataFrame(
+        [], "doc long, minhash array<bigint>, band int, key string"
+    )
+    p1, store1 = dedup.incremental_minhash_near_duplicates(
+        batch1, empty, "text", "doc_id", **params
+    )
+    p2, _ = dedup.incremental_minhash_near_duplicates(
+        batch2, store1, "text", "doc_id", **params
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+        for df in (p1, p2)
+        for r in df.collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+        for r in dedup.minhash_near_duplicates(
+            full_corpus, "text", "doc_id", **params
+        ).collect()
+    }
+    assert got == want
+    assert want  # planted near-dups exist
