@@ -468,7 +468,7 @@ WITH toks AS (
 ), freq AS (
   SELECT doc_id, tok, count(*) AS f FROM toks GROUP BY 1, 2
 )
-SELECT doc_id, max(f) AS max_f, sum(f) AS n_toks,
+SELECT doc_id, max(f) AS max_f, sum(f)::BIGINT AS n_toks,
   {sql_round("max(f)::DOUBLE / sum(f)::DOUBLE", 6)} AS rep_ratio
 FROM freq GROUP BY doc_id
 """

@@ -83,6 +83,44 @@ def _duck_rows(con, sql, cols):
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
+# The driver's value hash is type-tagged, so a DuckDB HUGEINT (e.g. bare
+# sum() over BIGINT) hash-mismatches a Spark BIGINT even when values are
+# equal. Enforce dtype equivalence locally for scalar types; container /
+# decimal types fall back to the value compare only.
+_DUCK_EQUIV = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "binary": {"BLOB"},
+}
+
+
+def _assert_dtype_parity(name, df, duck, sql):
+    duck_types = {
+        r[0]: r[1]
+        for r in duck.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    bad = []
+    for col, stype in spark_types.items():
+        allowed = _DUCK_EQUIV.get(stype)
+        if allowed is None:
+            continue  # array/struct/map/decimal: value compare covers it
+        if duck_types.get(col) not in allowed:
+            bad.append((col, stype, duck_types.get(col)))
+    assert not bad, (
+        f"{name}: oracle dtype drift (col, spark, duck): {bad} — "
+        f"cast the oracle expression (driver hash is type-tagged)"
+    )
+
+
 # sketch-based aggregates have no cross-engine bit-exact oracle by
 # nature; they get tolerance tests instead (test_approx_tolerance.py)
 NO_ORACLE_ALLOWED = {"approx_distinct_stats"}
@@ -110,6 +148,7 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(duck_names) == cols, (
         f"{name}: column mismatch spark={cols} duck={sorted(duck_names)}"
     )
+    _assert_dtype_parity(name, df, duck, sql)
     s_rows = _spark_rows(df, cols)
     d_rows = _duck_rows(duck, sql, cols)
     assert len(s_rows) == len(d_rows), (
