@@ -1,0 +1,146 @@
+"""Distributed exact order statistics (selection) without a global sort.
+
+The naive way to bucket rows by global rank — ``ntile(k) OVER (ORDER BY
+…)`` — plans an ``Exchange SinglePartition``: the entire table moves to
+ONE task and sorts there. Fine as a small-data oracle twin, fatal at
+100 TB. This module implements the scale path:
+
+1. ``percentile_approx`` (one distributed aggregate) brackets each
+   target rank's value. Spark's sketch guarantees rank error ≤
+   n/accuracy, so the element at the target rank provably lies inside a
+   narrow value band (~2·n/accuracy rows wide).
+2. One more aggregate counts rows strictly above each band; an exact
+   top-k (``TakeOrderedAndProject``) over only the tiny band rows pins
+   the precise boundary element, tie-broken on a unique key so the
+   total order — and therefore the bucket assignment — is exactly the
+   one ``ntile`` would produce.
+3. Bucket assignment is then a broadcast-literal ``when`` chain over
+   the 3 (value, key) cut points: a narrow map-side projection, zero
+   shuffles, zero Window nodes.
+
+Every pass is fully parallel; driver-side state is O(#cuts). The band
+top-k collects ≤ band-size rows (~2·n/accuracy + value-tie multiplicity)
+— with the default accuracy of 10 000 that is ~0.02 % of the table. A
+single value held by a large fraction of rows would widen the band
+(ties can't be split by a value filter); callers bucketing such a
+column should raise ``accuracy`` or pre-aggregate.
+
+Reference parity: the reference engine has no selection operator; this
+backs the catalog's `agg_quartiles_orders`, the scale twin of
+`window_ntile_orders` (same oracle — the two strategies are proven
+identical by the shared driver hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ntile_cut_ranks(n: int, buckets: int) -> list[int]:
+    """The 1-indexed ranks of the LAST row of each of the first
+    ``buckets - 1`` ntile buckets (ntile semantics: the first n % k
+    buckets get one extra row)."""
+    if n < buckets:
+        raise ValueError(f"ntile({buckets}) over {n} rows: fewer rows than buckets")
+    base, extra = divmod(n, buckets)
+    cuts, cum = [], 0
+    for i in range(buckets - 1):
+        cum += base + (1 if i < extra else 0)
+        cuts.append(cum)
+    return cuts
+
+
+def exact_order_statistics(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    ranks: list[int],
+    n: int | None = None,
+    accuracy: int = 10_000,
+) -> list[tuple]:
+    """The exact (value, tie) element at each 1-indexed rank of the
+    total order (``value_col`` DESC, ``tie_col`` ASC), computed with
+    two distributed aggregates + one tiny top-k per rank — never a
+    global sort. ``tie_col`` must be unique per row (it is what makes
+    the order total and the answer exact)."""
+    if n is None:
+        n = df.count()
+    if not ranks:
+        return []
+    if not all(1 <= b <= n for b in ranks):
+        raise ValueError(f"ranks {ranks} out of range for n={n}")
+    # rank error of the Greenwald-Khanna sketch is ≤ n/accuracy; +2 slack
+    margin = n // accuracy + 2
+    denom = float(max(n - 1, 1))
+    quantiles = []
+    for b in ranks:
+        a = n - b + 1  # ascending rank of the target element
+        quantiles.append(max(0.0, (a - 1 - margin) / denom))
+        quantiles.append(min(1.0, (a - 1 + margin) / denom))
+    brackets = df.select(
+        F.percentile_approx(value_col, quantiles, accuracy).alias("qs")
+    ).first()["qs"]
+    bands = [(brackets[2 * i], brackets[2 * i + 1]) for i in range(len(ranks))]
+    # one pass: rows strictly better (DESC) than each band's upper edge
+    above = df.agg(
+        *[
+            F.sum((F.col(value_col) > F.lit(hi)).cast("long")).alias(f"c{i}")
+            for i, (_, hi) in enumerate(bands)
+        ]
+    ).first()
+    out: list[tuple] = []
+    for i, (b, (lo, hi)) in enumerate(zip(ranks, bands)):
+        k = b - (above[f"c{i}"] or 0)
+        band = df.filter(F.col(value_col).between(F.lit(lo), F.lit(hi)))
+        # TakeOrderedAndProject over the narrow band: k ≤ band size
+        rows = (
+            band.select(value_col, tie_col)
+            .orderBy(F.col(value_col).desc(), F.col(tie_col))
+            .limit(k)
+            .collect()
+        )
+        if k < 1 or len(rows) < k:
+            raise AssertionError(
+                f"rank {b}: sketch bracket missed its guarantee "
+                f"(k={k}, band rows={len(rows)}) — raise accuracy"
+            )
+        out.append((rows[-1][value_col], rows[-1][tie_col]))
+    return out
+
+
+def rank_bucket_assign(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    boundaries: list[tuple],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row its rank bucket given the boundary elements
+    (the LAST element of each bucket but the final one) as broadcast
+    literals: bucket = 1 + number of boundaries the row sorts strictly
+    after in (value DESC, tie ASC) order. A narrow projection — no
+    shuffle, no Window."""
+    expr = F.lit(1)
+    for v, key in boundaries:
+        after = (F.col(value_col) < F.lit(v)) | (
+            (F.col(value_col) == F.lit(v)) & (F.col(tie_col) > F.lit(key))
+        )
+        expr = expr + after.cast("int")
+    return df.withColumn(bucket_col, expr.cast("long"))
+
+
+def ntile_assign(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    buckets: int,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Exact ntile(buckets) over (value DESC, tie ASC) — identical
+    output to ``F.ntile(buckets).over(Window.orderBy(...))`` but with a
+    scale-safe plan (no Exchange SinglePartition, no WindowExec)."""
+    n = df.count()
+    cuts = ntile_cut_ranks(n, buckets)
+    bounds = exact_order_statistics(df, value_col, tie_col, cuts, n=n, accuracy=accuracy)
+    return rank_bucket_assign(df, value_col, tie_col, bounds, bucket_col="bucket")

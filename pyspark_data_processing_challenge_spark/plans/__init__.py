@@ -2,6 +2,7 @@ from .inspect import (
     broadcast_join_count,
     exchange_count,
     executed_plan,
+    global_window_over_raw,
     has_pushed_filters,
     optimized_plan,
     scan_read_schema,
@@ -18,4 +19,5 @@ __all__ = [
     "sort_merge_join_count",
     "exchange_count",
     "wholestage_codegen_count",
+    "global_window_over_raw",
 ]

@@ -56,3 +56,23 @@ def exchange_count(df: DataFrame) -> int:
 
 def wholestage_codegen_count(df: DataFrame) -> int:
     return len(re.findall(r"\*\(\d+\)", executed_plan(df)))
+
+
+def global_window_over_raw(df: DataFrame) -> bool:
+    """True if the plan funnels UNAGGREGATED data into a single
+    partition for a Window — the one WindowExec shape that cannot scale
+    (ntile/rank over a whole raw table). A single-partition window over
+    a HashAggregate output (bounded cardinality, e.g. a day-level
+    pre-aggregate) is fine and returns False.
+
+    Approximation: plans print top-down, so the text after an
+    ``Exchange SinglePartition`` is its subtree (plus later siblings);
+    if no aggregate appears there, the exchange is moving raw rows."""
+    plan = executed_plan(df)
+    if "Window" not in plan:
+        return False
+    idx = plan.find("Exchange SinglePartition")
+    if idx < 0:
+        return False
+    below = plan[idx:]
+    return not ("HashAggregate" in below or "SortAggregate" in below or "ObjectHashAggregate" in below)

@@ -86,6 +86,21 @@ def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_quartiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of window_ntile_orders: the SAME quartile assignment
+    (shared oracle proves it) via distributed order statistics
+    (operators/selection.py) — percentile_approx brackets the three cut
+    ranks, a tiny exact top-k pins the boundary (price, key) elements,
+    and buckets are a broadcast-literal comparison chain. No Exchange
+    SinglePartition, no WindowExec; the plan is a narrow projection
+    over the scan (pinned by tests/test_plan_shapes.py)."""
+    from ..operators import selection
+
+    o = t(spark, sf_dir, "orders")
+    out = selection.ntile_assign(o, "o_totalprice", "o_orderkey", 4)
+    return out.select("o_orderkey", F.col("bucket").alias("quartile"))
+
+
 def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type — the
     exact form (F.percentile); the scale path swaps in
@@ -508,6 +523,7 @@ QUERIES = {
     "events_json_stats": events_json_stats,
     "window_lag_delta": window_lag_delta,
     "window_ntile_orders": window_ntile_orders,
+    "agg_quartiles_orders": agg_quartiles_orders,
     "percentiles_by_type": percentiles_by_type,
     "agg_salted_revenue": agg_salted_revenue,
     "approx_distinct_stats": approx_distinct_stats,
@@ -527,6 +543,9 @@ ORACLES = {
     "events_json_stats": _EVENTS_JSON_SQL,
     "window_lag_delta": _LAG_SQL,
     "window_ntile_orders": _NTILE_SQL,
+    # scale twin shares the ntile oracle: both strategies must produce
+    # the identical assignment or the driver hash fails
+    "agg_quartiles_orders": _NTILE_SQL,
     "percentiles_by_type": _PCT_SQL,
     "agg_salted_revenue": """
         SELECT o_orderstatus,

@@ -126,3 +126,29 @@ def test_null_counts_single_pass(spark):
     # one aggregate pass: exactly one exchange (partial->final), one scan
     assert plans.exchange_count(df) == 1
     assert plans.executed_plan(df).count("FileScan") == 1
+
+
+def test_quartiles_twin_is_shuffle_free(spark):
+    # the scale twin of window_ntile_orders: boundary selection happens
+    # in its own tiny jobs; the RETURNED plan is a narrow projection
+    # with broadcast-literal cut points — no Window, no shuffle at all
+    df = extended.agg_quartiles_orders(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plans.exchange_count(df) == 0
+
+
+def test_headline_queries_have_no_global_window_over_raw(spark):
+    # quantify the WindowExec story: no bench headline query may funnel
+    # an unaggregated table into a single-partition Window
+    import bench
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    offenders = [
+        name
+        for name in bench.HEADLINE
+        if plans.global_window_over_raw(qs[name](spark, SF_DIR))
+    ]
+    assert not offenders, f"global window over raw table: {offenders}"

@@ -1,0 +1,35 @@
+"""Distributed order statistics (operators/selection.py): the scale
+path must produce EXACTLY the assignment a global-sort ntile would —
+including tie-heavy values and every n mod buckets residue."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pyspark_data_processing_challenge_spark.operators import selection
+
+
+def test_ntile_cut_ranks():
+    # 10 rows, 4 buckets -> sizes 3,3,2,2 -> cuts at 3,6,8
+    assert selection.ntile_cut_ranks(10, 4) == [3, 6, 8]
+    assert selection.ntile_cut_ranks(8, 4) == [2, 4, 6]
+    with pytest.raises(ValueError):
+        selection.ntile_cut_ranks(3, 4)
+
+
+@pytest.mark.parametrize("n", [4, 5, 6, 7, 101])
+@pytest.mark.parametrize("buckets", [2, 4])
+def test_ntile_assign_matches_window_ntile(spark, n, buckets):
+    # heavy value ties (v = i % 3) force the tie-break path at the
+    # boundaries; low accuracy widens the sketch band deliberately
+    df = spark.range(n).select(
+        (F.col("id") % 3).cast("double").alias("v"), F.col("id").alias("k")
+    )
+    got = selection.ntile_assign(df, "v", "k", buckets, accuracy=100)
+    w = Window.orderBy(F.col("v").desc(), F.col("k"))
+    want = df.select("k", F.ntile(buckets).over(w).cast("long").alias("bucket"))
+    g = {r["k"]: r["bucket"] for r in got.select("k", "bucket").collect()}
+    e = {r["k"]: r["bucket"] for r in want.collect()}
+    assert g == e
