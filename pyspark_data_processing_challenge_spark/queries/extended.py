@@ -112,6 +112,35 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented scale swap for percentiles_by_type, itself
+    verified: percentile_approx (KLL-style sketch, constant memory per
+    group — the 100 TB form) computed in the SAME aggregate as the
+    exact percentiles, emitted as a tolerance contract the oracle can
+    hash-check (exact values + booleans asserting the sketch landed
+    within 5% relative error). Same pattern as approx_distinct_stats;
+    raw sketch outputs are engine-specific so they can't be
+    hash-compared directly."""
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("__p50"),
+        F.percentile("value", 0.9).alias("__p90"),
+        F.percentile_approx("value", 0.5).alias("__a50"),
+        F.percentile_approx("value", 0.9).alias("__a90"),
+    )
+
+    def ok(a: str, x: str):  # |approx - exact| <= 5% * |exact|
+        return F.abs(F.col(a) - F.col(x)) <= F.lit(0.05) * F.abs(F.col(x))
+
+    return d.select(
+        "event_type",
+        round_to(F.col("__p50"), 6).alias("p50"),
+        round_to(F.col("__p90"), 6).alias("p90"),
+        ok("__a50", "__p50").alias("approx_p50_ok"),
+        ok("__a90", "__p90").alias("approx_p90_ok"),
+    )
+
+
 def agg_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant two-phase aggregate (operators/skew.py): revenue
     per order status via salted partial groups. Registers the SAME
@@ -525,6 +554,7 @@ QUERIES = {
     "window_ntile_orders": window_ntile_orders,
     "agg_quartiles_orders": agg_quartiles_orders,
     "percentiles_by_type": percentiles_by_type,
+    "approx_percentiles_by_type": approx_percentiles_by_type,
     "agg_salted_revenue": agg_salted_revenue,
     "approx_distinct_stats": approx_distinct_stats,
     "array_agg_lineitems": array_agg_lineitems,
@@ -547,6 +577,16 @@ ORACLES = {
     # the identical assignment or the driver hash fails
     "agg_quartiles_orders": _NTILE_SQL,
     "percentiles_by_type": _PCT_SQL,
+    # tolerance contract: exact percentiles + literal true — an
+    # out-of-bounds sketch estimate breaks the hash compare
+    "approx_percentiles_by_type": f"""
+        SELECT event_type,
+          {sql_round("quantile_cont(value, 0.5)", 6)} AS p50,
+          {sql_round("quantile_cont(value, 0.9)", 6)} AS p90,
+          true AS approx_p50_ok,
+          true AS approx_p90_ok
+        FROM events GROUP BY event_type
+    """,
     "agg_salted_revenue": """
         SELECT o_orderstatus,
           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0 AS revenue,
