@@ -51,9 +51,16 @@ def merge_apply(
     Every source key removes its target row (anti-join); non-delete
     source rows then re-insert their new version. Still one shuffle on
     the key plus a union — the delete arm costs nothing extra.
+
+    A NULL in ``op_col`` is an upsert, not a delete: the comparison is
+    null-safe, because a plain ``!=`` filter would drop the null-op row
+    from the upserts while the anti-join still removed its target row —
+    turning a malformed op into a silent DELETE.
     """
     keep = target.join(source.select(*keys), list(keys), "left_anti")
-    upserts = source.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    upserts = source.filter(
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+    ).drop(op_col)
     return keep.unionByName(upserts)
 
 

@@ -157,6 +157,7 @@ def banded_pairs(
     *,
     hot_threshold: int = 64,
     num_blocks: int = 8,
+    cache_into: list | None = None,
 ) -> DataFrame:
     """Candidate pairs from a banded table ``(doc, [payload,] band, key)``:
     docs sharing a (band, key) bucket, ``id_a < id_b``, payload carried
@@ -175,6 +176,13 @@ def banded_pairs(
     pair set is therefore IDENTICAL to the plain join while the worst
     task shrinks from n² to (n/num_blocks)² pairs at a num_blocks×
     replication of only the hot rows. Cold buckets take the plain join.
+
+    Cache lifetime: the banded table is ``persist()``-ed (rationale in
+    the inline comment below). Pass ``cache_into`` (a list) to receive
+    the persisted frame and ``unpersist()`` it once the consuming
+    action finishes — long-lived sessions that call this repeatedly
+    without releasing rely on LRU eviction, which competes with
+    executor memory for real work (see release_caches()).
     """
     carry = [payload_col] if payload_col else []
     # bucket sizes via a window count over the SAME key the self-join
@@ -194,6 +202,8 @@ def banded_pairs(
     # cache is evicted by LRU / released when the frame is collected.
     w = Window.partitionBy("band", "key")
     tagged = exploded.withColumn("__bn", F.count(F.lit(1)).over(w)).persist()
+    if cache_into is not None:
+        cache_into.append(tagged)
     cold = tagged.filter(F.col("__bn") <= hot_threshold).drop("__bn")
     hot = tagged.filter(F.col("__bn") > hot_threshold).drop("__bn")
 
@@ -399,6 +409,14 @@ def minhash_near_duplicates(
     )
 
 
+def release_caches(frames: list) -> None:
+    """Unpersist every frame collected through a ``cache_into`` list
+    (banded_pairs / incremental_minhash_near_duplicates), emptying the
+    list — the explicit cache-lifetime bound for long-lived sessions."""
+    while frames:
+        frames.pop().unpersist()
+
+
 def _banded_signatures(
     df: DataFrame,
     text_col: str,
@@ -455,6 +473,7 @@ def incremental_minhash_near_duplicates(
     bands: int = 4,
     threshold: float = 0.7,
     arrow: bool = True,
+    cache_into: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup detection of a NEW batch against corpus history without
     recomputing historical signatures — the batch-over-batch form of
@@ -473,6 +492,8 @@ def incremental_minhash_near_duplicates(
         new_df, text_col, id_col,
         num_hashes=num_hashes, shingle_n=shingle_n, bands=bands, arrow=arrow,
     ).persist()  # three consumers (within l/r, versus); see banded_pairs
+    if cache_into is not None:
+        cache_into.append(new_banded)
 
     def est(a, b):
         agree = F.size(
@@ -494,7 +515,11 @@ def incremental_minhash_near_duplicates(
     n, h = new_banded.alias("n"), seen_banded.alias("h")
     versus = n.join(
         h,
-        (F.col("n.band") == F.col("h.band")) & (F.col("n.key") == F.col("h.key")),
+        (F.col("n.band") == F.col("h.band"))
+        & (F.col("n.key") == F.col("h.key"))
+        # replay guard: a doc_id re-ingested after a failure must not
+        # pair with its own historical signature (id_a==id_b, est=1.0)
+        & (F.col("n.doc") != F.col("h.doc")),
     ).select(
         F.least(F.col("h.doc"), F.col("n.doc")).alias("id_a"),
         F.greatest(F.col("h.doc"), F.col("n.doc")).alias("id_b"),
@@ -505,7 +530,11 @@ def incremental_minhash_near_duplicates(
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()
     )
-    return pairs, seen_banded.unionByName(new_banded)
+    # replay-idempotent store update: only docs NOT already in history
+    # add band rows (otherwise re-ingesting a batch after a failure
+    # doubles that doc's rows and breaks full-recompute equivalence)
+    fresh = new_banded.join(seen_banded.select("doc"), "doc", "left_anti")
+    return pairs, seen_banded.unionByName(fresh)
 
 
 # --------------------------------------------------------------------------

@@ -17,6 +17,7 @@ transformation graph is unchanged.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -248,7 +249,14 @@ def dedup_ingest_sink(out_dir: str, fp_store_dir: str, cols=None):
                 .filter(F.col("__epoch") < F.lit(epoch_id))
                 .select("__fp0", "__fp1")
             )
-        except Exception:  # first epoch: no store yet
+        except AnalysisException as e:
+            # ONLY a missing store means "first epoch". Any other read
+            # failure (transient FS error, corrupt footer, permissions)
+            # must fail the batch so the checkpoint retries it —
+            # swallowing it would silently disable cross-batch dedup
+            # and write duplicates.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             store = spark.createDataFrame([], "__fp0 long, __fp1 long")
         fresh, _ = incremental_exact_dedup(batch_df, store, cols)
         fresh = fresh.localCheckpoint()  # compute the dedup ONCE for both writes

@@ -170,3 +170,56 @@ def test_incremental_minhash_matches_full_recompute(spark):
     }
     assert got == want
     assert want  # planted near-dups exist
+
+
+def test_incremental_minhash_replay_idempotent(spark):
+    """Re-ingesting a batch already in history (the at-least-once replay
+    scenario incremental ingest exists for) must emit no self-pairs
+    (id_a == id_b) and must NOT duplicate the replayed docs' band rows
+    in the persisted store."""
+    corpus = llm._perturbed_docs(spark, SF_DIR).limit(100).cache()
+    params = dict(num_hashes=16, shingle_n=3, bands=4, threshold=0.5)
+    empty = spark.createDataFrame(
+        [], "doc long, minhash array<bigint>, band int, key string"
+    )
+    p1, store1 = dedup.incremental_minhash_near_duplicates(
+        corpus, empty, "text", "doc_id", **params
+    )
+    n_store = store1.count()
+    # replay the SAME batch against the store it produced
+    p2, store2 = dedup.incremental_minhash_near_duplicates(
+        corpus, store1, "text", "doc_id", **params
+    )
+    assert p2.filter(F.col("id_a") == F.col("id_b")).count() == 0
+    assert store2.count() == n_store  # no duplicated band rows
+    # replayed pairs are exactly the original pairs (full-recompute equal)
+    key = lambda r: (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+    assert {key(r) for r in p2.collect()} == {key(r) for r in p1.collect()}
+
+
+def test_merge_apply_null_op_is_upsert(spark):
+    """A NULL op must act as an upsert, never a silent delete."""
+    from pyspark_data_processing_challenge_spark.operators import cdc
+
+    tgt = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
+    src = spark.createDataFrame(
+        [(1, "new", None), (3, "ins", "U")], "k long, v string, op string"
+    )
+    out = cdc.merge_apply(tgt, src, ["k"])
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, "new"),
+        (2, "keep"),
+        (3, "ins"),
+    ]
+
+
+def test_release_caches(spark):
+    handles = []
+    hot = spark.range(20).select(
+        F.col("id").alias("doc"), F.lit(0).alias("band"), F.lit("x").alias("key")
+    )
+    out = dedup.banded_pairs(hot, hot_threshold=4, num_blocks=2, cache_into=handles)
+    out.count()
+    assert handles and handles[0].storageLevel.useMemory
+    dedup.release_caches(handles)
+    assert not handles
