@@ -98,20 +98,125 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int) -> bytes:
-    """A fully valid 8-bit grayscale PNG (correct CRCs, zlib IDAT) with
-    a deterministic gradient raster — decodable by any PNG library."""
+def encode_png_gray(
+    width: int, height: int, pixels: bytes, *, filter_cycle: bool = False
+) -> bytes:
+    """A fully valid 8-bit grayscale PNG (correct CRCs, zlib IDAT) from
+    a row-major raster. ``filter_cycle=True`` encodes row y with filter
+    type y % 5 (None/Sub/Up/Average/Paeth) so every decoder filter path
+    can be exercised; default uses filter 0 for all rows."""
+    if len(pixels) != width * height:
+        raise ValueError(f"raster size {len(pixels)} != {width}x{height}")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + bytes((x * 31 + y * 17) % 256 for x in range(width))
-        for y in range(height)
-    )
+    rows = []
+    prev = bytes(width)
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        ft = (y % 5) if filter_cycle else 0
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            enc = bytes((row[x] - (row[x - 1] if x else 0)) % 256 for x in range(width))
+        elif ft == 2:  # Up
+            enc = bytes((row[x] - prev[x]) % 256 for x in range(width))
+        elif ft == 3:  # Average
+            enc = bytes(
+                (row[x] - ((row[x - 1] if x else 0) + prev[x]) // 2) % 256
+                for x in range(width)
+            )
+        else:  # Paeth
+            enc = bytes(
+                (row[x] - _paeth((row[x - 1] if x else 0), prev[x],
+                                 (prev[x - 1] if x else 0))) % 256
+                for x in range(width)
+            )
+        rows.append(bytes([ft]) + enc)
+        prev = row
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png(width: int, height: int) -> bytes:
+    """A fully valid 8-bit grayscale PNG with the deterministic gradient
+    raster ``(x*31 + y*17) % 256`` — decodable by any PNG library."""
+    raster = bytes(
+        (x * 31 + y * 17) % 256 for y in range(height) for x in range(width)
+    )
+    return encode_png_gray(width, height, raster)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_gray(payload: bytes | None) -> tuple[int, int, bytes] | None:
+    """REAL raster decode of an 8-bit grayscale PNG: chunk walk, IDAT
+    concatenation, zlib inflate, and per-row unfiltering (all five PNG
+    filter types). Returns (width, height, row-major pixels); None for
+    null payloads; raises on non-PNG or unsupported color/depth (full
+    color/interlace support would need an image library — grayscale-8
+    is the corpus this engine plants and the one true-pixel path)."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, w, h, idat = 8, None, None, []
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctype}, "
+                    f"interlace={interlace}): only non-interlaced grayscale-8"
+                )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # len + tag + data + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (w + 1) * h:
+        raise ValueError(f"IDAT inflates to {len(raw)}, want {(w + 1) * h}")
+    out = bytearray(w * h)
+    prev = bytes(w)
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        row = bytearray(raw[y * (w + 1) + 1 : (y + 1) * (w + 1)])
+        if ft == 1:  # Sub
+            for x in range(1, w):
+                row[x] = (row[x] + row[x - 1]) % 256
+        elif ft == 2:  # Up
+            for x in range(w):
+                row[x] = (row[x] + prev[x]) % 256
+        elif ft == 3:  # Average
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                ul = prev[x - 1] if x else 0
+                row[x] = (row[x] + _paeth(left, prev[x], ul)) % 256
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y * w : (y + 1) * w] = row
+        prev = row
+    return w, h, bytes(out)
 
 
 def encode_jpeg(width: int, height: int) -> bytes:
@@ -478,6 +583,173 @@ def plant_image_payloads(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         _gen(F.col(id_col)).alias("payload"),
+    )
+
+
+# --------------------------------------------------------------------------
+# perceptual hash over DECODED pixels (difference hash, 64-bit)
+# --------------------------------------------------------------------------
+
+# planted pHash corpus parameters — the oracle predicts every pixel from
+# these (queries/llm.py), so the whole decode→hash path is hash-verified
+PHASH_COPY_OFFSET = 1_000_000
+PHASH_COPY_EVERY = 4
+
+
+def dhash64(pix: bytes, w: int, h: int) -> tuple[int, int]:
+    """64-bit difference hash over a row-major grayscale raster,
+    returned as two non-negative 32-bit halves (portable: packing the
+    full 64 bits into one BIGINT would set the sign bit).
+
+    Classic dHash: sample a 9x8 grid (nearest-neighbor at x=i*w//9,
+    y=j*h//8 — integer arithmetic only, so an engine-independent oracle
+    can reproduce it), emit bit j*8+i = 1 iff grid[j][i] > grid[j][i+1].
+    Near-identical images differ in few bits; Hamming distance over the
+    halves ranks similarity."""
+    xs = [i * w // 9 for i in range(9)]
+    ys = [j * h // 8 for j in range(8)]
+    hi = lo = 0
+    for j in range(8):
+        base = ys[j] * w
+        for i in range(8):
+            if pix[base + xs[i]] > pix[base + xs[i + 1]]:
+                k = j * 8 + i
+                if k < 32:
+                    hi |= 1 << k
+                else:
+                    lo |= 1 << (k - 32)
+    return hi, lo
+
+
+def _phash_raster(bid: int, w: int, h: int, nflip: int) -> bytes:
+    """Deterministic per-id raster (id-dependent so distinct ids get
+    distinct images): pixel = (x*31 + y*17 + bid*13) % 256, with the
+    first ``nflip`` dHash row-sample pixels at x=0 brightened by 125 —
+    a formulaic perturbation that flips at most ``nflip`` hash bits."""
+    pix = bytearray(
+        (x * 31 + y * 17 + bid * 13) % 256 for y in range(h) for x in range(w)
+    )
+    for j in range(nflip):
+        p = (j * h // 8) * w
+        pix[p] = (pix[p] + 125) % 256
+    return bytes(pix)
+
+
+def plant_phash_corpus(df: DataFrame, id_col: str) -> DataFrame:
+    """Near-duplicate image corpus as REAL PNG payloads: one base image
+    per id (dims and raster arithmetic functions of the id) plus, for
+    every ``PHASH_COPY_EVERY``-th id, a perturbed copy under id +
+    ``PHASH_COPY_OFFSET`` whose raster differs in ``id % 3`` sampled
+    pixels. Payload generation is an Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def make(i: int) -> bytes:
+            is_copy = i >= PHASH_COPY_OFFSET
+            bid = i - PHASH_COPY_OFFSET if is_copy else i
+            w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+            nflip = bid % 3 if is_copy else 0
+            return encode_png_gray(w, h, _phash_raster(bid, w, h, nflip))
+
+        return ids.map(lambda i: make(int(i)))
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    copies = ids.filter(F.col("media_id") % PHASH_COPY_EVERY == 0).select(
+        (F.col("media_id") + PHASH_COPY_OFFSET).alias("media_id")
+    )
+    corpus = ids.unionByName(copies)
+    return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("h_hi", T.LongType(), True),
+        T.StructField("h_lo", T.LongType(), True),
+    ]
+)
+
+
+def phash_batch(df: DataFrame) -> DataFrame:
+    """media (media_id, payload) → perceptual hash via REAL pixel
+    decode: zlib-inflate + unfilter the PNG (decode_png_gray), dHash
+    the raster. Arrow-batched mapInPandas — the decode loop runs
+    executor-side over columnar batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, his, los = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_png_gray(payload)
+                ids.append(mid)
+                if decoded is None:
+                    ws.append(None); hs.append(None)
+                    his.append(None); los.append(None)
+                    continue
+                w, h, pix = decoded
+                hi, lo = dhash64(pix, w, h)
+                ws.append(w); hs.append(h); his.append(hi); los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "h_hi": pd.array(his, dtype="Int64"),
+                    "h_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, PHASH_SCHEMA)
+
+
+def phash_hamming_pairs(
+    hashes: DataFrame, *, max_distance: int = 3, cache_into: list | None = None
+) -> DataFrame:
+    """Image near-dup pairs by pHash Hamming distance via banded LSH:
+    the 64-bit hash splits into four 16-bit bands; by pigeonhole, any
+    pair within Hamming distance 3 agrees on at least one band, so
+    bucketing on (band, value) finds EVERY such pair while comparing
+    only within buckets — linear in corpus size, never all-pairs. The
+    self-join reuses the skew-guarded :func:`..dedup.banded_pairs`.
+
+    ``hashes``: (media_id, h_hi, h_lo). Returns (id_a, id_b, hamming).
+    """
+    from .dedup import banded_pairs
+
+    mask = F.lit(0xFFFF)
+    bandvals = [
+        F.shiftrightunsigned(F.col("h_hi"), 16).bitwiseAND(mask),
+        F.col("h_hi").bitwiseAND(mask),
+        F.shiftrightunsigned(F.col("h_lo"), 16).bitwiseAND(mask),
+        F.col("h_lo").bitwiseAND(mask),
+    ]
+    exploded = (
+        hashes.select(
+            F.col("media_id").alias("doc"),
+            F.struct("h_hi", "h_lo").alias("ph"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), v.alias("key"))
+                        for b, v in enumerate(bandvals)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc", "ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    pairs = banded_pairs(exploded, payload_col="ph", cache_into=cache_into)
+    ham = (
+        F.bit_count(F.col("ph_a.h_hi").bitwiseXOR(F.col("ph_b.h_hi")))
+        + F.bit_count(F.col("ph_a.h_lo").bitwiseXOR(F.col("ph_b.h_lo")))
+    ).cast("long")
+    return (
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()  # a close pair can share several bands
     )
 
 

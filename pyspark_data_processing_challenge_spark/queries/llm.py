@@ -371,6 +371,105 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_id", "fmt", "width", "height")
 
 
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash over DECODED PIXELS — the image-curation
+    capability metadata parsing can't give: plant real PNG payloads
+    (base images + perturbed near-copies, operators/multimodal.
+    plant_phash_corpus), zlib-inflate and unfilter the actual rasters
+    executor-side (decode_png_gray inside mapInPandas), dHash the
+    pixels. The oracle recomputes every pixel and hash bit from the
+    planting arithmetic, so one wrong pixel anywhere in the
+    decode→sample→pack chain breaks the driver hash."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    corpus = multimodal.plant_phash_corpus(d, "doc_id")
+    return multimodal.phash_batch(corpus)
+
+
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level image near-dup: pHash the decoded corpus, then find
+    pairs within Hamming distance 3 via 16-bit banded LSH (pigeonhole-
+    complete; skew-guarded banded self-join — linear in corpus size,
+    never all-pairs). Planted perturbed copies (<=2 flipped bits) must
+    surface; the oracle checks with an exact all-pairs join over its
+    arithmetically recomputed hashes."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    corpus = multimodal.plant_phash_corpus(d, "doc_id")
+    hashes = multimodal.phash_batch(corpus)
+    return multimodal.phash_hamming_pairs(hashes, max_distance=3)
+
+
+def _phash_px(x: str, y: str) -> str:
+    """Closed-form SQL for the planted raster pixel at (x, y) —
+    mirrors multimodal._phash_raster including the copy perturbation."""
+    base = f"(({x})*31 + ({y})*17 + bid*13) % 256"
+    return (
+        f"(CASE WHEN ({x}) = 0 AND list_contains("
+        f"list_transform(range(0, nflip), fj -> (fj*h)//8), ({y})) "
+        f"THEN ({base} + 125) % 256 ELSE {base} END)"
+    )
+
+
+def _phash_hashes_cte() -> str:
+    from ..operators.multimodal import PHASH_COPY_EVERY, PHASH_COPY_OFFSET
+
+    xi, xi1, yj = "(i*w)//9", "((i+1)*w)//9", "(j*h)//8"
+    return f"""
+  ids AS (
+    SELECT doc_id::BIGINT AS media_id, doc_id::BIGINT AS bid, false AS is_copy
+    FROM documents
+    UNION ALL
+    SELECT doc_id::BIGINT + {PHASH_COPY_OFFSET}, doc_id::BIGINT, true
+    FROM documents WHERE doc_id % {PHASH_COPY_EVERY} = 0
+  ),
+  dims AS (
+    SELECT media_id, bid,
+      (bid % 48 + 16)::BIGINT AS w,
+      ((bid*7) % 32 + 16)::BIGINT AS h,
+      CASE WHEN is_copy THEN bid % 3 ELSE 0 END AS nflip
+    FROM ids
+  ),
+  bits AS (
+    SELECT media_id, w, h,
+      flatten(list_transform(range(0, 8), j ->
+        list_transform(range(0, 8), i ->
+          CASE WHEN {_phash_px(xi, yj)} > {_phash_px(xi1, yj)}
+               THEN 1::BIGINT ELSE 0::BIGINT END
+      ))) AS bv
+    FROM dims
+  ),
+  hashes AS (
+    SELECT media_id, w, h,
+      list_sum(list_transform(range(0, 32), k -> bv[k+1] * (1::BIGINT << k)))::BIGINT AS h_hi,
+      list_sum(list_transform(range(0, 32), k -> bv[k+33] * (1::BIGINT << k)))::BIGINT AS h_lo
+    FROM bits
+  )"""
+
+
+_PHASH_SQL = (
+    "WITH"
+    + _phash_hashes_cte()
+    + """
+SELECT media_id, w AS width, h AS height, h_hi, h_lo FROM hashes
+"""
+)
+
+_PHASH_ND_SQL = (
+    "WITH"
+    + _phash_hashes_cte()
+    + """
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+  (bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)))::BIGINT
+    AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+"""
+)
+
+
 # PII patterns portable across Java regex (Spark) and RE2 (DuckDB)
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_URL = r"https?://[^\s]+"
@@ -866,6 +965,8 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_media_decode": multimodal_media_decode,
+    "image_phash": image_phash,
+    "image_phash_near_dup": image_phash_near_dup,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_repetition": docs_repetition,
@@ -905,6 +1006,8 @@ ORACLES = {
     "multimodal_meta": _MULTIMODAL_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,
+    "image_phash": _PHASH_SQL,
+    "image_phash_near_dup": _PHASH_ND_SQL,
     "docs_bpe_token_count": _BPE_SQL,
     "docs_pii_scrub": _PII_SQL,
     "docs_repetition": _REPETITION_SQL,

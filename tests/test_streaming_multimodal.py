@@ -406,3 +406,81 @@ def test_streaming_cross_batch_dedup_ingest(spark, tmp_path):
     sink(replayed_batch, 0)
     after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert after == before
+
+
+def test_png_raster_roundtrip_all_filters():
+    """decode_png_gray must recover the exact raster through every PNG
+    filter type (filter_cycle encodes row y with filter y % 5)."""
+    import random
+
+    rng = random.Random(7)
+    for w, h in [(16, 16), (9, 8), (64, 48), (1, 5), (23, 11)]:
+        raster = bytes(rng.randrange(256) for _ in range(w * h))
+        for cyc in (False, True):
+            png = multimodal.encode_png_gray(w, h, raster, filter_cycle=cyc)
+            assert multimodal.decode_png_gray(png) == (w, h, raster)
+    # legacy gradient encoder decodes to its formula
+    w, h = 20, 10
+    _, _, pix = multimodal.decode_png_gray(multimodal.encode_png(w, h))
+    assert pix == bytes(
+        (x * 31 + y * 17) % 256 for y in range(h) for x in range(w)
+    )
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png_gray(b"GIF89a" + b"\x00" * 16)
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        # color type 2 (RGB) header
+        import struct as _s
+        import zlib as _z
+
+        ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", _z.compress(b"\x00" * 14))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        multimodal.decode_png_gray(bad)
+    assert multimodal.decode_png_gray(None) is None
+
+
+def test_dhash_perturbation_bound():
+    """The planted perturbation flips at most nflip dHash bits."""
+    for bid in (3, 8, 21, 50):
+        w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+        base = multimodal._phash_raster(bid, w, h, 0)
+        hi0, lo0 = multimodal.dhash64(base, w, h)
+        for nflip in (1, 2):
+            pert = multimodal._phash_raster(bid, w, h, nflip)
+            hi, lo = multimodal.dhash64(pert, w, h)
+            d = bin(hi0 ^ hi).count("1") + bin(lo0 ^ lo).count("1")
+            assert d <= nflip
+
+
+def test_phash_banding_is_pigeonhole_complete(spark):
+    """Banded Hamming pairs must equal the brute-force all-pairs result
+    at distance <= 3 (4 x 16-bit bands: any 3-bit difference leaves at
+    least one band untouched)."""
+    d = spark.range(80).select(F.col("id").alias("doc_id"))
+    corpus = multimodal.plant_phash_corpus(d, "doc_id")
+    hashes = multimodal.phash_batch(corpus).cache()
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.phash_hamming_pairs(hashes, max_distance=3).collect()
+    }
+    rows = hashes.collect()
+    brute = set()
+    for a in rows:
+        for b in rows:
+            if a["media_id"] < b["media_id"]:
+                dist = bin(a["h_hi"] ^ b["h_hi"]).count("1") + bin(
+                    a["h_lo"] ^ b["h_lo"]
+                ).count("1")
+                if dist <= 3:
+                    brute.add((a["media_id"], b["media_id"], dist))
+    assert got == brute and brute
+    hashes.unpersist()
