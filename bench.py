@@ -99,6 +99,59 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    # Incremental-dedup story (the 100 TB ingest pattern): dedup ONE new
+    # batch (1/8 of lineitem) against history via the persisted 16-byte
+    # fingerprint store vs re-deduping the whole corpus. The store is
+    # prepared outside the timer — it is amortized state from prior
+    # ingests; the incremental timer includes persisting the batch's new
+    # fingerprints, since a real ingest must.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from pyspark_data_processing_challenge_spark.operators import dedup as dd
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    history = li.filter(SF.col("l_orderkey") % 8 != 0)
+    batch = li.filter(SF.col("l_orderkey") % 8 == 0)
+    store_dir = tempfile.mkdtemp(prefix="fp_store_")
+    scratch_dir = tempfile.mkdtemp(prefix="fp_scratch_")
+
+    def full_recompute():
+        dd.drop_duplicate_rows(history.unionByName(batch)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def incremental_batch(fp_out: str):
+        store = spark.read.parquet(store_dir)
+        fresh, _ = dd.incremental_exact_dedup(batch, store, keep_fps=True)
+        fresh = fresh.persist()
+        fresh.drop("__fp0", "__fp1").write.format("noop").mode("overwrite").save()
+        fresh.select("__fp0", "__fp1").write.mode("append").parquet(fp_out)
+        fresh.unpersist()
+
+    try:
+        dd.with_row_fingerprint(history).select("__fp0", "__fp1").write.mode(
+            "overwrite"
+        ).parquet(store_dir)
+        # steady-state per-batch cost is what an ingest pipeline pays:
+        # run each path once untimed (JIT/codegen warm, same stance as
+        # the session warm-up above), then time the second run
+        full_recompute()
+        incremental_batch(scratch_dir)
+
+        t0 = time.perf_counter()
+        full_recompute()
+        times["dedup_full_recompute"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        incremental_batch(store_dir)
+        times["dedup_incremental_batch"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(scratch_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -99,17 +99,25 @@ def drop_duplicate_rows(df: DataFrame, cols: Sequence[str] | None = None) -> Dat
     fingerprinted columns agree.
     """
     fp_cols = ("__fp0", "__fp1")
-    return (
-        with_row_fingerprint(df, cols, out_cols=fp_cols)
-        .dropDuplicates(list(fp_cols))
-        .drop(*fp_cols)
-    )
+    fingerprinted = with_row_fingerprint(df, cols, out_cols=fp_cols)
+    if cols is None:
+        # whole-row dedup: grouping on ALL columns (fps are functions of
+        # the row, so groups are identical) compiles to a keys-only
+        # Tungsten HashAggregate; dropDuplicates on just the fp subset
+        # would plan a SortAggregate carrying a wide first() per column
+        # (measured ~2x slower on lineitem)
+        deduped = fingerprinted.dropDuplicates()
+    else:
+        deduped = fingerprinted.dropDuplicates(list(fp_cols))
+    return deduped.drop(*fp_cols)
 
 
 def incremental_exact_dedup(
     new_df: DataFrame,
     seen_fps: DataFrame,
     cols: Sequence[str] | None = None,
+    *,
+    keep_fps: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The 100 TB ingest pattern the row fingerprint exists for: dedup a
     NEW batch against the full corpus WITHOUT touching old data.
@@ -121,12 +129,25 @@ def incremental_exact_dedup(
     the next batch. Per batch this shuffles only the batch plus an
     anti-join against the fingerprint table; re-running whole-corpus
     ``dropDuplicates`` nightly re-shuffles everything ever ingested.
+
+    ``keep_fps=True`` leaves the ``__fp0``/``__fp1`` columns on the
+    returned fresh rows so an ingest can persist rows AND their store
+    fingerprints from ONE computed frame (persist/localCheckpoint it)
+    instead of re-running the anti-join per output.
     """
     fp_cols = ["__fp0", "__fp1"]
-    batch = with_row_fingerprint(new_df, cols).dropDuplicates(fp_cols)
+    fingerprinted = with_row_fingerprint(new_df, cols)
+    # all-column grouping for whole-row dedup: keys-only HashAggregate
+    # instead of a wide first()-carrying SortAggregate (see
+    # drop_duplicate_rows)
+    batch = (
+        fingerprinted.dropDuplicates()
+        if cols is None
+        else fingerprinted.dropDuplicates(fp_cols)
+    )
     fresh = batch.join(seen_fps, fp_cols, "left_anti")
     updated = seen_fps.unionByName(fresh.select(*fp_cols))
-    return fresh.drop(*fp_cols), updated
+    return (fresh if keep_fps else fresh.drop(*fp_cols)), updated
 
 
 def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -18,12 +18,25 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra)
 
 # The external driver records correctness verdicts for the first 50
 # catalog entries in dict order. Entries that still need a driver
-# verdict — new this round, previously beyond the window, or (approx)
-# previously no_oracle — are pinned to the front; micro-queries whose
-# behavior already has a green round-1 verdict AND local test coverage
-# rotate to the tail. Membership is asserted, so a renamed query fails
-# loudly here instead of silently losing its slot.
+# verdict — new this round, previously red, or previously beyond the
+# window — are pinned to the front; the rest of the 50 slots re-verify
+# previously-green queries. Queries whose behavior already has a green
+# driver verdict AND local test coverage rotate to the tail, with the
+# round of that verdict recorded so window coverage is auditable
+# without diffing CORRECTNESS history. Membership is asserted, so a
+# renamed query fails loudly here instead of silently losing its slot.
+# Every entry — windowed or rotated out — stays under
+# tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
+# by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
+    # --- need a (new) verdict this round ---
+    "docs_repetition",  # r02 hash-red (oracle HUGEINT dtype); fixed
+    "events_variant_stats",  # never inside the graded window before
+    "agg_quartiles_orders",  # new: scale-safe ntile twin
+    "approx_percentiles_by_type",  # new: percentile_approx contract
+    "image_phash",  # new: real pixel decode + dHash
+    "image_phash_near_dup",  # new: Hamming-banded image near-dup
+    # --- re-verified green (r02 unless noted) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
     "approx_distinct_stats",
@@ -54,44 +67,62 @@ _VERDICT_PRIORITY = [
     "docs_outlier_trim",
     "fuzzy_match_parts",
     "docs_pii_scrub",
-    "docs_repetition",
     "cdc_merge_delete_orders",
     "snapshot_diff_orders",
+    "op_dedup_subset",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "sessionize_events",
+    "docs_token_stats",
+    "docs_lang_id",
+    "docs_quality",
+    "dedup_drop_exact",
+    "minhash_signatures_fast",
+    "minhash_near_dup",
+    "near_dup_clusters",
+    "curate_corpus",
 ]
-_ROTATED_OUT = [
-    "op_date_filter",
-    "op_equality_filter",
-    "op_sentinel_filter",
-    "op_membership_filter",
-    "op_indicators",
-    "op_fill_nulls",
-    "window_running_total",
-    "window_lag_delta",
-    "window_ntile_orders",
-    "sort_top20_orders",
-    "minhash_signatures",
-    "op_union_membership",
-    "op_standardize_units",
-    "op_null_counts",
-    "dedup_exact_groups",
-    "simhash_values",
-    "docs_fingerprint",
-    "events_json_stats",
-    "percentiles_by_type",
-    "rollup_lineitem",
-    "array_agg_lineitems",
-    "pivot_event_counts",
-    "events_hourly",
-    "semi_join_urgent_customers",
-    "anti_join_quiet_customers",
-    "set_ops_segments",
-    "ngram_jaccard_pairs",
-    "embedding_near_dup",
-    "sql_revenue_by_nation",
-    "asof_join_purchases",
-    "multimodal_meta",
-    "window_topk_orders",
-]
+# name -> CORRECTNESS round(s) with the green driver verdict backing
+# the rotation (all retain stricter local bit-exact parity coverage)
+_ROTATED_OUT = {
+    "op_date_filter": "r01",
+    "op_equality_filter": "r01",
+    "op_sentinel_filter": "r01",
+    "op_membership_filter": "r01",
+    "op_indicators": "r01",
+    "op_fill_nulls": "r01",
+    "window_running_total": "r01",
+    "window_lag_delta": "r01",
+    "window_ntile_orders": "r01",
+    "sort_top20_orders": "r01",
+    "minhash_signatures": "r01",
+    "op_union_membership": "r01",
+    "op_standardize_units": "r01",
+    "op_null_counts": "r01",
+    "dedup_exact_groups": "r01",
+    "simhash_values": "r01",
+    "docs_fingerprint": "r01",
+    "events_json_stats": "r01",
+    "percentiles_by_type": "r01",
+    "rollup_lineitem": "r01",
+    "array_agg_lineitems": "r01",
+    "pivot_event_counts": "r01",
+    "events_hourly": "r01",
+    "semi_join_urgent_customers": "r01",
+    "anti_join_quiet_customers": "r01",
+    "set_ops_segments": "r01",
+    "ngram_jaccard_pairs": "r01",
+    "embedding_near_dup": "r01",
+    "sql_revenue_by_nation": "r01",
+    "asof_join_purchases": "r01",
+    "multimodal_meta": "r01",
+    "window_topk_orders": "r01",
+    "simhash_near_dup": "r01+r02",
+    "embedding_topk": "r01+r02",
+    "embedding_lsh_buckets": "r01+r02",
+    "agg_salted_revenue": "r02",
+    "ref_flagship_pipeline": "r01+r02",
+}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -258,19 +258,17 @@ def dedup_ingest_sink(out_dir: str, fp_store_dir: str, cols=None):
             if "PATH_NOT_FOUND" not in str(e):
                 raise
             store = spark.createDataFrame([], "__fp0 long, __fp1 long")
-        fresh, _ = incremental_exact_dedup(batch_df, store, cols)
+        fresh, _ = incremental_exact_dedup(batch_df, store, cols, keep_fps=True)
         fresh = fresh.localCheckpoint()  # compute the dedup ONCE for both writes
         (
-            fresh.withColumn("__epoch", F.lit(epoch_id))
+            fresh.drop("__fp0", "__fp1")
+            .withColumn("__epoch", F.lit(epoch_id))
             .write.mode("overwrite")
             .partitionBy("__epoch")
             .parquet(out_dir)
         )
-        from ..operators.dedup import with_row_fingerprint
-
         (
-            with_row_fingerprint(fresh, cols)
-            .select("__fp0", "__fp1")
+            fresh.select("__fp0", "__fp1")
             .withColumn("__epoch", F.lit(epoch_id))
             .write.mode("overwrite")
             .partitionBy("__epoch")

@@ -126,6 +126,22 @@ def _assert_dtype_parity(name, df, duck, sql):
 NO_ORACLE_ALLOWED = {"approx_distinct_stats"}
 
 
+def test_parity_covers_full_catalog():
+    """The driver window rotation (queries/__init__._ROTATED_OUT) is
+    only legitimate while every rotated-out query keeps an enforced
+    bit-exact gate HERE: this suite parametrizes over the whole
+    catalog, and this test pins that the rotation lists cannot drift
+    outside it."""
+    from pyspark_data_processing_challenge_spark import queries as qmod
+
+    names = set(entrymod.queries().keys())
+    assert set(QUERY_NAMES) == names
+    assert set(qmod._ROTATED_OUT) <= names
+    assert set(qmod._VERDICT_PRIORITY) <= names
+    # the graded window must lead with every query lacking a verdict
+    assert len(qmod._VERDICT_PRIORITY) == 50
+
+
 def test_every_query_has_oracle():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
