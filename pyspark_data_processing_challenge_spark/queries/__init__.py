@@ -36,6 +36,9 @@ _VERDICT_PRIORITY = [
     "approx_percentiles_by_type",  # new: percentile_approx contract
     "image_phash",  # new: real pixel decode + dHash
     "image_phash_near_dup",  # new: Hamming-banded image near-dup
+    "docs_decontaminate",  # new: benchmark n-gram decontamination
+    "docs_split_assign",  # new: deterministic train/val/test split
+    "docs_pack_sequences",  # new: GPT-style sequence packing
     # --- re-verified green (r02 unless noted) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
@@ -78,9 +81,6 @@ _VERDICT_PRIORITY = [
     "docs_quality",
     "dedup_drop_exact",
     "minhash_signatures_fast",
-    "minhash_near_dup",
-    "near_dup_clusters",
-    "curate_corpus",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -122,6 +122,9 @@ _ROTATED_OUT = {
     "embedding_lsh_buckets": "r01+r02",
     "agg_salted_revenue": "r02",
     "ref_flagship_pipeline": "r01+r02",
+    "minhash_near_dup": "r01+r02",
+    "near_dup_clusters": "r01+r02",
+    "curate_corpus": "r01+r02",
 }
 
 

@@ -371,6 +371,112 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_id", "fmt", "width", "height")
 
 
+# decontamination / split / packing parameters (oracle twins below)
+DECON_NGRAM, DECON_EXCERPT_TOKENS, DECON_BENCH_MOD = 5, 12, 50
+SPLIT_WEIGHTS = [("train", 80), ("val", 10), ("test", 10)]
+PACK_CAPACITY, PACK_SHARDS = 256, 8
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the release gate every trained-on
+    corpus needs: flag documents sharing any verbatim word 5-gram with
+    an eval benchmark. The planted benchmark is the realistic scenario
+    (eval questions excerpted from web docs): the first 12 tokens of
+    every 50th document. Scale shape: the benchmark's distinct n-gram
+    set broadcasts; the corpus side is one explode + broadcast join +
+    per-doc aggregate — no shuffle of the corpus for the probe
+    (operators/curation.decontaminate)."""
+    from ..operators import curation
+
+    d = t(spark, sf_dir, "documents")
+    excerpt = F.array_join(
+        F.slice(
+            textfns.tokens(F.lower(F.col("text"))), 1, DECON_EXCERPT_TOKENS
+        ),
+        " ",
+    )
+    bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
+        excerpt.alias("text")
+    )
+    return curation.decontaminate(
+        d, bench, "text", "doc_id", ngram_n=DECON_NGRAM
+    )
+
+
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10): a pure
+    function of the doc id via the portable char_hash, so reruns,
+    backfills, and the oracle engine agree row-for-row. Narrow
+    projection — zero shuffles (operators/curation.split_assign)."""
+    from ..operators import curation
+
+    d = t(spark, sf_dir, "documents")
+    out = curation.split_assign(d, F.col("doc_id"), SPLIT_WEIGHTS)
+    return out.select("doc_id", "split")
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per shard (doc_id mod 8), documents
+    concatenate in id order and cut every 256 tokens; emits each doc's
+    (shard, seq_id, seq_offset). One window aggregate PARTITIONED BY
+    shard — parallel across shards, no global sort
+    (operators/curation.pack_sequences)."""
+    from ..operators import curation
+
+    d = t(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        d, "text", "doc_id", capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+
+
+_DECON_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sql_shingles("excerpt", DECON_NGRAM)}) AS g
+  FROM (
+    SELECT array_to_string(({sql_tokens("lower(text)")})[1:{DECON_EXCERPT_TOKENS}], ' ')
+      AS excerpt
+    FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0
+  )
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hit_ngrams
+  FROM (SELECT doc_id, unnest({sql_shingles("text", DECON_NGRAM)}) AS g
+        FROM documents) dg
+  JOIN bench USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(h.n_hit_ngrams, 0)::BIGINT AS n_hit_ngrams,
+  coalesce(h.n_hit_ngrams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+  CASE WHEN {sql_char_hash("doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+       WHEN {sql_char_hash("doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+_PACK_SQL = f"""
+WITH s AS (
+  SELECT doc_id, (doc_id % {PACK_SHARDS})::BIGINT AS shard,
+         {sql_token_count("text")} AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS start
+  FROM s
+)
+SELECT doc_id, shard, n_tokens,
+  (start // {PACK_CAPACITY})::BIGINT AS seq_id,
+  (start % {PACK_CAPACITY})::BIGINT AS seq_offset
+FROM c
+"""
+
+
 def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual hash over DECODED PIXELS — the image-curation
     capability metadata parsing can't give: plant real PNG payloads
@@ -967,6 +1073,9 @@ QUERIES = {
     "multimodal_media_decode": multimodal_media_decode,
     "image_phash": image_phash,
     "image_phash_near_dup": image_phash_near_dup,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_split_assign": docs_split_assign,
+    "docs_pack_sequences": docs_pack_sequences,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_repetition": docs_repetition,
@@ -1008,6 +1117,9 @@ ORACLES = {
     "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,
     "image_phash": _PHASH_SQL,
     "image_phash_near_dup": _PHASH_ND_SQL,
+    "docs_decontaminate": _DECON_SQL,
+    "docs_split_assign": _SPLIT_SQL,
+    "docs_pack_sequences": _PACK_SQL,
     "docs_bpe_token_count": _BPE_SQL,
     "docs_pii_scrub": _PII_SQL,
     "docs_repetition": _REPETITION_SQL,

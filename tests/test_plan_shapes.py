@@ -152,3 +152,24 @@ def test_headline_queries_have_no_global_window_over_raw(spark):
         if plans.global_window_over_raw(qs[name](spark, SF_DIR))
     ]
     assert not offenders, f"global window over raw table: {offenders}"
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    df = llm.docs_decontaminate(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_split_assign_is_shuffle_free(spark):
+    df = llm.docs_split_assign(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert plans.exchange_count(df) == 0
+    assert "Window" not in plan
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    # the packing cumsum must partition by shard, never a global sort
+    df = llm.docs_pack_sequences(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert not plans.global_window_over_raw(df)
