@@ -54,6 +54,11 @@ HEADLINE = [
     "rolling_7d_revenue",
     "kmeans_update_centroids",
     "multimodal_media_decode",
+    # round-3 additions
+    "agg_quartiles_orders",
+    "image_phash_near_dup",
+    "docs_decontaminate",
+    "docs_pack_sequences",
 ]
 
 

@@ -65,6 +65,50 @@ def null_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def profile_table(
+    df: DataFrame, cols: Sequence[str], *, approx: bool = False
+) -> DataFrame:
+    """Per-column profile — the first thing anyone runs on an unknown
+    table: row count, null count, distinct count, min/max (as strings)
+    for each listed column, computed in ONE aggregate pass and emitted
+    in long format (one row per column).
+
+    ``approx=False`` uses exact countDistinct: Spark plans an Expand
+    (one pass over the scan, one buffered row per (row, column)) — fine
+    for profiling runs, and oracle-checkable. ``approx=True`` swaps in
+    HLL++ approx_count_distinct: no Expand, constant memory — the
+    100 TB default. The long-format pivot happens on the single
+    aggregated row, so it costs nothing.
+
+    Callers pick string-portable columns (integers, strings, dates) if
+    they hash-compare the output across engines — float formatting is
+    engine-specific.
+    """
+    distinct = F.approx_count_distinct if approx else F.countDistinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__{c}_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__{c}_nulls"),
+            distinct(c).alias(f"__{c}_distinct"),
+            F.min(c).cast("string").alias(f"__{c}_min"),
+            F.max(c).cast("string").alias(f"__{c}_max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__{c}_rows").alias("n_rows"),
+            F.col(f"__{c}_nulls").alias("n_nulls"),
+            F.col(f"__{c}_distinct").cast("long").alias("n_distinct"),
+            F.col(f"__{c}_min").alias("min_str"),
+            F.col(f"__{c}_max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
 def duplicate_key_probe(
     df: DataFrame, keys: Sequence[str], *, max_report: int = 5
 ) -> list[tuple]:

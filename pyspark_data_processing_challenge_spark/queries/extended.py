@@ -112,6 +112,33 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (operators/quality.profile_table):
+    rows / nulls / distincts / min / max per column in ONE aggregate
+    (the reference ran one job per column for its null gate alone).
+    String-portable columns only — float min/max formatting is
+    engine-specific. The approx=True variant (HLL++, no Expand) is the
+    100 TB default; exact here so the oracle can hash-check."""
+    from ..operators import quality
+
+    o = t(spark, sf_dir, "orders")
+    return quality.profile_table(o, PROFILE_COLS)
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+  sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  min({c})::VARCHAR AS min_str, max({c})::VARCHAR AS max_str
+FROM orders"""
+    for c in PROFILE_COLS
+)
+
+
 def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented scale swap for percentiles_by_type, itself
     verified: percentile_approx (KLL-style sketch, constant memory per
@@ -555,6 +582,7 @@ QUERIES = {
     "agg_quartiles_orders": agg_quartiles_orders,
     "percentiles_by_type": percentiles_by_type,
     "approx_percentiles_by_type": approx_percentiles_by_type,
+    "profile_orders": profile_orders,
     "agg_salted_revenue": agg_salted_revenue,
     "approx_distinct_stats": approx_distinct_stats,
     "array_agg_lineitems": array_agg_lineitems,
@@ -587,6 +615,7 @@ ORACLES = {
           true AS approx_p90_ok
         FROM events GROUP BY event_type
     """,
+    "profile_orders": _PROFILE_SQL,
     "agg_salted_revenue": """
         SELECT o_orderstatus,
           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0 AS revenue,

@@ -128,3 +128,26 @@ def test_unique_key_gate(spark):
         raise AssertionError("expected QualityError")
     except quality.QualityError as e:
         assert "duplicate keys" in str(e)
+
+
+def test_profile_table(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")], "k long, v string"
+    )
+    rows = {r["column"]: r for r in quality.profile_table(df, ["k", "v"]).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["k"]["min_str"] == "1" and rows["k"]["max_str"] == "2"
+    assert rows["v"]["n_distinct"] == 2 and rows["v"]["n_nulls"] == 1
+    # approx variant: same shape, HLL++ counts within tolerance
+    arows = {
+        r["column"]: r
+        for r in quality.profile_table(df, ["k", "v"], approx=True).collect()
+    }
+    assert arows["k"]["n_distinct"] == 2  # tiny input: exact
+    from pyspark_data_processing_challenge_spark import plans
+
+    # approx profile must stay a single pass: no Expand, one exchange
+    adf = quality.profile_table(df, ["k", "v"], approx=True)
+    assert "Expand" not in plans.executed_plan(adf)
+    assert plans.exchange_count(adf) == 1
