@@ -77,6 +77,65 @@ def add_lineage(df: DataFrame, col_name: str = "filename", *, url_decode: bool =
     return df.withColumn(col_name, base)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema_conf,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    options: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """Schema-declared JSONL scan with an explicit malformed-record
+    policy — the ingest decision every semi-structured source forces:
+
+    - ``PERMISSIVE``: bad lines yield nulls + the raw line in
+      ``corrupt_col`` (quarantine-able, the default);
+    - ``DROPMALFORMED``: bad lines silently dropped;
+    - ``FAILFAST``: the first bad line fails the job.
+
+    The corrupt column is appended to the declared schema here (Spark
+    only populates it when the schema contains it). Explicit schema ⇒
+    no inference scan; the JSON reader is a DSv2 file scan, so pruning
+    and pushdown still apply to well-formed columns.
+    """
+    mode = mode.upper()
+    if mode not in {"PERMISSIVE", "DROPMALFORMED", "FAILFAST"}:
+        raise ValueError(f"unknown JSON mode: {mode!r}")
+    schema = build_schema(schema_conf)
+    if mode == "PERMISSIVE":
+        from pyspark.sql import types as T
+
+        schema = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+    reader = (
+        spark.read.format("json")
+        .schema(schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
+    return reader.load(path)
+
+
+def quarantine_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (clean, quarantine): clean rows with
+    the corrupt column dropped, and the raw offending lines for a
+    dead-letter sink. The frame is cached first — Spark refuses to
+    filter on ONLY the corrupt column of an unmaterialized JSON scan
+    (internal-corrupt-record restriction), and the cache also keeps the
+    two writes to one parse of the input.
+    """
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, quarantined
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -301,3 +301,49 @@ def test_python_datasource_connector(spark):
     assert a[0][0] == 0 and a[-1][0] == 96
     langs = {r[2] for r in a}
     assert langs == {"en", "de", "fr", "es"}
+
+
+def test_jsonl_malformed_policies(spark, tmp_path):
+    """The three JSON malformed-record policies: PERMISSIVE quarantines,
+    DROPMALFORMED drops, FAILFAST raises."""
+    import pytest as _pytest
+
+    from pyspark_data_processing_challenge_spark.sources.readers import (
+        quarantine_corrupt,
+        read_jsonl,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "body": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "body": "also ok"}\n'
+        '{"id": "NaNope", "body": 3}\n'
+    )
+    schema_conf = [
+        {"name": "id", "type": "long", "nullable": True},
+        {"name": "body", "type": "string", "nullable": True},
+    ]
+    perm = read_jsonl(spark, str(p), schema_conf)
+    clean, quarantined = quarantine_corrupt(perm)
+    assert sorted((r["id"], r["body"]) for r in clean.collect()) == [
+        (1, "ok"),
+        (2, "also ok"),
+    ]
+    bad = [r["raw_line"] for r in quarantined.collect()]
+    assert "this is not json" in bad and len(bad) == 2
+
+    # engine subtlety worth pinning: materialized DROPMALFORMED drops
+    # BOTH the syntax error and the type-mismatch row — but a bare
+    # count() says 3, because column pruning strips the schema from the
+    # scan and the parser then only checks SYNTAX. Row-count gates over
+    # DROPMALFORMED JSON must count a materialized column, not count().
+    dropped = read_jsonl(spark, str(p), schema_conf, mode="DROPMALFORMED")
+    assert len(dropped.collect()) == 2
+    assert dropped.count() == 3  # pruned-scan count sees syntax only
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_jsonl(spark, str(p), schema_conf, mode="FAILFAST").collect()
+
+    with _pytest.raises(ValueError, match="unknown JSON mode"):
+        read_jsonl(spark, str(p), schema_conf, mode="LENIENT")
