@@ -51,6 +51,64 @@ def read_events_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Bounded documents stream (test source; Kafka in production)."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def decontaminate_stream(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Streaming ingest-time decontamination — flag arriving documents
+    against a STATIC benchmark n-gram set before they ever land in the
+    corpus (cheaper than batch-scrubbing later). Stream-static join:
+    the benchmark grams broadcast to every micro-batch; per-doc state
+    is the explode + aggregate keyed on the doc id, so no watermark is
+    needed (each doc's grams arrive in one batch). Exactly the batch
+    operator's plan (operators/curation.decontaminate) lifted to a
+    micro-batch, which is what the twin test asserts.
+    """
+    from ..functions import textfns
+
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(textfns.shingles(F.col(text_col), ngram_n)).alias("g")
+        ).distinct()
+    )
+    doc_grams = docs_stream.select(
+        F.col(id_col),
+        F.explode(textfns.shingles(F.col(text_col), ngram_n)).alias("g"),
+    )
+    return (
+        doc_grams.join(bench_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
 def hourly_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling 1-hour aggregation — streaming twin of the
     batch ``events_hourly`` query (same grouping, same aggregates)."""

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pyspark_data_processing_challenge_spark.functions import textfns
 from pyspark_data_processing_challenge_spark.operators import multimodal
 from pyspark_data_processing_challenge_spark.queries.relational import events_hourly
 from pyspark_data_processing_challenge_spark.streaming import events as sev
@@ -484,3 +485,38 @@ def test_phash_banding_is_pigeonhole_complete(spark):
                     brute.add((a["media_id"], b["media_id"], dist))
     assert got == brute and brute
     hashes.unpersist()
+
+
+def test_streaming_decontamination_matches_batch(spark):
+    """Ingest-time decontamination: the streamed per-doc hit counts must
+    equal the batch operator's contaminated rows."""
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    bench = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % llm.DECON_BENCH_MOD == 0)
+        .select(
+            F.array_join(
+                F.slice(
+                    textfns.tokens(F.lower(F.col("text"))),
+                    1,
+                    llm.DECON_EXCERPT_TOKENS,
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    stream = sev.read_documents_stream(spark, SF_DIR)
+    out = sev.decontaminate_stream(stream, bench, ngram_n=llm.DECON_NGRAM)
+    sev.run_to_memory(out, "decon_stream")
+    got = {
+        (r["doc_id"], r["n_hit_ngrams"])
+        for r in spark.table("decon_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_hit_ngrams"])
+        for r in llm.docs_decontaminate(spark, SF_DIR)
+        .filter(F.col("contaminated"))
+        .collect()
+    }
+    assert got == want and want
