@@ -40,6 +40,7 @@ _VERDICT_PRIORITY = [
     "docs_split_assign",  # new: deterministic train/val/test split
     "docs_pack_sequences",  # new: GPT-style sequence packing
     "profile_orders",  # new: single-pass table profiler
+    "kmeans_two_step",  # new: two Lloyd iterations, iterative shape
     # --- re-verified green (r02 unless noted) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
@@ -80,7 +81,6 @@ _VERDICT_PRIORITY = [
     "docs_token_stats",
     "docs_lang_id",
     "docs_quality",
-    "dedup_drop_exact",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -126,6 +126,7 @@ _ROTATED_OUT = {
     "near_dup_clusters": "r01+r02",
     "curate_corpus": "r01+r02",
     "minhash_signatures_fast": "r01+r02",
+    "dedup_drop_exact": "r01+r02",
 }
 
 

@@ -425,6 +425,36 @@ def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Lloyd iterations — the iterative-algorithm shape end to end:
+    assign (broadcast codebook) → M-step means → rebuild the codebook →
+    assign again. Each round is one broadcast join + one shuffle;
+    at scale, rounds chain with localCheckpoint lineage cuts (see
+    operators/graph.py for the pattern under AQE).
+
+    Cross-engine determinism: the M-step means are ROUNDED (6 dp) before
+    feeding iteration 2 in BOTH engines — double summation order differs
+    between engines, and rounding re-synchronizes the inputs so the
+    iteration-2 cosines (identical left-fold order) match bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(emb, cent, centroid_id="cid", centroid_vec="cv")
+    means = (
+        assigned.select("centroid_id", F.posexplode("vec").alias("dim", "v"))
+        .groupBy("centroid_id", "dim")
+        .agg(round_to(F.avg("v"), 6).alias("c"))
+    )
+    cent2 = means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda x: x["c"]
+        ).alias("cv")
+    ).select(F.col("centroid_id").alias("cid"), "cv")
+    out = similarity.ivf_assign(emb, cent2, centroid_id="cid", centroid_vec="cv")
+    return out.select(F.col("doc").alias("vec_id"), "centroid_id")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -541,6 +571,36 @@ FROM expl GROUP BY 1, 2
 """
 )
 
+_KMEANS2_SQL = (
+    "WITH"
+    + _IVF_ASSIGN_CTE
+    + f""",
+  expl AS (
+    SELECT centroid_id,
+      unnest(list_transform(range(1, 65), i -> {{'dim': i - 1, 'v': e[i]}})) AS u
+    FROM assigned
+  ),
+  means AS (
+    SELECT centroid_id, CAST(u['dim'] AS INT) AS dim,
+      {sql_round("avg(u['v'])", 6)} AS c
+    FROM expl GROUP BY 1, 2
+  ),
+  cent2 AS (
+    SELECT centroid_id AS cid, list(c ORDER BY dim) AS cv
+    FROM means GROUP BY 1
+  ),
+  scored2 AS (
+    SELECT v.vec_id, cent2.cid,
+      {_IVF_COS.format(a="v.e", b="cent2.cv")} AS cos
+    FROM v, cent2
+  )
+SELECT vec_id, cid AS centroid_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM scored2
+) WHERE rn = 1
+"""
+)
+
 _IVF_TOPK_SQL = (
     "WITH"
     + _IVF_ASSIGN_CTE
@@ -594,6 +654,7 @@ QUERIES = {
     "ivf_assignments": ivf_assignments,
     "ivf_topk": ivf_topk,
     "kmeans_update_centroids": kmeans_update_centroids,
+    "kmeans_two_step": kmeans_two_step,
     "events_variant_stats": events_variant_stats,
 }
 
@@ -670,6 +731,7 @@ ORACLES = {
     "ivf_assignments": _IVF_ASSIGN_SQL,
     "ivf_topk": _IVF_TOPK_SQL,
     "kmeans_update_centroids": _KMEANS_SQL,
+    "kmeans_two_step": _KMEANS2_SQL,
     # same oracle as the JSON-path twin — both decode paths must agree
     "events_variant_stats": _EVENTS_JSON_SQL,
 }

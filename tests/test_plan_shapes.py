@@ -173,3 +173,11 @@ def test_pack_sequences_window_is_sharded(spark):
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
     assert not plans.global_window_over_raw(df)
+
+
+def test_kmeans_two_step_broadcasts_both_codebooks(spark):
+    df = extended.kmeans_two_step(spark, SF_DIR)
+    # iteration-1 codebook AND the rebuilt iteration-2 codebook both
+    # broadcast; the M-step agg is the only real shuffle chain
+    assert plans.broadcast_join_count(df) >= 2
+    assert plans.sort_merge_join_count(df) == 0
