@@ -111,6 +111,35 @@ def split_assign(
     return df.withColumn(out_col, expr)
 
 
+def sample_by_rates(
+    df: DataFrame,
+    domain_col: str,
+    key,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 1.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-domain downsampling — the dataset-mixing step
+    (keep 100% of high-quality domains, x% of web crawl): a row
+    survives iff portable_hash(key ':' domain) mod ``buckets`` falls
+    under its domain's rate. A pure row-local filter — no shuffle, no
+    RNG, stable under reruns/backfills, reproducible in any engine
+    (unlike ``DataFrame.sample``, whose output depends on partitioning
+    and the Spark RNG). Salting the hash with the domain decorrelates a
+    key's fate across domains."""
+    gate = textfns.char_hash(
+        F.concat(key.cast("string"), F.lit(":"), F.col(domain_col))
+    ) % F.lit(buckets)
+    threshold = F.lit(int(default_rate * buckets))
+    for domain, rate in rates.items():
+        threshold = (
+            F.when(F.col(domain_col) == domain, int(rate * buckets))
+            .otherwise(threshold)
+        )
+    return df.filter(gate < threshold)
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str,

@@ -41,6 +41,7 @@ _VERDICT_PRIORITY = [
     "docs_pack_sequences",  # new: GPT-style sequence packing
     "profile_orders",  # new: single-pass table profiler
     "kmeans_two_step",  # new: two Lloyd iterations, iterative shape
+    "docs_domain_mix",  # new: deterministic dataset mixing
     # --- re-verified green (r02 unless noted) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
@@ -80,7 +81,6 @@ _VERDICT_PRIORITY = [
     "sessionize_events",
     "docs_token_stats",
     "docs_lang_id",
-    "docs_quality",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -127,6 +127,7 @@ _ROTATED_OUT = {
     "curate_corpus": "r01+r02",
     "minhash_signatures_fast": "r01+r02",
     "dedup_drop_exact": "r01+r02",
+    "docs_quality": "r01+r02",
 }
 
 

@@ -415,6 +415,35 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+MIX_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.25, "zh": 0.25}
+
+
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: per-language downsampling at declared rates via
+    a deterministic salted-hash gate (operators/curation.
+    sample_by_rates) — row-local filter, no shuffle, no RNG;
+    reproducible in any engine, unlike DataFrame.sample."""
+    from ..operators import curation
+
+    d = t(spark, sf_dir, "documents")
+    out = curation.sample_by_rates(d, "lang", F.col("doc_id"), MIX_RATES)
+    return out.select("doc_id", "lang")
+
+
+def _sql_mix_threshold() -> str:
+    expr = "10000"
+    for domain, rate in MIX_RATES.items():
+        expr = f"CASE WHEN lang = '{domain}' THEN {int(rate * 10000)} ELSE {expr} END"
+    return expr
+
+
+_MIX_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {sql_char_hash("doc_id::VARCHAR || ':' || lang")} % 10000
+      < {_sql_mix_threshold()}
+"""
+
+
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: per shard (doc_id mod 8), documents
     concatenate in id order and cut every 256 tokens; emits each doc's
@@ -1076,6 +1105,7 @@ QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_split_assign": docs_split_assign,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_domain_mix": docs_domain_mix,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_repetition": docs_repetition,
@@ -1120,6 +1150,7 @@ ORACLES = {
     "docs_decontaminate": _DECON_SQL,
     "docs_split_assign": _SPLIT_SQL,
     "docs_pack_sequences": _PACK_SQL,
+    "docs_domain_mix": _MIX_SQL,
     "docs_bpe_token_count": _BPE_SQL,
     "docs_pii_scrub": _PII_SQL,
     "docs_repetition": _REPETITION_SQL,

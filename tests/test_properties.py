@@ -276,3 +276,32 @@ def test_snapshot_diff_roundtrips_merge(spark, changes):
         for r in cdc.snapshot_diff(old, new, ["k"], ["v"]).collect()
     }
     assert got == expect
+
+
+@SETTINGS
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=4, max_size=40
+    ),
+    buckets=st.integers(min_value=2, max_value=5),
+)
+def test_order_statistics_ntile_equivalence(spark, values, buckets):
+    """ntile_assign (approx-bracket + exact refine, no global sort) must
+    equal window ntile for ANY value multiset — negatives, heavy ties,
+    every n mod buckets residue — because the (value, key) order is
+    total. accuracy=50 deliberately widens sketch brackets."""
+    from pyspark.sql import Window
+
+    from pyspark_data_processing_challenge_spark.operators import selection
+
+    df = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate(values)], "v double, k long"
+    )
+    got = selection.ntile_assign(df, "v", "k", buckets, accuracy=50)
+    w = Window.orderBy(F.col("v").desc(), F.col("k"))
+    want = df.select(
+        "k", F.ntile(buckets).over(w).cast("long").alias("bucket")
+    )
+    g = {r["k"]: r["bucket"] for r in got.select("k", "bucket").collect()}
+    e = {r["k"]: r["bucket"] for r in want.collect()}
+    assert g == e
