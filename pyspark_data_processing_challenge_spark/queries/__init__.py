@@ -42,6 +42,7 @@ _VERDICT_PRIORITY = [
     "profile_orders",  # new: single-pass table profiler
     "kmeans_two_step",  # new: two Lloyd iterations, iterative shape
     "docs_domain_mix",  # new: deterministic dataset mixing
+    "embedding_quantize",  # new: int8 quantization + recon contract
     # --- re-verified green (r02 unless noted) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
@@ -80,7 +81,6 @@ _VERDICT_PRIORITY = [
     "join_revenue_by_nation",
     "sessionize_events",
     "docs_token_stats",
-    "docs_lang_id",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -128,6 +128,7 @@ _ROTATED_OUT = {
     "minhash_signatures_fast": "r01+r02",
     "dedup_drop_exact": "r01+r02",
     "docs_quality": "r01+r02",
+    "docs_lang_id": "r01+r02",
 }
 
 

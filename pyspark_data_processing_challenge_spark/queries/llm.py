@@ -415,6 +415,63 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings — the storage/IO move for
+    a 100 TB embedding table (4 bytes→1 byte per dim): per-vector scale
+    = max|v|/127, q = floor(v/scale + 0.5) (portable half-up round),
+    all JVM Column HOFs. Emits the quantized L1 norm plus the cosine
+    between the original and its DEQUANTIZED reconstruction — pure
+    deterministic IEEE arithmetic with an identical left-fold order in
+    both engines, so the oracle hash-checks reconstruction quality
+    directly (no tolerance band needed). Note cos is computed on a
+    STAGED dq column — referencing a HOF subtree twice re-evaluates it
+    (CLAUDE.md expression-performance trap)."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = vectors.as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    staged = emb.select("vec_id", v.alias("__v"), scale.alias("__s"))
+    q = F.transform(
+        F.col("__v"), lambda x: F.floor(x / F.col("__s") + F.lit(0.5)).cast("long")
+    )
+    staged = staged.withColumn("__q", q)
+    dq = F.transform(F.col("__q"), lambda x: x.cast("double") * F.col("__s"))
+    staged = staged.withColumn("__dq", dq)
+    l1_q = F.aggregate(
+        F.col("__q"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+    )
+    return staged.select(
+        "vec_id",
+        round_to(F.col("__s"), 9).alias("scale"),
+        l1_q.alias("q_l1"),
+        round_to(vectors.cosine(F.col("__v"), F.col("__dq")), 6).alias("cos_recon"),
+    )
+
+
+_QUANT_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+    list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+  FROM v
+), q AS (
+  SELECT vec_id, e, sc,
+    list_transform(e, x -> floor(x / sc + 0.5)::BIGINT) AS qv
+  FROM s
+), dq AS (
+  SELECT vec_id, e, sc, qv,
+    list_transform(qv, x -> x::DOUBLE * sc) AS dqv
+  FROM q
+)
+SELECT vec_id,
+  {sql_round("sc", 9)} AS scale,
+  list_reduce(list_prepend(0::BIGINT, list_transform(qv, x -> abs(x))),
+              (a, b) -> a + b) AS q_l1,
+  {sql_round(sql_cosine("e", "dqv", 64), 6)} AS cos_recon
+FROM dq
+"""
+
+
 MIX_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.25, "zh": 0.25}
 
 
@@ -1106,6 +1163,7 @@ QUERIES = {
     "docs_split_assign": docs_split_assign,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_domain_mix": docs_domain_mix,
+    "embedding_quantize": embedding_quantize,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_repetition": docs_repetition,
@@ -1151,6 +1209,7 @@ ORACLES = {
     "docs_split_assign": _SPLIT_SQL,
     "docs_pack_sequences": _PACK_SQL,
     "docs_domain_mix": _MIX_SQL,
+    "embedding_quantize": _QUANT_SQL,
     "docs_bpe_token_count": _BPE_SQL,
     "docs_pii_scrub": _PII_SQL,
     "docs_repetition": _REPETITION_SQL,
