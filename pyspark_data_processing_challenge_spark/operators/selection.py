@@ -40,14 +40,17 @@ from pyspark.sql import functions as F
 def ntile_cut_ranks(n: int, buckets: int) -> list[int]:
     """The 1-indexed ranks of the LAST row of each of the first
     ``buckets - 1`` ntile buckets (ntile semantics: the first n % k
-    buckets get one extra row)."""
-    if n < buckets:
-        raise ValueError(f"ntile({buckets}) over {n} rows: fewer rows than buckets")
+    buckets get one extra row). With n < buckets the trailing buckets
+    are empty — their cut ranks repeat the last occupied rank, and the
+    strictly-after boundary comparison then skips them, exactly like
+    ``F.ntile``."""
+    if n < 1:
+        raise ValueError(f"ntile over {n} rows")
     base, extra = divmod(n, buckets)
     cuts, cum = [], 0
     for i in range(buckets - 1):
         cum += base + (1 if i < extra else 0)
-        cuts.append(cum)
+        cuts.append(max(cum, 1))
     return cuts
 
 
@@ -141,6 +144,8 @@ def ntile_assign(
     output to ``F.ntile(buckets).over(Window.orderBy(...))`` but with a
     scale-safe plan (no Exchange SinglePartition, no WindowExec)."""
     n = df.count()
+    if n == 0:
+        return rank_bucket_assign(df, value_col, tie_col, [], bucket_col="bucket")
     cuts = ntile_cut_ranks(n, buckets)
     bounds = exact_order_statistics(df, value_col, tie_col, cuts, n=n, accuracy=accuracy)
     return rank_bucket_assign(df, value_col, tie_col, bounds, bucket_col="bucket")

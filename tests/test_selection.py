@@ -15,8 +15,31 @@ def test_ntile_cut_ranks():
     # 10 rows, 4 buckets -> sizes 3,3,2,2 -> cuts at 3,6,8
     assert selection.ntile_cut_ranks(10, 4) == [3, 6, 8]
     assert selection.ntile_cut_ranks(8, 4) == [2, 4, 6]
+    # fewer rows than buckets: trailing buckets empty, cut ranks repeat
+    assert selection.ntile_cut_ranks(3, 4) == [1, 2, 3]
+    assert selection.ntile_cut_ranks(1, 4) == [1, 1, 1]
     with pytest.raises(ValueError):
-        selection.ntile_cut_ranks(3, 4)
+        selection.ntile_cut_ranks(0, 4)
+
+
+def test_ntile_assign_fewer_rows_than_buckets(spark):
+    from pyspark.sql import Window
+
+    df = spark.range(3).select(
+        (F.col("id") % 2).cast("double").alias("v"), F.col("id").alias("k")
+    )
+    got = {
+        r["k"]: r["bucket"]
+        for r in selection.ntile_assign(df, "v", "k", 5).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("k"))
+    want = {
+        r["k"]: r["bucket"]
+        for r in df.select(
+            "k", F.ntile(5).over(w).cast("long").alias("bucket")
+        ).collect()
+    }
+    assert got == want
 
 
 @pytest.mark.parametrize("n", [4, 5, 6, 7, 101])
