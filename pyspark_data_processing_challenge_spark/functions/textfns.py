@@ -63,16 +63,27 @@ def shingles(c: Column, n: int = 3) -> Column:
 
     Texts with fewer than n tokens yield a single shingle of all their
     tokens (so short docs still participate in similarity).
+
+    PERFORMANCE: the token array is bound ONCE per row as a lambda
+    variable (``transform(array(toks), t -> …)[0]``). Referencing the
+    ``tokens()`` subtree directly inside the per-shingle lambda would
+    re-run the whitespace split once per shingle — O(tokens²) splits
+    per document (measured ~5x on corpus-wide shingling; same class of
+    trap as ``shingle_hashes``'s staging note).
     """
     toks = tokens(F.lower(c))
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+
+    def grams_of(t: Column) -> Column:
+        k = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+        return F.when(
+            F.size(t) == 0, F.array().cast("array<string>")
+        ).otherwise(F.array_distinct(grams))
+
+    return F.transform(F.array(toks), grams_of).getItem(0)
 
 
 def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
