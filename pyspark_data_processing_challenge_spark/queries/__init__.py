@@ -43,6 +43,8 @@ _VERDICT_PRIORITY = [
     "kmeans_two_step",  # new: two Lloyd iterations, iterative shape
     "docs_domain_mix",  # new: deterministic dataset mixing
     "embedding_quantize",  # new: int8 quantization + recon contract
+    "docs_sentences_udtf",  # new: Python UDTF surface
+    "events_grouped_center",  # new: grouped-map applyInPandas surface
     # --- re-verified green (r02 unless noted) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
@@ -76,11 +78,9 @@ _VERDICT_PRIORITY = [
     "docs_pii_scrub",
     "cdc_merge_delete_orders",
     "snapshot_diff_orders",
-    "op_dedup_subset",
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "sessionize_events",
-    "docs_token_stats",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -129,6 +129,8 @@ _ROTATED_OUT = {
     "dedup_drop_exact": "r01+r02",
     "docs_quality": "r01+r02",
     "docs_lang_id": "r01+r02",
+    "docs_token_stats": "r01+r02",
+    "op_dedup_subset": "r01+r02",
 }
 
 

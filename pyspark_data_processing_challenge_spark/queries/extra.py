@@ -510,7 +510,95 @@ FROM part JOIN probes ON levenshtein(p_name, probe) <= {FUZZY_MAX_DIST}
 """
 
 
+def docs_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): a table function splitting each
+    document into '. '-separated segments with positions, applied via
+    LATERAL join. API-surface demo with an exact oracle — for a literal
+    split the SCALE path is the built-in split+posexplode (JVM-side,
+    see posexplode_tokens); a UDTF earns its row-at-a-time Python cost
+    only when the generator logic can't be a Column expression."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, sentence: string")
+    class SplitSents:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i, s
+
+    spark.udtf.register("split_sents", SplitSents)
+    d = t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_udtf_v")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence "
+        "FROM __docs_udtf_v d, LATERAL split_sents(d.text) s "
+        "WHERE d.text IS NOT NULL"
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "sentence")
+
+
+_SENTS_SQL = """
+WITH parts AS (
+  SELECT doc_id, string_split(text, '. ') AS p
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(u['pos'] AS BIGINT) AS pos,
+  CAST(u['sentence'] AS VARCHAR) AS sentence
+FROM (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(p) + 1),
+                          i -> {'pos': i - 1, 'sentence': p[i]})) AS u
+  FROM parts
+)
+"""
+
+
+def events_grouped_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` surface: per event_type, center
+    each value on the group median computed IN PANDAS (numpy median ==
+    quantile_cont interpolation — identical IEEE arithmetic, so the
+    oracle hash-checks it). The grouped-map form is for per-group logic
+    a Column expression can't state; THIS particular computation's
+    scale path is the built-in percentile + broadcast join — documented
+    here as the trade-off, like the UDTF twin."""
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = float(np.median(pdf["value"].to_numpy()))
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "centered": pdf["value"].to_numpy() - med,
+            }
+        )
+
+    out = e.groupBy("event_type").applyInPandas(
+        center, "event_id long, event_type string, centered double"
+    )
+    return out.select(
+        "event_id", "event_type", round_to(F.col("centered"), 6).alias("centered")
+    )
+
+
+_GROUPED_CENTER_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+  {sql_round("e.value - med.m", 6)} AS centered
+FROM events e JOIN med USING (event_type)
+"""
+
+
 QUERIES = {
+    "docs_sentences_udtf": docs_sentences_udtf,
+    "events_grouped_center": events_grouped_center,
     "range_join_promos": range_join_promos,
     "unpivot_lineitem": unpivot_lineitem,
     "grouping_sets_orders": grouping_sets_orders,
@@ -528,6 +616,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_sentences_udtf": _SENTS_SQL,
+    "events_grouped_center": _GROUPED_CENTER_SQL,
     "range_join_promos": _RANGE_JOIN_SQL,
     "unpivot_lineitem": _UNPIVOT_SQL,
     "grouping_sets_orders": _GROUPING_SETS_SQL,
