@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.textfns import HASH_MOD, MINHASH_P, minhash_coeffs
 
@@ -19,15 +20,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet holds TIMESTAMP(NANOS) — illegal for Spark's
-    vectorized reader. Read nanos as long (legacy conf, set here so any
-    host session works) and truncate to microseconds, matching the
-    oracle's ``CAST(ts AS TIMESTAMP)`` (TIMESTAMP_NS → µs truncation).
+    """events.parquet holds TIMESTAMP(NANOS); normalize ``ts`` to a µs
+    session-TZ timestamp matching the oracle's ``CAST(ts AS TIMESTAMP)``
+    (TIMESTAMP_NS → µs truncation).
+
+    Two reader behaviors exist across Spark 4.1.x: older builds honor
+    ``spark.sql.legacy.parquet.nanosAsLong`` (nanos surface as BIGINT);
+    4.1.2+ ignores that conf and infers TIMESTAMP_NTZ natively (already
+    µs-truncated, verified equal to DuckDB's cast). Branch on the
+    inferred type so both work.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division: epoch-nanos (~1.7e18) don't fit a double mantissa
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division: epoch-nanos (~1.7e18) don't fit a double mantissa
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ → TIMESTAMP: with the session TZ pinned to UTC (see t()) this
+    # relabels the same wall-clock instant, keeping the output schema
+    # identical to the legacy path.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def round_to(c: Column, scale: int) -> Column:
