@@ -691,3 +691,97 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# repeated-substring (duplicated span) detection — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": find
+# verbatim token spans that occur more than once across the corpus.
+# --------------------------------------------------------------------------
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document statistics of verbatim duplicated token spans.
+
+    A position ``p`` in a document is *duplicated* when its word
+    ``k``-gram (tokens p..p+k-1) occurs at least ``min_count`` times in
+    the whole corpus (within-document repeats count — same as the
+    suffix-array formulation's "appears elsewhere"). Overlapping or
+    adjacent duplicated k-gram positions merge into maximal spans.
+
+    Returns one row per input document:
+      dup_positions — number of duplicated k-gram start positions
+      dup_spans     — number of maximal duplicated spans
+      dup_token_cov — tokens covered by the union of those spans
+
+    Plan (the 100 TB shape — no suffix array needed distributed):
+      1. posexplode the k-gram array: linear in corpus token count.
+      2. groupBy gram with map-side partial counts: duplicated grams
+         are the small survivor set (``count >= min_count``).
+      3. inner-join positions against that survivor set. The survivor
+         side is orders of magnitude smaller than the corpus — Spark's
+         AQE usually broadcasts it; semantics don't depend on strategy.
+      4. span merge via a window PARTITIONED BY document (never global)
+         + per-doc aggregate: one shuffle on the document key.
+    At petabyte scale step 2/3 would key on a 64-bit gram hash instead
+    of the gram string; the string form is kept here so the DuckDB
+    oracle is collision-free and bit-exact.
+    """
+    toks = textfns.tokens(F.col(text_col))
+    doc = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    # k-gram per start position; docs shorter than k have none
+    grams = doc.select(
+        "doc_id",
+        F.posexplode(
+            # guard: sequence(0, n) with n < 0 counts DOWN in Spark —
+            # short docs must yield an empty gram array, not [0, -1]
+            F.when(
+                F.size("__t") < k, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - k),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k)),
+                )
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup_pos.withColumn(
+        "__new_span",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= F.lit(k), F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("__span", F.sum("__new_span").over(w))
+    spans = flagged.groupBy("doc_id", "__span").agg(
+        F.count(F.lit(1)).alias("__n_pos"),
+        (F.max("pos") - F.min("pos") + k).alias("__cov"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("__n_pos").alias("dup_positions"),
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum("__cov").alias("dup_token_cov"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.coalesce("dup_token_cov", F.lit(0)).alias("dup_token_cov"),
+        )
+    )

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cdcq, extended, extra, llm, reference, relational
+from . import advanced, cdcq, extended, extra, llm, reference, relational
 
-_MODULES = (reference, relational, llm, extended, cdcq, extra)
+_MODULES = (reference, relational, llm, extended, cdcq, extra, advanced)
 
 # The external driver records correctness verdicts for the first 50
 # catalog entries in dict order. Entries that still need a driver
@@ -29,7 +29,9 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra)
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- need a (new) verdict this round ---
+    # --- need a (new) verdict this round (round 5 additions) ---
+    "docs_dup_spans",  # new: repeated-substring span dedup (Lee et al.)
+    # --- r04-green, re-verified ---
     "docs_repetition",  # r02 hash-red (oracle HUGEINT dtype); fixed
     "events_variant_stats",  # never inside the graded window before
     "agg_quartiles_orders",  # new: scale-safe ntile twin

@@ -1,0 +1,58 @@
+"""Unit tests for repeated-substring span detection
+(operators/dedup.duplicated_span_stats) — the distributed form of
+suffix-array substring dedup (no reference counterpart; north star)."""
+
+from __future__ import annotations
+
+from pyspark_data_processing_challenge_spark.operators import dedup
+
+
+def _stats(spark, rows, k=3):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.duplicated_span_stats(df, "text", "doc_id", k=k)
+    return {r.doc_id: (r.dup_positions, r.dup_spans, r.dup_token_cov) for r in out.collect()}
+
+def test_no_duplicates_all_zero(spark):
+    got = _stats(spark, [(1, "a b c d e"), (2, "f g h i j")], k=3)
+    assert got == {1: (0, 0, 0), 2: (0, 0, 0)}
+
+
+def test_cross_doc_duplicate_span_merges(spark):
+    # "x y z w" shared verbatim: two overlapping 3-gram positions in
+    # each doc -> ONE maximal span covering 4 tokens
+    got = _stats(spark, [(1, "x y z w a"), (2, "b x y z w")], k=3)
+    assert got[1] == (2, 1, 4)
+    assert got[2] == (2, 1, 4)
+
+
+def test_within_doc_repeat_counts(spark):
+    # the 3-gram "p q r" occurs twice INSIDE one doc -> both positions
+    # duplicated; gap > k so they stay two separate spans of 3 tokens
+    got = _stats(spark, [(1, "p q r a b c d p q r")], k=3)
+    assert got[1] == (2, 2, 6)
+
+
+def test_adjacent_positions_merge_single_span(spark):
+    # positions 0 and 3 (gap == k) merge: [0,2] and [3,5] are adjacent
+    got = _stats(spark, [(1, "a b c d e f g"), (2, "a b c z d e f")], k=3)
+    # doc1: grams "a b c"@0 and "d e f"@3 duplicated -> merged span len 6
+    assert got[1] == (2, 1, 6)
+    # doc2: "a b c"@0, "d e f"@4 -> gap 4 > k -> two spans
+    assert got[2] == (2, 2, 6)
+
+
+def test_short_and_blank_docs_are_zero(spark):
+    got = _stats(spark, [(1, "a b"), (2, ""), (3, "   "), (4, "a b")], k=3)
+    # docs shorter than k contribute no grams at all — even identical ones
+    assert got == {1: (0, 0, 0), 2: (0, 0, 0), 3: (0, 0, 0), 4: (0, 0, 0)}
+
+
+def test_min_count_threshold(spark):
+    df_rows = [(1, "u v w a"), (2, "u v w b"), (3, "u v w c")]
+    # "u v w" occurs 3x corpus-wide; each doc's other gram is unique
+    got3 = _stats(spark, df_rows, k=3)
+    assert all(v == (1, 1, 3) for v in got3.values())
+    # raising min_count above corpus frequency suppresses everything
+    df = spark.createDataFrame(df_rows, ["doc_id", "text"])
+    out = dedup.duplicated_span_stats(df, "text", "doc_id", k=3, min_count=4)
+    assert all(r.dup_spans == 0 for r in out.collect())
