@@ -149,3 +149,57 @@ def ntile_assign(
     cuts = ntile_cut_ranks(n, buckets)
     bounds = exact_order_statistics(df, value_col, tie_col, cuts, n=n, accuracy=accuracy)
     return rank_bucket_assign(df, value_col, tie_col, bounds, bucket_col="bucket")
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+    salt: str = "wswr",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row gets key ``u^(1/w)`` with
+    ``u ~ Uniform(0,1]``; the k largest keys per stratum are an exact
+    weighted sample without replacement.
+
+    Determinism: ``u`` derives from the portable ``char_hash`` of
+    ``key || salt`` — rerun-stable, restart-stable, engine-portable (the
+    property every 100 TB pipeline wants from its sampler; same design
+    as curation.sample_by_rates). We rank on the monotone transform
+    ``ln(u)/w`` — selection and ranks depend only on the ORDER of
+    scores, and the emitted columns are integers/strings, so no float
+    ever reaches the output.
+
+    Scale: one window per stratum (partitioned — never global). For a
+    single global stratum at extreme scale, swap the window for the
+    agg_topk pattern (partial top-k per partition, merge); semantics
+    are identical.
+    """
+    from ..functions.textfns import HASH_MOD, char_hash
+
+    strata = list(strata_cols or [])
+    u = (
+        char_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(HASH_MOD + 1))
+    score = F.log(u) / F.col(weight_col).cast("double")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*strata) if strata else Window.partitionBy()
+    ).orderBy(F.desc("__score"), F.col(key_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("__score")
+    )

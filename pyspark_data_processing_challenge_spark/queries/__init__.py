@@ -31,6 +31,7 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced)
 _VERDICT_PRIORITY = [
     # --- need a (new) verdict this round (round 5 additions) ---
     "docs_dup_spans",  # new: repeated-substring span dedup (Lee et al.)
+    "docs_weighted_sample",  # new: A-ES weighted sampling w/o replacement
     # --- r04-green, re-verified ---
     "docs_repetition",  # r02 hash-red (oracle HUGEINT dtype); fixed
     "events_variant_stats",  # never inside the graded window before

@@ -11,8 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup
-from ._util import round_to, sql_round, sql_tokens, t
+from ..functions.textfns import HASH_MOD
+from ..operators import dedup, selection
+from ._util import round_to, sql_char_hash, sql_round, sql_tokens, t
 
 # ---------------------------------------------------------------------------
 # repeated-substring (duplicated span) dedup — Lee et al. 2022 family
@@ -81,10 +82,58 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+WSWR_K = 10
+WSWR_SALT = "wswr"
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement: k=10 docs per
+    source stratum, probability proportional to length (n_chars).
+    Output is integer/string-only — the float A-ES score orders rows but
+    never reaches the hashed result."""
+    d = t(spark, sf_dir, "documents")
+    out = selection.weighted_sample_without_replacement(
+        d.select("source", "doc_id", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=WSWR_K,
+        strata_cols=["source"],
+        salt=WSWR_SALT,
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+_WSWR_SQL = f"""
+WITH scored AS (
+  SELECT source, doc_id, n_chars,
+         ln(({sql_char_hash(f"(doc_id::VARCHAR || '{WSWR_SALT}')")} + 1)
+            / {float(HASH_MOD + 1)}) / n_chars AS s
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT source, doc_id, n_chars AS weight,
+         row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT source, doc_id, weight, rk FROM ranked WHERE rk <= {WSWR_K}
+"""
+
+
 QUERIES = {
     "docs_dup_spans": docs_dup_spans,
+    "docs_weighted_sample": docs_weighted_sample,
 }
 
 ORACLES = {
     "docs_dup_spans": _DUP_SPANS_SQL,
+    "docs_weighted_sample": _WSWR_SQL,
 }
