@@ -287,3 +287,28 @@ def fingerprint(c: Column) -> Column:
     """
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def char_entropy_bits(text: Column, chars_col: Column) -> Column:
+    """Shannon entropy (bits) of the character unigram distribution.
+
+    ``chars_col`` MUST be a staged projected column holding
+    ``F.split(text, '')`` (HOF-staging rule — see shingle_hashes): the
+    per-character count filter references it once per distinct char.
+
+    Fold order is pinned by sorting the distinct-char array (binary
+    codepoint order in both engines), so the float sum is the same IEEE
+    sequence the DuckDB oracle computes. Blank text → 0.0.
+    """
+    n = F.size(chars_col).cast("double")
+    counts = F.transform(
+        F.array_sort(F.array_distinct(chars_col)),
+        lambda c: F.size(F.filter(chars_col, lambda x: x == c)),
+    )
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc
+        + (cnt.cast("double") / n) * F.log2(cnt.cast("double") / n),
+    )
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(ent)

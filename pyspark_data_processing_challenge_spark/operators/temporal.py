@@ -97,3 +97,57 @@ def sessionize(
     return df.withColumn(
         "session_id", F.sum(new_session).over(w_cum).cast("long")
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: per entity, summarize runs of CONSECUTIVE
+    active calendar days (the classic streak analysis the reference's
+    relational surface can't express — SURVEY.md §2.5 has no windows).
+
+    Method: distinct (entity, day) → ``day - row_number()`` is constant
+    within a consecutive run (the island key) → two aggregates. Every
+    window is partitioned by entity; nothing global, scale-safe.
+
+    Returns per entity: active_days, n_streaks, max_streak, and
+    max_streak_start (earliest start among longest streaks).
+    """
+    days = df.select(
+        F.col(entity_col).alias("entity"), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    w = Window.partitionBy("entity").orderBy("day")
+    streaks = (
+        days.withColumn(
+            "__g", F.date_sub(F.col("day"), F.row_number().over(w))
+        )
+        .groupBy("entity", "__g")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.min("day").alias("start"),
+        )
+    )
+    per_entity = streaks.groupBy("entity").agg(
+        F.sum("len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+    )
+    best = (
+        streaks.join(per_entity, "entity")
+        .filter(F.col("len") == F.col("max_streak"))
+        .groupBy("entity")
+        .agg(F.min("start").alias("max_streak_start"))
+    )
+    return (
+        per_entity.join(best, "entity")
+        .select(
+            F.col("entity").alias(entity_col),
+            "active_days",
+            "n_streaks",
+            "max_streak",
+            "max_streak_start",
+        )
+    )

@@ -32,6 +32,9 @@ _VERDICT_PRIORITY = [
     # --- need a (new) verdict this round (round 5 additions) ---
     "docs_dup_spans",  # new: repeated-substring span dedup (Lee et al.)
     "docs_weighted_sample",  # new: A-ES weighted sampling w/o replacement
+    "user_streaks",  # new: gaps-and-islands consecutive-day streaks
+    "docs_char_entropy",  # new: char-unigram entropy quality signal
+    "events_arrow_scaled",  # new: mapInArrow (RecordBatch iterator) surface
     # --- r04-green, re-verified ---
     "docs_repetition",  # r02 hash-red (oracle HUGEINT dtype); fixed
     "events_variant_stats",  # never inside the graded window before

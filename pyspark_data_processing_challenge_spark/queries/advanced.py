@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textfns import HASH_MOD
-from ..operators import dedup, selection
+from ..functions import textfns
+from ..operators import dedup, selection, temporal
 from ._util import round_to, sql_char_hash, sql_round, sql_tokens, t
 
 # ---------------------------------------------------------------------------
@@ -128,12 +129,145 @@ SELECT source, doc_id, weight, rk FROM ranked WHERE rk <= {WSWR_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# gaps-and-islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+
+def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-active-day streak summary over the events
+    stream (gaps-and-islands via the day - row_number island key;
+    operators/temporal.activity_streaks)."""
+    e = t(spark, sf_dir, "events")
+    return temporal.activity_streaks(e, entity_col="user_id", ts_col="ts")
+
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS day FROM events
+),
+streaks AS (
+  SELECT user_id, day - (row_number() OVER (
+           PARTITION BY user_id ORDER BY day))::INT AS g,
+         day
+  FROM days
+),
+agg AS (
+  SELECT user_id, g, count(*)::BIGINT AS len, min(day) AS start
+  FROM streaks GROUP BY user_id, g
+),
+per_user AS (
+  SELECT user_id, sum(len)::BIGINT AS active_days,
+         count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS max_streak
+  FROM agg GROUP BY user_id
+)
+SELECT p.user_id, p.active_days, p.n_streaks, p.max_streak,
+       (SELECT min(a.start) FROM agg a
+        WHERE a.user_id = p.user_id AND a.len = p.max_streak
+       ) AS max_streak_start
+FROM per_user p
+"""
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram Shannon entropy per document — the classic
+    gibberish/boilerplate detector (low entropy = repeated characters,
+    high = random noise). All JVM-side HOFs; the distinct-char array is
+    sorted so the float fold order matches the oracle exactly."""
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "text", F.split(F.col("text"), "").alias("__chars")
+    )
+    return staged.select(
+        "doc_id",
+        F.size("__chars").cast("long").alias("n_chars_total"),
+        F.size(F.array_distinct("__chars")).cast("long").alias("distinct_chars"),
+        round_to(
+            textfns.char_entropy_bits(F.col("text"), F.col("__chars")), 6
+        ).alias("entropy_bits"),
+    )
+
+
+_ENTROPY_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text, string_split(text, '') AS ch FROM documents
+),
+s AS (
+  SELECT doc_id, text, ch, length(ch)::DOUBLE AS n,
+         list_sort(list_distinct(ch)) AS d
+  FROM c
+),
+e AS (
+  SELECT doc_id, length(ch)::BIGINT AS n_chars_total,
+         length(d)::BIGINT AS distinct_chars,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           -list_reduce(
+              list_prepend(0.0::DOUBLE, list_transform(d,
+                x -> (length(list_filter(ch, y -> y = x))::DOUBLE / n)
+                     * log2(length(list_filter(ch, y -> y = x))::DOUBLE / n))),
+              (a, b) -> a + b)
+         END AS raw_ent
+  FROM s
+)
+SELECT doc_id, n_chars_total, distinct_chars,
+       {sql_round("raw_ent", 6)} AS entropy_bits
+FROM e
+"""
+
+# ---------------------------------------------------------------------------
+# mapInArrow surface (Spark 4 iterator-of-RecordBatch API)
+# ---------------------------------------------------------------------------
+
+
+def events_arrow_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.mapInArrow`` coverage: per-batch pyarrow.compute
+    kernels with zero pandas materialization — the lowest-overhead
+    Python hook Spark offers (no index/objects, raw Arrow buffers).
+    The arithmetic (x*2+1) is exact IEEE so the oracle hash-matches.
+    Scale note: this surface is for logic that genuinely needs Python
+    (model scoring, codec calls); a pure arithmetic projection like
+    this one would normally stay a JVM Column expression.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = t(spark, sf_dir, "events").select("event_id", "value")
+
+    def scale(batches):
+        for b in batches:
+            scaled = pc.add(
+                pc.multiply(b.column("value"), pa.scalar(2.0)),
+                pa.scalar(1.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"), scaled], ["event_id", "value_scaled"]
+            )
+
+    return e.mapInArrow(scale, "event_id long, value_scaled double")
+
+
+_ARROW_SQL = """
+SELECT event_id, value * 2.0 + 1.0 AS value_scaled FROM events
+"""
+
+
 QUERIES = {
+    "events_arrow_scaled": events_arrow_scaled,
     "docs_dup_spans": docs_dup_spans,
     "docs_weighted_sample": docs_weighted_sample,
+    "user_streaks": user_streaks,
+    "docs_char_entropy": docs_char_entropy,
 }
 
 ORACLES = {
     "docs_dup_spans": _DUP_SPANS_SQL,
     "docs_weighted_sample": _WSWR_SQL,
+    "user_streaks": _STREAKS_SQL,
+    "docs_char_entropy": _ENTROPY_SQL,
+    "events_arrow_scaled": _ARROW_SQL,
 }
