@@ -351,15 +351,37 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("o_totalprice").alias("day_rev"))
     )
+    # Overlapping-partition carry: a 6-day lookback crosses at most one
+    # year boundary, so partition the window by year and replicate each
+    # Dec 26-31 row into the NEXT year's partition (carry rows feed
+    # January's frames, then drop out). No partition-less WindowExec
+    # anywhere — the pattern that keeps range windows parallel at any
+    # scale. Catalyst reuses the daily-aggregate exchange for both
+    # branches of the union.
     daynum = F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")).cast("long")
+    d2 = daily.withColumn("dn", daynum).withColumn("yr", F.year("day"))
+    main = d2.withColumn("part", F.col("yr")).withColumn(
+        "is_carry", F.lit(False)
+    )
+    carry = (
+        d2.filter((F.month("day") == 12) & (F.dayofmonth("day") >= 26))
+        .withColumn("part", F.col("yr") + 1)
+        .withColumn("is_carry", F.lit(True))
+    )
     w = (
-        Window.orderBy(daynum)
+        Window.partitionBy("part")
+        .orderBy("dn")
         .rangeBetween(-6, Window.currentRow)
     )
-    return daily.select(
-        "day",
-        round_to(F.col("day_rev"), 2).alias("day_rev"),
-        round_to(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    return (
+        main.unionByName(carry)
+        .withColumn("__roll", F.sum("day_rev").over(w))
+        .filter(~F.col("is_carry"))
+        .select(
+            "day",
+            round_to(F.col("day_rev"), 2).alias("day_rev"),
+            round_to(F.col("__roll"), 2).alias("rev_7d"),
+        )
     )
 
 

@@ -181,3 +181,35 @@ def test_kmeans_two_step_broadcasts_both_codebooks(spark):
     # broadcast; the M-step agg is the only real shuffle chain
     assert plans.broadcast_join_count(df) >= 2
     assert plans.sort_merge_join_count(df) == 0
+
+
+def test_rolling_window_is_year_partitioned(spark):
+    # the carry-row rewrite: the RANGE window must partition by year —
+    # no partition-less WindowExec, no single-partition exchange
+    from pyspark_data_processing_challenge_spark.queries import extra
+
+    df = extra.rolling_7d_revenue(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert not plans.global_window_over_raw(df)
+
+
+def test_dup_spans_survivor_set_and_doc_window(spark):
+    # repeated-substring dedup: the span-merge window partitions by
+    # doc; the whole plan never funnels to a single partition
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    df = advanced.docs_dup_spans(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert not plans.global_window_over_raw(df)
+
+
+def test_weighted_sample_window_is_stratified(spark):
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    df = advanced.docs_weighted_sample(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
