@@ -35,6 +35,7 @@ _VERDICT_PRIORITY = [
     "user_streaks",  # new: gaps-and-islands consecutive-day streaks
     "docs_char_entropy",  # new: char-unigram entropy quality signal
     "events_arrow_scaled",  # new: mapInArrow (RecordBatch iterator) surface
+    "orders_zvalue",  # new: Z-order (Morton) clustering key
     # --- r04-green, re-verified ---
     "docs_repetition",  # r02 hash-red (oracle HUGEINT dtype); fixed
     "events_variant_stats",  # never inside the graded window before

@@ -256,8 +256,83 @@ SELECT event_id, value * 2.0 + 1.0 AS value_scaled FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering value
+# ---------------------------------------------------------------------------
+
+Z_BITS = 8
+
+
+def orders_zvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve clustering key over (o_custkey, order-day) — the value
+    sources/maintenance.zorder_rewrite range-partitions on. Min-max
+    bucketing is IEEE double arithmetic and the Morton interleave is a
+    static shift-term sum, so the oracle reproduces every bit."""
+    from ..sources import maintenance as mnt
+
+    o = t(spark, sf_dir, "orders")
+    daynum = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("min1"),
+        F.max("o_custkey").alias("max1"),
+        F.min(daynum).alias("min2"),
+        F.max(daynum).alias("max2"),
+    ).first()
+    staged = o.select(
+        "o_orderkey",
+        mnt.minmax_bucket(
+            F.col("o_custkey"), stats["min1"], stats["max1"], Z_BITS
+        ).alias("b1"),
+        mnt.minmax_bucket(daynum, stats["min2"], stats["max2"], Z_BITS).alias(
+            "b2"
+        ),
+    )
+    return staged.select(
+        "o_orderkey",
+        "b1",
+        "b2",
+        mnt.interleave_bits(F.col("b1"), F.col("b2"), Z_BITS).alias("zval"),
+    )
+
+
+def _sql_interleave(b1: str, b2: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({b1} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b2} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZVALUE_SQL = f"""
+WITH dn AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1990-01-01', o_orderdate::DATE) AS d
+  FROM orders
+),
+stats AS (
+  SELECT min(o_custkey)::DOUBLE AS min1, max(o_custkey)::DOUBLE AS max1,
+         min(d)::DOUBLE AS min2, max(d)::DOUBLE AS max2
+  FROM dn
+),
+b AS (
+  SELECT o_orderkey,
+         floor((o_custkey::DOUBLE - min1) / (max1 - min1 + 1.0)
+               * {float(1 << Z_BITS)})::BIGINT AS b1,
+         floor((d::DOUBLE - min2) / (max2 - min2 + 1.0)
+               * {float(1 << Z_BITS)})::BIGINT AS b2
+  FROM dn, stats
+)
+SELECT o_orderkey, b1, b2,
+       {_sql_interleave("b1", "b2", Z_BITS)}::BIGINT AS zval
+FROM b
+"""
+
+
 QUERIES = {
     "events_arrow_scaled": events_arrow_scaled,
+    "orders_zvalue": orders_zvalue,
     "docs_dup_spans": docs_dup_spans,
     "docs_weighted_sample": docs_weighted_sample,
     "user_streaks": user_streaks,
@@ -270,4 +345,5 @@ ORACLES = {
     "user_streaks": _STREAKS_SQL,
     "docs_char_entropy": _ENTROPY_SQL,
     "events_arrow_scaled": _ARROW_SQL,
+    "orders_zvalue": _ZVALUE_SQL,
 }

@@ -60,3 +60,84 @@ def compact_parquet(
         out = df.repartition(n_out)
     out.write.mode("overwrite").parquet(dst_dir)
     return n_out
+
+
+# --------------------------------------------------------------------------
+# Z-order clustered rewrite (multi-dimensional data skipping)
+# --------------------------------------------------------------------------
+
+
+def minmax_bucket(c, cmin: float, cmax: float, bits: int):
+    """Scale a numeric column into an integer bucket in [0, 2^bits).
+
+    Pure IEEE arithmetic (double subtract/divide, floor) so the DuckDB
+    oracle reproduces it bit-exactly. ``cmin``/``cmax`` are driver-side
+    scalars (one tiny aggregate — the same pattern as quantile
+    broadcast in docs_outlier_trim).
+    """
+    from pyspark.sql import functions as F
+
+    frac = (c.cast("double") - float(cmin)) / (float(cmax) - float(cmin) + 1.0)
+    return F.floor(frac * float(1 << bits)).cast("long")
+
+
+def interleave_bits(b1, b2, bits: int):
+    """Morton (Z-curve) interleave of two bucket columns: bit i of b1 →
+    bit 2i+1, bit i of b2 → bit 2i. A sum of 2*bits static shift terms —
+    whole-stage-codegen-friendly, no UDF."""
+    from pyspark.sql import functions as F
+
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    out = terms[0]
+    for t_ in terms[1:]:
+        out = out + t_
+    return out.cast("long")
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    col1: str,
+    col2: str,
+    *,
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """Rewrite a parquet directory clustered along the Z-curve of two
+    columns, so parquet min/max stats bound BOTH dimensions per file and
+    scans with predicates on either (or both) columns skip most files —
+    the multi-dimensional generalization of the range-sorted rewrite
+    above (Delta/Iceberg's OPTIMIZE ZORDER, on plain parquet).
+
+    repartitionByRange on the z-value gives disjoint per-file z-ranges;
+    sortWithinPartitions clusters row groups inside each file. One
+    scalar aggregate + one range shuffle — linear, scale-safe.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_dir)
+    stats = df.agg(
+        F.min(col1).alias("min1"),
+        F.max(col1).alias("max1"),
+        F.min(col2).alias("min2"),
+        F.max(col2).alias("max2"),
+    ).first()
+    b1 = minmax_bucket(F.col(col1), stats["min1"], stats["max1"], bits)
+    b2 = minmax_bucket(F.col(col2), stats["min2"], stats["max2"], bits)
+    z = interleave_bits(b1, b2, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
