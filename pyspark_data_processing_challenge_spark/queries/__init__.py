@@ -36,23 +36,7 @@ _VERDICT_PRIORITY = [
     "docs_char_entropy",  # new: char-unigram entropy quality signal
     "events_arrow_scaled",  # new: mapInArrow (RecordBatch iterator) surface
     "orders_zvalue",  # new: Z-order (Morton) clustering key
-    # --- r04-green, re-verified ---
-    "docs_repetition",  # r02 hash-red (oracle HUGEINT dtype); fixed
-    "events_variant_stats",  # never inside the graded window before
-    "agg_quartiles_orders",  # new: scale-safe ntile twin
-    "approx_percentiles_by_type",  # new: percentile_approx contract
-    "image_phash",  # new: real pixel decode + dHash
-    "image_phash_near_dup",  # new: Hamming-banded image near-dup
-    "docs_decontaminate",  # new: benchmark n-gram decontamination
-    "docs_split_assign",  # new: deterministic train/val/test split
-    "docs_pack_sequences",  # new: GPT-style sequence packing
-    "profile_orders",  # new: single-pass table profiler
-    "kmeans_two_step",  # new: two Lloyd iterations, iterative shape
-    "docs_domain_mix",  # new: deterministic dataset mixing
-    "embedding_quantize",  # new: int8 quantization + recon contract
-    "docs_sentences_udtf",  # new: Python UDTF surface
-    "events_grouped_center",  # new: grouped-map applyInPandas surface
-    # --- re-verified green (r02 unless noted) ---
+    # --- re-verified green (r02/r04) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
     "approx_distinct_stats",
@@ -88,23 +72,45 @@ _VERDICT_PRIORITY = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "sessionize_events",
+    # --- oldest (r01-only) verdicts, promoted for re-verification ---
+    "op_date_filter",
+    "op_standardize_units",
+    "window_running_total",
+    "sort_top20_orders",
+    "events_hourly",
+    "asof_join_purchases",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "multimodal_meta",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
-    "op_date_filter": "r01",
+    # round-4 front-pinned additions: all 15 got green r04 verdicts
+    "docs_repetition": "r04",
+    "events_variant_stats": "r04",
+    "agg_quartiles_orders": "r04",
+    "approx_percentiles_by_type": "r04",
+    "image_phash": "r04",
+    "image_phash_near_dup": "r04",
+    "docs_decontaminate": "r04",
+    "docs_split_assign": "r04",
+    "docs_pack_sequences": "r04",
+    "profile_orders": "r04",
+    "kmeans_two_step": "r04",
+    "docs_domain_mix": "r04",
+    "embedding_quantize": "r04",
+    "docs_sentences_udtf": "r04",
+    "events_grouped_center": "r04",
     "op_equality_filter": "r01",
     "op_sentinel_filter": "r01",
     "op_membership_filter": "r01",
     "op_indicators": "r01",
     "op_fill_nulls": "r01",
-    "window_running_total": "r01",
     "window_lag_delta": "r01",
     "window_ntile_orders": "r01",
-    "sort_top20_orders": "r01",
     "minhash_signatures": "r01",
     "op_union_membership": "r01",
-    "op_standardize_units": "r01",
     "op_null_counts": "r01",
     "dedup_exact_groups": "r01",
     "simhash_values": "r01",
@@ -114,15 +120,10 @@ _ROTATED_OUT = {
     "rollup_lineitem": "r01",
     "array_agg_lineitems": "r01",
     "pivot_event_counts": "r01",
-    "events_hourly": "r01",
     "semi_join_urgent_customers": "r01",
     "anti_join_quiet_customers": "r01",
     "set_ops_segments": "r01",
-    "ngram_jaccard_pairs": "r01",
-    "embedding_near_dup": "r01",
     "sql_revenue_by_nation": "r01",
-    "asof_join_purchases": "r01",
-    "multimodal_meta": "r01",
     "window_topk_orders": "r01",
     "simhash_near_dup": "r01+r02",
     "embedding_topk": "r01+r02",
