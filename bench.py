@@ -59,6 +59,11 @@ HEADLINE = [
     "image_phash_near_dup",
     "docs_decontaminate",
     "docs_pack_sequences",
+    # round-5 additions
+    "docs_dup_spans",
+    "docs_char_entropy",
+    "user_streaks",
+    "orders_zvalue",
 ]
 
 
