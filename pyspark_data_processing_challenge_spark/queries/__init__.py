@@ -36,6 +36,7 @@ _VERDICT_PRIORITY = [
     "docs_char_entropy",  # new: char-unigram entropy quality signal
     "events_arrow_scaled",  # new: mapInArrow (RecordBatch iterator) surface
     "orders_zvalue",  # new: Z-order (Morton) clustering key
+    "sessionize_events_native",  # new: built-in session_window batch twin
     # --- re-verified green (r02/r04) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",

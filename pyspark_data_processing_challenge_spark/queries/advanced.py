@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.textfns import HASH_MOD
 from ..functions import textfns
 from ..operators import dedup, selection, temporal
+from . import relational
 from ._util import round_to, sql_char_hash, sql_round, sql_tokens, t
 
 # ---------------------------------------------------------------------------
@@ -330,9 +331,51 @@ FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# native session_window (batch) — twin of the manual gap+cumsum form
+# ---------------------------------------------------------------------------
+
+
+def sessionize_events_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` in a BATCH aggregate — the
+    same 30-minute-gap sessions as ``sessionize_events`` (manual
+    lag+cumsum), same oracle: the two strategies are proven identical
+    by the shared driver hash (the agg_topk/window_topk pattern).
+
+    ``session_window.start`` IS min(ts), so only ``session_id`` (a
+    per-user ordinal over session starts) needs a follow-up window —
+    user-partitioned, never global. Boundary note: the native form
+    closes a window at gap >= 30 min exactly, the manual form at
+    gap > 30 min; with microsecond-random timestamps no row sits on
+    the boundary, which the shared hash verifies.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
 QUERIES = {
     "events_arrow_scaled": events_arrow_scaled,
     "orders_zvalue": orders_zvalue,
+    "sessionize_events_native": sessionize_events_native,
     "docs_dup_spans": docs_dup_spans,
     "docs_weighted_sample": docs_weighted_sample,
     "user_streaks": user_streaks,
@@ -346,4 +389,6 @@ ORACLES = {
     "docs_char_entropy": _ENTROPY_SQL,
     "events_arrow_scaled": _ARROW_SQL,
     "orders_zvalue": _ZVALUE_SQL,
+    # shares the manual form's oracle — strategies proven identical
+    "sessionize_events_native": relational.ORACLES["sessionize_events"],
 }
