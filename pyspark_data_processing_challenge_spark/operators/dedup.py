@@ -785,3 +785,77 @@ def duplicated_span_stats(
             F.coalesce("dup_token_cov", F.lit(0)).alias("dup_token_cov"),
         )
     )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply repeated-substring dedup: drop every token covered by a
+    duplicated span (see duplicated_span_stats) and rebuild the text
+    with single-space joins. The aggressive variant of Lee et al.'s
+    substring dedup — all occurrences go, none is kept as canonical
+    (the right default for boilerplate: headers, licenses, templates).
+
+    Output: id, clean_text, n_removed (tokens dropped). Docs without
+    duplicated spans round-trip with normalized whitespace.
+
+    Plan: the dup-position set per doc (small) is collected into one
+    array via a doc-keyed aggregate, then token filtering is a pure
+    per-row HOF pass — no second explode, no window over tokens.
+    """
+    toks = textfns.tokens(F.col(text_col))
+    doc = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    grams = doc.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("__t") < k, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - k),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k)),
+                )
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("gram")
+    )
+    dups = (
+        grams.join(dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("__dups"))
+    )
+    joined = doc.join(dups, "doc_id", "left").withColumn(
+        "__dups", F.coalesce("__dups", F.array().cast("array<int>"))
+    )
+    # kept[i] = tokens[i] unless some dup position p covers i (p<=i<p+k)
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - 1),
+            lambda i: F.when(
+                F.exists(
+                    F.col("__dups"),
+                    lambda p: (i >= p) & (i < p + k),
+                ),
+                F.lit(None).cast("string"),
+            ).otherwise(F.element_at(F.col("__t"), i + 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    staged = joined.withColumn(
+        "__kept", F.when(F.size("__t") == 0, F.array().cast("array<string>")).otherwise(kept)
+    )
+    return staged.select(
+        F.col("doc_id").alias(id_col),
+        F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
+        (F.size("__t") - F.size("__kept")).cast("long").alias("n_removed"),
+    )

@@ -31,6 +31,7 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced)
 _VERDICT_PRIORITY = [
     # --- need a (new) verdict this round (round 5 additions) ---
     "docs_dup_spans",  # new: repeated-substring span dedup (Lee et al.)
+    "docs_strip_dup_spans",  # new: span dedup applied (boilerplate strip)
     "docs_weighted_sample",  # new: A-ES weighted sampling w/o replacement
     "user_streaks",  # new: gaps-and-islands consecutive-day streaks
     "docs_char_entropy",  # new: char-unigram entropy quality signal

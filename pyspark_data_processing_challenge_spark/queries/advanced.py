@@ -84,6 +84,53 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the span dedup: rebuild each document with every token
+    covered by a corpus-duplicated 4-gram span removed
+    (operators/dedup.strip_duplicated_spans — the boilerplate-stripping
+    variant of Lee et al. substring dedup)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.strip_duplicated_spans(d, "text", "doc_id", k=SPAN_K)
+
+
+_STRIP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+{SPAN_K - 1}], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(length(tk) - {SPAN_K - 1}, 0) + 1)) AS u(i)
+),
+dupg AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+),
+dups AS (
+  SELECT g.doc_id, list_sort(list(g.pos)) AS dups
+  FROM grams g JOIN dupg USING (gram) GROUP BY g.doc_id
+),
+j AS (
+  SELECT t2.doc_id, t2.tk, coalesce(d.dups, []::BIGINT[]) AS dups
+  FROM toks t2 LEFT JOIN dups d USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, length(tk)::BIGINT AS n,
+    list_filter(
+      list_transform(range(1, length(tk) + 1),
+        i -> CASE WHEN length(list_filter(dups,
+                     p -> (i - 1) >= p AND (i - 1) < p + {SPAN_K})) > 0
+             THEN NULL ELSE tk[i] END),
+      x -> x IS NOT NULL) AS kt
+  FROM j
+)
+SELECT doc_id,
+       -- fully-stripped docs: array_to_string([]) is NULL in DuckDB,
+       -- '' in Spark's concat_ws — align on ''
+       coalesce(array_to_string(kt, ' '), '') AS clean_text,
+       (n - length(kt))::BIGINT AS n_removed
+FROM kept
+"""
+
+
 # ---------------------------------------------------------------------------
 # weighted sampling without replacement (Efraimidis–Spirakis A-ES)
 # ---------------------------------------------------------------------------
@@ -377,6 +424,7 @@ QUERIES = {
     "orders_zvalue": orders_zvalue,
     "sessionize_events_native": sessionize_events_native,
     "docs_dup_spans": docs_dup_spans,
+    "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_weighted_sample": docs_weighted_sample,
     "user_streaks": user_streaks,
     "docs_char_entropy": docs_char_entropy,
@@ -384,6 +432,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_dup_spans": _DUP_SPANS_SQL,
+    "docs_strip_dup_spans": _STRIP_SQL,
     "docs_weighted_sample": _WSWR_SQL,
     "user_streaks": _STREAKS_SQL,
     "docs_char_entropy": _ENTROPY_SQL,

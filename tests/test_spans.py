@@ -56,3 +56,26 @@ def test_min_count_threshold(spark):
     df = spark.createDataFrame(df_rows, ["doc_id", "text"])
     out = dedup.duplicated_span_stats(df, "text", "doc_id", k=3, min_count=4)
     assert all(r.dup_spans == 0 for r in out.collect())
+
+
+def test_strip_removes_covered_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w a"), (2, "b x y z w"), (3, "c d e f g")],
+        ["doc_id", "text"],
+    )
+    out = dedup.strip_duplicated_spans(df, "text", "doc_id", k=3)
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in out.collect()}
+    assert got[1] == ("a", 4)
+    assert got[2] == ("b", 4)
+    assert got[3] == ("c d e f g", 0)
+
+
+def test_strip_can_empty_a_doc_and_handles_blank(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r"), (2, "p q r"), (3, "")], ["doc_id", "text"]
+    )
+    out = dedup.strip_duplicated_spans(df, "text", "doc_id", k=3)
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in out.collect()}
+    assert got[1] == ("", 3)
+    assert got[2] == ("", 3)
+    assert got[3] == ("", 0)
