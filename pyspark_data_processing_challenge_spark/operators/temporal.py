@@ -151,3 +151,33 @@ def activity_streaks(
             "max_streak_start",
         )
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    *,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (series, time bucket) keep first/last/min/max of the value — the
+    four points that make a line-chart rendering of the bucket
+    pixel-perfect. ONE hash aggregate (partial + final, map-side
+    combined); this is how dashboards read billion-point series.
+
+    Determinism precondition: ``ts_col`` unique within a series×bucket
+    (true for event streams with µs timestamps; pre-aggregate ties
+    otherwise) — ``min_by/max_by`` then have a single winner.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    return df.groupBy(series_col, b).agg(
+        F.min_by(value_col, ts_col).alias("v_first"),
+        F.max_by(value_col, ts_col).alias("v_last"),
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+        F.min(ts_col).alias("ts_first"),
+        F.max(ts_col).alias("ts_last"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

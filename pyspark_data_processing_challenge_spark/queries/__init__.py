@@ -38,6 +38,7 @@ _VERDICT_PRIORITY = [
     "events_arrow_scaled",  # new: mapInArrow (RecordBatch iterator) surface
     "orders_zvalue",  # new: Z-order (Morton) clustering key
     "sessionize_events_native",  # new: built-in session_window batch twin
+    "events_m4_downsample",  # new: M4 (VLDB 14) time-series downsampling
     # --- re-verified green (r02/r04) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",

@@ -218,6 +218,39 @@ FROM per_user p
 
 
 # ---------------------------------------------------------------------------
+# M4 time-series downsampling (Jugel et al., VLDB 2014)
+# ---------------------------------------------------------------------------
+
+
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour) M4 aggregate — first/last/min/max value
+    plus bucket bounds (operators/temporal.m4_downsample). Selection
+    aggregates only, no arithmetic, so parity is exact without
+    rounding."""
+    e = t(spark, sf_dir, "events")
+    return temporal.m4_downsample(
+        e, series_col="event_type", ts_col="ts", value_col="value"
+    )
+
+
+_M4_SQL = """
+WITH norm AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+)
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       min_by(value, ts) AS v_first,
+       max_by(value, ts) AS v_last,
+       min(value) AS v_min,
+       max(value) AS v_max,
+       min(ts) AS ts_first,
+       max(ts) AS ts_last,
+       count(*)::BIGINT AS n_points
+FROM norm
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
 # character-entropy quality signal
 # ---------------------------------------------------------------------------
 
@@ -231,13 +264,23 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.select(
         "doc_id", "text", F.split(F.col("text"), "").alias("__chars")
     )
-    return staged.select(
+    # round_to references its argument 3x (overflow guard) — stage the
+    # raw entropy fold in its own projection or the whole
+    # O(distinct*len) HOF tree evaluates three times (measured ~2.5x
+    # wall on this query; the CLAUDE.md staging rule)
+    raw = staged.select(
         "doc_id",
         F.size("__chars").cast("long").alias("n_chars_total"),
         F.size(F.array_distinct("__chars")).cast("long").alias("distinct_chars"),
-        round_to(
-            textfns.char_entropy_bits(F.col("text"), F.col("__chars")), 6
-        ).alias("entropy_bits"),
+        textfns.char_entropy_bits(F.col("text"), F.col("__chars")).alias(
+            "__raw_ent"
+        ),
+    )
+    return raw.select(
+        "doc_id",
+        "n_chars_total",
+        "distinct_chars",
+        round_to(F.col("__raw_ent"), 6).alias("entropy_bits"),
     )
 
 
@@ -428,6 +471,7 @@ QUERIES = {
     "docs_weighted_sample": docs_weighted_sample,
     "user_streaks": user_streaks,
     "docs_char_entropy": docs_char_entropy,
+    "events_m4_downsample": events_m4_downsample,
 }
 
 ORACLES = {
@@ -436,6 +480,7 @@ ORACLES = {
     "docs_weighted_sample": _WSWR_SQL,
     "user_streaks": _STREAKS_SQL,
     "docs_char_entropy": _ENTROPY_SQL,
+    "events_m4_downsample": _M4_SQL,
     "events_arrow_scaled": _ARROW_SQL,
     "orders_zvalue": _ZVALUE_SQL,
     # shares the manual form's oracle — strategies proven identical
