@@ -734,10 +734,25 @@ def duplicated_span_stats(
     of the gram string; the string form is kept here so the DuckDB
     oracle is collision-free and bit-exact.
     """
+    grams = _positional_grams(df, text_col, id_col, k)
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    return _span_stats(df, id_col, dup_pos, k)
+
+
+def _positional_grams(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, gram): the word k-gram starting at each 0-based
+    token position; docs shorter than k yield no rows."""
     toks = textfns.tokens(F.col(text_col))
     doc = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
-    # k-gram per start position; docs shorter than k have none
-    grams = doc.select(
+    return doc.select(
         "doc_id",
         F.posexplode(
             # guard: sequence(0, n) with n < 0 counts DOWN in Spark —
@@ -752,13 +767,13 @@ def duplicated_span_stats(
             )
         ).alias("pos", "gram"),
     )
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("gram")
-    )
-    dup_pos = grams.join(dup_grams, "gram").select("doc_id", "pos")
+
+
+def _span_stats(
+    df: DataFrame, id_col: str, dup_pos: DataFrame, k: int
+) -> DataFrame:
+    """Merge duplicated positions into maximal spans and summarize per
+    doc (left join keeps zero-dup docs)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup_pos.withColumn(
         "__new_span",
@@ -785,6 +800,49 @@ def duplicated_span_stats(
             F.coalesce("dup_token_cov", F.lit(0)).alias("dup_token_cov"),
         )
     )
+
+
+def incremental_duplicated_spans(
+    new_df: DataFrame,
+    seen_gram_counts: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 4,
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-over-batch repeated-substring detection: span stats for a
+    NEW batch against the whole corpus history without re-reading any
+    historical text — the ingest-gate form of duplicated_span_stats
+    (same pattern as incremental_exact_dedup / incremental_minhash).
+
+    ``seen_gram_counts`` is the persisted (gram, n) store from earlier
+    batches (or empty with that schema). A batch position is duplicated
+    when batch-count + stored-count >= ``min_count``, so the new
+    batch's stats equal a full recompute over history ∪ batch
+    restricted to batch docs (tested). Earlier batches' stats are NOT
+    retroactively updated — re-run the full form for that.
+
+    Returns ``(stats, updated_gram_counts)``; persist the updated store
+    for the next batch. Per batch this shuffles only the batch's grams
+    plus an outer join against the store (partitionable by gram).
+    """
+    grams = _positional_grams(new_df, text_col, id_col, k)
+    batch_counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    combined = (
+        batch_counts.join(seen_gram_counts, "gram", "full")
+        .select(
+            "gram",
+            (
+                F.coalesce("__bn", F.lit(0)) + F.coalesce("n", F.lit(0))
+            ).alias("n"),
+        )
+    )
+    dup_grams = combined.filter(F.col("n") >= min_count).select("gram")
+    dup_pos = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    return _span_stats(new_df, id_col, dup_pos, k), combined
 
 
 def strip_duplicated_spans(

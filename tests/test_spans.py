@@ -79,3 +79,45 @@ def test_strip_can_empty_a_doc_and_handles_blank(spark):
     assert got[1] == ("", 3)
     assert got[2] == ("", 3)
     assert got[3] == ("", 0)
+
+
+def test_incremental_equals_full_recompute(spark):
+    from pyspark.sql import types as T
+
+    batch_a = spark.createDataFrame(
+        [(1, "x y z w a"), (2, "c d e f g")], ["doc_id", "text"]
+    )
+    # 'x y z w' unique within each batch but duplicated ACROSS batches —
+    # the case only the store can catch
+    batch_b = spark.createDataFrame(
+        [(3, "b x y z w"), (4, "h i j k l")], ["doc_id", "text"]
+    )
+    empty_store = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("gram", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ])
+    )
+    stats_a, store = dedup.incremental_duplicated_spans(
+        batch_a, empty_store, "text", "doc_id", k=4
+    )
+    store = spark.createDataFrame(store.collect(), store.schema)  # "persist"
+    assert all(r.dup_spans == 0 for r in stats_a.collect())
+
+    stats_b, store2 = dedup.incremental_duplicated_spans(
+        batch_b, store, "text", "doc_id", k=4
+    )
+    got_b = {r.doc_id: (r.dup_positions, r.dup_spans, r.dup_token_cov)
+             for r in stats_b.collect()}
+
+    full = dedup.duplicated_span_stats(
+        batch_a.unionByName(batch_b), "text", "doc_id", k=4
+    )
+    want = {r.doc_id: (r.dup_positions, r.dup_spans, r.dup_token_cov)
+            for r in full.collect() if r.doc_id in (3, 4)}
+    assert got_b == want
+    assert got_b[3] == (1, 1, 4)  # 'x y z w' found via the store
+
+    # store accumulates totals across batches
+    counts = {r.gram: r.n for r in store2.collect()}
+    assert counts["x y z w"] == 2
