@@ -48,7 +48,23 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", nanos_long_to_ts("ts"))
+
+
+def nanos_long_to_ts(col_name: str):
+    """Normalize a TIMESTAMP(NANOS) column read under a declared BIGINT
+    schema. Readers that honor the nanosAsLong legacy conf surface
+    epoch-NANOS; Spark 4.1.2's reader (conf removed upstream) surfaces
+    epoch-MICROS under the same declared type. Branch on magnitude —
+    unambiguous for any timestamp between 1973 and 5138 (nanos for any
+    modern date are > 1e17, micros far below). Integer ``div`` keeps
+    the full 64 bits (a double round-trip would corrupt epoch-nanos).
+    """
+    c = F.col(col_name)
+    micros = F.when(
+        c > F.lit(10**17), F.expr(f"{col_name} div 1000")
+    ).otherwise(c)
+    return F.timestamp_micros(micros)
 
 
 DOC_SCHEMA = T.StructType(
@@ -349,3 +365,37 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def m4_hourly(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Streaming M4 downsampling — twin of the batch
+    ``operators/temporal.m4_downsample`` (first/last/min/max value per
+    series x hour). min_by/max_by are declarative aggregates, so the
+    state per (window, series) key is four scalars + bounds; the
+    watermark evicts closed windows. This is the live-dashboard form:
+    the sink receives render-ready points, never raw events.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("v_first"),
+            F.max_by("value", "ts").alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min("ts").alias("ts_first"),
+            F.max("ts").alias("ts_last"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            "event_type",
+            "v_first",
+            "v_last",
+            "v_min",
+            "v_max",
+            "ts_first",
+            "ts_last",
+            "n_points",
+        )
+    )

@@ -121,7 +121,7 @@ def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
         spark.read.schema(sev.EVENT_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_DIR)
-        .withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+        .withColumn("ts", sev.nanos_long_to_ts("ts"))
     )
     sev.epoch_sink(out)(batch, 0)
     n_after, rows_after = snapshot()
@@ -348,9 +348,9 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (r["user_id"], r["purchase_id"], r["click_id"])
         for r in spark.sql("SELECT * FROM ssjoin_out").collect()
     }
-    batch_events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from pyspark_data_processing_challenge_spark.queries._util import events_table
+
+    batch_events = events_table(spark, SF_DIR)
     want = {
         (r["user_id"], r["purchase_id"], r["click_id"])
         for r in sev.purchases_with_recent_clicks(batch_events).collect()
@@ -520,3 +520,22 @@ def test_streaming_decontamination_matches_batch(spark):
         .collect()
     }
     assert got == want and want
+
+
+def test_streaming_m4_matches_batch(spark):
+    from pyspark_data_processing_challenge_spark.queries.advanced import (
+        events_m4_downsample,
+    )
+
+    stream = sev.read_events_stream(spark, SF_DIR)
+    sev.run_to_memory(sev.m4_hourly(stream), "m4_out")
+    cols = ("v_first", "v_last", "v_min", "v_max", "ts_first", "ts_last", "n_points")
+    got = {
+        (r["bucket"], r["event_type"]): tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM m4_out").collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): tuple(r[c] for c in cols)
+        for r in events_m4_downsample(spark, SF_DIR).collect()
+    }
+    assert got == want
