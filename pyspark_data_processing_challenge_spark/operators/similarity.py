@@ -232,3 +232,110 @@ def embedding_near_duplicates(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011. The vector-DB compression
+# standard: split each vector into M subvectors, quantize each against
+# a per-subspace codebook, answer queries with asymmetric distance
+# computation (ADC) over the code table.
+# --------------------------------------------------------------------------
+
+
+def pq_subvectors(
+    df: DataFrame, *, vec_col: str, id_col: str, m: int, dsub: int
+) -> DataFrame:
+    """(id, s, sv): subspace s's ``dsub``-dim slice of every vector.
+    Static inline of M struct literals — no UDF, no shuffle."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), F.inline(parts))
+
+
+def _sq_l2(a, b):
+    """Left-fold squared L2 over double-cast elements — the exact op
+    order the DuckDB oracle reproduces."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    dsub: int,
+) -> DataFrame:
+    """Encode every vector as M small codes: per subspace, the index of
+    the nearest codebook centroid (squared L2, tie-break lowest code).
+
+    ``codebook`` is (s, j, cv) — tiny (M x n_codes rows), broadcast; the
+    corpus is scanned once and scored JVM-side. One aggregate keyed on
+    (id) collects the codes in subspace order. Output: (id, codes
+    array<int>). 64-dim float32 -> M bytes per vector: the compression
+    that lets a 100 TB corpus's index fit in memory.
+    """
+    sub = pq_subvectors(df, vec_col=vec_col, id_col=id_col, m=m, dsub=dsub)
+    scored = sub.join(F.broadcast(codebook), "s").select(
+        "id",
+        "s",
+        "j",
+        _sq_l2(F.col("sv"), F.col("cv")).alias("dist"),
+    )
+    codes = scored.groupBy("id", "s").agg(
+        F.min_by("j", F.struct("dist", "j")).alias("code")
+    )
+    return codes.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_sub: DataFrame,
+    *,
+    k: int,
+) -> DataFrame:
+    """Asymmetric distance computation: per subspace, the query-to-
+    centroid distance table (M x n_codes entries — broadcast both ways),
+    then each vector's approximate distance is the sum of its codes'
+    table entries, folded in subspace order so the float sum is
+    deterministic. Exact top-k by (distance, id)."""
+    qtable = query_sub.join(F.broadcast(codebook), "s").select(
+        F.col("s").alias("qs"), "j", _sq_l2(F.col("qv"), F.col("cv")).alias("qd")
+    )
+    exploded = codes.select(
+        "id", F.posexplode("codes").alias("s", "code")
+    )
+    per_sub = exploded.join(
+        F.broadcast(qtable),
+        (F.col("s") == F.col("qs")) & (F.col("code") == F.col("j")),
+    ).select("id", "s", "qd")
+    adc = per_sub.groupBy("id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "qd"))),
+                lambda x: x["qd"],
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("adc_dist")
+    )
+    return adc.orderBy("adc_dist", "id").limit(k)

@@ -37,6 +37,8 @@ _VERDICT_PRIORITY = [
     "docs_char_entropy",  # new: char-unigram entropy quality signal
     "events_arrow_scaled",  # new: mapInArrow (RecordBatch iterator) surface
     "orders_zvalue",  # new: Z-order (Morton) clustering key
+    "pq_codes",  # new: product quantization encoding
+    "pq_topk",  # new: PQ asymmetric-distance top-k
     "sessionize_events_native",  # new: built-in session_window batch twin
     "events_m4_downsample",  # new: M4 (VLDB 14) time-series downsampling
     # --- re-verified green (r02/r04) ---

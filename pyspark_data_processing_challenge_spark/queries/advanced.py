@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import HASH_MOD
 from ..functions import textfns
-from ..operators import dedup, selection, temporal
+from ..operators import dedup, selection, similarity, temporal
 from . import relational
 from ._util import round_to, sql_char_hash, sql_round, sql_tokens, t
 
@@ -348,6 +348,132 @@ SELECT event_id, value * 2.0 + 1.0 AS value_scaled FROM events
 
 
 # ---------------------------------------------------------------------------
+# product quantization (Jégou et al., TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (EMB_DIM 64 = 8x8)
+PQ_NCODES = 16  # centroids per subspace: embeddings vec_id < 16
+PQ_QID = 100  # ADC query vector
+PQ_TOPK = 10
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-subspace codebook: subvector slices of the
+    first PQ_NCODES embeddings (the IVF-codebook convention; a
+    production index would Lloyd-train each subspace with the existing
+    kmeans operators — the encode/ADC path is unchanged)."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < PQ_NCODES)
+    return similarity.pq_subvectors(
+        cent, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
+    ).select(F.col("s"), F.col("id").alias("j"), F.col("sv").alias("cv"))
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: every 64-dim vector -> 8 codes (nearest centroid
+    per 8-dim subspace, squared L2, tie-break lowest code)."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.pq_encode(
+        emb,
+        _pq_codebook(spark, sf_dir),
+        vec_col="embedding",
+        id_col="vec_id",
+        m=PQ_M,
+        dsub=PQ_DSUB,
+    )
+    return out.select(F.col("id").alias("vec_id"), "codes")
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-10 for one query vector: distances come from the
+    M x 16 query-to-centroid table, never the raw corpus vectors."""
+    emb = t(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(spark, sf_dir)
+    codes = similarity.pq_encode(
+        emb, cb, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
+    )
+    qsub = similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") == PQ_QID),
+        vec_col="embedding",
+        id_col="vec_id",
+        m=PQ_M,
+        dsub=PQ_DSUB,
+    ).select("s", F.col("sv").alias("qv"))
+    out = similarity.pq_adc_topk(codes, cb, qsub, k=PQ_TOPK)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        round_to(F.col("adc_dist"), 6).alias("adc_dist"),
+    )
+
+
+def _sql_sq_l2(a: str, b: str, dsub: int) -> str:
+    """DuckDB twin of similarity._sq_l2: left-fold squared L2 over
+    double-cast elements."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dsub + 1}), "
+        f"d -> ({a}[d]::DOUBLE - {b}[d]::DOUBLE)"
+        f" * ({a}[d]::DOUBLE - {b}[d]::DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+_PQ_COMMON = f"""
+subs AS (
+  SELECT vec_id AS id, s,
+         embedding[s * {PQ_DSUB} + 1 : s * {PQ_DSUB} + {PQ_DSUB}] AS sv
+  FROM embeddings, unnest(range(0, {PQ_M})) AS u(s)
+),
+cb AS (
+  SELECT s, id AS j, sv AS cv FROM subs WHERE id < {PQ_NCODES}
+),
+scored AS (
+  SELECT subs.id, subs.s, cb.j,
+         {_sql_sq_l2("subs.sv", "cb.cv", PQ_DSUB)} AS dist
+  FROM subs JOIN cb USING (s)
+),
+codes AS (
+  SELECT id, s,
+         (array_agg(j ORDER BY dist, j))[1] AS code
+  FROM scored GROUP BY id, s
+)
+"""
+
+_PQ_CODES_SQL = f"""
+WITH {_PQ_COMMON}
+SELECT id AS vec_id, array_agg(code ORDER BY s) AS codes
+FROM codes GROUP BY id
+"""
+
+_PQ_TOPK_SQL = f"""
+WITH {_PQ_COMMON},
+qsub AS (
+  SELECT s, sv AS qv FROM subs WHERE id = {PQ_QID}
+),
+qtable AS (
+  SELECT cb.s, cb.j, {_sql_sq_l2("qsub.qv", "cb.cv", PQ_DSUB)} AS qd
+  FROM qsub JOIN cb USING (s)
+),
+per_sub AS (
+  SELECT c.id, c.s, q.qd
+  FROM codes c JOIN qtable q ON c.s = q.s AND c.code = q.j
+),
+adc AS (
+  SELECT id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list({{'s': s, 'qd': qd}})), x -> x.qd)),
+           (x, y) -> x + y) AS adc_dist
+  FROM per_sub GROUP BY id
+)
+SELECT vec_id, adc_dist FROM (
+  SELECT id AS vec_id, adc_dist AS raw_d,
+         {sql_round("adc_dist", 6)} AS rounded
+  FROM adc ORDER BY raw_d, id LIMIT {PQ_TOPK}
+) t(vec_id, raw_d, adc_dist)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order (Morton) clustering value
 # ---------------------------------------------------------------------------
 
@@ -465,6 +591,8 @@ def sessionize_events_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_arrow_scaled": events_arrow_scaled,
     "orders_zvalue": orders_zvalue,
+    "pq_codes": pq_codes,
+    "pq_topk": pq_topk,
     "sessionize_events_native": sessionize_events_native,
     "docs_dup_spans": docs_dup_spans,
     "docs_strip_dup_spans": docs_strip_dup_spans,
@@ -483,6 +611,8 @@ ORACLES = {
     "events_m4_downsample": _M4_SQL,
     "events_arrow_scaled": _ARROW_SQL,
     "orders_zvalue": _ZVALUE_SQL,
+    "pq_codes": _PQ_CODES_SQL,
+    "pq_topk": _PQ_TOPK_SQL,
     # shares the manual form's oracle — strategies proven identical
     "sessionize_events_native": relational.ORACLES["sessionize_events"],
 }

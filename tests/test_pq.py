@@ -1,0 +1,59 @@
+"""Product quantization: recall sanity + plan discipline
+(operators/similarity.pq_encode / pq_adc_topk)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_data_processing_challenge_spark import plans
+from pyspark_data_processing_challenge_spark.queries import advanced
+from tests.conftest import SF01_DIR
+
+
+def test_pq_codes_shape_and_range(spark):
+    out = advanced.pq_codes(spark, SF01_DIR).collect()
+    assert len(out) == 500
+    for r in out:
+        assert len(r.codes) == advanced.PQ_M
+        assert all(0 <= c < advanced.PQ_NCODES for c in r.codes)
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    from pyspark_data_processing_challenge_spark.queries._util import t
+
+    approx = [r.vec_id for r in advanced.pq_topk(spark, SF01_DIR).collect()]
+    emb = t(spark, SF01_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == advanced.PQ_QID).first().embedding
+    exact = (
+        emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(x)) for x in q]),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(advanced.PQ_TOPK)
+        .collect()
+    )
+    exact_ids = {r.vec_id for r in exact}
+    # the query vector itself must be found (its ADC distance is the
+    # quantization floor), and compressed search should recover a fair
+    # share of the true neighbors on 16-code-per-subspace quantization
+    assert advanced.PQ_QID in approx
+    overlap = len(exact_ids & set(approx))
+    assert overlap >= 3, (overlap, approx, sorted(exact_ids))
+
+
+def test_pq_plans_broadcast_codebook(spark):
+    df = advanced.pq_codes(spark, SF01_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    top = advanced.pq_topk(spark, SF01_DIR)
+    assert plans.broadcast_join_count(top) >= 2  # codebook + query table
+    assert plans.sort_merge_join_count(top) == 0
