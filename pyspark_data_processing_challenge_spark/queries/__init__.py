@@ -82,15 +82,15 @@ _VERDICT_PRIORITY = [
     "op_standardize_units",
     "window_running_total",
     "sort_top20_orders",
-    "events_hourly",
-    "asof_join_purchases",
-    "ngram_jaccard_pairs",
-    "embedding_near_dup",
-    "multimodal_meta",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    "events_hourly": "r01",
+    "asof_join_purchases": "r01",
+    "ngram_jaccard_pairs": "r01",
+    "embedding_near_dup": "r01",
+    "multimodal_meta": "r01",
     # round-4 front-pinned additions: all 15 got green r04 verdicts
     "docs_repetition": "r04",
     "events_variant_stats": "r04",
