@@ -64,6 +64,7 @@ HEADLINE = [
     "docs_char_entropy",
     "user_streaks",
     "orders_zvalue",
+    "pq_topk",
 ]
 
 

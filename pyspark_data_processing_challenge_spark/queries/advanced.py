@@ -1,6 +1,9 @@
-"""Round-5 catalog additions: repeated-substring span dedup, weighted
-sampling without replacement, gaps-and-islands streaks, char-entropy
-quality signal, and Arrow-iterator API surface.
+"""Round-5 catalog additions: repeated-substring span dedup (stats,
+applied strip, and incremental forms), Efraimidis-Spirakis weighted
+sampling, gaps-and-islands streaks, char-entropy quality signal,
+mapInArrow surface, M4 time-series downsampling, product quantization
+(encode + ADC top-k), Z-order clustering, and the native
+session_window batch twin.
 
 Same contract as every other catalog module: each query has a DuckDB
 oracle with identical column names and engine-portable arithmetic.
