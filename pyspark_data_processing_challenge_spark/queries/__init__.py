@@ -41,6 +41,8 @@ _VERDICT_PRIORITY = [
     "pq_topk",  # new: PQ asymmetric-distance top-k
     "sessionize_events_native",  # new: built-in session_window batch twin
     "events_m4_downsample",  # new: M4 (VLDB 14) time-series downsampling
+    "docs_bm25",  # new: BM25 lexical ranking
+    "sketch_merge_distinct",  # new: mergeable HLL partial sketches
     # --- re-verified green (r02/r04) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
@@ -80,12 +82,12 @@ _VERDICT_PRIORITY = [
     # --- oldest (r01-only) verdicts, promoted for re-verification ---
     "op_date_filter",
     "op_standardize_units",
-    "window_running_total",
-    "sort_top20_orders",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    "window_running_total": "r01",
+    "sort_top20_orders": "r01",
     "events_hourly": "r01",
     "asof_join_purchases": "r01",
     "ngram_jaccard_pairs": "r01",

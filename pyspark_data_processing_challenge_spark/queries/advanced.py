@@ -221,6 +221,131 @@ FROM per_user p
 
 
 # ---------------------------------------------------------------------------
+# mergeable HLL sketches (Apache DataSketches via Spark 3.5+ hll_* fns)
+# ---------------------------------------------------------------------------
+
+
+def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partitioned-sketch scale pattern as a tolerance contract:
+    build one HLL sketch of distinct users PER DAY, union the partial
+    sketches, and require (a) the merged estimate equals the estimate
+    of one global sketch bit-for-bit — HLL union is a register-wise
+    max, so pre-aggregating by partition is lossless — and (b) both
+    land within 10% of the exact distinct count. This is how a 100 TB
+    table answers COUNT(DISTINCT) incrementally: per-partition sketch
+    columns persisted at ingest, merged at query time, raw data never
+    re-read. The DuckDB oracle emits the exact count and literal
+    trues, so a broken merge fails the driver hash."""
+    e = t(spark, sf_dir, "events")
+    per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_day.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    out = direct.crossJoin(merged)
+    return out.select(
+        "n_exact",
+        (F.col("est_merged") == F.col("est_direct")).alias(
+            "merge_lossless"
+        ),
+        (
+            F.abs(F.col("est_merged") - F.col("n_exact"))
+            <= F.lit(0.1) * F.col("n_exact")
+        ).alias("est_within_10pct"),
+    )
+
+
+_SKETCH_SQL = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_exact,
+       true AS merge_lossless,
+       true AS est_within_10pct
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical ranking (Robertson et al.)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("table", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+
+
+def docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for the query {table, join, window}
+    (operators/ranking.bm25_scores — Lucene idf form, k1=1.2, b=0.75).
+    Raw-score ordering with doc_id tie-break; the emitted score is
+    rounded after selection."""
+    from ..operators import ranking
+
+    d = t(spark, sf_dir, "documents")
+    out = ranking.bm25_scores(
+        d, list(BM25_TERMS), text_col="text", id_col="doc_id",
+        k1=BM25_K1, b=BM25_B,
+    )
+    return (
+        out.orderBy(F.desc("score_raw"), "id")
+        .limit(BM25_TOPN)
+        .select(
+            F.col("id").alias("doc_id"),
+            "dl",
+            round_to(F.col("score_raw"), 6).alias("bm25"),
+        )
+    )
+
+
+def _bm25_sql() -> str:
+    k1, b = BM25_K1, BM25_B
+    tf_cols = ",\n         ".join(
+        f"length(list_filter(tk, x -> x = '{t_}'))::DOUBLE AS tf_{i}"
+        for i, t_ in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum((tf_{i} > 0)::BIGINT)::DOUBLE AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    norm = f"({k1} * (1.0 - {b} + ({b} * dl::DOUBLE) / (sum_dl / N)))"
+    terms_sum = "0.0"
+    for i in range(len(BM25_TERMS)):
+        idf = f"ln(1.0 + (N - df_{i} + 0.5) / (df_{i} + 0.5))"
+        terms_sum += (
+            f" + {idf} * (tf_{i} * {k1 + 1.0}) / (tf_{i} + {norm})"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+staged AS (
+  SELECT doc_id, length(tk)::BIGINT AS dl,
+         {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS N, sum(dl)::DOUBLE AS sum_dl,
+         {df_cols}
+  FROM staged
+),
+scored AS (
+  SELECT doc_id, dl, ({terms_sum}) AS score_raw
+  FROM staged, stats
+)
+SELECT doc_id, dl, bm25 FROM (
+  SELECT doc_id, dl, score_raw, {sql_round("score_raw", 6)} AS bm25
+  FROM scored ORDER BY score_raw DESC, doc_id LIMIT {BM25_TOPN}
+) q
+"""
+
+
+# ---------------------------------------------------------------------------
 # M4 time-series downsampling (Jugel et al., VLDB 2014)
 # ---------------------------------------------------------------------------
 
@@ -603,6 +728,8 @@ QUERIES = {
     "user_streaks": user_streaks,
     "docs_char_entropy": docs_char_entropy,
     "events_m4_downsample": events_m4_downsample,
+    "docs_bm25": docs_bm25,
+    "sketch_merge_distinct": sketch_merge_distinct,
 }
 
 ORACLES = {
@@ -612,6 +739,8 @@ ORACLES = {
     "user_streaks": _STREAKS_SQL,
     "docs_char_entropy": _ENTROPY_SQL,
     "events_m4_downsample": _M4_SQL,
+    "docs_bm25": _bm25_sql(),
+    "sketch_merge_distinct": _SKETCH_SQL,
     "events_arrow_scaled": _ARROW_SQL,
     "orders_zvalue": _ZVALUE_SQL,
     "pq_codes": _PQ_CODES_SQL,
