@@ -601,6 +601,104 @@ SELECT vec_id, adc_dist FROM (
 """
 
 
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production vector-DB query path: IVF coarse probe (nprobe=2
+    lists by centroid cosine) to bound the candidate set, then PQ ADC
+    ranking over only the candidates' codes — raw vectors touched
+    exactly once at encode time, never at query time. Composes the
+    oracle-proven ivf_assign and pq_encode/pq_adc_topk pieces."""
+    from ..functions import vectors
+    from .extended import IVF_NCENTROIDS, IVF_NPROBE
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assign = similarity.ivf_assign(
+        emb, cent, centroid_id="cid", centroid_vec="cv"
+    )
+    q = emb.filter(F.col("vec_id") == PQ_QID)
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "cid",
+            vectors.cosine(F.col("embedding"), F.col("cv")).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), "cid")
+        .limit(IVF_NPROBE)
+        .select(F.col("cid").alias("centroid_id"))
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("doc") != PQ_QID)
+        .select(F.col("doc").alias("id"))
+    )
+    cb = _pq_codebook(spark, sf_dir)
+    codes = similarity.pq_encode(
+        emb, cb, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
+    )
+    # candidate set is bounded by the probed lists — broadcast it into
+    # the codes scan (at petabyte scale with huge lists this becomes a
+    # shuffle-hash join on id; semantics unchanged)
+    cand_codes = codes.join(F.broadcast(cand), "id")
+    qsub = similarity.pq_subvectors(
+        q, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
+    ).select("s", F.col("sv").alias("qv"))
+    out = similarity.pq_adc_topk(cand_codes, cb, qsub, k=PQ_TOPK)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        round_to(F.col("adc_dist"), 6).alias("adc_dist"),
+    )
+
+
+def _ivfpq_sql() -> str:
+    from .extended import _IVF_ASSIGN_CTE, _IVF_COS, IVF_NPROBE
+
+    return f"""
+WITH {_IVF_ASSIGN_CTE},
+{_PQ_COMMON.strip().replace('scored', 'pq_scored')},
+qv AS (SELECT e FROM v WHERE vec_id = {PQ_QID}),
+qp AS (
+  SELECT cid AS centroid_id FROM (
+    SELECT cent.cid,
+           row_number() OVER (ORDER BY
+             {_IVF_COS.format(a="qv.e", b="cent.cv")} DESC, cent.cid) AS rn
+    FROM cent, qv
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id AS id FROM assigned a JOIN qp USING (centroid_id)
+  WHERE a.vec_id <> {PQ_QID}
+),
+candcodes AS (
+  SELECT c.* FROM codes c JOIN cand ON c.id = cand.id
+),
+qsub AS (
+  SELECT s, sv AS qv FROM subs WHERE id = {PQ_QID}
+),
+qtable AS (
+  SELECT cb.s, cb.j, {_sql_sq_l2("qsub.qv", "cb.cv", PQ_DSUB)} AS qd
+  FROM qsub JOIN cb USING (s)
+),
+per_sub AS (
+  SELECT c.id, c.s, q.qd
+  FROM candcodes c JOIN qtable q ON c.s = q.s AND c.code = q.j
+),
+adc AS (
+  SELECT id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list({{'s': s, 'qd': qd}})), x -> x.qd)),
+           (x, y) -> x + y) AS adc_dist
+  FROM per_sub GROUP BY id
+)
+SELECT vec_id, adc_dist FROM (
+  SELECT id AS vec_id, adc_dist AS raw_d,
+         {sql_round("adc_dist", 6)} AS rounded
+  FROM adc ORDER BY raw_d, id LIMIT {PQ_TOPK}
+) t(vec_id, raw_d, adc_dist)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton) clustering value
 # ---------------------------------------------------------------------------
@@ -730,6 +828,7 @@ QUERIES = {
     "events_m4_downsample": events_m4_downsample,
     "docs_bm25": docs_bm25,
     "sketch_merge_distinct": sketch_merge_distinct,
+    "ivfpq_topk": ivfpq_topk,
 }
 
 ORACLES = {
@@ -741,6 +840,7 @@ ORACLES = {
     "events_m4_downsample": _M4_SQL,
     "docs_bm25": _bm25_sql(),
     "sketch_merge_distinct": _SKETCH_SQL,
+    "ivfpq_topk": _ivfpq_sql(),
     "events_arrow_scaled": _ARROW_SQL,
     "orders_zvalue": _ZVALUE_SQL,
     "pq_codes": _PQ_CODES_SQL,

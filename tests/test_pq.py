@@ -57,3 +57,13 @@ def test_pq_plans_broadcast_codebook(spark):
     top = advanced.pq_topk(spark, SF01_DIR)
     assert plans.broadcast_join_count(top) >= 2  # codebook + query table
     assert plans.sort_merge_join_count(top) == 0
+
+
+def test_ivfpq_probes_subset_and_broadcasts(spark):
+    # the composite path must rank a SUBSET (probed lists only) and
+    # keep every small side broadcast
+    top = advanced.ivfpq_topk(spark, SF01_DIR)
+    rows = top.collect()
+    assert len(rows) == advanced.PQ_TOPK
+    assert plans.broadcast_join_count(top) >= 3  # centroids, probes, codebook
+    assert plans.sort_merge_join_count(top) == 0
