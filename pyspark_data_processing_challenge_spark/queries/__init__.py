@@ -44,6 +44,7 @@ _VERDICT_PRIORITY = [
     "docs_bm25",  # new: BM25 lexical ranking
     "sketch_merge_distinct",  # new: mergeable HLL partial sketches
     "ivfpq_topk",  # new: IVF coarse probe + PQ ADC ranking
+    "orders_pit_acctbal",  # new: point-in-time join vs SCD2 dimension
     # --- re-verified green (r02/r04) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
@@ -81,11 +82,11 @@ _VERDICT_PRIORITY = [
     "join_revenue_by_nation",
     "sessionize_events",
     # --- oldest (r01-only) verdicts, promoted for re-verification ---
-    "op_date_filter",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    "op_date_filter": "r01",
     "op_standardize_units": "r01",
     "window_running_total": "r01",
     "sort_top20_orders": "r01",

@@ -221,6 +221,59 @@ FROM per_user p
 
 
 # ---------------------------------------------------------------------------
+# point-in-time join against the SCD2 dimension (feature-store pattern)
+# ---------------------------------------------------------------------------
+
+PIT_MOD = 30
+
+
+def orders_pit_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each order probes the SCD2 customer-history
+    dimension at a deterministic version (o_orderkey % 30) and gets the
+    acctbal that was valid THEN — max valid_from <= probe version, the
+    leakage-free feature-store lookup. Equi-join on the customer key
+    (hash join, scale-safe) + a version filter + one max_by aggregate;
+    no interval explosion, no window over the fact table."""
+    from .cdcq import scd2_customer_history
+
+    hist = scd2_customer_history(spark, sf_dir)
+    o = t(spark, sf_dir, "orders")
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % PIT_MOD).cast("int").alias("v"),
+    )
+    j = probe.join(
+        hist, probe["o_custkey"] == hist["c_custkey"]
+    ).filter(F.col("valid_from") <= F.col("v"))
+    return j.groupBy("o_orderkey", "o_custkey", "v").agg(
+        F.max_by("c_acctbal", "valid_from").alias("acctbal_asof"),
+        F.max("valid_from").alias("asof_from"),
+    )
+
+
+def _pit_sql() -> str:
+    from .cdcq import ORACLES as CDC_ORACLES
+
+    return f"""
+WITH hist AS ({CDC_ORACLES["scd2_customer_history"]}),
+probe AS (
+  SELECT o_orderkey, o_custkey, (o_orderkey % {PIT_MOD})::INT AS v
+  FROM orders
+),
+j AS (
+  SELECT p.o_orderkey, p.o_custkey, p.v, h.c_acctbal, h.valid_from
+  FROM probe p JOIN hist h ON p.o_custkey = h.c_custkey
+  WHERE h.valid_from <= p.v
+)
+SELECT o_orderkey, o_custkey, v,
+       max_by(c_acctbal, valid_from) AS acctbal_asof,
+       max(valid_from) AS asof_from
+FROM j GROUP BY o_orderkey, o_custkey, v
+"""
+
+
+# ---------------------------------------------------------------------------
 # mergeable HLL sketches (Apache DataSketches via Spark 3.5+ hll_* fns)
 # ---------------------------------------------------------------------------
 
@@ -829,6 +882,7 @@ QUERIES = {
     "docs_bm25": docs_bm25,
     "sketch_merge_distinct": sketch_merge_distinct,
     "ivfpq_topk": ivfpq_topk,
+    "orders_pit_acctbal": orders_pit_acctbal,
 }
 
 ORACLES = {
@@ -841,6 +895,7 @@ ORACLES = {
     "docs_bm25": _bm25_sql(),
     "sketch_merge_distinct": _SKETCH_SQL,
     "ivfpq_topk": _ivfpq_sql(),
+    "orders_pit_acctbal": _pit_sql(),
     "events_arrow_scaled": _ARROW_SQL,
     "orders_zvalue": _ZVALUE_SQL,
     "pq_codes": _PQ_CODES_SQL,
