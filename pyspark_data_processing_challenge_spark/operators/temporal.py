@@ -181,3 +181,73 @@ def m4_downsample(
         F.max(ts_col).alias("ts_last"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel analysis: for each entity, the earliest time of
+    stage 1, then the earliest stage-2 event STRICTLY AFTER it, and so
+    on — the classic view→click→purchase conversion question, answered
+    in ONE shuffle (a per-entity collect) plus row-local HOF passes.
+
+    Each stage's timestamp is staged as its own projected column before
+    the next stage's lambda references it (HOF staging rule — an inline
+    reference would re-evaluate the previous stage per element).
+    Returns (entity, t_<stage>..., stage) where ``stage`` counts how
+    deep the entity got. Requires unique timestamps per entity for
+    determinism (true for µs event streams).
+    """
+    evs = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            F.struct(
+                F.col(ts_col).alias("ts"), F.col(type_col).alias("et")
+            ).alias("e"),
+        )
+        .groupBy("entity")
+        .agg(F.array_sort(F.collect_list("e")).alias("__evs"))
+    )
+    out = evs
+    prev: str | None = None
+    names = []
+    for i, stage in enumerate(stages):
+        col = f"t_{stage}"
+        names.append(col)
+        if prev is None:
+            flt = out.withColumn(
+                "__m",
+                F.filter(F.col("__evs"), lambda e: e["et"] == F.lit(stage)),
+            )
+        else:
+            pc = prev
+
+            def mk(stage=stage, pc=pc):
+                return F.filter(
+                    F.col("__evs"),
+                    lambda e: (e["et"] == F.lit(stage))
+                    & (e["ts"] > F.col(pc)),
+                )
+
+            flt = out.withColumn("__m", mk())
+        out = flt.withColumn(
+            col, F.array_min(F.transform(F.col("__m"), lambda e: e["ts"]))
+        ).drop("__m")
+        prev = col
+    # ascending build → the deepest stage is the OUTERMOST when, so the
+    # deepest non-null timestamp wins
+    stage_expr = F.lit(0)
+    for i, col in enumerate(names):
+        stage_expr = F.when(F.col(col).isNotNull(), i + 1).otherwise(
+            stage_expr
+        )
+    return out.select(
+        F.col("entity").alias(entity_col),
+        *[F.col(c) for c in names],
+        stage_expr.cast("int").alias("stage"),
+    )

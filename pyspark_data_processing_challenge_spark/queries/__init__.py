@@ -45,6 +45,7 @@ _VERDICT_PRIORITY = [
     "sketch_merge_distinct",  # new: mergeable HLL partial sketches
     "ivfpq_topk",  # new: IVF coarse probe + PQ ADC ranking
     "orders_pit_acctbal",  # new: point-in-time join vs SCD2 dimension
+    "events_funnel",  # new: ordered-stage funnel conversion
     # --- re-verified green (r02/r04) ---
     "ref_flagship_pipeline_keyed",
     "multimodal_decode",
@@ -80,12 +81,12 @@ _VERDICT_PRIORITY = [
     "snapshot_diff_orders",
     "agg_pricing_summary",
     "join_revenue_by_nation",
-    "sessionize_events",
     # --- oldest (r01-only) verdicts, promoted for re-verification ---
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    "sessionize_events": "r01+r02+r04",
     "op_date_filter": "r01",
     "op_standardize_units": "r01",
     "window_running_total": "r01",

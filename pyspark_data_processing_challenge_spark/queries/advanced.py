@@ -221,6 +221,61 @@ FROM per_user p
 
 
 # ---------------------------------------------------------------------------
+# funnel analysis (ordered-stage conversion)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view→click→purchase funnel: earliest view, earliest
+    click strictly after it, earliest purchase strictly after that,
+    and the stage reached (operators/temporal.funnel_stages — one
+    collect shuffle + row-local HOF passes, no self-joins)."""
+    e = t(spark, sf_dir, "events")
+    return temporal.funnel_stages(
+        e,
+        entity_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        stages=list(FUNNEL_STAGES),
+    )
+
+
+_FUNNEL_SQL = """
+WITH norm AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+v AS (
+  SELECT user_id, min(ts) AS t_view FROM norm
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT n.user_id, min(n.ts) AS t_click
+  FROM norm n JOIN v USING (user_id)
+  WHERE n.event_type = 'click' AND n.ts > v.t_view
+  GROUP BY n.user_id
+),
+p AS (
+  SELECT n.user_id, min(n.ts) AS t_purchase
+  FROM norm n JOIN c USING (user_id)
+  WHERE n.event_type = 'purchase' AND n.ts > c.t_click
+  GROUP BY n.user_id
+),
+u AS (SELECT DISTINCT user_id FROM norm)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       (CASE WHEN p.t_purchase IS NOT NULL THEN 3
+             WHEN c.t_click IS NOT NULL THEN 2
+             WHEN v.t_view IS NOT NULL THEN 1
+             ELSE 0 END)::INT AS stage
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # point-in-time join against the SCD2 dimension (feature-store pattern)
 # ---------------------------------------------------------------------------
 
@@ -883,6 +938,7 @@ QUERIES = {
     "sketch_merge_distinct": sketch_merge_distinct,
     "ivfpq_topk": ivfpq_topk,
     "orders_pit_acctbal": orders_pit_acctbal,
+    "events_funnel": events_funnel,
 }
 
 ORACLES = {
@@ -896,6 +952,7 @@ ORACLES = {
     "sketch_merge_distinct": _SKETCH_SQL,
     "ivfpq_topk": _ivfpq_sql(),
     "orders_pit_acctbal": _pit_sql(),
+    "events_funnel": _FUNNEL_SQL,
     "events_arrow_scaled": _ARROW_SQL,
     "orders_zvalue": _ZVALUE_SQL,
     "pq_codes": _PQ_CODES_SQL,

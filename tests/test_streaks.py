@@ -49,3 +49,34 @@ def test_multiple_events_one_day_count_once(spark):
     ]
     got = _run(spark, rows)
     assert got[7] == (2, 1, 2, dt.date(2024, 5, 1))
+
+
+def test_funnel_order_matters(spark):
+    from pyspark_data_processing_challenge_spark.operators import temporal as tp
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, _ts(2024, 1, 1, 9), "view"),
+        (1, _ts(2024, 1, 1, 10), "click"),
+        (1, _ts(2024, 1, 1, 11), "purchase"),
+        # user 2: click BEFORE the first view -> stuck at stage 1
+        (2, _ts(2024, 1, 1, 8), "click"),
+        (2, _ts(2024, 1, 1, 9), "view"),
+        # user 3: purchase before click -> stage 2 only
+        (3, _ts(2024, 1, 1, 9), "view"),
+        (3, _ts(2024, 1, 1, 10), "purchase"),
+        (3, _ts(2024, 1, 1, 11), "click"),
+        # user 4: no view at all -> stage 0
+        (4, _ts(2024, 1, 1, 9), "click"),
+        # user 5: later second view doesn't matter; click after first view
+        (5, _ts(2024, 1, 1, 9), "view"),
+        (5, _ts(2024, 1, 1, 10), "click"),
+        (5, _ts(2024, 1, 1, 12), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = tp.funnel_stages(
+        df, entity_col="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click", "purchase"],
+    )
+    got = {r.user_id: r.stage for r in out.collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 0, 5: 2}
