@@ -65,6 +65,8 @@ HEADLINE = [
     "user_streaks",
     "orders_zvalue",
     "pq_topk",
+    "events_funnel",
+    "orders_pit_acctbal",
 ]
 
 

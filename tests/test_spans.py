@@ -121,3 +121,66 @@ def test_incremental_equals_full_recompute(spark):
     # store accumulates totals across batches
     counts = {r.gram: r.n for r in store2.collect()}
     assert counts["x y z w"] == 2
+
+
+def test_strip_removed_equals_span_coverage(spark):
+    # cross-operator invariant on real data: the tokens the strip drops
+    # are exactly the union coverage the stats report
+    from tests.conftest import SF_DIR
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    stats = {
+        r.doc_id: r.dup_token_cov
+        for r in advanced.docs_dup_spans(spark, SF_DIR).collect()
+    }
+    stripped = {
+        r.doc_id: r.n_removed
+        for r in advanced.docs_strip_dup_spans(spark, SF_DIR).collect()
+    }
+    assert stats == stripped
+
+
+def test_span_stats_match_bruteforce_reference(spark):
+    # pure-Python reference over a random-ish small-vocab corpus
+    import itertools
+
+    vocab = ["a", "b", "c", "d"]
+    rng_texts = []
+    x = 12345
+    for i in range(40):
+        words = []
+        for _ in range(12):
+            x = (x * 1103515245 + 12345) % (2**31)
+            words.append(vocab[x % len(vocab)])
+        rng_texts.append((i, " ".join(words)))
+
+    k = 3
+    grams = {}
+    toks = {i: t_.split() for i, t_ in rng_texts}
+    for i, ts_ in toks.items():
+        for p in range(len(ts_) - k + 1):
+            grams.setdefault(tuple(ts_[p : p + k]), []).append((i, p))
+    want = {}
+    for i in toks:
+        pos = sorted(
+            p for g, occ in grams.items() if len(occ) >= 2
+            for (d, p) in occ if d == i
+        )
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        cov = sum(e - s + k for s, e in spans)
+        want[i] = (len(pos), len(spans), cov)
+
+    from pyspark_data_processing_challenge_spark.operators import dedup
+
+    df = spark.createDataFrame(rng_texts, ["doc_id", "text"])
+    out = dedup.duplicated_span_stats(df, "text", "doc_id", k=k)
+    got = {
+        r.doc_id: (r.dup_positions, r.dup_spans, r.dup_token_cov)
+        for r in out.collect()
+    }
+    assert got == want
