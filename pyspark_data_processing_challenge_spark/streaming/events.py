@@ -399,3 +399,67 @@ def m4_hourly(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
             "n_points",
         )
     )
+
+
+def funnel_state(
+    events: DataFrame,
+    *,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming funnel: per-user ordered-stage state machine via
+    ``applyInPandasWithState`` — the live twin of the batch
+    ``operators/temporal.funnel_stages``.
+
+    State is one epoch-micros slot per stage (0 = not reached), set
+    once when the stage's event arrives after the previous stage's
+    time — bounded by user cardinality x |stages|, not stream length.
+    Micro-batches must arrive in event-time order (the standard
+    caveat: an out-of-order funnel needs watermark buffering); rows
+    are sorted within each batch.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupState
+
+    n = len(stages)
+    out_schema = "user_id long, stage int, " + ", ".join(
+        f"t_{s} timestamp" for s in stages
+    )
+    state_schema = ", ".join(f"t{i} long" for i in range(n))
+
+    def update(key, pdfs, state: GroupState):
+        cur = list(state.get) if state.exists else [0] * n
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values("ts")
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                micros = int(pd.Timestamp(ts).value // 1000)
+                for i, s in enumerate(stages):
+                    if (
+                        et == s
+                        and cur[i] == 0
+                        and (i == 0 or (cur[i - 1] != 0 and micros > cur[i - 1]))
+                    ):
+                        cur[i] = micros
+                        break
+        state.update(tuple(cur))
+        stage = 0
+        for i in range(n):
+            if cur[i] != 0:
+                stage = i + 1
+            else:
+                break
+        out = {"user_id": [key[0]], "stage": [stage]}
+        for i, s in enumerate(stages):
+            out[f"t_{s}"] = [
+                pd.Timestamp(cur[i], unit="us") if cur[i] else pd.NaT
+            ]
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -539,3 +539,64 @@ def test_streaming_m4_matches_batch(spark):
         for r in events_m4_downsample(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_matches_batch_across_batches(spark, tmp_path):
+    # two micro-batches in event-time order (second file written only
+    # after the first is fully processed), funnel state carries across
+    from pyspark_data_processing_challenge_spark.operators import temporal as tp
+    from pyspark_data_processing_challenge_spark.queries._util import events_table
+
+    ev = events_table(spark, SF_DIR).select("user_id", "ts", "event_type")
+    cut = ev.selectExpr("percentile(cast(ts as double), 0.5) p").first().p
+    src = str(tmp_path / "stream_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    first = ev.filter(F.col("ts").cast("double") <= cut)
+    second = ev.filter(F.col("ts").cast("double") > cut)
+    first.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    import glob as g
+    import shutil
+
+    shutil.copy(g.glob(str(tmp_path / "b1" / "part-*.parquet"))[0], f"{src}/a.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sev.funnel_state(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 done before batch 2 exists
+        second.coalesce(1).write.parquet(str(tmp_path / "b2"))
+        shutil.copy(
+            g.glob(str(tmp_path / "b2" / "part-*.parquet"))[0], f"{src}/b.parquet"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # update-mode memory sink keeps every emission; the LAST row per
+    # user is the final state
+    got_rows = spark.sql(
+        "SELECT * FROM funnel_out"
+    ).collect()
+    got = {}
+    for r in got_rows:  # later emissions overwrite (collect preserves order)
+        got[r.user_id] = (r.stage, r.t_view, r.t_click, r.t_purchase)
+    want = {
+        r.user_id: (r.stage, r.t_view, r.t_click, r.t_purchase)
+        for r in tp.funnel_stages(
+            ev, entity_col="user_id", ts_col="ts", type_col="event_type",
+            stages=["view", "click", "purchase"],
+        ).collect()
+    }
+    assert got == want
