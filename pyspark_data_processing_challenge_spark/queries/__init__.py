@@ -37,6 +37,7 @@ _VERDICT_PRIORITY = [
     "docs_char_entropy",  # new: char-unigram entropy quality signal
     "events_arrow_scaled",  # new: mapInArrow (RecordBatch iterator) surface
     "orders_zvalue",  # new: Z-order (Morton) clustering key
+    "orders_hilbert",  # new: Hilbert-curve clustering key
     "pq_codes",  # new: product quantization encoding
     "pq_topk",  # new: PQ asymmetric-distance top-k
     "sessionize_events_native",  # new: built-in session_window batch twin
@@ -80,12 +81,12 @@ _VERDICT_PRIORITY = [
     "cdc_merge_delete_orders",
     "snapshot_diff_orders",
     "agg_pricing_summary",
-    "join_revenue_by_nation",
     # --- oldest (r01-only) verdicts, promoted for re-verification ---
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    "join_revenue_by_nation": "r04",
     "sessionize_events": "r01+r02+r04",
     "op_date_filter": "r01",
     "op_standardize_units": "r01",

@@ -881,6 +881,82 @@ FROM b
 """
 
 
+def orders_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same (o_custkey, order-day)
+    buckets as orders_zvalue — the better-locality alternative to the
+    Morton interleave (every curve step is grid-adjacent). Unrolled
+    integer bit arithmetic; the oracle replays the identical CTE chain."""
+    from ..sources import maintenance as mnt
+
+    o = t(spark, sf_dir, "orders")
+    daynum = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("min1"),
+        F.max("o_custkey").alias("max1"),
+        F.min(daynum).alias("min2"),
+        F.max(daynum).alias("max2"),
+    ).first()
+    staged = o.select(
+        "o_orderkey",
+        mnt.minmax_bucket(
+            F.col("o_custkey"), stats["min1"], stats["max1"], Z_BITS
+        ).alias("b1"),
+        mnt.minmax_bucket(daynum, stats["min2"], stats["max2"], Z_BITS).alias(
+            "b2"
+        ),
+    )
+    return mnt.hilbert_index(staged, "b1", "b2", bits=Z_BITS, out_col="hval")
+
+
+def _hilbert_sql() -> str:
+    bits = Z_BITS
+    ctes = [
+        f"h{bits} AS (SELECT o_orderkey, b1, b2, b1::BIGINT AS hx, "
+        f"b2::BIGINT AS hy, 0::BIGINT AS hd FROM b)"
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"""h{i} AS (
+  SELECT o_orderkey, b1, b2,
+    CASE WHEN {ry} = 0
+         THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)
+         ELSE hx END AS hx,
+    CASE WHEN {ry} = 0
+         THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)
+         ELSE hy END AS hy,
+    hd + {s * s} * xor(3 * {rx}, {ry}) AS hd
+  FROM h{i + 1})"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH dn AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1990-01-01', o_orderdate::DATE) AS d
+  FROM orders
+),
+stats AS (
+  SELECT min(o_custkey)::DOUBLE AS min1, max(o_custkey)::DOUBLE AS max1,
+         min(d)::DOUBLE AS min2, max(d)::DOUBLE AS max2
+  FROM dn
+),
+b AS (
+  SELECT o_orderkey,
+         floor((o_custkey::DOUBLE - min1) / (max1 - min1 + 1.0)
+               * {float(1 << Z_BITS)})::BIGINT AS b1,
+         floor((d::DOUBLE - min2) / (max2 - min2 + 1.0)
+               * {float(1 << Z_BITS)})::BIGINT AS b2
+  FROM dn, stats
+),
+{chain}
+SELECT o_orderkey, b1, b2, hd AS hval FROM h0
+"""
+
+
 # ---------------------------------------------------------------------------
 # native session_window (batch) — twin of the manual gap+cumsum form
 # ---------------------------------------------------------------------------
@@ -925,6 +1001,7 @@ def sessionize_events_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_arrow_scaled": events_arrow_scaled,
     "orders_zvalue": orders_zvalue,
+    "orders_hilbert": orders_hilbert,
     "pq_codes": pq_codes,
     "pq_topk": pq_topk,
     "sessionize_events_native": sessionize_events_native,
@@ -955,6 +1032,7 @@ ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "events_arrow_scaled": _ARROW_SQL,
     "orders_zvalue": _ZVALUE_SQL,
+    "orders_hilbert": _hilbert_sql(),
     "pq_codes": _PQ_CODES_SQL,
     "pq_topk": _PQ_TOPK_SQL,
     # shares the manual form's oracle — strategies proven identical

@@ -141,3 +141,68 @@ def zorder_rewrite(
         .write.mode("overwrite")
         .parquet(dst_dir)
     )
+
+
+def hilbert_index(df: DataFrame, x_col: str, y_col: str, *, bits: int, out_col: str) -> DataFrame:
+    """Hilbert-curve index of two bucket columns in [0, 2^bits) — the
+    space-filling curve with strictly better locality than Morton
+    (every curve-adjacent pair is grid-adjacent; Z-order jumps).
+
+    The classic iterative xy2d, unrolled: each of the ``bits`` steps is
+    staged as its own projection updating (x, y, d) with pure integer
+    CASE/bit arithmetic — codegen-friendly, no UDF, and reproducible
+    verbatim by the DuckDB oracle (the same unrolled CTE chain).
+    """
+    from pyspark.sql import functions as F
+
+    cur = df.withColumns(
+        {
+            "__hx": F.col(x_col).cast("long"),
+            "__hy": F.col(y_col).cast("long"),
+            "__hd": F.lit(0).cast("long"),
+        }
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        ry = F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        staged = cur.withColumns({"__rx": rx, "__ry": ry})
+        d2 = F.col("__hd") + F.lit(s) * F.lit(s) * (
+            (F.lit(3) * F.col("__rx")).bitwiseXOR(F.col("__ry"))
+        )
+        # rotation: when ry==0, (x,y) -> reflect-if-rx then swap
+        x_ref = F.when(
+            F.col("__rx") == 1, F.lit(s - 1) - F.col("__hx")
+        ).otherwise(F.col("__hx"))
+        y_ref = F.when(
+            F.col("__rx") == 1, F.lit(s - 1) - F.col("__hy")
+        ).otherwise(F.col("__hy"))
+        new_x = F.when(F.col("__ry") == 0, y_ref).otherwise(F.col("__hx"))
+        new_y = F.when(F.col("__ry") == 0, x_ref).otherwise(F.col("__hy"))
+        cur = staged.withColumns(
+            {"__hd": d2, "__hx2": new_x, "__hy2": new_y}
+        ).withColumns(
+            {"__hx": F.col("__hx2"), "__hy": F.col("__hy2")}
+        ).drop("__hx2", "__hy2", "__rx", "__ry")
+    return cur.withColumn(out_col, F.col("__hd")).drop("__hx", "__hy", "__hd")
+
+
+def py_hilbert_xy2d(n: int, x: int, y: int) -> int:
+    """Pure-Python reference of the same xy2d (tests)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d

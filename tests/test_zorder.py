@@ -88,3 +88,34 @@ def test_zorder_rewrite_shrinks_bounding_boxes(spark, tmp_path):
 
     assert hits(boxes_z) < len(boxes_z)
     assert hits(boxes_z) <= hits(boxes_plain)
+
+
+def test_hilbert_is_bijective_and_fully_local(spark):
+    # every consecutive pair of Hilbert indices is GRID-ADJACENT (the
+    # locality property Morton lacks — its worst-case jumps span rows)
+    import itertools
+
+    from pyspark.sql import functions as SF
+
+    rows = [(x, y) for x, y in itertools.product(range(16), repeat=2)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    hil = {
+        r.h: (r.x, r.y)
+        for r in mnt.hilbert_index(df, "x", "y", bits=4, out_col="h").collect()
+    }
+    assert sorted(hil) == list(range(256))  # bijection
+    assert all(
+        abs(hil[i][0] - hil[i + 1][0]) + abs(hil[i][1] - hil[i + 1][1]) == 1
+        for i in range(255)
+    )
+    mor = {
+        r.z: (r.x, r.y)
+        for r in df.select(
+            "x", "y", mnt.interleave_bits(SF.col("x"), SF.col("y"), 4).alias("z")
+        ).collect()
+    }
+    worst_morton = max(
+        abs(mor[i][0] - mor[i + 1][0]) + abs(mor[i][1] - mor[i + 1][1])
+        for i in range(255)
+    )
+    assert worst_morton > 1  # Morton jumps; Hilbert never does
