@@ -110,6 +110,7 @@ def zorder_rewrite(
     *,
     bits: int = 16,
     num_files: int = 8,
+    curve: str = "morton",
 ) -> None:
     """Rewrite a parquet directory clustered along the Z-curve of two
     columns, so parquet min/max stats bound BOTH dimensions per file and
@@ -132,9 +133,17 @@ def zorder_rewrite(
     ).first()
     b1 = minmax_bucket(F.col(col1), stats["min1"], stats["max1"], bits)
     b2 = minmax_bucket(F.col(col2), stats["min2"], stats["max2"], bits)
-    z = interleave_bits(b1, b2, bits)
+    if curve == "hilbert":
+        staged = df.withColumns({"__b1": b1, "__b2": b2})
+        clustered = hilbert_index(
+            staged, "__b1", "__b2", bits=bits, out_col="__z"
+        ).drop("__b1", "__b2")
+    elif curve == "morton":
+        clustered = df.withColumn("__z", interleave_bits(b1, b2, bits))
+    else:
+        raise ValueError(f"unknown curve: {curve!r}")
     (
-        df.withColumn("__z", z)
+        clustered
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

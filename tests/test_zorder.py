@@ -119,3 +119,29 @@ def test_hilbert_is_bijective_and_fully_local(spark):
         for i in range(255)
     )
     assert worst_morton > 1  # Morton jumps; Hilbert never does
+
+
+def test_hilbert_rewrite_shrinks_boxes_too(spark, tmp_path):
+    staged = str(tmp_path / "hstaged")
+    (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .withColumn(
+            "day_num",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")
+            ),
+        )
+        .write.parquet(staged)
+    )
+    plain = str(tmp_path / "hplain")
+    spark.read.parquet(staged).repartition(8).write.parquet(plain)
+    hil = str(tmp_path / "hil")
+    mnt.zorder_rewrite(
+        spark, staged, hil, "o_custkey", "day_num", num_files=8,
+        curve="hilbert",
+    )
+    assert spark.read.parquet(hil).count() == spark.read.parquet(staged).count()
+    boxes_h = _file_boxes(spark, hil, "o_custkey", "day_num")
+    boxes_plain = _file_boxes(spark, plain, "o_custkey", "day_num")
+    assert len(boxes_h) >= 4
+    assert _sum_area(boxes_h) < 0.5 * _sum_area(boxes_plain)
