@@ -43,6 +43,7 @@ _VERDICT_PRIORITY = [
     "sessionize_events_native",  # new: built-in session_window batch twin
     "events_m4_downsample",  # new: M4 (VLDB 14) time-series downsampling
     "docs_bm25",  # new: BM25 lexical ranking
+    "docs_hashed_features",  # new: feature hashing (hashing trick)
     "sketch_merge_distinct",  # new: mergeable HLL partial sketches
     "ivfpq_topk",  # new: IVF coarse probe + PQ ADC ranking
     "orders_pit_acctbal",  # new: point-in-time join vs SCD2 dimension
@@ -80,12 +81,12 @@ _VERDICT_PRIORITY = [
     "docs_pii_scrub",
     "cdc_merge_delete_orders",
     "snapshot_diff_orders",
-    "agg_pricing_summary",
     # --- oldest (r01-only) verdicts, promoted for re-verification ---
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    "agg_pricing_summary": "r04",
     "join_revenue_by_nation": "r04",
     "sessionize_events": "r01+r02+r04",
     "op_date_filter": "r01",

@@ -379,6 +379,57 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# feature hashing (Weinberger et al., ICML 2009 — the hashing trick)
+# ---------------------------------------------------------------------------
+
+FH_DIM = 64
+
+
+def docs_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words features in sparse form: every token maps to
+    bucket ``char_hash % 64`` with a sign from the hash's next bit, and
+    signed counts sum per (doc, bucket) — model-free text vectors that
+    feed the ANN/PQ family directly. Sparse (doc, bucket, w) output is
+    the natural relational form; densify with a 64-slot transform when
+    a fixed-width column is needed."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(textfns.tokens(F.col("text"))).alias("tok")
+    )
+    staged = toks.withColumn("__h", textfns.char_hash(F.col("tok")))
+    return (
+        staged.select(
+            "doc_id",
+            (F.col("__h") % FH_DIM).cast("long").alias("bucket"),
+            F.when(
+                (F.floor(F.col("__h") / FH_DIM) % 2) == 0, F.lit(1)
+            ).otherwise(F.lit(-1)).cast("long").alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+_FH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens("text")}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, {sql_char_hash("tok")} AS h FROM toks
+),
+signed AS (
+  SELECT doc_id, (h % {FH_DIM})::BIGINT AS bucket,
+         (CASE WHEN (h // {FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS sgn
+  FROM hashed
+)
+SELECT doc_id, bucket, sum(sgn)::BIGINT AS w
+FROM signed GROUP BY doc_id, bucket
+HAVING sum(sgn) <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # BM25 lexical ranking (Robertson et al.)
 # ---------------------------------------------------------------------------
 
@@ -1012,6 +1063,7 @@ QUERIES = {
     "docs_char_entropy": docs_char_entropy,
     "events_m4_downsample": events_m4_downsample,
     "docs_bm25": docs_bm25,
+    "docs_hashed_features": docs_hashed_features,
     "sketch_merge_distinct": sketch_merge_distinct,
     "ivfpq_topk": ivfpq_topk,
     "orders_pit_acctbal": orders_pit_acctbal,
@@ -1026,6 +1078,7 @@ ORACLES = {
     "docs_char_entropy": _ENTROPY_SQL,
     "events_m4_downsample": _M4_SQL,
     "docs_bm25": _bm25_sql(),
+    "docs_hashed_features": _FH_SQL,
     "sketch_merge_distinct": _SKETCH_SQL,
     "ivfpq_topk": _ivfpq_sql(),
     "orders_pit_acctbal": _pit_sql(),
