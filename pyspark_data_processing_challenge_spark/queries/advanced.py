@@ -1,9 +1,14 @@
-"""Round-5 catalog additions: repeated-substring span dedup (stats,
-applied strip, and incremental forms), Efraimidis-Spirakis weighted
-sampling, gaps-and-islands streaks, char-entropy quality signal,
-mapInArrow surface, M4 time-series downsampling, product quantization
-(encode + ADC top-k), Z-order clustering, and the native
-session_window batch twin.
+"""Round-5 catalog additions.
+
+Dedup/curation: repeated-substring span dedup (stats, applied strip,
+incremental gram-count store), Efraimidis-Spirakis weighted sampling,
+char-entropy quality signal, feature hashing, BM25 ranking.
+Similarity: product quantization (encode + ADC top-k), IVF-PQ
+composite search. Temporal/relational: gaps-and-islands streaks, M4
+downsampling, ordered-stage funnel, point-in-time join vs SCD2,
+native session_window twin, mergeable HLL sketch contract. Layout:
+Z-order (Morton) and Hilbert clustering keys. API surface:
+mapInArrow.
 
 Same contract as every other catalog module: each query has a DuckDB
 oracle with identical column names and engine-portable arithmetic.
