@@ -664,7 +664,10 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoding: every 64-dim vector -> 8 codes (nearest centroid
-    per 8-dim subspace, squared L2, tie-break lowest code)."""
+    per 8-dim subspace, squared L2, tie-break lowest code). The code
+    array is flattened to a comma-joined string per the catalog's
+    atomic-output convention (raw arrays crash the driver's pandas
+    canonicalizer — CORRECTNESS_r05)."""
     emb = t(spark, sf_dir, "embeddings")
     out = similarity.pq_encode(
         emb,
@@ -674,7 +677,10 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         dsub=PQ_DSUB,
     )
-    return out.select(F.col("id").alias("vec_id"), "codes")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+    )
 
 
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,7 +739,8 @@ codes AS (
 
 _PQ_CODES_SQL = f"""
 WITH {_PQ_COMMON}
-SELECT id AS vec_id, array_agg(code ORDER BY s) AS codes
+SELECT id AS vec_id,
+       array_to_string(array_agg(code ORDER BY s), ',') AS codes
 FROM codes GROUP BY id
 """
 

@@ -126,6 +126,25 @@ def _assert_dtype_parity(name, df, duck, sql):
 NO_ORACLE_ALLOWED = {"approx_distinct_stats"}
 
 
+def _assert_atomic_schema(name, df):
+    """The driver canonicalizes results with pandas sort_values, which
+    raises TypeError on list/dict cells — so a query emitting an
+    array/map/struct column can NEVER be graded (pq_codes, r05's one
+    red row). Every catalog output column must be an atomic type;
+    flatten containers with array_join or per-slot columns."""
+    from pyspark.sql import types as T
+
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-atomic output columns {bad} — the driver "
+        f"canonicalizer crashes on container cells; flatten them"
+    )
+
+
 def test_parity_covers_full_catalog():
     """The driver window rotation (queries/__init__._ROTATED_OUT) is
     only legitimate while every rotated-out query keeps an enforced
@@ -159,6 +178,7 @@ def test_query_matches_oracle(spark, duck, name):
             pytest.skip(f"{name}: sketch-based, tolerance-tested instead")
         raise AssertionError(f"{name} has no oracle")
     df = qfn(spark, SF01_DIR)
+    _assert_atomic_schema(name, df)
     cols = sorted(df.columns)
     duck_names = [d[0] for d in duck.execute(sql).description]
     assert sorted(duck_names) == cols, (
@@ -174,6 +194,14 @@ def test_query_matches_oracle(spark, duck, name):
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(NO_ORACLE_ALLOWED))
+def test_no_oracle_queries_atomic_schema(spark, name):
+    """Queries exempt from the oracle gate still face the driver's
+    rows-only canonicalizer — same atomic-schema requirement."""
+    df = entrymod.queries()[name](spark, SF01_DIR)
+    _assert_atomic_schema(name, df)
 
 
 def test_entry_smoke(spark):

@@ -14,8 +14,9 @@ def test_pq_codes_shape_and_range(spark):
     out = advanced.pq_codes(spark, SF01_DIR).collect()
     assert len(out) == 500
     for r in out:
-        assert len(r.codes) == advanced.PQ_M
-        assert all(0 <= c < advanced.PQ_NCODES for c in r.codes)
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == advanced.PQ_M
+        assert all(0 <= c < advanced.PQ_NCODES for c in codes)
 
 
 def test_pq_adc_recall_vs_exact(spark):
