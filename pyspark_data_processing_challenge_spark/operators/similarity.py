@@ -306,6 +306,53 @@ def pq_encode(
     )
 
 
+def pq_lloyd_step(
+    sub: DataFrame,
+    codebook: DataFrame,
+    *,
+    round_dp: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration per PQ subspace — codebook TRAINING, the
+    piece a production index runs k times before :func:`pq_encode`.
+
+    E-step: every subvector joins the broadcast codebook and takes its
+    nearest centroid (squared L2, tie-break lowest code — the exact
+    rule ``pq_encode`` applies). M-step: each centroid becomes the
+    per-dimension mean of its members in LONG format (posexplode +
+    groupBy(s, j, dim)) so the update is one shuffle keyed on
+    (subspace, code, dim) — no driver-side math, no vector-length
+    column explosion. Means are ROUNDED (``round_dp``) before the
+    rebuilt codebook is used downstream: double summation order
+    differs across engines/partitionings, and rounding re-synchronizes
+    the trained centroids so later distance folds match bit-for-bit
+    (the ``kmeans_two_step`` determinism pattern).
+
+    Input ``sub``: (id, s, sv) from :func:`pq_subvectors`;
+    ``codebook``: (s, j, cv). Output: retrained (s, j, cv) — empty
+    clusters drop out (join semantics), matching the SQL replay.
+    """
+    from ..queries._util import round_to
+
+    scored = sub.join(F.broadcast(codebook), "s").select(
+        "id", "s", "sv", "j", _sq_l2(F.col("sv"), F.col("cv")).alias("dist")
+    )
+    assigned = scored.groupBy("id", "s").agg(
+        F.min_by(F.struct("j", "sv"), F.struct("dist", "j")).alias("m")
+    )
+    expl = assigned.select(
+        "s", F.col("m.j").alias("j"), F.posexplode("m.sv").alias("dim", "v")
+    )
+    means = expl.groupBy("s", "j", "dim").agg(
+        round_to(F.avg("v"), round_dp).alias("c")
+    )
+    return means.groupBy("s", "j").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda x: x["c"],
+        ).alias("cv")
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebook: DataFrame,

@@ -705,6 +705,37 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-10 with a LLOYD-TRAINED codebook: the convention
+    codebook (first-16 subvectors) is only the k-means init; one Lloyd
+    iteration per subspace (operators/similarity.pq_lloyd_step —
+    broadcast E-step, one (s, j, dim)-keyed shuffle M-step, means
+    rounded for cross-engine replay) re-centers every centroid on its
+    members before encode + ADC. This is the production index path the
+    convention-codebook ``pq_topk`` approximates; the recall test
+    (tests/test_pq.py) pins trained >= convention."""
+    emb = t(spark, sf_dir, "embeddings")
+    sub = similarity.pq_subvectors(
+        emb, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
+    )
+    cb1 = similarity.pq_lloyd_step(sub, _pq_codebook(spark, sf_dir))
+    codes = similarity.pq_encode(
+        emb, cb1, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
+    )
+    qsub = similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") == PQ_QID),
+        vec_col="embedding",
+        id_col="vec_id",
+        m=PQ_M,
+        dsub=PQ_DSUB,
+    ).select("s", F.col("sv").alias("qv"))
+    out = similarity.pq_adc_topk(codes, cb1, qsub, k=PQ_TOPK)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        round_to(F.col("adc_dist"), 6).alias("adc_dist"),
+    )
+
+
 def _sql_sq_l2(a: str, b: str, dsub: int) -> str:
     """DuckDB twin of similarity._sq_l2: left-fold squared L2 over
     double-cast elements."""
@@ -768,6 +799,63 @@ SELECT vec_id, adc_dist FROM (
   SELECT id AS vec_id, adc_dist AS raw_d,
          {sql_round("adc_dist", 6)} AS rounded
   FROM adc ORDER BY raw_d, id LIMIT {PQ_TOPK}
+) t(vec_id, raw_d, adc_dist)
+"""
+
+
+_PQ_TRAINED_SQL = f"""
+WITH {_PQ_COMMON},
+scored_sv AS (
+  SELECT subs.id, subs.s, subs.sv, cb.j,
+         {_sql_sq_l2("subs.sv", "cb.cv", PQ_DSUB)} AS dist
+  FROM subs JOIN cb USING (s)
+),
+assigned AS (
+  SELECT id, s, (array_agg(j ORDER BY dist, j))[1] AS j, first(sv) AS sv
+  FROM scored_sv GROUP BY id, s
+),
+expl AS (
+  SELECT s, j, d - 1 AS dim, sv[d]::DOUBLE AS v
+  FROM assigned, unnest(range(1, {PQ_DSUB + 1})) AS u(d)
+),
+means AS (
+  SELECT s, j, dim, {sql_round("avg(v)", 6)} AS c
+  FROM expl GROUP BY s, j, dim
+),
+cb1 AS (
+  SELECT s, j, array_agg(c ORDER BY dim) AS cv FROM means GROUP BY s, j
+),
+scored1 AS (
+  SELECT subs.id, subs.s, cb1.j,
+         {_sql_sq_l2("subs.sv", "cb1.cv", PQ_DSUB)} AS dist
+  FROM subs JOIN cb1 USING (s)
+),
+codes1 AS (
+  SELECT id, s, (array_agg(j ORDER BY dist, j))[1] AS code
+  FROM scored1 GROUP BY id, s
+),
+qsub AS (
+  SELECT s, sv AS qv FROM subs WHERE id = {PQ_QID}
+),
+qtable1 AS (
+  SELECT cb1.s, cb1.j, {_sql_sq_l2("qsub.qv", "cb1.cv", PQ_DSUB)} AS qd
+  FROM qsub JOIN cb1 USING (s)
+),
+per_sub1 AS (
+  SELECT c.id, c.s, q.qd
+  FROM codes1 c JOIN qtable1 q ON c.s = q.s AND c.code = q.j
+),
+adc1 AS (
+  SELECT id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list({{'s': s, 'qd': qd}})), x -> x.qd)),
+           (x, y) -> x + y) AS adc_dist
+  FROM per_sub1 GROUP BY id
+)
+SELECT vec_id, adc_dist FROM (
+  SELECT id AS vec_id, adc_dist AS raw_d,
+         {sql_round("adc_dist", 6)} AS rounded
+  FROM adc1 ORDER BY raw_d, id LIMIT {PQ_TOPK}
 ) t(vec_id, raw_d, adc_dist)
 """
 
@@ -1067,6 +1155,7 @@ QUERIES = {
     "orders_hilbert": orders_hilbert,
     "pq_codes": pq_codes,
     "pq_topk": pq_topk,
+    "pq_trained_topk": pq_trained_topk,
     "sessionize_events_native": sessionize_events_native,
     "docs_dup_spans": docs_dup_spans,
     "docs_strip_dup_spans": docs_strip_dup_spans,
@@ -1100,6 +1189,7 @@ ORACLES = {
     "orders_hilbert": _hilbert_sql(),
     "pq_codes": _PQ_CODES_SQL,
     "pq_topk": _PQ_TOPK_SQL,
+    "pq_trained_topk": _PQ_TRAINED_SQL,
     # shares the manual form's oracle — strategies proven identical
     "sessionize_events_native": relational.ORACLES["sessionize_events"],
 }
