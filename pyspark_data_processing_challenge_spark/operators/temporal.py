@@ -167,14 +167,17 @@ def m4_downsample(
     pixel-perfect. ONE hash aggregate (partial + final, map-side
     combined); this is how dashboards read billion-point series.
 
-    Determinism precondition: ``ts_col`` unique within a series×bucket
-    (true for event streams with µs timestamps; pre-aggregate ties
-    otherwise) — ``min_by/max_by`` then have a single winner.
+    Duplicate timestamps within a series×bucket are tie-broken on the
+    VALUE: v_first is the min over lexicographic (ts, value) pairs,
+    v_last the max — deterministic across engines/partitionings even
+    when ts collides (a bare min_by/max_by would be engine-order
+    dependent; ADVICE r05).
     """
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    tv = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
     return df.groupBy(series_col, b).agg(
-        F.min_by(value_col, ts_col).alias("v_first"),
-        F.max_by(value_col, ts_col).alias("v_last"),
+        F.min(tv)["v"].alias("v_first"),
+        F.max(tv)["v"].alias("v_last"),
         F.min(value_col).alias("v_min"),
         F.max(value_col).alias("v_max"),
         F.min(ts_col).alias("ts_first"),

@@ -348,18 +348,24 @@ def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     table answers COUNT(DISTINCT) incrementally: per-partition sketch
     columns persisted at ingest, merged at query time, raw data never
     re-read. The DuckDB oracle emits the exact count and literal
-    trues, so a broken merge fails the driver hash."""
+    trues, so a broken merge fails the driver hash. lgConfigK is
+    PINNED (not the library default) so the register-wise-max
+    losslessness contract survives a Spark/DataSketches default bump
+    (ADVICE r05); union disallows mixed lgConfigK explicitly."""
+    lg_k = 12
     e = t(spark, sf_dir, "events")
     per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
     )
     merged = per_day.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sk", F.lit(False))
+        ).alias("est_merged")
     )
     direct = e.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
-            "est_direct"
-        ),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(lg_k))
+        ).alias("est_direct"),
         F.countDistinct("user_id").alias("n_exact"),
     )
     out = direct.crossJoin(merged)
@@ -530,8 +536,8 @@ WITH norm AS (
   SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
 )
 SELECT event_type, date_trunc('hour', ts) AS bucket,
-       min_by(value, ts) AS v_first,
-       max_by(value, ts) AS v_last,
+       (array_agg(value ORDER BY ts, value))[1] AS v_first,
+       (array_agg(value ORDER BY ts DESC, value DESC))[1] AS v_last,
        min(value) AS v_min,
        max(value) AS v_max,
        min(ts) AS ts_first,

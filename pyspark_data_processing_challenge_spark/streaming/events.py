@@ -370,17 +370,20 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
 def m4_hourly(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Streaming M4 downsampling — twin of the batch
     ``operators/temporal.m4_downsample`` (first/last/min/max value per
-    series x hour). min_by/max_by are declarative aggregates, so the
-    state per (window, series) key is four scalars + bounds; the
-    watermark evicts closed windows. This is the live-dashboard form:
-    the sink receives render-ready points, never raw events.
+    series x hour). min/max over a (ts, value) struct are declarative
+    aggregates, so the state per (window, series) key is four scalars
+    + bounds; the watermark evicts closed windows. Ties on ts break on
+    value — same deterministic rule as the batch operator. This is the
+    live-dashboard form: the sink receives render-ready points, never
+    raw events.
     """
+    tv = F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
-            F.min_by("value", "ts").alias("v_first"),
-            F.max_by("value", "ts").alias("v_last"),
+            F.min(tv)["v"].alias("v_first"),
+            F.max(tv)["v"].alias("v_last"),
             F.min("value").alias("v_min"),
             F.max("value").alias("v_max"),
             F.min("ts").alias("ts_first"),
@@ -413,27 +416,43 @@ def funnel_state(
     State is one epoch-micros slot per stage (0 = not reached), set
     once when the stage's event arrives after the previous stage's
     time — bounded by user cardinality x |stages|, not stream length.
-    Micro-batches must arrive in event-time order (the standard
-    caveat: an out-of-order funnel needs watermark buffering); rows
-    are sorted within each batch.
+    Rows are sorted within each batch, so intra-batch disorder is
+    handled; CROSS-batch disorder (an event older than anything
+    already folded into state) cannot retroactively correct a
+    set-once slot, so it is DETECTED instead of silently ignored: the
+    state tracks the max event-time seen, and any user whose batch
+    dips below it carries a sticky ``ooo=true`` flag — downstream
+    consumers drop or re-derive those users from batch
+    ``funnel_stages`` (ADVICE r05). In-order streams never set it.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     from pyspark.sql.streaming.state import GroupState
 
     n = len(stages)
-    out_schema = "user_id long, stage int, " + ", ".join(
-        f"t_{s} timestamp" for s in stages
+    out_schema = (
+        "user_id long, stage int, "
+        + ", ".join(f"t_{s} timestamp" for s in stages)
+        + ", ooo boolean"
     )
-    state_schema = ", ".join(f"t{i} long" for i in range(n))
+    state_schema = (
+        ", ".join(f"t{i} long" for i in range(n)) + ", tmax long, ooo int"
+    )
 
     def update(key, pdfs, state: GroupState):
-        cur = list(state.get) if state.exists else [0] * n
+        if state.exists:
+            *cur, tmax, ooo = state.get
+            cur = list(cur)
+        else:
+            cur, tmax, ooo = [0] * n, 0, 0
         rows = pd.concat(list(pdfs), ignore_index=True)
         if len(rows):
             rows = rows.sort_values("ts")
             for ts, et in zip(rows["ts"], rows["event_type"]):
                 micros = int(pd.Timestamp(ts).value // 1000)
+                if micros < tmax:
+                    ooo = 1  # older than already-folded state: sticky flag
+                tmax = max(tmax, micros)
                 for i, s in enumerate(stages):
                     if (
                         et == s
@@ -442,7 +461,7 @@ def funnel_state(
                     ):
                         cur[i] = micros
                         break
-        state.update(tuple(cur))
+        state.update((*cur, tmax, ooo))
         stage = 0
         for i in range(n):
             if cur[i] != 0:
@@ -454,6 +473,7 @@ def funnel_state(
             out[f"t_{s}"] = [
                 pd.Timestamp(cur[i], unit="us") if cur[i] else pd.NaT
             ]
+        out["ooo"] = [bool(ooo)]
         yield pd.DataFrame(out)
 
     return events.groupBy("user_id").applyInPandasWithState(

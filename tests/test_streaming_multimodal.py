@@ -600,3 +600,61 @@ def test_streaming_funnel_matches_batch_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == want
+    # in-order stream: the OOO guard must never fire
+    assert not any(r.ooo for r in got_rows)
+
+
+def test_streaming_funnel_flags_out_of_order_batches(spark, tmp_path):
+    # u1's events arrive in event-time order across batches; u2's
+    # second batch regresses below its folded state — only u2 must
+    # carry the sticky ooo flag (set-once slots can't be corrected)
+    import glob as g
+    import os
+    import shutil
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        return g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    b1 = write_batch(
+        [(1, t0, "view"), (2, t0 + 5 * sec, "click")], "b1"
+    )
+    shutil.copy(b1, f"{src}/a.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sev.funnel_state(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_ooo")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2 = write_batch(
+            [(1, t0 + 2 * sec, "click"), (2, t0 + 3 * sec, "view")], "b2"
+        )
+        shutil.copy(b2, f"{src}/b.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.sql("SELECT * FROM funnel_ooo").collect():
+        final[r.user_id] = r
+    assert final[1].ooo is False and final[1].stage == 2
+    # u2's view arrived under its already-folded click: flagged, and
+    # the bogus state (click set, view unset) is marked untrustworthy
+    assert final[2].ooo is True
