@@ -14,17 +14,20 @@ Codecs available in this container (no PIL/ffmpeg):
   actual bytes; handles any real file of these formats.
 - ``codec="stub"`` — deterministic fake decode (dims derived from
   payload length) for plumbing tests where payloads aren't images.
+- ``codec="raster"`` — TRUE pixel decode, no image library: grayscale
+  PNG (zlib inflate + all five filter types) and baseline-DCT
+  grayscale JPEG (canonical Huffman + dequantize + float IDCT).
 
-Full pixel decode (``codec="jpeg"`` etc.) still raises
-``NotImplementedError`` — raster decoding needs an image library.
-``encode_png``/``encode_jpeg``/``encode_gif`` generate real payloads
-(valid PNG incl. CRCs and zlib IDAT; JPEG/GIF structurally valid with
-stub entropy data) so tests and oracle queries can plant media with
-known dimensions.
+``encode_png``/``encode_gif`` generate real payloads (valid PNG incl.
+CRCs and zlib IDAT; GIF structurally valid); ``encode_jpeg_gray`` is
+a REAL baseline JPEG encoder (DCT + Annex K Huffman) whose output any
+compliant decoder reads, while ``encode_jpeg`` keeps the header-only
+stub-scan form for header-parse corpora.
 """
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -242,6 +245,359 @@ def encode_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + sos + b"\x00" + b"\xff\xd9"
 
 
+# --------------------------------------------------------------------------
+# real baseline JPEG codec (pure python + numpy DCT) — grayscale,
+# fixed flat quant table, standard Annex K luminance Huffman tables
+# --------------------------------------------------------------------------
+
+# JPEG zigzag scan order: index z -> (row*8 + col) position
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K luminance tables: (BITS counts per code length 1..16, HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# flat quantization table (all 2s): near-lossless — roundtrip error is
+# DCT rounding only, keeping the planted-perturbation pHash signal
+# intact while the full quantize/entropy path is still exercised
+_JPEG_QUANT = 2
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG Huffman assignment: val -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_mat():
+    import numpy as np
+
+    n = 8
+    c = np.zeros((n, n))
+    for k in range(n):
+        for x in range(n):
+            c[k, x] = math.cos((2 * x + 1) * k * math.pi / (2 * n))
+    c *= math.sqrt(2.0 / n)
+    c[0, :] /= math.sqrt(2.0)
+    return c
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.acc = self.nbits = 0
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (category, amplitude bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """A REAL baseline-DCT grayscale JPEG (ITU T.81): 8x8 blocks with
+    edge-replication padding, float DCT-II, flat quantization, and
+    canonical Annex K Huffman entropy coding with byte stuffing — any
+    standards-compliant decoder reads it. Replaces the stub-scan
+    ``encode_jpeg`` wherever decoded pixels matter (VERDICT r05 item 6).
+    """
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError(f"raster size {len(pixels)} != {width}x{height}")
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]  # edge replication
+    padded[:, width:] = padded[:, width - 1 : width]
+    padded -= 128.0
+    c = _dct_mat()
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    out = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = c @ block @ c.T
+            q = np.round(coef / _JPEG_QUANT).astype(np.int64)
+            zz = [int(q.flat[_ZIGZAG[z]]) for z in range(64)]
+            size, amp = _mag_bits(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, length = dc_codes[size]
+            out.write(code, length)
+            if size:
+                out.write(amp, size)
+            run = 0
+            last_nz = 0
+            for z in range(63, 0, -1):
+                if zz[z]:
+                    last_nz = z
+                    break
+            for z in range(1, last_nz + 1):
+                if zz[z] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    out.write(code, length)
+                    run -= 16
+                size, amp = _mag_bits(zz[z])
+                code, length = ac_codes[(run << 4) | size]
+                out.write(code, length)
+                out.write(amp, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                out.write(code, length)
+    scan = out.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT for _ in range(64)))
+    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00")
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker in scan")
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value lookup built canonically from DHT."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("bad Huffman code in JPEG scan")
+
+
+def _extend(amp: int, size: int) -> int:
+    """Inverse of JPEG magnitude coding."""
+    if size == 0:
+        return 0
+    return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+
+
+def decode_jpeg_gray(payload: bytes | None) -> tuple[int, int, bytes] | None:
+    """REAL raster decode of a baseline-DCT grayscale JPEG: segment
+    walk (DQT/SOF0/DHT/SOS from the actual bytes — no assumption the
+    encoder was ours), canonical Huffman decode with byte unstuffing,
+    dequantize, float IDCT, level shift + clamp. Returns (width,
+    height, row-major pixels); None for null payloads; raises on
+    progressive/multi-component/stub-scan streams. This replaces the
+    r05 header-only JPEG guard with a true pixel path."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = 0
+    scan_start = None
+    dc_id = ac_id = 0
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("bad JPEG segment alignment")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        data = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(data):
+                pq, tq = data[j] >> 4, data[j] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(data[j + 1 : j + 65])
+                j += 65
+        elif marker in (0xC1, 0xC2) or (marker in _JPEG_SOF and marker != 0xC0):
+            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0})")
+        elif marker == 0xC0:
+            if data[0] != 8 or data[5] != 1:
+                raise ValueError("only 8-bit single-component JPEG")
+            h, w = struct.unpack(">HH", data[1:5])
+            if data[7] != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            comp_q = data[8]
+        elif marker == 0xC4:
+            j = 0
+            while j < len(data):
+                tc, th = data[j] >> 4, data[j] & 0xF
+                bits = list(data[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(data[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                j += 17 + n
+        elif marker == 0xDA:
+            if data[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_id, ac_id = data[2] >> 4, data[2] & 0xF
+            scan_start = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if w is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    if comp_q not in qt or (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("JPEG missing quant/Huffman tables (stub scan?)")
+    q = np.array(qt[comp_q], dtype=np.float64)
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    end = b.rfind(b"\xff\xd9")
+    r = _BitReader(b[scan_start : end if end > scan_start else len(b)])
+    c = _dct_mat()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    zz = np.zeros(64, dtype=np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            zz[:] = 0.0
+            size = _read_huff(r, dc_tab)
+            prev_dc += _extend(r.read(size), size) if size else 0
+            zz[0] = prev_dc
+            z = 1
+            while z < 64:
+                sym = _read_huff(r, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    z += 16  # ZRL
+                    continue
+                z += run
+                if z >= 64:
+                    raise ValueError("AC run overflow")
+                zz[z] = _extend(r.read(size), size)
+                z += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz * q
+            block = c.T @ coef.reshape(8, 8) @ c
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    pix = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    return w, h, pix.tobytes()
+
+
+def decode_raster(payload: bytes | None) -> tuple[int, int, bytes] | None:
+    """Format-dispatching raster decode: PNG (lossless zlib/unfilter
+    path) or baseline JPEG (DCT path) by signature. The single entry
+    point the pHash pipeline uses — JPEG corpora now get true pixels
+    instead of the r05 header-only guard."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_gray(b)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(b)
+    raise ValueError("unsupported raster format (PNG/JPEG only)")
+
+
 def encode_gif(width: int, height: int) -> bytes:
     """Minimal GIF89a: header + logical screen descriptor + trailer."""
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
@@ -448,10 +804,41 @@ def decode_image_batch(
 
     ``codec="headers"`` parses REAL PNG/JPEG/GIF container bytes
     (format + dimensions, see :func:`parse_image_header`) and returns
-    ``HEADER_SCHEMA``; ``codec="stub"`` returns ``DECODED_SCHEMA`` with
-    length-derived fake dims. Full raster decode raises — it needs an
-    image library not present in this container.
+    ``HEADER_SCHEMA``; ``codec="raster"`` performs TRUE pixel decode
+    (grayscale PNG / baseline JPEG via :func:`decode_raster`) and
+    returns ``DECODED_SCHEMA`` with the md5 of the decoded raster;
+    ``codec="stub"`` returns ``DECODED_SCHEMA`` with length-derived
+    fake dims.
     """
+    if codec == "raster":
+
+        def raster_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            for pdf in batches:
+                ws, hs, cks = [], [], []
+                for p in pdf["payload"]:
+                    decoded = decode_raster(p)
+                    if decoded is None:
+                        ws.append(None); hs.append(None); cks.append(None)
+                    else:
+                        w, h, pix = decoded
+                        ws.append(w); hs.append(h)
+                        cks.append(hashlib.md5(pix).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": pd.array(ws, dtype="Int32"),
+                        "height": pd.array(hs, dtype="Int32"),
+                        "n_bytes": [
+                            len(p) if p is not None else None
+                            for p in pdf["payload"]
+                        ],
+                        "checksum": cks,
+                    }
+                )
+
+        return df.mapInPandas(raster_fn, DECODED_SCHEMA)
     if codec == "headers":
 
         def parse_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -473,9 +860,10 @@ def decode_image_batch(
         return df.mapInPandas(parse_fn, HEADER_SCHEMA)
     if codec != "stub":
         raise NotImplementedError(
-            f"codec {codec!r} needs an image library not present in this "
-            "container; 'headers' (real PNG/JPEG/GIF header parse) and "
-            "'stub' are available"
+            f"codec {codec!r}: available codecs are 'raster' (true "
+            "grayscale PNG/baseline-JPEG pixel decode), 'headers' "
+            "(PNG/JPEG/GIF header parse), and 'stub'; other formats "
+            "need an image library not present in this container"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -635,13 +1023,20 @@ def _phash_raster(bid: int, w: int, h: int, nflip: int) -> bytes:
     return bytes(pix)
 
 
-def plant_phash_corpus(df: DataFrame, id_col: str) -> DataFrame:
-    """Near-duplicate image corpus as REAL PNG payloads: one base image
-    per id (dims and raster arithmetic functions of the id) plus, for
-    every ``PHASH_COPY_EVERY``-th id, a perturbed copy under id +
+def plant_phash_corpus(
+    df: DataFrame, id_col: str, *, codec: str = "png"
+) -> DataFrame:
+    """Near-duplicate image corpus as REAL payloads (``codec``: "png"
+    lossless or "jpeg" baseline-DCT): one base image per id (dims and
+    raster arithmetic functions of the id) plus, for every
+    ``PHASH_COPY_EVERY``-th id, a perturbed copy under id +
     ``PHASH_COPY_OFFSET`` whose raster differs in ``id % 3`` sampled
     pixels. Payload generation is an Arrow-batched pandas UDF."""
     from pyspark.sql.functions import pandas_udf
+
+    if codec not in ("png", "jpeg"):
+        raise ValueError(f"codec {codec!r}: png or jpeg")
+    enc = encode_png_gray if codec == "png" else encode_jpeg_gray
 
     @pandas_udf("binary")
     def _gen(ids: pd.Series) -> pd.Series:
@@ -650,7 +1045,7 @@ def plant_phash_corpus(df: DataFrame, id_col: str) -> DataFrame:
             bid = i - PHASH_COPY_OFFSET if is_copy else i
             w, h = bid % 48 + 16, (bid * 7) % 32 + 16
             nflip = bid % 3 if is_copy else 0
-            return encode_png_gray(w, h, _phash_raster(bid, w, h, nflip))
+            return enc(w, h, _phash_raster(bid, w, h, nflip))
 
         return ids.map(lambda i: make(int(i)))
 
@@ -675,15 +1070,16 @@ PHASH_SCHEMA = T.StructType(
 
 def phash_batch(df: DataFrame) -> DataFrame:
     """media (media_id, payload) → perceptual hash via REAL pixel
-    decode: zlib-inflate + unfilter the PNG (decode_png_gray), dHash
-    the raster. Arrow-batched mapInPandas — the decode loop runs
-    executor-side over columnar batches."""
+    decode, dispatched by signature (decode_raster): PNG zlib-inflate
+    + unfilter, or baseline-JPEG Huffman + IDCT. dHash the raster.
+    Arrow-batched mapInPandas — the decode loop runs executor-side
+    over columnar batches."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, his, los = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded = decode_png_gray(payload)
+                decoded = decode_raster(payload)
                 ids.append(mid)
                 if decoded is None:
                     ws.append(None); hs.append(None)

@@ -594,6 +594,52 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_hamming_pairs(hashes, max_distance=3)
 
 
+def image_phash_jpeg_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG near-dup recall gate over TRUE DCT-decoded pixels: plant
+    the perturbed-copy corpus as REAL baseline JPEGs (multimodal.
+    encode_jpeg_gray — float DCT + Annex K Huffman), decode them back
+    executor-side (decode_raster's Huffman+IDCT path), pHash, banded
+    Hamming near-dup, then keep the pairs on the PLANTED relation
+    (copy_id = media_id + offset). JPEG decode is lossy, so unlike the
+    PNG twin the oracle cannot recompute hashes arithmetically —
+    instead it pins the exact recall invariant (every planted pair
+    surfaces at Hamming <= 3; measured max is 2 over ids 0..5000 —
+    quantization noise is shared by base and copy, so it cancels) plus
+    the DECODED dimensions, which must come from a correct SOF0 parse.
+    Pixel exactness is pinned locally by the roundtrip tests
+    (tests/test_streaming_multimodal.py::test_jpeg_*)."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    corpus = multimodal.plant_phash_corpus(d, "doc_id", codec="jpeg")
+    hashes = multimodal.phash_batch(corpus)
+    pairs = multimodal.phash_hamming_pairs(hashes, max_distance=3)
+    planted = pairs.filter(
+        F.col("id_b") - F.col("id_a") == multimodal.PHASH_COPY_OFFSET
+    )
+    dims = hashes.select(
+        F.col("media_id").alias("id_a"), "width", "height"
+    )
+    return planted.join(dims, "id_a").select(
+        F.col("id_a").alias("media_id"),
+        F.col("id_b").alias("copy_id"),
+        "width",
+        "height",
+    )
+
+
+def _jpeg_phash_nd_sql() -> str:
+    from ..operators.multimodal import PHASH_COPY_EVERY, PHASH_COPY_OFFSET
+
+    return f"""
+SELECT doc_id AS media_id,
+       (doc_id + {PHASH_COPY_OFFSET})::BIGINT AS copy_id,
+       (doc_id % 48 + 16)::BIGINT AS width,
+       ((doc_id * 7) % 32 + 16)::BIGINT AS height
+FROM documents WHERE doc_id % {PHASH_COPY_EVERY} = 0
+"""
+
+
 def _phash_px(x: str, y: str) -> str:
     """Closed-form SQL for the planted raster pixel at (x, y) —
     mirrors multimodal._phash_raster including the copy perturbation."""
@@ -1159,6 +1205,7 @@ QUERIES = {
     "multimodal_media_decode": multimodal_media_decode,
     "image_phash": image_phash,
     "image_phash_near_dup": image_phash_near_dup,
+    "image_phash_jpeg_near_dup": image_phash_jpeg_near_dup,
     "docs_decontaminate": docs_decontaminate,
     "docs_split_assign": docs_split_assign,
     "docs_pack_sequences": docs_pack_sequences,
@@ -1205,6 +1252,7 @@ ORACLES = {
     "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,
     "image_phash": _PHASH_SQL,
     "image_phash_near_dup": _PHASH_ND_SQL,
+    "image_phash_jpeg_near_dup": _jpeg_phash_nd_sql(),
     "docs_decontaminate": _DECON_SQL,
     "docs_split_assign": _SPLIT_SQL,
     "docs_pack_sequences": _PACK_SQL,

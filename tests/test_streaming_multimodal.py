@@ -449,6 +449,100 @@ def test_png_decode_rejects_unsupported():
     assert multimodal.decode_png_gray(None) is None
 
 
+def test_jpeg_raster_roundtrip_near_lossless():
+    """encode_jpeg_gray -> decode_jpeg_gray must recover every pixel
+    within the flat-quant rounding bound (|err| <= 2) at even, odd and
+    degenerate dims — this is the pixel-exactness gate backing the
+    recall-only driver oracle of image_phash_jpeg_near_dup."""
+    import random
+
+    rng = random.Random(13)
+    for w, h in [(16, 16), (17, 13), (64, 48), (8, 8), (9, 23), (1, 5)]:
+        raster = bytes(rng.randrange(256) for _ in range(w * h))
+        jpg = multimodal.encode_jpeg_gray(w, h, raster)
+        w2, h2, dec = multimodal.decode_jpeg_gray(jpg)
+        assert (w2, h2) == (w, h)
+        assert max(abs(a - b) for a, b in zip(raster, dec)) <= 2
+    # pin one decoded raster checksum so a silent codec change is loud
+    import hashlib
+
+    w, h = 20, 12
+    pix = multimodal._phash_raster(5, w, h, 0)
+    _, _, dec = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(w, h, pix))
+    assert hashlib.md5(dec).hexdigest() == _JPEG_PIN
+
+
+# decoded bytes of the bid=5 20x12 planted raster (computed once from
+# the float-DCT reference implementation; any codec drift breaks this)
+_JPEG_PIN = "d941e9b0c6676f0bb8db79a1290ce241"
+
+
+def test_jpeg_decode_rejects_non_baseline_and_stub():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        multimodal.decode_jpeg_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with _pytest.raises(ValueError, match="stub"):
+        multimodal.decode_jpeg_gray(multimodal.encode_jpeg(10, 10))
+    assert multimodal.decode_jpeg_gray(None) is None
+    # decode_raster dispatches by signature
+    png = multimodal.encode_png(9, 7)
+    assert multimodal.decode_raster(png)[0:2] == (9, 7)
+    with _pytest.raises(ValueError, match="unsupported raster"):
+        multimodal.decode_raster(b"GIF89a" + b"\x00" * 10)
+
+
+def test_jpeg_phash_planted_pairs_recall():
+    """Every planted JPEG perturbed copy must sit within Hamming 3 of
+    its base after a true encode->decode cycle (quantization noise is
+    shared, so it cancels) — the invariant the driver oracle pins."""
+    for bid in (0, 4, 8, 20, 44, 96):
+        w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+        base_jpg = multimodal.encode_jpeg_gray(
+            w, h, multimodal._phash_raster(bid, w, h, 0)
+        )
+        copy_jpg = multimodal.encode_jpeg_gray(
+            w, h, multimodal._phash_raster(bid, w, h, bid % 3)
+        )
+        _, _, pb = multimodal.decode_jpeg_gray(base_jpg)
+        _, _, pc = multimodal.decode_jpeg_gray(copy_jpg)
+        hb = multimodal.dhash64(pb, w, h)
+        hc = multimodal.dhash64(pc, w, h)
+        d = bin(hb[0] ^ hc[0]).count("1") + bin(hb[1] ^ hc[1]).count("1")
+        assert d <= 3, (bid, d)
+
+
+def test_decode_image_batch_raster_codec(spark):
+    """codec='raster' end-to-end: true decoded dims + raster md5 for a
+    mixed PNG/JPEG corpus via mapInPandas."""
+    import hashlib
+
+    d = spark.range(12).select(F.col("id").alias("doc_id"))
+    png = multimodal.plant_phash_corpus(d, "doc_id", codec="png")
+    jpg = multimodal.plant_phash_corpus(
+        d.select((F.col("doc_id") + 100).alias("doc_id")), "doc_id", codec="jpeg"
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.decode_image_batch(
+            png.unionByName(jpg), codec="raster"
+        ).collect()
+    }
+    for mid, r in out.items():
+        bid = (
+            mid - multimodal.PHASH_COPY_OFFSET
+            if mid >= multimodal.PHASH_COPY_OFFSET
+            else mid
+        )
+        assert (r["width"], r["height"]) == (bid % 48 + 16, (bid * 7) % 32 + 16)
+    # PNG path is lossless: checksum equals the planted raster's md5
+    bid = 3
+    want = hashlib.md5(
+        multimodal._phash_raster(bid, bid % 48 + 16, (bid * 7) % 32 + 16, 0)
+    ).hexdigest()
+    assert out[3]["checksum"] == want
+
+
 def test_dhash_perturbation_bound():
     """The planted perturbation flips at most nflip dHash bits."""
     for bid in (3, 8, 21, 50):
