@@ -67,6 +67,9 @@ HEADLINE = [
     "pq_topk",
     "events_funnel",
     "orders_pit_acctbal",
+    # round-6 additions
+    "pq_trained_topk",
+    "image_phash_jpeg_near_dup",
 ]
 
 
@@ -165,6 +168,62 @@ def main() -> None:
         shutil.rmtree(store_dir, ignore_errors=True)
         shutil.rmtree(scratch_dir, ignore_errors=True)
 
+    # Incremental span-dedup story (same ingest framing as the exact-
+    # dedup pair above): span stats for ONE new batch (docs with
+    # doc_id % 8 == 0) against the persisted (gram, n) count store vs
+    # re-running duplicated_span_stats over the whole corpus. The store
+    # is LOG-STRUCTURED (per-batch partials, re-aggregated on read,
+    # store_update="batch") so the per-batch persist cost is O(batch)
+    # — the incremental timer includes that append, as a real ingest
+    # must.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d_history = docs.filter(SF.col("doc_id") % 8 != 0)
+    d_batch = docs.filter(SF.col("doc_id") % 8 == 0)
+    gram_store = tempfile.mkdtemp(prefix="gram_store_")
+
+    def span_full():
+        dd.duplicated_span_stats(
+            d_history.unionByName(d_batch), "text", "doc_id", k=4
+        ).write.format("noop").mode("overwrite").save()
+
+    def span_incremental(append: bool):
+        store = (
+            spark.read.parquet(gram_store)
+            .groupBy("gram")
+            .agg(SF.sum("n").alias("n"))
+        )
+        stats, batch_partials = dd.incremental_duplicated_spans(
+            d_batch, store, "text", "doc_id", k=4, store_update="batch"
+        )
+        stats.write.format("noop").mode("overwrite").save()
+        if append:
+            batch_partials.write.mode("append").parquet(gram_store)
+        else:
+            batch_partials.write.format("noop").mode("overwrite").save()
+
+    try:
+        (
+            dd._positional_grams(d_history, "text", "doc_id", 4)
+            .groupBy("gram")
+            .agg(SF.count(SF.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(gram_store)
+        )
+        span_full()
+        span_incremental(append=False)  # warm; don't mutate the store
+
+        t0 = time.perf_counter()
+        span_full()
+        times["span_full_recompute"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        span_incremental(append=True)
+        times["span_incremental_batch"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(gram_store, ignore_errors=True)
+
+    streaming = _bench_streaming(spark, sf_dir)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -173,11 +232,106 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "streaming": streaming,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+
+
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Micro-batch cost of the two stateful streaming surfaces
+    (VERDICT r05 item 5): the applyInPandasWithState funnel and the
+    cross-batch dedup-ingest sink, each driven over 4 event-time-
+    ordered micro-batches of the events table. Reports wall, rows/s,
+    and mean per-epoch trigger time from StreamingQueryProgress."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from pyspark_data_processing_challenge_spark.queries._util import events_table
+    from pyspark_data_processing_challenge_spark.streaming import events as sev
+
+    ev = events_table(spark, sf_dir).select("user_id", "ts", "event_type")
+    n_rows = ev.count()
+    tmp = tempfile.mkdtemp(prefix="stream_bench_")
+    out: dict[str, float] = {}
+    try:
+        src = f"{tmp}/src"
+        import os as _os
+
+        _os.makedirs(src)
+        bounds = ev.selectExpr(
+            "percentile(cast(ts as double), array(0.25, 0.5, 0.75)) p"
+        ).first().p
+        tsd = SF.col("ts").cast("double")
+        chunks = [
+            ev.filter(tsd <= bounds[0]),
+            ev.filter((tsd > bounds[0]) & (tsd <= bounds[1])),
+            ev.filter((tsd > bounds[1]) & (tsd <= bounds[2])),
+            ev.filter(tsd > bounds[2]),
+        ]
+        for i, ch in enumerate(chunks):
+            ch.coalesce(1).write.parquet(f"{tmp}/c{i}")
+            shutil.copy(
+                glob.glob(f"{tmp}/c{i}/part-*.parquet")[0],
+                f"{src}/{i:02d}.parquet",
+            )
+
+        def run(name: str, start_query):
+            t0 = time.perf_counter()
+            q = start_query()
+            q.processAllAvailable()
+            progress = list(q.recentProgress)
+            q.stop()
+            wall = time.perf_counter() - t0
+            epochs = [
+                p for p in progress if p["numInputRows"] and p["numInputRows"] > 0
+            ]
+            trig = [p["durationMs"]["triggerExecution"] for p in epochs]
+            out[f"{name}_wall_sec"] = round(wall, 3)
+            out[f"{name}_rows_per_sec"] = round(n_rows / wall, 1)
+            out[f"{name}_epochs"] = len(epochs)
+            out[f"{name}_epoch_ms_avg"] = (
+                round(sum(trig) / len(trig), 1) if trig else None
+            )
+
+        def stream():
+            return (
+                spark.readStream.schema(
+                    "user_id long, ts timestamp, event_type string"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+        run(
+            "funnel",
+            lambda: (
+                sev.funnel_state(stream())
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", f"{tmp}/ck_funnel")
+                .start()
+            ),
+        )
+        run(
+            "dedup_ingest",
+            lambda: (
+                stream()
+                .writeStream.foreachBatch(
+                    sev.dedup_ingest_sink(f"{tmp}/ingest_out", f"{tmp}/fp_store")
+                )
+                .option("checkpointLocation", f"{tmp}/ck_ingest")
+                .start()
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -810,6 +810,7 @@ def incremental_duplicated_spans(
     *,
     k: int = 4,
     min_count: int = 2,
+    store_update: str = "combined",
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-over-batch repeated-substring detection: span stats for a
     NEW batch against the whole corpus history without re-reading any
@@ -826,7 +827,21 @@ def incremental_duplicated_spans(
     Returns ``(stats, updated_gram_counts)``; persist the updated store
     for the next batch. Per batch this shuffles only the batch's grams
     plus an outer join against the store (partitionable by gram).
+
+    ``store_update`` picks the returned store form:
+      - ``"combined"`` (default): the fully merged (gram, n) counts —
+        rewrite-the-store semantics, O(store) to persist.
+      - ``"batch"``: only THIS batch's partial counts — append-only
+        (log-structured) store semantics, O(batch) to persist; the
+        caller re-aggregates partials on read
+        (``store.groupBy("gram").agg(sum("n"))``). This is the 100 TB
+        ingest shape — per-batch cost never grows with history (the
+        same stance as the fingerprint store's append), with periodic
+        compaction folding partials together.
+    Duplicated-position semantics are identical either way (tested).
     """
+    if store_update not in ("combined", "batch"):
+        raise ValueError(f"store_update {store_update!r}: combined or batch")
     grams = _positional_grams(new_df, text_col, id_col, k)
     batch_counts = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("__bn")
@@ -842,7 +857,12 @@ def incremental_duplicated_spans(
     )
     dup_grams = combined.filter(F.col("n") >= min_count).select("gram")
     dup_pos = grams.join(dup_grams, "gram").select("doc_id", "pos")
-    return _span_stats(new_df, id_col, dup_pos, k), combined
+    updated = (
+        combined
+        if store_update == "combined"
+        else batch_counts.select("gram", F.col("__bn").alias("n"))
+    )
+    return _span_stats(new_df, id_col, dup_pos, k), updated
 
 
 def strip_duplicated_spans(

@@ -122,6 +122,23 @@ def test_incremental_equals_full_recompute(spark):
     counts = {r.gram: r.n for r in store2.collect()}
     assert counts["x y z w"] == 2
 
+    # append-only store form: batch partials re-aggregated on read must
+    # equal the combined store, and the stats must be identical
+    stats_b2, partials = dedup.incremental_duplicated_spans(
+        batch_b, store, "text", "doc_id", k=4, store_update="batch"
+    )
+    got_b2 = {r.doc_id: (r.dup_positions, r.dup_spans, r.dup_token_cov)
+              for r in stats_b2.collect()}
+    assert got_b2 == got_b
+    from pyspark.sql import functions as F
+
+    log_store = store.unionByName(partials)
+    reagg = {
+        r.gram: r.n
+        for r in log_store.groupBy("gram").agg(F.sum("n").alias("n")).collect()
+    }
+    assert reagg == counts
+
 
 def test_strip_removed_equals_span_coverage(spark):
     # cross-operator invariant on real data: the tokens the strip drops
