@@ -29,59 +29,59 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced)
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- need a (new) verdict this round (round 5 additions) ---
-    "docs_dup_spans",  # new: repeated-substring span dedup (Lee et al.)
-    "docs_strip_dup_spans",  # new: span dedup applied (boilerplate strip)
-    "docs_weighted_sample",  # new: A-ES weighted sampling w/o replacement
-    "user_streaks",  # new: gaps-and-islands consecutive-day streaks
-    "docs_char_entropy",  # new: char-unigram entropy quality signal
-    "events_arrow_scaled",  # new: mapInArrow (RecordBatch iterator) surface
-    "orders_zvalue",  # new: Z-order (Morton) clustering key
-    "orders_hilbert",  # new: Hilbert-curve clustering key
-    "pq_codes",  # new: product quantization encoding
-    "pq_topk",  # new: PQ asymmetric-distance top-k
-    "sessionize_events_native",  # new: built-in session_window batch twin
-    "events_m4_downsample",  # new: M4 (VLDB 14) time-series downsampling
-    "docs_bm25",  # new: BM25 lexical ranking
-    "docs_hashed_features",  # new: feature hashing (hashing trick)
-    "sketch_merge_distinct",  # new: mergeable HLL partial sketches
-    "ivfpq_topk",  # new: IVF coarse probe + PQ ADC ranking
-    "orders_pit_acctbal",  # new: point-in-time join vs SCD2 dimension
-    "events_funnel",  # new: ordered-stage funnel conversion
-    # --- re-verified green (r02/r04) ---
-    "ref_flagship_pipeline_keyed",
-    "multimodal_decode",
-    "approx_distinct_stats",
-    "cdc_merge_orders",
-    "scd2_customer_history",
-    "ivf_assignments",
-    "ivf_topk",
-    "tfidf_top_terms",
-    "cube_orders",
-    "top_terms",
-    "string_functions",
-    "date_functions",
-    "range_join_promos",
-    "unpivot_lineitem",
-    "grouping_sets_orders",
-    "stratified_sample_docs",
-    "posexplode_tokens",
-    "regex_extract_parts",
-    "window_rank_stats",
-    "agg_conditional",
-    "kmeans_update_centroids",
-    "doc_length_histogram",
-    "multimodal_media_decode",
-    "docs_bpe_token_count",
-    "join_regional_revenue",
-    "rolling_7d_revenue",
-    "agg_topk_orders",
-    "docs_outlier_trim",
-    "fuzzy_match_parts",
-    "docs_pii_scrub",
-    "cdc_merge_delete_orders",
-    "snapshot_diff_orders",
-    # --- oldest (r01-only) verdicts, promoted for re-verification ---
+    # --- need a (new) verdict this round ---
+    "pq_codes",  # r05 red (canonicalizer crash on raw array) — now flattened
+    "pq_trained_topk",  # new: Lloyd-trained PQ codebook + ADC top-k
+    "image_phash_jpeg_near_dup",  # new: true baseline-JPEG decode recall gate
+    "docs_char_entropy_explode",  # new: unbounded-alphabet entropy twin
+    "docs_bpe_pair_counts",  # new: BPE tokenizer-training pair counts
+    # --- oldest verdicts (r01-only), promoted for re-verification ---
+    "op_date_filter",
+    "op_standardize_units",
+    "window_running_total",
+    "sort_top20_orders",
+    "events_hourly",
+    "asof_join_purchases",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "multimodal_meta",
+    "op_equality_filter",
+    "op_sentinel_filter",
+    "op_membership_filter",
+    "op_indicators",
+    "op_fill_nulls",
+    "window_lag_delta",
+    "window_ntile_orders",
+    "minhash_signatures",
+    "op_union_membership",
+    "op_null_counts",
+    "dedup_exact_groups",
+    "simhash_values",
+    "docs_fingerprint",
+    "events_json_stats",
+    "percentiles_by_type",
+    "rollup_lineitem",
+    "array_agg_lineitems",
+    "pivot_event_counts",
+    "semi_join_urgent_customers",
+    "anti_join_quiet_customers",
+    "set_ops_segments",
+    "sql_revenue_by_nation",
+    "window_topk_orders",
+    # --- next-oldest (r01+r02), filling the remaining slots ---
+    "ref_flagship_pipeline",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_lsh_buckets",
+    "near_dup_clusters",
+    "curate_corpus",
+    "minhash_signatures_fast",
+    "dedup_drop_exact",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_token_stats",
+    "op_dedup_subset",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -89,16 +89,8 @@ _ROTATED_OUT = {
     "agg_pricing_summary": "r04",
     "join_revenue_by_nation": "r04",
     "sessionize_events": "r01+r02+r04",
-    "op_date_filter": "r01",
-    "op_standardize_units": "r01",
-    "window_running_total": "r01",
-    "sort_top20_orders": "r01",
-    "events_hourly": "r01",
-    "asof_join_purchases": "r01",
-    "ngram_jaccard_pairs": "r01",
-    "embedding_near_dup": "r01",
-    "multimodal_meta": "r01",
-    # round-4 front-pinned additions: all 15 got green r04 verdicts
+    "agg_salted_revenue": "r02",
+    # round-4 front-pinned additions: all got green r04 verdicts
     "docs_repetition": "r04",
     "events_variant_stats": "r04",
     "agg_quartiles_orders": "r04",
@@ -114,43 +106,57 @@ _ROTATED_OUT = {
     "embedding_quantize": "r04",
     "docs_sentences_udtf": "r04",
     "events_grouped_center": "r04",
-    "op_equality_filter": "r01",
-    "op_sentinel_filter": "r01",
-    "op_membership_filter": "r01",
-    "op_indicators": "r01",
-    "op_fill_nulls": "r01",
-    "window_lag_delta": "r01",
-    "window_ntile_orders": "r01",
-    "minhash_signatures": "r01",
-    "op_union_membership": "r01",
-    "op_null_counts": "r01",
-    "dedup_exact_groups": "r01",
-    "simhash_values": "r01",
-    "docs_fingerprint": "r01",
-    "events_json_stats": "r01",
-    "percentiles_by_type": "r01",
-    "rollup_lineitem": "r01",
-    "array_agg_lineitems": "r01",
-    "pivot_event_counts": "r01",
-    "semi_join_urgent_customers": "r01",
-    "anti_join_quiet_customers": "r01",
-    "set_ops_segments": "r01",
-    "sql_revenue_by_nation": "r01",
-    "window_topk_orders": "r01",
-    "simhash_near_dup": "r01+r02",
-    "embedding_topk": "r01+r02",
-    "embedding_lsh_buckets": "r01+r02",
-    "agg_salted_revenue": "r02",
-    "ref_flagship_pipeline": "r01+r02",
-    "minhash_near_dup": "r01+r02",
-    "near_dup_clusters": "r01+r02",
-    "curate_corpus": "r01+r02",
-    "minhash_signatures_fast": "r01+r02",
-    "dedup_drop_exact": "r01+r02",
-    "docs_quality": "r01+r02",
-    "docs_lang_id": "r01+r02",
-    "docs_token_stats": "r01+r02",
-    "op_dedup_subset": "r01+r02",
+    # round-5 front-pinned additions: green r05 verdicts
+    "docs_dup_spans": "r05",
+    "docs_strip_dup_spans": "r05",
+    "docs_weighted_sample": "r05",
+    "user_streaks": "r05",
+    "docs_char_entropy": "r05",
+    "events_arrow_scaled": "r05",
+    "orders_zvalue": "r05",
+    "orders_hilbert": "r05",
+    "pq_topk": "r05",
+    "sessionize_events_native": "r05",
+    "events_m4_downsample": "r05",
+    "docs_bm25": "r05",
+    "docs_hashed_features": "r05",
+    "sketch_merge_distinct": "r05",
+    "ivfpq_topk": "r05",
+    "orders_pit_acctbal": "r05",
+    "events_funnel": "r05",
+    # re-verified green in the r05 window
+    "ref_flagship_pipeline_keyed": "r02+r05",
+    "multimodal_decode": "r02+r05",
+    "approx_distinct_stats": "r04+r05",
+    "cdc_merge_orders": "r02+r05",
+    "scd2_customer_history": "r02+r05",
+    "ivf_assignments": "r02+r05",
+    "ivf_topk": "r02+r05",
+    "tfidf_top_terms": "r02+r05",
+    "cube_orders": "r02+r05",
+    "top_terms": "r02+r05",
+    "string_functions": "r02+r05",
+    "date_functions": "r02+r05",
+    "range_join_promos": "r02+r05",
+    "unpivot_lineitem": "r02+r05",
+    "grouping_sets_orders": "r02+r05",
+    "stratified_sample_docs": "r02+r05",
+    "posexplode_tokens": "r02+r05",
+    "regex_extract_parts": "r02+r05",
+    "window_rank_stats": "r02+r05",
+    "agg_conditional": "r02+r05",
+    "kmeans_update_centroids": "r02+r05",
+    "doc_length_histogram": "r02+r05",
+    "multimodal_media_decode": "r04+r05",
+    "docs_bpe_token_count": "r02+r05",
+    "join_regional_revenue": "r02+r05",
+    "rolling_7d_revenue": "r02+r05",
+    "agg_topk_orders": "r04+r05",
+    "docs_outlier_trim": "r04+r05",
+    "fuzzy_match_parts": "r04+r05",
+    "docs_pii_scrub": "r04+r05",
+    "cdc_merge_delete_orders": "r04+r05",
+    "snapshot_diff_orders": "r04+r05",
 }
 
 

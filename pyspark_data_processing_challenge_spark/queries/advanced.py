@@ -557,7 +557,12 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-unigram Shannon entropy per document — the classic
     gibberish/boilerplate detector (low entropy = repeated characters,
     high = random noise). All JVM-side HOFs; the distinct-char array is
-    sorted so the float fold order matches the oracle exactly."""
+    sorted so the float fold order matches the oracle exactly.
+
+    Scale note: the HOF fold is O(alphabet x len) per doc — fine for
+    bounded alphabets; for unbounded ones (CJK corpora) use the
+    explode+groupBy twin ``docs_char_entropy_explode`` (same oracle,
+    O(len) work, one extra shuffle)."""
     d = t(spark, sf_dir, "documents")
     staged = d.select(
         "doc_id", "text", F.split(F.col("text"), "").alias("__chars")
@@ -607,6 +612,59 @@ SELECT doc_id, n_chars_total, distinct_chars,
        {sql_round("raw_ent", 6)} AS entropy_bits
 FROM e
 """
+
+def docs_char_entropy_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-alphabet twin of ``docs_char_entropy`` (VERDICT
+    r05 item 8): explode chars -> groupBy(doc, char) count -> per-doc
+    fold of -p*log2(p) over the SORTED (char, count) list, so the
+    float summation order — and therefore the hash — is identical to
+    the HOF form and the shared oracle. Work is O(len) per doc plus
+    one (doc, char)-keyed shuffle; per-group state is one count, so a
+    CJK-scale alphabet costs rows, not per-row quadratic time."""
+    d = t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    counts = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_chars_total"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+        F.array_sort(F.collect_list(F.struct("ch", "cnt"))).alias("__cc"),
+    )
+    n = F.col("n_chars_total").cast("double")
+    raw = per_doc.select(
+        "doc_id",
+        "n_chars_total",
+        "distinct_chars",
+        (
+            -F.aggregate(
+                F.col("__cc"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (x["cnt"].cast("double") / n)
+                * F.log2(x["cnt"].cast("double") / n),
+            )
+        ).alias("__raw"),
+    )
+    # explode drops char-less docs; restore them with the oracle's
+    # zero convention
+    scored = raw.select(
+        "doc_id",
+        "n_chars_total",
+        "distinct_chars",
+        round_to(F.col("__raw"), 6).alias("entropy_bits"),
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars_total", F.lit(0)).alias("n_chars_total"),
+            F.coalesce("distinct_chars", F.lit(0)).alias("distinct_chars"),
+            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+        )
+    )
+
 
 # ---------------------------------------------------------------------------
 # mapInArrow surface (Spark 4 iterator-of-RecordBatch API)
@@ -1168,6 +1226,7 @@ QUERIES = {
     "docs_weighted_sample": docs_weighted_sample,
     "user_streaks": user_streaks,
     "docs_char_entropy": docs_char_entropy,
+    "docs_char_entropy_explode": docs_char_entropy_explode,
     "events_m4_downsample": events_m4_downsample,
     "docs_bm25": docs_bm25,
     "docs_hashed_features": docs_hashed_features,
@@ -1183,6 +1242,8 @@ ORACLES = {
     "docs_weighted_sample": _WSWR_SQL,
     "user_streaks": _STREAKS_SQL,
     "docs_char_entropy": _ENTROPY_SQL,
+    # same oracle as the HOF twin — fold order pinned identical
+    "docs_char_entropy_explode": _ENTROPY_SQL,
     "events_m4_downsample": _M4_SQL,
     "docs_bm25": _bm25_sql(),
     "docs_hashed_features": _FH_SQL,

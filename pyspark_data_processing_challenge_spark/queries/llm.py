@@ -594,6 +594,61 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_hamming_pairs(hashes, max_distance=3)
 
 
+BPE_PAIR_TOP = 50
+
+
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training inner loop, distributed: count every
+    adjacent character pair inside every word across the corpus and
+    rank the top merge candidates. One explode + one hash aggregate
+    with map-side partial counts — at 100 TB each training iteration
+    is a single shuffle keyed on the pair (a few thousand distinct
+    keys), which is why corpus-scale BPE training is shuffle-cheap.
+    Top-N deterministically tie-broken on the pair string. Integer
+    counts only — hash-exact across engines."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(F.explode(textfns.tokens(F.col("text"))).alias("w"))
+    chars = words.select(F.split(F.col("w"), "").alias("c"))
+    pairs = chars.select(
+        F.explode(
+            # sequence(0, n) counts DOWN for n < 0 — 1-char words must
+            # yield an empty pair array (the _positional_grams guard)
+            F.when(
+                F.size("c") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("c") - 2),
+                    lambda i: F.concat_ws("", F.slice(F.col("c"), i + 1, 2)),
+                )
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_PAIR_TOP)
+    )
+
+
+def _bpe_pairs_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({sql_tokens("text")}) AS w FROM documents
+),
+ch AS (
+  SELECT string_split(w, '') AS c FROM toks
+),
+pairs AS (
+  SELECT c[i] || c[i + 1] AS pair
+  FROM ch, unnest(range(1, greatest(length(c) - 1, 0) + 1)) AS u(i)
+)
+SELECT pair, count(*)::BIGINT AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOP}
+"""
+
+
 def image_phash_jpeg_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG near-dup recall gate over TRUE DCT-decoded pixels: plant
     the perturbed-copy corpus as REAL baseline JPEGs (multimodal.
@@ -1206,6 +1261,7 @@ QUERIES = {
     "image_phash": image_phash,
     "image_phash_near_dup": image_phash_near_dup,
     "image_phash_jpeg_near_dup": image_phash_jpeg_near_dup,
+    "docs_bpe_pair_counts": docs_bpe_pair_counts,
     "docs_decontaminate": docs_decontaminate,
     "docs_split_assign": docs_split_assign,
     "docs_pack_sequences": docs_pack_sequences,
@@ -1253,6 +1309,7 @@ ORACLES = {
     "image_phash": _PHASH_SQL,
     "image_phash_near_dup": _PHASH_ND_SQL,
     "image_phash_jpeg_near_dup": _jpeg_phash_nd_sql(),
+    "docs_bpe_pair_counts": _bpe_pairs_sql(),
     "docs_decontaminate": _DECON_SQL,
     "docs_split_assign": _SPLIT_SQL,
     "docs_pack_sequences": _PACK_SQL,
