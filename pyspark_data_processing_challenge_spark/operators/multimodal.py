@@ -1053,7 +1053,19 @@ def plant_phash_corpus(
     copies = ids.filter(F.col("media_id") % PHASH_COPY_EVERY == 0).select(
         (F.col("media_id") + PHASH_COPY_OFFSET).alias("media_id")
     )
-    corpus = ids.unionByName(copies)
+    # the id list inherits the source table's (few) input partitions;
+    # hash-repartition the tiny long column BEFORE generating payloads
+    # so the expensive encode — and every decode stage pipelined on top
+    # of it — spreads across all cores. The partition count must be
+    # EXPLICIT: the ids are ~KBs, so AQE's size-based coalescing would
+    # fold an unnumbered repartition back to one task and serialize
+    # the whole codec stage (measured 24 s at sf0.1 vs ~2 s spread).
+    spark = df.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    corpus = ids.unionByName(copies).repartition(n_parts, F.col("media_id"))
     return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
 
 
