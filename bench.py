@@ -70,6 +70,10 @@ HEADLINE = [
     # round-6 additions
     "pq_trained_topk",
     "image_phash_jpeg_near_dup",
+    "cohort_retention",
+    "docs_rag_chunks",
+    "rolling_7d_distinct_users",
+    "nation_trade_pagerank",
 ]
 
 

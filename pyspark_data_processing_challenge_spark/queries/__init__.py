@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import advanced, cdcq, extended, extra, llm, reference, relational
+from . import advanced, analytics, cdcq, extended, extra, llm, reference, relational
 
-_MODULES = (reference, relational, llm, extended, cdcq, extra, advanced)
+_MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analytics)
 
 # The external driver records correctness verdicts for the first 50
 # catalog entries in dict order. Entries that still need a driver
@@ -35,6 +35,15 @@ _VERDICT_PRIORITY = [
     "image_phash_jpeg_near_dup",  # new: true baseline-JPEG decode recall gate
     "docs_char_entropy_explode",  # new: unbounded-alphabet entropy twin
     "docs_bpe_pair_counts",  # new: BPE tokenizer-training pair counts
+    # --- new round-6 analytics module ---
+    "cohort_retention",
+    "event_transitions",
+    "regr_price_by_brand",
+    "events_rolling_zscore",
+    "docs_rag_chunks",
+    "orders_gap_fill",
+    "rolling_7d_distinct_users",
+    "nation_trade_pagerank",
     # --- oldest verdicts (r01-only), promoted for re-verification ---
     "op_date_filter",
     "op_standardize_units",
@@ -74,18 +83,20 @@ _VERDICT_PRIORITY = [
     "simhash_near_dup",
     "embedding_topk",
     "embedding_lsh_buckets",
-    "near_dup_clusters",
-    "curate_corpus",
-    "minhash_signatures_fast",
-    "dedup_drop_exact",
-    "docs_quality",
-    "docs_lang_id",
-    "docs_token_stats",
-    "op_dedup_subset",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    # rotated in round 6 to make room for the analytics module
+    # (each green in both r01 and r02)
+    "near_dup_clusters": "r01+r02",
+    "curate_corpus": "r01+r02",
+    "minhash_signatures_fast": "r01+r02",
+    "dedup_drop_exact": "r01+r02",
+    "docs_quality": "r01+r02",
+    "docs_lang_id": "r01+r02",
+    "docs_token_stats": "r01+r02",
+    "op_dedup_subset": "r01+r02",
     "agg_pricing_summary": "r04",
     "join_revenue_by_nation": "r04",
     "sessionize_events": "r01+r02+r04",

@@ -1,0 +1,77 @@
+"""Behavioral invariants for the round-6 analytics module — properties
+the oracle hash can't state directly (coverage, stochasticity, mass
+conservation)."""
+
+from __future__ import annotations
+
+from pyspark_data_processing_challenge_spark.queries import analytics
+from pyspark_data_processing_challenge_spark.queries.analytics import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+)
+from tests.conftest import SF_DIR
+
+
+def test_rag_chunks_cover_every_token(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_data_processing_challenge_spark.functions import textfns
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.size(textfns.tokens(F.col("text"))).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    chunks = analytics.docs_rag_chunks(spark, SF_DIR).toPandas()
+    for doc_id, grp in chunks.groupby("doc_id"):
+        n = int(docs[doc_id])
+        ids = sorted(grp["chunk_id"])
+        # chunk ids are dense from 0 with the documented count formula
+        expected = (max(n - CHUNK_TOKENS, 0) + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        assert ids == list(range(expected))
+        # stride coverage: last chunk reaches the final token; every
+        # earlier chunk is full-width
+        sizes = grp.sort_values("chunk_id")["n_tokens"].tolist()
+        assert all(s == CHUNK_TOKENS for s in sizes[:-1])
+        assert (expected - 1) * CHUNK_STRIDE + sizes[-1] == max(n, 0) or n <= CHUNK_TOKENS
+        if n <= CHUNK_TOKENS:
+            assert sizes == [n]
+
+
+def test_transition_rows_are_stochastic(spark):
+    rows = analytics.event_transitions(spark, SF_DIR).toPandas()
+    for _, grp in rows.groupby("src_type"):
+        assert abs(grp["p_transition"].sum() - 1.0) < 1e-4
+        assert (grp["n_transitions"] > 0).all()
+
+
+def test_pagerank_mass_is_conserved(spark):
+    rows = analytics.nation_trade_pagerank(spark, SF_DIR).toPandas()
+    # every trading nation keeps its mass: Σp = 0.15 + 0.85·S/N where S
+    # is the number of nations with out-edges; with all N trading, Σp=1
+    # per-row half-up rounding at 1e-6 can shift the N-row sum by N/2e6
+    assert 0.15 - 1e-9 <= rows["pagerank"].sum() <= 1.0 + 1e-4
+    assert (rows["pagerank"] > 0).all()
+    assert len(rows) == rows["n_name"].nunique()
+
+
+def test_zscore_flags_only_large_deviations(spark):
+    rows = analytics.events_rolling_zscore(spark, SF_DIR).toPandas()
+    flagged = rows[rows["is_anomaly"] == 1]
+    assert (flagged["z_score"].abs() > 2).all()
+    ok = rows[rows["z_score"].notna()]
+    assert ((ok["z_score"].abs() > 2) == (ok["is_anomaly"] == 1)).all()
+
+
+def test_cohort_week_zero_has_every_cohort_user(spark):
+    import pandas as pd
+
+    rows = analytics.cohort_retention(spark, SF_DIR).toPandas()
+    # offset 0 exists for every cohort (the first-event week itself) and
+    # is the retention maximum of the cohort's triangle row
+    zero = rows[rows["week_offset"] == 0].set_index("cohort_week")["n_users"]
+    maxes = rows.groupby("cohort_week")["n_users"].max()
+    pd.testing.assert_series_equal(
+        zero.sort_index(), maxes.sort_index(), check_names=False
+    )

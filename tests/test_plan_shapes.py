@@ -213,3 +213,71 @@ def test_weighted_sample_window_is_stratified(spark):
     plan = plans.executed_plan(df)
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_event_transitions_broadcasts_totals(spark):
+    # per-source totals must come back as a broadcast — repartitioning
+    # the big pair stream by a |event types|-cardinality key would
+    # funnel 100 TB through a handful of partitions
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.event_transitions(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    assert not plans.global_window_over_raw(df)
+
+
+def test_regr_broadcasts_part_dim(spark):
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.regr_price_by_brand(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sort_merge_join_count(df) == 0
+
+
+def test_rag_chunks_fanout_is_shuffle_free(spark):
+    # tokenize → sequence → explode → slice is pure narrow work: chunk
+    # rows must flow out of the scan with zero exchanges
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.docs_rag_chunks(spark, SF_DIR)
+    assert plans.exchange_count(df) == 0
+
+
+def test_gap_fill_broadcasts_generated_grid(spark):
+    # calendar × priority grid is generated and broadcast; the orders
+    # side contributes only its daily aggregate
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.orders_gap_fill(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_rolling_distinct_fanout_bounded(spark):
+    # the 7x fanout happens AFTER (user, day) dedup, and the max-day
+    # cap joins as a broadcast single-row aggregate
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.rolling_7d_distinct_users(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    # the only single-partition exchange allowed is the one-row max(day)
+    # scalar aggregate feeding the broadcast cap — the fanned-out rows
+    # themselves must stay hash-partitioned
+    plan = plans.executed_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert not plans.global_window_over_raw(df)
+
+
+def test_cohort_window_is_user_partitioned(spark):
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.cohort_retention(spark, SF_DIR)
+    assert not plans.global_window_over_raw(df)
+
+
+def test_pagerank_rank_math_never_shuffles_wide(spark):
+    # the only wide work is the edge aggregation; customer/supplier/
+    # nation dims and the out-weight side all broadcast
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.nation_trade_pagerank(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 3
