@@ -44,6 +44,8 @@ _VERDICT_PRIORITY = [
     "orders_gap_fill",
     "rolling_7d_distinct_users",
     "nation_trade_pagerank",
+    "max_concurrent_sessions",
+    "rag_chunk_dedup",
     # --- oldest verdicts (r01-only), promoted for re-verification ---
     "op_date_filter",
     "op_standardize_units",
@@ -81,14 +83,14 @@ _VERDICT_PRIORITY = [
     "ref_flagship_pipeline",
     "minhash_near_dup",
     "simhash_near_dup",
-    "embedding_topk",
-    "embedding_lsh_buckets",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
+    "embedding_topk": "r01+r02",
+    "embedding_lsh_buckets": "r01+r02",
     "near_dup_clusters": "r01+r02",
     "curate_corpus": "r01+r02",
     "minhash_signatures_fast": "r01+r02",

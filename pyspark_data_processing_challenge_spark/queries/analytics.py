@@ -584,6 +584,111 @@ CROSS JOIN nn
 """
 
 
+# ---------------------------------------------------------------------------
+# peak concurrency (sweep-line via bounded minute fanout)
+# ---------------------------------------------------------------------------
+
+
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrency: for each day, the minute with the most
+    simultaneously-active 30-minute-gap sessions (earliest minute wins
+    ties — deterministic).
+
+    The scale-shaped sweep-line: instead of a global +1/−1 running sum
+    (one totally-ordered window — the classic single-partition killer),
+    each session fans out to the minutes it spans (bounded by session
+    length, which the 30-minute gap rule keeps human-scale), then one
+    per-minute count and a day-partitioned rank pick the peak.
+    """
+    from .relational import sessionize_events as _sessions
+
+    s = _sessions(spark, sf_dir)
+    mins = s.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("minute", F.col("session_start")),
+                F.date_trunc("minute", F.col("session_end")),
+                F.expr("interval 1 minute"),
+            )
+        ).alias("minute")
+    )
+    per_min = mins.groupBy("minute").agg(F.count(F.lit(1)).alias("n_active"))
+    w = Window.partitionBy(F.col("minute").cast("date")).orderBy(
+        F.desc("n_active"), F.asc("minute")
+    )
+    return (
+        per_min.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("minute").cast("date").alias("day"),
+            F.col("minute").alias("peak_minute"),
+            F.col("n_active").alias("max_concurrent"),
+        )
+    )
+
+
+def _max_concurrent_sql() -> str:
+    from .relational import ORACLES as _REL_ORACLES
+
+    # reuse the sessionize oracle as a subquery: same session
+    # definition, so the two queries can never drift apart
+    sessions_sql = _REL_ORACLES["sessionize_events"].strip().rstrip(";")
+    return f"""
+WITH sess AS ({sessions_sql}),
+mins AS (
+  SELECT unnest(generate_series(date_trunc('minute', session_start),
+                                date_trunc('minute', session_end),
+                                INTERVAL 1 MINUTE)) AS minute
+  FROM sess
+),
+per_min AS (SELECT minute, count(*)::BIGINT AS n_active FROM mins GROUP BY minute),
+ranked AS (
+  SELECT CAST(minute AS DATE) AS day, minute AS peak_minute, n_active,
+         row_number() OVER (PARTITION BY CAST(minute AS DATE)
+                            ORDER BY n_active DESC, minute) AS rn
+  FROM per_min
+)
+SELECT day, peak_minute, n_active AS max_concurrent FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# chunk-granularity dedup over the RAG index
+# ---------------------------------------------------------------------------
+
+
+def rag_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate report over the chunk index: md5-identical 64-token
+    chunks appearing in more than one document (or repeatedly in one).
+    This is dedup at retrieval granularity — the unit an index stores —
+    catching shared headers/footers that doc-level fingerprints miss.
+
+    Scale shape: the chunk fanout is shuffle-free (docs_rag_chunks);
+    the report is one map-side-combined aggregate keyed on the 128-bit
+    md5 — uniformly distributed, no skew.
+    """
+    chunks = docs_rag_chunks(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH chunks AS ({_CHUNKS_SQL}),
+g AS (
+  SELECT chunk_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_occurrences
+  FROM chunks GROUP BY chunk_md5
+)
+SELECT chunk_md5, n_docs, n_occurrences FROM g WHERE n_occurrences >= 2
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
@@ -593,6 +698,8 @@ QUERIES = {
     "orders_gap_fill": orders_gap_fill,
     "rolling_7d_distinct_users": rolling_7d_distinct_users,
     "nation_trade_pagerank": nation_trade_pagerank,
+    "max_concurrent_sessions": max_concurrent_sessions,
+    "rag_chunk_dedup": rag_chunk_dedup,
 }
 
 ORACLES = {
@@ -604,4 +711,6 @@ ORACLES = {
     "orders_gap_fill": _GAP_FILL_SQL,
     "rolling_7d_distinct_users": _ROLLING_DISTINCT_SQL,
     "nation_trade_pagerank": _PAGERANK_SQL,
+    "max_concurrent_sessions": _max_concurrent_sql(),
+    "rag_chunk_dedup": _CHUNK_DEDUP_SQL,
 }

@@ -281,3 +281,12 @@ def test_pagerank_rank_math_never_shuffles_wide(spark):
 
     df = analytics.nation_trade_pagerank(spark, SF_DIR)
     assert plans.broadcast_join_count(df) >= 3
+
+
+def test_max_concurrent_has_no_global_window(spark):
+    # the sweep-line must rank within day partitions; a totally-ordered
+    # running-sum formulation would show a partition-less WindowExec
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.max_concurrent_sessions(spark, SF_DIR)
+    assert not plans.global_window_over_raw(df)
