@@ -131,8 +131,11 @@ def main() -> None:
     from pyspark.sql import functions as SF
 
     from pyspark_data_processing_challenge_spark.operators import dedup as dd
+    from pyspark_data_processing_challenge_spark.queries._util import spread
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # single-row-group test files scan as ONE task; spread them like a
+    # real multi-split table before the fingerprint/gram hashing
+    li = spread(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     history = li.filter(SF.col("l_orderkey") % 8 != 0)
     batch = li.filter(SF.col("l_orderkey") % 8 == 0)
     store_dir = tempfile.mkdtemp(prefix="fp_store_")
@@ -180,7 +183,7 @@ def main() -> None:
     # store_update="batch") so the per-batch persist cost is O(batch)
     # — the incremental timer includes that append, as a real ingest
     # must.
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     d_history = docs.filter(SF.col("doc_id") % 8 != 0)
     d_batch = docs.filter(SF.col("doc_id") % 8 == 0)
     gram_store = tempfile.mkdtemp(prefix="gram_store_")

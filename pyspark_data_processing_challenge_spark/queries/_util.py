@@ -41,6 +41,27 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Spread a small scan across cores before CPU-heavy per-row work
+    (tokenize/hash/explode pipelines).
+
+    Parquet only splits at row-group boundaries, so a single-row-group
+    file scans as ONE task no matter how many cores exist, and
+    everything before the first shuffle serializes on one core
+    (measured 2.4x on span dedup at sf0.1). A real 100 TB table has
+    thousands of splits, so this is a NO-OP whenever the scan already
+    carries >= default-parallelism partitions — the repartition exists
+    to recreate cluster-like input parallelism on single-file test
+    data, never to add a shuffle at scale.
+    """
+    from ..session import default_parallelism
+
+    n = default_parallelism()
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def round_to(c: Column, scale: int) -> Column:
     """Engine-portable half-up rounding (see relational.round2, incl.
     the >=1e15 overflow guard)."""

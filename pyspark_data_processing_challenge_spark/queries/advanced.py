@@ -23,7 +23,15 @@ from ..functions.textfns import HASH_MOD
 from ..functions import textfns
 from ..operators import dedup, selection, similarity, temporal
 from . import relational
-from ._util import round_to, sql_char_hash, sql_round, sql_tokens, t
+from ._util import round_to, spread, sql_char_hash, sql_round, sql_tokens, t
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    """documents scan spread across cores: every consumer in this
+    module runs tokenize/hash/explode work per row BEFORE its first
+    shuffle, which serializes on the single-row-group test file
+    (see _util.spread — no-op on real multi-split tables)."""
+    return spread(t(spark, sf_dir, "documents"))
 
 # ---------------------------------------------------------------------------
 # repeated-substring (duplicated span) dedup — Lee et al. 2022 family
@@ -42,7 +50,7 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (SURVEY.md §2.5 — no text ops at all); this is north-star
     LLM-curation surface.
     """
-    d = t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.duplicated_span_stats(d, "text", "doc_id", k=SPAN_K)
 
 
@@ -97,7 +105,7 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by a corpus-duplicated 4-gram span removed
     (operators/dedup.strip_duplicated_spans — the boilerplate-stripping
     variant of Lee et al. substring dedup)."""
-    d = t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.strip_duplicated_spans(d, "text", "doc_id", k=SPAN_K)
 
 
@@ -152,7 +160,7 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source stratum, probability proportional to length (n_chars).
     Output is integer/string-only — the float A-ES score orders rows but
     never reaches the hashed result."""
-    d = t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = selection.weighted_sample_without_replacement(
         d.select("source", "doc_id", "n_chars"),
         key_col="doc_id",
@@ -403,7 +411,7 @@ def docs_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed the ANN/PQ family directly. Sparse (doc, bucket, w) output is
     the natural relational form; densify with a 64-slot transform when
     a fixed-width column is needed."""
-    d = t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(textfns.tokens(F.col("text"))).alias("tok")
     )
@@ -457,7 +465,7 @@ def docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded after selection."""
     from ..operators import ranking
 
-    d = t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = ranking.bm25_scores(
         d, list(BM25_TERMS), text_col="text", id_col="doc_id",
         k1=BM25_K1, b=BM25_B,
@@ -563,7 +571,7 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded alphabets; for unbounded ones (CJK corpora) use the
     explode+groupBy twin ``docs_char_entropy_explode`` (same oracle,
     O(len) work, one extra shuffle)."""
-    d = t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     staged = d.select(
         "doc_id", "text", F.split(F.col("text"), "").alias("__chars")
     )
@@ -621,7 +629,7 @@ def docs_char_entropy_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HOF form and the shared oracle. Work is O(len) per doc plus
     one (doc, char)-keyed shuffle; per-group state is one count, so a
     CJK-scale alphabet costs rows, not per-row quadratic time."""
-    d = t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     ch = d.select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
     )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ..operators import similarity
-from ._util import round_to, sql_round, sql_tokens, t
+from ._util import round_to, spread, sql_round, sql_tokens, t
 
 # ---------------------------------------------------------------------------
 # JSON surface
@@ -278,7 +278,7 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 terms: explode → count → top-k. The explode
     fans out ~n_tokens rows per doc, the aggregate map-side combines —
     the canonical wordcount at scale."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(textfns.tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("term")
@@ -293,7 +293,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the score is integer-ratio arithmetic — bit-identical in any
     engine. Two aggregates (per-doc tf, corpus df) + a broadcast join
     of the tiny df table back onto terms."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     n_docs = d.count()  # driver-side scalar: one cheap count of a dimension-sized table
     terms = d.select(
         "doc_id",

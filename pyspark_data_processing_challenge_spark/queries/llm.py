@@ -26,6 +26,7 @@ from ._util import (
     sql_simhash,
     sql_token_count,
     sql_tokens,
+    spread,
     t,
 )
 
@@ -101,7 +102,7 @@ def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so LSH buckets stay small and candidate generation stays linear
     (unigram similarity on this shared-vocabulary synthetic corpus is
     degenerate — half of all pairs match, which is a quadratic trap)."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
     return d.unionByName(
         d.select(
             (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
@@ -145,7 +146,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash array → signature array → slot columns, each a separate
     projection so no stage recomputes its producer (see
     textfns.shingle_hashes)."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     staged = dedup.with_minhash(
         d.select("doc_id", "text"),
         "text",
@@ -164,7 +165,7 @@ def minhash_signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is bit-identical to the Column-expression path."""
     from ..functions.fast_text import with_minhash_fast
 
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     staged = with_minhash_fast(
         d.select("doc_id", "text"),
         "text",
@@ -199,7 +200,7 @@ SH_BITS, SH_BANDS, SH_MAX_HAMMING, SH_SHINGLE_N = 32, 4, 3, 3
 
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level SimHash per doc (the classic fingerprint); staged."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return dedup.with_simhash(d.select("doc_id", "text"), "text", bits=SH_BITS).select(
         "doc_id", "simhash"
     )
@@ -388,7 +389,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.decontaminate)."""
     from ..operators import curation
 
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     excerpt = F.array_join(
         F.slice(
             textfns.tokens(F.lower(F.col("text"))), 1, DECON_EXCERPT_TOKENS
@@ -509,7 +510,7 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.pack_sequences)."""
     from ..operators import curation
 
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return curation.pack_sequences(
         d, "text", "doc_id", capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
     )
@@ -606,7 +607,7 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys), which is why corpus-scale BPE training is shuffle-cheap.
     Top-N deterministically tie-broken on the pair string. Integer
     counts only — hash-exact across engines."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     words = d.select(F.explode(textfns.tokens(F.col("text"))).alias("w"))
     chars = words.select(F.split(F.col("w"), "").alias("c"))
     pairs = chars.select(
