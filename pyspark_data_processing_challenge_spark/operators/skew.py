@@ -58,3 +58,67 @@ def salted_sum_count(
     if count_alias:
         final_aggs.append(F.sum("__p_n").alias(count_alias))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def key_skew_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Key-distribution diagnosis for partitioning decisions: for each
+    candidate key column, the distinct-key count, the hottest key and
+    its row count, and the skew ratio (hottest / mean rows-per-key) —
+    the number that says whether a groupBy/join on that key needs
+    salting (``salted_sum_count``) or AQE skew splitting.
+
+    One scan + a |cols|-wide explode (bounded fanout), one per-(col,key)
+    aggregate, one per-col rollup — all map-side combined; never a
+    driver-side loop over columns. The hottest key is picked by
+    ``max_by`` over a zero-padded ``(count, key)`` sort string (DuckDB's
+    arg_max cannot order by a struct, and lexicographic order on the
+    18-padded count equals numeric order): deterministic under count
+    ties, aggregate-only (no window over the per-key counts, whose
+    cardinality is the table's key space at 100 TB).
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("key_col"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("NULL")).alias(
+                            "key_val"
+                        ),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.key_col", "kv.key_val")
+    counts = pairs.groupBy("key_col", "key_val").agg(F.count(F.lit(1)).alias("cnt"))
+    from ..operators.relational import round2
+
+    return (
+        counts.groupBy("key_col")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_count"),
+            F.max_by(
+                "key_val",
+                F.concat(
+                    F.lpad(F.col("cnt").cast("string"), 18, "0"),
+                    F.lit("|"),
+                    F.col("key_val"),
+                ),
+            ).alias("top_key"),
+        )
+        .select(
+            "key_col",
+            "n_rows",
+            "n_keys",
+            "max_count",
+            "top_key",
+            round2(
+                F.col("max_count").cast("double")
+                / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")),
+                4,
+            ).alias("skew_ratio"),
+        )
+    )

@@ -46,6 +46,9 @@ _VERDICT_PRIORITY = [
     "nation_trade_pagerank",
     "max_concurrent_sessions",
     "rag_chunk_dedup",
+    "rfm_segments",
+    "conversion_lag_histogram",
+    "lineitem_skew_profile",
     # --- oldest verdicts (r01-only), promoted for re-verification ---
     "op_date_filter",
     "op_standardize_units",
@@ -79,16 +82,15 @@ _VERDICT_PRIORITY = [
     "set_ops_segments",
     "sql_revenue_by_nation",
     "window_topk_orders",
-    # --- next-oldest (r01+r02), filling the remaining slots ---
-    "ref_flagship_pipeline",
-    "minhash_near_dup",
-    "simhash_near_dup",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
+    "ref_flagship_pipeline": "r01+r02",
+    "minhash_near_dup": "r01+r02",
+    "simhash_near_dup": "r01+r02",
     "embedding_topk": "r01+r02",
     "embedding_lsh_buckets": "r01+r02",
     "near_dup_clusters": "r01+r02",

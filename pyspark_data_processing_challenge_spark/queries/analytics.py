@@ -689,6 +689,230 @@ SELECT chunk_md5, n_docs, n_occurrences FROM g WHERE n_occurrences >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM segmentation on the distributed exact-ntile machinery
+# ---------------------------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-Frequency-Monetary customer segmentation: per customer,
+    days since last order, order count, and total spend, each scored
+    1–5 by exact quintile (5 = best) with the three-digit segment code.
+
+    The quintiles come from operators/selection.ntile_assign — the
+    distributed exact order-statistics path (percentile bracket + band
+    top-k + broadcast cut points), NOT a global ntile window, so the
+    scoring scales to any customer count. The oracle uses plain
+    ``ntile(5) OVER (ORDER BY …)`` over the identical (value, custkey)
+    total order; the shared hash proves the two strategies identical
+    (the agg_quartiles_orders pattern, second deployment).
+    """
+    from ..operators import selection
+
+    o = t(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("refd"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            round_to(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("refd", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+            (-F.datediff("refd", "last_order")).alias("__neg_recency"),
+        )
+    )
+    base = base.persist()
+    try:
+        scored = base
+        for metric, score_name in (
+            ("__neg_recency", "r_score"),
+            ("frequency", "f_score"),
+            ("monetary", "m_score"),
+        ):
+            scored = selection.ntile_assign(
+                scored, metric, "o_custkey", RFM_BUCKETS
+            ).withColumn(score_name, F.lit(RFM_BUCKETS + 1) - F.col("bucket")).drop(
+                "bucket"
+            )
+        return scored.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+        )
+    finally:
+        base.unpersist(blocking=False)
+
+
+_RFM_SQL = f"""
+WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS refd FROM orders),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', max(CAST(o_orderdate AS DATE)), (SELECT refd FROM ref))
+           ::INTEGER AS recency_days,
+         count(*)::BIGINT AS frequency,
+         {sql_round("sum(o_totalprice)", 2)} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+    ({RFM_BUCKETS + 1} - ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days ASC, o_custkey))::BIGINT AS r_score,
+    ({RFM_BUCKETS + 1} - ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey))::BIGINT AS f_score,
+    ({RFM_BUCKETS + 1} - ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, o_custkey))::BIGINT AS m_score
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# conversion-lag histogram (as-of join + bucketing)
+# ---------------------------------------------------------------------------
+
+
+def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: for every purchase, the lag
+    since the user's latest prior-or-equal click (one-shuffle as-of
+    join, operators/temporal.asof_join), bucketed into funnel-latency
+    bands with each band's share of all purchases.
+
+    Lag compares exact epoch-microsecond BIGINTs (unix_micros vs
+    DuckDB epoch_us) — no float time arithmetic near a bucket edge.
+    """
+    from ..operators import temporal
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("__dup"))
+        .select("user_id", "ts", F.col("ts").alias("click_ts"))
+    )
+    joined = temporal.asof_join(
+        purchases,
+        clicks,
+        on=("user_id",),
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=("click_ts",),
+        suffix="",
+    )
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))
+    bucket = (
+        F.when(F.col("click_ts").isNull(), "no_click")
+        .when(lag_us < 60_000_000, "<1m")
+        .when(lag_us < 300_000_000, "1-5m")
+        .when(lag_us < 900_000_000, "5-15m")
+        .when(lag_us < 3_600_000_000, "15-60m")
+        .otherwise(">=60m")
+    )
+    total = purchases.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        joined.groupBy(bucket.alias("lag_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lag_bucket",
+            "n_purchases",
+            round_to(
+                F.col("n_purchases").cast("double") / F.col("__total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+_CONVERSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts AS click_ts FROM e WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+j AS (
+  SELECT p.user_id, p.ts, c.click_ts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+),
+b AS (
+  SELECT CASE
+    WHEN click_ts IS NULL THEN 'no_click'
+    WHEN epoch_us(ts) - epoch_us(click_ts) < 60000000 THEN '<1m'
+    WHEN epoch_us(ts) - epoch_us(click_ts) < 300000000 THEN '1-5m'
+    WHEN epoch_us(ts) - epoch_us(click_ts) < 900000000 THEN '5-15m'
+    WHEN epoch_us(ts) - epoch_us(click_ts) < 3600000000 THEN '15-60m'
+    ELSE '>=60m' END AS lag_bucket
+  FROM j
+),
+tot AS (SELECT count(*)::BIGINT AS total FROM p)
+SELECT lag_bucket, count(*)::BIGINT AS n_purchases,
+       {sql_round("count(*)::DOUBLE / tot.total::DOUBLE", 6)} AS share
+FROM b, tot GROUP BY lag_bucket, tot.total
+"""
+
+
+# ---------------------------------------------------------------------------
+# key-skew profiler
+# ---------------------------------------------------------------------------
+
+SKEW_COLS = ("l_suppkey", "l_partkey", "l_returnflag")
+
+
+def lineitem_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning-decision diagnosis over lineitem's join/agg keys:
+    distinct-key count, hottest key, and skew ratio per candidate
+    column (operators/skew.key_skew_profile) — the report that says
+    which keys need salting or AQE skew splitting before a 100 TB run.
+    """
+    from ..operators import skew
+
+    li = t(spark, sf_dir, "lineitem")
+    return skew.key_skew_profile(li, list(SKEW_COLS))
+
+
+def _skew_sql() -> str:
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS key_col, coalesce({c}::VARCHAR, 'NULL') AS key_val"
+        f" FROM lineitem"
+        for c in SKEW_COLS
+    )
+    return f"""
+WITH pairs AS (
+{branches}
+),
+counts AS (
+  SELECT key_col, key_val, count(*)::BIGINT AS cnt
+  FROM pairs GROUP BY key_col, key_val
+)
+SELECT key_col, sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+       max(cnt) AS max_count,
+       arg_max(key_val, lpad(cnt::VARCHAR, 18, '0') || '|' || key_val) AS top_key,
+       {sql_round("max(cnt)::DOUBLE / (sum(cnt)::DOUBLE / count(*)::DOUBLE)", 4)}
+         AS skew_ratio
+FROM counts GROUP BY key_col
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
@@ -700,6 +924,9 @@ QUERIES = {
     "nation_trade_pagerank": nation_trade_pagerank,
     "max_concurrent_sessions": max_concurrent_sessions,
     "rag_chunk_dedup": rag_chunk_dedup,
+    "rfm_segments": rfm_segments,
+    "conversion_lag_histogram": conversion_lag_histogram,
+    "lineitem_skew_profile": lineitem_skew_profile,
 }
 
 ORACLES = {
@@ -713,4 +940,7 @@ ORACLES = {
     "nation_trade_pagerank": _PAGERANK_SQL,
     "max_concurrent_sessions": _max_concurrent_sql(),
     "rag_chunk_dedup": _CHUNK_DEDUP_SQL,
+    "rfm_segments": _RFM_SQL,
+    "conversion_lag_histogram": _CONVERSION_SQL,
+    "lineitem_skew_profile": _skew_sql(),
 }

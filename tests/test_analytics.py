@@ -75,3 +75,30 @@ def test_cohort_week_zero_has_every_cohort_user(spark):
     pd.testing.assert_series_equal(
         zero.sort_index(), maxes.sort_index(), check_names=False
     )
+
+
+def test_rfm_scores_are_balanced_quintiles(spark):
+    rows = analytics.rfm_segments(spark, SF_DIR).toPandas()
+    n = len(rows)
+    assert n == rows["o_custkey"].nunique()
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = rows[col].value_counts()
+        assert set(sizes.index) <= {1, 2, 3, 4, 5}
+        # exact ntile: bucket sizes differ by at most one
+        assert sizes.max() - sizes.min() <= 1
+    assert (rows["segment"] == rows["r_score"].astype(str)
+            + rows["f_score"].astype(str) + rows["m_score"].astype(str)).all()
+
+
+def test_conversion_shares_sum_to_one(spark):
+    rows = analytics.conversion_lag_histogram(spark, SF_DIR).toPandas()
+    assert abs(rows["share"].sum() - 1.0) < 1e-4
+    assert rows["n_purchases"].sum() > 0
+
+
+def test_skew_profile_conserves_rows(spark):
+    li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    rows = analytics.lineitem_skew_profile(spark, SF_DIR).toPandas()
+    assert (rows["n_rows"] == li_rows).all()
+    assert (rows["max_count"] <= rows["n_rows"]).all()
+    assert (rows["skew_ratio"] >= 1.0).all()

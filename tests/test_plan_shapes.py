@@ -290,3 +290,14 @@ def test_max_concurrent_has_no_global_window(spark):
 
     df = analytics.max_concurrent_sessions(spark, SF_DIR)
     assert not plans.global_window_over_raw(df)
+
+
+def test_rfm_assignment_has_no_ntile_window(spark):
+    # the returned plan must be the broadcast-cut-point projection —
+    # never a global ntile WindowExec (that's the oracle's job)
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.rfm_segments(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Window" not in plan
+    assert not plans.global_window_over_raw(df)
