@@ -49,6 +49,11 @@ _VERDICT_PRIORITY = [
     "rfm_segments",
     "conversion_lag_histogram",
     "lineitem_skew_profile",
+    "part_pair_affinity",
+    "top_event_paths",
+    "revenue_mom_yoy",
+    "region_nation_revenue_share",
+    "benford_totalprice",
     # --- oldest verdicts (r01-only), promoted for re-verification ---
     "op_date_filter",
     "op_standardize_units",
@@ -77,15 +82,17 @@ _VERDICT_PRIORITY = [
     "rollup_lineitem",
     "array_agg_lineitems",
     "pivot_event_counts",
-    "semi_join_urgent_customers",
-    "anti_join_quiet_customers",
-    "set_ops_segments",
-    "sql_revenue_by_nation",
-    "window_topk_orders",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    # r01-only entries displaced from the 50-slot window by the round-6
+    # analytics additions — oldest verdicts left, re-promote in r07
+    "semi_join_urgent_customers": "r01",
+    "anti_join_quiet_customers": "r01",
+    "set_ops_segments": "r01",
+    "sql_revenue_by_nation": "r01",
+    "window_topk_orders": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

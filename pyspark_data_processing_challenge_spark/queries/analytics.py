@@ -913,6 +913,327 @@ FROM counts GROUP BY key_col
 """
 
 
+# ---------------------------------------------------------------------------
+# market-basket pair affinity (association mining)
+# ---------------------------------------------------------------------------
+
+AFFINITY_TOP = 50
+
+
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining, pair tier: the top-50 part pairs
+    co-occurring in an order, with support counts and lift
+    (P(a,b)/(P(a)·P(b))).
+
+    Scale shape: the pair generation is a self-join WITHIN order —
+    fanout bounded by basket size squared (≤13 parts per order here,
+    and bounded in any real basket dataset), never an all-pairs join
+    across orders. Item marginals come back as two broadcast joins.
+    Lift arithmetic runs on exact BIGINT counts; ordering ties break on
+    the (part_a, part_b) key, so the top-50 cut is deterministic.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_both"))
+    )
+    items = li.groupBy(F.col("l_partkey").alias("part_a")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    items_b = items.select(
+        F.col("part_a").alias("part_b"), F.col("__na").alias("__nb")
+    )
+    lift = (
+        F.col("n_orders_both").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
+    )
+    return (
+        pairs.join(F.broadcast(items), "part_a")
+        .join(F.broadcast(items_b), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders_both",
+            round_to(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("n_orders_both"), "part_a", "part_b")
+        .limit(AFFINITY_TOP)
+    )
+
+
+_AFFINITY_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_orders_both
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+),
+items AS (SELECT l_partkey, count(*)::BIGINT AS ni FROM li GROUP BY l_partkey)
+SELECT p.part_a, p.part_b, p.n_orders_both,
+       {sql_round(
+           "p.n_orders_both::DOUBLE * n.n_orders::DOUBLE"
+           " / (ia.ni::DOUBLE * ib.ni::DOUBLE)",
+           6,
+       )} AS lift
+FROM pairs p
+JOIN items ia ON p.part_a = ia.l_partkey
+JOIN items ib ON p.part_b = ib.l_partkey
+CROSS JOIN n
+ORDER BY p.n_orders_both DESC, p.part_a, p.part_b
+LIMIT {AFFINITY_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-path mining
+# ---------------------------------------------------------------------------
+
+PATHS_TOP = 20
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 20 most common 3-step event-type sequences
+    (consecutive per user, ordered by ts with the unique event_id
+    tie-break), with counts and share of all 3-step windows.
+
+    Scale shape: two user-partitioned leads, one map-side-combined
+    aggregate over the |types|³-bounded path space, broadcast total.
+    """
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = (
+        e.withColumn("s2", F.lead("event_type", 1).over(w))
+        .withColumn("s3", F.lead("event_type", 2).over(w))
+        .where(F.col("s3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "s2", "s3").alias("path")
+        )
+    )
+    counts = triples.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    total = triples.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_paths",
+            round_to(
+                F.col("n_paths").cast("double") / F.col("__total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(PATHS_TOP)
+    )
+
+
+_PATHS_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+),
+tr AS (
+  SELECT event_type || '>' ||
+         lead(event_type, 1) OVER w || '>' ||
+         lead(event_type, 2) OVER w AS path
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+v AS (SELECT path FROM tr WHERE path IS NOT NULL),
+tot AS (SELECT count(*)::BIGINT AS total FROM v),
+c AS (SELECT path, count(*)::BIGINT AS n_paths FROM v GROUP BY path)
+SELECT c.path, c.n_paths,
+       {sql_round("c.n_paths::DOUBLE / tot.total::DOUBLE", 6)} AS share
+FROM c CROSS JOIN tot
+ORDER BY c.n_paths DESC, c.path
+LIMIT {PATHS_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# month-over-month / year-over-year growth
+# ---------------------------------------------------------------------------
+
+
+def revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year growth
+    rates. Prior periods attach by CALENDAR arithmetic (self-join on
+    month−1/month−12), not lag() over row order — correct across gaps
+    in the month sequence and free of any global window. The monthly
+    aggregate itself is the only big-data work; the growth joins run on
+    #months rows.
+    """
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(round_to(F.sum("o_totalprice"), 2).alias("revenue"))
+    prev_m = monthly.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("revenue").alias("__prev_m"),
+    )
+    prev_y = monthly.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("revenue").alias("__prev_y"),
+    )
+    pct = lambda cur, prev: round_to(  # noqa: E731
+        (cur.cast("double") - prev.cast("double")) / prev.cast("double"), 6
+    )
+    return (
+        monthly.join(prev_m, "month", "left")
+        .join(prev_y, "month", "left")
+        .select(
+            "month",
+            "revenue",
+            pct(F.col("revenue"), F.col("__prev_m")).alias("mom_pct"),
+            pct(F.col("revenue"), F.col("__prev_y")).alias("yoy_pct"),
+        )
+    )
+
+
+_MOM_YOY_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         {sql_round("sum(o_totalprice)", 2)} AS revenue
+  FROM orders GROUP BY month
+)
+SELECT m.month, m.revenue,
+       {sql_round("(m.revenue - pm.revenue) / pm.revenue", 6)} AS mom_pct,
+       {sql_round("(m.revenue - py.revenue) / py.revenue", 6)} AS yoy_pct
+FROM monthly m
+LEFT JOIN monthly pm ON pm.month + INTERVAL 1 MONTH = m.month
+LEFT JOIN monthly py ON py.month + INTERVAL 12 MONTH = m.month
+"""
+
+
+# ---------------------------------------------------------------------------
+# hierarchical ratio-to-parent rollup
+# ---------------------------------------------------------------------------
+
+
+def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per customer nation with each nation's share of its
+    region — the ratio-to-parent report every hierarchy rollup needs.
+    Region totals are re-aggregated from the nation level and broadcast
+    back (never a second scan of the fact table); shares divide two
+    identically-rounded totals, so the oracle reproduces them exactly.
+    """
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation_rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round_to(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    region_tot = nation_rev.groupBy("r_name").agg(
+        F.sum("revenue").alias("__rtot")
+    )
+    return nation_rev.join(F.broadcast(region_tot), "r_name").select(
+        "r_name",
+        "n_name",
+        "revenue",
+        round_to(F.col("revenue") / F.col("__rtot"), 6).alias("region_share"),
+    )
+
+
+_REGION_SHARE_SQL = f"""
+WITH nation_rev AS (
+  SELECT r.r_name, n.n_name, {sql_round("sum(o.o_totalprice)", 2)} AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+region_tot AS (SELECT r_name, sum(revenue) AS rtot FROM nation_rev GROUP BY r_name)
+SELECT nr.r_name, nr.n_name, nr.revenue,
+       {sql_round("nr.revenue / rt.rtot", 6)} AS region_share
+FROM nation_rev nr JOIN region_tot rt USING (r_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit data-quality check
+# ---------------------------------------------------------------------------
+
+_BENFORD_EXPECTED = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over o_totalprice: observed first-digit
+    shares vs the log10(1 + 1/d) expectation — the fraud/synthetic-data
+    smell test an ingest DQ suite runs on money columns.
+
+    The first digit comes from the DECIMAL(12,2) string rendering
+    (identical in both engines), NOT floor(x/10^floor(log10 x)) — libm
+    log10 is not guaranteed correctly rounded at power-of-ten edges.
+    Expected shares are Python-computed literals injected into BOTH
+    engines, so the comparison is bit-identical by construction.
+    """
+    o = t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = o.agg(F.count(F.lit(1)).alias("__total"))
+    expected = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d, p in sorted(_BENFORD_EXPECTED.items())
+                for x in (F.lit(d), F.lit(p))
+            ]
+        ),
+        F.col("digit"),
+    )
+    obs = F.col("n_orders").cast("double") / F.col("__total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            round_to(obs, 6).alias("observed_share"),
+            round_to(expected, 6).alias("expected_share"),
+            round_to(F.abs(obs - expected), 6).alias("abs_deviation"),
+        )
+    )
+
+
+def _benford_sql() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in sorted(_BENFORD_EXPECTED.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT substring(CAST(o_totalprice AS DECIMAL(12,2))::VARCHAR, 1, 1)::INTEGER
+           AS digit
+  FROM orders
+),
+tot AS (SELECT count(*)::BIGINT AS total FROM d),
+c AS (SELECT digit, count(*)::BIGINT AS n_orders FROM d GROUP BY digit)
+SELECT c.digit, c.n_orders,
+       {sql_round("c.n_orders::DOUBLE / tot.total::DOUBLE", 6)} AS observed_share,
+       {sql_round("CASE c.digit " + case + " END", 6)} AS expected_share,
+       {sql_round(
+           "abs(c.n_orders::DOUBLE / tot.total::DOUBLE"
+           " - (CASE c.digit " + case + " END))",
+           6,
+       )} AS abs_deviation
+FROM c CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
@@ -927,6 +1248,11 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "conversion_lag_histogram": conversion_lag_histogram,
     "lineitem_skew_profile": lineitem_skew_profile,
+    "part_pair_affinity": part_pair_affinity,
+    "top_event_paths": top_event_paths,
+    "revenue_mom_yoy": revenue_mom_yoy,
+    "region_nation_revenue_share": region_nation_revenue_share,
+    "benford_totalprice": benford_totalprice,
 }
 
 ORACLES = {
@@ -943,4 +1269,9 @@ ORACLES = {
     "rfm_segments": _RFM_SQL,
     "conversion_lag_histogram": _CONVERSION_SQL,
     "lineitem_skew_profile": _skew_sql(),
+    "part_pair_affinity": _AFFINITY_SQL,
+    "top_event_paths": _PATHS_SQL,
+    "revenue_mom_yoy": _MOM_YOY_SQL,
+    "region_nation_revenue_share": _REGION_SHARE_SQL,
+    "benford_totalprice": _benford_sql(),
 }

@@ -102,3 +102,35 @@ def test_skew_profile_conserves_rows(spark):
     assert (rows["n_rows"] == li_rows).all()
     assert (rows["max_count"] <= rows["n_rows"]).all()
     assert (rows["skew_ratio"] >= 1.0).all()
+
+
+def test_pair_affinity_is_upper_triangle(spark):
+    rows = analytics.part_pair_affinity(spark, SF_DIR).toPandas()
+    assert len(rows) <= analytics.AFFINITY_TOP
+    assert (rows["part_a"] < rows["part_b"]).all()
+    assert (rows["lift"] > 0).all()
+
+
+def test_event_paths_share_and_shape(spark):
+    rows = analytics.top_event_paths(spark, SF_DIR).toPandas()
+    assert len(rows) <= analytics.PATHS_TOP
+    assert (rows["path"].str.count(">") == 2).all()
+    assert rows["share"].between(0, 1).all()
+
+
+def test_benford_shares_are_a_distribution(spark):
+    rows = analytics.benford_totalprice(spark, SF_DIR).toPandas()
+    assert set(rows["digit"]) <= set(range(1, 10))
+    assert abs(rows["observed_share"].sum() - 1.0) < 1e-4
+    # expected shares are the Benford masses for the digits present
+    import math
+
+    for _, r in rows.iterrows():
+        assert abs(r["expected_share"] - round(math.log10(1 + 1 / r["digit"]), 6) < 1e-9)
+
+
+def test_mom_yoy_null_only_at_series_edges(spark):
+    rows = analytics.revenue_mom_yoy(spark, SF_DIR).toPandas().sort_values("month")
+    # first month has no prior month; first 12 have no prior year
+    assert rows["mom_pct"].isna().sum() == 1
+    assert rows["yoy_pct"].isna().sum() == 12
