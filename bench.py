@@ -74,6 +74,9 @@ HEADLINE = [
     "docs_rag_chunks",
     "rolling_7d_distinct_users",
     "nation_trade_pagerank",
+    "rfm_segments",
+    "part_pair_affinity",
+    "docs_unigram_surprisal",
 ]
 
 

@@ -54,6 +54,9 @@ _VERDICT_PRIORITY = [
     "revenue_mom_yoy",
     "region_nation_revenue_share",
     "benford_totalprice",
+    "docs_unigram_surprisal",
+    "split_oov_rate",
+    "nation_trade_pagerank2",
     # --- oldest verdicts (r01-only), promoted for re-verification ---
     "op_date_filter",
     "op_standardize_units",
@@ -79,15 +82,15 @@ _VERDICT_PRIORITY = [
     "docs_fingerprint",
     "events_json_stats",
     "percentiles_by_type",
-    "rollup_lineitem",
-    "array_agg_lineitems",
-    "pivot_event_counts",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
     # r01-only entries displaced from the 50-slot window by the round-6
     # analytics additions — oldest verdicts left, re-promote in r07
+    "rollup_lineitem": "r01",
+    "array_agg_lineitems": "r01",
+    "pivot_event_counts": "r01",
     "semi_join_urgent_customers": "r01",
     "anti_join_quiet_customers": "r01",
     "set_ops_segments": "r01",

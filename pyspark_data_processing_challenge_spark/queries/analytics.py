@@ -689,6 +689,135 @@ SELECT chunk_md5, n_docs, n_occurrences FROM g WHERE n_occurrences >= 2
 """
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str):
+    """(src_key, dst_key, w) + (src_key, out_total) for the nation
+    trade graph — the shared edge build of the pagerank queries."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+        ).alias("rev"),
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src_key"),
+            F.col("s_nationkey").alias("dst_key"),
+        )
+        .agg(F.sum("rev").alias("w"))
+    )
+    out_w = edges.groupBy("src_key").agg(F.sum("w").alias("out_total"))
+    return edges, out_w
+
+
+def nation_trade_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO PageRank power iterations over the nation trade graph — the
+    iterate-by-composition pattern (kmeans_two_step): the expensive
+    edge aggregation is built once and persisted; each step is a
+    broadcast join of the current N-row rank vector against the edges.
+    Step-1 ranks are rounded before feeding step 2, pinning the
+    iteration deterministic in both engines.
+    """
+    edges, out_w = _trade_edges(spark, sf_dir)
+    edges = edges.join(F.broadcast(out_w), "src_key").persist()
+    try:
+        n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        nn = n.agg(F.count(F.lit(1)).alias("n_nodes"))
+        share = F.col("w").cast("double") / F.col("out_total").cast("double")
+
+        c1 = edges.groupBy("dst_key").agg(F.sum(share).alias("s1"))
+        p1 = (
+            n.join(F.broadcast(c1), n.n_nationkey == c1.dst_key, "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "n_nationkey",
+                "n_name",
+                "n_nodes",
+                round_to(
+                    (
+                        F.lit(1.0 - PR_DAMPING)
+                        + F.lit(PR_DAMPING) * F.coalesce(F.col("s1"), F.lit(0.0))
+                    )
+                    / F.col("n_nodes").cast("double"),
+                    6,
+                ).alias("pagerank_1"),
+            )
+        )
+        c2 = (
+            edges.join(
+                F.broadcast(p1.select(F.col("n_nationkey").alias("src_key"), "pagerank_1")),
+                "src_key",
+            )
+            .groupBy("dst_key")
+            .agg(F.sum(F.col("pagerank_1") * share).alias("s2"))
+        )
+        return (
+            p1.join(F.broadcast(c2), p1.n_nationkey == c2.dst_key, "left")
+            .select(
+                "n_name",
+                "pagerank_1",
+                round_to(
+                    F.lit(1.0 - PR_DAMPING) / F.col("n_nodes").cast("double")
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("s2"), F.lit(0.0)),
+                    6,
+                ).alias("pagerank_2"),
+            )
+        )
+    finally:
+        edges.unpersist(blocking=False)
+
+
+_PAGERANK2_SQL = f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src_key, s.s_nationkey AS dst_key,
+         sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY src_key, dst_key
+),
+outw AS (SELECT src_key, sum(w) AS out_total FROM edges GROUP BY src_key),
+nn AS (SELECT count(*)::BIGINT AS n_nodes FROM nation),
+c1 AS (
+  SELECT e.dst_key, sum(e.w::DOUBLE / o.out_total::DOUBLE) AS s1
+  FROM edges e JOIN outw o USING (src_key) GROUP BY e.dst_key
+),
+p1 AS (
+  SELECT n.n_nationkey, n.n_name, nn.n_nodes,
+         {sql_round(
+             f"(({1.0 - PR_DAMPING}) + {PR_DAMPING} * coalesce(c1.s1, 0.0))"
+             " / nn.n_nodes::DOUBLE",
+             6,
+         )} AS pagerank_1
+  FROM nation n LEFT JOIN c1 ON n.n_nationkey = c1.dst_key CROSS JOIN nn
+),
+c2 AS (
+  SELECT e.dst_key,
+         sum(p.pagerank_1 * (e.w::DOUBLE / o.out_total::DOUBLE)) AS s2
+  FROM edges e
+  JOIN outw o USING (src_key)
+  JOIN p1 p ON p.n_nationkey = e.src_key
+  GROUP BY e.dst_key
+)
+SELECT p.n_name, p.pagerank_1,
+       {sql_round(
+           f"({1.0 - PR_DAMPING}) / p.n_nodes::DOUBLE"
+           f" + {PR_DAMPING} * coalesce(c2.s2, 0.0)",
+           6,
+       )} AS pagerank_2
+FROM p1 p LEFT JOIN c2 ON p.n_nationkey = c2.dst_key
+"""
+
+
 # ---------------------------------------------------------------------------
 # RFM segmentation on the distributed exact-ntile machinery
 # ---------------------------------------------------------------------------
@@ -1243,6 +1372,7 @@ QUERIES = {
     "orders_gap_fill": orders_gap_fill,
     "rolling_7d_distinct_users": rolling_7d_distinct_users,
     "nation_trade_pagerank": nation_trade_pagerank,
+    "nation_trade_pagerank2": nation_trade_pagerank2,
     "max_concurrent_sessions": max_concurrent_sessions,
     "rag_chunk_dedup": rag_chunk_dedup,
     "rfm_segments": rfm_segments,
@@ -1264,6 +1394,7 @@ ORACLES = {
     "orders_gap_fill": _GAP_FILL_SQL,
     "rolling_7d_distinct_users": _ROLLING_DISTINCT_SQL,
     "nation_trade_pagerank": _PAGERANK_SQL,
+    "nation_trade_pagerank2": _PAGERANK2_SQL,
     "max_concurrent_sessions": _max_concurrent_sql(),
     "rag_chunk_dedup": _CHUNK_DEDUP_SQL,
     "rfm_segments": _RFM_SQL,

@@ -1238,7 +1238,183 @@ SELECT doc_id,
 FROM documents
 """
 
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+
+def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average surprisal (bits/token) under the corpus
+    unigram language model — the model-free perplexity proxy quality
+    filters rank documents with (low = generic/repetitive, high =
+    unusual vocabulary).
+
+    Engine-portability: token and corpus counts are exact BIGINTs; the
+    per-doc float sum Σ tf·log2(cnt/N) runs as a FOLD over the doc's
+    token list sorted by token (the char_entropy_bits pattern —
+    identical IEEE op sequence in the DuckDB oracle, since unordered
+    SUM() merge order is engine- and partition-dependent).
+
+    Scale shape: one explode + two map-side-combined aggregates, a
+    token-keyed join (AQE broadcasts small vocabularies), one per-doc
+    aggregate; the corpus total joins as a broadcast single row.
+    """
+    d = spread(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(textfns.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("__n"))
+    terms = (
+        tf.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sort_array(
+                F.collect_list(F.struct("token", "tf", "cnt"))
+            ).alias("__terms"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    folded = -F.aggregate(
+        F.col("__terms"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["tf"].cast("double")
+        * F.log2(s["cnt"].cast("double") / F.col("__n").cast("double")),
+    )
+    scored = terms.select(
+        "doc_id",
+        "n_tokens",
+        round_to(folded / F.col("n_tokens").cast("double"), 6).alias(
+            "avg_surprisal_bits"
+        ),
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            "avg_surprisal_bits",
+        )
+    )
+
+
+_SURPRISAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens("lower(text)")}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token),
+vocab AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token),
+n AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+terms AS (
+  SELECT f.doc_id, sum(f.tf)::BIGINT AS n_tokens,
+         list(struct_pack(token := f.token, tf := f.tf, cnt := v.cnt)
+              ORDER BY f.token) AS ts
+  FROM tf f JOIN vocab v USING (token) GROUP BY f.doc_id
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         {sql_round(
+             "-list_reduce(list_prepend(0.0::DOUBLE, "
+             "list_transform(ts, s -> s.tf::DOUBLE * "
+             "log2(s.cnt::DOUBLE / n.total::DOUBLE))), (a, b) -> a + b)"
+             " / n_tokens::DOUBLE",
+             6,
+         )} AS avg_surprisal_bits
+  FROM terms, n
+)
+SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       s.avg_surprisal_bits
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# train/val/test vocabulary-coverage report
+# ---------------------------------------------------------------------------
+
+
+def split_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary report for the deterministic train/val/test
+    split: per held-out split, how many token occurrences (and distinct
+    types) never appear in train — the leakage-free way to check a
+    tokenizer/vocab built on train generalizes to the held-out corpus.
+
+    Scale shape: split assignment is a pure hash projection (zero
+    shuffles, docs_split_assign); the train vocabulary joins the
+    held-out occurrences on the token key (AQE broadcasts it while it
+    fits); two aggregates end the plan.
+    """
+    from ..operators import curation
+
+    d = spread(t(spark, sf_dir, "documents"))
+    s = curation.split_assign(d, F.col("doc_id"), SPLIT_WEIGHTS)
+    tok = s.select(
+        "split", F.explode(textfns.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    train_vocab = (
+        tok.where(F.col("split") == "train")
+        .select("token")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    held = tok.where(F.col("split") != "train")
+    j = held.join(train_vocab, "token", "left")
+    oov = F.col("__seen").isNull()
+    return (
+        j.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov.cast("long")).alias("n_oov"),
+            F.countDistinct("token").alias("n_types"),
+            F.countDistinct(F.when(oov, F.col("token"))).alias("n_oov_types"),
+        )
+        .select(
+            "split",
+            "n_tokens",
+            "n_oov",
+            "n_types",
+            "n_oov_types",
+            round_to(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_OOV_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+    CASE WHEN {sql_char_hash("doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+         WHEN {sql_char_hash("doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT split, unnest({sql_tokens("lower(text)")}) AS token FROM assigned
+),
+train_vocab AS (SELECT DISTINCT token FROM tok WHERE split = 'train'),
+held AS (
+  SELECT t.split, t.token, (v.token IS NULL) AS oov
+  FROM tok t LEFT JOIN train_vocab v USING (token)
+  WHERE t.split <> 'train'
+)
+SELECT split, count(*)::BIGINT AS n_tokens,
+       sum(oov::INTEGER)::BIGINT AS n_oov,
+       count(DISTINCT token)::BIGINT AS n_types,
+       count(DISTINCT CASE WHEN oov THEN token END)::BIGINT AS n_oov_types,
+       {sql_round("sum(oov::INTEGER)::DOUBLE / count(*)::DOUBLE", 6)} AS oov_rate
+FROM held GROUP BY split
+"""
+
+
 QUERIES = {
+    "docs_unigram_surprisal": docs_unigram_surprisal,
+    "split_oov_rate": split_oov_rate,
     "docs_token_stats": docs_token_stats,
     "docs_lang_id": docs_lang_id,
     "docs_quality": docs_quality,
@@ -1274,6 +1450,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_unigram_surprisal": _SURPRISAL_SQL,
+    "split_oov_rate": _OOV_SQL,
     "docs_token_stats": _TOKEN_STATS_SQL,
     "docs_lang_id": _LANG_SQL,
     "docs_quality": _QUALITY_SQL,

@@ -134,3 +134,27 @@ def test_mom_yoy_null_only_at_series_edges(spark):
     # first month has no prior month; first 12 have no prior year
     assert rows["mom_pct"].isna().sum() == 1
     assert rows["yoy_pct"].isna().sum() == 12
+
+
+def test_surprisal_bounded_by_corpus_size(spark):
+    import math
+
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    rows = llm.docs_unigram_surprisal(spark, SF_DIR).toPandas()
+    n_total = rows["n_tokens"].sum()
+    got = rows[rows["n_tokens"] > 0]
+    # p(token) >= 1/N so surprisal <= log2(N); empty docs carry null
+    assert (got["avg_surprisal_bits"] <= math.log2(n_total) + 1e-9).all()
+    assert (got["avg_surprisal_bits"] > 0).all()
+    assert rows[rows["n_tokens"] == 0]["avg_surprisal_bits"].isna().all()
+
+
+def test_oov_report_shape(spark):
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    rows = llm.split_oov_rate(spark, SF_DIR).toPandas()
+    assert set(rows["split"]) <= {"val", "test"}
+    assert (rows["n_oov"] <= rows["n_tokens"]).all()
+    assert (rows["n_oov_types"] <= rows["n_types"]).all()
+    assert rows["oov_rate"].between(0, 1).all()
