@@ -740,7 +740,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     array is flattened to a comma-joined string per the catalog's
     atomic-output convention (raw arrays crash the driver's pandas
     canonicalizer — CORRECTNESS_r05)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     out = similarity.pq_encode(
         emb,
         _pq_codebook(spark, sf_dir),
@@ -758,7 +758,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-10 for one query vector: distances come from the
     M x 16 query-to-centroid table, never the raw corpus vectors."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     cb = _pq_codebook(spark, sf_dir)
     codes = similarity.pq_encode(
         emb, cb, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
@@ -786,7 +786,7 @@ def pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     members before encode + ADC. This is the production index path the
     convention-codebook ``pq_topk`` approximates; the recall test
     (tests/test_pq.py) pins trained >= convention."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     sub = similarity.pq_subvectors(
         emb, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
     )
@@ -941,7 +941,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors
     from .extended import IVF_NCENTROIDS, IVF_NPROBE
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )

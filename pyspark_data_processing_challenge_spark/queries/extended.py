@@ -374,7 +374,7 @@ IVF_QUERY_LO, IVF_QUERY_HI = 100, 110
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse assignment with a deterministic codebook (the first 8
     vectors) — every vector → nearest centroid by cosine."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -387,7 +387,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: probe the 2 nearest centroid lists per query, exact
     top-5 within them."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS)
     queries = emb.filter(
         (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
@@ -407,7 +407,7 @@ def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (posexplode + groupBy) so the 64-dim mean is one aggregate instead
     of 64 columns. At scale each iteration is one broadcast join + one
     shuffle on (centroid, dim) — no driver-side math."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -436,7 +436,7 @@ def kmeans_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding iteration 2 in BOTH engines — double summation order differs
     between engines, and rounding re-synchronizes the inputs so the
     iteration-2 cosines (identical left-fold order) match bit-for-bit."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
