@@ -92,23 +92,34 @@ def exact_order_statistics(
             for i, (_, hi) in enumerate(bands)
         ]
     ).first()
+    # ONE job refines every band: collect the union of the narrow bands
+    # (same O(Σ band size) driver bound as the per-band limit-k collects
+    # this replaces — each of those already pulled up to a band's worth
+    # of rows — but len(ranks) scheduling round-trips become one)
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
+    in_any = _reduce(
+        _or,
+        [F.col(value_col).between(F.lit(lo), F.lit(hi)) for lo, hi in bands],
+    )
+    pool = df.filter(in_any).select(value_col, tie_col).collect()
     out: list[tuple] = []
     for i, (b, (lo, hi)) in enumerate(zip(ranks, bands)):
         k = b - (above[f"c{i}"] or 0)
-        band = df.filter(F.col(value_col).between(F.lit(lo), F.lit(hi)))
-        # TakeOrderedAndProject over the narrow band: k ≤ band size
-        rows = (
-            band.select(value_col, tie_col)
-            .orderBy(F.col(value_col).desc(), F.col(tie_col))
-            .limit(k)
-            .collect()
+        # (value DESC, tie ASC) via two stable sorts — works for any
+        # orderable value type, not just ones supporting negation
+        rows = sorted(
+            (r for r in pool if lo <= r[value_col] <= hi),
+            key=lambda r: r[tie_col],
         )
+        rows.sort(key=lambda r: r[value_col], reverse=True)
         if k < 1 or len(rows) < k:
             raise AssertionError(
                 f"rank {b}: sketch bracket missed its guarantee "
                 f"(k={k}, band rows={len(rows)}) — raise accuracy"
             )
-        out.append((rows[-1][value_col], rows[-1][tie_col]))
+        out.append((rows[k - 1][value_col], rows[k - 1][tie_col]))
     return out
 
 
