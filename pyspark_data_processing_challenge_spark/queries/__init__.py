@@ -57,6 +57,8 @@ _VERDICT_PRIORITY = [
     "docs_unigram_surprisal",
     "split_oov_rate",
     "nation_trade_pagerank2",
+    "collection_functions",
+    "map_functions",
     # --- oldest verdicts (r01-only), promoted for re-verification ---
     "op_date_filter",
     "op_standardize_units",
@@ -80,14 +82,14 @@ _VERDICT_PRIORITY = [
     "dedup_exact_groups",
     "simhash_values",
     "docs_fingerprint",
-    "events_json_stats",
-    "percentiles_by_type",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
     # r01-only entries displaced from the 50-slot window by the round-6
     # analytics additions — oldest verdicts left, re-promote in r07
+    "events_json_stats": "r01",
+    "percentiles_by_type": "r01",
     "rollup_lineitem": "r01",
     "array_agg_lineitems": "r01",
     "pivot_event_counts": "r01",

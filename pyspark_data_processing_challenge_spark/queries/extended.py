@@ -363,6 +363,101 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar array-function surface (sort, reverse, slice, contains,
+    distinct, filter, HOF fold, zip_with, flatten) over per-row arrays
+    built from the order key — all JVM expressions, shuffle-free."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    arr = F.array((k % 7).cast("int"), (k % 11).cast("int"), (k % 13).cast("int"))
+    stage = o.select("o_orderkey", arr.alias("arr"))
+    a = F.col("arr")
+    total = F.aggregate(a, F.lit(0), lambda acc, x: acc + x)
+    zipped = F.zip_with(a, F.reverse(a), lambda x, y: x * y)
+    return stage.select(
+        "o_orderkey",
+        F.array_join(F.sort_array(a), ",").alias("sorted_csv"),
+        F.array_join(F.reverse(a), ",").alias("rev_csv"),
+        F.array_join(F.slice(a, 1, 2), ",").alias("head2_csv"),
+        F.array_contains(a, 3).cast("int").alias("has3"),
+        F.size(F.array_distinct(a)).cast("long").alias("n_distinct"),
+        F.size(F.filter(a, lambda x: x % 2 == 0)).cast("long").alias("n_even"),
+        total.cast("long").alias("total"),
+        F.aggregate(zipped, F.lit(0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("zip_dot"),
+        F.array_join(F.flatten(F.array(a, a)), ",").alias("doubled_csv"),
+    )
+
+
+_COLLECTION_SQL = """
+WITH s AS (
+  SELECT o_orderkey,
+         [(o_orderkey % 7)::INTEGER, (o_orderkey % 11)::INTEGER,
+          (o_orderkey % 13)::INTEGER] AS arr
+  FROM orders
+)
+SELECT o_orderkey,
+  array_to_string(list_sort(arr), ',') AS sorted_csv,
+  array_to_string(list_reverse(arr), ',') AS rev_csv,
+  array_to_string(arr[1:2], ',') AS head2_csv,
+  list_contains(arr, 3)::INTEGER AS has3,
+  length(list_distinct(arr))::BIGINT AS n_distinct,
+  length(list_filter(arr, x -> x % 2 = 0))::BIGINT AS n_even,
+  list_reduce(list_prepend(0, arr), (a, b) -> a + b)::BIGINT AS total,
+  list_reduce(list_prepend(0, list_transform(range(1, 4),
+    i -> arr[i::INTEGER] * list_reverse(arr)[i::INTEGER])),
+    (a, b) -> a + b)::BIGINT AS zip_dot,
+  array_to_string(flatten([arr, arr]), ',') AS doubled_csv
+FROM s
+"""
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar map-function surface (map_from_arrays, element_at,
+    map_keys/values, transform_values, map_concat, map_filter) over
+    per-row maps built from the order key. The oracle computes the same
+    OUTPUT scalars from the key directly — DuckDB's MAP vocabulary
+    differs enough that mirroring the API calls would test DuckDB, not
+    the semantics."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+        F.array((k % 5).cast("long"), (k % 3).cast("long"), (k % 2).cast("long")),
+    )
+    stage = o.select("o_orderkey", m.alias("m"))
+    mm = F.col("m")
+    doubled = F.transform_values(mm, lambda _, v: v * 2)
+    return stage.select(
+        "o_orderkey",
+        F.array_join(F.map_keys(mm), ",").alias("keys_csv"),
+        F.aggregate(F.map_values(mm), F.lit(0).cast("long"), lambda acc, v: acc + v)
+        .alias("vals_sum"),
+        F.element_at(mm, F.lit("a")).alias("a_val"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("doubled_sum"),
+        F.size(F.map_concat(mm, F.create_map(F.lit("d"), F.lit(9).cast("long"))))
+        .cast("long")
+        .alias("n_after_concat"),
+        F.size(F.map_filter(mm, lambda _, v: v > 0)).cast("long").alias("n_positive"),
+    )
+
+
+_MAP_SQL = """
+SELECT o_orderkey,
+  'a,b,c' AS keys_csv,
+  (o_orderkey % 5 + o_orderkey % 3 + o_orderkey % 2)::BIGINT AS vals_sum,
+  (o_orderkey % 5)::BIGINT AS a_val,
+  (2 * (o_orderkey % 5 + o_orderkey % 3 + o_orderkey % 2))::BIGINT AS doubled_sum,
+  4::BIGINT AS n_after_concat,
+  ((o_orderkey % 5 > 0)::INTEGER + (o_orderkey % 3 > 0)::INTEGER
+    + (o_orderkey % 2 > 0)::INTEGER)::BIGINT AS n_positive
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN
 # ---------------------------------------------------------------------------
@@ -650,6 +745,8 @@ QUERIES = {
     "top_terms": top_terms,
     "tfidf_top_terms": tfidf_top_terms,
     "string_functions": string_functions,
+    "collection_functions": collection_functions,
+    "map_functions": map_functions,
     "date_functions": date_functions,
     "ivf_assignments": ivf_assignments,
     "ivf_topk": ivf_topk,
@@ -703,6 +800,8 @@ ORACLES = {
     "cube_orders": _CUBE_SQL,
     "top_terms": _TOP_TERMS_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
+    "collection_functions": _COLLECTION_SQL,
+    "map_functions": _MAP_SQL,
     "string_functions": """
         SELECT p_partkey,
           upper(p_name) AS up,
