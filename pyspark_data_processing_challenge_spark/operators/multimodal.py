@@ -662,12 +662,18 @@ MEDIA_HEADER_SCHEMA = T.StructType(
 
 
 def encode_wav(
-    sample_rate: int, n_samples: int, *, channels: int = 1, bits: int = 16
+    sample_rate: int,
+    n_samples: int,
+    *,
+    channels: int = 1,
+    bits: int = 16,
+    pcm: bytes | None = None,
 ) -> bytes:
-    """RIFF/WAVE PCM header (spec-conformant fmt and data chunks) with
-    stub sample data: the data chunk declares the true size but carries
-    at most 64 bytes — enough for any header parser, not for playback
-    (same stance as the JPEG entropy stub)."""
+    """RIFF/WAVE PCM container. With ``pcm`` (little-endian int16
+    frames) the data chunk carries the REAL samples — a playable file
+    any WAV reader accepts. Without it, the chunk declares the true
+    size but carries at most 64 bytes: enough for any header parser,
+    not for playback (same stance as the JPEG entropy stub)."""
     block_align = channels * bits // 8
     data_size = n_samples * block_align
     fmt_chunk = b"fmt " + struct.pack(
@@ -680,7 +686,13 @@ def encode_wav(
         block_align,
         bits,
     )
-    data_chunk = b"data" + struct.pack("<I", data_size) + b"\x00" * min(data_size, 64)
+    if pcm is not None:
+        if len(pcm) != data_size:
+            raise ValueError(f"pcm is {len(pcm)} bytes, expected {data_size}")
+        body = pcm
+    else:
+        body = b"\x00" * min(data_size, 64)
+    data_chunk = b"data" + struct.pack("<I", data_size) + body
     return (
         b"RIFF"
         + struct.pack("<I", 36 + data_size)
@@ -1189,3 +1201,432 @@ def with_feature(
         return feature_fn(payload)
 
     return df.withColumn(out_col, _udf(F.col("payload")))
+
+
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition a tiny id column with an EXPLICIT partition
+    count before payload generation, so the expensive codec work — and
+    every decode stage pipelined on top of it — spreads across all
+    cores instead of inheriting the source's single row-group task
+    (AQE's size-based coalescing would fold an unnumbered repartition
+    of a KB-sized id list back to one task; see plant_phash_corpus)."""
+    spark = df.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    return df.repartition(n_parts, F.col(id_col))
+
+
+# --------------------------------------------------------------------------
+# audio: real PCM waveforms + vectorized feature extraction
+# --------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak_abs", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("sum_squares", T.LongType(), True),
+    ]
+)
+
+
+def audio_pcm_samples(bid: int) -> tuple[int, list[int]]:
+    """Deterministic per-id waveform (sample_rate, int16 samples):
+    a stepping sawtooth whose slope and phase derive from the id —
+    value-varied (exercises peak/RMS) and sign-alternating (exercises
+    zero-crossing counting), yet arithmetically replayable by an
+    engine-independent oracle:
+
+        step = bid % 7 + 3
+        s_i  = (i * step + bid * 11) % 2048 - 1024
+    """
+    sr = 8000 + (bid % 4) * 2000
+    n = (bid % 8 + 2) * 250
+    step = bid % 7 + 3
+    return sr, [(i * step + bid * 11) % 2048 - 1024 for i in range(n)]
+
+
+def plant_audio_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Audio corpus as REAL playable WAV files: 16-bit mono PCM whose
+    every sample is an arithmetic function of the id
+    (:func:`audio_pcm_samples`), so a feature-extraction oracle can
+    recompute what a genuine decode must hear. Arrow-batched UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def make(i: int) -> bytes:
+            sr, samples = audio_pcm_samples(i)
+            pcm = struct.pack(f"<{len(samples)}h", *samples)
+            return encode_wav(sr, len(samples), pcm=pcm)
+
+        return ids.map(lambda i: make(int(i)))
+
+    ids = _spread_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), "media_id"
+    )
+    return ids.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+def decode_wav_pcm(payload: bytes | None):
+    """(sample_rate, channels, frames: bytes) from a RIFF/WAVE payload —
+    the actual data-chunk bytes, clamped to what is present (robust to
+    the header-only stub form). None if not a parseable PCM WAV."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, sr, ch, bits = 12, None, None, None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if tag == b"fmt " and i + 24 <= len(b):
+            _, ch, sr, _, _, bits = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+        elif tag == b"data":
+            if not (sr and ch and bits == 16):
+                return None
+            frames = b[i + 8 : i + 8 + min(size, len(b) - i - 8)]
+            return sr, ch, frames
+        i += 8 + size + (size & 1)
+    return None
+
+
+def audio_feature_batch(df: DataFrame) -> DataFrame:
+    """(media_id, payload) → per-clip audio features via REAL PCM
+    decode: peak amplitude, zero-crossing count, and the exact integer
+    sum of squares (RMS = sqrt(sum_squares / n) derives JVM-side so no
+    float leaves Python). numpy-vectorized inside Arrow batches."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srs, ns, peaks, zcs, sqs = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                decoded = decode_wav_pcm(payload)
+                if decoded is None:
+                    srs.append(None); ns.append(None); peaks.append(None)
+                    zcs.append(None); sqs.append(None)
+                    continue
+                sr, ch, frames = decoded
+                s = np.frombuffer(
+                    frames[: len(frames) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                srs.append(sr)
+                ns.append(len(s) // ch)
+                peaks.append(int(np.abs(s).max()) if len(s) else 0)
+                zcs.append(int(np.count_nonzero(s[:-1] * s[1:] < 0)))
+                sqs.append(int((s * s).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_rate": pd.array(srs, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "peak_abs": pd.array(peaks, dtype="Int64"),
+                    "zero_crossings": pd.array(zcs, dtype="Int64"),
+                    "sum_squares": pd.array(sqs, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# video: real ISO-BMFF sample tables + frame sampling
+# --------------------------------------------------------------------------
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.LongType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+        T.StructField("byte_mix", T.LongType(), True),
+    ]
+)
+
+
+def video_frame_plan(bid: int) -> list[tuple[int, int]]:
+    """Deterministic per-id frame layout [(size, seed)] — every frame
+    byte is ``(j*29 + k*13 + bid*7) % 256`` for byte j of frame k, so
+    an oracle can replay the exact mdat content arithmetically."""
+    n_frames = bid % 6 + 4
+    return [((bid + k * 7) % 96 + 32, k) for k in range(n_frames)]
+
+
+def video_frame_bytes(bid: int, k: int, size: int) -> bytes:
+    return bytes((j * 29 + k * 13 + bid * 7) % 256 for j in range(size))
+
+
+def encode_mp4_frames(duration_ms: int, bid: int, *, timescale: int = 1000) -> bytes:
+    """ISO-BMFF stream WITH media samples: ftyp + moov carrying a real
+    trak/mdia/minf/stbl hierarchy (stsd/stts/stsc/stsz/stco) + an mdat
+    holding the frame payloads, chunk offset correctly resolved against
+    the final moov size. Any BMFF-aware parser can walk the sample
+    table and extract the frames."""
+    frames = [video_frame_bytes(bid, k, size) for size, k in video_frame_plan(bid)]
+    dur = duration_ms * timescale // 1000
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+
+    def moov_for(chunk_offset: int) -> bytes:
+        stsd = _mp4_box(
+            b"stsd",
+            struct.pack(">II", 0, 1)
+            + _mp4_box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70),
+        )
+        stts = _mp4_box(
+            b"stts",
+            struct.pack(">II", 0, 1)
+            + struct.pack(">II", len(frames), max(dur // max(len(frames), 1), 1)),
+        )
+        stsc = _mp4_box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, len(frames), 1))
+        stsz = _mp4_box(
+            b"stsz",
+            struct.pack(">III", 0, 0, len(frames))
+            + b"".join(struct.pack(">I", len(f)) for f in frames),
+        )
+        stco = _mp4_box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", chunk_offset))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        dinf = _mp4_box(
+            b"dinf",
+            _mp4_box(b"dref", struct.pack(">II", 0, 1) + _mp4_box(b"url ", b"\x00\x00\x00\x01")),
+        )
+        vmhd = _mp4_box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdhd = _mp4_box(
+            b"mdhd",
+            b"\x00" * 4 + struct.pack(">II", 0, 0) + struct.pack(">II", timescale, dur) + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"v\x00")
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _mp4_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1)
+            + b"\x00" * 4
+            + struct.pack(">I", dur)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", 0, 0),
+        )
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # moov length does not depend on the offset VALUE (fixed 4-byte
+    # field) — resolve the mdat payload position in one rebuild
+    probe = moov_for(0)
+    offset = len(ftyp) + len(probe) + 8  # + mdat box header
+    moov = moov_for(offset)
+    mdat = _mp4_box(b"mdat", b"".join(frames))
+    return ftyp + moov + mdat
+
+
+def _child_box(b: bytes, start: int, end: int, tag: bytes):
+    """(payload_start, payload_end) of the first child box with ``tag``
+    inside [start, end), or None."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        if size < 8 or i + size > end:
+            return None
+        if b[i + 4 : i + 8] == tag:
+            return i + 8, i + size
+        i += size
+    return None
+
+
+def parse_mp4_frames(payload: bytes | None) -> list[bytes] | None:
+    """Walk ftyp→moov→trak→mdia→minf→stbl, read stsz sample sizes and
+    the stco chunk offset, and slice the frames out of mdat. Returns
+    None when the payload lacks a sample table (e.g. the header-only
+    stub form)."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    span = _child_box(b, 0, len(b), b"moov")
+    if span is None:
+        return None
+    for hop in (b"trak", b"mdia", b"minf", b"stbl"):
+        span = _child_box(b, span[0], span[1], hop)
+        if span is None:
+            return None
+    stsz = _child_box(b, span[0], span[1], b"stsz")
+    stco = _child_box(b, span[0], span[1], b"stco")
+    if stsz is None or stco is None:
+        return None
+    s = stsz[0]
+    uniform, count = struct.unpack(">II", b[s + 4 : s + 12])
+    sizes = (
+        [uniform] * count
+        if uniform
+        else [
+            struct.unpack(">I", b[s + 12 + 4 * k : s + 16 + 4 * k])[0]
+            for k in range(count)
+        ]
+    )
+    off = struct.unpack(">I", b[stco[0] + 8 : stco[0] + 12])[0]
+    frames = []
+    for size in sizes:
+        if off + size > len(b):
+            return None
+        frames.append(b[off : off + size])
+        off += size
+    return frames
+
+
+def plant_video_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Video corpus as REAL ISO-BMFF files with sample tables and
+    deterministic frame content (:func:`video_frame_plan`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: encode_mp4_frames((int(i) % 20 + 1) * 500, int(i))
+        )
+
+    ids = _spread_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), "media_id"
+    )
+    return ids.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+def video_frame_stats_batch(df: DataFrame, *, every: int = 2) -> DataFrame:
+    """Frame-sample + per-frame feature stats: parse the BMFF sample
+    table, keep every ``every``-th frame (temporal subsampling BEFORE
+    any per-frame work — the 100 TB pattern: decode cost scales with
+    kept frames, not stored frames), and emit per-frame size, byte sum
+    and an order-sensitive mix checksum
+    (``acc = (acc*31 + byte) mod 2^31``)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums, mixes = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = parse_mp4_frames(payload)
+                if frames is None:
+                    continue
+                for k in range(0, len(frames), every):
+                    fr = frames[k]
+                    acc = 0
+                    for byte in fr:
+                        acc = (acc * 31 + byte) % 2147483648
+                    ids.append(mid)
+                    idxs.append(k)
+                    sizes.append(len(fr))
+                    sums.append(sum(fr))
+                    mixes.append(acc)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "frame_bytes": pd.array(sizes, dtype="Int64"),
+                    "byte_sum": pd.array(sums, dtype="Int64"),
+                    "byte_mix": pd.array(mixes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, FRAME_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# image resize (nearest-neighbor over true decoded rasters)
+# --------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pix_sum", T.LongType(), True),
+        T.StructField("pix_mix", T.LongType(), True),
+    ]
+)
+
+
+def resize_raster(
+    pix: bytes, w: int, h: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resize of a row-major grayscale raster —
+    integer source sampling (``x_src = x*w//out_w``) so an
+    engine-independent oracle can reproduce every output pixel."""
+    return bytes(
+        pix[(y * h // out_h) * w + (x * w // out_w)]
+        for y in range(out_h)
+        for x in range(out_w)
+    )
+
+
+def plant_raster_corpus(df: DataFrame, id_col: str) -> DataFrame:
+    """Unperturbed real-PNG raster corpus (the plant_phash_corpus base
+    formula without copies): dims and every pixel arithmetic in the id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def make(i: int) -> bytes:
+            w, h = i % 48 + 16, (i * 7) % 32 + 16
+            return encode_png_gray(w, h, _phash_raster(i, w, h, 0))
+
+        return ids.map(lambda i: make(int(i)))
+
+    ids = _spread_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), "media_id"
+    )
+    return ids.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+def resize_batch(df: DataFrame, *, out_w: int = 16, out_h: int = 12) -> DataFrame:
+    """(media_id, payload) → thumbnail stats via TRUE decode + resize:
+    decode_raster (PNG inflate+unfilter or baseline-JPEG Huffman+IDCT),
+    nearest-neighbor downsample, then the thumbnail's exact pixel sum
+    and order-sensitive mix checksum (``acc = (acc*31 + p) mod 2^31``)
+    — pinning the full decode→resize path byte-for-byte."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, mixes = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                decoded = decode_raster(payload)
+                if decoded is None:
+                    ws.append(None); hs.append(None)
+                    sums.append(None); mixes.append(None)
+                    continue
+                w, h, pix = decoded
+                thumb = resize_raster(pix, w, h, out_w, out_h)
+                acc = 0
+                for p in thumb:
+                    acc = (acc * 31 + p) % 2147483648
+                ws.append(w); hs.append(h)
+                sums.append(sum(thumb)); mixes.append(acc)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "pix_sum": pd.array(sums, dtype="Int64"),
+                    "pix_mix": pd.array(mixes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, RESIZE_SCHEMA)

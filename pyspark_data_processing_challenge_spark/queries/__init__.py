@@ -35,6 +35,9 @@ _VERDICT_PRIORITY = [
     "image_phash_jpeg_near_dup",  # new: true baseline-JPEG decode recall gate
     "docs_char_entropy_explode",  # new: unbounded-alphabet entropy twin
     "docs_bpe_pair_counts",  # new: BPE tokenizer-training pair counts
+    "audio_features",  # new: real PCM decode + peak/ZCR/RMS features
+    "video_frame_stats",  # new: ISO-BMFF sample-table walk + frame sampling
+    "image_resize_thumbs",  # new: true decode + nearest-neighbor resize
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -79,9 +82,6 @@ _VERDICT_PRIORITY = [
     "minhash_signatures",
     "op_union_membership",
     "op_null_counts",
-    "dedup_exact_groups",
-    "simhash_values",
-    "docs_fingerprint",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -98,6 +98,9 @@ _ROTATED_OUT = {
     "set_ops_segments": "r01",
     "sql_revenue_by_nation": "r01",
     "window_topk_orders": "r01",
+    "dedup_exact_groups": "r01",
+    "simhash_values": "r01",
+    "docs_fingerprint": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

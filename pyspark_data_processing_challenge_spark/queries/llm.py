@@ -943,6 +943,128 @@ FROM documents
 """
 
 
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over REAL PCM: plant playable 16-bit
+    WAVs whose every sample is arithmetic in the id
+    (operators/multimodal.audio_pcm_samples), decode the actual data
+    chunk, and compute peak amplitude / zero crossings / RMS. Integer
+    features come exact from numpy; RMS derives JVM-side from the exact
+    sum of squares so no float crosses the Arrow boundary. The oracle
+    regenerates the identical waveform and features list-wise."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.plant_audio_payloads(d, "doc_id")
+    feats = multimodal.audio_feature_batch(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "peak_abs",
+        "zero_crossings",
+        round_to(
+            F.sqrt(
+                F.col("sum_squares").cast("double")
+                / F.col("n_samples").cast("double")
+            ),
+            6,
+        ).alias("rms"),
+    )
+
+
+_AUDIO_FEATURES_SQL = f"""
+WITH a AS (
+  SELECT doc_id::BIGINT AS media_id,
+         CAST(8000 + (doc_id % 4) * 2000 AS INTEGER) AS sample_rate,
+         (doc_id % 8 + 2) * 250 AS n,
+         doc_id % 7 + 3 AS step
+  FROM documents
+), s AS (
+  SELECT media_id, sample_rate, n,
+         list_transform(range(0, n),
+           i -> (i * step + media_id * 11) % 2048 - 1024) AS smp
+  FROM a
+)
+SELECT media_id, sample_rate, n::BIGINT AS n_samples,
+  list_max(list_transform(smp, x -> abs(x)))::BIGINT AS peak_abs,
+  length(list_filter(range(1, n), i -> smp[i] * smp[i + 1] < 0))::BIGINT
+    AS zero_crossings,
+  {sql_round("sqrt(list_sum(list_transform(smp, x -> x * x))::DOUBLE / n::DOUBLE)", 6)}
+    AS rms
+FROM s
+"""
+
+
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over REAL ISO-BMFF sample tables: plant
+    MP4s with trak/mdia/minf/stbl hierarchies + mdat frames
+    (operators/multimodal.encode_mp4_frames), walk stsz/stco to slice
+    the frames, keep every 2nd (subsample BEFORE per-frame work), and
+    emit per-frame size / byte sum / order-sensitive mix checksum. The
+    oracle replays the planted frame bytes arithmetically."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.plant_video_payloads(d, "doc_id")
+    return multimodal.video_frame_stats_batch(media, every=2)
+
+
+_VIDEO_FRAME_SQL = """
+WITH v AS (
+  SELECT doc_id::BIGINT AS media_id, doc_id % 6 + 4 AS n_frames FROM documents
+), fr AS (
+  SELECT media_id, unnest(range(0, n_frames)) AS k FROM v
+), keep AS (
+  SELECT media_id, k::INTEGER AS frame_idx,
+         (media_id + k * 7) % 96 + 32 AS sz
+  FROM fr WHERE k % 2 = 0
+), bytes_of AS (
+  SELECT media_id, frame_idx, sz,
+         list_transform(range(0, sz),
+           j -> (j * 29 + frame_idx * 13 + media_id * 7) % 256) AS fb
+  FROM keep
+)
+SELECT media_id, frame_idx, sz::BIGINT AS frame_bytes,
+  list_sum(fb)::BIGINT AS byte_sum,
+  list_reduce(list_prepend(0::BIGINT, fb),
+              (a, x) -> (a * 31 + x) % 2147483648)::BIGINT AS byte_mix
+FROM bytes_of
+"""
+
+
+def image_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over TRUE decoded rasters: plant real PNGs with
+    arithmetic pixels, zlib-inflate + unfilter, nearest-neighbor
+    downsample to 16x12, and pin the thumbnail byte-for-byte via pixel
+    sum + order-sensitive mix checksum; the oracle recomputes each of
+    the 192 output pixels from the planted raster formula."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.plant_raster_corpus(d, "doc_id")
+    return multimodal.resize_batch(media, out_w=16, out_h=12)
+
+
+_IMAGE_RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id::BIGINT AS media_id,
+         doc_id % 48 + 16 AS w, (doc_id * 7) % 32 + 16 AS h
+  FROM documents
+), px AS (
+  SELECT media_id, w, h,
+    list_transform(range(0, 192),
+      p -> (((p % 16) * w // 16) * 31
+            + ((p // 16) * h // 12) * 17 + media_id * 13) % 256) AS thumb
+  FROM m
+)
+SELECT media_id, w::INTEGER AS width, h::INTEGER AS height,
+  list_sum(thumb)::BIGINT AS pix_sum,
+  list_reduce(list_prepend(0::BIGINT, thumb),
+              (a, x) -> (a * 31 + x) % 2147483648)::BIGINT AS pix_mix
+FROM px
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL generation
 # ---------------------------------------------------------------------------
@@ -1435,6 +1557,9 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_media_decode": multimodal_media_decode,
+    "audio_features": audio_features,
+    "video_frame_stats": video_frame_stats,
+    "image_resize_thumbs": image_resize_thumbs,
     "image_phash": image_phash,
     "image_phash_near_dup": image_phash_near_dup,
     "image_phash_jpeg_near_dup": image_phash_jpeg_near_dup,
@@ -1485,6 +1610,9 @@ ORACLES = {
     "multimodal_meta": _MULTIMODAL_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,
+    "audio_features": _AUDIO_FEATURES_SQL,
+    "video_frame_stats": _VIDEO_FRAME_SQL,
+    "image_resize_thumbs": _IMAGE_RESIZE_SQL,
     "image_phash": _PHASH_SQL,
     "image_phash_near_dup": _PHASH_ND_SQL,
     "image_phash_jpeg_near_dup": _jpeg_phash_nd_sql(),

@@ -752,3 +752,59 @@ def test_streaming_funnel_flags_out_of_order_batches(spark, tmp_path):
     # u2's view arrived under its already-folded click: flagged, and
     # the bogus state (click set, view unset) is marked untrustworthy
     assert final[2].ooo is True
+
+
+def test_wav_pcm_roundtrip():
+    """encode_wav with real PCM → decode_wav_pcm recovers every sample;
+    the header-only stub form still parses as metadata but not PCM."""
+    import struct
+
+    sr, samples = multimodal.audio_pcm_samples(42)
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    payload = multimodal.encode_wav(sr, len(samples), pcm=pcm)
+    got = multimodal.decode_wav_pcm(payload)
+    assert got is not None
+    gsr, gch, frames = got
+    assert (gsr, gch) == (sr, 1)
+    back = list(struct.unpack(f"<{len(samples)}h", frames))
+    assert back == samples
+    # header metadata path still agrees
+    fmt, _, _, psr, pch, dur = multimodal.parse_media_header(payload)
+    assert (fmt, psr, pch) == ("wav", sr, 1)
+    assert dur == len(samples) * 1000 // sr
+    # stub (truncated data) yields usable metadata but full-length PCM
+    # is absent — decode returns only the bytes present
+    stub = multimodal.encode_wav(8000, 8000)
+    _, _, stub_frames = multimodal.decode_wav_pcm(stub)
+    assert len(stub_frames) <= 64
+    assert multimodal.decode_wav_pcm(b"\x00\x01") is None
+    assert multimodal.decode_wav_pcm(None) is None
+
+
+def test_mp4_frame_table_roundtrip():
+    """encode_mp4_frames plants a real stbl; parse_mp4_frames walks
+    stsz/stco and recovers every frame byte-for-byte; mvhd duration
+    still reads through the plain header parser."""
+    bid = 17
+    payload = multimodal.encode_mp4_frames((bid % 20 + 1) * 500, bid)
+    frames = multimodal.parse_mp4_frames(payload)
+    plan = multimodal.video_frame_plan(bid)
+    assert frames is not None and len(frames) == len(plan)
+    for fr, (size, k) in zip(frames, plan):
+        assert fr == multimodal.video_frame_bytes(bid, k, size)
+    fmt, _, _, _, _, dur = multimodal.parse_media_header(payload)
+    assert (fmt, dur) == ("mp4", (bid % 20 + 1) * 500)
+    # the header-only stub form has no sample table
+    assert multimodal.parse_mp4_frames(multimodal.encode_mp4(1000)) is None
+    assert multimodal.parse_mp4_frames(b"junk") is None
+
+
+def test_resize_raster_nearest_neighbor():
+    """Known 2x2 → 4x4 nearest-neighbor expansion and exact identity
+    at matching dims."""
+    pix = bytes([10, 20, 30, 40])  # rows: [10 20] / [30 40]
+    up = multimodal.resize_raster(pix, 2, 2, 4, 4)
+    assert up == bytes(
+        [10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40]
+    )
+    assert multimodal.resize_raster(pix, 2, 2, 2, 2) == pix
