@@ -38,6 +38,7 @@ _VERDICT_PRIORITY = [
     "audio_features",  # new: real PCM decode + peak/ZCR/RMS features
     "video_frame_stats",  # new: ISO-BMFF sample-table walk + frame sampling
     "image_resize_thumbs",  # new: true decode + nearest-neighbor resize
+    "cms_heavy_hitters",  # new: mergeable count-min sketch, one-sided contract
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -78,7 +79,6 @@ _VERDICT_PRIORITY = [
     "op_indicators",
     "op_fill_nulls",
     "window_lag_delta",
-    "window_ntile_orders",
     "minhash_signatures",
     "op_union_membership",
     "op_null_counts",
@@ -101,6 +101,9 @@ _ROTATED_OUT = {
     "dedup_exact_groups": "r01",
     "simhash_values": "r01",
     "docs_fingerprint": "r01",
+    # r01-only, but its scale twin agg_quartiles_orders carries green
+    # r04+r05 verdicts on the shared oracle — lowest re-verify value
+    "window_ntile_orders": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

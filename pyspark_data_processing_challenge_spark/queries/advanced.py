@@ -398,6 +398,136 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_D, CMS_W = 4, 512  # depth (hash rows) x width (buckets per row)
+CMS_SEED = 101
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus token frequencies, with the two
+    contracts that make it a 100 TB primitive: (a) MERGEABLE — the
+    sketch built from per-half partials (split by doc_id % 2, summed
+    cell-wise) must equal the sketch built in one pass, which is how
+    per-partition sketch columns persisted at ingest answer frequency
+    queries without re-reading raw data; (b) ONE-SIDED — the estimate
+    for each of the exact top-20 tokens must over-count, never under.
+    Hashes are ``(a_d * char_hash(tok) + b_d) mod p mod W`` from the
+    shared LCG coefficient family, so char_hash folds once per DISTINCT
+    token (staged column) and each row costs one affine map. The sketch
+    is D x W = 2048 cells — broadcastable at any corpus size."""
+    coeffs = textfns.minhash_coeffs(CMS_D, seed=CMS_SEED)
+    p = textfns.MINHASH_P
+    d = _docs(spark, sf_dir)
+    tokc = (
+        d.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(textfns.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("half", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", textfns.char_hash(F.col("tok")))
+    )
+    tokc.persist()
+
+    def fan(df: DataFrame) -> DataFrame:
+        return df.select(
+            df.columns[0],
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(di).alias("d"),
+                            (
+                                ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p))
+                                % F.lit(CMS_W)
+                            ).alias("bucket"),
+                        )
+                        for di, (a, b) in enumerate(coeffs)
+                    ]
+                )
+            ).alias("db"),
+        ).select(df.columns[0], "cnt", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+
+    partial = fan(tokc).groupBy("half", "d", "bucket").agg(F.sum("cnt").alias("pc"))
+    merged = partial.groupBy("d", "bucket").agg(F.sum("pc").cast("long").alias("cell"))
+    total = tokc.groupBy("tok", "h").agg(F.sum("cnt").cast("long").alias("exact_cnt"))
+    direct = (
+        fan(total.select("tok", "h", F.col("exact_cnt").alias("cnt")))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("dcell"))
+    )
+    lossless = (
+        merged.join(direct, ["d", "bucket"], "full_outer")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("cell") == F.col("dcell"), F.lit(False))
+            ).alias("merge_lossless")
+        )
+    )
+    top = total.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(20)
+    est = (
+        fan(top.select("tok", "h", F.col("exact_cnt").alias("cnt")))
+        .join(F.broadcast(merged), ["d", "bucket"])
+        .groupBy(F.col("tok"), F.col("cnt").alias("exact_cnt"))
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    return est.crossJoin(F.broadcast(lossless)).select(
+        F.col("tok").alias("token"),
+        F.col("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        "merge_lossless",
+    )
+
+
+def _cms_sql() -> str:
+    coeffs = textfns.minhash_coeffs(CMS_D, seed=CMS_SEED)
+    p = textfns.MINHASH_P
+    values = ", ".join(f"({d}, {a}::BIGINT, {b}::BIGINT)" for d, (a, b) in enumerate(coeffs))
+    return f"""
+WITH coeffs(d, a, b) AS (VALUES {values}),
+occ AS (
+  SELECT doc_id % 2 AS half, unnest({sql_tokens('lower(text)')}) AS tok
+  FROM documents
+),
+tokc AS (
+  SELECT half, tok, count(*)::BIGINT AS cnt, {sql_char_hash('tok')} AS h
+  FROM occ GROUP BY half, tok
+),
+cells AS (
+  SELECT half, d, (a * h + b) % {p} % {CMS_W} AS bucket, cnt
+  FROM tokc CROSS JOIN coeffs
+),
+merged AS (SELECT d, bucket, sum(cnt)::BIGINT AS cell FROM cells GROUP BY 1, 2),
+total AS (
+  SELECT tok, h, sum(cnt)::BIGINT AS exact_cnt FROM tokc GROUP BY tok, h
+),
+direct AS (
+  SELECT d, (a * h + b) % {p} % {CMS_W} AS bucket, sum(exact_cnt)::BIGINT AS dcell
+  FROM total CROSS JOIN coeffs GROUP BY 1, 2
+),
+lossless AS (
+  SELECT bool_and(coalesce(m.cell = dd.dcell, false)) AS merge_lossless
+  FROM merged m FULL JOIN direct dd USING (d, bucket)
+),
+top AS (SELECT tok, h, exact_cnt FROM total ORDER BY exact_cnt DESC, tok LIMIT 20),
+est AS (
+  SELECT t.tok, t.exact_cnt, min(m.cell)::BIGINT AS cms_est
+  FROM top t CROSS JOIN coeffs c
+  JOIN merged m ON m.d = c.d AND m.bucket = (c.a * t.h + c.b) % {p} % {CMS_W}
+  GROUP BY 1, 2
+)
+SELECT tok AS token, exact_cnt, cms_est,
+       cms_est - exact_cnt AS overestimate,
+       (SELECT merge_lossless FROM lossless) AS merge_lossless
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
 # feature hashing (Weinberger et al., ICML 2009 — the hashing trick)
 # ---------------------------------------------------------------------------
 
@@ -1239,6 +1369,7 @@ QUERIES = {
     "docs_bm25": docs_bm25,
     "docs_hashed_features": docs_hashed_features,
     "sketch_merge_distinct": sketch_merge_distinct,
+    "cms_heavy_hitters": cms_heavy_hitters,
     "ivfpq_topk": ivfpq_topk,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -1256,6 +1387,7 @@ ORACLES = {
     "docs_bm25": _bm25_sql(),
     "docs_hashed_features": _FH_SQL,
     "sketch_merge_distinct": _SKETCH_SQL,
+    "cms_heavy_hitters": _cms_sql(),
     "ivfpq_topk": _ivfpq_sql(),
     "orders_pit_acctbal": _pit_sql(),
     "events_funnel": _FUNNEL_SQL,
