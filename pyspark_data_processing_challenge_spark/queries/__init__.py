@@ -39,6 +39,7 @@ _VERDICT_PRIORITY = [
     "video_frame_stats",  # new: ISO-BMFF sample-table walk + frame sampling
     "image_resize_thumbs",  # new: true decode + nearest-neighbor resize
     "cms_heavy_hitters",  # new: mergeable count-min sketch, one-sided contract
+    "bloom_join_prune",  # new: runtime-filter Bloom semi-join pruning
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -72,7 +73,6 @@ _VERDICT_PRIORITY = [
     "asof_join_purchases",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
-    "multimodal_meta",
     "op_equality_filter",
     "op_sentinel_filter",
     "op_membership_filter",
@@ -104,6 +104,8 @@ _ROTATED_OUT = {
     # r01-only, but its scale twin agg_quartiles_orders carries green
     # r04+r05 verdicts on the shared oracle — lowest re-verify value
     "window_ntile_orders": "r01",
+    # r01-only; six sibling multimodal queries carry newer verdicts
+    "multimodal_meta": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

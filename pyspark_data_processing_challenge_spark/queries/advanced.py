@@ -528,6 +528,94 @@ FROM est
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter contract: build a 64 Kbit Bloom filter from the
+    BUILDING-segment customer keys (one dim-side aggregate → a 16 KiB
+    word table), probe every order via K broadcast joins + a bit-test
+    projection (zero fact-side shuffle, no explode — operators/
+    bloom.py), and emit the confusion summary. The pinned guarantees:
+    false_negatives = 0 (pruning never loses a match) and n_pass ≪
+    n_facts (the shuffle the prune saves). The oracle rebuilds the
+    identical filter bit-for-bit."""
+    from ..operators import bloom
+
+    keys = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    words = bloom.build_bloom(keys, "key")
+    probed = bloom.bloom_probe(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        words,
+        "o_custkey",
+    )
+    flagged = probed.join(
+        F.broadcast(keys.withColumn("__m", F.lit(True))),
+        probed["o_custkey"] == F.col("key"),
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("__m").isNotNull().cast("long")).alias("n_true"),
+        F.sum(
+            (F.col("bloom_pass") & F.col("__m").isNull()).cast("long")
+        ).alias("false_positives"),
+        F.sum(
+            (~F.col("bloom_pass") & F.col("__m").isNotNull()).cast("long")
+        ).alias("false_negatives"),
+    )
+
+
+def _bloom_sql() -> str:
+    from ..operators.bloom import BLOOM_SEED, K_HASHES, M_BITS, WORD_BITS
+
+    coeffs = textfns.minhash_coeffs(K_HASHES, seed=BLOOM_SEED)
+    p = textfns.MINHASH_P
+    values = ", ".join(f"({a}::BIGINT, {b}::BIGINT)" for a, b in coeffs)
+    pos = f"(c.a * o.o_custkey + c.b) % {p} % {M_BITS}"
+    return f"""
+WITH coeffs(a, b) AS (VALUES {values}),
+keys AS (
+  SELECT DISTINCT c_custkey AS key FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+),
+bloom AS (
+  SELECT ((c.a * k.key + c.b) % {p} % {M_BITS}) // {WORD_BITS} AS w,
+         bit_or(1::BIGINT <<
+                (((c.a * k.key + c.b) % {p} % {M_BITS}) % {WORD_BITS})::INT)
+           AS bits
+  FROM keys k CROSS JOIN coeffs c GROUP BY 1
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         bool_and((coalesce(b.bits, 0)
+                   & (1::BIGINT << ({pos} % {WORD_BITS})::INT)) != 0)
+           AS pass
+  FROM orders o CROSS JOIN coeffs c
+  LEFT JOIN bloom b ON b.w = {pos} // {WORD_BITS}
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT p.pass, (k.key IS NOT NULL) AS hit
+  FROM probe p LEFT JOIN keys k ON p.o_custkey = k.key
+)
+SELECT count(*)::BIGINT AS n_facts,
+       sum(pass::INT)::BIGINT AS n_pass,
+       sum(hit::INT)::BIGINT AS n_true,
+       sum((pass AND NOT hit)::INT)::BIGINT AS false_positives,
+       sum((NOT pass AND hit)::INT)::BIGINT AS false_negatives
+FROM flagged
+"""
+
+
+# ---------------------------------------------------------------------------
 # feature hashing (Weinberger et al., ICML 2009 — the hashing trick)
 # ---------------------------------------------------------------------------
 
@@ -1370,6 +1458,7 @@ QUERIES = {
     "docs_hashed_features": docs_hashed_features,
     "sketch_merge_distinct": sketch_merge_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
+    "bloom_join_prune": bloom_join_prune,
     "ivfpq_topk": ivfpq_topk,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -1388,6 +1477,7 @@ ORACLES = {
     "docs_hashed_features": _FH_SQL,
     "sketch_merge_distinct": _SKETCH_SQL,
     "cms_heavy_hitters": _cms_sql(),
+    "bloom_join_prune": _bloom_sql(),
     "ivfpq_topk": _ivfpq_sql(),
     "orders_pit_acctbal": _pit_sql(),
     "events_funnel": _FUNNEL_SQL,

@@ -301,3 +301,15 @@ def test_rfm_assignment_has_no_ntile_window(spark):
     plan = plans.executed_plan(df)
     assert "Window" not in plan
     assert not plans.global_window_over_raw(df)
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    # the runtime-filter pattern: K word-table joins + the exact-keys
+    # join all broadcast; the fact side must never sort-merge
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    df = advanced.bloom_join_prune(spark, SF_DIR)
+    assert plans.sort_merge_join_count(df) == 0
+    from pyspark_data_processing_challenge_spark.operators.bloom import K_HASHES
+
+    assert plans.broadcast_join_count(df) >= K_HASHES + 1
