@@ -937,3 +937,85 @@ def strip_duplicated_spans(
         F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
         (F.size("__t") - F.size("__kept")).cast("long").alias("n_removed"),
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    tau_num: int = 3,
+    tau_den: int = 5,
+) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (Bayardo et
+    al. WWW 2007 "AllPairs" / Chaudhuri SSJoin): all pairs with n-gram
+    Jaccard >= tau, WITHOUT comparing all pairs.
+
+    The threshold is a RATIONAL tau_num/tau_den so both the prefix
+    length and the verify step stay in integer arithmetic
+    (``tau_den * |A∩B| >= tau_num * |A∪B|``) — no float crosses an
+    engine boundary.
+
+    Distributed shape (the 100 TB plan):
+    1. one aggregate computes global shingle document-frequencies;
+    2. each doc sorts its shingle set rarest-first by (df, shingle) —
+       a total order, so the prefix theorem applies;
+    3. only the first ``L - ceil(tau*L) + 1`` shingles of each doc
+       (its PREFIX) are exploded into the candidate join: two docs
+       can reach tau only if their prefixes share a shingle, so
+       candidate generation is linear in corpus size times prefix
+       length — and rarest-first ordering makes the join keys the
+       LEAST skewed shingles in the corpus;
+    4. candidates verify with one exact array intersection.
+
+    Returns (id_a, id_b, inter, uni, jac) for verified pairs.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(textfns.shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("__o"))
+        .select(
+            "doc_id",
+            F.transform(F.col("__o"), lambda x: x["g"]).alias("gs"),
+        )
+    )
+    per_doc = per_doc.persist()
+    size = F.size("gs")
+    # prefix length L - ceil(tau*L) + 1, ceil in exact integers
+    plen = size - F.floor(
+        (F.lit(tau_num) * size + F.lit(tau_den - 1)) / F.lit(tau_den)
+    ).cast("int") + F.lit(1)
+    prefix = per_doc.select(
+        "doc_id", F.explode(F.slice("gs", 1, plen)).alias("g")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    joined = (
+        cand.join(per_doc.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a")), "id_a")
+        .join(per_doc.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    uni = F.size("gs_a") + F.size("gs_b") - inter
+    staged = joined.select("id_a", "id_b", inter.alias("inter"), uni.alias("uni"))
+    return staged.filter(
+        (F.col("uni") > 0)
+        & (F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("uni"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )

@@ -40,6 +40,7 @@ _VERDICT_PRIORITY = [
     "image_resize_thumbs",  # new: true decode + nearest-neighbor resize
     "cms_heavy_hitters",  # new: mergeable count-min sketch, one-sided contract
     "bloom_join_prune",  # new: runtime-filter Bloom semi-join pruning
+    "setsim_prefix_pairs",  # new: AllPairs prefix-filter similarity join
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -78,7 +79,6 @@ _VERDICT_PRIORITY = [
     "op_membership_filter",
     "op_indicators",
     "op_fill_nulls",
-    "window_lag_delta",
     "minhash_signatures",
     "op_union_membership",
     "op_null_counts",
@@ -106,6 +106,9 @@ _ROTATED_OUT = {
     "window_ntile_orders": "r01",
     # r01-only; six sibling multimodal queries carry newer verdicts
     "multimodal_meta": "r01",
+    # r01-only; sibling window ops (window_running_total in-window,
+    # window_rank_stats r02+r05) cover the family
+    "window_lag_delta": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

@@ -245,6 +245,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", round_to(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (AllPairs,
+    Bayardo WWW 2007): every pair with 3-gram Jaccard >= 3/5, found by
+    exploding only each doc's rarest-first PREFIX into the candidate
+    join (operators/dedup.prefix_filter_pairs). The oracle is the
+    brute-force all-pairs join, so a green hash PROVES the prefix
+    filter is complete — it found exactly the pairs the quadratic scan
+    finds, at linear candidate cost. Threshold math is all-integer
+    (5*inter >= 3*uni); jac rounds portably for display."""
+    d = _perturbed_docs(spark, sf_dir)
+    pairs = dedup.prefix_filter_pairs(
+        d, "text", "doc_id", shingle_n=3, tau_num=3, tau_den=5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "uni",
+        round_to(
+            F.col("inter").cast("double") / F.col("uni").cast("double"), 6
+        ).alias("jac"),
+    )
+
+
+def _setsim_sql() -> str:
+    return f"""
+WITH p AS ({_PERTURB_SQL}),
+s AS (SELECT doc_id, {sql_shingles('text', 3)} AS gs FROM p),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         length(list_intersect(a.gs, b.gs))::BIGINT AS inter,
+         (length(a.gs) + length(b.gs))::BIGINT AS sz
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, inter, (sz - inter) AS uni,
+       {sql_round('inter::DOUBLE / (sz - inter)::DOUBLE', 6)} AS jac
+FROM pr WHERE sz - inter > 0 AND 5 * inter >= 3 * (sz - inter)
+"""
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the minhash near-dup pairs: (node,
     component) per involved doc, component = min reachable id —
@@ -1551,6 +1591,7 @@ QUERIES = {
     "simhash_values": simhash_values,
     "simhash_near_dup": simhash_near_dup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "setsim_prefix_pairs": setsim_prefix_pairs,
     "embedding_topk": embedding_topk,
     "embedding_near_dup": embedding_near_dup,
     "embedding_lsh_buckets": embedding_lsh_buckets,
@@ -1604,6 +1645,7 @@ ORACLES = {
     "simhash_values": _SIMHASH_SQL,
     "simhash_near_dup": _SIMHASH_ND_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,
+    "setsim_prefix_pairs": _setsim_sql(),
     "embedding_topk": _TOPK_SQL,
     "embedding_near_dup": _EMB_ND_SQL,
     "embedding_lsh_buckets": _sql_lsh_buckets(),
