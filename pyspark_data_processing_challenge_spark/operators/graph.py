@@ -110,3 +110,72 @@ def cluster_canonical(
     return df.join(
         losers, df[id_col] == losers.__loser, "left_anti"
     )
+
+
+def triangle_stats(edges: DataFrame, *, src: str = "u", dst: str = "v") -> DataFrame:
+    """Exact triangle count + global clustering coefficient via
+    DEGREE-ORIENTED wedge generation (Chiba-Nishizeki / Latapy
+    "compact-forward" — the MapReduce formulation of Suri & Vassilvitskii
+    WWW 2011).
+
+    Naive wedge counting fans out Σ deg² wedges — a hub with degree 10⁶
+    creates 10¹² wedges. Orienting every edge from its lower-ordered
+    endpoint under the total order (degree, id) and generating wedges
+    only at each edge pair's LOWEST-ordered apex bounds the work by
+    Σ outdeg² = O(m^1.5) regardless of skew: a hub's edges point INTO
+    it, so the hub apexes almost nothing. One join closes each wedge
+    against the oriented edge set.
+
+    ``edges``: undirected distinct pairs (src < dst by id is fine —
+    orientation is recomputed here). Returns ONE row:
+    (n_nodes, n_edges, n_wedges, n_triangles, transitivity) where
+    n_wedges = Σ C(deg, 2) and transitivity = 3*T / W (0 when W = 0).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # one BIGINT total-order key: degree-major, id-minor
+    okey = (F.col("deg") * F.lit(1 << 32) + F.col("n")).alias("okey")
+    keyed = deg.select("n", okey)
+    ek = (
+        e.join(keyed.withColumnRenamed("n", "a").withColumnRenamed("okey", "ka"), "a")
+        .join(keyed.withColumnRenamed("n", "b").withColumnRenamed("okey", "kb"), "b")
+    )
+    oriented = ek.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("ka")).otherwise(F.col("kb")).alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("d"),
+    ).persist()
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x.s") == F.col("y.s"))
+        .filter(F.col("x.d") < F.col("y.d"))
+        .select(F.col("x.d").alias("s"), F.col("y.d").alias("d"))
+    )
+    tri = wedges.join(oriented, ["s", "d"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = base.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+        )
+        .alias("transitivity_raw"),
+    )

@@ -41,6 +41,7 @@ _VERDICT_PRIORITY = [
     "cms_heavy_hitters",  # new: mergeable count-min sketch, one-sided contract
     "bloom_join_prune",  # new: runtime-filter Bloom semi-join pruning
     "setsim_prefix_pairs",  # new: AllPairs prefix-filter similarity join
+    "copurchase_triangles",  # new: degree-oriented triangle census
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -72,7 +73,6 @@ _VERDICT_PRIORITY = [
     "sort_top20_orders",
     "events_hourly",
     "asof_join_purchases",
-    "ngram_jaccard_pairs",
     "embedding_near_dup",
     "op_equality_filter",
     "op_sentinel_filter",
@@ -109,6 +109,9 @@ _ROTATED_OUT = {
     # r01-only; sibling window ops (window_running_total in-window,
     # window_rank_stats r02+r05) cover the family
     "window_lag_delta": "r01",
+    # r01-only; setsim_prefix_pairs (in-window, brute-force oracle)
+    # exercises exact n-gram Jaccard on the same corpus more strictly
+    "ngram_jaccard_pairs": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

@@ -1363,7 +1363,80 @@ FROM c CROSS JOIN tot
 """
 
 
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph: parts are linked when
+    they appear in >= 2 common orders (the basket-bounded self-join
+    from part_pair_affinity, support-thresholded so edge count stays
+    linear in baskets). Counting uses DEGREE-ORIENTED wedge generation
+    (operators/graph.triangle_stats): every edge points at its
+    higher-(degree, id) endpoint, wedges spawn only at each pair's
+    lowest apex — Σ outdeg² = O(m^1.5) work regardless of hub skew —
+    and one join against the oriented edge set closes them. The oracle
+    recounts with the orientation-free triple join (counts are
+    orientation-invariant), so a green hash validates the oriented
+    algorithm end-to-end."""
+    from ..operators import graph
+
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        b.alias("x")
+        .join(b.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("u"), F.col("y.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    out = graph.triangle_stats(e)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        round_to(F.col("transitivity_raw"), 6).alias("transitivity"),
+    )
+
+
+_TRIANGLES_SQL = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT x.l_partkey AS u, y.l_partkey AS v
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT n, count(*)::BIGINT AS deg
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY 1
+),
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT sum(deg * (deg - 1)) // 2 FROM deg)::BIGINT AS n_wedges,
+       tri.t AS n_triangles,
+       CASE WHEN (SELECT sum(deg * (deg - 1)) // 2 FROM deg) = 0 THEN 0.0
+            ELSE {sql_round(
+                "(3.0 * tri.t::DOUBLE) / ((SELECT sum(deg * (deg - 1)) // 2 FROM deg))::DOUBLE",
+                6,
+            )}
+       END AS transitivity
+FROM tri
+"""
+
+
 QUERIES = {
+    "copurchase_triangles": copurchase_triangles,
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
     "regr_price_by_brand": regr_price_by_brand,
@@ -1386,6 +1459,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "copurchase_triangles": _TRIANGLES_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_transitions": _TRANSITIONS_SQL,
     "regr_price_by_brand": _REGR_SQL,

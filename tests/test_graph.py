@@ -61,3 +61,20 @@ def test_zero_max_iter_rejected(spark):
     edges = _chain_edges(spark, 5)
     with pytest.raises(ValueError, match="max_iter"):
         graph.connected_components(edges, max_iter=0)
+
+
+def test_triangle_stats_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, 12 wedges, transitivity 1.0)
+    # plus a pendant 4-5 edge (adds 3 wedges at node 4, no triangle)
+    from pyspark_data_processing_challenge_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    row = triangle_stats(e).collect()[0]
+    assert row.n_nodes == 5 and row.n_edges == 7
+    assert row.n_triangles == 4
+    # degrees: 3,3,3,4,1 -> wedges = 3+3+3+6+0 = 15
+    assert row.n_wedges == 15
+    assert abs(row.transitivity_raw - 12 / 15) < 1e-12
