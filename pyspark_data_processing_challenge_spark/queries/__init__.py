@@ -42,6 +42,7 @@ _VERDICT_PRIORITY = [
     "bloom_join_prune",  # new: runtime-filter Bloom semi-join pruning
     "setsim_prefix_pairs",  # new: AllPairs prefix-filter similarity join
     "copurchase_triangles",  # new: degree-oriented triangle census
+    "docs_bpe_merge_step",  # new: full BPE iteration (count-merge-recount)
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -79,7 +80,6 @@ _VERDICT_PRIORITY = [
     "op_membership_filter",
     "op_indicators",
     "op_fill_nulls",
-    "minhash_signatures",
     "op_union_membership",
     "op_null_counts",
 ]
@@ -112,6 +112,9 @@ _ROTATED_OUT = {
     # r01-only; setsim_prefix_pairs (in-window, brute-force oracle)
     # exercises exact n-gram Jaccard on the same corpus more strictly
     "ngram_jaccard_pairs": "r01",
+    # r01-only; the Arrow twin shares the IDENTICAL oracle SQL and the
+    # signature math is exercised by minhash_near_dup (r01+r02)
+    "minhash_signatures": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

@@ -690,6 +690,90 @@ ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOP}
 """
 
 
+def docs_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE FULL BPE TRAINING ITERATION, distributed: count adjacent
+    char pairs, pick the best merge (max count, lexicographic
+    tie-break), APPLY it corpus-wide, and recount — the post-merge
+    top-20 is what the next iteration would see. The merge uses
+    ``replace(word, pair, \\x01)``: string replace is leftmost
+    non-overlapping greedy, which is exactly BPE's merge semantics
+    ("aaaa" under merge "aa" → two merged symbols, not three). At
+    100 TB each iteration is two pair-keyed shuffles (a few thousand
+    distinct keys, map-side combined) plus one broadcast of the chosen
+    merge — corpus text never reshuffles. Display form rewrites the
+    sentinel back to ``[pair]``."""
+    d = spread(t(spark, sf_dir, "documents"))
+    words = d.select(F.explode(textfns.tokens(F.col("text"))).alias("w"))
+
+    def adjacent_pairs(col: str):
+        c = F.split(F.col(col), "")
+        return F.explode(
+            F.when(F.size(c) < 2, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(c) - 2),
+                    lambda i: F.concat_ws("", F.slice(c, i + 1, 2)),
+                )
+            )
+        )
+
+    pc = (
+        words.select(adjacent_pairs("w").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = (
+        pc.orderBy(F.desc("n"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("mp"), F.col("n").alias("mp_n"))
+    )
+    merged = words.crossJoin(F.broadcast(best)).select(
+        F.replace(F.col("w"), F.col("mp"), F.lit("\x01")).alias("w2"),
+        "mp",
+        "mp_n",
+    )
+    p2 = merged.select("mp", "mp_n", adjacent_pairs("w2").alias("pr"))
+    return (
+        p2.groupBy(
+            F.col("mp").alias("merged_pair"),
+            F.col("mp_n").alias("merged_pair_count"),
+            F.replace(
+                F.col("pr"), F.lit("\x01"), F.concat(F.lit("["), F.col("mp"), F.lit("]"))
+            ).alias("pair"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_PAIR_TOP)
+    )
+
+
+def _bpe_merge_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({sql_tokens("text")}) AS w FROM documents
+),
+pairs AS (
+  SELECT c[i] || c[i + 1] AS pair
+  FROM (SELECT string_split(w, '') AS c FROM toks),
+       unnest(range(1, greatest(length(c) - 1, 0) + 1)) AS u(i)
+),
+pc AS (SELECT pair, count(*)::BIGINT AS n FROM pairs GROUP BY pair),
+best AS (SELECT pair AS mp, n AS mp_n FROM pc ORDER BY n DESC, pair LIMIT 1),
+mw AS (
+  SELECT replace(w, mp, chr(1)) AS w2, mp, mp_n FROM toks CROSS JOIN best
+),
+p2 AS (
+  SELECT mp, mp_n, c[i] || c[i + 1] AS pr
+  FROM (SELECT string_split(w2, '') AS c, mp, mp_n FROM mw),
+       unnest(range(1, greatest(length(c) - 1, 0) + 1)) AS u(i)
+)
+SELECT mp AS merged_pair, mp_n AS merged_pair_count,
+       replace(pr, chr(1), '[' || mp || ']') AS pair,
+       count(*)::BIGINT AS n
+FROM p2 GROUP BY 1, 2, 3
+ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOP}
+"""
+
+
 def image_phash_jpeg_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG near-dup recall gate over TRUE DCT-decoded pixels: plant
     the perturbed-copy corpus as REAL baseline JPEGs (multimodal.
@@ -1605,6 +1689,7 @@ QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_phash_jpeg_near_dup": image_phash_jpeg_near_dup,
     "docs_bpe_pair_counts": docs_bpe_pair_counts,
+    "docs_bpe_merge_step": docs_bpe_merge_step,
     "docs_decontaminate": docs_decontaminate,
     "docs_split_assign": docs_split_assign,
     "docs_pack_sequences": docs_pack_sequences,
@@ -1659,6 +1744,7 @@ ORACLES = {
     "image_phash_near_dup": _PHASH_ND_SQL,
     "image_phash_jpeg_near_dup": _jpeg_phash_nd_sql(),
     "docs_bpe_pair_counts": _bpe_pairs_sql(),
+    "docs_bpe_merge_step": _bpe_merge_sql(),
     "docs_decontaminate": _DECON_SQL,
     "docs_split_assign": _SPLIT_SQL,
     "docs_pack_sequences": _PACK_SQL,
