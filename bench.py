@@ -77,6 +77,15 @@ HEADLINE = [
     "rfm_segments",
     "part_pair_affinity",
     "docs_unigram_surprisal",
+    # round-6 second wave: media features, sketches, similarity join
+    "audio_features",
+    "video_frame_stats",
+    "image_resize_thumbs",
+    "cms_heavy_hitters",
+    "bloom_join_prune",
+    "setsim_prefix_pairs",
+    "copurchase_triangles",
+    "docs_bpe_merge_step",
 ]
 
 

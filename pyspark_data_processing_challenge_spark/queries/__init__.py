@@ -43,6 +43,7 @@ _VERDICT_PRIORITY = [
     "setsim_prefix_pairs",  # new: AllPairs prefix-filter similarity join
     "copurchase_triangles",  # new: degree-oriented triangle census
     "docs_bpe_merge_step",  # new: full BPE iteration (count-merge-recount)
+    "histogram_quantile_sketch",  # new: mergeable histogram quantiles
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -74,7 +75,6 @@ _VERDICT_PRIORITY = [
     "sort_top20_orders",
     "events_hourly",
     "asof_join_purchases",
-    "embedding_near_dup",
     "op_equality_filter",
     "op_sentinel_filter",
     "op_membership_filter",
@@ -115,6 +115,9 @@ _ROTATED_OUT = {
     # r01-only; the Arrow twin shares the IDENTICAL oracle SQL and the
     # signature math is exercised by minhash_near_dup (r01+r02)
     "minhash_signatures": "r01",
+    # r01-only; the embedding ANN family (topk/lsh r01+r02, quantize
+    # r04, ivf/pq r05) carries newer verdicts on the same vector math
+    "embedding_near_dup": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

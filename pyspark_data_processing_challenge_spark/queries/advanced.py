@@ -528,6 +528,141 @@ FROM est
 
 
 # ---------------------------------------------------------------------------
+# mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HQ_BINS = 256
+HQ_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch as a fixed-bin histogram — the third
+    member of the sketch family (HLL distinct, CMS frequency, histogram
+    quantiles). Two passes: one aggregate for [lo, hi] (broadcast
+    back), then per-DAY partial histograms whose cell-wise sum must
+    equal the one-pass histogram — the mergeability that lets a 100 TB
+    table keep per-partition histogram columns at ingest and answer
+    quantiles without re-reading raw data. Quantile estimates read off
+    the merged histogram with an array fold (no window, no sort): the
+    upper edge of the first bin whose cumulative count reaches
+    ceil(q*n) — within one bin width of the true order statistic by
+    construction (tolerance pinned in tests/test_approx_tolerance.py).
+    Every output value is pure IEEE arithmetic on the histogram, so the
+    oracle hash-checks estimates exactly."""
+    e = t(spark, sf_dir, "events").select(F.col("ts"), F.col("value"))
+    bounds = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(HQ_BINS))
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        F.to_date("ts").alias("day"),
+        "lo",
+        "hi",
+        "n",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / w),
+                F.lit(HQ_BINS - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    partial = binned.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("pc"))
+    merged = partial.groupBy("bin").agg(F.sum("pc").alias("c"))
+    lossless = direct.withColumnRenamed("c", "dc").join(
+        merged, "bin", "full_outer"
+    ).agg(
+        F.bool_and(F.coalesce(F.col("dc") == F.col("c"), F.lit(False))).alias(
+            "merge_lossless"
+        )
+    )
+    hist = merged.agg(
+        F.array_sort(F.collect_list(F.struct("bin", "c"))).alias("h")
+    )
+    one = (
+        bounds.crossJoin(F.broadcast(hist))
+        .crossJoin(F.broadcast(lossless))
+        .select(
+            "lo",
+            "hi",
+            "n",
+            "h",
+            "merge_lossless",
+            F.explode(F.array(*[F.lit(q) for q in HQ_QS])).alias("q"),
+        )
+    )
+    target = F.ceil(F.col("q") * F.col("n"))
+    found = F.aggregate(
+        F.col("h"),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(-1).alias("bin")
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(acc["bin"] >= 0, acc["bin"])
+            .when(acc["cum"] + x["c"] >= target, x["bin"])
+            .otherwise(F.lit(-1))
+            .alias("bin"),
+        ),
+    )["bin"]
+    wq = (F.col("hi") - F.col("lo")) / F.lit(float(HQ_BINS))
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo") + (found.cast("double") + F.lit(1.0)) * wq
+    )
+    return one.select(
+        F.col("q"),
+        F.col("n").cast("long").alias("n_total"),
+        round_to(est, 6).alias("est"),
+        "merge_lossless",
+    )
+
+
+def _hq_sql() -> str:
+    qs = ", ".join(str(q) for q in HQ_QS)
+    return f"""
+WITH v AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+b AS (SELECT min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n FROM v),
+binned AS (
+  SELECT CAST(v.ts AS DATE) AS day,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(floor((value - lo) / ((hi - lo) / {HQ_BINS}.0)),
+                         {HQ_BINS - 1}) END::INT AS bin
+  FROM v CROSS JOIN b
+),
+direct AS (SELECT bin, count(*)::BIGINT AS c FROM binned GROUP BY 1),
+partial AS (SELECT day, bin, count(*)::BIGINT AS pc FROM binned GROUP BY 1, 2),
+merged AS (SELECT bin, sum(pc)::BIGINT AS c FROM partial GROUP BY 1),
+lossless AS (
+  SELECT bool_and(coalesce(d.c = m.c, false)) AS merge_lossless
+  FROM direct d FULL JOIN merged m USING (bin)
+),
+cum AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM merged
+),
+qs AS (SELECT unnest([{qs}]::DOUBLE[]) AS q),
+pick AS (
+  SELECT q, min(bin) AS bsel
+  FROM qs CROSS JOIN cum CROSS JOIN b
+  WHERE cum >= ceil(q * n)
+  GROUP BY q
+)
+SELECT q, b.n AS n_total,
+       {sql_round(
+           "CASE WHEN hi = lo THEN lo "
+           f"ELSE lo + (bsel::DOUBLE + 1.0) * ((hi - lo) / {HQ_BINS}.0) END",
+           6,
+       )} AS est,
+       (SELECT merge_lossless FROM lossless) AS merge_lossless
+FROM pick CROSS JOIN b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter semi-join pruning (runtime-filter pattern)
 # ---------------------------------------------------------------------------
 
@@ -1459,6 +1594,7 @@ QUERIES = {
     "sketch_merge_distinct": sketch_merge_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_join_prune": bloom_join_prune,
+    "histogram_quantile_sketch": histogram_quantile_sketch,
     "ivfpq_topk": ivfpq_topk,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -1478,6 +1614,7 @@ ORACLES = {
     "sketch_merge_distinct": _SKETCH_SQL,
     "cms_heavy_hitters": _cms_sql(),
     "bloom_join_prune": _bloom_sql(),
+    "histogram_quantile_sketch": _hq_sql(),
     "ivfpq_topk": _ivfpq_sql(),
     "orders_pit_acctbal": _pit_sql(),
     "events_funnel": _FUNNEL_SQL,

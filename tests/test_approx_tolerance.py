@@ -41,3 +41,31 @@ def test_approx_contract_booleans_true(spark):
     rows = approx_distinct_stats(spark, SF01_DIR).collect()
     assert rows
     assert all(r["approx_parts_ok"] and r["approx_median_ok"] for r in rows)
+
+
+def test_histogram_quantile_within_one_bin(spark):
+    """The histogram sketch's estimate (upper edge of the bin where the
+    cumulative count reaches ceil(q*n)) must land within one bin width
+    of the true order statistic, and the merge contract must hold."""
+    from pyspark_data_processing_challenge_spark.queries.advanced import (
+        HQ_BINS,
+        histogram_quantile_sketch,
+    )
+    from pyspark_data_processing_challenge_spark.queries._util import t
+
+    rows = histogram_quantile_sketch(spark, SF01_DIR).collect()
+    assert {r["q"] for r in rows} == {0.5, 0.9, 0.99}
+    assert all(r["merge_lossless"] for r in rows)
+    e = t(spark, SF01_DIR, "events")
+    stats = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        *[
+            F.percentile("value", q).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ],
+    ).first()
+    width = (stats["hi"] - stats["lo"]) / HQ_BINS
+    for r in rows:
+        exact = stats[f"p{int(r['q'] * 100)}"]
+        assert abs(r["est"] - exact) <= width + 1e-9, (r["q"], r["est"], exact)
