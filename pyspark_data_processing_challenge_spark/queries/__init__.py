@@ -44,6 +44,7 @@ _VERDICT_PRIORITY = [
     "copurchase_triangles",  # new: degree-oriented triangle census
     "docs_bpe_merge_step",  # new: full BPE iteration (count-merge-recount)
     "histogram_quantile_sketch",  # new: mergeable histogram quantiles
+    "zone_map_pruning",  # new: zone-map data-skipping report
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -72,7 +73,6 @@ _VERDICT_PRIORITY = [
     "op_date_filter",
     "op_standardize_units",
     "window_running_total",
-    "sort_top20_orders",
     "events_hourly",
     "asof_join_purchases",
     "op_equality_filter",
@@ -118,6 +118,8 @@ _ROTATED_OUT = {
     # r01-only; the embedding ANN family (topk/lsh r01+r02, quantize
     # r04, ivf/pq r05) carries newer verdicts on the same vector math
     "embedding_near_dup": "r01",
+    # r01-only; TakeOrdered plan pinned by test_top20_uses_take_ordered
+    "sort_top20_orders": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

@@ -528,6 +528,90 @@ FROM est
 
 
 # ---------------------------------------------------------------------------
+# zone-map data skipping (what clustering buys)
+# ---------------------------------------------------------------------------
+
+ZM_ROWS_PER_FILE = 1000
+ZM_LO, ZM_HI = "1995-03-01", "1995-05-31"
+
+
+def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies data skipping under two physical layouts of the same
+    orders table: ARRIVAL order (files = o_orderkey ranges — dates
+    spread uniformly, every zone straddles the predicate) vs
+    DATE-CLUSTERED (files = calendar months — the layout a
+    zorder/sorted rewrite on o_orderdate produces). Per-file zone maps
+    (min/max o_orderdate, the parquet-footer stats) decide which files
+    a 3-month range predicate must scan (sources/maintenance.
+    zone_map_report). The clustered layout should scan ~3 files; the
+    arrival layout scans all of them — the measured argument for the
+    clustering operators. Zone-map math never touches row data beyond
+    one aggregate."""
+    from ..sources import maintenance
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo, hi = F.lit(ZM_LO).cast("date"), F.lit(ZM_HI).cast("date")
+    layouts = {
+        "arrival": o.withColumn(
+            "f", F.floor(F.col("o_orderkey") / F.lit(ZM_ROWS_PER_FILE))
+        ),
+        "date_clustered": o.withColumn(
+            "f",
+            F.year("o_orderdate") * 12 + F.month("o_orderdate"),
+        ),
+    }
+    outs = []
+    for name, df in layouts.items():
+        rep = maintenance.zone_map_report(df, "f", "o_orderdate", lo, hi)
+        outs.append(rep.select(F.lit(name).alias("layout"), "*"))
+    both = outs[0].unionByName(outs[1])
+    return both.select(
+        "layout",
+        "n_files",
+        "files_scanned",
+        "rows_total",
+        "rows_scanned",
+        round_to(
+            F.col("rows_scanned").cast("double")
+            / F.col("rows_total").cast("double"),
+            6,
+        ).alias("scan_fraction"),
+    )
+
+
+_ZONE_MAP_SQL = f"""
+WITH lay AS (
+  SELECT 'arrival' AS layout, o_orderkey // {ZM_ROWS_PER_FILE} AS f, o_orderdate
+  FROM orders
+  UNION ALL
+  SELECT 'date_clustered',
+         year(o_orderdate) * 12 + month(o_orderdate), o_orderdate
+  FROM orders
+),
+z AS (
+  SELECT layout, f, min(o_orderdate) AS zmin, max(o_orderdate) AS zmax,
+         count(*)::BIGINT AS n_rows
+  FROM lay GROUP BY 1, 2
+),
+fl AS (
+  SELECT layout, n_rows,
+         (zmin <= DATE '{ZM_HI}' AND zmax >= DATE '{ZM_LO}') AS scanned
+  FROM z
+)
+SELECT layout, count(*)::BIGINT AS n_files,
+       sum(scanned::INT)::BIGINT AS files_scanned,
+       sum(n_rows)::BIGINT AS rows_total,
+       sum(CASE WHEN scanned THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+       {sql_round(
+           "sum(CASE WHEN scanned THEN n_rows ELSE 0 END)::DOUBLE"
+           " / sum(n_rows)::DOUBLE",
+           6,
+       )} AS scan_fraction
+FROM fl GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # mergeable histogram quantile sketch
 # ---------------------------------------------------------------------------
 
@@ -1595,6 +1679,7 @@ QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_join_prune": bloom_join_prune,
     "histogram_quantile_sketch": histogram_quantile_sketch,
+    "zone_map_pruning": zone_map_pruning,
     "ivfpq_topk": ivfpq_topk,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -1615,6 +1700,7 @@ ORACLES = {
     "cms_heavy_hitters": _cms_sql(),
     "bloom_join_prune": _bloom_sql(),
     "histogram_quantile_sketch": _hq_sql(),
+    "zone_map_pruning": _ZONE_MAP_SQL,
     "ivfpq_topk": _ivfpq_sql(),
     "orders_pit_acctbal": _pit_sql(),
     "events_funnel": _FUNNEL_SQL,

@@ -17,6 +17,7 @@ import os
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def input_file_stats(df: DataFrame) -> tuple[int, int]:
@@ -215,3 +216,39 @@ def py_hilbert_xy2d(n: int, x: int, y: int) -> int:
             x, y = y, x
         s //= 2
     return d
+
+
+def zone_map_report(
+    df: DataFrame,
+    file_col: str,
+    stat_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Data-skipping simulation: per-file zone maps (min/max of
+    ``stat_col`` per ``file_col`` group — what parquet footers /
+    Delta & Iceberg manifests store) and the scan set for the range
+    predicate ``stat_col BETWEEN lo AND hi``. A file is scanned iff
+    its [min, max] overlaps the predicate interval.
+
+    Returns ONE row: (n_files, files_scanned, rows_total,
+    rows_scanned). This quantifies what a clustering rewrite
+    (zorder_rewrite / hilbert_index) buys: on a layout clustered by
+    ``stat_col`` the predicate touches O(matching) files; on an
+    arrival-order layout every zone straddles the predicate and
+    nothing prunes. Zone-map math is one aggregate over the file
+    listing — never a data scan."""
+    zones = df.groupBy(file_col).agg(
+        F.min(stat_col).alias("zmin"),
+        F.max(stat_col).alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    scanned = (F.col("zmin") <= F.lit(hi)) & (F.col("zmax") >= F.lit(lo))
+    return zones.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(scanned.cast("long")).alias("files_scanned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_scanned"),
+    )
