@@ -45,6 +45,7 @@ _VERDICT_PRIORITY = [
     "docs_bpe_merge_step",  # new: full BPE iteration (count-merge-recount)
     "histogram_quantile_sketch",  # new: mergeable histogram quantiles
     "zone_map_pruning",  # new: zone-map data-skipping report
+    "embedding_random_projection",  # new: JL reduction, planted-pair recall
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -72,7 +73,6 @@ _VERDICT_PRIORITY = [
     # --- oldest verdicts (r01-only), promoted for re-verification ---
     "op_date_filter",
     "op_standardize_units",
-    "window_running_total",
     "events_hourly",
     "asof_join_purchases",
     "op_equality_filter",
@@ -120,6 +120,8 @@ _ROTATED_OUT = {
     "embedding_near_dup": "r01",
     # r01-only; TakeOrdered plan pinned by test_top20_uses_take_ordered
     "sort_top20_orders": "r01",
+    # r01-only; window family covered by window_rank_stats (r02+r05)
+    "window_running_total": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

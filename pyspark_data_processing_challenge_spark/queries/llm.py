@@ -376,6 +376,133 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+RP_DIM, RP_SEED, RP_NQ = 16, 23, 200
+RP_OFFSET = 1_000_000
+RP_DELTA = 1.0 / 1024.0  # exactly representable — exact both engines
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction for near-dup
+    search: project 64-dim embeddings to 16 dims through a
+    deterministic LCG plane matrix (vectors.random_planes — derivable
+    in SQL, no RNG state) and verify that NEAR-DUPLICATE STRUCTURE
+    SURVIVES the 4x reduction. The corpus is doubled with planted
+    near-copies (dim 0 nudged by 1/1024); for each of the first 200
+    base vectors, the projected nearest neighbor (excluding self) must
+    be its own copy — JL preserves the tiny planted distance against
+    the O(1) background. (On this isotropic synthetic corpus plain
+    top-k recall is meaningless — all distances concentrate — so the
+    planted-pair contract is the honest JL test, same stance as the
+    text near-dup corpora.) Probe shape is embedding_topk's: 200
+    queries broadcast, one corpus scan, min_by per query — no
+    quadratic join. Output: one summary row, hash-exact."""
+    planes = vectors.random_planes(RP_DIM, EMB_DIM, seed=RP_SEED)
+    lits = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    emb = spread(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("e")
+    )
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(RP_OFFSET)).alias("vec_id"),
+        F.transform(
+            F.col("e"),
+            lambda x, i: F.when(i == 0, x + F.lit(RP_DELTA)).otherwise(x),
+        ).alias("e"),
+    )
+    corpus = emb.unionByName(copies)
+
+    def projected(df: DataFrame) -> DataFrame:
+        cols = [
+            vectors.dot(F.col("e"), arr).alias(f"p{k}")
+            for k, arr in enumerate(lits)
+        ]
+        return df.select("vec_id", *cols)
+
+    cp = projected(corpus)
+    qp = projected(emb.filter(F.col("vec_id") < RP_NQ)).select(
+        F.col("vec_id").alias("qid"),
+        *[F.col(f"p{k}").alias(f"q{k}") for k in range(RP_DIM)],
+    )
+    import operator
+    from functools import reduce
+
+    joined = cp.join(F.broadcast(qp), F.col("vec_id") != F.col("qid"))
+    pdist = reduce(
+        operator.add,
+        [
+            (F.col(f"p{k}") - F.col(f"q{k}"))
+            * (F.col(f"p{k}") - F.col(f"q{k}"))
+            for k in range(RP_DIM)
+        ],
+    )
+    nn = (
+        joined.select("qid", "vec_id", pdist.alias("pd"))
+        .groupBy("qid")
+        .agg(F.min(F.struct("pd", "vec_id")).alias("m"))
+        .select("qid", F.col("m.vec_id").alias("nn_id"))
+    )
+    return nn.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            (F.col("nn_id") == F.col("qid") + F.lit(RP_OFFSET)).cast("long")
+        ).alias("n_copy_is_nn"),
+        round_to(
+            F.sum(
+                (F.col("nn_id") == F.col("qid") + F.lit(RP_OFFSET)).cast(
+                    "double"
+                )
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall_at_1"),
+    )
+
+
+def _sql_rp() -> str:
+    planes = vectors.random_planes(RP_DIM, EMB_DIM, seed=RP_SEED)
+    proj = []
+    for k, p in enumerate(planes):
+        arr = "[" + ", ".join(f"{x!r}::DOUBLE" for x in p) + "]"
+        proj.append(f"{sql_dot_const(arr)} AS p{k}")
+    pdist = " + ".join(
+        f"((c.p{k} - q.q{k}) * (c.p{k} - q.q{k}))" for k in range(RP_DIM)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+corpus AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + {RP_OFFSET},
+         list_transform(range(1, {EMB_DIM + 1}),
+           i -> e[i] + CASE WHEN i = 1 THEN {RP_DELTA!r} ELSE 0.0 END)
+  FROM base
+),
+cp AS (SELECT vec_id, {', '.join(proj)} FROM (SELECT vec_id, e FROM corpus) v(vec_id, e)),
+qp AS (
+  SELECT vec_id AS qid, {', '.join(f'p{k} AS q{k}' for k in range(RP_DIM))}
+  FROM cp WHERE vec_id < {RP_NQ}
+),
+d AS (
+  SELECT q.qid, c.vec_id, ({pdist}) AS pd
+  FROM cp c CROSS JOIN qp q
+  WHERE c.vec_id != q.qid
+),
+nn AS (
+  SELECT qid, vec_id AS nn_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY pd, vec_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT count(*)::BIGINT AS n_queries,
+       sum((nn_id = qid + {RP_OFFSET})::INT)::BIGINT AS n_copy_is_nn,
+       {sql_round(
+           f"sum((nn_id = qid + {RP_OFFSET})::INT)::DOUBLE / count(*)::DOUBLE",
+           6,
+       )} AS recall_at_1
+FROM nn
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary payload plumbing: byte length, head bytes (hex), and
     a deterministic fake 'decoded' width/height — the schema/partition
@@ -1679,6 +1806,7 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_near_dup": embedding_near_dup,
     "embedding_lsh_buckets": embedding_lsh_buckets,
+    "embedding_random_projection": embedding_random_projection,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_media_decode": multimodal_media_decode,
@@ -1734,6 +1862,7 @@ ORACLES = {
     "embedding_topk": _TOPK_SQL,
     "embedding_near_dup": _EMB_ND_SQL,
     "embedding_lsh_buckets": _sql_lsh_buckets(),
+    "embedding_random_projection": _sql_rp(),
     "multimodal_meta": _MULTIMODAL_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,

@@ -69,3 +69,19 @@ def test_histogram_quantile_within_one_bin(spark):
     for r in rows:
         exact = stats[f"p{int(r['q'] * 100)}"]
         assert abs(r["est"] - exact) <= width + 1e-9, (r["q"], r["est"], exact)
+
+
+def test_random_projection_recall(spark):
+    """JL projection to 16 dims must preserve the planted near-dup
+    structure perfectly: every base vector's projected nearest
+    neighbor is its own 1/1024-nudged copy. (Plain top-k recall is
+    meaningless on this isotropic corpus — distances concentrate — so
+    the planted-pair contract is the honest JL test.)"""
+    from pyspark_data_processing_challenge_spark.queries.llm import (
+        embedding_random_projection,
+    )
+
+    row = embedding_random_projection(spark, SF01_DIR).collect()[0]
+    assert row["n_queries"] == 200
+    assert row["n_copy_is_nn"] == 200
+    assert row["recall_at_1"] == 1.0
