@@ -46,6 +46,7 @@ _VERDICT_PRIORITY = [
     "histogram_quantile_sketch",  # new: mergeable histogram quantiles
     "zone_map_pruning",  # new: zone-map data-skipping report
     "embedding_random_projection",  # new: JL reduction, planted-pair recall
+    "snapshot_drift_report",  # new: two-snapshot stats drift DQ gate
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -73,7 +74,6 @@ _VERDICT_PRIORITY = [
     # --- oldest verdicts (r01-only), promoted for re-verification ---
     "op_date_filter",
     "op_standardize_units",
-    "events_hourly",
     "asof_join_purchases",
     "op_equality_filter",
     "op_sentinel_filter",
@@ -122,6 +122,9 @@ _ROTATED_OUT = {
     "sort_top20_orders": "r01",
     # r01-only; window family covered by window_rank_stats (r02+r05)
     "window_running_total": "r01",
+    # r01-only; the hourly aggregation is the streaming twins' batch
+    # oracle (tests/test_streaming_multimodal.py) — locally re-proven
+    "events_hourly": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

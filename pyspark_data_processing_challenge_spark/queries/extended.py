@@ -139,6 +139,98 @@ FROM orders"""
 )
 
 
+DRIFT_CUT = "1996-01-01"
+
+
+def snapshot_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/stats drift between two snapshots of the same table —
+    the DQ gate that catches silent upstream changes (null-rate creep,
+    cardinality collapse, range shifts) before they poison a training
+    run. Snapshots here are the pre/post-{cut} halves of orders; each
+    side profiles in ONE aggregate pass (operators/quality.
+    profile_table) and the per-column drift report is a join of the
+    two tiny profiles: null-rate delta, distinct-count ratio, min/max
+    movement. All arithmetic is integer-derived doubles, rounded
+    portably — the oracle replays both profiles and the join."""
+    from ..operators import quality
+
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit(DRIFT_CUT).cast("date")
+    prof_a = quality.profile_table(
+        o.filter(F.col("o_orderdate") < cut), PROFILE_COLS
+    )
+    prof_b = quality.profile_table(
+        o.filter(F.col("o_orderdate") >= cut), PROFILE_COLS
+    )
+    a = prof_a.select(
+        "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_nulls").alias("n_nulls_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+        F.col("min_str").alias("min_a"),
+        F.col("max_str").alias("max_a"),
+    )
+    b = prof_b.select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_nulls").alias("n_nulls_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+        F.col("min_str").alias("min_b"),
+        F.col("max_str").alias("max_b"),
+    )
+    j = a.join(b, "column")
+    return j.select(
+        "column",
+        "n_rows_a",
+        "n_rows_b",
+        "n_distinct_a",
+        "n_distinct_b",
+        round_to(
+            F.col("n_nulls_b").cast("double") / F.col("n_rows_b").cast("double")
+            - F.col("n_nulls_a").cast("double")
+            / F.col("n_rows_a").cast("double"),
+            6,
+        ).alias("null_rate_delta"),
+        round_to(
+            F.col("n_distinct_b").cast("double")
+            / F.col("n_distinct_a").cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+        (F.col("min_a") != F.col("min_b")).alias("min_changed"),
+        (F.col("max_a") != F.col("max_b")).alias("max_changed"),
+    )
+
+
+def _drift_sql() -> str:
+    def side(name: str, cond: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+  sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  min({c})::VARCHAR AS min_str, max({c})::VARCHAR AS max_str
+FROM orders WHERE {cond}"""
+            for c in PROFILE_COLS
+        )
+
+    return f"""
+WITH a AS ({side('a', f"o_orderdate < DATE '{DRIFT_CUT}'")}),
+b AS ({side('b', f"o_orderdate >= DATE '{DRIFT_CUT}'")})
+SELECT a."column", a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+       a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
+       {sql_round(
+           "b.n_nulls::DOUBLE / b.n_rows::DOUBLE"
+           " - a.n_nulls::DOUBLE / a.n_rows::DOUBLE",
+           6,
+       )} AS null_rate_delta,
+       {sql_round("b.n_distinct::DOUBLE / a.n_distinct::DOUBLE", 6)}
+         AS distinct_ratio,
+       (a.min_str != b.min_str) AS min_changed,
+       (a.max_str != b.max_str) AS max_changed
+FROM a JOIN b USING ("column")
+"""
+
+
 def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented scale swap for percentiles_by_type, itself
     verified: percentile_approx (KLL-style sketch, constant memory per
@@ -738,6 +830,7 @@ QUERIES = {
     "percentiles_by_type": percentiles_by_type,
     "approx_percentiles_by_type": approx_percentiles_by_type,
     "profile_orders": profile_orders,
+    "snapshot_drift_report": snapshot_drift_report,
     "agg_salted_revenue": agg_salted_revenue,
     "approx_distinct_stats": approx_distinct_stats,
     "array_agg_lineitems": array_agg_lineitems,
@@ -774,6 +867,7 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
     "profile_orders": _PROFILE_SQL,
+    "snapshot_drift_report": _drift_sql(),
     "agg_salted_revenue": """
         SELECT o_orderstatus,
           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0 AS revenue,
