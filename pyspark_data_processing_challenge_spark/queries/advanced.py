@@ -401,8 +401,7 @@ FROM events
 # count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
 # ---------------------------------------------------------------------------
 
-CMS_D, CMS_W = 4, 512  # depth (hash rows) x width (buckets per row)
-CMS_SEED = 101
+from ..operators.sketches import CMS_D, CMS_SEED, CMS_W  # noqa: E402
 
 
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,8 +416,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared LCG coefficient family, so char_hash folds once per DISTINCT
     token (staged column) and each row costs one affine map. The sketch
     is D x W = 2048 cells — broadcastable at any corpus size."""
-    coeffs = textfns.minhash_coeffs(CMS_D, seed=CMS_SEED)
-    p = textfns.MINHASH_P
+    from ..operators import sketches
+
     d = _docs(spark, sf_dir)
     tokc = (
         d.select(
@@ -432,24 +431,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokc.persist()
 
     def fan(df: DataFrame) -> DataFrame:
-        return df.select(
-            df.columns[0],
-            "cnt",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(di).alias("d"),
-                            (
-                                ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p))
-                                % F.lit(CMS_W)
-                            ).alias("bucket"),
-                        )
-                        for di, (a, b) in enumerate(coeffs)
-                    ]
-                )
-            ).alias("db"),
-        ).select(df.columns[0], "cnt", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        return sketches.cms_fan(df, keep=[df.columns[0]])
 
     partial = fan(tokc).groupBy("half", "d", "bucket").agg(F.sum("cnt").alias("pc"))
     merged = partial.groupBy("d", "bucket").agg(F.sum("pc").cast("long").alias("cell"))

@@ -483,3 +483,32 @@ def funnel_state(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def cms_ingest_sink(store_dir: str, key_col: str = "user_id"):
+    """Sketch-at-ingest (the streaming face of the CMS family): each
+    micro-batch aggregates its keys once and appends its PARTIAL
+    count-min cells, epoch-partitioned with dynamic overwrite — a
+    replayed epoch overwrites its own partition, so the store is
+    correct under at-least-once delivery. Because CMS cells are sums,
+    the merged store (``groupBy (d, bucket) sum``) equals the sketch a
+    single batch pass over all data would build — frequency queries
+    never re-read raw events (twin test pins store == batch sketch
+    cell-for-cell)."""
+    from ..operators.sketches import cms_cells
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        counts = batch_df.groupBy(
+            F.col(key_col).cast("string").alias("k")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        cells = cms_cells(counts, key_col="k", count_col="cnt")
+        (
+            cells.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(store_dir)
+        )
+
+    return sink

@@ -808,3 +808,67 @@ def test_resize_raster_nearest_neighbor():
         [10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40]
     )
     assert multimodal.resize_raster(pix, 2, 2, 2, 2) == pix
+
+
+def test_streaming_cms_ingest_matches_batch(spark, tmp_path):
+    """Sketch-at-ingest: per-micro-batch partial CMS cells, summed
+    across epochs, must equal the one-pass batch sketch cell-for-cell
+    (CMS cells are sums — the mergeability the store relies on), and a
+    replayed epoch must leave the store state unchanged."""
+    from pyspark_data_processing_challenge_spark.operators.sketches import (
+        cms_cells,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    data = [(i % 7, f"u{i % 7}") for i in range(50)] + [(99, "u99")]
+    half = len(data) // 2
+    spark.createDataFrame(
+        data[:half], "user_id long, tag string"
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame(
+        data[half:], "user_id long, tag string"
+    ).coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    store = str(tmp_path / "cms_store")
+    stream = (
+        spark.readStream.schema("user_id long, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    sink = sev.cms_ingest_sink(store)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    all_rows = spark.createDataFrame(data, "user_id long, tag string")
+    direct = cms_cells(
+        all_rows.groupBy(F.col("user_id").cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        key_col="k",
+        count_col="cnt",
+    )
+    m = {(r["d"], r["bucket"]): r["c"] for r in merged.collect()}
+    dd = {(r["d"], r["bucket"]): r["c"] for r in direct.collect()}
+    assert m == dd
+    assert spark.read.parquet(store).select("__epoch").distinct().count() >= 2
+
+    # replaying an epoch overwrites its own partition — state unchanged
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    sink(spark.read.parquet(str(src / "f1.parquet")), 0)
+    after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert after == before
