@@ -991,13 +991,34 @@ def prefix_filter_pairs(
     plen = size - F.floor(
         (F.lit(tau_num) * size + F.lit(tau_den - 1)) / F.lit(tau_den)
     ).cast("int") + F.lit(1)
+    # posexplode carries each prefix token's 1-based rank for the
+    # PPJoin positional filter below
     prefix = per_doc.select(
-        "doc_id", F.explode(F.slice("gs", 1, plen)).alias("g")
+        "doc_id",
+        size.alias("sz"),
+        F.posexplode(F.slice("gs", 1, plen)).alias("pos0", "g"),
+    ).select("doc_id", "sz", (F.col("pos0") + 1).alias("pos"), "g")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    sa, sb = F.col("a.sz"), F.col("b.sz")
+    # PPJoin refinements (Xiao et al. WWW 2008) — both SOUND (never
+    # prune a true pair), both plain integer compares BEFORE the
+    # distinct + verify shuffles:
+    # 1. length filter: J >= tau needs the sizes within tau of each
+    #    other (min/max >= tau)
+    length_ok = F.lit(tau_den) * F.least(sa, sb) >= F.lit(tau_num) * F.greatest(
+        sa, sb
     )
+    # 2. positional filter: matching at ranks (pa, pb) caps the
+    #    overlap at 1 + min(remaining suffix lengths); prune when that
+    #    cap can't reach the required overlap ceil(tau/(1+tau)*(sa+sb))
+    need = F.floor(
+        (F.lit(tau_num) * (sa + sb) + F.lit(tau_num + tau_den - 1))
+        / F.lit(tau_num + tau_den)
+    )
+    cap = F.lit(1) + F.least(sa - F.col("a.pos"), sb - F.col("b.pos"))
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "g")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, "g")
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & length_ok & (cap >= need))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
