@@ -1336,6 +1336,40 @@ def audio_feature_batch(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
 
+def audio_decimate_batch(df: DataFrame, *, factor: int = 2) -> DataFrame:
+    """Audio TRANSCODE (binary -> binary, the write-back path): decode
+    the PCM, decimate by averaging each ``factor``-sample block
+    (truncating division — the semantics Spark's ``div`` and DuckDB's
+    ``//`` share), and RE-ENCODE a real WAV at sample_rate/factor.
+    Output (media_id, payload) feeds any downstream decode consumer —
+    the full decode→transform→encode loop stays executor-side in Arrow
+    batches; payload bytes never visit the driver."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                decoded = decode_wav_pcm(payload)
+                if decoded is None:
+                    outs.append(None)
+                    continue
+                sr, ch, frames = decoded
+                s = np.frombuffer(
+                    frames[: len(frames) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                n2 = len(s) // factor
+                blocks = s[: n2 * factor].reshape(n2, factor)
+                dec = np.trunc(blocks.sum(axis=1) / factor).astype("<i2")
+                outs.append(encode_wav(sr // factor, n2, pcm=dec.tobytes()))
+            yield pd.DataFrame({"media_id": ids, "payload": outs})
+
+    return df.mapInPandas(
+        fn, "media_id long, payload binary"
+    )
+
+
 # --------------------------------------------------------------------------
 # video: real ISO-BMFF sample tables + frame sampling
 # --------------------------------------------------------------------------

@@ -47,6 +47,10 @@ _VERDICT_PRIORITY = [
     "zone_map_pruning",  # new: zone-map data-skipping report
     "embedding_random_projection",  # new: JL reduction, planted-pair recall
     "snapshot_drift_report",  # new: two-snapshot stats drift DQ gate
+    "ab_test_events",  # new: Welch t-test from exact DECIMAL stats
+    "audio_transcode_features",  # new: decode->decimate->re-encode loop
+    "video_scene_cuts",  # new: shot-boundary detection over frame stats
+    "zone_map_pruning_2d",  # new: z-tile vs 1D layout skipping for 2D boxes
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -75,12 +79,8 @@ _VERDICT_PRIORITY = [
     "op_date_filter",
     "op_standardize_units",
     "asof_join_purchases",
-    "op_equality_filter",
-    "op_sentinel_filter",
-    "op_membership_filter",
     "op_indicators",
     "op_fill_nulls",
-    "op_union_membership",
     "op_null_counts",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
@@ -125,6 +125,12 @@ _ROTATED_OUT = {
     # r01-only; the hourly aggregation is the streaming twins' batch
     # oracle (tests/test_streaming_multimodal.py) — locally re-proven
     "events_hourly": "r01",
+    # r01-only simple filter ops; all four are composed inside
+    # ref_flagship_pipeline_keyed, green r02+r05
+    "op_equality_filter": "r01",
+    "op_sentinel_filter": "r01",
+    "op_membership_filter": "r01",
+    "op_union_membership": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

@@ -1523,6 +1523,143 @@ FROM b
 """
 
 
+ZM2_TILE_SHIFT = 2 * Z_BITS - 6  # 64 quadtree tiles from the z prefix
+ZM2_LO, ZM2_HI = 64, 95  # bucket-space box predicate on BOTH dims
+
+
+def zone_map_pruning_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2D sequel to zone_map_pruning: for a box predicate on TWO
+    dimensions (custkey range AND date range), compare data skipping
+    under a Z-ORDER layout (files = z-value prefixes, i.e. quadtree
+    tiles — spatially local in both dims) against a single-dimension
+    layout clustered on custkey alone. Zone maps carry per-file min/max
+    of BOTH bucket columns; a file scans iff both ranges overlap the
+    box. The 1D layout prunes only along its sort dimension and drags
+    in every date; the z-layout's tiles cover ~the box's area fraction
+    — the measured case for multi-dimensional clustering keys."""
+    from ..sources import maintenance as mnt
+
+    o = t(spark, sf_dir, "orders")
+    daynum = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("min1"),
+        F.max("o_custkey").alias("max1"),
+        F.min(daynum).alias("min2"),
+        F.max(daynum).alias("max2"),
+    ).first()
+    staged = o.select(
+        mnt.minmax_bucket(
+            F.col("o_custkey"), stats["min1"], stats["max1"], Z_BITS
+        ).alias("b1"),
+        mnt.minmax_bucket(daynum, stats["min2"], stats["max2"], Z_BITS).alias(
+            "b2"
+        ),
+    ).select(
+        "b1",
+        "b2",
+        mnt.interleave_bits(F.col("b1"), F.col("b2"), Z_BITS).alias("zval"),
+    )
+    layouts = {
+        "z_tiles": staged.select(
+            "b1", "b2", F.shiftright("zval", ZM2_TILE_SHIFT).alias("f")
+        ),
+        "custkey_only": staged.select(
+            "b1", "b2", F.shiftright("b1", Z_BITS - 6).alias("f")
+        ),
+    }
+    outs = []
+    for name, df in layouts.items():
+        zones = df.groupBy("f").agg(
+            F.min("b1").alias("min1"),
+            F.max("b1").alias("max1"),
+            F.min("b2").alias("min2"),
+            F.max("b2").alias("max2"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        scanned = (
+            (F.col("min1") <= ZM2_HI)
+            & (F.col("max1") >= ZM2_LO)
+            & (F.col("min2") <= ZM2_HI)
+            & (F.col("max2") >= ZM2_LO)
+        )
+        outs.append(
+            zones.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(scanned.cast("long")).alias("files_scanned"),
+                F.sum("n_rows").cast("long").alias("rows_total"),
+                F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("rows_scanned"),
+            ).select(F.lit(name).alias("layout"), "*")
+        )
+    both = outs[0].unionByName(outs[1])
+    return both.select(
+        "layout",
+        "n_files",
+        "files_scanned",
+        "rows_total",
+        "rows_scanned",
+        round_to(
+            F.col("rows_scanned").cast("double")
+            / F.col("rows_total").cast("double"),
+            6,
+        ).alias("scan_fraction"),
+    )
+
+
+def _zm2_sql() -> str:
+    return f"""
+WITH dn AS (
+  SELECT o_custkey,
+         datediff('day', DATE '1990-01-01', o_orderdate::DATE) AS d
+  FROM orders
+),
+stats AS (
+  SELECT min(o_custkey)::DOUBLE AS min1, max(o_custkey)::DOUBLE AS max1,
+         min(d)::DOUBLE AS min2, max(d)::DOUBLE AS max2
+  FROM dn
+),
+b AS (
+  SELECT floor((o_custkey::DOUBLE - min1) / (max1 - min1 + 1.0)
+               * {float(1 << Z_BITS)})::BIGINT AS b1,
+         floor((d::DOUBLE - min2) / (max2 - min2 + 1.0)
+               * {float(1 << Z_BITS)})::BIGINT AS b2
+  FROM dn, stats
+),
+z AS (
+  SELECT b1, b2, {_sql_interleave("b1", "b2", Z_BITS)}::BIGINT AS zval FROM b
+),
+lay AS (
+  SELECT 'z_tiles' AS layout, b1, b2, zval >> {ZM2_TILE_SHIFT} AS f FROM z
+  UNION ALL
+  SELECT 'custkey_only', b1, b2, b1 >> {Z_BITS - 6} FROM z
+),
+zones AS (
+  SELECT layout, f, min(b1) AS min1, max(b1) AS max1,
+         min(b2) AS min2, max(b2) AS max2, count(*)::BIGINT AS n_rows
+  FROM lay GROUP BY 1, 2
+),
+fl AS (
+  SELECT layout, n_rows,
+         (min1 <= {ZM2_HI} AND max1 >= {ZM2_LO}
+          AND min2 <= {ZM2_HI} AND max2 >= {ZM2_LO}) AS scanned
+  FROM zones
+)
+SELECT layout, count(*)::BIGINT AS n_files,
+       sum(scanned::INT)::BIGINT AS files_scanned,
+       sum(n_rows)::BIGINT AS rows_total,
+       sum(CASE WHEN scanned THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+       {sql_round(
+           "sum(CASE WHEN scanned THEN n_rows ELSE 0 END)::DOUBLE"
+           " / sum(n_rows)::DOUBLE",
+           6,
+       )} AS scan_fraction
+FROM fl GROUP BY 1
+"""
+
+
 def orders_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-curve clustering key over the same (o_custkey, order-day)
     buckets as orders_zvalue — the better-locality alternative to the
@@ -1662,6 +1799,7 @@ QUERIES = {
     "bloom_join_prune": bloom_join_prune,
     "histogram_quantile_sketch": histogram_quantile_sketch,
     "zone_map_pruning": zone_map_pruning,
+    "zone_map_pruning_2d": zone_map_pruning_2d,
     "ivfpq_topk": ivfpq_topk,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -1683,6 +1821,7 @@ ORACLES = {
     "bloom_join_prune": _bloom_sql(),
     "histogram_quantile_sketch": _hq_sql(),
     "zone_map_pruning": _ZONE_MAP_SQL,
+    "zone_map_pruning_2d": _zm2_sql(),
     "ivfpq_topk": _ivfpq_sql(),
     "orders_pit_acctbal": _pit_sql(),
     "events_funnel": _FUNNEL_SQL,

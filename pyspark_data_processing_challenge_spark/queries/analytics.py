@@ -1435,8 +1435,90 @@ FROM tri
 """
 
 
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test per event type between two experiment arms
+    (user_id parity — the deterministic stand-in for an assignment
+    service): ONE conditional aggregate produces exact DECIMAL
+    sufficient statistics (Σv, Σv² — merge-order independent, the
+    regr_price_by_brand convention; events.value is 2-decimal so the
+    DECIMAL(18,6) cast is lossless), then mean / variance / t are
+    closed-form scalar doubles with the identical expression tree in
+    the oracle. The 100 TB shape: the scan reduces to #types × 6
+    numbers; no per-arm rescans, no variance-of-variance passes."""
+    e = t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    zsq = F.lit(0).cast("decimal(37,12)")
+    is_a = (F.col("user_id") % 2) == 0
+    g = e.select("event_type", dv.alias("dv"), is_a.alias("ia")).groupBy(
+        "event_type"
+    )
+    agg = g.agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("ia"), F.col("dv")).otherwise(zero)).alias("s_a"),
+        F.sum(F.when(~F.col("ia"), F.col("dv")).otherwise(zero)).alias("s_b"),
+        F.sum(
+            F.when(F.col("ia"), F.col("dv") * F.col("dv")).otherwise(zsq)
+        ).alias("q_a"),
+        F.sum(
+            F.when(~F.col("ia"), F.col("dv") * F.col("dv")).otherwise(zsq)
+        ).alias("q_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / na
+    mb = F.col("s_b").cast("double") / nb
+    va = (F.col("q_a").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("q_b").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    tstat = (ma - mb) / F.sqrt(va / na + vb / nb)
+    return agg.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        round_to(ma, 6).alias("mean_a"),
+        round_to(mb, 6).alias("mean_b"),
+        round_to(tstat, 6).alias("welch_t"),
+    )
+
+
+_AB_TEST_SQL = f"""
+WITH e AS (
+  SELECT event_type, value::DECIMAL(18,6) AS dv,
+         (user_id % 2 = 0) AS ia
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+    sum(CASE WHEN ia THEN 1 ELSE 0 END)::BIGINT AS n_a,
+    sum(CASE WHEN NOT ia THEN 1 ELSE 0 END)::BIGINT AS n_b,
+    sum(CASE WHEN ia THEN dv ELSE 0::DECIMAL(18,6) END) AS s_a,
+    sum(CASE WHEN NOT ia THEN dv ELSE 0::DECIMAL(18,6) END) AS s_b,
+    sum(CASE WHEN ia THEN dv * dv ELSE 0::DECIMAL(37,12) END) AS q_a,
+    sum(CASE WHEN NOT ia THEN dv * dv ELSE 0::DECIMAL(37,12) END) AS q_b
+  FROM e GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n_a, n_b,
+    s_a::DOUBLE / n_a::DOUBLE AS ma, s_b::DOUBLE / n_b::DOUBLE AS mb,
+    (q_a::DOUBLE - n_a::DOUBLE * (s_a::DOUBLE / n_a::DOUBLE)
+       * (s_a::DOUBLE / n_a::DOUBLE)) / (n_a::DOUBLE - 1.0) AS va,
+    (q_b::DOUBLE - n_b::DOUBLE * (s_b::DOUBLE / n_b::DOUBLE)
+       * (s_b::DOUBLE / n_b::DOUBLE)) / (n_b::DOUBLE - 1.0) AS vb
+  FROM agg
+)
+SELECT event_type, n_a, n_b,
+  {sql_round("ma", 6)} AS mean_a,
+  {sql_round("mb", 6)} AS mean_b,
+  {sql_round(
+      "(ma - mb) / sqrt(va / n_a::DOUBLE + vb / n_b::DOUBLE)", 6
+  )} AS welch_t
+FROM m
+"""
+
+
 QUERIES = {
     "copurchase_triangles": copurchase_triangles,
+    "ab_test_events": ab_test_events,
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
     "regr_price_by_brand": regr_price_by_brand,
@@ -1460,6 +1542,7 @@ QUERIES = {
 
 ORACLES = {
     "copurchase_triangles": _TRIANGLES_SQL,
+    "ab_test_events": _AB_TEST_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_transitions": _TRANSITIONS_SQL,
     "regr_price_by_brand": _REGR_SQL,

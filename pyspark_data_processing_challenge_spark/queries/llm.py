@@ -1283,6 +1283,123 @@ FROM bytes_of
 """
 
 
+def audio_transcode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full binary→binary TRANSCODE loop: decode the planted PCM,
+    decimate 2:1 (block average, truncating division), re-encode a
+    REAL WAV at half the sample rate (operators/multimodal.
+    audio_decimate_batch), then run the standard feature extractor on
+    the TRANSCODED payloads — so the output proves decode → transform
+    → encode → decode end-to-end. The oracle regenerates the original
+    waveform, decimates arithmetically, and recomputes the features."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.plant_audio_payloads(d, "doc_id")
+    transcoded = multimodal.audio_decimate_batch(media, factor=2)
+    feats = multimodal.audio_feature_batch(transcoded)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "peak_abs",
+        "zero_crossings",
+        round_to(
+            F.sqrt(
+                F.col("sum_squares").cast("double")
+                / F.col("n_samples").cast("double")
+            ),
+            6,
+        ).alias("rms"),
+    )
+
+
+_AUDIO_TRANSCODE_SQL = f"""
+WITH a AS (
+  SELECT doc_id::BIGINT AS media_id,
+         CAST((8000 + (doc_id % 4) * 2000) // 2 AS INTEGER) AS sample_rate,
+         (doc_id % 8 + 2) * 250 AS n,
+         doc_id % 7 + 3 AS step
+  FROM documents
+), s AS (
+  SELECT media_id, sample_rate, n // 2 AS n2,
+         list_transform(range(0, n),
+           i -> (i * step + media_id * 11) % 2048 - 1024) AS smp
+  FROM a
+), dec AS (
+  SELECT media_id, sample_rate, n2,
+         list_transform(range(0, n2),
+           i -> (smp[2 * i + 1] + smp[2 * i + 2]) // 2) AS d2
+  FROM s
+)
+SELECT media_id, sample_rate, n2::BIGINT AS n_samples,
+  list_max(list_transform(d2, x -> abs(x)))::BIGINT AS peak_abs,
+  length(list_filter(range(1, n2), i -> d2[i] * d2[i + 1] < 0))::BIGINT
+    AS zero_crossings,
+  {sql_round("sqrt(list_sum(list_transform(d2, x -> x * x))::DOUBLE / n2::DOUBLE)", 6)}
+    AS rms
+FROM dec
+"""
+
+
+VSC_THRESHOLD = 2000
+
+
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the planted BMFF corpus: extract
+    EVERY frame (sample table walk), compute per-frame byte sums, and
+    flag a cut wherever the sum jumps more than {threshold} versus the
+    previous frame — a media-partitioned lag window (never global).
+    Output per video: frame count and cut count; the oracle replays
+    the frame content arithmetically and diffs the same sums."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.plant_video_payloads(d, "doc_id")
+    frames = multimodal.video_frame_stats_batch(media, every=1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    lagged = frames.select(
+        "media_id",
+        "frame_idx",
+        "byte_sum",
+        F.lag("byte_sum").over(w).alias("prev_sum"),
+    )
+    cut = (
+        F.col("prev_sum").isNotNull()
+        & (F.abs(F.col("byte_sum") - F.col("prev_sum")) > VSC_THRESHOLD)
+    ).cast("long")
+    return (
+        lagged.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(cut).alias("n_cuts"),
+        )
+    )
+
+
+_VIDEO_CUTS_SQL = f"""
+WITH v AS (
+  SELECT doc_id::BIGINT AS media_id, doc_id % 6 + 4 AS n_frames FROM documents
+), fr AS (
+  SELECT media_id, unnest(range(0, n_frames)) AS k FROM v
+), sums AS (
+  SELECT media_id, k,
+         list_sum(list_transform(range(0, (media_id + k * 7) % 96 + 32),
+           j -> (j * 29 + k * 13 + media_id * 7) % 256))::BIGINT AS bs
+  FROM fr
+), lagged AS (
+  SELECT media_id, bs,
+         lag(bs) OVER (PARTITION BY media_id ORDER BY k) AS prev
+  FROM sums
+)
+SELECT media_id, count(*)::BIGINT AS n_frames,
+       sum(CASE WHEN prev IS NOT NULL AND abs(bs - prev) > {VSC_THRESHOLD}
+                THEN 1 ELSE 0 END)::BIGINT AS n_cuts
+FROM lagged GROUP BY media_id
+"""
+
+
 def image_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize over TRUE decoded rasters: plant real PNGs with
     arithmetic pixels, zlib-inflate + unfilter, nearest-neighbor
@@ -1811,7 +1928,9 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_media_decode": multimodal_media_decode,
     "audio_features": audio_features,
+    "audio_transcode_features": audio_transcode_features,
     "video_frame_stats": video_frame_stats,
+    "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
     "image_phash": image_phash,
     "image_phash_near_dup": image_phash_near_dup,
@@ -1867,7 +1986,9 @@ ORACLES = {
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,
     "audio_features": _AUDIO_FEATURES_SQL,
+    "audio_transcode_features": _AUDIO_TRANSCODE_SQL,
     "video_frame_stats": _VIDEO_FRAME_SQL,
+    "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
     "image_phash": _PHASH_SQL,
     "image_phash_near_dup": _PHASH_ND_SQL,
