@@ -139,6 +139,45 @@ FROM orders"""
 )
 
 
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (new in Spark 4.0 — WITH RECURSIVE): walk
+    a synthetic org/BOM-style hierarchy where each customer's parent is
+    ``custkey div 10`` (terminates at the single-digit roots, so the
+    UNION ALL recursion is a DAG walk — Spark does not yet support the
+    UNION-dedup fixpoint form). Emits per-customer depth-to-root and
+    the root ancestor plus the ancestor-key sum — the rollup shape of
+    bill-of-materials / org-chart queries. The oracle runs the same
+    recursion in DuckDB (// there, div here — identical integer
+    semantics)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__rec_cust")
+    return spark.sql(
+        """
+WITH RECURSIVE up(custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM __rec_cust
+  UNION ALL
+  SELECT custkey, anc div 10, depth + 1 FROM up WHERE anc > 9
+)
+SELECT custkey, CAST(max(depth) AS BIGINT) AS depth,
+       CAST(min(anc) AS BIGINT) AS root,
+       CAST(sum(anc) AS BIGINT) AS anc_sum
+FROM up GROUP BY custkey
+"""
+    )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE up(custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT custkey, anc // 10, depth + 1 FROM up WHERE anc > 9
+)
+SELECT custkey, max(depth)::BIGINT AS depth,
+       min(anc)::BIGINT AS root,
+       sum(anc)::BIGINT AS anc_sum
+FROM up GROUP BY custkey
+"""
+
+
 DRIFT_CUT = "1996-01-01"
 
 
@@ -831,6 +870,7 @@ QUERIES = {
     "approx_percentiles_by_type": approx_percentiles_by_type,
     "profile_orders": profile_orders,
     "snapshot_drift_report": snapshot_drift_report,
+    "sql_recursive_hierarchy": sql_recursive_hierarchy,
     "agg_salted_revenue": agg_salted_revenue,
     "approx_distinct_stats": approx_distinct_stats,
     "array_agg_lineitems": array_agg_lineitems,
@@ -868,6 +908,7 @@ ORACLES = {
     """,
     "profile_orders": _PROFILE_SQL,
     "snapshot_drift_report": _drift_sql(),
+    "sql_recursive_hierarchy": _RECURSIVE_SQL,
     "agg_salted_revenue": """
         SELECT o_orderstatus,
           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0 AS revenue,

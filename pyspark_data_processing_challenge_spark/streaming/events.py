@@ -512,3 +512,46 @@ def cms_ingest_sink(store_dir: str, key_col: str = "user_id"):
         )
 
     return sink
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The ``transformWithStateInPandas`` twin of
+    :func:`running_user_totals` — Spark 4's arbitrary-state API
+    (successor to applyInPandasWithState): typed state handles
+    (ValueState here; ListState/MapState, timers and TTL are the
+    added surface), explicit init/close lifecycle, and per-key
+    handleInputRows. Same semantics: lifetime per-user count + value
+    sum, one updated row per user per micro-batch; twin test pins
+    equality with the batch aggregate and with the old-API operator."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

