@@ -52,6 +52,7 @@ _VERDICT_PRIORITY = [
     "video_scene_cuts",  # new: shot-boundary detection over frame stats
     "zone_map_pruning_2d",  # new: z-tile vs 1D layout skipping for 2D boxes
     "sql_recursive_hierarchy",  # new: Spark 4 WITH RECURSIVE surface
+    "event_segment_mutual_info",  # new: MI feature-dependence screen
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -80,7 +81,6 @@ _VERDICT_PRIORITY = [
     "op_date_filter",
     "op_standardize_units",
     "asof_join_purchases",
-    "op_indicators",
     "op_null_counts",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
@@ -132,6 +132,7 @@ _ROTATED_OUT = {
     "op_membership_filter": "r01",
     "op_union_membership": "r01",
     "op_fill_nulls": "r01",
+    "op_indicators": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

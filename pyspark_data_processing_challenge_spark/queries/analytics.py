@@ -1516,9 +1516,126 @@ FROM m
 """
 
 
+def event_segment_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and the acting customer's
+    market segment — the feature-dependence screen (is this categorical
+    feature informative about that one?). Contingency cells come from
+    one (type, segment) aggregate after a broadcast dim join; marginals
+    re-aggregate the CELLS (never a second fact scan); and every
+    entropy/MI sum folds over the (x, y)-sorted cell list so the IEEE
+    summation order — and the hash — is engine-identical (the
+    char_entropy convention; log2 is the one transcendental the
+    catalog's oracle contract already relies on)."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    j = e.join(F.broadcast(c), "user_id")
+    cells = j.groupBy(
+        F.col("event_type").alias("x"), F.col("segment").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    full = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    nn = F.col("n").cast("double")
+    term = (F.col("nxy").cast("double") / nn) * F.log2(
+        (F.col("nxy") * F.col("n")).cast("double")
+        / (F.col("nx") * F.col("ny")).cast("double")
+    )
+    gathered = full.select(
+        "x", "y", "n", term.alias("term"), F.col("nxy")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("x", "y", "term"))
+        ).alias("terms"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_total"),
+    )
+    mi = F.aggregate(
+        F.col("terms"), F.lit(0.0), lambda acc, s: acc + s["term"]
+    )
+
+    def marg_entropy(m: DataFrame, key: str) -> DataFrame:
+        hterm = -(F.col("cnt").cast("double") / F.col("n").cast("double")) * F.log2(
+            F.col("cnt").cast("double") / F.col("n").cast("double")
+        )
+        staged = m.crossJoin(F.broadcast(tot)).select(
+            F.col(key).alias("k"), hterm.alias("ht")
+        )
+        return staged.agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("k", "ht"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["ht"],
+            ).alias(f"h_{key}")
+        )
+
+    hx = marg_entropy(mx.select("x", F.col("nx").alias("cnt")), "x")
+    hy = marg_entropy(my.select("y", F.col("ny").alias("cnt")), "y")
+    return (
+        gathered.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n_total",
+            "n_cells",
+            round_to(mi, 6).alias("mi_bits"),
+            round_to(F.col("h_x"), 6).alias("h_event_type"),
+            round_to(F.col("h_y"), 6).alias("h_segment"),
+        )
+    )
+
+
+_MI_SQL = f"""
+WITH j AS (
+  SELECT e.event_type AS x, c.c_mktsegment AS y
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+),
+cells AS (SELECT x, y, count(*)::BIGINT AS nxy FROM j GROUP BY 1, 2),
+mx AS (SELECT x, sum(nxy)::BIGINT AS nx FROM cells GROUP BY 1),
+my AS (SELECT y, sum(nxy)::BIGINT AS ny FROM cells GROUP BY 1),
+tot AS (SELECT sum(nxy)::BIGINT AS n FROM cells),
+terms AS (
+  SELECT c.x, c.y,
+         (c.nxy::DOUBLE / t.n::DOUBLE)
+           * log2((c.nxy * t.n)::DOUBLE / (m1.nx * m2.ny)::DOUBLE) AS term
+  FROM cells c JOIN mx m1 USING (x) JOIN my m2 USING (y) CROSS JOIN tot t
+),
+mi AS (
+  SELECT count(*)::BIGINT AS n_cells,
+         list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY x, y)),
+                     (a, b) -> a + b) AS mi_raw
+  FROM terms
+),
+hx AS (
+  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           list(-(nx::DOUBLE / t.n::DOUBLE) * log2(nx::DOUBLE / t.n::DOUBLE)
+                ORDER BY x)), (a, b) -> a + b) AS h_x
+  FROM mx CROSS JOIN tot t
+),
+hy AS (
+  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           list(-(ny::DOUBLE / t.n::DOUBLE) * log2(ny::DOUBLE / t.n::DOUBLE)
+                ORDER BY y)), (a, b) -> a + b) AS h_y
+  FROM my CROSS JOIN tot t
+)
+SELECT (SELECT n FROM tot) AS n_total, mi.n_cells,
+       {sql_round("mi.mi_raw", 6)} AS mi_bits,
+       {sql_round("(SELECT h_x FROM hx)", 6)} AS h_event_type,
+       {sql_round("(SELECT h_y FROM hy)", 6)} AS h_segment
+FROM mi
+"""
+
+
 QUERIES = {
     "copurchase_triangles": copurchase_triangles,
     "ab_test_events": ab_test_events,
+    "event_segment_mutual_info": event_segment_mutual_info,
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
     "regr_price_by_brand": regr_price_by_brand,
@@ -1543,6 +1660,7 @@ QUERIES = {
 ORACLES = {
     "copurchase_triangles": _TRIANGLES_SQL,
     "ab_test_events": _AB_TEST_SQL,
+    "event_segment_mutual_info": _MI_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_transitions": _TRANSITIONS_SQL,
     "regr_price_by_brand": _REGR_SQL,
