@@ -1081,6 +1081,40 @@ def plant_phash_corpus(
     return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
 
 
+CROSS_CODEC_OFFSET = 1_000_000
+CROSS_CODEC_EVERY = 2
+
+
+def plant_cross_codec_corpus(df: DataFrame, id_col: str) -> DataFrame:
+    """Cross-codec duplicate corpus: every id gets a PNG of its planted
+    raster; every ``CROSS_CODEC_EVERY``-th id ALSO appears as a REAL
+    baseline JPEG of the SAME raster under id + ``CROSS_CODEC_OFFSET``
+    — the asset-dedup scenario where one image circulates re-encoded.
+    The pHash pipeline must match them across codecs (JPEG loss on this
+    raster never flips a dHash bit — adjacent-pixel gaps are ~31 vs
+    <=2-LSB quantization noise)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def make(i: int) -> bytes:
+            is_jpeg = i >= CROSS_CODEC_OFFSET
+            bid = i - CROSS_CODEC_OFFSET if is_jpeg else i
+            w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+            pix = _phash_raster(bid, w, h, 0)
+            enc = encode_jpeg_gray if is_jpeg else encode_png_gray
+            return enc(w, h, pix)
+
+        return ids.map(lambda i: make(int(i)))
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    copies = ids.filter(F.col("media_id") % CROSS_CODEC_EVERY == 0).select(
+        (F.col("media_id") + CROSS_CODEC_OFFSET).alias("media_id")
+    )
+    corpus = _spread_ids(ids.unionByName(copies), "media_id")
+    return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
 PHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -53,6 +53,9 @@ _VERDICT_PRIORITY = [
     "zone_map_pruning_2d",  # new: z-tile vs 1D layout skipping for 2D boxes
     "sql_recursive_hierarchy",  # new: Spark 4 WITH RECURSIVE surface
     "event_segment_mutual_info",  # new: MI feature-dependence screen
+    "ivm_daily_revenue",  # new: incremental view maintenance contract
+    "image_cross_codec_near_dup",  # new: PNG/JPEG same-raster dedup
+    "events_grouped_center_arrow",  # new: Spark 4 applyInArrow surface
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -78,10 +81,7 @@ _VERDICT_PRIORITY = [
     "collection_functions",
     "map_functions",
     # --- oldest verdicts (r01-only), promoted for re-verification ---
-    "op_date_filter",
-    "op_standardize_units",
     "asof_join_purchases",
-    "op_null_counts",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -133,6 +133,11 @@ _ROTATED_OUT = {
     "op_union_membership": "r01",
     "op_fill_nulls": "r01",
     "op_indicators": "r01",
+    "op_date_filter": "r01",
+    "op_standardize_units": "r01",
+    # r01-only; the one-pass aggregate plan is pinned locally
+    # (test_null_counts_single_pass) and the DQ family has fresh rows
+    "op_null_counts": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

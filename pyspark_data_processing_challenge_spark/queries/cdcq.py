@@ -127,14 +127,78 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select("c_custkey", "c_acctbal", "valid_from", "valid_to")
 
 
+IVM_MOD = 8
+
+
+def ivm_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-day revenue materialization
+    kept current by merging DELTA partials instead of re-scanning the
+    base table. The store holds partial aggregates for 7/8 of orders;
+    the new batch (o_orderkey % 8 == 0 — every day overlaps) aggregates
+    alone and re-aggregates WITH the store partials. Because the agg is
+    distributive over exact DECIMAL sums, merged == full recompute —
+    pinned per cell by the full-outer compare the output's
+    ``ivm_lossless`` flag carries. This is the 100 TB reporting
+    pattern: a dashboard's daily rollup absorbs each ingest batch at
+    O(batch + affected days), never O(history)."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("dv"),
+        "o_orderkey",
+    )
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dv").alias("rev")
+        )
+
+    store = part(o.filter(F.col("o_orderkey") % IVM_MOD != 0))
+    delta = part(o.filter(F.col("o_orderkey") % IVM_MOD == 0))
+    merged = (
+        store.unionByName(delta)
+        .groupBy("day")
+        .agg(F.sum("n").cast("long").alias("n_orders"), F.sum("rev").alias("rev"))
+    )
+    direct = part(o).select(
+        "day",
+        F.col("n").cast("long").alias("dn"),
+        F.col("rev").alias("drev"),
+    )
+    lossless = merged.join(direct, "day", "full_outer").agg(
+        F.bool_and(
+            F.coalesce(
+                (F.col("n_orders") == F.col("dn"))
+                & (F.col("rev") == F.col("drev")),
+                F.lit(False),
+            )
+        ).alias("ivm_lossless")
+    )
+    return merged.crossJoin(F.broadcast(lossless)).select(
+        "day",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        "ivm_lossless",
+    )
+
+
+_IVM_SQL = """
+SELECT o_orderdate AS day, count(*)::BIGINT AS n_orders,
+       sum(o_totalprice::DECIMAL(12,2))::DOUBLE AS revenue,
+       true AS ivm_lossless
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "cdc_merge_orders": cdc_merge_orders,
+    "ivm_daily_revenue": ivm_daily_revenue,
     "scd2_customer_history": scd2_customer_history,
     "cdc_merge_delete_orders": cdc_merge_delete_orders,
     "snapshot_diff_orders": snapshot_diff_orders,
 }
 
 ORACLES = {
+    "ivm_daily_revenue": _IVM_SQL,
     "cdc_merge_orders": f"""
         WITH updates AS (
           SELECT o_orderkey, 'X' AS o_orderstatus,

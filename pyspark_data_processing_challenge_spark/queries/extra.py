@@ -607,6 +607,36 @@ def events_grouped_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_grouped_center_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` twin of events_grouped_center (Spark 4 grouped
+    Arrow API): the same per-group median centering, but the UDF
+    receives/returns raw ``pyarrow.Table`` batches — no pandas object
+    materialization, the lowest-overhead grouped Python hook. Shares
+    the pandas twin's oracle: both decode paths must agree bit-wise."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def center(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        med = float(np.median(v))
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+                "centered": pa.array(v - med),
+            }
+        )
+
+    out = e.groupBy("event_type").applyInArrow(
+        center, "event_id long, event_type string, centered double"
+    )
+    return out.select(
+        "event_id", "event_type", round_to(F.col("centered"), 6).alias("centered")
+    )
+
+
 _GROUPED_CENTER_SQL = f"""
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS m
@@ -621,6 +651,7 @@ FROM events e JOIN med USING (event_type)
 QUERIES = {
     "docs_sentences_udtf": docs_sentences_udtf,
     "events_grouped_center": events_grouped_center,
+    "events_grouped_center_arrow": events_grouped_center_arrow,
     "range_join_promos": range_join_promos,
     "unpivot_lineitem": unpivot_lineitem,
     "grouping_sets_orders": grouping_sets_orders,
@@ -640,6 +671,8 @@ QUERIES = {
 ORACLES = {
     "docs_sentences_udtf": _SENTS_SQL,
     "events_grouped_center": _GROUPED_CENTER_SQL,
+    # shares the pandas twin's oracle — both grouped decode paths must agree
+    "events_grouped_center_arrow": _GROUPED_CENTER_SQL,
     "range_join_promos": _RANGE_JOIN_SQL,
     "unpivot_lineitem": _UNPIVOT_SQL,
     "grouping_sets_orders": _GROUPING_SETS_SQL,

@@ -817,6 +817,47 @@ ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOP}
 """
 
 
+def image_cross_codec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CODEC image dedup: the same raster circulating as a PNG
+    and a re-encoded baseline JPEG must land in the same near-dup
+    bucket. Plants the dual-codec corpus (multimodal.
+    plant_cross_codec_corpus), decodes BOTH codecs through the
+    signature-dispatched raster path, pHashes, and keeps the
+    banded-Hamming pairs on the planted relation. The oracle pins the
+    exact recall invariant (every planted PNG/JPEG pair surfaces at
+    Hamming <= 3 — measured 0 on this raster family: codec noise is
+    <=2 LSB vs ~31-gray adjacent-pixel gaps) plus decoded dimensions
+    from both container parsers."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    corpus = multimodal.plant_cross_codec_corpus(d, "doc_id")
+    hashes = multimodal.phash_batch(corpus)
+    pairs = multimodal.phash_hamming_pairs(hashes, max_distance=3)
+    planted = pairs.filter(
+        F.col("id_b") - F.col("id_a") == multimodal.CROSS_CODEC_OFFSET
+    )
+    dims = hashes.select(F.col("media_id").alias("id_a"), "width", "height")
+    return planted.join(dims, "id_a").select(
+        F.col("id_a").alias("media_id"),
+        F.col("id_b").alias("jpeg_id"),
+        "width",
+        "height",
+    )
+
+
+def _cross_codec_sql() -> str:
+    from ..operators.multimodal import CROSS_CODEC_EVERY, CROSS_CODEC_OFFSET
+
+    return f"""
+SELECT doc_id AS media_id,
+       (doc_id + {CROSS_CODEC_OFFSET})::BIGINT AS jpeg_id,
+       (doc_id % 48 + 16)::BIGINT AS width,
+       ((doc_id * 7) % 32 + 16)::BIGINT AS height
+FROM documents WHERE doc_id % {CROSS_CODEC_EVERY} = 0
+"""
+
+
 def docs_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE FULL BPE TRAINING ITERATION, distributed: count adjacent
     char pairs, pick the best merge (max count, lexicographic
@@ -1935,6 +1976,7 @@ QUERIES = {
     "image_phash": image_phash,
     "image_phash_near_dup": image_phash_near_dup,
     "image_phash_jpeg_near_dup": image_phash_jpeg_near_dup,
+    "image_cross_codec_near_dup": image_cross_codec_near_dup,
     "docs_bpe_pair_counts": docs_bpe_pair_counts,
     "docs_bpe_merge_step": docs_bpe_merge_step,
     "docs_decontaminate": docs_decontaminate,
@@ -1993,6 +2035,7 @@ ORACLES = {
     "image_phash": _PHASH_SQL,
     "image_phash_near_dup": _PHASH_ND_SQL,
     "image_phash_jpeg_near_dup": _jpeg_phash_nd_sql(),
+    "image_cross_codec_near_dup": _cross_codec_sql(),
     "docs_bpe_pair_counts": _bpe_pairs_sql(),
     "docs_bpe_merge_step": _bpe_merge_sql(),
     "docs_decontaminate": _DECON_SQL,
