@@ -122,3 +122,29 @@ def key_skew_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skewed-key EQUI-JOIN without broadcast: a hot join key sends all
+    its fact rows to one reducer in a plain shuffle join; salting
+    spreads each key's rows over ``buckets`` partitions (reusing
+    :func:`with_salt`'s row-local salt) and replicates the dim side
+    ``buckets``x so every (key, salt) pair still finds its match. Cost:
+    dim reads/shuffles buckets-fold — the right trade when dim is far
+    smaller than the hot key's row count but too big to broadcast.
+    (AQE's skew-join split is the runtime alternative; this is the
+    structural form that also works pre-AQE or under
+    statistics-blind plans.) Result is row-identical to the plain
+    join — the catalog query registers the UNSALTED oracle, pinning
+    that equivalence."""
+    salted_fact = with_salt(fact, buckets)
+    salted_dim = dim.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn(SALT_COL, F.col(SALT_COL).cast("int"))
+    return salted_fact.join(salted_dim, [on, SALT_COL]).drop(SALT_COL)

@@ -56,6 +56,8 @@ _VERDICT_PRIORITY = [
     "ivm_daily_revenue",  # new: incremental view maintenance contract
     "image_cross_codec_near_dup",  # new: PNG/JPEG same-raster dedup
     "events_grouped_center_arrow",  # new: Spark 4 applyInArrow surface
+    "events_mad_outliers",  # new: MAD robust outlier screen
+    "salted_join_revenue",  # new: skew-salted join equivalence
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -79,9 +81,8 @@ _VERDICT_PRIORITY = [
     "split_oov_rate",
     "nation_trade_pagerank2",
     "collection_functions",
-    "map_functions",
-    # --- oldest verdicts (r01-only), promoted for re-verification ---
-    "asof_join_purchases",
+    # map_functions queues for the r07 window (the 51st candidate;
+    # scalar surface, lowest-risk deferral — local parity still gates it)
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -138,6 +139,9 @@ _ROTATED_OUT = {
     # r01-only; the one-pass aggregate plan is pinned locally
     # (test_null_counts_single_pass) and the DQ family has fresh rows
     "op_null_counts": "r01",
+    # r01-only; the as-of machinery carries newer verdicts via
+    # orders_pit_acctbal (r05) and conversion_lag_histogram (in-window)
+    "asof_join_purchases": "r01",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
     "ref_flagship_pipeline": "r01+r02",

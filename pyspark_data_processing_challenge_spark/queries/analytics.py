@@ -1632,10 +1632,59 @@ FROM mi
 """
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median absolute deviation
+    instead of stddev, so a few extreme values can't inflate their own
+    detection threshold (the failure mode of the z-score twin on
+    heavy-tailed data). Two grouped exact percentiles (median, then
+    median of |x - med|) with broadcast joins back; flag
+    |x - med| > 3 * 1.4826 * MAD (the Gaussian-consistent scale).
+    F.percentile and DuckDB quantile_cont share the interpolation rule
+    (pinned since r01 by percentiles_by_type), so counts and rounded
+    stats hash-match."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    j = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = j.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    full = j.join(F.broadcast(mad), "event_type")
+    is_out = F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        round_to(F.max("med"), 6).alias("med"),
+        round_to(F.max("mad"), 6).alias("mad"),
+    )
+
+
+_MAD_SQL = f"""
+WITH v AS (SELECT event_type, value FROM events),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM v GROUP BY 1
+),
+j AS (
+  SELECT v.event_type, v.value, med.med,
+         abs(v.value - med.med) AS dev
+  FROM v JOIN med USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM j GROUP BY 1)
+SELECT j.event_type, count(*)::BIGINT AS n,
+       sum((j.dev > 3.0 * 1.4826 * m.mad)::INT)::BIGINT AS n_outliers,
+       {sql_round("max(j.med)", 6)} AS med,
+       {sql_round("max(m.mad)", 6)} AS mad
+FROM j JOIN mad m USING (event_type)
+GROUP BY j.event_type
+"""
+
+
 QUERIES = {
     "copurchase_triangles": copurchase_triangles,
     "ab_test_events": ab_test_events,
     "event_segment_mutual_info": event_segment_mutual_info,
+    "events_mad_outliers": events_mad_outliers,
     "cohort_retention": cohort_retention,
     "event_transitions": event_transitions,
     "regr_price_by_brand": regr_price_by_brand,
@@ -1661,6 +1710,7 @@ ORACLES = {
     "copurchase_triangles": _TRIANGLES_SQL,
     "ab_test_events": _AB_TEST_SQL,
     "event_segment_mutual_info": _MI_SQL,
+    "events_mad_outliers": _MAD_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_transitions": _TRANSITIONS_SQL,
     "regr_price_by_brand": _REGR_SQL,

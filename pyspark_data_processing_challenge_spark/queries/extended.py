@@ -326,6 +326,45 @@ def agg_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant JOIN (operators/skew.salted_join — the join twin
+    of agg_salted_revenue): lineitem joined to orders with each order
+    key's rows spread over 8 salt partitions and the orders side
+    replicated 8x, then revenue per order priority. Registers the
+    UNSALTED join's oracle — the equivalence proof that salting changes
+    the physical plan, never the result. Integer-cents sums keep the
+    total exact under any partial-group order."""
+    from ..operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.floor(
+            F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+        ).cast("long").alias("cents"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "okey", buckets=8)
+    out = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum("cents").alias("cents")
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_items",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,
+       (sum(floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0)
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 def approx_distinct_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate + exact aggregates side by side in ONE pass: HLL++
     distinct and KLL-style quantile sketches (constant memory per group,
@@ -872,6 +911,7 @@ QUERIES = {
     "snapshot_drift_report": snapshot_drift_report,
     "sql_recursive_hierarchy": sql_recursive_hierarchy,
     "agg_salted_revenue": agg_salted_revenue,
+    "salted_join_revenue": salted_join_revenue,
     "approx_distinct_stats": approx_distinct_stats,
     "array_agg_lineitems": array_agg_lineitems,
     "cube_orders": cube_orders,
@@ -908,6 +948,7 @@ ORACLES = {
     """,
     "profile_orders": _PROFILE_SQL,
     "snapshot_drift_report": _drift_sql(),
+    "salted_join_revenue": _SALTED_JOIN_SQL,
     "sql_recursive_hierarchy": _RECURSIVE_SQL,
     "agg_salted_revenue": """
         SELECT o_orderstatus,
