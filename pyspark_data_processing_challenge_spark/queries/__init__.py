@@ -58,6 +58,7 @@ _VERDICT_PRIORITY = [
     "events_grouped_center_arrow",  # new: Spark 4 applyInArrow surface
     "events_mad_outliers",  # new: MAD robust outlier screen
     "salted_join_revenue",  # new: skew-salted join equivalence
+    "ivf_trained_topk",  # new: Lloyd-trained coarse quantizer + probe
     # --- new round-6 analytics module ---
     "cohort_retention",
     "event_transitions",
@@ -80,9 +81,9 @@ _VERDICT_PRIORITY = [
     "docs_unigram_surprisal",
     "split_oov_rate",
     "nation_trade_pagerank2",
-    "collection_functions",
-    # map_functions queues for the r07 window (the 51st candidate;
-    # scalar surface, lowest-risk deferral — local parity still gates it)
+    # collection_functions / map_functions queue for the r07 window
+    # (scalar surface, lowest-risk deferrals — local parity still
+    # gates them every round)
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)

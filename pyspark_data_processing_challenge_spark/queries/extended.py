@@ -720,6 +720,49 @@ def kmeans_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc").alias("vec_id"), "centroid_id")
 
 
+def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with a LLOYD-TRAINED coarse quantizer — the IVF face
+    of pq_trained_topk: the convention codebook (first-N embeddings) is
+    only the k-means init; one Lloyd iteration re-centers every
+    centroid on its members (means ROUNDED so both engines feed
+    iteration 2 identical inputs), the inverted lists are REBUILT
+    against the trained centroids, and the probe runs against those.
+    This is the production ANN indexing path: train, assign, then every
+    query touches nprobe lists only."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(
+        emb, cent, centroid_id="cid", centroid_vec="cv"
+    )
+    means = (
+        assigned.select("centroid_id", F.posexplode("vec").alias("dim", "v"))
+        .groupBy("centroid_id", "dim")
+        .agg(round_to(F.avg("v"), 6).alias("c"))
+    )
+    cent2 = (
+        means.groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"],
+            ).alias("embedding")
+        )
+        .select(F.col("centroid_id").alias("vec_id"), "embedding")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    )
+    out = similarity.ivf_topk(emb, queries, cent2, k=IVF_K, nprobe=IVF_NPROBE)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        round_to(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -900,8 +943,66 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 )
 
+_IVF_TRAINED_SQL = (
+    "WITH"
+    + _IVF_ASSIGN_CTE
+    + f""",
+  expl AS (
+    SELECT centroid_id,
+      unnest(list_transform(range(1, 65), i -> {{'dim': i - 1, 'v': e[i]}})) AS u
+    FROM assigned
+  ),
+  means AS (
+    SELECT centroid_id, CAST(u['dim'] AS INT) AS dim,
+      {sql_round("avg(u['v'])", 6)} AS c
+    FROM expl GROUP BY 1, 2
+  ),
+  cent2 AS (
+    SELECT centroid_id AS cid, list(c ORDER BY dim) AS cv
+    FROM means GROUP BY 1
+  ),
+  assigned2 AS (
+    SELECT vec_id, cid AS centroid_id, e FROM (
+      SELECT v.vec_id, v.e, cent2.cid,
+        row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_IVF_COS.format(a="v.e", b="cent2.cv")} DESC,
+                                    cent2.cid) AS rn
+      FROM v, cent2
+    ) WHERE rn = 1
+  ),
+  q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+  qprobe AS (
+    SELECT query_id, qv, cid AS centroid_id FROM (
+      SELECT q.query_id, q.qv, cent2.cid,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="cent2.cv")} DESC,
+                                    cent2.cid) AS rn
+      FROM q, cent2
+    ) WHERE rn <= {IVF_NPROBE}
+  ),
+  cand AS (
+    SELECT qprobe.query_id, qprobe.qv, assigned2.vec_id AS neighbor_id,
+           assigned2.e
+    FROM qprobe JOIN assigned2 USING (centroid_id)
+    WHERE qprobe.query_id <> assigned2.vec_id
+  ),
+  ranked AS (
+    SELECT query_id, neighbor_id,
+      {_IVF_COS.format(a="qv", b="e")} AS cos_raw,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY {_IVF_COS.format(a="qv", b="e")} DESC,
+                                  neighbor_id) AS rank
+    FROM cand
+  )
+SELECT query_id, neighbor_id, {sql_round("cos_raw", 6)} AS cosine, rank
+FROM ranked WHERE rank <= {IVF_K}
+"""
+)
+
 QUERIES = {
     "events_json_stats": events_json_stats,
+    "ivf_trained_topk": ivf_trained_topk,
     "window_lag_delta": window_lag_delta,
     "window_ntile_orders": window_ntile_orders,
     "agg_quartiles_orders": agg_quartiles_orders,
@@ -949,6 +1050,7 @@ ORACLES = {
     "profile_orders": _PROFILE_SQL,
     "snapshot_drift_report": _drift_sql(),
     "salted_join_revenue": _SALTED_JOIN_SQL,
+    "ivf_trained_topk": _IVF_TRAINED_SQL,
     "sql_recursive_hierarchy": _RECURSIVE_SQL,
     "agg_salted_revenue": """
         SELECT o_orderstatus,
