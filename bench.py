@@ -86,6 +86,14 @@ HEADLINE = [
     "setsim_prefix_pairs",
     "copurchase_triangles",
     "docs_bpe_merge_step",
+    # round-6 third wave
+    "histogram_quantile_sketch",
+    "zone_map_pruning_2d",
+    "ivm_daily_revenue",
+    "audio_transcode_features",
+    "video_scene_cuts",
+    "event_segment_mutual_info",
+    "ivf_trained_topk",
 ]
 
 
