@@ -305,3 +305,160 @@ def test_order_statistics_ntile_equivalence(spark, values, buckets):
     g = {r["k"]: r["bucket"] for r in got.select("k", "bucket").collect()}
     e = {r["k"]: r["bucket"] for r in want.collect()}
     assert g == e
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abcdefg ")), min_size=0, max_size=40
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_filter_join_complete_on_random_corpora(spark, texts):
+    """AllPairs + PPJoin filters must find EXACTLY the brute-force
+    pair set (completeness AND precision) on arbitrary text corpora —
+    including empty docs, all-identical docs, and single-token docs."""
+    from pyspark_data_processing_challenge_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_pairs(df, "text", "doc_id").collect()
+    }
+
+    def shingle_set(t: str) -> frozenset:
+        toks = t.lower().split()
+        if not toks:
+            return frozenset()
+        if len(toks) < 3:
+            return frozenset({" ".join(toks)})
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    sets = {i: shingle_set(t) for i, t in rows}
+    expected = set()
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni > 0 and 5 * inter >= 3 * uni:
+                expected.add((a, b))
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=40),
+    probes=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=40),
+)
+def test_bloom_filter_no_false_negatives(spark, keys, probes):
+    """Every key inserted into the Bloom filter must pass the probe —
+    the zero-false-negative guarantee pruning correctness rests on."""
+    from pyspark_data_processing_challenge_spark.operators import bloom
+
+    dim = spark.createDataFrame([(k,) for k in set(keys)], "key long")
+    words = bloom.build_bloom(dim, "key")
+    fact = spark.createDataFrame(
+        [(x,) for x in set(keys) | set(probes)], "key long"
+    )
+    out = {r["key"]: r["bloom_pass"] for r in bloom.bloom_probe(
+        fact, words, "key"
+    ).collect()}
+    for k in set(keys):
+        assert out[k] is True
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    """Degree-oriented counting equals the O(n^3) reference on random
+    small graphs (self-loops dropped, duplicate edges collapsed)."""
+    from pyspark_data_processing_challenge_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    if not und:
+        return
+    df = spark.createDataFrame(sorted(und), "u long, v long")
+    row = triangle_stats(df).collect()[0]
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: set() for n in nodes}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1 :]
+        if b in adj[a]
+        for c in nodes
+        if c > b and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges
+    assert row.n_nodes == len(nodes) and row.n_edges == len(und)
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(
+        st.text(alphabet=st.sampled_from(list("xyz")), min_size=1, max_size=4),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_cms_is_one_sided(spark, tokens):
+    """Count-min estimates never under-count: min over rows of the
+    cell values >= the true frequency for EVERY key."""
+    from collections import Counter
+
+    from pyspark.sql import functions as SF
+
+    from pyspark_data_processing_challenge_spark.functions.textfns import (
+        MINHASH_P,
+        char_hash,
+        minhash_coeffs,
+    )
+    from pyspark_data_processing_challenge_spark.operators import sketches
+
+    truth = Counter(tokens)
+    counts = spark.createDataFrame(
+        [(t, c) for t, c in truth.items()], "tok string, cnt long"
+    )
+    cells = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in sketches.cms_cells(
+            counts, key_col="tok", count_col="cnt"
+        ).collect()
+    }
+    hashes = {
+        r["tok"]: r["h"]
+        for r in counts.select(
+            "tok", char_hash(SF.col("tok")).alias("h")
+        ).collect()
+    }
+    coeffs = minhash_coeffs(sketches.CMS_D, seed=sketches.CMS_SEED)
+    for tok, true_c in truth.items():
+        est = min(
+            cells[(d, ((a * hashes[tok] + b) % MINHASH_P) % sketches.CMS_W)]
+            for d, (a, b) in enumerate(coeffs)
+        )
+        assert est >= true_c
