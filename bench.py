@@ -264,6 +264,61 @@ def main() -> None:
     finally:
         shutil.rmtree(gram_store, ignore_errors=True)
 
+    # Incremental MINHASH near-dup story (third member of the
+    # incremental family next to exact dedup and span dedup): near-dup
+    # one new batch of the perturbed corpus against the persisted
+    # banded-signature store vs re-running the full-corpus detector.
+    from pyspark_data_processing_challenge_spark.queries import llm as llmq
+
+    mh_params = dict(num_hashes=16, shingle_n=3, bands=4, threshold=0.5)
+    corpus = llmq._perturbed_docs(spark, sf_dir)
+    mh_history = corpus.filter(SF.col("doc_id") % 8 != 0)
+    mh_batch = corpus.filter(SF.col("doc_id") % 8 == 0)
+    sig_store = tempfile.mkdtemp(prefix="mh_store_")
+
+    def mh_full():
+        dd.minhash_near_duplicates(
+            corpus, "text", "doc_id", **mh_params
+        ).write.format("noop").mode("overwrite").save()
+
+    def mh_incremental(append: bool):
+        store = spark.read.parquet(sig_store)
+        caches: list = []
+        pairs, new_banded = dd.incremental_minhash_near_duplicates(
+            mh_batch, store, "text", "doc_id", cache_into=caches, **mh_params
+        )
+        pairs.write.format("noop").mode("overwrite").save()
+        if append:
+            new_banded.write.mode("append").parquet(sig_store)
+        else:
+            new_banded.write.format("noop").mode("overwrite").save()
+        for c in caches:
+            c.unpersist()
+
+    try:
+        empty = spark.createDataFrame(
+            [], "doc long, minhash array<bigint>, band int, key string"
+        )
+        caches = []
+        _, hist_banded = dd.incremental_minhash_near_duplicates(
+            mh_history, empty, "text", "doc_id", cache_into=caches, **mh_params
+        )
+        hist_banded.write.mode("overwrite").parquet(sig_store)
+        for c in caches:
+            c.unpersist()
+        mh_full()
+        mh_incremental(append=False)  # warm; don't mutate the store
+
+        t0 = time.perf_counter()
+        mh_full()
+        times["minhash_full_recompute"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        mh_incremental(append=True)
+        times["minhash_incremental_batch"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(sig_store, ignore_errors=True)
+
     streaming = _bench_streaming(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
@@ -368,6 +423,17 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                     sev.dedup_ingest_sink(f"{tmp}/ingest_out", f"{tmp}/fp_store")
                 )
                 .option("checkpointLocation", f"{tmp}/ck_ingest")
+                .start()
+            ),
+        )
+        run(
+            "cms_ingest",
+            lambda: (
+                stream()
+                .writeStream.foreachBatch(
+                    sev.cms_ingest_sink(f"{tmp}/cms_store")
+                )
+                .option("checkpointLocation", f"{tmp}/ck_cms")
                 .start()
             ),
         )

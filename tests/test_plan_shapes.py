@@ -313,3 +313,14 @@ def test_bloom_probe_is_broadcast_only(spark):
     from pyspark_data_processing_challenge_spark.operators.bloom import K_HASHES
 
     assert plans.broadcast_join_count(df) >= K_HASHES + 1
+
+
+def test_histogram_sketch_is_window_free(spark):
+    # quantile readout is an array fold over the 256-cell histogram —
+    # no WindowExec, no global sort anywhere in the plan
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    df = advanced.histogram_quantile_sketch(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Window" not in plan
+    assert "Sort [" not in plan or "SortMergeJoin" in plan
