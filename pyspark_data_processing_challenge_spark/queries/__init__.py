@@ -81,9 +81,9 @@ _VERDICT_PRIORITY = [
     "docs_unigram_surprisal",
     "split_oov_rate",
     "nation_trade_pagerank2",
-    # collection_functions / map_functions queue for the r07 window
-    # (scalar surface, lowest-risk deferrals — local parity still
-    # gates them every round)
+    # Queued for the r07 window (window is at its 50-slot cap; local
+    # parity still gates them every round): collection_functions,
+    # map_functions, target_encode_priority, equi_depth_bins_totalprice
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)

@@ -1680,8 +1680,107 @@ GROUP BY j.event_type
 """
 
 
+TE_SMOOTH = 50  # pseudo-count weight toward the global mean
+
+
+def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TARGET ENCODING of a categorical feature — the ML-prep
+    staple: each order-priority level maps to
+    ``(Σ target + m * global_mean) / (n + m)`` so rare levels shrink
+    toward the global mean instead of memorizing noise. Sums are exact
+    DECIMAL (o_totalprice is 2-decimal), the global mean is broadcast
+    back from the same aggregate (never a second scan), and the final
+    arithmetic is scalar doubles with the identical expression tree in
+    the oracle."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("dv"),
+    )
+    per = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dv").alias("s")
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    gmean = F.col("ts").cast("double") / F.col("tn").cast("double")
+    enc = (F.col("s").cast("double") + F.lit(float(TE_SMOOTH)) * gmean) / (
+        F.col("n").cast("double") + F.lit(float(TE_SMOOTH))
+    )
+    return j.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        round_to(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+            "level_mean"
+        ),
+        round_to(enc, 6).alias("encoded"),
+    )
+
+
+_TARGET_ENC_SQL = f"""
+WITH per AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS n,
+         sum(o_totalprice::DECIMAL(12,2)) AS s
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS tn, sum(s) AS ts FROM per)
+SELECT o_orderpriority, n,
+  {sql_round("s::DOUBLE / n::DOUBLE", 6)} AS level_mean,
+  {sql_round(
+      f"(s::DOUBLE + {float(TE_SMOOTH)!r} * (ts::DOUBLE / tn::DOUBLE))"
+      f" / (n::DOUBLE + {float(TE_SMOOTH)!r})",
+      6,
+  )} AS encoded
+FROM per CROSS JOIN tot
+"""
+
+
+EDB_BUCKETS = 10
+
+
+def equi_depth_bins_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature binning (each bin holds ~the same row count —
+    the ML-prep partner of the equal-width histogram sketch): bucket
+    assignment rides the distributed exact order-statistics machinery
+    (selection.ntile_assign — percentile bracket + band top-k +
+    broadcast cuts, no global sort), then one aggregate emits each
+    bin's span and population. The oracle is the plain ntile window —
+    the shared hash re-proves the scale path equals the textbook
+    definition."""
+    from ..operators import selection
+
+    o = t(spark, sf_dir, "orders")
+    binned = selection.ntile_assign(
+        o, "o_totalprice", "o_orderkey", EDB_BUCKETS
+    )
+    return (
+        binned.groupBy(F.col("bucket").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_to(F.min("o_totalprice"), 2).alias("lo"),
+            round_to(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+_EDB_SQL = f"""
+WITH b AS (
+  SELECT o_totalprice,
+         ntile({EDB_BUCKETS}) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+           AS bin
+  FROM orders
+)
+SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+       {sql_round("min(o_totalprice)", 2)} AS lo,
+       {sql_round("max(o_totalprice)", 2)} AS hi
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "copurchase_triangles": copurchase_triangles,
+    "target_encode_priority": target_encode_priority,
+    "equi_depth_bins_totalprice": equi_depth_bins_totalprice,
     "ab_test_events": ab_test_events,
     "event_segment_mutual_info": event_segment_mutual_info,
     "events_mad_outliers": events_mad_outliers,
@@ -1711,6 +1810,8 @@ ORACLES = {
     "ab_test_events": _AB_TEST_SQL,
     "event_segment_mutual_info": _MI_SQL,
     "events_mad_outliers": _MAD_SQL,
+    "target_encode_priority": _TARGET_ENC_SQL,
+    "equi_depth_bins_totalprice": _EDB_SQL,
     "cohort_retention": _COHORT_SQL,
     "event_transitions": _TRANSITIONS_SQL,
     "regr_price_by_brand": _REGR_SQL,
