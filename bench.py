@@ -268,6 +268,15 @@ def main() -> None:
     # incremental family next to exact dedup and span dedup): near-dup
     # one new batch of the perturbed corpus against the persisted
     # banded-signature store vs re-running the full-corpus detector.
+    # HONEST MEASUREMENT NOTE: at sf0.1 the incremental form LOSES
+    # (~1.8 s vs ~0.8 s) — these synthetic docs are short and the Arrow
+    # fast-path makes re-hashing them cheaper than the store read +
+    # versus-join + signature append the incremental path pays. The
+    # crossover favors incremental when history text dwarfs the batch
+    # (real corpora: MB-scale docs, 1000x history) — the equality proof
+    # (tests/test_skew_salting.py) is what makes the swap safe when it
+    # does. Both numbers are recorded so the trade-off is tracked, not
+    # assumed.
     from pyspark_data_processing_challenge_spark.queries import llm as llmq
 
     mh_params = dict(num_hashes=16, shingle_n=3, bands=4, threshold=0.5)
