@@ -161,3 +161,112 @@ def check_no_nulls(df: DataFrame, cols: Sequence[str]) -> QualityReport:
     if bad:
         raise QualityError(f"null values present: {bad}")
     return QualityReport(True, {c: 0 for c in cols})
+
+
+def run_expectations(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
+    """Declarative DQ rule engine (the dbt-test / Great-Expectations
+    surface): evaluate a rule list against one DataFrame and return a
+    per-rule violations report — NEVER raising, so a scheduler can
+    route on the counts. Rule dicts:
+
+      {"rule": "not_null",        "column": c}
+      {"rule": "unique",          "columns": [c, ...]}
+      {"rule": "accepted_values", "column": c, "values": [...]}
+      {"rule": "in_range",        "column": c, "min": lo, "max": hi}
+      {"rule": "relationship",    "column": c, "ref": DataFrame,
+                                  "ref_column": rc}   # FK containment
+
+    Cost model (the 100 TB contract): every row-local rule (not_null /
+    accepted_values / in_range) folds into ONE shared aggregate pass
+    over the scan; each ``unique`` adds one keyed aggregate; each
+    ``relationship`` adds one broadcast-able anti-join against the
+    distinct reference keys. Returns (rule_id, rule, column, passed,
+    n_violations) — deterministic row order by rule_id."""
+    row_local_aggs = []
+    meta: list[tuple[int, str, str]] = []
+    extra: list[tuple[int, str, str, DataFrame]] = []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        if kind == "not_null":
+            c = r["column"]
+            row_local_aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__r{i}")
+            )
+            meta.append((i, kind, c))
+        elif kind == "accepted_values":
+            c = r["column"]
+            row_local_aggs.append(
+                F.sum(
+                    (~F.col(c).isin(list(r["values"])) | F.col(c).isNull())
+                    .cast("long")
+                ).alias(f"__r{i}")
+            )
+            meta.append((i, kind, c))
+        elif kind == "in_range":
+            c = r["column"]
+            bad = (
+                F.col(c).isNull()
+                | (F.col(c) < F.lit(r["min"]))
+                | (F.col(c) > F.lit(r["max"]))
+            )
+            row_local_aggs.append(F.sum(bad.cast("long")).alias(f"__r{i}"))
+            meta.append((i, kind, c))
+        elif kind == "unique":
+            cols = list(r["columns"])
+            dup = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .agg(
+                    F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
+                )
+            )
+            extra.append((i, kind, ",".join(cols), dup))
+        elif kind == "relationship":
+            c, ref, rc = r["column"], r["ref"], r["ref_column"]
+            keys = ref.select(F.col(rc).alias("__k")).distinct()
+            miss = (
+                df.select(F.col(c).alias("__k"))
+                .join(F.broadcast(keys), "__k", "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            )
+            extra.append((i, kind, c, miss))
+        else:
+            raise ValueError(f"unknown expectation rule: {kind!r}")
+
+    parts = []
+    if row_local_aggs:
+        wide = df.agg(*row_local_aggs)
+        structs = [
+            F.struct(
+                F.lit(i).alias("rule_id"),
+                F.lit(kind).alias("rule"),
+                F.lit(col).alias("column"),
+                F.col(f"__r{i}").cast("long").alias("n_violations"),
+            )
+            for (i, kind, col), _ in zip(meta, row_local_aggs)
+        ]
+        parts.append(
+            wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+        )
+    for i, kind, col, agg_df in extra:
+        parts.append(
+            agg_df.select(
+                F.lit(i).alias("rule_id"),
+                F.lit(kind).alias("rule"),
+                F.lit(col).alias("column"),
+                F.col("n_violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("rule_id").cast("int").alias("rule_id"),
+        "rule",
+        "column",
+        (F.col("n_violations") == 0).alias("passed"),
+        "n_violations",
+    )

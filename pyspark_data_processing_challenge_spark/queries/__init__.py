@@ -83,7 +83,8 @@ _VERDICT_PRIORITY = [
     "nation_trade_pagerank2",
     # Queued for the r07 window (window is at its 50-slot cap; local
     # parity still gates them every round): collection_functions,
-    # map_functions, target_encode_priority, equi_depth_bins_totalprice
+    # map_functions, target_encode_priority, equi_depth_bins_totalprice,
+    # orders_expectations
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)

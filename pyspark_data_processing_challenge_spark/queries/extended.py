@@ -178,6 +178,78 @@ FROM up GROUP BY custkey
 """
 
 
+EXPECT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]  # 4- omitted
+
+
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ rule engine (operators/quality.run_expectations —
+    the dbt-test / Great-Expectations surface): a rule list evaluated
+    against orders in ONE shared aggregate pass for the row-local rules
+    plus one keyed aggregate per uniqueness rule and one broadcast
+    anti-join per FK rule. The accepted_values rule deliberately omits
+    '4-NOT SPECIFIED', so the report exercises the violation-counting
+    path, not just green checkmarks."""
+    from ..operators import quality
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    rules = [
+        {"rule": "not_null", "column": "o_custkey"},
+        {"rule": "unique", "columns": ["o_orderkey"]},
+        {"rule": "accepted_values", "column": "o_orderstatus",
+         "values": ["F", "O", "P"]},
+        {"rule": "accepted_values", "column": "o_orderpriority",
+         "values": EXPECT_PRIORITIES},
+        {"rule": "in_range", "column": "o_totalprice",
+         "min": 0.0, "max": 1e7},
+        {"rule": "relationship", "column": "o_custkey", "ref": c,
+         "ref_column": "c_custkey"},
+    ]
+    return quality.run_expectations(o, rules)
+
+
+def _expectations_sql() -> str:
+    vals = ", ".join(f"'{v}'" for v in EXPECT_PRIORITIES)
+    return f"""
+SELECT 0 AS rule_id, 'not_null' AS rule, 'o_custkey' AS "column",
+       sum((o_custkey IS NULL)::INT)::BIGINT = 0 AS passed,
+       sum((o_custkey IS NULL)::INT)::BIGINT AS n_violations
+FROM orders
+UNION ALL
+SELECT 1, 'unique', 'o_orderkey',
+       coalesce(sum(n - 1), 0)::BIGINT = 0, coalesce(sum(n - 1), 0)::BIGINT
+FROM (SELECT count(*)::BIGINT AS n FROM orders GROUP BY o_orderkey
+      HAVING count(*) > 1)
+UNION ALL
+SELECT 2, 'accepted_values', 'o_orderstatus',
+       sum((o_orderstatus NOT IN ('F', 'O', 'P')
+            OR o_orderstatus IS NULL)::INT)::BIGINT = 0,
+       sum((o_orderstatus NOT IN ('F', 'O', 'P')
+            OR o_orderstatus IS NULL)::INT)::BIGINT
+FROM orders
+UNION ALL
+SELECT 3, 'accepted_values', 'o_orderpriority',
+       sum((o_orderpriority NOT IN ({vals})
+            OR o_orderpriority IS NULL)::INT)::BIGINT = 0,
+       sum((o_orderpriority NOT IN ({vals})
+            OR o_orderpriority IS NULL)::INT)::BIGINT
+FROM orders
+UNION ALL
+SELECT 4, 'in_range', 'o_totalprice',
+       sum((o_totalprice IS NULL OR o_totalprice < 0.0
+            OR o_totalprice > 1e7)::INT)::BIGINT = 0,
+       sum((o_totalprice IS NULL OR o_totalprice < 0.0
+            OR o_totalprice > 1e7)::INT)::BIGINT
+FROM orders
+UNION ALL
+SELECT 5, 'relationship', 'o_custkey',
+       count(*)::BIGINT = 0, count(*)::BIGINT
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+"""
+
+
 DRIFT_CUT = "1996-01-01"
 
 
@@ -1010,6 +1082,7 @@ QUERIES = {
     "approx_percentiles_by_type": approx_percentiles_by_type,
     "profile_orders": profile_orders,
     "snapshot_drift_report": snapshot_drift_report,
+    "orders_expectations": orders_expectations,
     "sql_recursive_hierarchy": sql_recursive_hierarchy,
     "agg_salted_revenue": agg_salted_revenue,
     "salted_join_revenue": salted_join_revenue,
@@ -1051,6 +1124,7 @@ ORACLES = {
     "snapshot_drift_report": _drift_sql(),
     "salted_join_revenue": _SALTED_JOIN_SQL,
     "ivf_trained_topk": _IVF_TRAINED_SQL,
+    "orders_expectations": _expectations_sql(),
     "sql_recursive_hierarchy": _RECURSIVE_SQL,
     "agg_salted_revenue": """
         SELECT o_orderstatus,

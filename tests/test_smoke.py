@@ -151,3 +151,43 @@ def test_profile_table(spark):
     adf = quality.profile_table(df, ["k", "v"], approx=True)
     assert "Expand" not in plans.executed_plan(adf)
     assert plans.exchange_count(adf) == 1
+
+
+def test_run_expectations_counts_planted_violations(spark):
+    """The declarative rule engine must count exactly the planted
+    violations per rule kind and never raise."""
+    from pyspark_data_processing_challenge_spark.operators.quality import (
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 5.0, 10),
+            (2, "B", -1.0, 10),   # in_range violation
+            (2, "A", 3.0, 11),    # duplicate id
+            (3, None, 2.0, 12),   # not_null + accepted_values violation
+            (4, "Z", 1.0, 99),    # accepted_values + FK violation
+        ],
+        "id long, cat string, x double, fk long",
+    )
+    ref = spark.createDataFrame([(10,), (11,), (12,)], "k long")
+    rules = [
+        {"rule": "not_null", "column": "cat"},
+        {"rule": "unique", "columns": ["id"]},
+        {"rule": "accepted_values", "column": "cat", "values": ["A", "B"]},
+        {"rule": "in_range", "column": "x", "min": 0.0, "max": 100.0},
+        {"rule": "relationship", "column": "fk", "ref": ref, "ref_column": "k"},
+    ]
+    got = {
+        r["rule_id"]: (r["rule"], r["passed"], r["n_violations"])
+        for r in run_expectations(df, rules).collect()
+    }
+    assert got[0] == ("not_null", False, 1)
+    assert got[1] == ("unique", False, 1)      # one extra copy of id=2
+    assert got[2] == ("accepted_values", False, 2)  # None + 'Z'
+    assert got[3] == ("in_range", False, 1)
+    assert got[4] == ("relationship", False, 1)     # fk=99
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown expectation"):
+        run_expectations(df, [{"rule": "nope"}]).collect()
