@@ -555,3 +555,29 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ivm_ingest_sink(store_dir: str):
+    """Streaming face of incremental view maintenance (queries/cdcq.
+    ivm_daily_revenue): each micro-batch appends its per-day PARTIAL
+    aggregates (count + exact DECIMAL value sum), epoch-partitioned
+    with dynamic overwrite so replays overwrite their own partition.
+    The materialized daily rollup is the store re-aggregated by day —
+    O(batch) per epoch, the base stream never re-read (twin test pins
+    merged == one-pass batch aggregate)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        partial = batch_df.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+        (
+            partial.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(store_dir)
+        )
+
+    return sink

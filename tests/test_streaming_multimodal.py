@@ -919,3 +919,66 @@ def test_streaming_transform_with_state_matches_batch(spark, tmp_path):
         n, v = got[r["user_id"]]
         assert n == r["n"]
         assert abs(v - r["v"]) < 1e-6
+
+
+def test_streaming_ivm_ingest_matches_batch(spark, tmp_path):
+    """Streaming IVM: per-epoch daily partials summed across the store
+    must equal the one-pass batch daily aggregate, and a replayed epoch
+    leaves the store unchanged."""
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_700_000_000
+    rows = [
+        (i, base + i * 30000, float(i % 7) + 0.25) for i in range(200)
+    ]
+    half = len(rows) // 2
+    for name, chunk in (("f1", rows[:half]), ("f2", rows[half:])):
+        spark.createDataFrame(
+            chunk, "user_id long, epoch_s long, value double"
+        ).selectExpr(
+            "user_id", "timestamp_seconds(epoch_s) AS ts", "value"
+        ).coalesce(1).write.parquet(str(src / f"{name}.parquet"))
+
+    store = str(tmp_path / "ivm_store")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    sink = sev.ivm_ingest_sink(store)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = {
+        r["day"]: (r["n"], r["s"])
+        for r in spark.read.parquet(store)
+        .groupBy("day")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .collect()
+    }
+    all_rows = spark.createDataFrame(
+        rows, "user_id long, epoch_s long, value double"
+    ).selectExpr("timestamp_seconds(epoch_s) AS ts", "value")
+    direct = {
+        r["day"]: (r["n"], r["s"])
+        for r in all_rows.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert merged == direct
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    sink(spark.read.parquet(str(src / "f1.parquet")), 0)
+    after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert after == before
