@@ -1777,8 +1777,84 @@ FROM b GROUP BY 1
 """
 
 
+ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7 days in epoch-µs
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch marketing attribution in ONE
+    user-partitioned window pass each: for every purchase, the earliest
+    and the latest click inside the 7-day lookback via conditional
+    min/max over an epoch-µs RANGE frame (bounded per row — no
+    interval-join explosion, no per-purchase subquery). Summary row per
+    model: how many purchases each attribution model can attribute,
+    and how often the two models DISAGREE (the number a marketing team
+    actually fights over). Integer µs timestamps end to end."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTR_LOOKBACK_US, -1)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    flagged = e.withColumn("first_click", F.min(click_us).over(w)).withColumn(
+        "last_click", F.max(click_us).over(w)
+    )
+    p = flagged.filter(F.col("event_type") == "purchase")
+    return p.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("first_click").isNotNull().cast("long")).alias(
+            "n_attributed"
+        ),
+        F.sum(
+            (
+                F.col("first_click").isNotNull()
+                & (F.col("first_click") != F.col("last_click"))
+            ).cast("long")
+        ).alias("n_models_disagree"),
+        round_to(
+            F.sum(F.col("first_click").isNotNull().cast("double"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("attribution_rate"),
+    )
+
+
+_ATTRIBUTION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+fl AS (
+  SELECT user_id, event_type, us,
+    min(CASE WHEN event_type = 'click' THEN us END) OVER (
+      PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN {ATTR_LOOKBACK_US} PRECEDING AND 1 PRECEDING
+    ) AS first_click,
+    max(CASE WHEN event_type = 'click' THEN us END) OVER (
+      PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN {ATTR_LOOKBACK_US} PRECEDING AND 1 PRECEDING
+    ) AS last_click
+  FROM e
+)
+SELECT count(*)::BIGINT AS n_purchases,
+       sum((first_click IS NOT NULL)::INT)::BIGINT AS n_attributed,
+       sum((first_click IS NOT NULL
+            AND first_click != last_click)::INT)::BIGINT AS n_models_disagree,
+       {sql_round(
+           "sum((first_click IS NOT NULL)::INT)::DOUBLE / count(*)::DOUBLE", 6
+       )} AS attribution_rate
+FROM fl WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "copurchase_triangles": copurchase_triangles,
+    "purchase_attribution": purchase_attribution,
     "target_encode_priority": target_encode_priority,
     "equi_depth_bins_totalprice": equi_depth_bins_totalprice,
     "ab_test_events": ab_test_events,
@@ -1810,6 +1886,7 @@ ORACLES = {
     "ab_test_events": _AB_TEST_SQL,
     "event_segment_mutual_info": _MI_SQL,
     "events_mad_outliers": _MAD_SQL,
+    "purchase_attribution": _ATTRIBUTION_SQL,
     "target_encode_priority": _TARGET_ENC_SQL,
     "equi_depth_bins_totalprice": _EDB_SQL,
     "cohort_retention": _COHORT_SQL,
