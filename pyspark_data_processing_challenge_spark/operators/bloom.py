@@ -38,7 +38,12 @@ BLOOM_SEED = 131
 
 
 def _pos(key: Column, a: int, b: int) -> Column:
-    return ((F.lit(a) * key + F.lit(b)) % F.lit(MINHASH_P)) % F.lit(M_BITS)
+    # key reduces mod p BEFORE the affine map: a < 2^31 and key%p < 2^31
+    # keep a*key under 2^62 — no silent 64-bit overflow for key domains
+    # beyond 2^32 (surrogate ids at real scale)
+    return (
+        (F.lit(a) * (key % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
+    ) % F.lit(M_BITS)
 
 
 def build_bloom(dim: DataFrame, key_col: str) -> DataFrame:

@@ -127,7 +127,10 @@ def triangle_stats(edges: DataFrame, *, src: str = "u", dst: str = "v") -> DataF
     against the oriented edge set.
 
     ``edges``: undirected distinct pairs (src < dst by id is fine —
-    orientation is recomputed here). Returns ONE row:
+    orientation is recomputed here). Node ids must fit in 32 bits —
+    the total-order key packs (degree, id) into one BIGINT
+    (deg * 2^32 + id); at larger id domains densely re-label first
+    (one dense-rank pass at ingest). Returns ONE row:
     (n_nodes, n_edges, n_wedges, n_triangles, transitivity) where
     n_wedges = Σ C(deg, 2) and transitivity = 3*T / W (0 when W = 0).
     """

@@ -780,7 +780,7 @@ def _bloom_sql() -> str:
     coeffs = textfns.minhash_coeffs(K_HASHES, seed=BLOOM_SEED)
     p = textfns.MINHASH_P
     values = ", ".join(f"({a}::BIGINT, {b}::BIGINT)" for a, b in coeffs)
-    pos = f"(c.a * o.o_custkey + c.b) % {p} % {M_BITS}"
+    pos = f"(c.a * (o.o_custkey % {p}) + c.b) % {p} % {M_BITS}"
     return f"""
 WITH coeffs(a, b) AS (VALUES {values}),
 keys AS (
@@ -788,9 +788,9 @@ keys AS (
   WHERE c_mktsegment = 'BUILDING'
 ),
 bloom AS (
-  SELECT ((c.a * k.key + c.b) % {p} % {M_BITS}) // {WORD_BITS} AS w,
+  SELECT ((c.a * (k.key % {p}) + c.b) % {p} % {M_BITS}) // {WORD_BITS} AS w,
          bit_or(1::BIGINT <<
-                (((c.a * k.key + c.b) % {p} % {M_BITS}) % {WORD_BITS})::INT)
+                (((c.a * (k.key % {p}) + c.b) % {p} % {M_BITS}) % {WORD_BITS})::INT)
            AS bits
   FROM keys k CROSS JOIN coeffs c GROUP BY 1
 ),
