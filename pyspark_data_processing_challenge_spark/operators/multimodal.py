@@ -1334,14 +1334,20 @@ def plant_audio_payloads(df: DataFrame, id_col: str) -> DataFrame:
     every sample is an arithmetic function of the id
     (:func:`audio_pcm_samples`), so a feature-extraction oracle can
     recompute what a genuine decode must hear. Arrow-batched UDF."""
+    import numpy as np
+
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
     def _gen(ids: pd.Series) -> pd.Series:
         def make(i: int) -> bytes:
-            sr, samples = audio_pcm_samples(i)
-            pcm = struct.pack(f"<{len(samples)}h", *samples)
-            return encode_wav(sr, len(samples), pcm=pcm)
+            # numpy evaluation of the audio_pcm_samples formula (same
+            # values — the scalar reference stays for tests/oracle)
+            sr = 8000 + (i % 4) * 2000
+            n = (i % 8 + 2) * 250
+            step = i % 7 + 3
+            s = (np.arange(n, dtype=np.int64) * step + i * 11) % 2048 - 1024
+            return encode_wav(sr, n, pcm=s.astype("<i2").tobytes())
 
         return ids.map(lambda i: make(int(i)))
 
