@@ -1070,10 +1070,20 @@ def _phash_raster(bid: int, w: int, h: int, nflip: int) -> bytes:
     """Deterministic per-id raster (id-dependent so distinct ids get
     distinct images): pixel = (x*31 + y*17 + bid*13) % 256, with the
     first ``nflip`` dHash row-sample pixels at x=0 brightened by 125 —
-    a formulaic perturbation that flips at most ``nflip`` hash bits."""
-    pix = bytearray(
-        (x * 31 + y * 17 + bid * 13) % 256 for y in range(h) for x in range(w)
-    )
+    a formulaic perturbation that flips at most ``nflip`` hash bits.
+    Evaluated as one numpy outer sum (the corpus plants run this for
+    every image; the scalar formula stays in this docstring and the
+    query oracles)."""
+    import numpy as np
+
+    pix = (
+        np.add.outer(
+            np.arange(h, dtype=np.int64) * 17,
+            np.arange(w, dtype=np.int64) * 31,
+        )
+        + bid * 13
+    ) % 256
+    pix = bytearray(pix.astype(np.uint8).tobytes())
     for j in range(nflip):
         p = (j * h // 8) * w
         pix[p] = (pix[p] + 125) % 256
