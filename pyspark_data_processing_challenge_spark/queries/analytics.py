@@ -466,7 +466,48 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROLLING_DISTINCT_SQL = """
+def rolling_7d_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH twin of rolling_7d_distinct_users: one HLL sketch per
+    day (lgConfigK pinned, the sketch_merge_distinct stance), then each
+    day's trailing-7-day estimate is a register-wise UNION of seven
+    day sketches over a day-range window — the window runs on the
+    POST-AGGREGATION day table (#days rows, not raw events), which is
+    where a 100 TB deployment keeps per-partition sketch columns. The
+    contract output (exact count + within-10% boolean per day, exact
+    values shared with the bounded-fanout twin's oracle) hash-verifies
+    even though raw HLL estimates are library-specific."""
+    lg_k = 12
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    per_day = e.groupBy("d").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1990-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    est = per_day.select(
+        F.col("d").alias("day"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sk", F.lit(False)).over(w)
+        ).alias("est"),
+    )
+    exact = rolling_7d_distinct_users(spark, sf_dir)
+    # exact fans to EVERY trailing day incl. days with no events of
+    # their own; the sketch table only has active days — inner join
+    # compares where both are defined
+    return exact.join(est, "day").select(
+        "day",
+        "n_users_7d",
+        (
+            F.abs(F.col("est") - F.col("n_users_7d"))
+            <= F.lit(0.1) * F.col("n_users_7d").cast("double")
+        ).alias("est_within_10pct"),
+    )
+
+
+_ROLLING_DISTINCT_CTE = """
 WITH e AS (
   SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
 ),
@@ -476,6 +517,19 @@ fan AS (
   FROM e, mx, unnest(range(0, 7)) AS u(i)
   WHERE d + i::INTEGER <= md
 )
+"""
+
+_ROLLING_SKETCH_SQL = (
+    _ROLLING_DISTINCT_CTE
+    + """
+SELECT f.day, count(DISTINCT f.user_id)::BIGINT AS n_users_7d,
+       true AS est_within_10pct
+FROM fan f JOIN (SELECT DISTINCT d FROM e) act ON f.day = act.d
+GROUP BY f.day
+"""
+)
+
+_ROLLING_DISTINCT_SQL = _ROLLING_DISTINCT_CTE + """
 SELECT day, count(DISTINCT user_id)::BIGINT AS n_users_7d
 FROM fan GROUP BY day
 """
@@ -1867,6 +1921,7 @@ QUERIES = {
     "docs_rag_chunks": docs_rag_chunks,
     "orders_gap_fill": orders_gap_fill,
     "rolling_7d_distinct_users": rolling_7d_distinct_users,
+    "rolling_7d_distinct_sketch": rolling_7d_distinct_sketch,
     "nation_trade_pagerank": nation_trade_pagerank,
     "nation_trade_pagerank2": nation_trade_pagerank2,
     "max_concurrent_sessions": max_concurrent_sessions,
@@ -1896,6 +1951,7 @@ ORACLES = {
     "docs_rag_chunks": _CHUNKS_SQL,
     "orders_gap_fill": _GAP_FILL_SQL,
     "rolling_7d_distinct_users": _ROLLING_DISTINCT_SQL,
+    "rolling_7d_distinct_sketch": _ROLLING_SKETCH_SQL,
     "nation_trade_pagerank": _PAGERANK_SQL,
     "nation_trade_pagerank2": _PAGERANK2_SQL,
     "max_concurrent_sessions": _max_concurrent_sql(),
