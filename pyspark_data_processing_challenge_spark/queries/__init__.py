@@ -84,7 +84,8 @@ _VERDICT_PRIORITY = [
     # Queued for the r07 window (window is at its 50-slot cap; local
     # parity still gates them every round): collection_functions,
     # map_functions, target_encode_priority, equi_depth_bins_totalprice,
-    # orders_expectations, purchase_attribution, rolling_7d_distinct_sketch
+    # orders_expectations, purchase_attribution, rolling_7d_distinct_sketch,
+    # momentum_contribution, seasonal_decompose_daily
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)

@@ -1938,8 +1938,183 @@ FROM fl WHERE event_type = 'purchase'
 """
 
 
+CONTRIB_CUR, CONTRIB_PREV = "1996-04-01", "1996-03-01"
+
+
+def momentum_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause decomposition of a metric move — the BI question
+    behind every dashboard spike: WHICH nation drove the month-over-
+    month revenue change? Per-nation revenue for two fixed months
+    (orders→customer→nation, dims broadcast), per-nation delta on
+    exact DECIMAL sums, and each nation's share of the total delta —
+    shares sum to 1 by construction. Fan-in is #nations rows after one
+    monthly aggregate; no windows."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .isin([CONTRIB_CUR, CONTRIB_PREV])
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    per = j.groupBy("n_name").agg(
+        F.sum(
+            F.when(
+                month == F.lit(CONTRIB_CUR).cast("date"),
+                F.col("o_totalprice").cast("decimal(12,2)"),
+            ).otherwise(F.lit(0).cast("decimal(12,2)"))
+        ).alias("cur"),
+        F.sum(
+            F.when(
+                month == F.lit(CONTRIB_PREV).cast("date"),
+                F.col("o_totalprice").cast("decimal(12,2)"),
+            ).otherwise(F.lit(0).cast("decimal(12,2)"))
+        ).alias("prev"),
+    )
+    tot = per.agg(
+        F.sum(F.col("cur") - F.col("prev")).alias("tdelta")
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    delta = F.col("cur") - F.col("prev")
+    return out.select(
+        F.col("n_name").alias("nation"),
+        round_to(F.col("prev").cast("double"), 2).alias("rev_prev"),
+        round_to(F.col("cur").cast("double"), 2).alias("rev_cur"),
+        round_to(delta.cast("double"), 2).alias("delta"),
+        round_to(
+            delta.cast("double") / F.col("tdelta").cast("double"), 6
+        ).alias("share_of_move"),
+    )
+
+
+_CONTRIB_SQL = f"""
+WITH j AS (
+  SELECT n.n_name,
+         date_trunc('month', o.o_orderdate::DATE)::DATE AS month,
+         o.o_totalprice::DECIMAL(12,2) AS dv
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE date_trunc('month', o.o_orderdate::DATE)::DATE
+        IN (DATE '{CONTRIB_CUR}', DATE '{CONTRIB_PREV}')
+),
+per AS (
+  SELECT n_name,
+    sum(CASE WHEN month = DATE '{CONTRIB_CUR}' THEN dv
+             ELSE 0::DECIMAL(12,2) END) AS cur,
+    sum(CASE WHEN month = DATE '{CONTRIB_PREV}' THEN dv
+             ELSE 0::DECIMAL(12,2) END) AS prev
+  FROM j GROUP BY 1
+),
+tot AS (SELECT sum(cur - prev) AS tdelta FROM per)
+SELECT n_name AS nation,
+  {sql_round("prev::DOUBLE", 2)} AS rev_prev,
+  {sql_round("cur::DOUBLE", 2)} AS rev_cur,
+  {sql_round("(cur - prev)::DOUBLE", 2)} AS delta,
+  {sql_round("(cur - prev)::DOUBLE / tdelta::DOUBLE", 6)} AS share_of_move
+FROM per CROSS JOIN tot
+"""
+
+
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) of daily revenue:
+    trend = centered 7-day mean by CALENDAR self-join (gap-correct, no
+    global window), weekly seasonal = per-day-of-week mean of the
+    detrended residual, remainder = the rest. Determinism: all
+    intermediate sums stay in x7 integer-DECIMAL space
+    (residual*7 = 7*rev - trend_sum — exact, merge-order independent);
+    doubles appear only in the final scalar division + rounding, with
+    identical expression trees in the oracle."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    offsets = F.array(*[F.lit(k) for k in range(-3, 4)])
+    fan = daily.select(
+        F.col("rev").alias("orev"),
+        F.explode(offsets).alias("k"),
+        F.col("day"),
+    ).select(F.expr("date_add(day, k)").alias("day"), "orev")
+    trend7 = fan.groupBy("day").agg(
+        F.sum("orev").alias("tsum"), F.count(F.lit(1)).alias("tn")
+    )
+    base = daily.join(trend7, "day").withColumn(
+        "res7",
+        F.when(
+            F.col("tn") == 7,
+            F.col("rev") * F.lit(7) - F.col("tsum"),
+        ),
+    )
+    dow = F.dayofweek("day")
+    seas = (
+        base.filter(F.col("res7").isNotNull())
+        .groupBy(dow.alias("dw"))
+        .agg(
+            F.sum("res7").alias("ssum"),
+            F.count(F.lit(1)).alias("sn"),
+        )
+    )
+    out = base.join(F.broadcast(seas), dow == F.col("dw"), "left")
+    trend = F.col("tsum").cast("double") / F.lit(7.0)
+    seasonal = F.col("ssum").cast("double") / (
+        F.col("sn").cast("double") * F.lit(7.0)
+    )
+    remainder = F.col("rev").cast("double") - trend - seasonal
+    ok = F.col("res7").isNotNull()
+    return out.select(
+        "day",
+        round_to(F.col("rev").cast("double"), 2).alias("revenue"),
+        round_to(F.when(ok, trend), 6).alias("trend"),
+        round_to(F.when(ok, seasonal), 6).alias("seasonal"),
+        round_to(F.when(ok, remainder), 6).alias("remainder"),
+    )
+
+
+_SEASONAL_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day, sum(o_totalprice::DECIMAL(12,2)) AS rev
+  FROM orders GROUP BY 1
+),
+fan AS (
+  SELECT day + k::INTEGER AS day, rev AS orev
+  FROM daily, unnest([-3, -2, -1, 0, 1, 2, 3]) AS u(k)
+),
+trend7 AS (
+  SELECT day, sum(orev) AS tsum, count(*)::BIGINT AS tn
+  FROM fan GROUP BY 1
+),
+base AS (
+  SELECT d.day, d.rev, t.tsum, t.tn,
+         CASE WHEN t.tn = 7 THEN d.rev * 7 - t.tsum END AS res7
+  FROM daily d JOIN trend7 t USING (day)
+),
+seas AS (
+  SELECT dayofweek(day) AS dw, sum(res7) AS ssum, count(*)::BIGINT AS sn
+  FROM base WHERE res7 IS NOT NULL GROUP BY 1
+)
+SELECT b.day,
+  {sql_round("b.rev::DOUBLE", 2)} AS revenue,
+  CASE WHEN b.res7 IS NOT NULL THEN
+    {sql_round("b.tsum::DOUBLE / 7.0", 6)} END AS trend,
+  CASE WHEN b.res7 IS NOT NULL THEN
+    {sql_round("s.ssum::DOUBLE / (s.sn::DOUBLE * 7.0)", 6)} END AS seasonal,
+  CASE WHEN b.res7 IS NOT NULL THEN
+    {sql_round(
+        "b.rev::DOUBLE - b.tsum::DOUBLE / 7.0"
+        " - s.ssum::DOUBLE / (s.sn::DOUBLE * 7.0)",
+        6,
+    )} END AS remainder
+FROM base b LEFT JOIN seas s ON dayofweek(b.day) = s.dw
+"""
+
+
 QUERIES = {
     "copurchase_triangles": copurchase_triangles,
+    "momentum_contribution": momentum_contribution,
+    "seasonal_decompose_daily": seasonal_decompose_daily,
     "purchase_attribution": purchase_attribution,
     "target_encode_priority": target_encode_priority,
     "equi_depth_bins_totalprice": equi_depth_bins_totalprice,
@@ -1973,6 +2148,8 @@ ORACLES = {
     "ab_test_events": _AB_TEST_SQL,
     "event_segment_mutual_info": _MI_SQL,
     "events_mad_outliers": _MAD_SQL,
+    "momentum_contribution": _CONTRIB_SQL,
+    "seasonal_decompose_daily": _SEASONAL_SQL,
     "purchase_attribution": _ATTRIBUTION_SQL,
     "target_encode_priority": _TARGET_ENC_SQL,
     "equi_depth_bins_totalprice": _EDB_SQL,
