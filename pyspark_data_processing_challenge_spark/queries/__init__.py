@@ -85,7 +85,7 @@ _VERDICT_PRIORITY = [
     # parity still gates them every round): collection_functions,
     # map_functions, target_encode_priority, equi_depth_bins_totalprice,
     # orders_expectations, purchase_attribution, rolling_7d_distinct_sketch,
-    # momentum_contribution, seasonal_decompose_daily
+    # momentum_contribution, seasonal_decompose_daily, docs_readability
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)

@@ -67,6 +67,57 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the readability member of the
+    quality-signal family: words per sentence and vowel-group syllable
+    estimates, all JVM regex counts (no UDF), with the classic
+    ``206.835 - 1.015*(W/S) - 84.6*(Syl/W)`` formula in deterministic
+    scalar doubles. Sentence count clamps at 1 (fragments count as one
+    sentence); tokenless docs yield null. The oracle counts the same
+    regexes via regexp_extract_all."""
+    d = spread(t(spark, sf_dir, "documents"))
+    n_words = textfns.token_count(F.col("text"))
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syl = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "long"
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+            * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syl.cast("double") / n_words.cast("double"))
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        round_to(F.when(n_words > 0, flesch), 4).alias("flesch"),
+    )
+
+
+_READABILITY_SQL = f"""
+WITH b AS (
+  SELECT doc_id, {sql_token_count("text")} AS n_words,
+         greatest(length(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         length(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN
+    {sql_round(
+        "206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)"
+        " - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)",
+        4,
+    )} END AS flesch
+FROM b
+"""
+
+
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(
@@ -1949,6 +2000,7 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_lang_id": docs_lang_id,
     "docs_quality": docs_quality,
+    "docs_readability": docs_readability,
     "docs_fingerprint": docs_fingerprint,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_drop_exact": dedup_drop_exact,
@@ -1995,6 +2047,7 @@ ORACLES = {
     "docs_token_stats": _TOKEN_STATS_SQL,
     "docs_lang_id": _LANG_SQL,
     "docs_quality": _QUALITY_SQL,
+    "docs_readability": _READABILITY_SQL,
     "docs_fingerprint": f"SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents",
     "dedup_exact_groups": f"""
         WITH aug AS ({_AUG_SQL})

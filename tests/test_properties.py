@@ -462,3 +462,37 @@ def test_cms_is_one_sided(spark, tokens):
             for d, (a, b) in enumerate(coeffs)
         )
         assert est >= true_c
+
+
+@SETTINGS
+@given(
+    fact=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    dim=st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=8),
+)
+def test_salted_join_equals_plain_join(spark, fact, dim):
+    """Salting must never change the joined row multiset — including
+    dim keys with no fact rows, fact keys with no dim match, and
+    duplicate dim rows (each must still multiply the fact side)."""
+    from collections import Counter
+
+    from pyspark_data_processing_challenge_spark.operators.skew import (
+        salted_join,
+    )
+
+    f = spark.createDataFrame(fact, "k long, payload long")
+    d = spark.createDataFrame([(k, k * 10) for k in dim], "k long, attr long")
+    got = Counter(
+        (r["k"], r["payload"], r["attr"])
+        for r in salted_join(f, d, "k", buckets=4).collect()
+    )
+    want = Counter(
+        (r["k"], r["payload"], r["attr"]) for r in f.join(d, "k").collect()
+    )
+    assert got == want
