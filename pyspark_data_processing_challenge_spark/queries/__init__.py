@@ -85,7 +85,8 @@ _VERDICT_PRIORITY = [
     # parity still gates them every round): collection_functions,
     # map_functions, target_encode_priority, equi_depth_bins_totalprice,
     # orders_expectations, purchase_attribution, rolling_7d_distinct_sketch,
-    # momentum_contribution, seasonal_decompose_daily, docs_readability
+    # momentum_contribution, seasonal_decompose_daily, docs_readability,
+    # funnel_dropoff
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)

@@ -255,6 +255,62 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-to-stage conversion summary over the per-user funnel: how
+    many users reach each ordered stage and the conversion rate from
+    the previous one — the report a growth team reads. One tiny
+    aggregate over the funnel op's per-user rows; rates are exact
+    integer ratios rounded portably."""
+    per_user = events_funnel(spark, sf_dir)
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.sum((F.col("stage") >= k).cast("long")).alias(f"n{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    rows = []
+    names = ["all_users", *FUNNEL_STAGES]
+    for k in range(4):
+        prev = F.col(f"n{k - 1}") if k else F.col("n0")
+        rows.append(
+            F.struct(
+                F.lit(k).alias("stage"),
+                F.lit(names[k]).alias("stage_name"),
+                F.col(f"n{k}").alias("n_users"),
+                F.when(
+                    prev > 0,
+                    round_to(
+                        F.col(f"n{k}").cast("double") / prev.cast("double"), 6
+                    ),
+                ).alias("conversion_from_prev"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def _funnel_dropoff_sql() -> str:
+    names = ["all_users", *FUNNEL_STAGES]
+    selects = []
+    for k in range(4):
+        prev = f"n{k - 1}" if k else "n0"
+        selects.append(
+            f"SELECT {k} AS stage, '{names[k]}' AS stage_name, "
+            f"n{k} AS n_users, "
+            f"CASE WHEN {prev} > 0 THEN "
+            + sql_round(f"n{k}::DOUBLE / {prev}::DOUBLE", 6)
+            + " END AS conversion_from_prev FROM agg"
+        )
+    return (
+        "WITH f AS (" + _FUNNEL_SQL + "), agg AS ("
+        "SELECT count(*)::BIGINT AS n0, "
+        "sum((stage >= 1)::INT)::BIGINT AS n1, "
+        "sum((stage >= 2)::INT)::BIGINT AS n2, "
+        "sum((stage >= 3)::INT)::BIGINT AS n3 FROM f) "
+        + " UNION ALL ".join(selects)
+    )
+
+
 _FUNNEL_SQL = """
 WITH norm AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
@@ -1803,6 +1859,7 @@ QUERIES = {
     "ivfpq_topk": ivfpq_topk,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
+    "funnel_dropoff": funnel_dropoff,
 }
 
 ORACLES = {
@@ -1825,6 +1882,7 @@ ORACLES = {
     "ivfpq_topk": _ivfpq_sql(),
     "orders_pit_acctbal": _pit_sql(),
     "events_funnel": _FUNNEL_SQL,
+    "funnel_dropoff": _funnel_dropoff_sql(),
     "events_arrow_scaled": _ARROW_SQL,
     "orders_zvalue": _ZVALUE_SQL,
     "orders_hilbert": _hilbert_sql(),
