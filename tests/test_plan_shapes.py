@@ -324,3 +324,43 @@ def test_histogram_sketch_is_window_free(spark):
     plan = plans.executed_plan(df)
     assert "Window" not in plan
     assert "Sort [" not in plan or "SortMergeJoin" in plan
+
+
+def test_setsim_has_no_cartesian_product(spark):
+    # prefix filtering must keep candidate generation an equi-join on
+    # shingles — an accidental cross join would be the quadratic trap
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    plan = plans.executed_plan(llm.setsim_prefix_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_probe_and_contract_broadcast(spark):
+    # the 2048-cell sketch and the single-row lossless flag must both
+    # come back as broadcasts — never a shuffle keyed on sketch cells
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    df = advanced.cms_heavy_hitters(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 2
+
+
+def test_contribution_broadcasts_dims(spark):
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.momentum_contribution(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 3  # customer, nation, total
+    assert plans.has_pushed_filters(df)  # the two-month predicate
+
+
+def test_basket_pair_generation_is_join_free(spark):
+    # the array-expression pair enumeration replaced the within-order
+    # self-join: exactly the aggregate exchanges remain, no join nodes
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    plan = plans.executed_plan(analytics.copurchase_triangles(spark, SF_DIR))
+    # the triangle phase's degree/wedge/closure joins and summary
+    # broadcasts remain (8 broadcast joins); the edge build contributes
+    # ZERO joins and nothing sort-merges or goes cartesian
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") <= 8
