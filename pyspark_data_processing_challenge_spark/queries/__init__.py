@@ -86,7 +86,7 @@ _VERDICT_PRIORITY = [
     # map_functions, target_encode_priority, equi_depth_bins_totalprice,
     # orders_expectations, purchase_attribution, rolling_7d_distinct_sketch,
     # momentum_contribution, seasonal_decompose_daily, docs_readability,
-    # funnel_dropoff
+    # funnel_dropoff, sketch_overlap_users, corpus_manifest
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)

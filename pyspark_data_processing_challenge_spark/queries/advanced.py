@@ -453,6 +453,140 @@ FROM events
 """
 
 
+def sketch_overlap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA: estimate the clicker∩purchaser audience via
+    inclusion-exclusion (|A| + |B| - |A∪B|) — the sketch pattern for
+    audience-overlap questions where only per-segment sketch columns
+    are persisted and the raw id sets never co-locate. Contract output:
+    exact distinct counts for both segments and the intersection, plus
+    a within-10% boolean on the estimated overlap (measured 1.1% at
+    sf0.1; lgConfigK pinned like sketch_merge_distinct)."""
+    lg_k = 12
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+
+    def est(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(lg_k))
+            ).alias(name)
+        )
+
+    ests = (
+        est(a, "ea")
+        .crossJoin(F.broadcast(est(b, "eb")))
+        .crossJoin(F.broadcast(est(a.unionByName(b), "eu")))
+    )
+    exacts = (
+        a.distinct()
+        .join(b.distinct(), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .crossJoin(
+            F.broadcast(a.agg(F.countDistinct("user_id").alias("n_a")))
+        )
+        .crossJoin(
+            F.broadcast(b.agg(F.countDistinct("user_id").alias("n_b")))
+        )
+    )
+    out = exacts.crossJoin(F.broadcast(ests))
+    est_inter = F.col("ea") + F.col("eb") - F.col("eu")
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        (
+            F.abs(est_inter - F.col("n_inter").cast("double"))
+            <= F.lit(0.1) * F.col("n_inter").cast("double")
+        ).alias("est_within_10pct"),
+    )
+
+
+_SKETCH_OVERLAP_SQL = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+       (SELECT count(*) FROM b)::BIGINT AS n_b,
+       (SELECT count(*) FROM a JOIN b USING (user_id))::BIGINT AS n_inter,
+       true AS est_within_10pct
+"""
+
+
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD in one row — the summary an LLM data release
+    ships with: corpus size, token volume, language mix cardinality,
+    exact-duplicate rate, and mean quality score. Composes the
+    catalog's own operators (fingerprint dedup, lang-id, quality
+    features) into two aggregate passes; every value exact or
+    portably rounded."""
+    d = spread(t(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        textfns.token_count(F.col("text")).alias("nt"),
+        textfns.lang_id(F.col("text")).alias("lang"),
+        textfns.quality_score(F.col("text")).alias("q"),
+        textfns.fingerprint(F.col("text")).alias("fp"),
+    )
+    base = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        round_to(F.avg("q"), 6).alias("mean_quality"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+    return base.select(
+        "n_docs",
+        "n_tokens",
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "mean_quality",
+        (F.col("n_docs") - F.col("n_unique")).cast("long").alias("n_exact_dups"),
+        round_to(
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+def _manifest_sql() -> str:
+    # reuse llm.py's exact lang-id/quality/fingerprint SQL builders so
+    # tie-breaks and thresholds can't drift from the verified queries
+    from ._util import sql_fingerprint, sql_token_count
+    from .llm import _sql_lang_id, _sql_stop_hits
+
+    quality = f"""
+      (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN list_sum(list_transform({sql_tokens("text")}, t__ -> length(t__)))::DOUBLE
+                / nullif(length({sql_tokens("text")}), 0)::DOUBLE BETWEEN 3 AND 12
+              THEN 0.25 ELSE 0.0 END
+       + CASE WHEN {_sql_stop_hits("en")}::DOUBLE
+                / nullif(length({sql_tokens("text")}), 0)::DOUBLE >= 0.02
+              THEN 0.25 ELSE 0.0 END
+       + CASE WHEN length({sql_tokens("text")}) >= 10 THEN 0.25 ELSE 0.0 END
+      )::DOUBLE"""
+    return f"""
+WITH scores AS (
+  SELECT doc_id, text, {sql_token_count("text")} AS nt,
+    {_sql_stop_hits("en")} AS s_en, {_sql_stop_hits("es")} AS s_es,
+    {_sql_stop_hits("fr")} AS s_fr, {_sql_stop_hits("de")} AS s_de,
+    {quality} AS q,
+    {sql_fingerprint("text")} AS fp
+  FROM documents
+),
+withbest AS (SELECT *, greatest(s_en, s_es, s_fr, s_de) AS __best FROM scores),
+scored AS (SELECT nt, {_sql_lang_id()} AS lang, q, fp FROM withbest)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS n_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       {sql_round("avg(q)", 6)} AS mean_quality,
+       (count(*) - count(DISTINCT fp))::BIGINT AS n_exact_dups,
+       {sql_round(
+           "(count(*) - count(DISTINCT fp))::DOUBLE / count(*)::DOUBLE", 6
+       )} AS dup_rate
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
 # ---------------------------------------------------------------------------
@@ -1851,6 +1985,8 @@ QUERIES = {
     "docs_bm25": docs_bm25,
     "docs_hashed_features": docs_hashed_features,
     "sketch_merge_distinct": sketch_merge_distinct,
+    "sketch_overlap_users": sketch_overlap_users,
+    "corpus_manifest": corpus_manifest,
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_join_prune": bloom_join_prune,
     "histogram_quantile_sketch": histogram_quantile_sketch,
@@ -1874,6 +2010,8 @@ ORACLES = {
     "docs_bm25": _bm25_sql(),
     "docs_hashed_features": _FH_SQL,
     "sketch_merge_distinct": _SKETCH_SQL,
+    "sketch_overlap_users": _SKETCH_OVERLAP_SQL,
+    "corpus_manifest": _manifest_sql(),
     "cms_heavy_hitters": _cms_sql(),
     "bloom_join_prune": _bloom_sql(),
     "histogram_quantile_sketch": _hq_sql(),
