@@ -1,9 +1,12 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+Prints TWO JSON lines — full per-query detail first, then a compact
+FINAL summary line (the driver json-parses the last line and captures
+only a ~2,000-char stdout tail, so the final line is budget-capped):
+  {"metric": "headline_queries_total_wall", "value": <total sec>,
+   "unit": "sec", "sf": <float>, "n_queries": N,
+   "queries": {<slowest 15 only>}}
 
 Each query is fully materialized via a noop write (no driver-side
 collect, no result-transfer skew) after a warm-up of the session; JVM
@@ -331,19 +334,60 @@ def main() -> None:
     streaming = _bench_streaming(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
+    for line in result_lines(times, streaming, sf):
+        print(line)
+    spark.stop()
+
+
+# The external driver captures only the LAST ~2,000 chars of stdout and
+# json-parses the final line. Round 6's single detail line grew past
+# that window (parsed: null — no bench recorded despite rc=0), so the
+# output is now two JSON lines: the full per-query detail first (for
+# humans and git history), then a compact FINAL summary line that must
+# stay well under the capture window forever. FINAL_LINE_BUDGET is
+# asserted by tests/test_bench_output.py; the final line's "queries"
+# dict is truncated to the slowest entries to guarantee the bound no
+# matter how large the headline set grows.
+FINAL_LINE_BUDGET = 1500
+_FINAL_TOP_N = 15
+
+
+def result_lines(times: dict, streaming: dict, sf: float) -> list[str]:
+    """Render bench results as (detail_line, final_line). Pure so the
+    length/round-trip contract is unit-testable without a Spark run."""
+    total = round(sum(times.values()), 3)
+    detail = json.dumps(
+        {
+            "metric": "headline_queries_detail",
+            "queries": times,
+            "streaming": streaming,
+            "sf": sf,
+        }
+    )
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:_FINAL_TOP_N]
+    )
+    final = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(times),
+            "queries": slowest,
+        }
+    )
+    if len(final) > FINAL_LINE_BUDGET:  # belt-and-braces: drop the dict
+        final = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "streaming": streaming,
                 "sf": sf,
+                "n_queries": len(times),
             }
         )
-    )
-    spark.stop()
+    return [detail, final]
 
 
 def _bench_streaming(spark, sf_dir: str) -> dict:

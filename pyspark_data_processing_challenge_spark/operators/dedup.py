@@ -947,6 +947,7 @@ def prefix_filter_pairs(
     shingle_n: int = 3,
     tau_num: int = 3,
     tau_den: int = 5,
+    cache_into: list | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join via PREFIX FILTERING (Bayardo et
     al. WWW 2007 "AllPairs" / Chaudhuri SSJoin): all pairs with n-gram
@@ -969,7 +970,10 @@ def prefix_filter_pairs(
        LEAST skewed shingles in the corpus;
     4. candidates verify with one exact array intersection.
 
-    Returns (id_a, id_b, inter, uni, jac) for verified pairs.
+    Returns (id_a, id_b, inter, uni, jac) for verified pairs. The
+    sorted-shingle frame is persisted (three consumers); pass
+    ``cache_into`` (a list) to receive it for release_caches() in a
+    long-lived session — otherwise LRU eviction bounds it.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -986,6 +990,8 @@ def prefix_filter_pairs(
         )
     )
     per_doc = per_doc.persist()
+    if cache_into is not None:
+        cache_into.append(per_doc)
     size = F.size("gs")
     # prefix length L - ceil(tau*L) + 1, ceil in exact integers
     plen = size - F.floor(

@@ -112,7 +112,13 @@ def cluster_canonical(
     )
 
 
-def triangle_stats(edges: DataFrame, *, src: str = "u", dst: str = "v") -> DataFrame:
+def triangle_stats(
+    edges: DataFrame,
+    *,
+    src: str = "u",
+    dst: str = "v",
+    cache_into: list | None = None,
+) -> DataFrame:
     """Exact triangle count + global clustering coefficient via
     DEGREE-ORIENTED wedge generation (Chiba-Nishizeki / Latapy
     "compact-forward" — the MapReduce formulation of Suri & Vassilvitskii
@@ -127,10 +133,12 @@ def triangle_stats(edges: DataFrame, *, src: str = "u", dst: str = "v") -> DataF
     against the oriented edge set.
 
     ``edges``: undirected distinct pairs (src < dst by id is fine —
-    orientation is recomputed here). Node ids must fit in 32 bits —
-    the total-order key packs (degree, id) into one BIGINT
-    (deg * 2^32 + id); at larger id domains densely re-label first
-    (one dense-rank pass at ingest). Returns ONE row:
+    orientation is recomputed here). Bounds: node ids must fit in 32
+    bits AND every degree must stay below 2^31 — the total-order key
+    packs (degree, id) into one signed BIGINT (deg * 2^32 + id),
+    which overflows past either bound. A node with >= 2^31 distinct
+    neighbors or an id domain wider than 32 bits needs a dense
+    re-label first (one dense-rank pass at ingest). Returns ONE row:
     (n_nodes, n_edges, n_wedges, n_triangles, transitivity) where
     n_wedges = Σ C(deg, 2) and transitivity = 3*T / W (0 when W = 0).
     """
@@ -152,6 +160,11 @@ def triangle_stats(edges: DataFrame, *, src: str = "u", dst: str = "v") -> DataF
         F.when(F.col("ka") < F.col("kb"), F.col("ka")).otherwise(F.col("kb")).alias("s"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("d"),
     ).persist()
+    # dedup.release_caches-compatible hand-back: the oriented edge set
+    # feeds three consumers; callers in long-lived sessions can bound
+    # its cache lifetime explicitly instead of waiting on LRU
+    if cache_into is not None:
+        cache_into.append(oriented)
     wedges = (
         oriented.alias("x")
         .join(oriented.alias("y"), F.col("x.s") == F.col("y.s"))
@@ -163,9 +176,9 @@ def triangle_stats(edges: DataFrame, *, src: str = "u", dst: str = "v") -> DataF
     )
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2))
-        .cast("long")
-        .alias("n_wedges"),
+        # deg*(deg-1) is always even, so integer `div` keeps the wedge
+        # count exact past 2^53 where a double round-trip would not
+        F.expr("sum(deg * (deg - 1)) div 2").alias("n_wedges"),
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     out = base.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))

@@ -260,6 +260,12 @@ def run_expectations(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
                 F.col("n_violations"),
             )
         )
+    if not parts:  # empty rule list: honor the never-raises contract
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule_id int, rule string, column string, "
+            "passed boolean, n_violations long",
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -29,130 +29,124 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- need a (new) verdict this round ---
-    "pq_codes",  # r05 red (canonicalizer crash on raw array) — now flattened
-    "pq_trained_topk",  # new: Lloyd-trained PQ codebook + ADC top-k
-    "image_phash_jpeg_near_dup",  # new: true baseline-JPEG decode recall gate
-    "docs_char_entropy_explode",  # new: unbounded-alphabet entropy twin
-    "docs_bpe_pair_counts",  # new: BPE tokenizer-training pair counts
-    "audio_features",  # new: real PCM decode + peak/ZCR/RMS features
-    "video_frame_stats",  # new: ISO-BMFF sample-table walk + frame sampling
-    "image_resize_thumbs",  # new: true decode + nearest-neighbor resize
-    "cms_heavy_hitters",  # new: mergeable count-min sketch, one-sided contract
-    "bloom_join_prune",  # new: runtime-filter Bloom semi-join pruning
-    "setsim_prefix_pairs",  # new: AllPairs prefix-filter similarity join
-    "copurchase_triangles",  # new: degree-oriented triangle census
-    "docs_bpe_merge_step",  # new: full BPE iteration (count-merge-recount)
-    "histogram_quantile_sketch",  # new: mergeable histogram quantiles
-    "zone_map_pruning",  # new: zone-map data-skipping report
-    "embedding_random_projection",  # new: JL reduction, planted-pair recall
-    "snapshot_drift_report",  # new: two-snapshot stats drift DQ gate
-    "ab_test_events",  # new: Welch t-test from exact DECIMAL stats
-    "audio_transcode_features",  # new: decode->decimate->re-encode loop
-    "video_scene_cuts",  # new: shot-boundary detection over frame stats
-    "zone_map_pruning_2d",  # new: z-tile vs 1D layout skipping for 2D boxes
-    "sql_recursive_hierarchy",  # new: Spark 4 WITH RECURSIVE surface
-    "event_segment_mutual_info",  # new: MI feature-dependence screen
-    "ivm_daily_revenue",  # new: incremental view maintenance contract
-    "image_cross_codec_near_dup",  # new: PNG/JPEG same-raster dedup
-    "events_grouped_center_arrow",  # new: Spark 4 applyInArrow surface
-    "events_mad_outliers",  # new: MAD robust outlier screen
-    "salted_join_revenue",  # new: skew-salted join equivalence
-    "ivf_trained_topk",  # new: Lloyd-trained coarse quantizer + probe
-    # --- new round-6 analytics module ---
-    "cohort_retention",
-    "event_transitions",
-    "regr_price_by_brand",
-    "events_rolling_zscore",
-    "docs_rag_chunks",
-    "orders_gap_fill",
-    "rolling_7d_distinct_users",
-    "nation_trade_pagerank",
-    "max_concurrent_sessions",
-    "rag_chunk_dedup",
-    "rfm_segments",
-    "conversion_lag_histogram",
-    "lineitem_skew_profile",
-    "part_pair_affinity",
-    "top_event_paths",
-    "revenue_mom_yoy",
-    "region_nation_revenue_share",
-    "benford_totalprice",
-    "docs_unigram_surprisal",
-    "split_oov_rate",
-    "nation_trade_pagerank2",
-    # Queued for the r07 window (window is at its 50-slot cap; local
-    # parity still gates them every round): collection_functions,
-    # map_functions, target_encode_priority, equi_depth_bins_totalprice,
-    # orders_expectations, purchase_attribution, rolling_7d_distinct_sketch,
-    # momentum_contribution, seasonal_decompose_daily, docs_readability,
-    # funnel_dropoff, sketch_overlap_users, corpus_manifest
+    # --- round-7 additions (first driver verdict needed) ---
+    # (new queries are appended here as they land this round)
+    # --- queued since round 6 (locally bit-exact green; never had a
+    # driver slot — the r06 window was at its 50-slot cap) ---
+    "collection_functions",
+    "map_functions",
+    "target_encode_priority",
+    "equi_depth_bins_totalprice",
+    "orders_expectations",
+    "purchase_attribution",
+    "rolling_7d_distinct_sketch",
+    "momentum_contribution",
+    "seasonal_decompose_daily",
+    "docs_readability",
+    "funnel_dropoff",
+    "sketch_overlap_users",
+    "corpus_manifest",
+    # --- r01-only verdict tail (VERDICT r06 item 3): every remaining
+    # query whose newest green driver verdict is round 1, re-promoted
+    # so no verdict is older than r02 after this round ---
+    "events_json_stats",
+    "percentiles_by_type",
+    "rollup_lineitem",
+    "array_agg_lineitems",
+    "pivot_event_counts",
+    "semi_join_urgent_customers",
+    "anti_join_quiet_customers",
+    "set_ops_segments",
+    "sql_revenue_by_nation",
+    "window_topk_orders",
+    "dedup_exact_groups",
+    "simhash_values",
+    "docs_fingerprint",
+    "window_ntile_orders",
+    "multimodal_meta",
+    "window_lag_delta",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "embedding_near_dup",
+    "sort_top20_orders",
+    "window_running_total",
+    "events_hourly",
+    "op_equality_filter",
+    "op_sentinel_filter",
+    "op_membership_filter",
+    "op_union_membership",
+    "op_fill_nulls",
+    "op_indicators",
+    "op_date_filter",
+    "op_standardize_units",
+    "op_null_counts",
+    "asof_join_purchases",
+    # --- oldest remaining verdicts (r01+r02) — these five hold the
+    # last window slots; each is swapped back to _ROTATED_OUT when a
+    # round-7 query lands in its place ---
+    "ref_flagship_pipeline",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_lsh_buckets",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
-    # r01-only entries displaced from the 50-slot window by the round-6
-    # analytics additions — oldest verdicts left, re-promote in r07
-    "events_json_stats": "r01",
-    "percentiles_by_type": "r01",
-    "rollup_lineitem": "r01",
-    "array_agg_lineitems": "r01",
-    "pivot_event_counts": "r01",
-    "semi_join_urgent_customers": "r01",
-    "anti_join_quiet_customers": "r01",
-    "set_ops_segments": "r01",
-    "sql_revenue_by_nation": "r01",
-    "window_topk_orders": "r01",
-    "dedup_exact_groups": "r01",
-    "simhash_values": "r01",
-    "docs_fingerprint": "r01",
-    # r01-only, but its scale twin agg_quartiles_orders carries green
-    # r04+r05 verdicts on the shared oracle — lowest re-verify value
-    "window_ntile_orders": "r01",
-    # r01-only; six sibling multimodal queries carry newer verdicts
-    "multimodal_meta": "r01",
-    # r01-only; sibling window ops (window_running_total in-window,
-    # window_rank_stats r02+r05) cover the family
-    "window_lag_delta": "r01",
-    # r01-only; setsim_prefix_pairs (in-window, brute-force oracle)
-    # exercises exact n-gram Jaccard on the same corpus more strictly
-    "ngram_jaccard_pairs": "r01",
-    # r01-only; the Arrow twin shares the IDENTICAL oracle SQL and the
-    # signature math is exercised by minhash_near_dup (r01+r02)
-    "minhash_signatures": "r01",
-    # r01-only; the embedding ANN family (topk/lsh r01+r02, quantize
-    # r04, ivf/pq r05) carries newer verdicts on the same vector math
-    "embedding_near_dup": "r01",
-    # r01-only; TakeOrdered plan pinned by test_top20_uses_take_ordered
-    "sort_top20_orders": "r01",
-    # r01-only; window family covered by window_rank_stats (r02+r05)
-    "window_running_total": "r01",
-    # r01-only; the hourly aggregation is the streaming twins' batch
-    # oracle (tests/test_streaming_multimodal.py) — locally re-proven
-    "events_hourly": "r01",
-    # r01-only simple filter ops; all four are composed inside
-    # ref_flagship_pipeline_keyed, green r02+r05
-    "op_equality_filter": "r01",
-    "op_sentinel_filter": "r01",
-    "op_membership_filter": "r01",
-    "op_union_membership": "r01",
-    "op_fill_nulls": "r01",
-    "op_indicators": "r01",
-    "op_date_filter": "r01",
-    "op_standardize_units": "r01",
-    # r01-only; the one-pass aggregate plan is pinned locally
-    # (test_null_counts_single_pass) and the DQ family has fresh rows
-    "op_null_counts": "r01",
-    # r01-only; the as-of machinery carries newer verdicts via
-    # orders_pit_acctbal (r05) and conversion_lag_histogram (in-window)
-    "asof_join_purchases": "r01",
+    # round-6 window (all 50 green r06 — the first fully green round
+    # at the window cap; rotated out to fund the r07 queue + r01 tail)
+    "pq_codes": "r06",
+    "pq_trained_topk": "r06",
+    "image_phash_jpeg_near_dup": "r06",
+    "docs_char_entropy_explode": "r06",
+    "docs_bpe_pair_counts": "r06",
+    "audio_features": "r06",
+    "video_frame_stats": "r06",
+    "image_resize_thumbs": "r06",
+    "cms_heavy_hitters": "r06",
+    "bloom_join_prune": "r06",
+    "setsim_prefix_pairs": "r06",
+    "copurchase_triangles": "r06",
+    "docs_bpe_merge_step": "r06",
+    "histogram_quantile_sketch": "r06",
+    "zone_map_pruning": "r06",
+    "embedding_random_projection": "r06",
+    "snapshot_drift_report": "r06",
+    "ab_test_events": "r06",
+    "audio_transcode_features": "r06",
+    "video_scene_cuts": "r06",
+    "zone_map_pruning_2d": "r06",
+    "sql_recursive_hierarchy": "r06",
+    "event_segment_mutual_info": "r06",
+    "ivm_daily_revenue": "r06",
+    "image_cross_codec_near_dup": "r06",
+    "events_grouped_center_arrow": "r06",
+    "events_mad_outliers": "r06",
+    "salted_join_revenue": "r06",
+    "ivf_trained_topk": "r06",
+    "cohort_retention": "r06",
+    "event_transitions": "r06",
+    "regr_price_by_brand": "r06",
+    "events_rolling_zscore": "r06",
+    "docs_rag_chunks": "r06",
+    "orders_gap_fill": "r06",
+    "rolling_7d_distinct_users": "r06",
+    "nation_trade_pagerank": "r06",
+    "max_concurrent_sessions": "r06",
+    "rag_chunk_dedup": "r06",
+    "rfm_segments": "r06",
+    "conversion_lag_histogram": "r06",
+    "lineitem_skew_profile": "r06",
+    "part_pair_affinity": "r06",
+    "top_event_paths": "r06",
+    "revenue_mom_yoy": "r06",
+    "region_nation_revenue_share": "r06",
+    "benford_totalprice": "r06",
+    "docs_unigram_surprisal": "r06",
+    "split_oov_rate": "r06",
+    "nation_trade_pagerank2": "r06",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
-    "ref_flagship_pipeline": "r01+r02",
-    "minhash_near_dup": "r01+r02",
-    "simhash_near_dup": "r01+r02",
-    "embedding_topk": "r01+r02",
-    "embedding_lsh_buckets": "r01+r02",
     "near_dup_clusters": "r01+r02",
     "curate_corpus": "r01+r02",
     "minhash_signatures_fast": "r01+r02",

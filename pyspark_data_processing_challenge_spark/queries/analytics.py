@@ -1113,12 +1113,17 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs enumerate as an array expression, so one shuffle replaces a
     self-join's two-sided exchange (fanout still bounded by basket
     size squared; measured ~30% on the copurchase edge build). Item
-    marginals come back as two broadcast joins. Lift arithmetic runs
-    on exact BIGINT counts; ordering ties break on the (part_a,
-    part_b) key, so the top-50 cut is deterministic.
+    marginals come back as two broadcast joins, and the order total
+    arrives as a broadcast single-row aggregate (the repo convention,
+    see rolling_7d_distinct_users) — no eager driver-side action in
+    the query body. Lift arithmetic runs on exact BIGINT counts;
+    ordering ties break on the (part_a, part_b) key, so the top-50
+    cut is deterministic.
     """
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("__n_orders")
+    )
     basket = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
@@ -1150,12 +1155,13 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lift = (
         F.col("n_orders_both").cast("double")
-        * F.lit(float(n_orders))
+        * F.col("__n_orders")
         / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
     )
     return (
         pairs.join(F.broadcast(items), "part_a")
         .join(F.broadcast(items_b), "part_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",

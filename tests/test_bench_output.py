@@ -1,0 +1,70 @@
+"""Contract test for bench.py's stdout format (VERDICT r06 item 1).
+
+The external driver keeps only the last ~2,000 chars of bench.py's
+stdout and json-parses the FINAL line. Round 6's single detail line
+outgrew that window and the round recorded no bench at all
+(BENCH_r06.json parsed: null). This pins the fix: the final line must
+round-trip through json.loads and stay under bench.FINAL_LINE_BUDGET
+no matter how large the headline set grows.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_times(n: int) -> dict[str, float]:
+    # worst-case realistic names: long, and values with 3 decimals
+    return {f"some_extremely_long_query_name_number_{i:04d}": i / 7.0 for i in range(n)}
+
+
+def _fake_streaming() -> dict[str, float]:
+    return {
+        "funnel_wall_sec": 4.806,
+        "funnel_rows_per_sec": 20805.7,
+        "funnel_epochs": 4,
+        "funnel_epoch_ms_avg": 1126.8,
+        "dedup_ingest_wall_sec": 3.131,
+        "dedup_ingest_rows_per_sec": 31939.1,
+        "cms_ingest_rows_per_sec": 53318.0,
+    }
+
+
+def test_final_line_fits_driver_tail_and_round_trips():
+    # current headline size, 3x it, and an absurd 500-query catalog:
+    # the final line must stay bounded in every case
+    for n in (len(bench.HEADLINE), 3 * len(bench.HEADLINE), 500):
+        detail, final = bench.result_lines(_fake_times(n), _fake_streaming(), 0.1)
+        assert len(final) <= bench.FINAL_LINE_BUDGET
+        parsed = json.loads(final)
+        assert parsed["metric"] == "headline_queries_total_wall"
+        assert parsed["unit"] == "sec"
+        assert parsed["n_queries"] == n
+        assert isinstance(parsed["value"], float)
+        # detail line carries the complete per-query map
+        dparsed = json.loads(detail)
+        assert len(dparsed["queries"]) == n
+        assert dparsed["streaming"]["funnel_epochs"] == 4
+
+
+def test_final_line_is_last_and_detail_first():
+    lines = bench.result_lines(_fake_times(10), _fake_streaming(), 0.01)
+    assert len(lines) == 2
+    assert json.loads(lines[-1])["metric"] == "headline_queries_total_wall"
+    assert json.loads(lines[0])["metric"] == "headline_queries_detail"
+
+
+def test_final_line_queries_are_the_slowest():
+    times = _fake_times(40)
+    _, final = bench.result_lines(times, {}, 0.1)
+    parsed = json.loads(final)
+    top = sorted(times.values(), reverse=True)[: len(parsed["queries"])]
+    assert sorted(parsed["queries"].values(), reverse=True) == top
+
+
+def test_total_matches_sum_of_detail():
+    times = _fake_times(25)
+    detail, final = bench.result_lines(times, {}, 0.1)
+    assert json.loads(final)["value"] == round(sum(times.values()), 3)

@@ -191,6 +191,11 @@ def test_run_expectations_counts_planted_violations(spark):
 
     with _pytest.raises(ValueError, match="unknown expectation"):
         run_expectations(df, [{"rule": "nope"}]).collect()
+    # ADVICE r06: an empty rule list must honor the never-raises
+    # contract — empty report, same schema
+    empty = run_expectations(df, [])
+    assert empty.columns == ["rule_id", "rule", "column", "passed", "n_violations"]
+    assert empty.count() == 0
 
 
 def test_operators_md_covers_catalog():
@@ -205,3 +210,13 @@ def test_operators_md_covers_catalog():
     text = open(os.path.join(root, "OPERATORS.md")).read()
     missing = [q for q in entrymod.queries() if q not in text]
     assert not missing, f"queries absent from OPERATORS.md: {missing}"
+    # the header's total must track the live catalog (VERDICT r06
+    # item 5: the count rotted at 114 while the catalog grew to 176)
+    import re
+
+    m = re.search(r"\((\d+) queries total", text)
+    assert m, "OPERATORS.md header no longer states the catalog size"
+    assert int(m.group(1)) == len(entrymod.queries()), (
+        f"OPERATORS.md claims {m.group(1)} queries; catalog has "
+        f"{len(entrymod.queries())} — update the header"
+    )
