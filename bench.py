@@ -97,6 +97,9 @@ HEADLINE = [
     "video_scene_cuts",
     "event_segment_mutual_info",
     "ivf_trained_topk",
+    # round-7 additions
+    "image_rgb_phash_near_dup",
+    "image_rgb_histogram",
 ]
 
 

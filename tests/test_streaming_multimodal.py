@@ -982,3 +982,89 @@ def test_streaming_ivm_ingest_matches_batch(spark, tmp_path):
     sink(spark.read.parquet(str(src / "f1.parquet")), 0)
     after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
     assert after == before
+
+
+def test_png_rgb_roundtrip_all_filters():
+    """encode_png_rgb -> decode_png_rgb must recover the exact
+    interleaved RGB raster through every filter type (bpp=3 offsets)."""
+    import random
+
+    rng = random.Random(21)
+    for w, h in [(16, 16), (9, 8), (48, 31), (1, 5), (23, 11)]:
+        raster = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        for cyc in (False, True):
+            png = multimodal.encode_png_rgb(w, h, raster, filter_cycle=cyc)
+            assert multimodal.decode_png_rgb(png) == (w, h, raster)
+    # gray decoder refuses truecolor and vice versa
+    import pytest as _pytest
+
+    rgb_png = multimodal.encode_png_rgb(4, 4, bytes(48))
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        multimodal.decode_png_gray(rgb_png)
+    gray_png = multimodal.encode_png(4, 4)
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        multimodal.decode_png_rgb(gray_png)
+
+
+def test_jpeg_color_roundtrip_bounded_error():
+    """encode_jpeg_color -> decode_jpeg_color must recover every RGB
+    pixel within the flat-quant + YCbCr-conversion rounding bound
+    (|err| <= 6 measured <= 5 on the planted corpus) at even/odd/
+    degenerate dims; the gray decoder must refuse the 3-component
+    stream and vice versa."""
+    import pytest as _pytest
+
+    for bid in (0, 3, 7, 12):
+        w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+        rgb = multimodal._rgb_plant_raster(bid, w, h, 0).tobytes()
+        jpg = multimodal.encode_jpeg_color(w, h, rgb)
+        w2, h2, dec = multimodal.decode_jpeg_color(jpg)
+        assert (w2, h2) == (w, h)
+        assert max(abs(a - b) for a, b in zip(rgb, dec)) <= 6
+    with _pytest.raises(ValueError, match="single-component"):
+        multimodal.decode_jpeg_gray(jpg)
+    gray_jpg = multimodal.encode_jpeg_gray(8, 8, bytes(range(64)))
+    with _pytest.raises(ValueError, match="3-component"):
+        multimodal.decode_jpeg_color(gray_jpg)
+    assert multimodal.decode_jpeg_color(None) is None
+
+
+def test_rgb_luma_and_dispatch():
+    """decode_raster_luma: BT.601 integer luma for color payloads,
+    pass-through for gray, channel count reported from the real
+    container headers."""
+    bid, nflip = 8, 2
+    w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+    rgb = multimodal._rgb_plant_raster(bid, w, h, 0)
+    png = multimodal.encode_png_rgb(w, h, rgb.tobytes())
+    w2, h2, nc, luma = multimodal.decode_raster_luma(png)
+    assert (w2, h2, nc) == (w, h, 3)
+    # lossless codec: luma must equal the integer formula exactly
+    r = rgb[:, :, 0].astype(int)
+    g = rgb[:, :, 1].astype(int)
+    b = rgb[:, :, 2].astype(int)
+    expect = ((77 * r + 150 * g + 29 * b + 128) >> 8).astype("uint8").tobytes()
+    assert luma == expect
+    gray = multimodal.encode_png(10, 6)
+    assert multimodal.decode_raster_luma(gray)[2] == 1
+    assert multimodal.decode_raster_luma(None) is None
+
+
+def test_rgb_jpeg_phash_planted_pairs_recall():
+    """Every planted COLOR JPEG perturbed copy must sit within Hamming
+    3 of its base after the full 4:4:4 encode -> decode -> luma cycle
+    — the invariant the image_rgb_phash_near_dup oracle pins."""
+    for bid in (0, 4, 8, 20, 44, 96):
+        w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+        base = multimodal.encode_jpeg_color(
+            w, h, multimodal._rgb_plant_raster(bid, w, h, 0).tobytes()
+        )
+        copy = multimodal.encode_jpeg_color(
+            w, h, multimodal._rgb_plant_raster(bid, w, h, bid % 3).tobytes()
+        )
+        _, _, _, lb = multimodal.decode_raster_luma(base)
+        _, _, _, lc = multimodal.decode_raster_luma(copy)
+        hb = multimodal.dhash64(lb, w, h)
+        hc = multimodal.dhash64(lc, w, h)
+        d = bin(hb[0] ^ hc[0]).count("1") + bin(hb[1] ^ hc[1]).count("1")
+        assert d <= 3, (bid, d)
