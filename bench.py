@@ -100,6 +100,7 @@ HEADLINE = [
     # round-7 additions
     "image_rgb_phash_near_dup",
     "image_rgb_histogram",
+    "audio_spectral_features",
 ]
 
 

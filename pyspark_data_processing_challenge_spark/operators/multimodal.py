@@ -2059,6 +2059,115 @@ def audio_feature_batch(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
 
+SPECTRAL_FRAME = 64
+
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("wht_abs_sum", T.LongType(), True),
+        T.StructField("wht_weighted_sum", T.LongType(), True),
+        T.StructField("wht_dominant", T.LongType(), True),
+        T.StructField("wht_rolloff", T.LongType(), True),
+        T.StructField("fft_centroid", T.DoubleType(), True),
+    ]
+)
+
+_WHT_SIGNS = None
+
+
+def _wht_sign_matrix(np):
+    """64x64 Walsh-Hadamard sign matrix S[k,i] = (-1)^popcount(k&i),
+    built once per worker. S @ s is the (unnormalized) WHT — a genuine
+    fast transform (O(n log n) via butterflies; the matrix form is fine
+    at n=64) whose coefficients are EXACT integers, which is what makes
+    the sequency-domain features engine-portable."""
+    global _WHT_SIGNS
+    if _WHT_SIGNS is None:
+        k = np.arange(SPECTRAL_FRAME)
+        pop = np.array(
+            [bin(a & b).count("1") for a in k for b in k], dtype=np.int64
+        ).reshape(SPECTRAL_FRAME, SPECTRAL_FRAME)
+        _WHT_SIGNS = np.where(pop % 2 == 0, 1, -1).astype(np.int64)
+    return _WHT_SIGNS
+
+
+def audio_spectral_batch(df: DataFrame) -> DataFrame:
+    """(media_id, payload) → SPECTRAL features over the first
+    SPECTRAL_FRAME decoded PCM samples (VERDICT r06 item 9), two
+    transform families side by side:
+
+    - Walsh-Hadamard (sequency domain): exact integer coefficients, so
+      the derived features — absolute-magnitude sum, sequency-weighted
+      sum (centroid numerator), dominant sequency (argmax, smallest-k
+      tie-break), and 85% energy rolloff computed with the all-integer
+      test ``100*cum >= 85*total`` — are bit-reproducible by any
+      engine. The sequency centroid derives JVM-side as
+      weighted_sum/abs_sum, so no float crosses the Arrow boundary.
+    - Fourier (numpy rfft): true spectral centroid over the power
+      spectrum Σ k·|X_k|² / Σ|X_k|², bins 1..N/2. Float by nature;
+      rounded at 6 decimals the ~1e-13 cross-engine DFT error is ~1e-7
+      per-value collision risk — the documented tolerance contract.
+
+    numpy inside Arrow batches; clips shorter than the frame are
+    zero-padded (the planted corpus is always longer)."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        signs = _wht_sign_matrix(np)
+        nfr = SPECTRAL_FRAME
+        ks = np.arange(1, nfr // 2 + 1, dtype=np.float64)
+        for pdf in batches:
+            cols = {k: [] for k in AUDIO_SPECTRAL_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                cols["media_id"].append(mid)
+                decoded = decode_wav_pcm(payload)
+                if decoded is None:
+                    for k in AUDIO_SPECTRAL_SCHEMA.fieldNames()[1:]:
+                        cols[k].append(None)
+                    continue
+                sr, ch, frames = decoded
+                s = np.frombuffer(
+                    frames[: len(frames) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)[:nfr]
+                if len(s) < nfr:
+                    s = np.pad(s, (0, nfr - len(s)))
+                w = signs @ s  # exact int64
+                absw = np.abs(w[1:])
+                e = w[1:] * w[1:]
+                tot = int(e.sum())
+                cum = np.cumsum(e)
+                roll = int(np.argmax(100 * cum >= 85 * tot)) + 1 if tot else 0
+                x = np.fft.rfft(s.astype(np.float64))
+                p = (x.real * x.real + x.imag * x.imag)[1 : nfr // 2 + 1]
+                ptot = float(p.sum())
+                cols["sample_rate"].append(sr)
+                cols["wht_abs_sum"].append(int(absw.sum()))
+                cols["wht_weighted_sum"].append(
+                    int((np.arange(1, nfr, dtype=np.int64) * absw).sum())
+                )
+                cols["wht_dominant"].append(int(np.argmax(absw)) + 1)
+                cols["wht_rolloff"].append(roll)
+                cols["fft_centroid"].append(
+                    float((ks * p).sum() / ptot) if ptot else None
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": cols["media_id"],
+                    "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                    "wht_abs_sum": pd.array(cols["wht_abs_sum"], dtype="Int64"),
+                    "wht_weighted_sum": pd.array(
+                        cols["wht_weighted_sum"], dtype="Int64"
+                    ),
+                    "wht_dominant": pd.array(cols["wht_dominant"], dtype="Int64"),
+                    "wht_rolloff": pd.array(cols["wht_rolloff"], dtype="Int64"),
+                    "fft_centroid": pd.array(cols["fft_centroid"], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(fn, AUDIO_SPECTRAL_SCHEMA)
+
+
 def audio_decimate_batch(df: DataFrame, *, factor: int = 2) -> DataFrame:
     """Audio TRANSCODE (binary -> binary, the write-back path): decode
     the PCM, decimate by averaging each ``factor``-sample block

@@ -32,6 +32,7 @@ _VERDICT_PRIORITY = [
     # --- round-7 additions (first driver verdict needed) ---
     "image_rgb_phash_near_dup",  # new: truecolor 4:4:4 JPEG decode recall gate
     "image_rgb_histogram",  # new: bit-exact RGB PNG decode + channel stats
+    "audio_spectral_features",  # new: WHT sequency + FFT centroid features
     # --- queued since round 6 (locally bit-exact green; never had a
     # driver slot — the r06 window was at its 50-slot cap) ---
     "collection_functions",
@@ -87,7 +88,6 @@ _VERDICT_PRIORITY = [
     # round-7 query lands in its place ---
     "ref_flagship_pipeline",
     "minhash_near_dup",
-    "simhash_near_dup",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -146,6 +146,7 @@ _ROTATED_OUT = {
     "nation_trade_pagerank2": "r06",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
+    "simhash_near_dup": "r01+r02",
     "embedding_topk": "r01+r02",
     "embedding_lsh_buckets": "r01+r02",
     "near_dup_clusters": "r01+r02",

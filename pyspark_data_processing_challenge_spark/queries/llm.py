@@ -1532,6 +1532,96 @@ FROM dec
 """
 
 
+def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio features over real PCM decode (VERDICT r06 item
+    9): Walsh-Hadamard sequency features with exact integer arithmetic
+    (dominant sequency, 85% energy rolloff via the all-integer
+    ``100*cum >= 85*total`` test, sequency centroid derived JVM-side
+    from two integer sums) next to a true FFT spectral centroid (numpy
+    rfft power spectrum, rounded 6 — the one tolerance-contract float,
+    ~1e-7 per-value cross-engine risk from the ~1e-13 DFT error). The
+    oracle regenerates the planted waveform and replays both
+    transforms list-wise — the WHT in integers, the DFT with naive
+    cos/sin sums."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.plant_audio_payloads(d, "doc_id")
+    feats = multimodal.audio_spectral_batch(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "wht_abs_sum",
+        "wht_dominant",
+        "wht_rolloff",
+        round_to(
+            F.col("wht_weighted_sum").cast("double")
+            / F.col("wht_abs_sum").cast("double"),
+            6,
+        ).alias("seq_centroid"),
+        round_to(F.col("fft_centroid"), 6).alias("fft_centroid"),
+    )
+
+
+def _audio_spectral_sql() -> str:
+    nfr = 64
+    sign = (
+        "CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(k AS BIGINT)) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id::BIGINT AS media_id,
+         CAST(8000 + (doc_id % 4) * 2000 AS INTEGER) AS sample_rate,
+         doc_id % 7 + 3 AS step
+  FROM documents
+), s AS (
+  SELECT media_id, sample_rate,
+         list_transform(range(0, {nfr}),
+           i -> (i * step + media_id * 11) % 2048 - 1024) AS smp
+  FROM a
+), wht AS (
+  SELECT media_id, sample_rate, smp,
+    list_transform(range(1, {nfr}), k ->
+      list_sum(list_transform(range(0, {nfr}),
+        i -> smp[i+1] * {sign}))) AS wv
+  FROM s
+), feats AS (
+  SELECT media_id, sample_rate, smp,
+    list_transform(wv, x -> abs(x)) AS absv,
+    list_transform(wv, x -> x * x) AS ev
+  FROM wht
+), ints AS (
+  SELECT media_id, sample_rate, smp,
+    list_sum(absv)::BIGINT AS wht_abs_sum,
+    list_sum(list_transform(range(1, {nfr}),
+      k -> k * absv[k]))::BIGINT AS wht_weighted_sum,
+    list_position(absv, list_max(absv))::BIGINT AS wht_dominant,
+    list_filter(range(1, {nfr}),
+      k -> 100 * list_sum(list_slice(ev, 1, k)) >= 85 * list_sum(ev)
+    )[1]::BIGINT AS wht_rolloff
+  FROM feats
+), fft AS (
+  SELECT media_id,
+    list_transform(range(1, {nfr // 2 + 1}), k ->
+      power(list_sum(list_transform(range(0, {nfr}),
+        i -> smp[i+1] * cos(2 * pi() * k * i / {nfr}))), 2)
+      + power(list_sum(list_transform(range(0, {nfr}),
+        i -> smp[i+1] * sin(2 * pi() * k * i / {nfr}))), 2)) AS p
+  FROM ints
+)
+SELECT i.media_id, i.sample_rate, i.wht_abs_sum, i.wht_dominant,
+  i.wht_rolloff,
+  {sql_round("i.wht_weighted_sum::DOUBLE / i.wht_abs_sum::DOUBLE", 6)}
+    AS seq_centroid,
+  {sql_round(
+      "list_sum(list_transform(range(1, " + str(nfr // 2 + 1) + "), "
+      "k -> k * f.p[k])) / list_sum(f.p)", 6
+  )} AS fft_centroid
+FROM ints i JOIN fft f ON i.media_id = f.media_id
+"""
+
+
 VSC_THRESHOLD = 2000
 
 
@@ -2121,6 +2211,7 @@ QUERIES = {
     "multimodal_media_decode": multimodal_media_decode,
     "audio_features": audio_features,
     "audio_transcode_features": audio_transcode_features,
+    "audio_spectral_features": audio_spectral_features,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -2183,6 +2274,7 @@ ORACLES = {
     "multimodal_media_decode": _MULTIMODAL_MEDIA_SQL,
     "audio_features": _AUDIO_FEATURES_SQL,
     "audio_transcode_features": _AUDIO_TRANSCODE_SQL,
+    "audio_spectral_features": _audio_spectral_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,

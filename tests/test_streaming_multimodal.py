@@ -1068,3 +1068,32 @@ def test_rgb_jpeg_phash_planted_pairs_recall():
         hc = multimodal.dhash64(lc, w, h)
         d = bin(hb[0] ^ hc[0]).count("1") + bin(hb[1] ^ hc[1]).count("1")
         assert d <= 3, (bid, d)
+
+
+def test_audio_spectral_features_wht_exact(spark):
+    """audio_spectral_batch: WHT features must match a direct integer
+    recompute of the planted waveform, and the FFT centroid must be
+    finite and inside the bin range."""
+    import numpy as np
+
+    d = spark.range(24).select(F.col("id").alias("doc_id"))
+    media = multimodal.plant_audio_payloads(d, "doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.audio_spectral_batch(media).collect()
+    }
+    nfr = multimodal.SPECTRAL_FRAME
+    signs = multimodal._wht_sign_matrix(np)
+    for bid in (0, 3, 11, 23):
+        sr, samples = multimodal.audio_pcm_samples(bid)
+        s = np.array(samples[:nfr], dtype=np.int64)
+        w = signs @ s
+        absw = np.abs(w[1:])
+        r = rows[bid]
+        assert r["sample_rate"] == sr
+        assert r["wht_abs_sum"] == int(absw.sum())
+        assert r["wht_dominant"] == int(np.argmax(absw)) + 1
+        e = w[1:] * w[1:]
+        cum = np.cumsum(e)
+        assert r["wht_rolloff"] == int(np.argmax(100 * cum >= 85 * e.sum())) + 1
+        assert 1.0 <= r["fft_centroid"] <= nfr / 2
