@@ -101,6 +101,8 @@ HEADLINE = [
     "image_rgb_phash_near_dup",
     "image_rgb_histogram",
     "audio_spectral_features",
+    "ivf_recall_eval",
+    "docs_bigram_surprisal",
 ]
 
 

@@ -33,6 +33,8 @@ _VERDICT_PRIORITY = [
     "image_rgb_phash_near_dup",  # new: truecolor 4:4:4 JPEG decode recall gate
     "image_rgb_histogram",  # new: bit-exact RGB PNG decode + channel stats
     "audio_spectral_features",  # new: WHT sequency + FFT centroid features
+    "ivf_recall_eval",  # new: recall@k gate of IVF vs exact neighbors
+    "docs_bigram_surprisal",  # new: corpus bigram-LM perplexity proxy
     # --- queued since round 6 (locally bit-exact green; never had a
     # driver slot — the r06 window was at its 50-slot cap) ---
     "collection_functions",
@@ -83,11 +85,6 @@ _VERDICT_PRIORITY = [
     "op_standardize_units",
     "op_null_counts",
     "asof_join_purchases",
-    # --- oldest remaining verdicts (r01+r02) — these five hold the
-    # last window slots; each is swapped back to _ROTATED_OUT when a
-    # round-7 query lands in its place ---
-    "ref_flagship_pipeline",
-    "minhash_near_dup",
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -146,6 +143,8 @@ _ROTATED_OUT = {
     "nation_trade_pagerank2": "r06",
     # rotated in round 6 to make room for the analytics module
     # (each green in both r01 and r02)
+    "ref_flagship_pipeline": "r01+r02",
+    "minhash_near_dup": "r01+r02",
     "simhash_near_dup": "r01+r02",
     "embedding_topk": "r01+r02",
     "embedding_lsh_buckets": "r01+r02",

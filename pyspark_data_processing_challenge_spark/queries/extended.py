@@ -761,6 +761,40 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY GATE: recall@k of the IVF index against the exact
+    brute-force neighbors for the same query set — the evaluation
+    harness every production ANN deployment runs before trusting an
+    approximate index. Per query: how many of the true top-5 cosine
+    neighbors the nprobe=2 IVF probe recovered.
+
+    Scale shape: both sides reuse the existing broadcast-query plans
+    (no corpus shuffle); the recall join runs on two k-row-per-query
+    frames — negligible next to the scans. At 100 TB this is the same
+    query with a sampled query set. Output (query_id, n_hit, recall)
+    is exact-integer + terminating-decimal, hash-stable."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS)
+    queries = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    )
+    approx = similarity.ivf_topk(
+        emb, queries, cent, k=IVF_K, nprobe=IVF_NPROBE
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    exact = similarity.cosine_topk(emb, queries, k=IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        round_to(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.lit(float(IVF_K)),
+            6,
+        ).alias("recall"),
+    )
+
+
 def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration on DataFrames — the iterative-ML shape:
     E-step is the IVF assignment (broadcast codebook, linear scan),
@@ -1039,6 +1073,58 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 )
 
+def _ivf_recall_sql() -> str:
+    return (
+        "WITH"
+        + _IVF_ASSIGN_CTE
+        + f""",
+  q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+  qprobe AS (
+    SELECT query_id, qv, cid AS centroid_id FROM (
+      SELECT q.query_id, q.qv, cent.cid,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="cent.cv")} DESC,
+                                    cent.cid) AS rn
+      FROM q, cent
+    ) WHERE rn <= {IVF_NPROBE}
+  ),
+  cand AS (
+    SELECT qprobe.query_id, qprobe.qv, assigned.vec_id AS neighbor_id,
+           assigned.e
+    FROM qprobe JOIN assigned USING (centroid_id)
+    WHERE qprobe.query_id <> assigned.vec_id
+  ),
+  approx AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY {_IVF_COS.format(a="qv", b="e")} DESC,
+                                    neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= {IVF_K}
+  ),
+  exact AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="v.e")} DESC,
+                                    v.vec_id) AS rank
+      FROM q, v WHERE q.query_id <> v.vec_id
+    ) WHERE rank <= {IVF_K}
+  )
+SELECT e.query_id,
+  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+  {sql_round(
+      "sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / "
+      + str(float(IVF_K)), 6)} AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+    )
+
+
 _IVF_TRAINED_SQL = (
     "WITH"
     + _IVF_ASSIGN_CTE
@@ -1121,6 +1207,7 @@ QUERIES = {
     "date_functions": date_functions,
     "ivf_assignments": ivf_assignments,
     "ivf_topk": ivf_topk,
+    "ivf_recall_eval": ivf_recall_eval,
     "kmeans_update_centroids": kmeans_update_centroids,
     "kmeans_two_step": kmeans_two_step,
     "events_variant_stats": events_variant_stats,
@@ -1205,6 +1292,7 @@ ORACLES = {
     """,
     "ivf_assignments": _IVF_ASSIGN_SQL,
     "ivf_topk": _IVF_TOPK_SQL,
+    "ivf_recall_eval": _ivf_recall_sql(),
     "kmeans_update_centroids": _KMEANS_SQL,
     "kmeans_two_step": _KMEANS2_SQL,
     # same oracle as the JSON-path twin — both decode paths must agree

@@ -2104,6 +2104,125 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average surprisal (bits/bigram) under the corpus
+    BIGRAM language model — the next-order perplexity proxy after
+    docs_unigram_surprisal: P(w2|w1) = c(w1,w2) / c(w1,·) over corpus
+    bigram occurrences, so context makes common-but-predictable text
+    score low where the unigram model cannot. Every in-doc bigram
+    contributes to the corpus counts, so probabilities are never zero
+    and no smoothing constant enters the hashed output.
+
+    Engine-portability: counts are exact BIGINTs; the per-doc float
+    sum Σ tf·log2(c12/c1) runs as a FOLD over the doc's bigram list
+    sorted by (w1, w2) — identical IEEE op sequence in the oracle.
+
+    Scale shape: bigrams come from one zip_with array expression (no
+    positional self-join), then two map-side-combined aggregates, a
+    bigram-keyed join, and one per-doc aggregate — a single extra
+    shuffle versus the unigram model at any corpus size.
+    """
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", textfns.tokens(F.lower(F.col("text"))).alias("tk")
+    )
+    n1 = F.size("tk") - 1
+    pairs = F.when(
+        F.size("tk") < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.zip_with(
+            F.slice("tk", 1, n1),
+            F.slice("tk", 2, n1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    big = toks.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    tf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    terms = (
+        tf.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sort_array(
+                F.collect_list(F.struct("w1", "w2", "tf", "c12", "c1"))
+            ).alias("__terms"),
+        )
+    )
+    folded = -F.aggregate(
+        F.col("__terms"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["tf"].cast("double")
+        * F.log2(s["c12"].cast("double") / s["c1"].cast("double")),
+    )
+    scored = terms.select(
+        "doc_id",
+        "n_bigrams",
+        round_to(folded / F.col("n_bigrams").cast("double"), 6).alias(
+            "avg_surprisal_bits"
+        ),
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "avg_surprisal_bits",
+        )
+    )
+
+
+_BIGRAM_SURPRISAL_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {sql_tokens("lower(text)")} AS toks FROM documents
+),
+big AS (
+  SELECT doc_id, u.w1, u.w2 FROM (
+    SELECT doc_id,
+      unnest(CASE WHEN len(toks) < 2 THEN []
+             ELSE list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])) END) AS u
+    FROM tk
+  )
+),
+tf AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+       FROM big GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+terms AS (
+  SELECT f.doc_id, sum(f.tf)::BIGINT AS n_bigrams,
+         list(struct_pack(w1 := f.w1, w2 := f.w2, tf := f.tf,
+                          c12 := p.c12, c1 := o.c1)
+              ORDER BY f.w1, f.w2) AS ts
+  FROM tf f JOIN c12 p USING (w1, w2) JOIN c1 o USING (w1)
+  GROUP BY f.doc_id
+),
+scored AS (
+  SELECT doc_id, n_bigrams,
+         {sql_round(
+             "-list_reduce(list_prepend(0.0::DOUBLE, "
+             "list_transform(ts, s -> s.tf::DOUBLE * "
+             "log2(s.c12::DOUBLE / s.c1::DOUBLE))), (a, b) -> a + b)"
+             " / n_bigrams::DOUBLE",
+             6,
+         )} AS avg_surprisal_bits
+  FROM terms
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       s.avg_surprisal_bits
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # train/val/test vocabulary-coverage report
 # ---------------------------------------------------------------------------
@@ -2185,6 +2304,7 @@ FROM held GROUP BY split
 
 QUERIES = {
     "docs_unigram_surprisal": docs_unigram_surprisal,
+    "docs_bigram_surprisal": docs_bigram_surprisal,
     "split_oov_rate": split_oov_rate,
     "docs_token_stats": docs_token_stats,
     "docs_lang_id": docs_lang_id,
@@ -2235,6 +2355,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_unigram_surprisal": _SURPRISAL_SQL,
+    "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "split_oov_rate": _OOV_SQL,
     "docs_token_stats": _TOKEN_STATS_SQL,
     "docs_lang_id": _LANG_SQL,
