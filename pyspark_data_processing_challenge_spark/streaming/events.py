@@ -485,6 +485,107 @@ def funnel_state(
     )
 
 
+def funnel_state_buffered(
+    events: DataFrame,
+    *,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """CORRECTNESS-FIRST streaming funnel (VERDICT r06 item 8): the
+    watermark-buffered twin of :func:`funnel_state`. Where the sticky
+    ``ooo`` flag only DETECTS cross-batch disorder, this variant
+    eliminates it: events are buffered in state until the watermark
+    passes them, then folded in EVENT-TIME order — so shuffled
+    micro-batches produce the batch ``operators/temporal.
+    funnel_stages`` result exactly once the watermark clears the data.
+
+    ``events`` MUST carry ``withWatermark("ts", delay)``; the
+    watermark is the completeness contract (Spark guarantees no
+    accepted row is older), so folding the <=-watermark prefix can
+    never need retraction. State is the folded stage slots plus the
+    pending buffer — bounded by the disorder window (events inside the
+    watermark delay), not stream length. Output rows carry
+    ``n_pending`` so consumers can tell settled users (0) from
+    provisional ones.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupState
+
+    n = len(stages)
+    out_schema = (
+        "user_id long, stage int, "
+        + ", ".join(f"t_{s} timestamp" for s in stages)
+        + ", n_pending int"
+    )
+    state_schema = (
+        ", ".join(f"t{i} long" for i in range(n))
+        + ", buf_ts array<long>, buf_et array<string>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            got = state.get
+            cur = list(got[:n])
+            buf_ts = list(got[n] or [])
+            buf_et = list(got[n + 1] or [])
+        else:
+            cur, buf_ts, buf_et = [0] * n, [], []
+        # a timeout invocation (watermark passed a pending event)
+        # arrives with no data frames — fold-only pass
+        frames = [f for f in pdfs if len(f)]
+        if frames:
+            rows = pd.concat(frames, ignore_index=True)
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                buf_ts.append(int(pd.Timestamp(ts).value // 1000))
+                buf_et.append(str(et))
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        mature = sorted(
+            (t, e) for t, e in zip(buf_ts, buf_et) if t <= wm_us
+        )
+        pending = [(t, e) for t, e in zip(buf_ts, buf_et) if t > wm_us]
+        for micros, et in mature:
+            for i, s in enumerate(stages):
+                if (
+                    et == s
+                    and cur[i] == 0
+                    and (i == 0 or (cur[i - 1] != 0 and micros > cur[i - 1]))
+                ):
+                    cur[i] = micros
+                    break
+        state.update(
+            (*cur, [t for t, _ in pending], [e for _, e in pending])
+        )
+        if pending:
+            # re-invoke this user (data or not) once the watermark
+            # passes its oldest buffered event, so buffered rows fold
+            # without requiring fresh data for the key
+            state.setTimeoutTimestamp(
+                max(min(t for t, _ in pending) // 1000 + 1, wm_ms + 1)
+            )
+        stage = 0
+        for i in range(n):
+            if cur[i] != 0:
+                stage = i + 1
+            else:
+                break
+        out = {"user_id": [key[0]], "stage": [stage]}
+        for i, s in enumerate(stages):
+            out[f"t_{s}"] = [
+                pd.Timestamp(cur[i], unit="us") if cur[i] else pd.NaT
+            ]
+        out["n_pending"] = [len(pending)]
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
 def cms_ingest_sink(store_dir: str, key_col: str = "user_id"):
     """Sketch-at-ingest (the streaming face of the CMS family): each
     micro-batch aggregates its keys once and appends its PARTIAL

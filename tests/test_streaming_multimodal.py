@@ -1097,3 +1097,95 @@ def test_audio_spectral_features_wht_exact(spark):
         cum = np.cumsum(e)
         assert r["wht_rolloff"] == int(np.argmax(100 * cum >= 85 * e.sum())) + 1
         assert 1.0 <= r["fft_centroid"] <= nfr / 2
+
+
+def test_buffered_funnel_matches_batch_on_shuffled_batches(spark, tmp_path):
+    """funnel_state_buffered (VERDICT r06 item 8): micro-batches split
+    by event_id hash — NOT event time, so every user's events arrive
+    with cross-batch disorder — must still produce the batch
+    funnel_stages output exactly once the watermark clears the data.
+    The sticky-flag variant can only detect this disorder; the
+    watermark-buffered one corrects it."""
+    import glob as g
+    import os
+    import shutil
+
+    from pyspark_data_processing_challenge_spark.operators import temporal as tp
+    from pyspark_data_processing_challenge_spark.queries._util import events_table
+
+    ev = events_table(spark, SF_DIR).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+
+    def ship(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        shutil.copy(
+            g.glob(str(tmp_path / name / "part-*.parquet"))[0],
+            f"{src}/{name}.parquet",
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "3650 days")
+    )
+    q = (
+        sev.funnel_state_buffered(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_buf")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import datetime as dt
+
+    sentinel = dt.datetime(2040, 1, 1)
+    try:
+        # time-interleaved thirds: each batch spans the whole month, so
+        # every multi-event user sees cross-batch disorder
+        for m in (0, 1, 2):
+            ship(
+                ev.filter(F.col("event_id") % 3 == m).drop("event_id"),
+                f"b{m}",
+            )
+            q.processAllAvailable()
+        # sentinel advances the watermark past all data; the second one
+        # triggers a batch that folds under the advanced watermark
+        for i, s_ts in enumerate(
+            (sentinel, sentinel + dt.timedelta(seconds=1))
+        ):
+            ship(
+                spark.createDataFrame(
+                    [(-1, s_ts, "view")],
+                    "user_id long, ts timestamp, event_type string",
+                ),
+                f"s{i}",
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {}
+    pend = {}
+    for r in spark.sql("SELECT * FROM funnel_buf").collect():
+        got[r.user_id] = (r.stage, r.t_view, r.t_click, r.t_purchase)
+        pend[r.user_id] = r.n_pending
+    got.pop(-1, None)
+    want = {
+        r.user_id: (r.stage, r.t_view, r.t_click, r.t_purchase)
+        for r in tp.funnel_stages(
+            ev,
+            entity_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            stages=["view", "click", "purchase"],
+        ).collect()
+    }
+    assert got == want
+    # every real user settled: no pending rows after the flush
+    assert all(pend[u] == 0 for u in got)
