@@ -103,6 +103,8 @@ HEADLINE = [
     "audio_spectral_features",
     "ivf_recall_eval",
     "docs_bigram_surprisal",
+    "pq_rerank_topk",
+    "docs_containment_pairs",
 ]
 
 
@@ -471,6 +473,18 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                 .writeStream.format("noop")
                 .outputMode("update")
                 .option("checkpointLocation", f"{tmp}/ck_funnel")
+                .start()
+            ),
+        )
+        run(
+            "funnel_buffered",
+            lambda: (
+                sev.funnel_state_buffered(
+                    stream().withWatermark("ts", "1 hour")
+                )
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", f"{tmp}/ck_funnel_buf")
                 .start()
             ),
         )

@@ -939,6 +939,29 @@ def strip_duplicated_spans(
     )
 
 
+def _rarest_sorted_shingles(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(doc_id, gs): each doc's shingle SET sorted rarest-first by
+    (corpus document-frequency, shingle) — the total order that makes
+    the prefix theorem apply, shared by the similarity and containment
+    joins. One aggregate for global df, one per-doc collect."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(textfns.shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("__o"))
+        .select(
+            "doc_id",
+            F.transform(F.col("__o"), lambda x: x["g"]).alias("gs"),
+        )
+    )
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -975,20 +998,7 @@ def prefix_filter_pairs(
     ``cache_into`` (a list) to receive it for release_caches() in a
     long-lived session — otherwise LRU eviction bounds it.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(textfns.shingles(F.col(text_col), shingle_n)).alias("g"),
-    )
-    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        sh.join(dfreq, "g")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("__o"))
-        .select(
-            "doc_id",
-            F.transform(F.col("__o"), lambda x: x["g"]).alias("gs"),
-        )
-    )
+    per_doc = _rarest_sorted_shingles(docs, text_col, id_col, shingle_n)
     per_doc = per_doc.persist()
     if cache_into is not None:
         cache_into.append(per_doc)
@@ -1045,4 +1055,85 @@ def prefix_filter_pairs(
         "id_b",
         F.col("inter").cast("long").alias("inter"),
         F.col("uni").cast("long").alias("uni"),
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    cache_into: list | None = None,
+) -> DataFrame:
+    """Exact ASYMMETRIC set-containment self-join — the contamination
+    / doc-inclusion primitive (benchmark decontamination, quote and
+    boilerplate detection): report (id_a, id_b) whenever B covers at
+    least tau of A's shingle set, |Sh(A) ∩ Sh(B)| >= tau·|Sh(A)|,
+    A != B. Unlike Jaccard similarity there is no length filter — a
+    tiny A can be fully contained in a huge B — so the candidate
+    theorem applies to the CONTAINED side only:
+
+    if B covers tau of A's L shingles it misses at most
+    L - ceil(tau·L), so among A's first L - ceil(tau·L) + 1 shingles
+    (any fixed total order) at least one is in B. A explodes only that
+    PREFIX — rarest-first, so the join keys are the least skewed
+    shingles — while B is indexed in FULL (the posting-list side).
+    Candidates are Σ_A prefix_len(A) · df(g) with df small by
+    rarest-first ordering; verification is one exact array
+    intersection. All-integer threshold math.
+
+    Returns (id_a, id_b, inter, size_a, containment), one row per
+    DIRECTION that passes (A-in-B and B-in-A are separate facts).
+    ``cache_into`` receives the persisted shingle frame
+    (release_caches convention).
+    """
+    per_doc = _rarest_sorted_shingles(docs, text_col, id_col, shingle_n)
+    per_doc = per_doc.persist()
+    if cache_into is not None:
+        cache_into.append(per_doc)
+    size = F.size("gs")
+    plen = size - F.floor(
+        (F.lit(tau_num) * size + F.lit(tau_den - 1)) / F.lit(tau_den)
+    ).cast("int") + F.lit(1)
+    prefix = per_doc.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.slice("gs", 1, plen)).alias("g"),
+    )
+    full = per_doc.select(
+        F.col("doc_id").alias("id_b"), F.explode("gs").alias("g")
+    )
+    cand = (
+        prefix.join(full, "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    joined = (
+        cand.join(
+            per_doc.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a")),
+            "id_a",
+        )
+        .join(
+            per_doc.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    staged = joined.select(
+        "id_a", "id_b", inter.alias("inter"), F.size("gs_a").alias("size_a")
+    )
+    return staged.filter(
+        (F.col("size_a") > 0)
+        & (F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("size_a"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("size_a").cast("long").alias("size_a"),
+        (F.col("inter").cast("double") / F.col("size_a").cast("double")).alias(
+            "__cont_raw"
+        ),
     )

@@ -371,12 +371,16 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     out = _BitWriter()
     prev_dc = 0
+    # batched DCT + quantize + zigzag up front (see encode_jpeg_color —
+    # per-block numpy scalar indexing dominated the loop); bit-identical
+    # to the per-block form (same dgemm per 8x8 slice), pinned by the
+    # decode-checksum test
+    tiles = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    qall = np.round((c @ tiles @ c.T) / _JPEG_QUANT).astype(np.int64)
+    zz_all = qall.reshape(bh, bw, 64)[..., _ZIGZAG].tolist()
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = c @ block @ c.T
-            q = np.round(coef / _JPEG_QUANT).astype(np.int64)
-            zz = [int(q.flat[_ZIGZAG[z]]) for z in range(64)]
+            zz = zz_all[by][bx]
             size, amp = _mag_bits(zz[0] - prev_dc)
             prev_dc = zz[0]
             code, length = dc_codes[size]
@@ -1421,13 +1425,22 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     out = _BitWriter()
     prev_dc = [0, 0, 0]
+    # batched DCT + quantize + zigzag for every block of every plane up
+    # front (per-block numpy scalar indexing dominated the loop); the
+    # Huffman writer then consumes plain-int lists
+    tiles = np.stack(
+        [
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+            for p in padded
+        ],
+        axis=2,
+    )  # (bh, bw, 3, 8, 8)
+    qall = np.round((c @ tiles @ c.T) / _JPEG_QUANT).astype(np.int64)
+    zz_all = qall.reshape(bh, bw, 3, 64)[..., _ZIGZAG].tolist()
     for by in range(bh):
         for bx in range(bw):
             for ci in range(3):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = c @ block @ c.T
-                q = np.round(coef / _JPEG_QUANT).astype(np.int64)
-                zz = [int(q.flat[_ZIGZAG[z]]) for z in range(64)]
+                zz = zz_all[by][bx][ci]
                 size, amp = _mag_bits(zz[0] - prev_dc[ci])
                 prev_dc[ci] = zz[0]
                 code, length = dc_codes[size]
@@ -1567,16 +1580,21 @@ def decode_jpeg_color(payload: bytes | None) -> tuple[int, int, bytes] | None:
     stream = scan.replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00"
     c = _dct_mat()
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in range(3)]
-    zz = np.zeros(64, dtype=np.float64)
+    # pure-Python zigzag buffers in the bit loop; dequantize + IDCT run
+    # as ONE batched numpy pass afterwards (per-block numpy calls cost
+    # more than the math at 8x8)
+    n_blocks = bh * bw
+    allzz = [[0.0] * 64 for _ in range(n_blocks * 3)]
     buf = nbits = pos = 0
     prev_dc = [0, 0, 0]
+    bi = 0
     try:
-        for by in range(bh):
-            for bx in range(bw):
+        for _by in range(bh):
+            for _bx in range(bw):
                 for ci in range(3):
                     dc_lut, ac_lut = luts[ci]
-                    zz[:] = 0.0
+                    zz = allzz[bi]
+                    bi += 1
                     while nbits < 16:
                         buf = (buf << 8) | stream[pos]
                         pos += 1
@@ -1594,7 +1612,11 @@ def decode_jpeg_color(payload: bytes | None) -> tuple[int, int, bytes] | None:
                             nbits += 8
                         amp = (buf >> (nbits - size)) & ((1 << size) - 1)
                         nbits -= size
-                        prev_dc[ci] += _extend(amp, size)
+                        prev_dc[ci] += (
+                            amp
+                            if amp >= (1 << (size - 1))
+                            else amp - (1 << size) + 1
+                        )
                     buf &= (1 << nbits) - 1
                     zz[0] = prev_dc[ci]
                     z = 1
@@ -1629,14 +1651,28 @@ def decode_jpeg_color(payload: bytes | None) -> tuple[int, int, bytes] | None:
                         amp = (buf >> (nbits - size)) & ((1 << size) - 1)
                         nbits -= size
                         buf &= (1 << nbits) - 1
-                        zz[z] = _extend(amp, size)
+                        zz[z] = (
+                            amp
+                            if amp >= (1 << (size - 1))
+                            else amp - (1 << size) + 1
+                        )
                         z += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[_ZIGZAG] = zz * qs[ci]
-                    block = c.T @ coef.reshape(8, 8) @ c
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
     except IndexError:
         raise ValueError("JPEG scan truncated") from None
+    # batched dequantize + IDCT: component ci occupies slots bi%3 == ci
+    zz_arr = np.array(allzz, dtype=np.float64).reshape(n_blocks, 3, 64)
+    qarr = np.stack(qs)  # (3, 64)
+    coefs = np.zeros((n_blocks, 3, 64), dtype=np.float64)
+    coefs[:, :, _ZIGZAG] = zz_arr * qarr[None, :, :]
+    blocks = c.T @ coefs.reshape(n_blocks, 3, 8, 8) @ c
+    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in range(3)]
+    for ci in range(3):
+        planes[ci] = (
+            blocks[:, ci]
+            .reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
     y = planes[0][:h, :w] + 128.0
     cb = planes[1][:h, :w]
     cr = planes[2][:h, :w]

@@ -1393,6 +1393,63 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_SHORTLIST = 25
+
+
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval — the production ANN serving pattern
+    (Jégou TPAMI 2011 §V, every ScaNN/FAISS deployment): stage 1
+    shortlists {PQ_SHORTLIST} candidates by cheap PQ ADC distance
+    (code-table lookups, no raw vectors touched); stage 2 re-ranks
+    ONLY the shortlist with exact squared-L2 against the full query
+    vector and keeps the top-{PQ_TOPK}. At corpus scale the exact math
+    runs on a constant-size candidate set, so recall improves over
+    raw ADC at negligible cost. The final window sorts a bounded
+    {PQ_SHORTLIST}-row frame — never the corpus."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cb = _pq_codebook(spark, sf_dir)
+    codes = similarity.pq_encode(
+        emb, cb, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
+    )
+    qsub = similarity.pq_subvectors(
+        emb.filter(F.col("vec_id") == PQ_QID),
+        vec_col="embedding",
+        id_col="vec_id",
+        m=PQ_M,
+        dsub=PQ_DSUB,
+    ).select("s", F.col("sv").alias("qv"))
+    shortlist = similarity.pq_adc_topk(codes, cb, qsub, k=PQ_SHORTLIST)
+    qv = emb.filter(F.col("vec_id") == PQ_QID).select(
+        F.col("embedding").alias("qfull")
+    )
+    cand = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "id",
+            "adc_dist",
+            similarity._sq_l2(F.col("embedding"), F.col("qfull")).alias(
+                "exact_raw"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("exact_raw"), F.col("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            F.col("id").alias("vec_id"),
+            round_to(F.col("adc_dist"), 6).alias("adc_dist"),
+            round_to(F.col("exact_raw"), 6).alias("exact_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-10 with a LLOYD-TRAINED codebook: the convention
     codebook (first-16 subvectors) is only the k-means init; one Lloyd
@@ -1488,6 +1545,50 @@ SELECT vec_id, adc_dist FROM (
          {sql_round("adc_dist", 6)} AS rounded
   FROM adc ORDER BY raw_d, id LIMIT {PQ_TOPK}
 ) t(vec_id, raw_d, adc_dist)
+"""
+
+
+_PQ_RERANK_SQL = f"""
+WITH {_PQ_COMMON},
+qsub AS (
+  SELECT s, sv AS qv FROM subs WHERE id = {PQ_QID}
+),
+qtable AS (
+  SELECT cb.s, cb.j, {_sql_sq_l2("qsub.qv", "cb.cv", PQ_DSUB)} AS qd
+  FROM qsub JOIN cb USING (s)
+),
+per_sub AS (
+  SELECT c.id, c.s, q.qd
+  FROM codes c JOIN qtable q ON c.s = q.s AND c.code = q.j
+),
+adc AS (
+  SELECT id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list({{'s': s, 'qd': qd}})), x -> x.qd)),
+           (x, y) -> x + y) AS adc_dist
+  FROM per_sub GROUP BY id
+),
+shortlist AS (
+  SELECT id, adc_dist FROM adc ORDER BY adc_dist, id LIMIT {PQ_SHORTLIST}
+),
+qfull AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {PQ_QID}
+),
+exact AS (
+  SELECT s.id, s.adc_dist,
+         {_sql_sq_l2("v.e", "q.qv", 64)} AS exact_raw
+  FROM shortlist s
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
+    ON v.vec_id = s.id, qfull q
+),
+ranked AS (
+  SELECT id, adc_dist, exact_raw,
+         row_number() OVER (ORDER BY exact_raw, id) AS rank
+  FROM exact
+)
+SELECT id AS vec_id, {sql_round("adc_dist", 6)} AS adc_dist,
+       {sql_round("exact_raw", 6)} AS exact_dist, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {PQ_TOPK}
 """
 
 
@@ -1980,6 +2081,7 @@ QUERIES = {
     "orders_hilbert": orders_hilbert,
     "pq_codes": pq_codes,
     "pq_topk": pq_topk,
+    "pq_rerank_topk": pq_rerank_topk,
     "pq_trained_topk": pq_trained_topk,
     "sessionize_events_native": sessionize_events_native,
     "docs_dup_spans": docs_dup_spans,
@@ -2033,6 +2135,7 @@ ORACLES = {
     "orders_hilbert": _hilbert_sql(),
     "pq_codes": _PQ_CODES_SQL,
     "pq_topk": _PQ_TOPK_SQL,
+    "pq_rerank_topk": _PQ_RERANK_SQL,
     "pq_trained_topk": _PQ_TRAINED_SQL,
     # shares the manual form's oracle — strategies proven identical
     "sessionize_events_native": relational.ORACLES["sessionize_events"],

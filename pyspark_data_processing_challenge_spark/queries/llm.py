@@ -320,6 +320,45 @@ def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact asymmetric set-CONTAINMENT self-join (the contamination /
+    doc-inclusion primitive): every directed pair where B covers >= 4/5
+    of A's 3-gram shingles, found by exploding only A's rarest-first
+    prefix against the full shingle index (operators/dedup.
+    containment_pairs). The oracle is the brute-force quadratic join,
+    so a green hash PROVES the containment prefix filter is complete.
+    Jaccard similarity misses these pairs when B is much larger than A
+    — containment is the right asymmetric question for benchmark
+    decontamination and quote detection."""
+    d = _perturbed_docs(spark, sf_dir)
+    pairs = dedup.containment_pairs(
+        d, "text", "doc_id", shingle_n=3, tau_num=4, tau_den=5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        round_to(F.col("__cont_raw"), 6).alias("containment"),
+    )
+
+
+def _containment_sql() -> str:
+    return f"""
+WITH p AS ({_PERTURB_SQL}),
+s AS (SELECT doc_id, {sql_shingles('text', 3)} AS gs FROM p),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         length(list_intersect(a.gs, b.gs))::BIGINT AS inter,
+         length(a.gs)::BIGINT AS size_a
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+)
+SELECT id_a, id_b, inter, size_a,
+       {sql_round('inter::DOUBLE / size_a::DOUBLE', 6)} AS containment
+FROM pr WHERE size_a > 0 AND 5 * inter >= 4 * size_a
+"""
+
+
 def _setsim_sql() -> str:
     return f"""
 WITH p AS ({_PERTURB_SQL}),
@@ -2322,6 +2361,7 @@ QUERIES = {
     "simhash_near_dup": simhash_near_dup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "setsim_prefix_pairs": setsim_prefix_pairs,
+    "docs_containment_pairs": docs_containment_pairs,
     "embedding_topk": embedding_topk,
     "embedding_near_dup": embedding_near_dup,
     "embedding_lsh_buckets": embedding_lsh_buckets,
@@ -2386,6 +2426,7 @@ ORACLES = {
     "simhash_near_dup": _SIMHASH_ND_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "setsim_prefix_pairs": _setsim_sql(),
+    "docs_containment_pairs": _containment_sql(),
     "embedding_topk": _TOPK_SQL,
     "embedding_near_dup": _EMB_ND_SQL,
     "embedding_lsh_buckets": _sql_lsh_buckets(),

@@ -335,6 +335,29 @@ def test_setsim_has_no_cartesian_product(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_containment_has_no_cartesian_product(spark):
+    # the containment prefix filter explodes only the contained side's
+    # rarest prefix against the full shingle index — candidate
+    # generation must stay an equi-join on shingles, and the final
+    # window-free output must carry no global sort
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    plan = plans.executed_plan(llm.docs_containment_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_pq_rerank_window_is_shortlist_bounded(spark):
+    # the exact re-rank window sorts the 25-row ADC shortlist — a
+    # LIMIT must sit upstream of the single-partition sort so the
+    # global window never sees the corpus
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    df = advanced.pq_rerank_topk(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
 def test_cms_probe_and_contract_broadcast(spark):
     # the 2048-cell sketch and the single-row lossless flag must both
     # come back as broadcasts — never a shuffle keyed on sketch cells
