@@ -220,3 +220,10 @@ def test_operators_md_covers_catalog():
         f"OPERATORS.md claims {m.group(1)} queries; catalog has "
         f"{len(entrymod.queries())} — update the header"
     )
+    # README states the same number in two places — same guard
+    readme = open(os.path.join(root, "README.md")).read()
+    for m2 in re.finditer(r"(\d+)[- ]query catalog|all (\d+) catalog", readme):
+        n = int(m2.group(1) or m2.group(2))
+        assert n == len(entrymod.queries()), (
+            f"README claims {n} queries; catalog has {len(entrymod.queries())}"
+        )
