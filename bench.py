@@ -105,6 +105,7 @@ HEADLINE = [
     "docs_bigram_surprisal",
     "pq_rerank_topk",
     "docs_containment_pairs",
+    "revenue_cusum_shifts",
 ]
 
 

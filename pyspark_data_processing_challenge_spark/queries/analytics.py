@@ -1317,6 +1317,98 @@ LEFT JOIN monthly py ON py.month + INTERVAL 12 MONTH = m.month
 """
 
 
+def revenue_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM change-point statistic over daily revenue — the
+    monitoring primitive that flags level shifts a plain threshold
+    misses. Uses the RECURSION-FREE prefix form: with
+    d_i = m·rev_i − total (mean-centering scaled by the day count m so
+    no division happens), C_i = Σ_{j<=i} d_j, the classic
+    S⁺_i = max(0, S⁺_{i−1} + d_i) equals C_i − min_{j<=i} C_j and
+    S⁻ mirrors with the running max — so the sequential recursion
+    becomes two window functions over EXACT DECIMAL arithmetic; no
+    float exists until the final display division. Shift flags compare
+    m·S against 4·Σ|d| (four mean absolute deviations), all-integer.
+
+    Scale shape: the windows run over the DAY-aggregated series —
+    bounded by the calendar (~2.4k rows; 36.5k for a century), never
+    the fact table. The heavy work is the one daily aggregate; the two
+    scalar aggregates broadcast as single rows. Everything runs in
+    BIGINT cents (a DECIMAL path drifted in the last display digit
+    across engines — DECIMAL-to-double conversion rules differ; int64
+    does not): |C| stays under 2^63 while cents·days² < 9.2e18, i.e.
+    up to ~\\$1.6B/day over a decade — re-aggregate monthly beyond.
+    """
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("revc")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("__m"), F.sum("revc").alias("__total")
+    )
+    d = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "revc",
+        (F.col("revc") * F.col("__m") - F.col("__total")).alias("__d"),
+        "__m",
+    )
+    absd = d.agg(F.sum(F.abs("__d")).alias("__sumabs"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    staged = d.select(
+        "day", "revc", "__m", F.sum("__d").over(w).alias("__c")
+    )
+    spos = F.col("__c") - F.min("__c").over(w)
+    sneg = F.max("__c").over(w) - F.col("__c")
+    staged2 = staged.select(
+        "day", "revc", "__m", spos.alias("__spos"), sneg.alias("__sneg")
+    ).crossJoin(F.broadcast(absd))
+    md = F.col("__m").cast("double")
+    dollars = lambda c: c.cast("double") / md / F.lit(100.0)  # noqa: E731
+    flag = lambda c: (  # identical int64-derived doubles both engines
+        c.cast("double") * md > F.lit(4.0) * F.col("__sumabs").cast("double")
+    )  # noqa: E731
+    return staged2.select(
+        "day",
+        round_to(F.col("revc").cast("double") / F.lit(100.0), 2).alias("rev"),
+        round_to(dollars(F.col("__spos")), 4).alias("cusum_pos"),
+        round_to(dollars(F.col("__sneg")), 4).alias("cusum_neg"),
+        flag(F.col("__spos")).alias("shift_pos"),
+        flag(F.col("__sneg")).alias("shift_neg"),
+    )
+
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS revc
+  FROM orders GROUP BY day
+),
+s AS (SELECT count(*)::BIGINT AS m, sum(revc)::BIGINT AS total FROM daily),
+d AS (SELECT day, revc, revc * s.m - s.total AS dd, s.m AS m FROM daily, s),
+c AS (
+  SELECT day, revc, m,
+         sum(dd) OVER (ORDER BY day)::BIGINT AS c,
+         sum(abs(dd)) OVER ()::BIGINT AS sumabs
+  FROM d
+),
+x AS (
+  SELECT day, revc, m, sumabs,
+         c - min(c) OVER (ORDER BY day) AS spos,
+         max(c) OVER (ORDER BY day) - c AS sneg
+  FROM c
+)
+SELECT day, {sql_round("revc::DOUBLE / 100.0", 2)} AS rev,
+       {sql_round("spos::DOUBLE / m::DOUBLE / 100.0", 4)} AS cusum_pos,
+       {sql_round("sneg::DOUBLE / m::DOUBLE / 100.0", 4)} AS cusum_neg,
+       spos::DOUBLE * m::DOUBLE > 4.0 * sumabs::DOUBLE AS shift_pos,
+       sneg::DOUBLE * m::DOUBLE > 4.0 * sumabs::DOUBLE AS shift_neg
+FROM x
+"""
+
+
 # ---------------------------------------------------------------------------
 # hierarchical ratio-to-parent rollup
 # ---------------------------------------------------------------------------
@@ -2145,6 +2237,7 @@ QUERIES = {
     "part_pair_affinity": part_pair_affinity,
     "top_event_paths": top_event_paths,
     "revenue_mom_yoy": revenue_mom_yoy,
+    "revenue_cusum_shifts": revenue_cusum_shifts,
     "region_nation_revenue_share": region_nation_revenue_share,
     "benford_totalprice": benford_totalprice,
 }
@@ -2177,6 +2270,7 @@ ORACLES = {
     "part_pair_affinity": _AFFINITY_SQL,
     "top_event_paths": _PATHS_SQL,
     "revenue_mom_yoy": _MOM_YOY_SQL,
+    "revenue_cusum_shifts": _CUSUM_SQL,
     "region_nation_revenue_share": _REGION_SHARE_SQL,
     "benford_totalprice": _benford_sql(),
 }
