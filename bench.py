@@ -106,6 +106,7 @@ HEADLINE = [
     "pq_rerank_topk",
     "docs_containment_pairs",
     "revenue_cusum_shifts",
+    "revenue_acf",
 ]
 
 

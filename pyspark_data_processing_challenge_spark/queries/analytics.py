@@ -1409,6 +1409,105 @@ FROM x
 """
 
 
+ACF_MAX_LAG = 14
+
+
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..{max_lag}
+    — the seasonality screen behind every forecasting pipeline (a
+    weekly cycle shows as a lag-7 peak). r_k = Σ d_i·d_{{i+k}} / Σ d_i²
+    over mean-centered values d_i = m·rev_i − total, which are EXACT
+    BIGINT cents-scaled integers (the scaling cancels in the ratio);
+    products run in double over a DAY-SORTED fold so the IEEE op
+    sequence is engine-identical (|d| < 2^53 ⇒ the int→double
+    conversion is exact).
+
+    Scale shape: the daily aggregate is the only fact-table work; the
+    centered series collects into ONE calendar-bounded array row
+    (~2.4k days) and all {max_lag} lag folds are row-local array math
+    — no self-join, no window, one shuffle.
+    """
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("revc")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("__m"), F.sum("revc").alias("__total")
+    )
+    d = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        (F.col("revc") * F.col("__m") - F.col("__total"))
+        .cast("double")
+        .alias("__d"),
+    )
+    series = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "__d"))),
+            lambda x: x["__d"],
+        ).alias("__s")
+    )
+    den = F.aggregate(
+        F.col("__s"), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    lagged = series.select(
+        F.col("__s"),
+        den.alias("__den"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+        ).alias("lag"),
+    )
+    # r_k: fold pairs (s[i], s[i+k]) — zip the array with its k-shifted
+    # self; slice lengths stay positive for any realistic calendar
+    num = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__s"), 1, F.size("__s") - F.col("lag")),
+            F.slice(
+                F.col("__s"),
+                F.col("lag") + 1,
+                F.size("__s") - F.col("lag"),
+            ),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return lagged.select(
+        F.col("lag").cast("long").alias("lag"),
+        round_to(num / F.col("__den"), 6).alias("acf"),
+    )
+
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS revc
+  FROM orders GROUP BY day
+),
+s AS (SELECT count(*)::BIGINT AS m, sum(revc)::BIGINT AS total FROM daily),
+d AS (
+  SELECT day, (revc * s.m - s.total)::DOUBLE AS dd FROM daily, s
+),
+series AS (
+  SELECT list(dd ORDER BY day) AS sv FROM d
+),
+base AS (
+  SELECT sv,
+    list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(sv, v -> v * v)), (a, b) -> a + b) AS den,
+    unnest(range(1, {ACF_MAX_LAG + 1})) AS lag
+  FROM series
+)
+SELECT lag::BIGINT AS lag,
+  {sql_round(
+      "list_reduce(list_prepend(0.0::DOUBLE, "
+      "list_transform(range(1, len(sv) - lag + 1), "
+      "i -> sv[i] * sv[i + lag])), (a, b) -> a + b) / den", 6)} AS acf
+FROM base
+"""
+
+
 # ---------------------------------------------------------------------------
 # hierarchical ratio-to-parent rollup
 # ---------------------------------------------------------------------------
@@ -2238,6 +2337,7 @@ QUERIES = {
     "top_event_paths": top_event_paths,
     "revenue_mom_yoy": revenue_mom_yoy,
     "revenue_cusum_shifts": revenue_cusum_shifts,
+    "revenue_acf": revenue_acf,
     "region_nation_revenue_share": region_nation_revenue_share,
     "benford_totalprice": benford_totalprice,
 }
@@ -2271,6 +2371,7 @@ ORACLES = {
     "top_event_paths": _PATHS_SQL,
     "revenue_mom_yoy": _MOM_YOY_SQL,
     "revenue_cusum_shifts": _CUSUM_SQL,
+    "revenue_acf": _ACF_SQL,
     "region_nation_revenue_share": _REGION_SHARE_SQL,
     "benford_totalprice": _benford_sql(),
 }
