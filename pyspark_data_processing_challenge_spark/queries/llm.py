@@ -2179,8 +2179,15 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = toks.select("doc_id", F.explode(pairs).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    tf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # tokenize ONCE: corpus counts derive from the persisted per-doc tf
+    # aggregate (the tfidf_top_terms pattern — without the cache the
+    # explode stage runs once per marginal)
+    tf = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     terms = (
         tf.join(c12, ["w1", "w2"])
