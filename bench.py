@@ -107,6 +107,7 @@ HEADLINE = [
     "docs_containment_pairs",
     "revenue_cusum_shifts",
     "revenue_acf",
+    "pyds_docs_pushdown",
 ]
 
 

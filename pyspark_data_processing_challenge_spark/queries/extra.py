@@ -648,7 +648,51 @@ FROM events e JOIN med USING (event_type)
 """
 
 
+
+
+def pyds_docs_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 Python DataSource FILTER PUSHDOWN, driver-verified:
+    read the pure-Python connector (sources/pysource) under a doc_id
+    range predicate that the reader CONSUMES — pushFilters narrows
+    partition planning from 8 slices to the 4 intersecting the range,
+    so pruned shards never generate a row (the Python-connector
+    equivalent of parquet partition pruning; pruning itself is pinned
+    by tests/test_sources.py). Aggregates per language over the
+    surviving range. Deliberately sf-independent: the connector is the
+    surface under test, not the corpus; the oracle regenerates the
+    same rows arithmetically."""
+    from ..sources import pysource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+        .filter((F.col("doc_id") >= 500) & (F.col("doc_id") < 1500))
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+
+
+_PYDS_SQL = """
+WITH r AS (SELECT unnest(range(500, 1500)) AS i),
+d AS (
+  SELECT i, ['en', 'de', 'fr', 'es'][i % 4 + 1] AS lang, 3 + i % 5 AS nt
+  FROM r
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(i)::BIGINT AS sum_id,
+       sum(nt)::BIGINT AS n_tokens
+FROM d GROUP BY lang
+"""
+
+
 QUERIES = {
+    "pyds_docs_pushdown": pyds_docs_pushdown,
     "docs_sentences_udtf": docs_sentences_udtf,
     "events_grouped_center": events_grouped_center,
     "events_grouped_center_arrow": events_grouped_center_arrow,
@@ -669,6 +713,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pyds_docs_pushdown": _PYDS_SQL,
     "docs_sentences_udtf": _SENTS_SQL,
     "events_grouped_center": _GROUPED_CENTER_SQL,
     # shares the pandas twin's oracle — both grouped decode paths must agree

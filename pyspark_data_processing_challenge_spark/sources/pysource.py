@@ -48,14 +48,59 @@ class _Slice(InputPartition):
 class SyntheticDocsReader(DataSourceReader):
     def __init__(self, *, rows: int, partitions: int):
         self.rows, self.n_parts = rows, max(1, partitions)
+        # doc_id range narrowed by pushFilters; partitions() plans only
+        # slices intersecting it (a real connector would prune
+        # shards/offset ranges the same way)
+        self.lo, self.hi = 0, rows
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown for Python data sources: CONSUME
+        range/equality predicates on doc_id — applied exactly via the
+        [lo, hi) clip in partitions()/read(), so Spark need not
+        re-evaluate them — and hand every other filter back. Planning
+        sees the narrowed range, so whole partitions disappear before
+        any row is generated."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col is not None and tuple(col) == ("doc_id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            yield f  # not consumed — Spark evaluates it
 
     def partitions(self):
         per = -(-self.rows // self.n_parts)  # ceil
-        return [
-            _Slice(i * per, min((i + 1) * per, self.rows))
-            for i in range(self.n_parts)
-            if i * per < self.rows
-        ]
+        out = []
+        for i in range(self.n_parts):
+            start = max(i * per, self.lo)
+            end = min((i + 1) * per, self.rows, self.hi)
+            if start < end:
+                out.append(_Slice(start, end))
+        # Spark requires >= 1 partition; an empty range yields no rows
+        return out or [_Slice(0, 0)]
 
     def read(self, partition: _Slice):
         for i in range(partition.start, partition.end):

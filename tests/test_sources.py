@@ -362,3 +362,34 @@ def test_orc_round_trip(spark, tmp_path):
     assert back.schema == src.schema
     assert back.exceptAll(src).count() == 0
     assert src.exceptAll(back).count() == 0
+
+
+def test_python_datasource_filter_pushdown_prunes_partitions(spark):
+    """Spark 4.1 pushFilters: a consumed doc_id range must shrink the
+    PLANNED partitions (pruned shards never generate rows), and the
+    filtered result must equal post-hoc filtering of the full read."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_processing_challenge_spark.sources import pysource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pysource.register(spark)
+
+    def rd():
+        return (
+            spark.read.format("synthetic_docs")
+            .option("rows", 2000)
+            .option("partitions", 8)
+            .load()
+        )
+
+    rng = (F.col("doc_id") >= 500) & (F.col("doc_id") < 1500)
+    pushed = rd().filter(rng)
+    assert pushed.rdd.getNumPartitions() == 4  # 8 planned -> 4 survive
+    assert rd().rdd.getNumPartitions() == 8
+    got = sorted(tuple(r) for r in pushed.collect())
+    want = sorted(tuple(r) for r in rd().collect() if 500 <= r[0] < 1500)
+    assert got == want
+    # a non-consumable filter (lang) stays with Spark and still works
+    mixed = rd().filter(rng & (F.col("lang") == "en"))
+    assert mixed.count() == len([r for r in want if r[2] == "en"])
