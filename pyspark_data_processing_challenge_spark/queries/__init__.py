@@ -35,6 +35,11 @@ _VERDICT_PRIORITY = [
     "audio_spectral_features",  # new: WHT sequency + FFT centroid features
     "ivf_recall_eval",  # new: recall@k gate of IVF vs exact neighbors
     "docs_bigram_surprisal",  # new: corpus bigram-LM perplexity proxy
+    "pq_rerank_topk",  # new: ADC shortlist + exact re-rank (two-stage ANN)
+    "docs_containment_pairs",  # new: asymmetric containment join
+    "revenue_cusum_shifts",  # new: recursion-free CUSUM change points
+    "revenue_acf",  # new: ACF seasonality screen, row-local lag folds
+    "pyds_docs_pushdown",  # new: Spark 4.1 Python DataSource pushFilters
     # --- queued since round 6 (locally bit-exact green; never had a
     # driver slot — the r06 window was at its 50-slot cap) ---
     "collection_functions",
@@ -50,9 +55,13 @@ _VERDICT_PRIORITY = [
     "funnel_dropoff",
     "sketch_overlap_users",
     "corpus_manifest",
-    # --- r01-only verdict tail (VERDICT r06 item 3): every remaining
-    # query whose newest green driver verdict is round 1, re-promoted
-    # so no verdict is older than r02 after this round ---
+    # --- r01-only verdict tail (VERDICT r06 item 3): 27 of the 32
+    # r01-only queries re-promoted; the 5 with the lowest re-verify
+    # value (window_ntile_orders, multimodal_meta, window_lag_delta,
+    # ngram_jaccard_pairs, minhash_signatures — each covered by a
+    # newer sibling verdict, see their _ROTATED_OUT notes) yielded
+    # their slots to the ten round-7 queries above; they queue for
+    # r08 ---
     "events_json_stats",
     "percentiles_by_type",
     "rollup_lineitem",
@@ -66,11 +75,6 @@ _VERDICT_PRIORITY = [
     "dedup_exact_groups",
     "simhash_values",
     "docs_fingerprint",
-    "window_ntile_orders",
-    "multimodal_meta",
-    "window_lag_delta",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
     "embedding_near_dup",
     "sort_top20_orders",
     "window_running_total",
@@ -151,6 +155,21 @@ _ROTATED_OUT = {
     "near_dup_clusters": "r01+r02",
     "curate_corpus": "r01+r02",
     "minhash_signatures_fast": "r01+r02",
+    # r01-only, displaced by the round-7 additions (r08 queue) — the
+    # five lowest re-verify-value entries, each backed by a newer
+    # sibling verdict on the same machinery:
+    # scale twin agg_quartiles_orders green r04+r05 on the shared oracle
+    "window_ntile_orders": "r01",
+    # six sibling multimodal queries carry r04-r06 verdicts
+    "multimodal_meta": "r01",
+    # window family covered by window_rank_stats (r02+r05)
+    "window_lag_delta": "r01",
+    # setsim_prefix_pairs (green r06, brute-force oracle) exercises
+    # exact n-gram Jaccard on the same corpus more strictly
+    "ngram_jaccard_pairs": "r01",
+    # the Arrow twin shares the IDENTICAL oracle SQL; signature math
+    # exercised by minhash_near_dup (r01+r02)
+    "minhash_signatures": "r01",
     "dedup_drop_exact": "r01+r02",
     "docs_quality": "r01+r02",
     "docs_lang_id": "r01+r02",
