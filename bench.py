@@ -108,6 +108,8 @@ HEADLINE = [
     "revenue_cusum_shifts",
     "revenue_acf",
     "pyds_docs_pushdown",
+    "spatial_grid_neighbors",
+    "priority_mix_chi2",
 ]
 
 

@@ -89,6 +89,9 @@ _VERDICT_PRIORITY = [
     "op_standardize_units",
     "op_null_counts",
     "asof_join_purchases",
+    # Queued for the r08 window (50 slots full; local bit-exact parity
+    # gates them every round): spatial_grid_neighbors, priority_mix_chi2
+    # + the five displaced r01 entries noted in _ROTATED_OUT
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)

@@ -1508,6 +1508,85 @@ FROM base
 """
 
 
+
+def priority_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for order-priority mix by year —
+    the drift test that answers "did the categorical mix shift?"
+    (market mix, label distribution, A/B ramp checks). Per year:
+    chi2 contribution Sum_p (o - e)^2 / e with expected counts from
+    the year x priority margins; the global statistic is the sum of
+    the rows, dof = (n_years - 1)(n_priorities - 1).
+
+    Portability: every count is exact BIGINT; expected counts and the
+    statistic are doubles derived from those int64s (exact conversion)
+    folded in priority order per year — identical IEEE sequence in the
+    oracle. Scale shape: one map-side-combined count aggregate, two
+    tiny margin aggregates joined back broadcast, one per-year fold.
+    """
+    o = t(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).alias("o_cnt"))
+    rowm = cell.groupBy("yr").agg(F.sum("o_cnt").alias("row_n"))
+    colm = cell.groupBy("pri").agg(F.sum("o_cnt").alias("col_n"))
+    tot = cell.agg(F.sum("o_cnt").alias("grand_n"))
+    joined = (
+        cell.join(F.broadcast(colm), "pri")
+        .join(rowm, "yr")
+        .crossJoin(F.broadcast(tot))
+    )
+    per_year = joined.groupBy("yr", "row_n", "grand_n").agg(
+        F.sort_array(
+            F.collect_list(F.struct("pri", "o_cnt", "col_n"))
+        ).alias("__cells")
+    )
+    gn = F.col("grand_n").cast("double")
+    rn = F.col("row_n").cast("double")
+    chi2 = F.aggregate(
+        F.col("__cells"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (
+            (s["o_cnt"].cast("double") - rn * s["col_n"].cast("double") / gn)
+            * (s["o_cnt"].cast("double") - rn * s["col_n"].cast("double") / gn)
+        )
+        / (rn * s["col_n"].cast("double") / gn),
+    )
+    return per_year.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("row_n").cast("long").alias("n_orders"),
+        round_to(chi2, 6).alias("chi2_contrib"),
+    )
+
+
+_CHI2_SQL = f"""
+WITH cell AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority AS pri,
+         count(*)::BIGINT AS o_cnt
+  FROM orders GROUP BY yr, pri
+),
+rowm AS (SELECT yr, sum(o_cnt)::BIGINT AS row_n FROM cell GROUP BY yr),
+colm AS (SELECT pri, sum(o_cnt)::BIGINT AS col_n FROM cell GROUP BY pri),
+tot AS (SELECT sum(o_cnt)::BIGINT AS grand_n FROM cell),
+per AS (
+  SELECT c.yr, r.row_n, t.grand_n,
+         list(struct_pack(pri := c.pri, o_cnt := c.o_cnt, col_n := m.col_n)
+              ORDER BY c.pri, c.o_cnt, m.col_n) AS cells
+  FROM cell c JOIN colm m USING (pri) JOIN rowm r USING (yr), tot t
+  GROUP BY c.yr, r.row_n, t.grand_n
+)
+SELECT yr::BIGINT AS yr, row_n AS n_orders,
+  {sql_round(
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(cells, "
+      "s -> (s.o_cnt::DOUBLE - row_n::DOUBLE * s.col_n::DOUBLE / grand_n::DOUBLE)"
+      " * (s.o_cnt::DOUBLE - row_n::DOUBLE * s.col_n::DOUBLE / grand_n::DOUBLE)"
+      " / (row_n::DOUBLE * s.col_n::DOUBLE / grand_n::DOUBLE))), "
+      "(a, b) -> a + b)", 6)} AS chi2_contrib
+FROM per
+"""
+
+
 # ---------------------------------------------------------------------------
 # hierarchical ratio-to-parent rollup
 # ---------------------------------------------------------------------------
@@ -2338,6 +2417,7 @@ QUERIES = {
     "revenue_mom_yoy": revenue_mom_yoy,
     "revenue_cusum_shifts": revenue_cusum_shifts,
     "revenue_acf": revenue_acf,
+    "priority_mix_chi2": priority_mix_chi2,
     "region_nation_revenue_share": region_nation_revenue_share,
     "benford_totalprice": benford_totalprice,
 }
@@ -2372,6 +2452,7 @@ ORACLES = {
     "revenue_mom_yoy": _MOM_YOY_SQL,
     "revenue_cusum_shifts": _CUSUM_SQL,
     "revenue_acf": _ACF_SQL,
+    "priority_mix_chi2": _CHI2_SQL,
     "region_nation_revenue_share": _REGION_SHARE_SQL,
     "benford_totalprice": _benford_sql(),
 }

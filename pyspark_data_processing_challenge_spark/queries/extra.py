@@ -691,7 +691,86 @@ FROM d GROUP BY lang
 """
 
 
+
+
+SPATIAL_RADIUS = 2000  # metres; grid cell side == radius
+
+
+def spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance join via GRID BUCKETING (operators/spatial):
+    plant deterministic planar coordinates (integer metres in a 100 km
+    square) for suppliers and customers, find every customer within
+    {radius} m of each supplier through a 3x3 cell-neighborhood
+    equi-join — candidates linear in the data, never the cross join —
+    and report per supplier the count, the nearest customer
+    (tie-break on key), and its exact squared distance. All integer
+    arithmetic; the oracle is the brute-force quadratic join, so a
+    green hash proves the grid join is complete. Real geodesic data
+    swaps the verify for haversine; the bucketing algebra stands."""
+    from ..operators import spatial
+
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919) % 100000).alias("x"),
+        ((F.col("s_suppkey") * 104729) % 100000).alias("y"),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7907) % 100000).alias("x"),
+        ((F.col("c_custkey") * 104717) % 100000).alias("y"),
+    )
+    pairs = spatial.grid_neighbors(
+        sup, cust, id_left="s_suppkey", id_right="c_custkey",
+        radius=SPATIAL_RADIUS,
+    )
+    agg = pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.min(F.struct("dist2", "c_custkey")).alias("__nearest"),
+    )
+    return (
+        sup.select("s_suppkey")
+        .join(agg, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce(F.col("n_within"), F.lit(0)).cast("long").alias("n_within"),
+            F.col("__nearest.c_custkey").alias("nearest_cust"),
+            F.col("__nearest.dist2").alias("min_dist2"),
+        )
+    )
+
+
+_SPATIAL_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey, (s_suppkey * 7919) % 100000 AS x,
+         (s_suppkey * 104729) % 100000 AS y
+  FROM supplier
+),
+c AS (
+  SELECT c_custkey, (c_custkey * 7907) % 100000 AS x,
+         (c_custkey * 104717) % 100000 AS y
+  FROM customer
+),
+pr AS (
+  SELECT * FROM (
+    SELECT s.s_suppkey, c.c_custkey,
+           (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS d2
+    FROM s, c
+  ) WHERE d2 <= {SPATIAL_RADIUS * SPATIAL_RADIUS}
+),
+agg AS (
+  SELECT s_suppkey, count(*)::BIGINT AS n_within,
+         (array_agg(c_custkey ORDER BY d2, c_custkey))[1] AS nearest_cust,
+         min(d2)::BIGINT AS min_dist2
+  FROM pr GROUP BY s_suppkey
+)
+SELECT s.s_suppkey, coalesce(a.n_within, 0)::BIGINT AS n_within,
+       a.nearest_cust, a.min_dist2
+FROM s LEFT JOIN agg a USING (s_suppkey)
+"""
+
+
 QUERIES = {
+    "spatial_grid_neighbors": spatial_grid_neighbors,
     "pyds_docs_pushdown": pyds_docs_pushdown,
     "docs_sentences_udtf": docs_sentences_udtf,
     "events_grouped_center": events_grouped_center,
@@ -713,6 +792,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "spatial_grid_neighbors": _SPATIAL_SQL,
     "pyds_docs_pushdown": _PYDS_SQL,
     "docs_sentences_udtf": _SENTS_SQL,
     "events_grouped_center": _GROUPED_CENTER_SQL,
