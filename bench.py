@@ -110,6 +110,7 @@ HEADLINE = [
     "pyds_docs_pushdown",
     "spatial_grid_neighbors",
     "priority_mix_chi2",
+    "join_revenue_by_nation_shj",
 ]
 
 

@@ -55,6 +55,29 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def join_revenue_by_nation_shj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-HASH-JOIN twin of join_revenue_by_nation (shared
+    oracle — the two physical strategies must agree bit-for-bit): the
+    customer side carries a shuffle_hash hint, trading the sort-merge
+    join's two sorts for a build-side hash table. The right strategy
+    at scale when one side is much smaller than the other but too big
+    to broadcast, and the plan surface (SMJ vs SHJ vs BHJ) the
+    optimizer chooses among — pinned by tests/test_plan_shapes.py."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").hint("shuffle_hash")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            round_to(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same revenue rollup expressed through the SQL API surface
     (temp views + spark.sql) — Catalyst compiles both to the same plan;
@@ -253,6 +276,7 @@ _REVENUE_SQL = f"""
 QUERIES = {
     "agg_pricing_summary": agg_pricing_summary,
     "join_revenue_by_nation": join_revenue_by_nation,
+    "join_revenue_by_nation_shj": join_revenue_by_nation_shj,
     "sql_revenue_by_nation": sql_revenue_by_nation,
     "window_topk_orders": window_topk_orders,
     "window_running_total": window_running_total,
@@ -281,6 +305,8 @@ ORACLES = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "join_revenue_by_nation": _REVENUE_SQL,
+    # SHJ twin shares the oracle: both physical strategies must agree
+    "join_revenue_by_nation_shj": _REVENUE_SQL,
     # same oracle — the SQL-API query computes the identical rollup
     "sql_revenue_by_nation": _REVENUE_SQL,
     "window_topk_orders": """

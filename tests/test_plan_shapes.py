@@ -387,3 +387,17 @@ def test_basket_pair_generation_is_join_free(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") == 0
     assert plan.count("BroadcastHashJoin") <= 8
+
+
+def test_shj_twin_uses_shuffled_hash_join(spark):
+    # the shuffle_hash hint must survive planning: the customer join
+    # runs as ShuffledHashJoin (not SortMergeJoin), while the nation
+    # side stays broadcast — the third physical join strategy proven
+    # result-equal through the shared oracle
+    from pyspark_data_processing_challenge_spark.queries import relational
+
+    plan = plans.executed_plan(
+        relational.join_revenue_by_nation_shj(spark, SF_DIR)
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
