@@ -111,6 +111,7 @@ HEADLINE = [
     "spatial_grid_neighbors",
     "priority_mix_chi2",
     "join_revenue_by_nation_shj",
+    "image_tri_codec_near_dup",
 ]
 
 

@@ -634,9 +634,9 @@ def _jpeg_scan_decode(stream, lut_list, bw, bh, w, h, q, c, out, zz, np):
 
 def decode_raster(payload: bytes | None) -> tuple[int, int, bytes] | None:
     """Format-dispatching raster decode: PNG (lossless zlib/unfilter
-    path) or baseline JPEG (DCT path) by signature. The single entry
-    point the pHash pipeline uses — JPEG corpora now get true pixels
-    instead of the r05 header-only guard."""
+    path), baseline JPEG (DCT path), or GIF (LZW path) by signature.
+    The single entry point the pHash pipeline uses — JPEG corpora now
+    get true pixels instead of the r05 header-only guard."""
     if payload is None:
         return None
     b = bytes(payload)
@@ -644,12 +644,185 @@ def decode_raster(payload: bytes | None) -> tuple[int, int, bytes] | None:
         return decode_png_gray(b)
     if b[:2] == b"\xff\xd8":
         return decode_jpeg_gray(b)
-    raise ValueError("unsupported raster format (PNG/JPEG only)")
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_gray(b)
+    raise ValueError("unsupported raster format (PNG/JPEG/GIF only)")
 
 
 def encode_gif(width: int, height: int) -> bytes:
     """Minimal GIF89a: header + logical screen descriptor + trailer."""
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+
+
+def _lzw_gif_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF LZW compression (the deflate-free half of GIF89a):
+    variable-width codes packed LSB-first, CLEAR emitted up front and
+    whenever the dictionary hits 4096, EOI at the end. Bit-width bumps
+    when the next free code would overflow the current width — the
+    exact mirror of the decoder below."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    cur = b""
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = nxt[-1:]
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_gif_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF LZW decompression, including the KwKwK self-reference case
+    and mid-stream CLEAR handling."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    acc = nbits = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("bad GIF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def encode_gif_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """A fully valid GIF89a for an 8-bit grayscale raster: global
+    color table of 256 identity-gray entries, one image block, REAL
+    LZW-compressed index stream in 255-byte sub-blocks — any compliant
+    decoder reads it (the raster IS the palette indices). Replaces the
+    structural-only ``encode_gif`` wherever decoded pixels matter."""
+    if len(pixels) != width * height:
+        raise ValueError(f"raster size {len(pixels)} != {width}x{height}")
+    lsd = struct.pack("<HH", width, height) + b"\xf7\x00\x00"
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    lzw = _lzw_gif_encode(bytes(pixels), 8)
+    blocks = bytearray(b"\x08")
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return b"GIF89a" + lsd + gct + desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif_gray(payload: bytes | None) -> tuple[int, int, bytes] | None:
+    """REAL raster decode of a grayscale (identity-palette) GIF:
+    logical-screen walk, global color table, extension-block skip,
+    sub-block reassembly, LZW decompression, palette lookup (gray =
+    red channel). Raises on interlaced images, local color tables, or
+    index streams of the wrong length; None for null payloads."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    i = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = b[i : i + 3 * n]
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:
+            left, top, iw, ih = struct.unpack("<HHHH", b[i + 1 : i + 9])
+            ipacked = b[i + 9]
+            i += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise ValueError("sub-frame GIF unsupported")
+            min_code = b[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(b) and b[i] != 0:
+                ln = b[i]
+                lzw += b[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            if palette is None:
+                raise ValueError("GIF missing color table")
+            idx = _lzw_gif_decode(bytes(lzw), min_code)
+            if len(idx) != w * h:
+                raise ValueError(
+                    f"GIF indices {len(idx)}, want {w * h}"
+                )
+            # gray value = palette red channel of each index
+            return w, h, bytes(palette[3 * k] for k in idx)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF missing image data (structural stub?)")
 
 
 # --------------------------------------------------------------------------
@@ -1171,6 +1344,42 @@ def plant_cross_codec_corpus(df: DataFrame, id_col: str) -> DataFrame:
         (F.col("media_id") + CROSS_CODEC_OFFSET).alias("media_id")
     )
     corpus = _spread_ids(ids.unionByName(copies), "media_id")
+    return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+def plant_tri_codec_corpus(df: DataFrame, id_col: str) -> DataFrame:
+    """Triple-codec duplicate corpus: every CROSS_CODEC_EVERY-th id
+    appears as the SAME planted raster encoded three ways — PNG (id),
+    baseline JPEG (id + CROSS_CODEC_OFFSET), and LZW GIF (id +
+    2*CROSS_CODEC_OFFSET) — the asset-dedup scenario where one image
+    circulates re-encoded through whatever pipeline touched it last.
+    The pHash path must collapse all three."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def make(i: int) -> bytes:
+            codec, bid = i // CROSS_CODEC_OFFSET, i % CROSS_CODEC_OFFSET
+            w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+            pix = _phash_raster(bid, w, h, 0)
+            if codec == 0:
+                return encode_png_gray(w, h, pix)
+            if codec == 1:
+                return encode_jpeg_gray(w, h, pix)
+            return encode_gif_gray(w, h, pix)
+
+        return ids.map(lambda i: make(int(i)))
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    dup = ids.filter(F.col("media_id") % CROSS_CODEC_EVERY == 0)
+    corpus = ids.unionByName(
+        dup.select((F.col("media_id") + CROSS_CODEC_OFFSET).alias("media_id"))
+    ).unionByName(
+        dup.select(
+            (F.col("media_id") + 2 * CROSS_CODEC_OFFSET).alias("media_id")
+        )
+    )
+    corpus = _spread_ids(corpus, "media_id")
     return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
 
 
@@ -1738,7 +1947,10 @@ def decode_raster_luma(
             return w, h, 3, rgb_luma(rgb)
         w, h, pix = decode_jpeg_gray(b)
         return w, h, 1, pix
-    raise ValueError("unsupported raster format (PNG/JPEG only)")
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, pix = decode_gif_gray(b)
+        return w, h, 1, pix
+    raise ValueError("unsupported raster format (PNG/JPEG/GIF only)")
 
 
 RGB_PHASH_SCHEMA = T.StructType(

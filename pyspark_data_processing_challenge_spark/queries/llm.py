@@ -948,6 +948,54 @@ FROM documents WHERE doc_id % {CROSS_CODEC_EVERY} = 0
 """
 
 
+def image_tri_codec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLE-codec image dedup: one raster circulating as PNG,
+    baseline JPEG, and LZW GIF (multimodal.plant_tri_codec_corpus)
+    must collapse into one near-dup group. All three pairwise
+    relations must surface from the banded-Hamming join — PNG/GIF are
+    both lossless (Hamming 0 guaranteed), the two JPEG edges carry
+    only shared quantization noise — so the result is one row per
+    planted id carrying all three media ids, and the oracle pins the
+    exact recall invariant plus dimensions from all three container
+    parsers (IHDR, SOF0, and the GIF logical screen)."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    off = multimodal.CROSS_CODEC_OFFSET
+    corpus = multimodal.plant_tri_codec_corpus(d, "doc_id")
+    hashes = multimodal.phash_batch(corpus)
+    pairs = multimodal.phash_hamming_pairs(hashes, max_distance=3)
+    pj = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == off) & (F.col("id_a") < off)
+    ).select(F.col("id_a").alias("media_id"), F.col("id_b").alias("jpeg_id"))
+    pg = pairs.filter(F.col("id_b") - F.col("id_a") == 2 * off).select(
+        F.col("id_a").alias("media_id"), F.col("id_b").alias("gif_id")
+    )
+    jg = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == off) & (F.col("id_a") >= off)
+    ).select((F.col("id_a") - off).alias("media_id"))
+    dims = hashes.select(F.col("media_id"), "width", "height")
+    return (
+        pj.join(pg, "media_id")
+        .join(jg, "media_id")
+        .join(dims, "media_id")
+        .select("media_id", "jpeg_id", "gif_id", "width", "height")
+    )
+
+
+def _tri_codec_sql() -> str:
+    from ..operators.multimodal import CROSS_CODEC_EVERY, CROSS_CODEC_OFFSET
+
+    return f"""
+SELECT doc_id AS media_id,
+       (doc_id + {CROSS_CODEC_OFFSET})::BIGINT AS jpeg_id,
+       (doc_id + {2 * CROSS_CODEC_OFFSET})::BIGINT AS gif_id,
+       (doc_id % 48 + 16)::BIGINT AS width,
+       ((doc_id * 7) % 32 + 16)::BIGINT AS height
+FROM documents WHERE doc_id % {CROSS_CODEC_EVERY} = 0
+"""
+
+
 def docs_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE FULL BPE TRAINING ITERATION, distributed: count adjacent
     char pairs, pick the best merge (max count, lexicographic
@@ -2388,6 +2436,7 @@ QUERIES = {
     "image_rgb_phash_near_dup": image_rgb_phash_near_dup,
     "image_rgb_histogram": image_rgb_histogram,
     "image_cross_codec_near_dup": image_cross_codec_near_dup,
+    "image_tri_codec_near_dup": image_tri_codec_near_dup,
     "docs_bpe_pair_counts": docs_bpe_pair_counts,
     "docs_bpe_merge_step": docs_bpe_merge_step,
     "docs_decontaminate": docs_decontaminate,
@@ -2453,6 +2502,7 @@ ORACLES = {
     "image_rgb_phash_near_dup": _rgb_phash_nd_sql(),
     "image_rgb_histogram": _rgb_hist_sql(),
     "image_cross_codec_near_dup": _cross_codec_sql(),
+    "image_tri_codec_near_dup": _tri_codec_sql(),
     "docs_bpe_pair_counts": _bpe_pairs_sql(),
     "docs_bpe_merge_step": _bpe_merge_sql(),
     "docs_decontaminate": _DECON_SQL,

@@ -1189,3 +1189,50 @@ def test_buffered_funnel_matches_batch_on_shuffled_batches(spark, tmp_path):
     assert got == want
     # every real user settled: no pending rows after the flush
     assert all(pend[u] == 0 for u in got)
+
+
+def test_gif_lzw_roundtrip_and_dispatch():
+    """encode_gif_gray -> decode_gif_gray must recover the exact raster
+    through real LZW (variable code widths + 4096-dict resets), the
+    signature dispatchers must route GIFs, and the structural stub must
+    raise instead of decoding garbage."""
+    import random
+
+    import pytest as _pytest
+
+    rng = random.Random(99)
+    for w, h in [(16, 16), (48, 31), (1, 1), (64, 48)]:
+        pix = bytes(rng.randrange(256) for _ in range(w * h))
+        gif = multimodal.encode_gif_gray(w, h, pix)
+        assert multimodal.decode_gif_gray(gif) == (w, h, pix)
+        assert multimodal.decode_raster(gif) == (w, h, pix)
+        assert multimodal.decode_raster_luma(gif) == (w, h, 1, pix)
+    # dict-reset path: > 4096 distinct sequences
+    big = bytes(rng.randrange(256) for _ in range(64 * 48))
+    gif = multimodal.encode_gif_gray(64, 48, big)
+    assert multimodal.decode_gif_gray(gif)[2] == big
+    with _pytest.raises(ValueError, match="structural stub"):
+        multimodal.decode_gif_gray(multimodal.encode_gif(10, 10))
+    with _pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+    assert multimodal.decode_gif_gray(None) is None
+
+
+def test_tri_codec_rasters_identical():
+    """The three planted encodings of one id must decode to the same
+    raster (PNG/GIF exactly; JPEG within quant noise) and to equal
+    dHash values — the invariant behind image_tri_codec_near_dup."""
+    for bid in (0, 4, 20):
+        w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+        pix = multimodal._phash_raster(bid, w, h, 0)
+        png = multimodal.decode_raster(multimodal.encode_png_gray(w, h, pix))
+        gif = multimodal.decode_raster(multimodal.encode_gif_gray(w, h, pix))
+        jpg = multimodal.decode_raster(multimodal.encode_jpeg_gray(w, h, pix))
+        assert png == (w, h, pix) and gif == (w, h, pix)
+        assert multimodal.dhash64(png[2], w, h) == multimodal.dhash64(
+            gif[2], w, h
+        )
+        dj = multimodal.dhash64(jpg[2], w, h)
+        dp = multimodal.dhash64(pix, w, h)
+        ham = bin(dj[0] ^ dp[0]).count("1") + bin(dj[1] ^ dp[1]).count("1")
+        assert ham <= 3
