@@ -769,7 +769,43 @@ FROM s LEFT JOIN agg a USING (s_suppkey)
 """
 
 
+
+
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL join surface: per-nation top-3 customers by account
+    balance via a correlated LATERAL subquery with ORDER BY ... LIMIT —
+    the "top-N per group without a window function" idiom SQL users
+    port from warehouses. Catalyst rewrites the lateral into a ranked
+    window under the hood; expressing it AS a lateral keeps warehouse
+    SQL runnable verbatim. Tie-break on customer name; balances are
+    2-decimal so the raw double is hash-stable."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("v_lat_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
+    return spark.sql(
+        """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM v_lat_nation n
+JOIN LATERAL (
+  SELECT c_name, c_acctbal FROM v_lat_customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t
+"""
+    )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t
+"""
+
+
 QUERIES = {
+    "lateral_top_customers": lateral_top_customers,
     "spatial_grid_neighbors": spatial_grid_neighbors,
     "pyds_docs_pushdown": pyds_docs_pushdown,
     "docs_sentences_udtf": docs_sentences_udtf,
@@ -792,6 +828,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lateral_top_customers": _LATERAL_SQL,
     "spatial_grid_neighbors": _SPATIAL_SQL,
     "pyds_docs_pushdown": _PYDS_SQL,
     "docs_sentences_udtf": _SENTS_SQL,
