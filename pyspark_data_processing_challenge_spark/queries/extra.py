@@ -804,7 +804,81 @@ FROM nation n, LATERAL (
 """
 
 
+
+
+def events_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the table function computes
+    its OUTPUT SCHEMA at plan time via a static ``analyze()`` from a
+    constant column-spec argument — the schema-from-arguments contract
+    a static-returnType UDTF (docs_sentences_udtf) cannot express.
+    Each event row round-trips through to_json and back through the
+    UDTF under the spec 'user_id:bigint,value:double', then aggregates
+    per event type. Surface demo with an exact oracle: eval() is
+    row-at-a-time Python, so the SCALE path for real JSON stays
+    variant_get (events_variant_stats); a UDTF earns its cost only
+    when per-row logic cannot be expressed in built-ins. Sums use
+    per-row decimal casts (money convention)."""
+    import json as _json
+
+    from pyspark.sql.functions import to_json, struct, udtf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class JsonCols:
+        @staticmethod
+        def analyze(js: AnalyzeArgument, spec: AnalyzeArgument) -> AnalyzeResult:
+            fields = []
+            for part in spec.value.split(","):
+                name, typ = part.split(":")
+                fields.append(
+                    StructField(
+                        name, LongType() if typ == "bigint" else DoubleType()
+                    )
+                )
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, js: str, spec: str):
+            d = _json.loads(js) if js else {}
+            out = []
+            for part in spec.split(","):
+                name, typ = part.split(":")
+                v = d.get(name)
+                if v is None:
+                    out.append(None)
+                else:
+                    out.append(int(v) if typ == "bigint" else float(v))
+            yield tuple(out)
+
+    spark.udtf.register("json_cols", JsonCols)
+    t(spark, sf_dir, "events").select(
+        "event_type", to_json(struct("user_id", "value")).alias("js")
+    ).createOrReplaceTempView("v_udtf_events")
+    extracted = spark.sql(
+        """
+SELECT e.event_type, t.user_id, t.value
+FROM v_udtf_events e,
+LATERAL json_cols(js, 'user_id:bigint,value:double') t
+"""
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_uid"),
+        round_to(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("sum_val"),
+    )
+
+
+_UDTF_POLY_SQL = f"""
+SELECT event_type, count(*)::BIGINT AS n, sum(user_id)::BIGINT AS sum_uid,
+       {sql_round("sum(value::DECIMAL(12,2))::DOUBLE", 2)} AS sum_val
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "events_udtf_polymorphic": events_udtf_polymorphic,
     "lateral_top_customers": lateral_top_customers,
     "spatial_grid_neighbors": spatial_grid_neighbors,
     "pyds_docs_pushdown": pyds_docs_pushdown,
@@ -828,6 +902,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_udtf_polymorphic": _UDTF_POLY_SQL,
     "lateral_top_customers": _LATERAL_SQL,
     "spatial_grid_neighbors": _SPATIAL_SQL,
     "pyds_docs_pushdown": _PYDS_SQL,
