@@ -877,7 +877,50 @@ FROM events GROUP BY event_type
 """
 
 
+
+
+def customers_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance masking view — the privacy transform every
+    shared dataset needs before leaving its trust boundary: direct
+    identifiers are one-way hashed (SHA-256, joinable across masked
+    datasets but irreversible), the quasi-identifier account balance
+    generalizes to a coarse band (k-anonymity-style), and the market
+    segment stays clear for analytics. Pure built-in expressions —
+    masking at 100 TB is a projection, one scan, no shuffle."""
+    c = t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("negative"))
+        .when(F.col("c_acctbal") < 2500, F.lit("0-2.5k"))
+        .when(F.col("c_acctbal") < 5000, F.lit("2.5k-5k"))
+        .when(F.col("c_acctbal") < 7500, F.lit("5k-7.5k"))
+        .otherwise(F.lit("7.5k+"))
+    )
+    return c.select(
+        F.sha2(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")), 256)
+        .alias("cust_token"),
+        F.sha2(F.col("c_name"), 256).alias("name_hash"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        band.alias("acctbal_band"),
+        "c_mktsegment",
+    )
+
+
+_MASKED_SQL = """
+SELECT sha256('cust:' || c_custkey::VARCHAR) AS cust_token,
+       sha256(c_name) AS name_hash,
+       c_nationkey::BIGINT AS nation,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 2500 THEN '0-2.5k'
+            WHEN c_acctbal < 5000 THEN '2.5k-5k'
+            WHEN c_acctbal < 7500 THEN '5k-7.5k'
+            ELSE '7.5k+' END AS acctbal_band,
+       c_mktsegment
+FROM customer
+"""
+
+
 QUERIES = {
+    "customers_masked": customers_masked,
     "events_udtf_polymorphic": events_udtf_polymorphic,
     "lateral_top_customers": lateral_top_customers,
     "spatial_grid_neighbors": spatial_grid_neighbors,
@@ -902,6 +945,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customers_masked": _MASKED_SQL,
     "events_udtf_polymorphic": _UDTF_POLY_SQL,
     "lateral_top_customers": _LATERAL_SQL,
     "spatial_grid_neighbors": _SPATIAL_SQL,

@@ -214,6 +214,27 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def events_hourly_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window() TVF twin of events_hourly (SHARED oracle — the two
+    grouping surfaces must agree bit-for-bit): the tumbling window
+    comes from the ``window(ts, '1 hour')`` table-valued grouping
+    Structured Streaming uses, so the exact batch/stream window
+    semantics are proven equal to the date_trunc form. Output projects
+    the window start as the hour."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_to(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n", "sum_value"
+        )
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization per user."""
     e = t(spark, sf_dir, "events")
@@ -287,6 +308,7 @@ QUERIES = {
     "pivot_event_counts": pivot_event_counts,
     "rollup_lineitem": rollup_lineitem,
     "events_hourly": events_hourly,
+    "events_hourly_tvf": events_hourly_tvf,
     "sessionize_events": sessionize_events,
     "asof_join_purchases": asof_join_purchases,
 }
@@ -364,6 +386,13 @@ ORACLES = {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "events_hourly": f"""
+        WITH {_EVENTS_NORM}
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+          count(*) AS n, {sql_round("sum(value)", 4)} AS sum_value
+        FROM events_norm GROUP BY 1, 2
+    """,
+    # window() TVF twin shares the oracle: both grouping surfaces agree
+    "events_hourly_tvf": f"""
         WITH {_EVENTS_NORM}
         SELECT date_trunc('hour', ts) AS hour, event_type,
           count(*) AS n, {sql_round("sum(value)", 4)} AS sum_value

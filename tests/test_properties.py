@@ -496,3 +496,34 @@ def test_salted_join_equals_plain_join(spark, fact, dim):
         (r["k"], r["payload"], r["attr"]) for r in f.join(d, "k").collect()
     )
     assert got == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=6000))
+def test_gif_lzw_roundtrip_property(data):
+    """LZW encode/decode must be a lossless bijection on arbitrary
+    byte strings — hypothesis drives the code-width bumps, KwKwK
+    self-references, and (at larger sizes) 4096-dictionary resets that
+    hand-picked cases under-sample."""
+    from pyspark_data_processing_challenge_spark.operators import multimodal
+
+    enc = multimodal._lzw_gif_encode(data)
+    assert multimodal._lzw_gif_decode(enc) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_gif_container_roundtrip_property(w, h, seed):
+    """Full GIF container roundtrip at arbitrary dims/content."""
+    import random
+
+    from pyspark_data_processing_challenge_spark.operators import multimodal
+
+    pix = bytes(random.Random(seed).randrange(256) for _ in range(w * h))
+    assert multimodal.decode_gif_gray(
+        multimodal.encode_gif_gray(w, h, pix)
+    ) == (w, h, pix)
