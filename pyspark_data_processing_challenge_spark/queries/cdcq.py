@@ -189,7 +189,118 @@ FROM orders GROUP BY 1
 """
 
 
+
+
+MERKLE_BUCKETS = 64
+
+
+def snapshot_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE-STYLE snapshot reconciliation — the anti-entropy
+    primitive that finds WHICH partitions of a 100 TB replica drifted
+    without comparing rows: every row folds to a 60-bit token (md5 of
+    a canonical projection; decimal/date casts pin the string forms
+    cross-engine), each of {buckets} buckets keeps the XOR of its
+    tokens plus a count, and only buckets whose (xor, count) disagree
+    between the two snapshots need row-level repair. XOR is
+    order-independent and mergeable, so bucket digests compose from
+    per-partition partials — one scan per snapshot, one tiny digest
+    join, repair cost proportional to the DRIFT, not the data.
+
+    Snapshot B is A with planted drift: rows deleted where
+    o_orderkey % 991 = 0 and prices bumped where o_orderkey % 997 = 0.
+    """
+    canon = lambda: F.concat_ws(  # noqa: E731
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    tok = F.conv(F.substring(F.md5(canon()), 1, 15), 16, 10).cast("long")
+    o = t(spark, sf_dir, "orders")
+    snap_a = o
+    snap_b = o.filter(F.col("o_orderkey") % 991 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def digest(df: DataFrame, xn: str, cn: str) -> DataFrame:
+        return (
+            df.select(
+                (F.col("o_custkey") % MERKLE_BUCKETS).alias("bucket"),
+                tok.alias("__tok"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.expr("bit_xor(__tok)").alias(xn),
+                F.count(F.lit(1)).alias(cn),
+            )
+        )
+
+    da = digest(snap_a, "xor_a", "n_a")
+    db = digest(snap_b, "xor_b", "n_b")
+    return (
+        da.join(db, "bucket", "full_outer")
+        .filter(
+            (~F.col("xor_a").eqNullSafe(F.col("xor_b")))
+            | (~F.col("n_a").eqNullSafe(F.col("n_b")))
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_a",
+            "n_b",
+            "xor_a",
+            "xor_b",
+        )
+    )
+
+
+_MERKLE_HEX = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(string_split(substring(md5({expr}), 1, 15), ''), "
+    "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+_MERKLE_CANON = (
+    "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || "
+    "o_orderstatus || '|' || (o_totalprice::DECIMAL(12,2))::VARCHAR || "
+    "'|' || (o_orderdate::DATE)::VARCHAR"
+)
+
+_MERKLE_SQL = f"""
+WITH a AS (
+  SELECT o_custkey % {MERKLE_BUCKETS} AS bucket,
+         {_MERKLE_HEX.format(expr=_MERKLE_CANON)} AS tok
+  FROM orders
+),
+bsrc AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 991 <> 0
+),
+b AS (
+  SELECT o_custkey % {MERKLE_BUCKETS} AS bucket,
+         {_MERKLE_HEX.format(expr=_MERKLE_CANON)} AS tok
+  FROM bsrc
+),
+da AS (SELECT bucket, bit_xor(tok)::BIGINT AS xor_a, count(*)::BIGINT AS n_a
+       FROM a GROUP BY bucket),
+db AS (SELECT bucket, bit_xor(tok)::BIGINT AS xor_b, count(*)::BIGINT AS n_b
+       FROM b GROUP BY bucket)
+SELECT bucket::BIGINT AS bucket, n_a, n_b, xor_a, xor_b
+FROM da FULL OUTER JOIN db USING (bucket)
+WHERE xor_a IS DISTINCT FROM xor_b OR n_a IS DISTINCT FROM n_b
+"""
+
+
 QUERIES = {
+    "snapshot_merkle_diff": snapshot_merkle_diff,
     "cdc_merge_orders": cdc_merge_orders,
     "ivm_daily_revenue": ivm_daily_revenue,
     "scd2_customer_history": scd2_customer_history,
@@ -198,6 +309,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snapshot_merkle_diff": _MERKLE_SQL,
     "ivm_daily_revenue": _IVM_SQL,
     "cdc_merge_orders": f"""
         WITH updates AS (
