@@ -112,6 +112,7 @@ HEADLINE = [
     "priority_mix_chi2",
     "join_revenue_by_nation_shj",
     "image_tri_codec_near_dup",
+    "corpus_scaling_curve",
 ]
 
 

@@ -1100,14 +1100,24 @@ def containment_pairs(
     ).cast("int") + F.lit(1)
     prefix = per_doc.select(
         F.col("doc_id").alias("id_a"),
+        size.alias("sz_a"),
         F.explode(F.slice("gs", 1, plen)).alias("g"),
     )
     full = per_doc.select(
-        F.col("doc_id").alias("id_b"), F.explode("gs").alias("g")
+        F.col("doc_id").alias("id_b"),
+        size.alias("sz_b"),
+        F.explode("gs").alias("g"),
     )
+    # one-directional length filter (SOUND — the only one containment
+    # admits): overlap <= |B|, so B cannot cover tau*|A| shingles when
+    # tau_den*|B| < tau_num*|A|. Cuts small-B candidates before the
+    # distinct + verify shuffles.
     cand = (
         prefix.join(full, "g")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.lit(tau_den) * F.col("sz_b") >= F.lit(tau_num) * F.col("sz_a"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -2317,6 +2317,91 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+
+SCALING_BUCKETS = 8
+
+
+def corpus_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law CORPUS SCALING CURVE: how vocabulary grows as the
+    corpus grows — the measurement behind "how much more data until
+    token counts plateau" planning for tokenizer/training budgets.
+    Docs split into 8 deterministic buckets (doc_id % 8); for each
+    cumulative prefix 1..8 report docs, token occurrences, DISTINCT
+    vocabulary, and the type-token ratio.
+
+    Scale shape: the naive form scans the corpus 8 times (once per
+    prefix). This computes every prefix in ONE pass: a token's
+    earliest bucket (min doc_id % 8) determines exactly which prefixes
+    contain it, so cumulative vocabulary is a running sum over the
+    8-row per-bucket first-appearance counts — same trick for doc and
+    occurrence counts. The windows run on 8 rows."""
+    d = spread(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        (F.col("doc_id") % SCALING_BUCKETS).alias("b"),
+        F.col("doc_id"),
+        F.explode(textfns.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    per_b = tok.groupBy("b").agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    first_seen = (
+        tok.groupBy("token")
+        .agg(F.min("b").alias("minb"))
+        .groupBy("minb")
+        .agg(F.count(F.lit(1)).alias("nv"))
+        .withColumnRenamed("minb", "b")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_b.join(first_seen, "b", "left")
+        .select(
+            "b",
+            F.sum("nd").over(w).alias("n_docs"),
+            F.sum("nt").over(w).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w).alias("vocab"),
+        )
+    )
+    return curve.select(
+        (F.col("b") + 1).cast("long").alias("frac_eighths"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        round_to(
+            F.col("vocab").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+_SCALING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id % {8} AS b, doc_id, unnest({sql_tokens("lower(text)")}) AS token
+  FROM documents
+),
+per_b AS (
+  SELECT b, count(DISTINCT doc_id)::BIGINT AS nd, count(*)::BIGINT AS nt
+  FROM tok GROUP BY b
+),
+first_seen AS (
+  SELECT minb AS b, count(*)::BIGINT AS nv FROM (
+    SELECT token, min(b) AS minb FROM tok GROUP BY token
+  ) GROUP BY minb
+),
+curve AS (
+  SELECT p.b,
+         sum(p.nd) OVER (ORDER BY p.b)::BIGINT AS n_docs,
+         sum(p.nt) OVER (ORDER BY p.b)::BIGINT AS n_tokens,
+         sum(coalesce(f.nv, 0)) OVER (ORDER BY p.b)::BIGINT AS vocab
+  FROM per_b p LEFT JOIN first_seen f USING (b)
+)
+SELECT (b + 1)::BIGINT AS frac_eighths, n_docs, n_tokens, vocab,
+       {sql_round("vocab::DOUBLE / n_tokens::DOUBLE", 6)} AS type_token_ratio
+FROM curve
+"""
+
+
 # ---------------------------------------------------------------------------
 # train/val/test vocabulary-coverage report
 # ---------------------------------------------------------------------------
@@ -2399,6 +2484,7 @@ FROM held GROUP BY split
 QUERIES = {
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_bigram_surprisal": docs_bigram_surprisal,
+    "corpus_scaling_curve": corpus_scaling_curve,
     "split_oov_rate": split_oov_rate,
     "docs_token_stats": docs_token_stats,
     "docs_lang_id": docs_lang_id,
@@ -2452,6 +2538,7 @@ QUERIES = {
 ORACLES = {
     "docs_unigram_surprisal": _SURPRISAL_SQL,
     "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
+    "corpus_scaling_curve": _SCALING_SQL,
     "split_oov_rate": _OOV_SQL,
     "docs_token_stats": _TOKEN_STATS_SQL,
     "docs_lang_id": _LANG_SQL,
