@@ -113,6 +113,7 @@ HEADLINE = [
     "join_revenue_by_nation_shj",
     "image_tri_codec_near_dup",
     "corpus_scaling_curve",
+    "audio_fingerprint_near_dup",
 ]
 
 

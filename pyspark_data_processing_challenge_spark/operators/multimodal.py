@@ -2416,6 +2416,116 @@ def audio_spectral_batch(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, AUDIO_SPECTRAL_SCHEMA)
 
 
+AUDIO_DUP_OFFSET = 1_000_000
+AUDIO_DUP_EVERY = 4
+AUDIO_DUP_PERT = 5
+
+
+AUDIO_DUP_N = 250
+
+
+def _noise_sample(v: int) -> int:
+    """Deterministic noise sample in [-1024, 1024): the first 60 bits
+    of md5(str(v)) mod 2048 — md5 is the one portable avalanche hash
+    both engines share, and REAL audio entropy is what fingerprinting
+    needs (the sawtooth family's Walsh spectrum is degenerate: sign
+    hashes collide corpus-wide; measured before switching)."""
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 2048 - 1024
+
+
+def plant_audio_dup_corpus(df: DataFrame, id_col: str) -> DataFrame:
+    """Near-duplicate AUDIO corpus of noise-like clips: sample i of
+    clip ``bid`` is md5-noise of (bid*64 + i); every
+    AUDIO_DUP_EVERY-th id gets a copy under id + AUDIO_DUP_OFFSET
+    whose first ``id % 3 + 1`` samples shift by AUDIO_DUP_PERT — the
+    re-mastered/re-encoded clip scenario. Integer arithmetic end to
+    end, so the oracle replays the exact waveforms (and therefore the
+    exact fingerprints — a full exactness proof, not just recall)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def make(i: int) -> bytes:
+            is_copy = i >= AUDIO_DUP_OFFSET
+            bid = i - AUDIO_DUP_OFFSET if is_copy else i
+            sr = 8000 + (bid % 4) * 2000
+            s = np.array(
+                [_noise_sample(bid * 64 + j) for j in range(AUDIO_DUP_N)],
+                dtype=np.int64,
+            )
+            if is_copy:
+                s[: bid % 3 + 1] += AUDIO_DUP_PERT
+            return encode_wav(sr, AUDIO_DUP_N, pcm=s.astype("<i2").tobytes())
+
+        return ids.map(lambda i: make(int(i)))
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    copies = ids.filter(F.col("media_id") % AUDIO_DUP_EVERY == 0).select(
+        (F.col("media_id") + AUDIO_DUP_OFFSET).alias("media_id")
+    )
+    corpus = _spread_ids(ids.unionByName(copies), "media_id")
+    return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("h_hi", T.LongType(), True),
+        T.StructField("h_lo", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint_batch(df: DataFrame) -> DataFrame:
+    """64-bit audio fingerprint from REAL PCM decode: bit k is the
+    sign (> 0) of Walsh-Hadamard coefficient k over the first
+    SPECTRAL_FRAME samples — a sequency-domain sign hash (the
+    Haitsma-Kalker / Shazam family shape) whose EXACT integer
+    coefficients make the whole signature oracle-reproducible, unlike
+    float-spectrum hashes. Two non-negative 32-bit halves feed the
+    same banded-Hamming near-dup join images use. Arrow batches,
+    numpy matrix fold."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        signs = _wht_sign_matrix(np)
+        nfr = SPECTRAL_FRAME
+        for pdf in batches:
+            ids, srs, his, los = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                decoded = decode_wav_pcm(payload)
+                if decoded is None:
+                    srs.append(None); his.append(None); los.append(None)
+                    continue
+                sr, ch, frames = decoded
+                s = np.frombuffer(
+                    frames[: len(frames) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)[:nfr]
+                if len(s) < nfr:
+                    s = np.pad(s, (0, nfr - len(s)))
+                w = signs @ s
+                bits = (w > 0).astype(np.int64)
+                hi = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                lo = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                srs.append(sr); his.append(hi); los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_rate": pd.array(srs, dtype="Int32"),
+                    "h_hi": pd.array(his, dtype="Int64"),
+                    "h_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, AUDIO_FP_SCHEMA)
+
+
 def audio_decimate_batch(df: DataFrame, *, factor: int = 2) -> DataFrame:
     """Audio TRANSCODE (binary -> binary, the write-back path): decode
     the PCM, decimate by averaging each ``factor``-sample block

@@ -93,7 +93,8 @@ _VERDICT_PRIORITY = [
     # gates them every round): spatial_grid_neighbors, priority_mix_chi2,
     # join_revenue_by_nation_shj, image_tri_codec_near_dup,
     # lateral_top_customers, events_udtf_polymorphic, customers_masked,
-    # events_hourly_tvf, snapshot_merkle_diff, corpus_scaling_curve
+    # events_hourly_tvf, snapshot_merkle_diff, corpus_scaling_curve,
+    # audio_fingerprint_near_dup
     # + the five displaced r01 entries noted in _ROTATED_OUT
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing

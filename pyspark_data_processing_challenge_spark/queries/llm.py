@@ -1709,6 +1709,87 @@ FROM ints i JOIN fft f ON i.media_id = f.media_id
 """
 
 
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup — the third modality of the near-dup family next
+    to text (minhash/simhash/setsim) and images (pHash): 64-bit
+    Walsh-Hadamard SIGN fingerprints over real PCM decode
+    (multimodal.audio_fingerprint_batch), banded-Hamming pairs within
+    distance 3 (the same pigeonhole-complete LSH join images use).
+    The noise-clip corpus plants re-mastered copies whose first few
+    samples shift slightly; because the WHT is exact integer math the
+    oracle recomputes EVERY fingerprint arithmetically and brute-forces
+    all pairs — a full exactness proof of the banded join, not just a
+    recall contract."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    corpus = multimodal.plant_audio_dup_corpus(d, "doc_id")
+    fp = multimodal.audio_fingerprint_batch(corpus)
+    pairs = multimodal.phash_hamming_pairs(
+        fp.select("media_id", "h_hi", "h_lo"), max_distance=3
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+_AUDIO_FP_HEX = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(string_split(substring(md5({expr}), 1, 15), ''), "
+    "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+    "(x, y) -> x * 16 + y)"
+)
+
+
+def _audio_fp_nd_sql() -> str:
+    from ..operators.multimodal import (
+        AUDIO_DUP_EVERY,
+        AUDIO_DUP_OFFSET,
+        AUDIO_DUP_PERT,
+    )
+
+    noise = _AUDIO_FP_HEX.format(expr="(bid * 64 + j)::VARCHAR")
+    sign = (
+        "CASE WHEN bit_count(CAST(j AS BIGINT) & CAST(k AS BIGINT)) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+    return f"""
+WITH ids AS (
+  SELECT doc_id::BIGINT AS media_id, doc_id::BIGINT AS bid, 0 AS np
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {AUDIO_DUP_OFFSET}, doc_id::BIGINT, doc_id % 3 + 1
+  FROM documents WHERE doc_id % {AUDIO_DUP_EVERY} = 0
+),
+smp AS (
+  SELECT media_id,
+    list_transform(range(0, 64), j ->
+      ({noise}) % 2048 - 1024
+      + CASE WHEN j < np THEN {AUDIO_DUP_PERT} ELSE 0 END) AS s
+  FROM ids
+),
+wht AS (
+  SELECT media_id,
+    list_transform(range(0, 64), k ->
+      list_sum(list_transform(range(0, 64), j -> s[j+1] * {sign}))) AS wv
+  FROM smp
+),
+hashes AS (
+  SELECT media_id,
+    list_sum(list_transform(range(0, 32), k ->
+      CASE WHEN wv[k+1] > 0 THEN (1::BIGINT << k) ELSE 0::BIGINT END
+    ))::BIGINT AS h_hi,
+    list_sum(list_transform(range(0, 32), k ->
+      CASE WHEN wv[k+33] > 0 THEN (1::BIGINT << k) ELSE 0::BIGINT END
+    ))::BIGINT AS h_lo
+  FROM wht
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+  (bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)))::BIGINT
+    AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+"""
+
+
 VSC_THRESHOLD = 2000
 
 
@@ -2513,6 +2594,7 @@ QUERIES = {
     "audio_features": audio_features,
     "audio_transcode_features": audio_transcode_features,
     "audio_spectral_features": audio_spectral_features,
+    "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -2580,6 +2662,7 @@ ORACLES = {
     "audio_features": _AUDIO_FEATURES_SQL,
     "audio_transcode_features": _AUDIO_TRANSCODE_SQL,
     "audio_spectral_features": _audio_spectral_sql(),
+    "audio_fingerprint_near_dup": _audio_fp_nd_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
