@@ -348,6 +348,68 @@ def main() -> None:
     finally:
         shutil.rmtree(sig_store, ignore_errors=True)
 
+    # Incremental PHASH story (fourth member of the incremental family:
+    # exact fingerprints, span grams, minhash, now perceptual hashes):
+    # near-dup ONE new image batch against the persisted 16-byte-per-
+    # image hash store vs re-decoding + re-hashing the whole corpus.
+    # The full path pays every codec decode again; the incremental path
+    # decodes only the batch and equi-joins the banded store.
+    # HONEST MEASUREMENT NOTE (same framing as the minhash pair): at
+    # small SF the planted images are tiny and decode is millisecond-
+    # cheap, so the store read + versus-join + append overhead makes
+    # the incremental form LOSE; the crossover favors incremental when
+    # decode dominates (real corpora: megapixel images, 1000x history).
+    # Both numbers are recorded so the trade-off is tracked, not
+    # assumed; the equality proof is
+    # tests/..::test_incremental_phash_equals_full_recompute.
+    from pyspark_data_processing_challenge_spark.operators import multimodal as mmod
+
+    docs_ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = mmod.plant_phash_corpus(docs_ids, "doc_id")
+    mod_id = SF.col("media_id") % mmod.PHASH_COPY_OFFSET
+    m_history = media.filter(mod_id % 8 != 0)
+    m_batch = media.filter(mod_id % 8 == 0)
+    ph_store = tempfile.mkdtemp(prefix="ph_store_")
+
+    def ph_full():
+        mmod.phash_hamming_pairs(
+            mmod.phash_batch(media).select("media_id", "h_hi", "h_lo")
+        ).write.format("noop").mode("overwrite").save()
+
+    def ph_incremental(append: bool):
+        store = spark.read.parquet(ph_store)
+        caches: list = []
+        pairs, updated = mmod.incremental_phash_near_duplicates(
+            mmod.phash_batch(m_batch).select("media_id", "h_hi", "h_lo"),
+            store,
+            cache_into=caches,
+        )
+        pairs.write.format("noop").mode("overwrite").save()
+        fresh = updated.join(store.select("media_id"), "media_id", "left_anti")
+        if append:
+            fresh.write.mode("append").parquet(ph_store)
+        else:
+            fresh.write.format("noop").mode("overwrite").save()
+        for c in caches:
+            c.unpersist()
+
+    try:
+        mmod.phash_batch(m_history).select(
+            "media_id", "h_hi", "h_lo"
+        ).write.mode("overwrite").parquet(ph_store)
+        ph_full()
+        ph_incremental(append=False)  # warm; don't mutate the store
+
+        t0 = time.perf_counter()
+        ph_full()
+        times["phash_full_recompute"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        ph_incremental(append=True)
+        times["phash_incremental_batch"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(ph_store, ignore_errors=True)
+
     streaming = _bench_streaming(spark, sf_dir)
 
     total = round(sum(times.values()), 3)

@@ -2000,6 +2000,101 @@ def rgb_phash_batch(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, RGB_PHASH_SCHEMA)
 
 
+def _phash_banded(hashes: DataFrame) -> DataFrame:
+    """(media_id, h_hi, h_lo) → 4 rows of (doc, ph, band, key): the
+    16-bit band explosion shared by the self-join and the incremental
+    versus-join (banding is arithmetic, so the persisted store stays
+    plain hashes and bands on read — a narrow projection)."""
+    mask = F.lit(0xFFFF)
+    bandvals = [
+        F.shiftrightunsigned(F.col("h_hi"), 16).bitwiseAND(mask),
+        F.col("h_hi").bitwiseAND(mask),
+        F.shiftrightunsigned(F.col("h_lo"), 16).bitwiseAND(mask),
+        F.col("h_lo").bitwiseAND(mask),
+    ]
+    return hashes.select(
+        F.col("media_id").alias("doc"),
+        F.struct("h_hi", "h_lo").alias("ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), v.alias("key"))
+                    for b, v in enumerate(bandvals)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def incremental_phash_near_duplicates(
+    new_hashes: DataFrame,
+    seen_hashes: DataFrame,
+    *,
+    max_distance: int = 3,
+    cache_into: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup of a NEW media batch against the persisted perceptual-
+    hash store WITHOUT re-decoding history — the image/audio member of
+    the incremental family (exact fingerprints, minhash signatures,
+    span grams). ``seen_hashes`` is the persisted (media_id, h_hi,
+    h_lo) table from earlier ingests (or empty with that schema).
+
+    Returns ``(pairs, updated_store)``: Hamming<=d pairs of new media
+    against history AND within the batch, plus the store to persist.
+    Per batch only the batch's payloads decode; the store contributes
+    a 16-byte row per historical image, banded on read (arithmetic) —
+    at 100 TB of media the store is ~0.0001% of the data. Results
+    equal a full recompute over the union corpus restricted to pairs
+    touching the batch; the store update is replay-idempotent (re-
+    ingested ids add no duplicate rows)."""
+    nb = _phash_banded(new_hashes).persist()
+    if cache_into is not None:
+        cache_into.append(nb)
+    ham = (
+        F.bit_count(F.col("a_ph.h_hi").bitwiseXOR(F.col("b_ph.h_hi")))
+        + F.bit_count(F.col("a_ph.h_lo").bitwiseXOR(F.col("b_ph.h_lo")))
+    ).cast("long")
+    l, r = nb.alias("l"), nb.alias("r")
+    within = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col("l.doc") < F.col("r.doc")),
+    ).select(
+        F.col("l.doc").alias("id_a"),
+        F.col("r.doc").alias("id_b"),
+        F.col("l.ph").alias("a_ph"),
+        F.col("r.ph").alias("b_ph"),
+    )
+    hb = _phash_banded(seen_hashes).alias("h")
+    versus = nb.alias("n").join(
+        hb,
+        (F.col("n.band") == F.col("h.band"))
+        & (F.col("n.key") == F.col("h.key"))
+        # replay guard: a re-ingested id must not pair with itself
+        & (F.col("n.doc") != F.col("h.doc")),
+    ).select(
+        F.least(F.col("n.doc"), F.col("h.doc")).alias("id_a"),
+        F.greatest(F.col("n.doc"), F.col("h.doc")).alias("id_b"),
+        F.when(F.col("n.doc") < F.col("h.doc"), F.col("n.ph"))
+        .otherwise(F.col("h.ph"))
+        .alias("a_ph"),
+        F.when(F.col("n.doc") < F.col("h.doc"), F.col("h.ph"))
+        .otherwise(F.col("n.ph"))
+        .alias("b_ph"),
+    )
+    pairs = (
+        within.unionByName(versus)
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+    fresh = new_hashes.join(
+        seen_hashes.select("media_id"), "media_id", "left_anti"
+    )
+    return pairs, seen_hashes.unionByName(fresh)
+
+
 # channel formulas for the planted RGB rasters (also mirrored in the
 # query oracles — keep the constants in sync with queries/llm.py)
 RGB_PLANT = ((31, 17, 13), (29, 23, 7), (19, 11, 5))

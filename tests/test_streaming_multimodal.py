@@ -1236,3 +1236,40 @@ def test_tri_codec_rasters_identical():
         dp = multimodal.dhash64(pix, w, h)
         ham = bin(dj[0] ^ dp[0]).count("1") + bin(dj[1] ^ dp[1]).count("1")
         assert ham <= 3
+
+
+def test_incremental_phash_equals_full_recompute(spark):
+    """The incremental hash-store form must produce exactly the
+    full-recompute pairs restricted to pairs touching the new batch,
+    without re-decoding history, and the store update must be
+    replay-idempotent."""
+    d = spark.range(80).select(F.col("id").alias("doc_id"))
+    corpus = multimodal.plant_phash_corpus(d, "doc_id")
+    hashes = multimodal.phash_batch(corpus).select(
+        "media_id", "h_hi", "h_lo"
+    )
+    is_batch = (F.col("media_id") % multimodal.PHASH_COPY_OFFSET) % 2 == 0
+    history = hashes.filter(~is_batch)
+    batch = hashes.filter(is_batch)
+    pairs, store = multimodal.incremental_phash_near_duplicates(
+        batch, history, max_distance=3
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming) for r in pairs.collect()
+    )
+    full = multimodal.phash_hamming_pairs(hashes, max_distance=3)
+    batch_ids = {r.media_id for r in batch.collect()}
+    want = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in full.collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    )
+    assert got == want and len(got) > 0
+    # store now holds every id exactly once; replaying the batch adds
+    # no duplicate rows and no self-pairs
+    assert store.count() == hashes.count()
+    pairs2, store2 = multimodal.incremental_phash_near_duplicates(
+        batch, store, max_distance=3
+    )
+    assert store2.count() == hashes.count()
+    assert not any(r.id_a == r.id_b for r in pairs2.collect())
