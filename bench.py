@@ -114,6 +114,7 @@ HEADLINE = [
     "image_tri_codec_near_dup",
     "corpus_scaling_curve",
     "audio_fingerprint_near_dup",
+    "video_remux_dedup",
 ]
 
 

@@ -2829,6 +2829,86 @@ def plant_video_payloads(df: DataFrame, id_col: str) -> DataFrame:
     return ids.select("media_id", _gen(F.col("media_id")).alias("payload"))
 
 
+VIDEO_DUP_OFFSET = 1_000_000
+VIDEO_DUP_EVERY = 2
+
+
+def plant_video_remux_corpus(df: DataFrame, id_col: str) -> DataFrame:
+    """Re-mux duplicate corpus: base MP4s (timescale 1000) plus, for
+    every VIDEO_DUP_EVERY-th id, the SAME media samples re-wrapped
+    under id + VIDEO_DUP_OFFSET with a broadcast-grade 90 kHz
+    timescale and different duration rounding — container bytes differ
+    everywhere, mdat content is identical. The dedup scenario where
+    one clip circulates through different packagers."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def make(i: int) -> bytes:
+            is_remux = i >= VIDEO_DUP_OFFSET
+            bid = i - VIDEO_DUP_OFFSET if is_remux else i
+            dur = (bid % 20 + 1) * 500
+            if is_remux:
+                return encode_mp4_frames(dur + 3, bid, timescale=90000)
+            return encode_mp4_frames(dur, bid)
+
+        return ids.map(lambda i: make(int(i)))
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    copies = ids.filter(F.col("media_id") % VIDEO_DUP_EVERY == 0).select(
+        (F.col("media_id") + VIDEO_DUP_OFFSET).alias("media_id")
+    )
+    corpus = _spread_ids(ids.unionByName(copies), "media_id")
+    return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+VIDEO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sig", T.LongType(), True),
+    ]
+)
+
+
+def video_content_signature_batch(df: DataFrame) -> DataFrame:
+    """CONTENT signature per video, independent of the container: walk
+    the real sample table, fold every frame's (size, byte-mix
+    checksum) in frame order into one 31-bit chain — identical for any
+    re-mux of the same media samples, different as soon as one frame
+    byte differs. Integer arithmetic end to end (oracle-replayable).
+    Arrow batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, sigs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = parse_mp4_frames(payload)
+                ids.append(mid)
+                if frames is None:
+                    nfs.append(None)
+                    sigs.append(None)
+                    continue
+                sig = 0
+                for fr in frames:
+                    acc = 0
+                    for byte in fr:
+                        acc = (acc * 31 + byte) % 2147483648
+                    sig = (sig * 31 + len(fr)) % 2147483648
+                    sig = (sig * 31 + acc) % 2147483648
+                nfs.append(len(frames))
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frames": pd.array(nfs, dtype="Int64"),
+                    "sig": pd.array(sigs, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, VIDEO_SIG_SCHEMA)
+
+
 def video_frame_stats_batch(df: DataFrame, *, every: int = 2) -> DataFrame:
     """Frame-sample + per-frame feature stats: parse the BMFF sample
     table, keep every ``every``-th frame (temporal subsampling BEFORE

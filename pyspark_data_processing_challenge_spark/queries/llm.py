@@ -1790,6 +1790,66 @@ WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
 """
 
 
+def video_remux_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CONTAINER video dedup: the same media samples re-muxed
+    under a different timescale/duration (multimodal.
+    plant_video_remux_corpus — broadcast-grade 90 kHz vs 1 kHz) must
+    collapse by CONTENT signature: the real sample-table walk folds
+    every frame's (size, byte-mix) in order into one integer chain
+    that ignores container bytes entirely. Pairs come from a
+    signature-keyed equi-join (exact dedup grouping, linear — never
+    all-pairs); the oracle replays the arithmetic frame plan and
+    brute-forces signature equality, so the result is exact."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    corpus = multimodal.plant_video_remux_corpus(d, "doc_id")
+    sigs = multimodal.video_content_signature_batch(corpus)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.media_id").alias("id_a"),
+        F.col("b.media_id").alias("id_b"),
+        F.col("a.n_frames").alias("n_frames"),
+        F.col("a.sig").alias("sig"),
+    )
+
+
+def _video_remux_sql() -> str:
+    from ..operators.multimodal import VIDEO_DUP_EVERY, VIDEO_DUP_OFFSET
+
+    mix = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(0, (bid + k*7) % 96 + 32), "
+        "j -> (j*29 + k*13 + bid*7) % 256)), "
+        "(x, y) -> (x * 31 + y) % 2147483648)"
+    )
+    sig = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(0, bid % 6 + 4), k -> k)), "
+        f"(acc, k) -> (((acc * 31 + ((bid + k*7) % 96 + 32)) % 2147483648)"
+        f" * 31 + {mix}) % 2147483648)"
+    )
+    return f"""
+WITH ids AS (
+  SELECT doc_id::BIGINT AS media_id, doc_id::BIGINT AS bid FROM documents
+  UNION ALL
+  SELECT doc_id + {VIDEO_DUP_OFFSET}, doc_id::BIGINT
+  FROM documents WHERE doc_id % {VIDEO_DUP_EVERY} = 0
+),
+sigs AS (
+  SELECT media_id, (bid % 6 + 4)::BIGINT AS n_frames, ({sig})::BIGINT AS sig
+  FROM ids
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b, a.n_frames, a.sig
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.media_id < b.media_id
+"""
+
+
 VSC_THRESHOLD = 2000
 
 
@@ -2595,6 +2655,7 @@ QUERIES = {
     "audio_transcode_features": audio_transcode_features,
     "audio_spectral_features": audio_spectral_features,
     "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
+    "video_remux_dedup": video_remux_dedup,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -2663,6 +2724,7 @@ ORACLES = {
     "audio_transcode_features": _AUDIO_TRANSCODE_SQL,
     "audio_spectral_features": _audio_spectral_sql(),
     "audio_fingerprint_near_dup": _audio_fp_nd_sql(),
+    "video_remux_dedup": _video_remux_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
