@@ -94,7 +94,8 @@ _VERDICT_PRIORITY = [
     # join_revenue_by_nation_shj, image_tri_codec_near_dup,
     # lateral_top_customers, events_udtf_polymorphic, customers_masked,
     # events_hourly_tvf, snapshot_merkle_diff, corpus_scaling_curve,
-    # audio_fingerprint_near_dup, video_remux_dedup
+    # audio_fingerprint_near_dup, video_remux_dedup,
+    # docs_blocklist_screen, domain_reweight_plan
     # + the five displaced r01 entries noted in _ROTATED_OUT
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing

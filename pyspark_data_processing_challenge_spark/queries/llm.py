@@ -2543,6 +2543,94 @@ FROM curve
 """
 
 
+
+BLOCKLIST = ("slow", "crash", "leak", "stale")
+BLOCK_THRESHOLD = 3
+
+
+def docs_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety / content-policy screening — the curation gate that runs
+    before any corpus ships: count each document's blocklisted-term
+    occurrences (token-exact, not substring, so "slower" never
+    matches) and flag docs at or over the threshold. One explode + one
+    aggregate with map-side combine; the blocklist is a broadcast-
+    literal isin — at 100 TB this is a single scan. Reported per doc
+    so downstream can quarantine rather than silently drop."""
+    d = spread(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        F.explode(textfns.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    hits = (
+        tok.filter(F.col("token").isin(*BLOCKLIST))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) >= BLOCK_THRESHOLD
+            ).alias("blocked"),
+        )
+    )
+
+
+def _blocklist_sql() -> str:
+    terms = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens("lower(text)")}) AS token FROM documents
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hits FROM tok
+  WHERE token IN ({terms}) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) >= {BLOCK_THRESHOLD} AS blocked
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def domain_reweight_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset MIXTURE REWEIGHTING plan: given the observed language
+    mix, the per-domain sampling weight that reaches a uniform target
+    mixture (weight = target_share / actual_share) — the arithmetic
+    every data-mixing run does before docs_domain_mix-style gates
+    apply it. needs_upsample marks domains whose weight exceeds 1
+    (repetition / oversampling required, a training-data red flag
+    worth surfacing). Exact counts; two broadcast single-row
+    aggregates; divisions on identically derived doubles."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("__n"), F.count(F.lit(1)).alias("__k")
+    )
+    share = F.col("n_docs").cast("double") / F.col("__n").cast("double")
+    target = F.lit(1.0) / F.col("__k").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        round_to(share, 6).alias("share"),
+        round_to(target / share, 6).alias("weight"),
+        (target / share > 1.0).alias("needs_upsample"),
+    )
+
+
+_REWEIGHT_SQL = f"""
+WITH per AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_docs)::BIGINT AS n, count(*)::BIGINT AS k FROM per)
+SELECT lang, n_docs,
+  {sql_round("n_docs::DOUBLE / t.n::DOUBLE", 6)} AS share,
+  {sql_round("(1.0 / t.k::DOUBLE) / (n_docs::DOUBLE / t.n::DOUBLE)", 6)} AS weight,
+  (1.0 / t.k::DOUBLE) / (n_docs::DOUBLE / t.n::DOUBLE) > 1.0 AS needs_upsample
+FROM per, tot t
+"""
+
+
 # ---------------------------------------------------------------------------
 # train/val/test vocabulary-coverage report
 # ---------------------------------------------------------------------------
@@ -2656,6 +2744,8 @@ QUERIES = {
     "audio_spectral_features": audio_spectral_features,
     "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
     "video_remux_dedup": video_remux_dedup,
+    "docs_blocklist_screen": docs_blocklist_screen,
+    "domain_reweight_plan": domain_reweight_plan,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -2725,6 +2815,8 @@ ORACLES = {
     "audio_spectral_features": _audio_spectral_sql(),
     "audio_fingerprint_near_dup": _audio_fp_nd_sql(),
     "video_remux_dedup": _video_remux_sql(),
+    "docs_blocklist_screen": _blocklist_sql(),
+    "domain_reweight_plan": _REWEIGHT_SQL,
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
