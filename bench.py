@@ -471,11 +471,13 @@ def result_lines(times: dict, streaming: dict, sf: float) -> list[str]:
 
 
 def _bench_streaming(spark, sf_dir: str) -> dict:
-    """Micro-batch cost of the two stateful streaming surfaces
-    (VERDICT r05 item 5): the applyInPandasWithState funnel and the
-    cross-batch dedup-ingest sink, each driven over 4 event-time-
-    ordered micro-batches of the events table. Reports wall, rows/s,
-    and mean per-epoch trigger time from StreamingQueryProgress."""
+    """Micro-batch cost of the stateful streaming surfaces: the
+    applyInPandasWithState funnel (sticky-flag AND watermark-buffered
+    forms — their delta is the price of out-of-order correctness), the
+    cross-batch dedup-ingest sink, and the CMS sketch-at-ingest sink,
+    each driven over 4 event-time-ordered micro-batches of the events
+    table. Reports wall, rows/s, and mean per-epoch trigger time from
+    StreamingQueryProgress."""
     import glob
     import shutil
     import tempfile
