@@ -488,8 +488,9 @@ def test_jpeg_decode_rejects_non_baseline_and_stub():
     # decode_raster dispatches by signature
     png = multimodal.encode_png(9, 7)
     assert multimodal.decode_raster(png)[0:2] == (9, 7)
+    # GIF is a dispatched codec now; a BMP signature is the unknown one
     with _pytest.raises(ValueError, match="unsupported raster"):
-        multimodal.decode_raster(b"GIF89a" + b"\x00" * 10)
+        multimodal.decode_raster(b"BM" + b"\x00" * 10)
 
 
 def test_jpeg_phash_planted_pairs_recall():
