@@ -2631,6 +2631,73 @@ FROM per, tot t
 """
 
 
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication keeps one
+    representative per group of embedding-near-duplicate documents —
+    the curation step that removes paraphrases and templated rewrites
+    exact/minhash dedup cannot see. Pairs above the cosine threshold
+    canonicalize by min-reachable-id connected components
+    (operators/graph — paraphrase groups are transitive), and each
+    component keeps its minimum id. Output: every vector with its
+    keep/drop verdict and component representative. Exact pair mode
+    here (the verification baseline); at corpus scale the LSH-bucketed
+    candidate generator swaps in (embedding_lsh_buckets), identical
+    downstream."""
+    from ..operators import graph, similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates(
+        emb, threshold=SEMDEDUP_THRESHOLD, exact=True
+    ).select("id_a", "id_b")
+    comp = graph.connected_components(pairs)
+    return (
+        emb.select(F.col("vec_id"))
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id"))
+            .cast("long")
+            .alias("representative"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("keep"),
+        )
+    )
+
+
+def _semdedup_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE {sql_cosine("a.e", "b.e", EMB_DIM)} >= {SEMDEDUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+comp AS (
+  WITH RECURSIVE walk(node, reach) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT w.node, e.d FROM walk w JOIN edges e ON w.reach = e.s
+  )
+  SELECT node AS vec_id, min(reach)::BIGINT AS component
+  FROM walk GROUP BY node
+)
+SELECT v.vec_id,
+       coalesce(c.component, v.vec_id)::BIGINT AS representative,
+       coalesce(c.component, v.vec_id) = v.vec_id AS keep
+FROM v LEFT JOIN comp c USING (vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # train/val/test vocabulary-coverage report
 # ---------------------------------------------------------------------------
@@ -2746,6 +2813,7 @@ QUERIES = {
     "video_remux_dedup": video_remux_dedup,
     "docs_blocklist_screen": docs_blocklist_screen,
     "domain_reweight_plan": domain_reweight_plan,
+    "docs_semantic_dedup": docs_semantic_dedup,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -2817,6 +2885,7 @@ ORACLES = {
     "video_remux_dedup": _video_remux_sql(),
     "docs_blocklist_screen": _blocklist_sql(),
     "domain_reweight_plan": _REWEIGHT_SQL,
+    "docs_semantic_dedup": _semdedup_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
