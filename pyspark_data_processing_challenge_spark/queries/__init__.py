@@ -95,7 +95,8 @@ _VERDICT_PRIORITY = [
     # lateral_top_customers, events_udtf_polymorphic, customers_masked,
     # events_hourly_tvf, snapshot_merkle_diff, corpus_scaling_curve,
     # audio_fingerprint_near_dup, video_remux_dedup,
-    # docs_blocklist_screen, domain_reweight_plan, docs_semantic_dedup
+    # docs_blocklist_screen, domain_reweight_plan, docs_semantic_dedup,
+    # lsh_recall_eval
     # + the five displaced r01 entries noted in _ROTATED_OUT
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing

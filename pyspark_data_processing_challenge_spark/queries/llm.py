@@ -2698,6 +2698,88 @@ FROM v LEFT JOIN comp c USING (vec_id)
 """
 
 
+
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation of the sign-LSH bucketed near-dup path
+    against the exact all-pairs baseline — the honesty gate for every
+    query that claims "LSH candidates, approximate recall": of the
+    true cosine >= {th} pairs, how many share an LSH bucket (one
+    6-plane table: same-bucket = all signs agree). Output is ONE exact
+    row (true pairs, candidates found, misses, recall), so the number
+    this repo's docstrings wave at is measured, versioned, and
+    hash-checked every round.
+
+    Expect LOW single-table recall here and read it as the lesson, not
+    a bug: at cosine {th}=0.4 the angle is ~66 deg, so P(all 6 signs
+    agree) = (1 - theta/pi)^6 ~ 6% — matching the measured ~8%. That
+    is exactly why the production paths in this repo use OR-
+    constructions (banded minhash, 4x16-bit pHash bands) instead of
+    one AND-only table; this gate quantifies what a single table
+    would cost."""
+    from ..operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    exact = similarity.embedding_near_duplicates(
+        emb, threshold=EMB_ND_THRESHOLD, exact=True
+    ).select("id_a", "id_b")
+    bucketed = similarity.with_lsh_bucket(
+        emb, num_planes=LSH_PLANES, dim=64, seed=LSH_SEED
+    ).select("vec_id", "bucket")
+    ba = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("bucket").alias("__ba")
+    )
+    bb = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("bucket").alias("__bb")
+    )
+    flagged = (
+        exact.join(ba, "id_a")
+        .join(bb, "id_b")
+        .select(
+            (F.col("__ba") == F.col("__bb")).cast("long").alias("__hit")
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("__hit").cast("long").alias("n_candidates"),
+        (F.count(F.lit(1)) - F.sum("__hit")).cast("long").alias("n_missed"),
+        round_to(
+            F.sum("__hit").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _lsh_recall_sql() -> str:
+    planes = vectors.random_planes(LSH_PLANES, 64, LSH_SEED)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(f"{x!r}::DOUBLE" for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN {sql_dot_const(arr)} >= 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+b AS (SELECT vec_id, ({bucket}) AS bucket FROM v),
+exact AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM v a JOIN v b2 ON a.vec_id < b2.vec_id
+  WHERE {sql_cosine("a.e", "b2.e", EMB_DIM)} >= {EMB_ND_THRESHOLD}
+),
+flagged AS (
+  SELECT CASE WHEN ba.bucket = bb.bucket THEN 1 ELSE 0 END AS hit
+  FROM exact e
+  JOIN b ba ON ba.vec_id = e.id_a
+  JOIN b bb ON bb.vec_id = e.id_b
+)
+SELECT count(*)::BIGINT AS n_true_pairs,
+       sum(hit)::BIGINT AS n_candidates,
+       (count(*) - sum(hit))::BIGINT AS n_missed,
+       {sql_round("sum(hit)::DOUBLE / count(*)::DOUBLE", 6)} AS recall
+FROM flagged
+"""
+
+
 # ---------------------------------------------------------------------------
 # train/val/test vocabulary-coverage report
 # ---------------------------------------------------------------------------
@@ -2814,6 +2896,7 @@ QUERIES = {
     "docs_blocklist_screen": docs_blocklist_screen,
     "domain_reweight_plan": domain_reweight_plan,
     "docs_semantic_dedup": docs_semantic_dedup,
+    "lsh_recall_eval": lsh_recall_eval,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -2886,6 +2969,7 @@ ORACLES = {
     "docs_blocklist_screen": _blocklist_sql(),
     "domain_reweight_plan": _REWEIGHT_SQL,
     "docs_semantic_dedup": _semdedup_sql(),
+    "lsh_recall_eval": _lsh_recall_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
