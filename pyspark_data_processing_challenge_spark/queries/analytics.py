@@ -1587,6 +1587,119 @@ FROM per
 """
 
 
+
+BOOT_REPLICAS = 32
+# Poisson(1) CDF thresholds for the inverse-CDF draw (capped at 5;
+# truncated mass 6e-5 — the SAME literals in both engines, so the cap
+# is part of the deterministic contract, not an approximation error)
+BOOT_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for mean order value —
+    the distributed bootstrap (Chamandy et al., Google 2012): classic
+    resampling-with-replacement needs global coordination, but for
+    large n the replica multiplicity of each row is ~Poisson(1), which
+    is a ROW-LOCAL draw — here a deterministic inverse-CDF lookup on
+    the portable char-hash of (orderkey, replica), so every engine
+    replays the exact same resamples. {B} replicas explode row-local,
+    weighted sums stay exact BIGINT cents, and the CI is an order-
+    statistic cut of the sorted replica means (indices 2 and {B}-1 of
+    {B}: the ~5th/95th percentiles, no interpolation). One scan, one
+    32-way aggregate, one 32-row fold."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1))).alias("b"),
+    )
+    u = (
+        textfns.char_hash(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(1000000007.0)
+    )
+    w = F.lit(5)
+    for k in range(len(BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("b", (F.col("cents") * w).alias("__wx"), w.alias("__w"))
+        .groupBy("b")
+        .agg(F.sum("__wx").alias("sx"), F.sum("__w").alias("sw"))
+        .select(
+            (F.col("sx").cast("double") / F.col("sw").cast("double") / 100.0)
+            .alias("m")
+        )
+    )
+    overall = t(spark, sf_dir, "orders").agg(
+        (
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 100.0
+        ).alias("point")
+    )
+    arr = means.agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    return arr.crossJoin(F.broadcast(overall)).select(
+        F.lit(BOOT_REPLICAS).cast("long").alias("n_replicas"),
+        round_to(F.col("point"), 4).alias("mean"),
+        round_to(F.element_at("ms", 2), 4).alias("ci_lo"),
+        round_to(F.element_at("ms", BOOT_REPLICAS - 1), 4).alias("ci_hi"),
+    )
+
+
+def _bootstrap_sql() -> str:
+    cases = "5"
+    for k in range(len(BOOT_CDF) - 1, -1, -1):
+        cases = f"CASE WHEN u < {BOOT_CDF[k]!r} THEN {k} ELSE {cases} END"
+    chash = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(string_split(o_orderkey::VARCHAR || ':' || b::VARCHAR, ''), "
+        "c -> ascii(c)::BIGINT)), (a, x) -> (a * 31 + x) % 1000000007)"
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, (o_totalprice::DECIMAL(12,2) * 100)::BIGINT AS cents
+  FROM orders
+),
+rep AS (
+  SELECT o_orderkey, cents, unnest(range(0, {BOOT_REPLICAS})) AS b FROM o
+),
+uw AS (
+  SELECT cents, b, ({chash})::DOUBLE / 1000000007.0 AS u FROM rep
+),
+wt AS (SELECT cents, b, ({cases}) AS w FROM uw),
+means AS (
+  SELECT b, sum(cents * w)::DOUBLE / sum(w)::DOUBLE / 100.0 AS m
+  FROM wt GROUP BY b
+),
+arr AS (SELECT list(m ORDER BY m) AS ms FROM means),
+overall AS (
+  SELECT sum(cents)::DOUBLE / count(*)::DOUBLE / 100.0 AS point FROM o
+)
+SELECT {BOOT_REPLICAS}::BIGINT AS n_replicas,
+       {sql_round("overall.point", 4)} AS mean,
+       {sql_round("ms[2]", 4)} AS ci_lo,
+       {sql_round("ms[" + str(BOOT_REPLICAS - 1) + "]", 4)} AS ci_hi
+FROM arr, overall
+"""
+
+
 # ---------------------------------------------------------------------------
 # hierarchical ratio-to-parent rollup
 # ---------------------------------------------------------------------------
@@ -2418,6 +2531,7 @@ QUERIES = {
     "revenue_cusum_shifts": revenue_cusum_shifts,
     "revenue_acf": revenue_acf,
     "priority_mix_chi2": priority_mix_chi2,
+    "bootstrap_mean_ci": bootstrap_mean_ci,
     "region_nation_revenue_share": region_nation_revenue_share,
     "benford_totalprice": benford_totalprice,
 }
@@ -2453,6 +2567,7 @@ ORACLES = {
     "revenue_cusum_shifts": _CUSUM_SQL,
     "revenue_acf": _ACF_SQL,
     "priority_mix_chi2": _CHI2_SQL,
+    "bootstrap_mean_ci": _bootstrap_sql(),
     "region_nation_revenue_share": _REGION_SHARE_SQL,
     "benford_totalprice": _benford_sql(),
 }
