@@ -115,6 +115,11 @@ HEADLINE = [
     "corpus_scaling_curve",
     "audio_fingerprint_near_dup",
     "video_remux_dedup",
+    "docs_blocklist_screen",
+    "domain_reweight_plan",
+    "docs_semantic_dedup",
+    "lsh_recall_eval",
+    "bootstrap_mean_ci",
 ]
 
 

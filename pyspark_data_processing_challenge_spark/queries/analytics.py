@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns
-from ._util import round_to, sql_round, sql_tokens, t
+from ._util import round_to, spread, sql_round, sql_tokens, t
 
 # ---------------------------------------------------------------------------
 # weekly cohort retention
@@ -1613,7 +1613,9 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic cut of the sorted replica means (indices 2 and {B}-1 of
     {B}: the ~5th/95th percentiles, no interpolation). One scan, one
     32-way aggregate, one 32-row fold."""
-    o = t(spark, sf_dir, "orders").select(
+    # spread: the single-row-group test scan would serialize 32x the
+    # rows of per-row hashing on one core (see CLAUDE.md)
+    o = spread(t(spark, sf_dir, "orders")).select(
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("long")
@@ -1625,19 +1627,28 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1))).alias("b"),
     )
     # replica index FIRST: as a suffix, consecutive b values only
-    # append one digit to the polynomial fold, leaving replicas with
+    # append one digit to the hash input, leaving replicas with
     # near-identical draws per row (measured: replicas 0-9 collapsed);
-    # as a prefix each replica starts from a different fold state and
-    # the row-key digits mix it thoroughly
+    # as a prefix every replica's input diverges immediately. md5 (JVM
+    # codegen) instead of the HOF char-fold: the fold cost 4 us/row
+    # over 4.8M (rows x replicas) rows — 20 s of pure hashing.
     u = (
-        textfns.char_hash(
-            F.concat(
-                F.col("b").cast("string"),
-                F.lit(":"),
-                F.col("o_orderkey").cast("string"),
-            )
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
         ).cast("double")
-        / F.lit(1000000007.0)
+        / F.lit(4503599627370496.0)  # 16^13
     )
     w = F.lit(5)
     for k in range(len(BOOT_CDF) - 1, -1, -1):
@@ -1674,8 +1685,10 @@ def _bootstrap_sql() -> str:
         cases = f"CASE WHEN u < {BOOT_CDF[k]!r} THEN {k} ELSE {cases} END"
     chash = (
         "list_reduce(list_prepend(0::BIGINT, "
-        "list_transform(string_split(b::VARCHAR || ':' || o_orderkey::VARCHAR, ''), "
-        "c -> ascii(c)::BIGINT)), (a, x) -> (a * 31 + x) % 1000000007)"
+        "list_transform(string_split(substring("
+        "md5(b::VARCHAR || ':' || o_orderkey::VARCHAR), 1, 13), ''), "
+        "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)), "
+        "(a, x) -> a * 16 + x)"
     )
     return f"""
 WITH o AS (
@@ -1686,7 +1699,7 @@ rep AS (
   SELECT o_orderkey, cents, unnest(range(0, {BOOT_REPLICAS})) AS b FROM o
 ),
 uw AS (
-  SELECT cents, b, ({chash})::DOUBLE / 1000000007.0 AS u FROM rep
+  SELECT cents, b, ({chash})::DOUBLE / 4503599627370496.0 AS u FROM rep
 ),
 wt AS (SELECT cents, b, ({cases}) AS w FROM uw),
 means AS (

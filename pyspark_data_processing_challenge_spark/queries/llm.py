@@ -2633,26 +2633,56 @@ FROM per, tot t
 
 
 SEMDEDUP_THRESHOLD = 0.4
+SEMDEDUP_NCLUSTERS = 64
 
 
 def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication keeps one
     representative per group of embedding-near-duplicate documents —
     the curation step that removes paraphrases and templated rewrites
-    exact/minhash dedup cannot see. Pairs above the cosine threshold
-    canonicalize by min-reachable-id connected components
-    (operators/graph — paraphrase groups are transitive), and each
-    component keeps its minimum id. Output: every vector with its
-    keep/drop verdict and component representative. Exact pair mode
-    here (the verification baseline); at corpus scale the LSH-bucketed
-    candidate generator swaps in (embedding_lsh_buckets), identical
-    downstream."""
+    exact/minhash dedup cannot see. THE PAPER'S ACTUAL SHAPE: k-means
+    cluster the embeddings first (one broadcast-codebook linear pass,
+    {k} coarse clusters), then score pairs only WITHIN each cluster —
+    candidates shrink from n² to Σ cluster² ≈ n²/k, and near-dup pairs
+    land in one cluster with high probability because they are near
+    the same centroid. Pairs above the cosine threshold canonicalize
+    by min-reachable-id connected components (paraphrase groups are
+    transitive); each component keeps its minimum id. Output: every
+    vector with its keep/drop verdict and representative. The oracle
+    replays the identical cluster assignment, so the within-cluster
+    restriction is part of the verified contract, not silent loss."""
     from ..operators import graph, similarity
 
-    emb = t(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_duplicates(
-        emb, threshold=SEMDEDUP_THRESHOLD, exact=True
-    ).select("id_a", "id_b")
+    # spread: the single-row-group embeddings scan would run every
+    # assignment cosine on one core (see CLAUDE.md)
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < SEMDEDUP_NCLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(
+        emb, cent, centroid_id="cid", centroid_vec="cv"
+    )
+    l = assigned.select(
+        F.col("doc").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        "centroid_id",
+    )
+    r = assigned.select(
+        F.col("doc").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        "centroid_id",
+    )
+    from ..functions import vectors
+
+    pairs = (
+        l.join(r, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            vectors.cosine(F.col("vec_a"), F.col("vec_b"))
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
     comp = graph.connected_components(pairs)
     return (
         emb.select(F.col("vec_id"))
@@ -2673,9 +2703,24 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_sql() -> str:
     return f"""
 WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, {_EMB} AS cv FROM embeddings
+         WHERE vec_id < {SEMDEDUP_NCLUSTERS}),
+scored AS (
+  SELECT v.vec_id, v.e, cent.cid,
+    {sql_cosine("v.e", "cent.cv", EMB_DIM)} AS cos
+  FROM v, cent
+),
+assigned AS (
+  SELECT vec_id, e, cid AS centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
   WHERE {sql_cosine("a.e", "b.e", EMB_DIM)} >= {SEMDEDUP_THRESHOLD}
 ),
 edges AS (
