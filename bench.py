@@ -118,7 +118,8 @@ HEADLINE = [
     "docs_blocklist_screen",
     "domain_reweight_plan",
     "docs_semantic_dedup",
-    "lsh_recall_eval",
+    # lsh_recall_eval is deliberately absent: its exact all-pairs
+    # baseline is the quadratic verification mode (sf0.01 gate only)
     "bootstrap_mean_ci",
 ]
 
