@@ -121,6 +121,7 @@ HEADLINE = [
     # lsh_recall_eval is deliberately absent: its exact all-pairs
     # baseline is the quadratic verification mode (sf0.01 gate only)
     "bootstrap_mean_ci",
+    "events_dow_hour_profile",
 ]
 
 

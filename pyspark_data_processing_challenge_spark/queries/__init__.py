@@ -96,7 +96,7 @@ _VERDICT_PRIORITY = [
     # events_hourly_tvf, snapshot_merkle_diff, corpus_scaling_curve,
     # audio_fingerprint_near_dup, video_remux_dedup,
     # docs_blocklist_screen, domain_reweight_plan, docs_semantic_dedup,
-    # lsh_recall_eval, bootstrap_mean_ci
+    # lsh_recall_eval, bootstrap_mean_ci, events_dow_hour_profile
     # + the five displaced r01 entries noted in _ROTATED_OUT
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing

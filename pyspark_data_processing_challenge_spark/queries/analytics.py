@@ -1718,6 +1718,48 @@ FROM arr, overall
 """
 
 
+
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap — the load-profile query
+    behind capacity planning and anomaly baselines: event count and
+    distinct users per (ISO weekday, hour) cell, plus each cell's
+    share of its weekday (identically-derived doubles). One map-side-
+    combined aggregate over the scan; 168 output cells at any scale."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    day = cell.groupBy("dow").agg(F.sum("n_events").alias("__day_n"))
+    return cell.join(day, "dow").select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_events",
+        "n_users",
+        round_to(
+            F.col("n_events").cast("double") / F.col("__day_n").cast("double"),
+            6,
+        ).alias("day_share"),
+    )
+
+
+_DOW_HOUR_SQL = f"""
+WITH cell AS (
+  SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+         hour(CAST(ts AS TIMESTAMP)) AS hour,
+         count(*)::BIGINT AS n_events,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM events GROUP BY 1, 2
+),
+day AS (SELECT dow, sum(n_events)::BIGINT AS day_n FROM cell GROUP BY dow)
+SELECT c.dow::BIGINT AS dow, c.hour::BIGINT AS hour, c.n_events, c.n_users,
+       {sql_round("c.n_events::DOUBLE / d.day_n::DOUBLE", 6)} AS day_share
+FROM cell c JOIN day d USING (dow)
+"""
+
+
 # ---------------------------------------------------------------------------
 # hierarchical ratio-to-parent rollup
 # ---------------------------------------------------------------------------
@@ -2550,6 +2592,7 @@ QUERIES = {
     "revenue_acf": revenue_acf,
     "priority_mix_chi2": priority_mix_chi2,
     "bootstrap_mean_ci": bootstrap_mean_ci,
+    "events_dow_hour_profile": events_dow_hour_profile,
     "region_nation_revenue_share": region_nation_revenue_share,
     "benford_totalprice": benford_totalprice,
 }
@@ -2586,6 +2629,7 @@ ORACLES = {
     "revenue_acf": _ACF_SQL,
     "priority_mix_chi2": _CHI2_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
+    "events_dow_hour_profile": _DOW_HOUR_SQL,
     "region_nation_revenue_share": _REGION_SHARE_SQL,
     "benford_totalprice": _benford_sql(),
 }
