@@ -118,8 +118,9 @@ HEADLINE = [
     "docs_blocklist_screen",
     "domain_reweight_plan",
     "docs_semantic_dedup",
-    # lsh_recall_eval is deliberately absent: its exact all-pairs
-    # baseline is the quadratic verification mode (sf0.01 gate only)
+    # r08: re-entered once its baseline became the fixed-size sampled
+    # broadcast (O(NQ·n)) instead of the quadratic all-pairs join
+    "lsh_recall_eval",
     "bootstrap_mean_ci",
     "events_dow_hour_profile",
 ]

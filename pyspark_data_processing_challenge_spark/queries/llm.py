@@ -2744,15 +2744,29 @@ FROM v LEFT JOIN comp c USING (vec_id)
 
 
 
+LSH_EVAL_NQ = 100  # fixed-size query sample — baseline cost is O(NQ·n)
+LSH_EVAL_SALT = ":lshq"
+
+
 def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall evaluation of the sign-LSH bucketed near-dup path
-    against the exact all-pairs baseline — the honesty gate for every
-    query that claims "LSH candidates, approximate recall": of the
-    true cosine >= {th} pairs, how many share an LSH bucket (one
-    6-plane table: same-bucket = all signs agree). Output is ONE exact
-    row (true pairs, candidates found, misses, recall), so the number
-    this repo's docstrings wave at is measured, versioned, and
-    hash-checked every round.
+    """Recall evaluation of the sign-LSH bucketed near-dup path against
+    a SAMPLED exact baseline — the honesty gate for every query that
+    claims "LSH candidates, approximate recall". A deterministic
+    fixed-size query sample (the {NQ} vectors with the smallest
+    portable char_hash of their id — unbiased by construction, stable
+    across engines and reruns) anchors the ground truth: every
+    (query, neighbor) pair with true cosine >= {th}. Recall = the
+    fraction of those true pairs that share an LSH bucket (one 6-plane
+    table: same-bucket = all signs agree). Output is ONE exact row
+    (true pairs, candidates found, misses, recall), so the number this
+    repo's docstrings wave at is measured, versioned, and hash-checked
+    every round.
+
+    Scale shape: the baseline is a broadcast of {NQ} query vectors
+    against one corpus scan — O({NQ}·n), linear in the corpus, never
+    the O(n²) all-pairs join (the pre-r08 version's only non-scale-safe
+    plan). The sample is a TakeOrdered top-k on the hash, not a
+    fraction of n, so cost does not grow quadratically at 100×.
 
     Expect LOW single-table recall here and read it as the lesson, not
     a bug: at cosine {th}=0.4 the angle is ~66 deg, so P(all 6 signs
@@ -2761,24 +2775,44 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     constructions (banded minhash, 4x16-bit pHash bands) instead of
     one AND-only table; this gate quantifies what a single table
     would cost."""
+    from ..functions.textfns import char_hash
     from ..operators import similarity
 
     emb = t(spark, sf_dir, "embeddings")
-    exact = similarity.embedding_near_duplicates(
-        emb, threshold=EMB_ND_THRESHOLD, exact=True
-    ).select("id_a", "id_b")
+    qsample = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            char_hash(
+                F.concat(F.col("vec_id").cast("string"), F.lit(LSH_EVAL_SALT))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(LSH_EVAL_NQ)
+        .select(F.col("vec_id").alias("id_q"), F.col("embedding").alias("vec_q"))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("id_n"), F.col("embedding").alias("vec_n")
+    )
+    true_pairs = (
+        corpus.join(F.broadcast(qsample), F.col("id_q") != F.col("id_n"))
+        .filter(
+            vectors.cosine(F.col("vec_q"), F.col("vec_n")) >= EMB_ND_THRESHOLD
+        )
+        .select("id_q", "id_n")
+    )
     bucketed = similarity.with_lsh_bucket(
         emb, num_planes=LSH_PLANES, dim=64, seed=LSH_SEED
     ).select("vec_id", "bucket")
     ba = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("bucket").alias("__ba")
+        F.col("vec_id").alias("id_q"), F.col("bucket").alias("__ba")
     )
     bb = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("bucket").alias("__bb")
+        F.col("vec_id").alias("id_n"), F.col("bucket").alias("__bb")
     )
     flagged = (
-        exact.join(ba, "id_a")
-        .join(bb, "id_b")
+        true_pairs.join(ba, "id_q")
+        .join(bb, "id_n")
         .select(
             (F.col("__ba") == F.col("__bb")).cast("long").alias("__hit")
         )
@@ -2803,19 +2837,26 @@ def _lsh_recall_sql() -> str:
             f"(CASE WHEN {sql_dot_const(arr)} >= 0 THEN {1 << i}::BIGINT ELSE 0 END)"
         )
     bucket = " + ".join(terms)
+    qhash = sql_char_hash(f"vec_id::VARCHAR || '{LSH_EVAL_SALT}'")
     return f"""
 WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+q AS (
+  SELECT vec_id AS id_q, e AS eq FROM (
+    SELECT vec_id, e, {qhash} AS h FROM v
+    ORDER BY h, vec_id LIMIT {LSH_EVAL_NQ}
+  )
+),
 b AS (SELECT vec_id, ({bucket}) AS bucket FROM v),
 exact AS (
-  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
-  FROM v a JOIN v b2 ON a.vec_id < b2.vec_id
-  WHERE {sql_cosine("a.e", "b2.e", EMB_DIM)} >= {EMB_ND_THRESHOLD}
+  SELECT q.id_q, v.vec_id AS id_n
+  FROM q JOIN v ON v.vec_id <> q.id_q
+  WHERE {sql_cosine("q.eq", "v.e", EMB_DIM)} >= {EMB_ND_THRESHOLD}
 ),
 flagged AS (
   SELECT CASE WHEN ba.bucket = bb.bucket THEN 1 ELSE 0 END AS hit
   FROM exact e
-  JOIN b ba ON ba.vec_id = e.id_a
-  JOIN b bb ON bb.vec_id = e.id_b
+  JOIN b ba ON ba.vec_id = e.id_q
+  JOIN b bb ON bb.vec_id = e.id_n
 )
 SELECT count(*)::BIGINT AS n_true_pairs,
        sum(hit)::BIGINT AS n_candidates,
