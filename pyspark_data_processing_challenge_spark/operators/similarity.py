@@ -197,6 +197,62 @@ def ivf_topk(
     )
 
 
+def semdedup_pairs(
+    assigned: DataFrame,
+    *,
+    id_col: str = "doc",
+    vec_col: str = "vec",
+    threshold: float,
+    max_cluster: int,
+) -> DataFrame:
+    """Within-cluster cosine-similar pairs for SemDeDup (Abbas et al.
+    2023) with a SKEW CAP: clusters larger than ``max_cluster`` are
+    deterministically split into ``ceil(size / max_cluster)``
+    sub-buckets (``id % nsplits``) before the self-join, so the
+    candidate count is bounded by Σ ceil(size/cap)·C(cap, 2) — a giant
+    cluster can no longer re-quadratize the pair join (pre-r08 the
+    join was Σ size², unbounded under centroid skew). Like every
+    banding trade in this repo, pairs crossing a sub-bucket boundary
+    are candidate loss; the split is pure integer arithmetic
+    (engine-portable, replayed verbatim by the SQL oracle) so the
+    restriction is part of the verified contract, not silent loss.
+
+    ``assigned``: (id, vec, centroid_id) from :func:`ivf_assign`.
+    Output: (id_a, id_b) with id_a < id_b and cosine >= threshold.
+    """
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("__csz")
+    )
+    keyed = (
+        assigned.join(F.broadcast(sizes), "centroid_id")
+        .withColumn(
+            "__nsplits",
+            F.expr(f"(__csz + {max_cluster - 1}) div {max_cluster}"),
+        )
+        .withColumn("__sub", F.pmod(F.col(id_col), F.col("__nsplits")))
+    )
+    l = keyed.select(
+        "centroid_id",
+        "__sub",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    r = keyed.select(
+        "centroid_id",
+        "__sub",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    return (
+        l.join(r, ["centroid_id", "__sub"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            vectors.cosine(F.col("vec_a"), F.col("vec_b")) >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,

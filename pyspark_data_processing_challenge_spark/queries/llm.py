@@ -2634,6 +2634,12 @@ FROM per, tot t
 
 SEMDEDUP_THRESHOLD = 0.4
 SEMDEDUP_NCLUSTERS = 64
+# skew cap: clusters above this size split into id % ceil(size/cap)
+# sub-buckets before the pair join (similarity.semdedup_pairs) — bounds
+# the candidate count under centroid skew. At the test SFs no cluster
+# reaches the cap, so the split is exercised by the planted-mega-cluster
+# property test (tests/test_properties.py), not the oracle data.
+SEMDEDUP_MAX_CLUSTER = 100
 
 
 def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2649,8 +2655,10 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by min-reachable-id connected components (paraphrase groups are
     transitive); each component keeps its minimum id. Output: every
     vector with its keep/drop verdict and representative. The oracle
-    replays the identical cluster assignment, so the within-cluster
-    restriction is part of the verified contract, not silent loss."""
+    replays the identical cluster assignment AND the skew-cap
+    sub-split (clusters over {cap} ids split by id % ceil(size/cap)
+    before pairing — similarity.semdedup_pairs), so both restrictions
+    are part of the verified contract, not silent loss."""
     from ..operators import graph, similarity
 
     # spread: the single-row-group embeddings scan would run every
@@ -2662,26 +2670,10 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = similarity.ivf_assign(
         emb, cent, centroid_id="cid", centroid_vec="cv"
     )
-    l = assigned.select(
-        F.col("doc").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        "centroid_id",
-    )
-    r = assigned.select(
-        F.col("doc").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        "centroid_id",
-    )
-    from ..functions import vectors
-
-    pairs = (
-        l.join(r, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            vectors.cosine(F.col("vec_a"), F.col("vec_b"))
-            >= SEMDEDUP_THRESHOLD
-        )
-        .select("id_a", "id_b")
+    pairs = similarity.semdedup_pairs(
+        assigned,
+        threshold=SEMDEDUP_THRESHOLD,
+        max_cluster=SEMDEDUP_MAX_CLUSTER,
     )
     comp = graph.connected_components(pairs)
     return (
@@ -2717,10 +2709,18 @@ assigned AS (
     FROM scored
   ) WHERE rn = 1
 ),
+keyed AS (
+  SELECT vec_id, e, centroid_id,
+    vec_id % ((count(*) OVER (PARTITION BY centroid_id)
+               + {SEMDEDUP_MAX_CLUSTER - 1}) // {SEMDEDUP_MAX_CLUSTER})
+      AS sub
+  FROM assigned
+),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM assigned a JOIN assigned b
-    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  FROM keyed a JOIN keyed b
+    ON a.centroid_id = b.centroid_id AND a.sub = b.sub
+   AND a.vec_id < b.vec_id
   WHERE {sql_cosine("a.e", "b.e", EMB_DIM)} >= {SEMDEDUP_THRESHOLD}
 ),
 edges AS (

@@ -527,3 +527,45 @@ def test_gif_container_roundtrip_property(w, h, seed):
     assert multimodal.decode_gif_gray(
         multimodal.encode_gif_gray(w, h, pix)
     ) == (w, h, pix)
+
+
+def test_semdedup_mega_cluster_does_not_quadratize(spark):
+    """A planted mega-cluster (every vector assigned to ONE centroid)
+    must be split into ceil(size/cap) sub-buckets before the pair
+    join: with n=400 ids 0..399, cap=50 → 8 sub-buckets of exactly 50
+    (id % 8), so the candidate count is 8·C(50,2) = 9 800 — not
+    C(400,2) = 79 800. threshold=-2 passes every candidate, making the
+    output count THE candidate count."""
+    from pyspark_data_processing_challenge_spark.operators import similarity
+
+    n, cap = 400, 50
+    rows = [(i, [1.0, float(i % 3 + 1)], 0) for i in range(n)]
+    assigned = spark.createDataFrame(
+        rows, "doc bigint, vec array<double>, centroid_id bigint"
+    )
+    got = similarity.semdedup_pairs(
+        assigned, threshold=-2.0, max_cluster=cap
+    ).count()
+    nsplits = (n + cap - 1) // cap
+    per = n // nsplits
+    assert got == nsplits * per * (per - 1) // 2 == 9800
+    assert got < 0.15 * n * (n - 1) // 2
+
+
+def test_semdedup_no_split_below_cap(spark):
+    """Below the cap the split is the identity: nsplits=1, sub=0 for
+    every row — pairs equal the plain within-cluster join."""
+    from pyspark_data_processing_challenge_spark.operators import similarity
+
+    rows = [(i, [1.0, float(i + 1)], i % 3) for i in range(30)]
+    assigned = spark.createDataFrame(
+        rows, "doc bigint, vec array<double>, centroid_id bigint"
+    )
+    got = similarity.semdedup_pairs(
+        assigned, threshold=-2.0, max_cluster=100
+    ).count()
+    want = sum(
+        c * (c - 1) // 2
+        for c in [len([i for i in range(30) if i % 3 == k]) for k in range(3)]
+    )
+    assert got == want
