@@ -9,21 +9,22 @@ ONE task and sorts there. Fine as a small-data oracle twin, fatal at
    target rank's value. Spark's sketch guarantees rank error ≤
    n/accuracy, so the element at the target rank provably lies inside a
    narrow value band (~2·n/accuracy rows wide).
-2. One more aggregate counts rows strictly above each band; an exact
-   top-k (``TakeOrderedAndProject``) over only the tiny band rows pins
-   the precise boundary element, tie-broken on a unique key so the
+2. One more aggregate counts rows strictly above each band; a
+   band-partitioned window ``row_number`` over only the tiny band rows
+   pins the precise boundary element, tie-broken on a unique key so the
    total order — and therefore the bucket assignment — is exactly the
    one ``ntile`` would produce.
 3. Bucket assignment is then a broadcast-literal ``when`` chain over
    the 3 (value, key) cut points: a narrow map-side projection, zero
    shuffles, zero Window nodes.
 
-Every pass is fully parallel; driver-side state is O(#cuts). The band
-top-k collects ≤ band-size rows (~2·n/accuracy + value-tie multiplicity)
-— with the default accuracy of 10 000 that is ~0.02 % of the table. A
-single value held by a large fraction of rows would widen the band
-(ties can't be split by a value filter); callers bucketing such a
-column should raise ``accuracy`` or pre-aggregate.
+Every pass is fully parallel; driver-side state is O(#cuts) — the
+refinement collects exactly the boundary elements (one row per cut),
+never the band pool. Band WIDTH (~2·n/accuracy + value-tie
+multiplicity, ~0.02 % of the table at the default accuracy of 10 000)
+now only sizes the executor-side per-band sort: a single value held by
+a large fraction of rows widens its band's partition (skewed-band
+task), but driver memory stays O(#cuts) regardless.
 
 Reference parity: the reference engine has no selection operator; this
 backs the catalog's `agg_quartiles_orders`, the scale twin of
@@ -92,34 +93,61 @@ def exact_order_statistics(
             for i, (_, hi) in enumerate(bands)
         ]
     ).first()
-    # ONE job refines every band: collect the union of the narrow bands
-    # (same O(Σ band size) driver bound as the per-band limit-k collects
-    # this replaces — each of those already pulled up to a band's worth
-    # of rows — but len(ranks) scheduling round-trips become one)
-    from functools import reduce as _reduce
-    from operator import or_ as _or
+    # ONE job refines every band DISTRIBUTED: tag each row with the
+    # band indices it falls in (explode handles overlap), rank within
+    # each band by a band-partitioned window — never a global sort —
+    # and keep only the row at each band's target rank. The driver
+    # receives exactly the <= len(ranks) boundary elements; band rows
+    # themselves never leave the executors (pre-r08 this was a
+    # collect() of the whole band pool, O(Σ band size) driver memory
+    # — unbounded under value skew where ties widen a band).
+    from pyspark.sql import Window
 
-    in_any = _reduce(
-        _or,
-        [F.col(value_col).between(F.lit(lo), F.lit(hi)) for lo, hi in bands],
+    band_tags = F.array(
+        *[
+            F.when(F.col(value_col).between(F.lit(lo), F.lit(hi)), F.lit(i))
+            for i, (lo, hi) in enumerate(bands)
+        ]
     )
-    pool = df.filter(in_any).select(value_col, tie_col).collect()
-    out: list[tuple] = []
-    for i, (b, (lo, hi)) in enumerate(zip(ranks, bands)):
-        k = b - (above[f"c{i}"] or 0)
-        # (value DESC, tie ASC) via two stable sorts — works for any
-        # orderable value type, not just ones supporting negation
-        rows = sorted(
-            (r for r in pool if lo <= r[value_col] <= hi),
-            key=lambda r: r[tie_col],
+    cand = df.select(
+        F.col(value_col),
+        F.col(tie_col),
+        F.explode(F.filter(band_tags, lambda x: x.isNotNull())).alias(
+            "__band"
+        ),
+    )
+    ks = {i: b - (above[f"c{i}"] or 0) for i, b in enumerate(ranks)}
+    k_expr = None
+    for i, k in ks.items():
+        cond = F.col("__band") == i
+        k_expr = (
+            F.when(cond, F.lit(k))
+            if k_expr is None
+            else k_expr.when(cond, F.lit(k))
         )
-        rows.sort(key=lambda r: r[value_col], reverse=True)
-        if k < 1 or len(rows) < k:
+    wb = Window.partitionBy("__band")
+    picked = (
+        cand.withColumn(
+            "__rn",
+            F.row_number().over(
+                wb.orderBy(F.col(value_col).desc(), F.col(tie_col).asc())
+            ),
+        )
+        .withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__rn") == k_expr)
+        .select("__band", value_col, tie_col, "__bsz")
+        .collect()
+    )
+    by_band = {r["__band"]: r for r in picked}
+    out: list[tuple] = []
+    for i, b in enumerate(ranks):
+        r = by_band.get(i)
+        if r is None:
             raise AssertionError(
                 f"rank {b}: sketch bracket missed its guarantee "
-                f"(k={k}, band rows={len(rows)}) — raise accuracy"
+                f"(k={ks[i]} outside band) — raise accuracy"
             )
-        out.append((rows[k - 1][value_col], rows[k - 1][tie_col]))
+        out.append((r[value_col], r[tie_col]))
     return out
 
 

@@ -56,3 +56,26 @@ def test_ntile_assign_matches_window_ntile(spark, n, buckets):
     g = {r["k"]: r["bucket"] for r in got.select("k", "bucket").collect()}
     e = {r["k"]: r["bucket"] for r in want.collect()}
     assert g == e
+
+
+def test_ntile_assign_dominant_value_stays_off_driver(spark):
+    """A single value held by 96% of rows widens every band it touches
+    to ~the whole table. The refinement must still be exact — and,
+    post-r08, the driver receives only the <=3 boundary rows (the band
+    pool sorts executor-side in a band-partitioned window), so the
+    degenerate distribution is a skewed task, not a driver OOM."""
+    from pyspark.sql import Window
+
+    n = 5000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 25 == 0, F.col("id").cast("double"))
+        .otherwise(F.lit(7.0))
+        .alias("v"),
+        F.col("id").alias("k"),
+    )
+    got = selection.ntile_assign(df, "v", "k", 4, accuracy=100)
+    w = Window.orderBy(F.col("v").desc(), F.col("k"))
+    want = df.select("k", F.ntile(4).over(w).cast("long").alias("bucket"))
+    g = {r["k"]: r["bucket"] for r in got.select("k", "bucket").collect()}
+    e = {r["k"]: r["bucket"] for r in want.collect()}
+    assert g == e
