@@ -253,6 +253,91 @@ def semdedup_pairs(
     )
 
 
+def incremental_semdedup_pairs(
+    new_df: DataFrame,
+    seen_store: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+    threshold: float,
+    nsplits: int = 1,
+    cache_into: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup of a NEW vector batch against the persisted assignment
+    store WITHOUT re-scoring history — the semantic member of the
+    incremental family (exact fingerprints, minhash signatures, span
+    grams, perceptual hashes). ``centroids`` is the STATIC codebook
+    every batch assigns against (the store contract: cluster geometry
+    is trained once, like the paper's k-means fit); ``seen_store`` is
+    the persisted (doc, vec, centroid_id) table from earlier ingests
+    (or empty with that schema) — partition it by centroid_id on disk
+    and each batch equi-joins only the clusters it touches.
+
+    Unlike :func:`semdedup_pairs`' size-derived skew cap (cluster size
+    changes as batches arrive, so a size-dependent split would re-key
+    history every ingest), the incremental form bounds skew with a
+    STATIC ``nsplits``: sub-bucket = id % nsplits, ingest-order
+    independent, so batch results equal a full recompute over the
+    union corpus (same static split) restricted to pairs touching the
+    batch. Returns ``(pairs, updated_store)``; pairs carry the exact
+    cosine (symmetric under the left-fold — a[i]*b[i] commutes — so
+    orientation cannot skew the float). The store update is
+    replay-idempotent: re-ingested ids add no duplicate rows and the
+    self-guard keeps them from pairing with their own history row.
+    """
+    nb = ivf_assign(
+        new_df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+    ).withColumn("__sub", F.pmod(F.col("doc"), F.lit(nsplits))).persist()
+    if cache_into is not None:
+        cache_into.append(nb)
+    cos = vectors.cosine
+    l, r = nb.alias("l"), nb.alias("r")
+    within = l.join(
+        r,
+        (F.col("l.centroid_id") == F.col("r.centroid_id"))
+        & (F.col("l.__sub") == F.col("r.__sub"))
+        & (F.col("l.doc") < F.col("r.doc")),
+    ).select(
+        F.col("l.doc").alias("id_a"),
+        F.col("r.doc").alias("id_b"),
+        cos(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
+    )
+    # the store is banded on read — __sub is pure arithmetic, no state
+    hb = seen_store.withColumn(
+        "__sub", F.pmod(F.col("doc"), F.lit(nsplits))
+    ).alias("h")
+    versus = nb.alias("n").join(
+        hb,
+        (F.col("n.centroid_id") == F.col("h.centroid_id"))
+        & (F.col("n.__sub") == F.col("h.__sub"))
+        # replay guard: a re-ingested id must not pair with itself
+        & (F.col("n.doc") != F.col("h.doc")),
+    ).select(
+        F.least(F.col("n.doc"), F.col("h.doc")).alias("id_a"),
+        F.greatest(F.col("n.doc"), F.col("h.doc")).alias("id_b"),
+        cos(F.col("n.vec"), F.col("h.vec")).alias("cosine"),
+    )
+    pairs = (
+        within.unionByName(versus)
+        .filter(F.col("cosine") >= threshold)
+        # replay: a batch-internal pair of two RE-ingested ids shows up
+        # in both branches — same ids, same symmetric cosine — dedup it
+        .distinct()
+    )
+    fresh = nb.drop("__sub").join(
+        seen_store.select("doc"), "doc", "left_anti"
+    )
+    return pairs, seen_store.unionByName(fresh)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,

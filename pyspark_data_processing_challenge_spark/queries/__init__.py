@@ -29,75 +29,70 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- round-7 additions (first driver verdict needed) ---
-    "image_rgb_phash_near_dup",  # new: truecolor 4:4:4 JPEG decode recall gate
-    "image_rgb_histogram",  # new: bit-exact RGB PNG decode + channel stats
-    "audio_spectral_features",  # new: WHT sequency + FFT centroid features
-    "ivf_recall_eval",  # new: recall@k gate of IVF vs exact neighbors
-    "docs_bigram_surprisal",  # new: corpus bigram-LM perplexity proxy
-    "pq_rerank_topk",  # new: ADC shortlist + exact re-rank (two-stage ANN)
-    "docs_containment_pairs",  # new: asymmetric containment join
-    "revenue_cusum_shifts",  # new: recursion-free CUSUM change points
-    "revenue_acf",  # new: ACF seasonality screen, row-local lag folds
-    "pyds_docs_pushdown",  # new: Spark 4.1 Python DataSource pushFilters
-    # --- queued since round 6 (locally bit-exact green; never had a
-    # driver slot — the r06 window was at its 50-slot cap) ---
-    "collection_functions",
-    "map_functions",
-    "target_encode_priority",
-    "equi_depth_bins_totalprice",
-    "orders_expectations",
-    "purchase_attribution",
-    "rolling_7d_distinct_sketch",
-    "momentum_contribution",
-    "seasonal_decompose_daily",
-    "docs_readability",
-    "funnel_dropoff",
-    "sketch_overlap_users",
-    "corpus_manifest",
-    # --- r01-only verdict tail (VERDICT r06 item 3): 27 of the 32
-    # r01-only queries re-promoted; the 5 with the lowest re-verify
-    # value (window_ntile_orders, multimodal_meta, window_lag_delta,
-    # ngram_jaccard_pairs, minhash_signatures — each covered by a
-    # newer sibling verdict, see their _ROTATED_OUT notes) yielded
-    # their slots to the ten round-7 queries above; they queue for
-    # r08 ---
-    "events_json_stats",
-    "percentiles_by_type",
-    "rollup_lineitem",
-    "array_agg_lineitems",
-    "pivot_event_counts",
-    "semi_join_urgent_customers",
-    "anti_join_quiet_customers",
-    "set_ops_segments",
-    "sql_revenue_by_nation",
-    "window_topk_orders",
-    "dedup_exact_groups",
-    "simhash_values",
-    "docs_fingerprint",
-    "embedding_near_dup",
-    "sort_top20_orders",
-    "window_running_total",
-    "events_hourly",
-    "op_equality_filter",
-    "op_sentinel_filter",
-    "op_membership_filter",
-    "op_union_membership",
-    "op_fill_nulls",
-    "op_indicators",
-    "op_date_filter",
-    "op_standardize_units",
-    "op_null_counts",
-    "asof_join_purchases",
-    # Queued for the r08 window (50 slots full; local bit-exact parity
-    # gates them every round): spatial_grid_neighbors, priority_mix_chi2,
-    # join_revenue_by_nation_shj, image_tri_codec_near_dup,
-    # lateral_top_customers, events_udtf_polymorphic, customers_masked,
-    # events_hourly_tvf, snapshot_merkle_diff, corpus_scaling_curve,
-    # audio_fingerprint_near_dup, video_remux_dedup,
-    # docs_blocklist_screen, domain_reweight_plan, docs_semantic_dedup,
-    # lsh_recall_eval, bootstrap_mean_ci, events_dow_hour_profile
-    # + the five displaced r01 entries noted in _ROTATED_OUT
+    # --- the 18 round-7 additions that have NEVER had a driver slot
+    # (VERDICT r07 item 1: every one is locally bit-exact green but the
+    # r07 window was at its 50-slot cap) ---
+    "docs_semantic_dedup",  # now with the r08 skew-cap sub-split
+    "bootstrap_mean_ci",
+    "lsh_recall_eval",  # r08: sampled baseline — behavior changed
+    "audio_fingerprint_near_dup",
+    "video_remux_dedup",
+    "image_tri_codec_near_dup",
+    "spatial_grid_neighbors",
+    "priority_mix_chi2",
+    "events_dow_hour_profile",
+    "docs_blocklist_screen",
+    "domain_reweight_plan",
+    "corpus_scaling_curve",
+    "snapshot_merkle_diff",
+    "customers_masked",
+    "events_udtf_polymorphic",
+    "lateral_top_customers",
+    "events_hourly_tvf",
+    "join_revenue_by_nation_shj",
+    # --- round-8 additions (first driver verdict needed) ---
+    "semdedup_incremental_batch",  # new: incremental semantic dedup
+    # --- behavior touched in r08 (selection.py band refinement went
+    # distributed) — re-verify even though r04/r05 verdicts exist ---
+    "agg_quartiles_orders",
+    "window_ntile_orders",  # shares the selection oracle; r01-only verdict
+    # --- the 4 remaining r01-only-verdict entries (displaced from the
+    # r07 window; each has a newer sibling verdict but the bar says a
+    # fresh driver row) ---
+    "multimodal_meta",
+    "window_lag_delta",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    # --- oldest-verdict re-verification rotation (r01+r02 / r02) ---
+    "ref_flagship_pipeline",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_topk",
+    "embedding_lsh_buckets",
+    "near_dup_clusters",
+    "curate_corpus",
+    "minhash_signatures_fast",
+    "dedup_drop_exact",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_token_stats",
+    "op_dedup_subset",
+    "agg_salted_revenue",
+    # --- r04-verdict re-verification rotation (oldest after r02) ---
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "docs_repetition",
+    "events_variant_stats",
+    "approx_percentiles_by_type",
+    "image_phash",
+    "image_phash_near_dup",
+    "docs_decontaminate",
+    "docs_split_assign",
+    "docs_pack_sequences",
+    "profile_orders",
+    # (kmeans_two_step, docs_domain_mix, embedding_quantize,
+    # docs_sentences_udtf, events_grouped_center remain r04-verdict;
+    # they queue for the r09 window — 50 slots full)
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -154,51 +149,65 @@ _ROTATED_OUT = {
     "docs_unigram_surprisal": "r06",
     "split_oov_rate": "r06",
     "nation_trade_pagerank2": "r06",
-    # rotated in round 6 to make room for the analytics module
-    # (each green in both r01 and r02)
-    "ref_flagship_pipeline": "r01+r02",
-    "minhash_near_dup": "r01+r02",
-    "simhash_near_dup": "r01+r02",
-    "embedding_topk": "r01+r02",
-    "embedding_lsh_buckets": "r01+r02",
-    "near_dup_clusters": "r01+r02",
-    "curate_corpus": "r01+r02",
-    "minhash_signatures_fast": "r01+r02",
-    # r01-only, displaced by the round-7 additions (r08 queue) — the
-    # five lowest re-verify-value entries, each backed by a newer
-    # sibling verdict on the same machinery:
-    # scale twin agg_quartiles_orders green r04+r05 on the shared oracle
-    "window_ntile_orders": "r01",
-    # six sibling multimodal queries carry r04-r06 verdicts
-    "multimodal_meta": "r01",
-    # window family covered by window_rank_stats (r02+r05)
-    "window_lag_delta": "r01",
-    # setsim_prefix_pairs (green r06, brute-force oracle) exercises
-    # exact n-gram Jaccard on the same corpus more strictly
-    "ngram_jaccard_pairs": "r01",
-    # the Arrow twin shares the IDENTICAL oracle SQL; signature math
-    # exercised by minhash_near_dup (r01+r02)
-    "minhash_signatures": "r01",
-    "dedup_drop_exact": "r01+r02",
-    "docs_quality": "r01+r02",
-    "docs_lang_id": "r01+r02",
-    "docs_token_stats": "r01+r02",
-    "op_dedup_subset": "r01+r02",
-    "agg_pricing_summary": "r04",
-    "join_revenue_by_nation": "r04",
+    # r08 rotation: the entire 50-slot r07 window came back green
+    # (CORRECTNESS_r07 50/50) and rotates out to fund the 18-query
+    # never-checked queue + the oldest-verdict re-verification set.
+    # round-7 additions, first verdict r07:
+    "image_rgb_phash_near_dup": "r07",
+    "image_rgb_histogram": "r07",
+    "audio_spectral_features": "r07",
+    "ivf_recall_eval": "r07",
+    "docs_bigram_surprisal": "r07",
+    "pq_rerank_topk": "r07",
+    "docs_containment_pairs": "r07",
+    "revenue_cusum_shifts": "r07",
+    "revenue_acf": "r07",
+    "pyds_docs_pushdown": "r07",
+    # queued-since-round-6 entries, first verdict r07:
+    "collection_functions": "r07",
+    "map_functions": "r07",
+    "target_encode_priority": "r07",
+    "equi_depth_bins_totalprice": "r07",
+    "orders_expectations": "r07",
+    "purchase_attribution": "r07",
+    "rolling_7d_distinct_sketch": "r07",
+    "momentum_contribution": "r07",
+    "seasonal_decompose_daily": "r07",
+    "docs_readability": "r07",
+    "funnel_dropoff": "r07",
+    "sketch_overlap_users": "r07",
+    "corpus_manifest": "r07",
+    # the r01-only tail re-verified in the r07 window:
+    "events_json_stats": "r01+r07",
+    "percentiles_by_type": "r01+r07",
+    "rollup_lineitem": "r01+r07",
+    "array_agg_lineitems": "r01+r07",
+    "pivot_event_counts": "r01+r07",
+    "semi_join_urgent_customers": "r01+r07",
+    "anti_join_quiet_customers": "r01+r07",
+    "set_ops_segments": "r01+r07",
+    "sql_revenue_by_nation": "r01+r07",
+    "window_topk_orders": "r01+r07",
+    "dedup_exact_groups": "r01+r07",
+    "simhash_values": "r01+r07",
+    "docs_fingerprint": "r01+r07",
+    "embedding_near_dup": "r01+r07",
+    "sort_top20_orders": "r01+r07",
+    "window_running_total": "r01+r07",
+    "events_hourly": "r01+r07",
+    "op_equality_filter": "r01+r07",
+    "op_sentinel_filter": "r01+r07",
+    "op_membership_filter": "r01+r07",
+    "op_union_membership": "r01+r07",
+    "op_fill_nulls": "r01+r07",
+    "op_indicators": "r01+r07",
+    "op_date_filter": "r01+r07",
+    "op_standardize_units": "r01+r07",
+    "op_null_counts": "r01+r07",
+    "asof_join_purchases": "r01+r07",
+    # r04-verdict entries NOT in the r08 re-verify rotation (50 slots
+    # full; they queue for r09):
     "sessionize_events": "r01+r02+r04",
-    "agg_salted_revenue": "r02",
-    # round-4 front-pinned additions: all got green r04 verdicts
-    "docs_repetition": "r04",
-    "events_variant_stats": "r04",
-    "agg_quartiles_orders": "r04",
-    "approx_percentiles_by_type": "r04",
-    "image_phash": "r04",
-    "image_phash_near_dup": "r04",
-    "docs_decontaminate": "r04",
-    "docs_split_assign": "r04",
-    "docs_pack_sequences": "r04",
-    "profile_orders": "r04",
     "kmeans_two_step": "r04",
     "docs_domain_mix": "r04",
     "embedding_quantize": "r04",

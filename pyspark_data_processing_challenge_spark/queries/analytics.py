@@ -1601,6 +1601,64 @@ BOOT_CDF = (
 )
 
 
+def poisson_bootstrap_means(
+    values: DataFrame, *, id_col: str, cents_col: str, replicas: int
+) -> DataFrame:
+    """Replica means of the Poisson bootstrap over an exact BIGINT-cents
+    column: each (row, replica) draws a deterministic Poisson(1)
+    multiplicity (inverse-CDF on an md5 of "b:id"), replicas aggregate
+    weighted sums map-side. Returns one row per replica, column ``m``
+    (the replica's mean in currency units). Factored out of
+    :func:`bootstrap_mean_ci` so the statistical contract — CI width
+    shrinks ~1/sqrt(n) with sample size, replica count only refines the
+    SAME width estimate — is property-testable at other (n, B) points
+    (tests/test_properties.py) while the catalog query stays
+    hash-pinned."""
+    rep = values.select(
+        id_col,
+        cents_col,
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("b"),
+    )
+    # replica index FIRST: as a suffix, consecutive b values only
+    # append one digit to the hash input, leaving replicas with
+    # near-identical draws per row (measured: replicas 0-9 collapsed);
+    # as a prefix every replica's input diverges immediately. md5 (JVM
+    # codegen) instead of the HOF char-fold: the fold cost 4 us/row
+    # over 4.8M (rows x replicas) rows — 20 s of pure hashing.
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)  # 16^13
+    )
+    w = F.lit(5)
+    for k in range(len(BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    return (
+        rep.select(
+            "b", (F.col(cents_col) * w).alias("__wx"), w.alias("__w")
+        )
+        .groupBy("b")
+        .agg(F.sum("__wx").alias("sx"), F.sum("__w").alias("sw"))
+        .select(
+            (F.col("sx").cast("double") / F.col("sw").cast("double") / 100.0)
+            .alias("m")
+        )
+    )
+
+
 def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POISSON BOOTSTRAP confidence interval for mean order value —
     the distributed bootstrap (Chamandy et al., Google 2012): classic
@@ -1621,46 +1679,8 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    rep = o.select(
-        "o_orderkey",
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1))).alias("b"),
-    )
-    # replica index FIRST: as a suffix, consecutive b values only
-    # append one digit to the hash input, leaving replicas with
-    # near-identical draws per row (measured: replicas 0-9 collapsed);
-    # as a prefix every replica's input diverges immediately. md5 (JVM
-    # codegen) instead of the HOF char-fold: the fold cost 4 us/row
-    # over 4.8M (rows x replicas) rows — 20 s of pure hashing.
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("b").cast("string"),
-                        F.lit(":"),
-                        F.col("o_orderkey").cast("string"),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(4503599627370496.0)  # 16^13
-    )
-    w = F.lit(5)
-    for k in range(len(BOOT_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(BOOT_CDF[k]), F.lit(k)).otherwise(w)
-    means = (
-        rep.select("b", (F.col("cents") * w).alias("__wx"), w.alias("__w"))
-        .groupBy("b")
-        .agg(F.sum("__wx").alias("sx"), F.sum("__w").alias("sw"))
-        .select(
-            (F.col("sx").cast("double") / F.col("sw").cast("double") / 100.0)
-            .alias("m")
-        )
+    means = poisson_bootstrap_means(
+        o, id_col="o_orderkey", cents_col="cents", replicas=BOOT_REPLICAS
     )
     overall = t(spark, sf_dir, "orders").agg(
         (

@@ -2748,6 +2748,78 @@ LSH_EVAL_NQ = 100  # fixed-size query sample — baseline cost is O(NQ·n)
 LSH_EVAL_SALT = ":lshq"
 
 
+SEMDEDUP_INC_NSPLITS = 2  # static skew split for the incremental form
+SEMDEDUP_INC_BATCH_MOD = 4  # vec_id % 4 == 0 is the "new" batch
+
+
+def semdedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch SemDeDup — the semantic member of the
+    incremental dedup family (exact / minhash / span / phash): vectors
+    with vec_id % {mod} == 0 arrive as the NEW batch and are scored
+    against the persisted (doc, vec, centroid_id) store of everything
+    seen before, never re-scoring history against itself. The codebook
+    is STATIC across batches (the store contract), and skew is bounded
+    by a static id % {nsplits} sub-bucket — ingest-order independent,
+    unlike the full-recompute path's size-derived cap, so results
+    equal a full recompute over the union restricted to pairs touching
+    the batch (pinned by tests/test_skew_salting.py). Output: the
+    batch's near-dup pairs with their exact cosine."""
+    from ..operators import similarity
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < SEMDEDUP_NCLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    history = emb.filter(F.col("vec_id") % SEMDEDUP_INC_BATCH_MOD != 0)
+    batch = emb.filter(F.col("vec_id") % SEMDEDUP_INC_BATCH_MOD == 0)
+    store = similarity.ivf_assign(
+        history, cent, centroid_id="cid", centroid_vec="cv"
+    )
+    pairs, _store = similarity.incremental_semdedup_pairs(
+        batch,
+        store,
+        cent,
+        threshold=SEMDEDUP_THRESHOLD,
+        nsplits=SEMDEDUP_INC_NSPLITS,
+    )
+    return pairs.select(
+        "id_a", "id_b", round_to(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+def _semdedup_incremental_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, {_EMB} AS cv FROM embeddings
+         WHERE vec_id < {SEMDEDUP_NCLUSTERS}),
+scored AS (
+  SELECT v.vec_id, v.e, cent.cid,
+    {sql_cosine("v.e", "cent.cv", EMB_DIM)} AS cos
+  FROM v, cent
+),
+assigned AS (
+  SELECT vec_id, e, cid AS centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+keyed AS (
+  SELECT vec_id, e, centroid_id,
+         vec_id % {SEMDEDUP_INC_NSPLITS} AS sub,
+         vec_id % {SEMDEDUP_INC_BATCH_MOD} = 0 AS is_new
+  FROM assigned
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {sql_round(sql_cosine("a.e", "b.e", EMB_DIM), 6)} AS cosine
+FROM keyed a JOIN keyed b
+  ON a.centroid_id = b.centroid_id AND a.sub = b.sub
+ AND a.vec_id < b.vec_id
+WHERE (a.is_new OR b.is_new)
+  AND {sql_cosine("a.e", "b.e", EMB_DIM)} >= {SEMDEDUP_THRESHOLD}
+"""
+
+
 def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall evaluation of the sign-LSH bucketed near-dup path against
     a SAMPLED exact baseline — the honesty gate for every query that
@@ -2982,6 +3054,7 @@ QUERIES = {
     "docs_blocklist_screen": docs_blocklist_screen,
     "domain_reweight_plan": domain_reweight_plan,
     "docs_semantic_dedup": docs_semantic_dedup,
+    "semdedup_incremental_batch": semdedup_incremental_batch,
     "lsh_recall_eval": lsh_recall_eval,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
@@ -3055,6 +3128,7 @@ ORACLES = {
     "docs_blocklist_screen": _blocklist_sql(),
     "domain_reweight_plan": _REWEIGHT_SQL,
     "docs_semantic_dedup": _semdedup_sql(),
+    "semdedup_incremental_batch": _semdedup_incremental_sql(),
     "lsh_recall_eval": _lsh_recall_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,

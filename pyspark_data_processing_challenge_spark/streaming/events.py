@@ -125,6 +125,46 @@ def decontaminate_stream(
     )
 
 
+def blocklist_stream(
+    docs_stream: DataFrame,
+    blocklist: tuple[str, ...],
+    *,
+    threshold: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming ingest-time safety screen — the content-policy gate
+    (queries/llm.docs_blocklist_screen) lifted to a micro-batch so a
+    blocked document is quarantined BEFORE it ever lands in the
+    corpus. Token-exact counting (never substring, so "slower" cannot
+    match), blocklist as a broadcast-literal ``isin``; per-doc state is
+    one explode + conditional aggregate keyed on the doc id, so no
+    watermark is needed (each doc's tokens arrive in one batch).
+    ``explode_outer`` keeps zero-token documents, so EVERY arriving doc
+    emits a verdict row — the twin test asserts set-equality with the
+    batch operator including its zero-hit rows.
+    """
+    from ..functions import textfns
+
+    tok = docs_stream.select(
+        F.col(id_col),
+        F.explode_outer(
+            textfns.tokens(F.lower(F.col(text_col)))
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("token").isin(*blocklist), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+        .withColumn("blocked", F.col("n_hits") >= F.lit(threshold))
+    )
+
+
 def hourly_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling 1-hour aggregation — streaming twin of the
     batch ``events_hourly`` query (same grouping, same aggregates)."""

@@ -569,3 +569,48 @@ def test_semdedup_no_split_below_cap(spark):
         for c in [len([i for i in range(30) if i % 3 == k]) for k in range(3)]
     )
     assert got == want
+
+
+def test_bootstrap_ci_width_contract(spark):
+    """The Poisson-bootstrap statistical contract (beyond the
+    hash-pinned point values): (1) CI width shrinks ~1/sqrt(n) with
+    SAMPLE size — a 1/16 subsample's CI is decisively wider than the
+    full table's; (2) replica count only refines the SAME width
+    estimate — B=64's width stays within 3x of B=16's, not a shrink;
+    (3) every CI brackets the point mean."""
+    from pyspark_data_processing_challenge_spark.queries import analytics as an
+    from tests.conftest import SF_DIR
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).cache()
+    point = o.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias("p")
+    ).first()["p"]
+
+    def width(df, replicas):
+        ms = sorted(
+            r["m"]
+            for r in an.poisson_bootstrap_means(
+                df, id_col="o_orderkey", cents_col="cents", replicas=replicas
+            ).collect()
+        )
+        lo, hi = ms[1], ms[-2]  # ~5th/95th order-statistic cut
+        return lo, hi, hi - lo
+
+    lo32, hi32, w_full = width(o, 32)
+    assert lo32 <= point <= hi32  # (3) coverage of the point estimate
+
+    sub = o.filter(F.col("o_orderkey") % 16 == 0)
+    _, _, w_sub = width(sub, 32)
+    # (1) n shrinks 16x -> width grows ~4x; require a decisive factor
+    assert w_sub > 2.0 * w_full
+
+    _, _, w16 = width(o, 16)
+    _, _, w64 = width(o, 64)
+    # (2) replicas refine, not shrink: same order of magnitude
+    assert w64 < 3.0 * w16 and w16 < 3.0 * w64
+    o.unpersist()

@@ -223,3 +223,90 @@ def test_release_caches(spark):
     assert handles and handles[0].storageLevel.useMemory
     dedup.release_caches(handles)
     assert not handles
+
+
+def test_incremental_semdedup_matches_full_recompute(spark):
+    """Batch-over-batch SemDeDup must equal the full recompute over the
+    union corpus (same static centroid codebook + static id % nsplits
+    sub-split) restricted to pairs touching the batch — plus, chaining
+    two batches from an empty store, the union of per-batch pair sets
+    equals the full pairing of the whole corpus."""
+    from pyspark_data_processing_challenge_spark.operators import similarity
+    from pyspark_data_processing_challenge_spark.queries._util import t
+
+    emb = t(spark, SF_DIR, "embeddings").limit(300).cache()
+    cent = emb.filter(F.col("vec_id") < llm.SEMDEDUP_NCLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    th, nsp = llm.SEMDEDUP_THRESHOLD, llm.SEMDEDUP_INC_NSPLITS
+    b1 = emb.filter(F.col("vec_id") % 4 != 0)
+    b2 = emb.filter(F.col("vec_id") % 4 == 0)
+
+    empty = spark.createDataFrame(
+        [], "doc long, vec array<float>, centroid_id bigint"
+    )
+    p1, store1 = similarity.incremental_semdedup_pairs(
+        b1, empty, cent, threshold=th, nsplits=nsp
+    )
+    p2, _ = similarity.incremental_semdedup_pairs(
+        b2, store1, cent, threshold=th, nsplits=nsp
+    )
+    key = lambda r: (r["id_a"], r["id_b"], round(r["cosine"], 9))
+    got = {key(r) for df in (p1, p2) for r in df.collect()}
+
+    # independent full formulation: assign ALL vectors, self-join on
+    # (centroid, id % nsplits), threshold on exact cosine
+    from pyspark_data_processing_challenge_spark.functions import vectors
+
+    assigned = similarity.ivf_assign(
+        emb, cent, centroid_id="cid", centroid_vec="cv"
+    ).withColumn("__sub", F.pmod(F.col("doc"), F.lit(nsp)))
+    l = assigned.select(
+        "centroid_id", "__sub",
+        F.col("doc").alias("id_a"), F.col("vec").alias("vec_a"),
+    )
+    r = assigned.select(
+        "centroid_id", "__sub",
+        F.col("doc").alias("id_b"), F.col("vec").alias("vec_b"),
+    )
+    want = {
+        key(row)
+        for row in l.join(r, ["centroid_id", "__sub"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            vectors.cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= th)
+        .collect()
+    }
+    assert got == want
+    assert want  # near pairs exist on this corpus at th=0.4
+
+
+def test_incremental_semdedup_replay_idempotent(spark):
+    """Re-ingesting a batch already in history must emit no self-pairs,
+    reproduce exactly the original pair set, and leave the persisted
+    store row count unchanged."""
+    from pyspark_data_processing_challenge_spark.operators import similarity
+    from pyspark_data_processing_challenge_spark.queries._util import t
+
+    emb = t(spark, SF_DIR, "embeddings").limit(150).cache()
+    cent = emb.filter(F.col("vec_id") < llm.SEMDEDUP_NCLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    th, nsp = llm.SEMDEDUP_THRESHOLD, llm.SEMDEDUP_INC_NSPLITS
+    empty = spark.createDataFrame(
+        [], "doc long, vec array<float>, centroid_id bigint"
+    )
+    p1, store1 = similarity.incremental_semdedup_pairs(
+        emb, empty, cent, threshold=th, nsplits=nsp
+    )
+    n_store = store1.count()
+    p2, store2 = similarity.incremental_semdedup_pairs(
+        emb, store1, cent, threshold=th, nsplits=nsp
+    )
+    assert p2.filter(F.col("id_a") == F.col("id_b")).count() == 0
+    assert store2.count() == n_store
+    key = lambda r: (r["id_a"], r["id_b"], round(r["cosine"], 9))
+    assert {key(r) for r in p2.collect()} == {key(r) for r in p1.collect()}

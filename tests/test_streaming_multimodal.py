@@ -617,6 +617,30 @@ def test_streaming_decontamination_matches_batch(spark):
     assert got == want and want
 
 
+def test_streaming_blocklist_matches_batch(spark):
+    """Ingest-time safety screen: the streamed per-doc verdicts must
+    equal the batch gate row-for-row — INCLUDING zero-hit documents
+    (explode_outer keeps them), so the stream can quarantine-or-pass
+    every arriving doc, not just flag hits."""
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    stream = sev.read_documents_stream(spark, SF_DIR)
+    out = sev.blocklist_stream(
+        stream, llm.BLOCKLIST, threshold=llm.BLOCK_THRESHOLD
+    )
+    sev.run_to_memory(out, "blocklist_stream")
+    got = {
+        (r["doc_id"], r["n_hits"], r["blocked"])
+        for r in spark.table("blocklist_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_hits"], r["blocked"])
+        for r in llm.docs_blocklist_screen(spark, SF_DIR).collect()
+    }
+    assert got == want and want
+    assert any(b for (_, _, b) in want)  # the corpus plants blocked docs
+
+
 def test_streaming_m4_matches_batch(spark):
     from pyspark_data_processing_challenge_spark.queries.advanced import (
         events_m4_downsample,
