@@ -123,6 +123,8 @@ HEADLINE = [
     "lsh_recall_eval",
     "bootstrap_mean_ci",
     "events_dow_hour_profile",
+    # round-8 additions
+    "docs_dsir_weights",
 ]
 
 

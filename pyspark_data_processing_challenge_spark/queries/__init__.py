@@ -52,6 +52,7 @@ _VERDICT_PRIORITY = [
     "join_revenue_by_nation_shj",
     # --- round-8 additions (first driver verdict needed) ---
     "semdedup_incremental_batch",  # new: incremental semantic dedup
+    "docs_dsir_weights",  # new: DSIR importance-resampling weights
     # --- behavior touched in r08 (selection.py band refinement went
     # distributed) — re-verify even though r04/r05 verdicts exist ---
     "agg_quartiles_orders",
@@ -89,10 +90,9 @@ _VERDICT_PRIORITY = [
     "docs_decontaminate",
     "docs_split_assign",
     "docs_pack_sequences",
-    "profile_orders",
-    # (kmeans_two_step, docs_domain_mix, embedding_quantize,
-    # docs_sentences_udtf, events_grouped_center remain r04-verdict;
-    # they queue for the r09 window — 50 slots full)
+    # (profile_orders, kmeans_two_step, docs_domain_mix,
+    # embedding_quantize, docs_sentences_udtf, events_grouped_center
+    # remain r04-verdict; they queue for the r09 window — 50 slots full)
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -208,6 +208,7 @@ _ROTATED_OUT = {
     # r04-verdict entries NOT in the r08 re-verify rotation (50 slots
     # full; they queue for r09):
     "sessionize_events": "r01+r02+r04",
+    "profile_orders": "r04",
     "kmeans_two_step": "r04",
     "docs_domain_mix": "r04",
     "embedding_quantize": "r04",

@@ -2595,6 +2595,149 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-like its hashed n-gram features are —
+    avg log2 importance ratio between a TARGET distribution (here the
+    '{tgt}' slice, the paper's target-domain corpus) and the RAW
+    corpus, both estimated over {B} hashed unigram buckets with
+    Laplace smoothing. Positive scores mark docs the resampler would
+    up-weight. This is the published scalable alternative to training
+    a quality classifier: two bucket-count aggregates, no model.
+
+    Engine-portability: bucket counts are exact BIGINTs; each bucket's
+    log2 ratio is computed ONCE from identical integers, and the
+    per-doc sum folds the doc's (bucket, tf, lr) terms sorted by
+    bucket (the surprisal pattern) — identical IEEE sequence in the
+    DuckDB oracle.
+
+    Scale shape: the explode + hash pass reduces immediately to a
+    (doc, bucket) count (map-side combined — at most {B} rows per doc
+    survive the map side), from which both the bucket-stats aggregate
+    and the per-doc fold derive; the {B}-row stats table broadcasts
+    back. The target slice needs no second corpus scan — it is a
+    conditional sum inside the same aggregate. At 100 TB, materialize
+    the (doc, bucket) table once (it is ~{B} ints per doc) instead of
+    recomputing the tokenize for each branch."""
+    d = spread(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(textfns.tokens(F.lower(F.col("text")))).alias("token"),
+    ).withColumn(
+        "bucket",
+        F.pmod(textfns.char_hash(F.col("token")), F.lit(DSIR_BUCKETS)),
+    )
+    tfpl = tok.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats0 = tfpl.groupBy("bucket").agg(
+        F.sum("tf").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ct"),
+    )
+    tot = stats0.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    stats = stats0.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log2(
+            (
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + DSIR_BUCKETS).cast("double")
+            )
+            / (
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + DSIR_BUCKETS).cast("double")
+            )
+        ).alias("lr"),
+    )
+    per = (
+        tfpl.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sort_array(
+                F.collect_list(F.struct("bucket", "tf", "lr"))
+            ).alias("__terms"),
+        )
+    )
+    folded = F.aggregate(
+        F.col("__terms"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["tf"].cast("double") * s["lr"],
+    )
+    scored = per.select(
+        "doc_id",
+        "n_tokens",
+        round_to(
+            folded / F.col("n_tokens").cast("double"), 6
+        ).alias("avg_log_ratio"),
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "avg_log_ratio",
+            (F.coalesce(F.col("avg_log_ratio"), F.lit(0.0)) > 0).alias(
+                "target_like"
+            ),
+        )
+    )
+
+
+def _dsir_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, {sql_char_hash("t__")} % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest({sql_tokens("lower(text)")}) AS t__
+        FROM documents)
+),
+tfpl AS (
+  SELECT doc_id, lang, bucket, count(*)::BIGINT AS tf
+  FROM tok GROUP BY doc_id, lang, bucket
+),
+stats0 AS (
+  SELECT bucket, sum(tf)::BIGINT AS cr,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END)::BIGINT AS ct
+  FROM tfpl GROUP BY bucket
+),
+tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM stats0),
+stats AS (
+  SELECT bucket,
+    log2(((ct + 1)::DOUBLE / (nt + {DSIR_BUCKETS})::DOUBLE)
+         / ((cr + 1)::DOUBLE / (nr + {DSIR_BUCKETS})::DOUBLE)) AS lr
+  FROM stats0, tot
+),
+per AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+    list(struct_pack(bucket := bucket, tf := tf, lr := lr)
+         ORDER BY bucket) AS terms
+  FROM tfpl JOIN stats USING (bucket) GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+    {sql_round(
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(terms, s -> s.tf::DOUBLE * s.lr)), "
+        "(a, b) -> a + b) / n_tokens::DOUBLE", 6)} AS avg_log_ratio
+  FROM per
+)
+SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       s.avg_log_ratio,
+       coalesce(s.avg_log_ratio, 0.0) > 0 AS target_like
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def domain_reweight_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset MIXTURE REWEIGHTING plan: given the observed language
     mix, the per-domain sampling weight that reaches a uniform target
@@ -3055,6 +3198,7 @@ QUERIES = {
     "domain_reweight_plan": domain_reweight_plan,
     "docs_semantic_dedup": docs_semantic_dedup,
     "semdedup_incremental_batch": semdedup_incremental_batch,
+    "docs_dsir_weights": docs_dsir_weights,
     "lsh_recall_eval": lsh_recall_eval,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
@@ -3129,6 +3273,7 @@ ORACLES = {
     "domain_reweight_plan": _REWEIGHT_SQL,
     "docs_semantic_dedup": _semdedup_sql(),
     "semdedup_incremental_batch": _semdedup_incremental_sql(),
+    "docs_dsir_weights": _dsir_sql(),
     "lsh_recall_eval": _lsh_recall_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
