@@ -392,6 +392,89 @@ def dedup_ingest_sink(out_dir: str, fp_store_dir: str, cols=None):
     return sink
 
 
+EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def read_embeddings_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Bounded embeddings stream (test source; Kafka/Delta in prod)."""
+    return (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def semdedup_ingest_sink(
+    pairs_dir: str,
+    store_dir: str,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    nsplits: int = 1,
+):
+    """foreachBatch sink with CROSS-BATCH semantic dedup — SemDeDup at
+    ingest, completing the streaming face of the incremental family
+    (exact fingerprints via dedup_ingest_sink, now embeddings): each
+    micro-batch assigns against the STATIC broadcast codebook, pairs
+    against the persisted epoch-partitioned assignment store
+    (operators/similarity.incremental_semdedup_pairs), writes the
+    batch's near-dup pairs, and appends only its fresh assignments.
+
+    Replay safety (the dedup_ingest_sink contract): the store read
+    FILTERS to epochs strictly before the current one, so a replayed
+    epoch sees exactly the prior state it saw the first time and
+    overwrites its own pair and assignment partitions — idempotent
+    under at-least-once delivery, including the pairing decision.
+    """
+    from ..operators.similarity import incremental_semdedup_pairs
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            store = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("__epoch") < F.lit(epoch_id))
+                .select("doc", "vec", "centroid_id")
+            )
+        except AnalysisException as e:
+            # ONLY a missing store means "first epoch" (see
+            # dedup_ingest_sink for why anything else must re-raise)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            store = spark.createDataFrame(
+                [], "doc long, vec array<float>, centroid_id bigint"
+            )
+        caches: list = []
+        pairs, updated = incremental_semdedup_pairs(
+            batch_df,
+            store,
+            centroids,
+            threshold=threshold,
+            nsplits=nsplits,
+            cache_into=caches,
+        )
+        (
+            pairs.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(pairs_dir)
+        )
+        fresh = updated.join(store.select("doc"), "doc", "left_anti")
+        (
+            fresh.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(store_dir)
+        )
+        for c in caches:
+            c.unpersist()
+
+    return sink
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a bounded stream to completion synchronously into an
     in-memory table ``name`` (complete mode — test harness only)."""

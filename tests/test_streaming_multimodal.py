@@ -409,6 +409,93 @@ def test_streaming_cross_batch_dedup_ingest(spark, tmp_path):
     assert after == before
 
 
+def test_streaming_semdedup_ingest(spark, tmp_path):
+    """SemDeDup at ingest: embedding micro-batches pair against the
+    persisted assignment store; the union of per-epoch pairs equals the
+    full within-(centroid, sub) pairing over the whole corpus, and
+    replaying a committed epoch leaves outputs byte-identical."""
+    from pyspark_data_processing_challenge_spark.functions import vectors
+    from pyspark_data_processing_challenge_spark.operators import similarity
+    from pyspark_data_processing_challenge_spark.queries import llm
+    from pyspark_data_processing_challenge_spark.queries._util import t
+
+    emb = t(spark, SF_DIR, "embeddings").cache()
+    cent = emb.filter(F.col("vec_id") < llm.SEMDEDUP_NCLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    th, nsp = llm.SEMDEDUP_THRESHOLD, llm.SEMDEDUP_INC_NSPLITS
+    src = tmp_path / "src"
+    src.mkdir()
+    # range split, NOT a modulus split: a % 2 batch split would align
+    # with the id % nsplits sub-buckets and make cross-batch pairs
+    # impossible by construction — the test would vacuously pass on a
+    # sink that never consults the store. At the 150 cut this corpus
+    # has pairs in epoch 0, across epochs, AND within epoch 1.
+    emb.filter(F.col("vec_id") < 150).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    emb.filter(F.col("vec_id") >= 150).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    pairs_dir, store_dir = str(tmp_path / "pairs"), str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(sev.EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    sink = sev.semdedup_ingest_sink(
+        pairs_dir, store_dir, cent, threshold=th, nsplits=nsp
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    written = spark.read.parquet(pairs_dir)
+    assert written.select("__epoch").distinct().count() == 2
+    key = lambda r: (r["id_a"], r["id_b"], round(r["cosine"], 9))
+    got = {key(r) for r in written.collect()}
+
+    assigned = similarity.ivf_assign(
+        emb, cent, centroid_id="cid", centroid_vec="cv"
+    ).withColumn("__sub", F.pmod(F.col("doc"), F.lit(nsp)))
+    l = assigned.select(
+        "centroid_id", "__sub",
+        F.col("doc").alias("id_a"), F.col("vec").alias("vec_a"),
+    )
+    r = assigned.select(
+        "centroid_id", "__sub",
+        F.col("doc").alias("id_b"), F.col("vec").alias("vec_b"),
+    )
+    want = {
+        key(row)
+        for row in l.join(r, ["centroid_id", "__sub"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            vectors.cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= th)
+        .collect()
+    }
+    assert got == want and want
+
+    # replay epoch 0: pair and store partitions must not change
+    before = sorted(tuple(r) for r in spark.read.parquet(pairs_dir).collect())
+    store_before = spark.read.parquet(store_dir).count()
+    sink(spark.read.parquet(str(src / "b1.parquet")), 0)
+    after = sorted(tuple(r) for r in spark.read.parquet(pairs_dir).collect())
+    assert after == before
+    assert spark.read.parquet(store_dir).count() == store_before
+
+
 def test_png_raster_roundtrip_all_filters():
     """decode_png_gray must recover the exact raster through every PNG
     filter type (filter_cycle encodes row y with filter y % 5)."""
