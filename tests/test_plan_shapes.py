@@ -401,3 +401,34 @@ def test_shj_twin_uses_shuffled_hash_join(spark):
     )
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_queries_have_no_cartesian(spark):
+    # both the size-capped full pairing and the incremental batch form
+    # must keep candidate generation an equi-join on (centroid, sub) —
+    # an accidental cross join would be the quadratic trap the r08
+    # skew cap exists to prevent
+    for q in (llm.docs_semantic_dedup, llm.semdedup_incremental_batch):
+        plan = plans.executed_plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_lsh_recall_baseline_is_broadcast_not_allpairs(spark):
+    # the sampled exact baseline must broadcast the fixed-size query
+    # set against one corpus scan — never a cartesian/sort-merge
+    # self-join (the pre-r08 quadratic shape)
+    df = llm.lsh_recall_eval(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sort_merge_join_count(df) == 0
+
+
+def test_dsir_prunes_columns_and_broadcasts_stats(spark):
+    # the corpus scan must read only (doc_id, text, lang) — never
+    # source/n_chars — and the 256-row bucket-stats table must come
+    # back as a broadcast, not a shuffle keyed on buckets
+    df = llm.docs_dsir_weights(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "source" not in plan.split("ReadSchema")[1][:200]
+    assert plans.broadcast_join_count(df) >= 2  # totals + stats
