@@ -53,6 +53,8 @@ _VERDICT_PRIORITY = [
     # --- round-8 additions (first driver verdict needed) ---
     "semdedup_incremental_batch",  # new: incremental semantic dedup
     "docs_dsir_weights",  # new: DSIR importance-resampling weights
+    "customers_k_anonymity",  # new: post-masking release gate
+    "revenue_holt_forecast",  # new: recursive smoothing as one fold
     # --- behavior touched in r08 (selection.py band refinement went
     # distributed) — re-verify even though r04/r05 verdicts exist ---
     "agg_quartiles_orders",
@@ -88,11 +90,10 @@ _VERDICT_PRIORITY = [
     "image_phash",
     "image_phash_near_dup",
     "docs_decontaminate",
-    "docs_split_assign",
-    "docs_pack_sequences",
-    # (profile_orders, kmeans_two_step, docs_domain_mix,
-    # embedding_quantize, docs_sentences_udtf, events_grouped_center
-    # remain r04-verdict; they queue for the r09 window — 50 slots full)
+    # (docs_split_assign, docs_pack_sequences, profile_orders,
+    # kmeans_two_step, docs_domain_mix, embedding_quantize,
+    # docs_sentences_udtf, events_grouped_center remain r04-verdict;
+    # they queue for the r09 window — 50 slots full)
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -209,6 +210,8 @@ _ROTATED_OUT = {
     # full; they queue for r09):
     "sessionize_events": "r01+r02+r04",
     "profile_orders": "r04",
+    "docs_split_assign": "r04",
+    "docs_pack_sequences": "r04",
     "kmeans_two_step": "r04",
     "docs_domain_mix": "r04",
     "embedding_quantize": "r04",

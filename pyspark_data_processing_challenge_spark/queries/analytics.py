@@ -1479,6 +1479,106 @@ def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exactly representable in binary — (1 - a) introduces no literal drift
+HOLT_ALPHA, HOLT_BETA = 0.5, 0.25
+
+
+def revenue_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over daily revenue —
+    the forecasting primitive behind capacity planning (CUSUM detects
+    shifts, ACF screens seasonality; Holt extrapolates): level l and
+    trend b update per day as l' = α·y + (1−α)(l+b),
+    b' = β(l'−l) + (1−β)b, initialized l=y₁, b=0. The recursive
+    statistic becomes ONE left fold over the day-sorted series (the
+    CUSUM/ACF shape) carrying (l, b, Σ|one-step error|) as the
+    accumulator — inherently sequential math stays row-local array
+    code, never a self-join or window chain. α, β and (1−α), (1−β) are
+    exactly-representable binary literals, values are doubles from
+    exact BIGINT cents, and the fold order is pinned by the sort — the
+    IEEE sequence is engine-identical, so the oracle hash-checks a
+    recursive forecast.
+
+    Scale shape: the daily aggregate is the only fact-table work; the
+    ~2.4k-day series folds in one calendar-bounded row. Output: final
+    level/trend, the next-day forecast, and the in-sample one-step MAE
+    (the honesty number every forecast should ship with)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("revc")
+    )
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "revc"))),
+            lambda x: x["revc"].cast("double") / F.lit(100.0),
+        ).alias("__s")
+    )
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    zero = F.struct(
+        F.element_at("__s", 1).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("sae"),
+    )
+
+    def step(acc, y):
+        fc = acc["l"] + acc["b"]  # one-step forecast before seeing y
+        new_l = F.lit(a) * y + F.lit(1 - a) * fc
+        return F.struct(
+            new_l.alias("l"),
+            (F.lit(b_) * (new_l - acc["l"]) + F.lit(1 - b_) * acc["b"]).alias(
+                "b"
+            ),
+            (acc["sae"] + F.abs(y - fc)).alias("sae"),
+        )
+
+    folded = series.select(
+        F.size("__s").alias("__n"),
+        F.aggregate(
+            F.slice(F.col("__s"), 2, F.size("__s") - 1), zero, step
+        ).alias("__h"),
+    )
+    return folded.select(
+        F.col("__n").cast("long").alias("n_days"),
+        round_to(F.col("__h.l"), 6).alias("level"),
+        round_to(F.col("__h.b"), 6).alias("trend"),
+        round_to(F.col("__h.l") + F.col("__h.b"), 6).alias("forecast_next"),
+        round_to(
+            F.col("__h.sae") / (F.col("__n") - 1).cast("double"), 6
+        ).alias("mae"),
+    )
+
+
+_HOLT_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS revc
+  FROM orders GROUP BY day
+),
+s AS (SELECT list(revc::DOUBLE / 100.0 ORDER BY day) AS ys FROM daily),
+f AS (
+  SELECT len(ys) AS n,
+    list_reduce(
+      list_prepend([ys[1], 0.0, 0.0],
+                   list_transform(ys[2:], y -> [y])),
+      (acc, x) -> [
+        {HOLT_ALPHA} * x[1] + {1 - HOLT_ALPHA} * (acc[1] + acc[2]),
+        {HOLT_BETA} * (({HOLT_ALPHA} * x[1] + {1 - HOLT_ALPHA} * (acc[1] + acc[2])) - acc[1])
+          + {1 - HOLT_BETA} * acc[2],
+        acc[3] + abs(x[1] - (acc[1] + acc[2]))
+      ]
+    ) AS h
+  FROM s
+)
+SELECT n::BIGINT AS n_days,
+       {sql_round("h[1]", 6)} AS level,
+       {sql_round("h[2]", 6)} AS trend,
+       {sql_round("h[1] + h[2]", 6)} AS forecast_next,
+       {sql_round("h[3] / (n - 1)::DOUBLE", 6)} AS mae
+FROM f
+"""
+
+
 _ACF_SQL = f"""
 WITH daily AS (
   SELECT o_orderdate AS day,
@@ -2610,6 +2710,7 @@ QUERIES = {
     "revenue_mom_yoy": revenue_mom_yoy,
     "revenue_cusum_shifts": revenue_cusum_shifts,
     "revenue_acf": revenue_acf,
+    "revenue_holt_forecast": revenue_holt_forecast,
     "priority_mix_chi2": priority_mix_chi2,
     "bootstrap_mean_ci": bootstrap_mean_ci,
     "events_dow_hour_profile": events_dow_hour_profile,
@@ -2647,6 +2748,7 @@ ORACLES = {
     "revenue_mom_yoy": _MOM_YOY_SQL,
     "revenue_cusum_shifts": _CUSUM_SQL,
     "revenue_acf": _ACF_SQL,
+    "revenue_holt_forecast": _HOLT_SQL,
     "priority_mix_chi2": _CHI2_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
     "events_dow_hour_profile": _DOW_HOUR_SQL,

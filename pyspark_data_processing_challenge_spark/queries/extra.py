@@ -919,8 +919,71 @@ FROM customer
 """
 
 
+K_ANON = 5
+
+
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the masked customer view
+    (:func:`customers_masked`): group sizes over the quasi-identifier
+    (nation, acctbal_band, mktsegment). Any group smaller than k={k}
+    re-identifies its members the moment the masked table joins an
+    external dataset on those columns — so this is the release gate
+    that runs AFTER masking and BEFORE shipping, and its output is the
+    evidence a privacy review asks for. One map-side-combined
+    aggregate to QI groups + one summary row; exact at any scale."""
+    m = customers_masked(spark, sf_dir)
+    groups = m.groupBy("nation", "acctbal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    unsafe = F.col("n") < K_ANON
+    rep = groups.agg(
+        F.lit(K_ANON).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(unsafe.cast("long")).alias("n_unsafe_groups"),
+        F.sum(F.when(unsafe, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+    )
+    return rep.select(
+        "k",
+        "n_rows",
+        "n_groups",
+        "n_unsafe_groups",
+        "n_exposed_rows",
+        round_to(
+            F.col("n_exposed_rows").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("exposure_rate"),
+    )
+
+
+_K_ANON_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey::BIGINT AS nation,
+         CASE WHEN c_acctbal < 0 THEN 'negative'
+              WHEN c_acctbal < 2500 THEN '0-2.5k'
+              WHEN c_acctbal < 5000 THEN '2.5k-5k'
+              WHEN c_acctbal < 7500 THEN '5k-7.5k'
+              ELSE '7.5k+' END AS acctbal_band,
+         c_mktsegment, count(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT {K_ANON}::BIGINT AS k, sum(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END)::BIGINT AS n_unsafe_groups,
+       sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)::BIGINT AS n_exposed_rows,
+       {sql_round(
+           "sum(CASE WHEN n < " + str(K_ANON) + " THEN n ELSE 0 END)::DOUBLE"
+           " / sum(n)::DOUBLE", 6)} AS exposure_rate
+FROM g
+"""
+
+
 QUERIES = {
     "customers_masked": customers_masked,
+    "customers_k_anonymity": customers_k_anonymity,
     "events_udtf_polymorphic": events_udtf_polymorphic,
     "lateral_top_customers": lateral_top_customers,
     "spatial_grid_neighbors": spatial_grid_neighbors,
@@ -946,6 +1009,7 @@ QUERIES = {
 
 ORACLES = {
     "customers_masked": _MASKED_SQL,
+    "customers_k_anonymity": _K_ANON_SQL,
     "events_udtf_polymorphic": _UDTF_POLY_SQL,
     "lateral_top_customers": _LATERAL_SQL,
     "spatial_grid_neighbors": _SPATIAL_SQL,
