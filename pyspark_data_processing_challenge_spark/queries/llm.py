@@ -2993,7 +2993,9 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textfns import char_hash
     from ..operators import similarity
 
-    emb = t(spark, sf_dir, "embeddings")
+    # spread: the single-row-group scan would run every baseline cosine
+    # and bucket fold on one core (see CLAUDE.md)
+    emb = spread(t(spark, sf_dir, "embeddings"))
     qsample = (
         emb.select(
             "vec_id",
