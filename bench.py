@@ -604,7 +604,7 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                 f"{src}/{i:02d}.parquet",
             )
 
-        def run(name: str, start_query):
+        def run(name: str, start_query, rows: int | None = None):
             t0 = time.perf_counter()
             q = start_query()
             q.processAllAvailable()
@@ -616,7 +616,7 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             ]
             trig = [p["durationMs"]["triggerExecution"] for p in epochs]
             out[f"{name}_wall_sec"] = round(wall, 3)
-            out[f"{name}_rows_per_sec"] = round(n_rows / wall, 1)
+            out[f"{name}_rows_per_sec"] = round((rows or n_rows) / wall, 1)
             out[f"{name}_epochs"] = len(epochs)
             out[f"{name}_epoch_ms_avg"] = (
                 round(sum(trig) / len(trig), 1) if trig else None
@@ -674,6 +674,60 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                 .option("checkpointLocation", f"{tmp}/ck_cms")
                 .start()
             ),
+        )
+
+        # SemDeDup-at-ingest: embedding micro-batches pair against the
+        # persisted assignment store. Range-chunked by vec_id (a
+        # modulus chunking would align with the id % nsplits sub-split
+        # and erase cross-batch pairs — see the twin test).
+        from pyspark_data_processing_challenge_spark.queries import (
+            llm as llmq2,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_emb = emb.count()
+        esrc = f"{tmp}/esrc"
+        _os.makedirs(esrc)
+        eb = emb.selectExpr(
+            "percentile(cast(vec_id as double), array(0.25, 0.5, 0.75)) p"
+        ).first().p
+        vid = SF.col("vec_id").cast("double")
+        echunks = [
+            emb.filter(vid <= eb[0]),
+            emb.filter((vid > eb[0]) & (vid <= eb[1])),
+            emb.filter((vid > eb[1]) & (vid <= eb[2])),
+            emb.filter(vid > eb[2]),
+        ]
+        for i, ch in enumerate(echunks):
+            ch.coalesce(1).write.parquet(f"{tmp}/e{i}")
+            shutil.copy(
+                glob.glob(f"{tmp}/e{i}/part-*.parquet")[0],
+                f"{esrc}/{i:02d}.parquet",
+            )
+        sd_cent = emb.filter(
+            SF.col("vec_id") < llmq2.SEMDEDUP_NCLUSTERS
+        ).select(
+            SF.col("vec_id").alias("cid"), SF.col("embedding").alias("cv")
+        )
+        run(
+            "semdedup_ingest",
+            lambda: (
+                spark.readStream.schema(sev.EMB_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(esrc)
+                .writeStream.foreachBatch(
+                    sev.semdedup_ingest_sink(
+                        f"{tmp}/sd_pairs",
+                        f"{tmp}/sd_store",
+                        sd_cent,
+                        threshold=llmq2.SEMDEDUP_THRESHOLD,
+                        nsplits=llmq2.SEMDEDUP_INC_NSPLITS,
+                    )
+                )
+                .option("checkpointLocation", f"{tmp}/ck_sd")
+                .start()
+            ),
+            rows=n_emb,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

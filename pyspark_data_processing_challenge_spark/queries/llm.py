@@ -118,6 +118,123 @@ FROM b
 """
 
 
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_SYMBOL_RATIO = 0.1
+GOPHER_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+# Gopher's canonical list is ("the","be","to","of","and","that","have",
+# "with"); this corpus's English inventory is the lang-id marker set —
+# reusing it keeps the rule non-degenerate here while preserving the
+# paper's semantics (>= 2 distinct common-English words)
+GOPHER_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, app. A —
+    the heuristics MassiveText shipped with, reused by most open
+    corpus pipelines since): per document, the canonical gates that
+    need no trained model — word count in [{minw}, {maxw}], mean word
+    length in [{minl}, {maxl}], symbol-to-word ratio under {sym} for
+    both '#' and '...', >= {alpha:.0%} of words containing an
+    alphabetic character, and >= {stop} distinct English stopwords
+    (the cheap English/garbage discriminator). Emits each rule's
+    verdict plus the conjunction, so a curation run can report WHY
+    documents dropped, not just how many.
+
+    All rules are row-local built-in expressions over one staged token
+    array — one scan, zero shuffles, zero UDFs; counts are exact
+    BIGINTs and the two float ratios divide identically-derived
+    doubles."""
+    d = t(spark, sf_dir, "documents")
+    toks = textfns.tokens(F.lower(F.col("text")))
+    staged = d.select("doc_id", "text", toks.alias("__toks"))
+    n_words = F.size("__toks").cast("long")
+    sum_len = F.aggregate(
+        F.transform(F.col("__toks"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    mwl = sum_len.cast("double") / n_words.cast("double")
+    n_hash = F.regexp_count(F.col("text"), F.lit("#")).cast("long")
+    n_ellipsis = F.regexp_count(F.col("text"), F.lit(r"\.\.\.")).cast("long")
+    n_alpha = F.size(
+        F.filter(F.col("__toks"), lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.array_distinct(F.col("__toks")),
+            lambda x: x.isin(*GOPHER_STOPWORDS),
+        )
+    ).cast("long")
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    r_symbol = (
+        n_hash.cast("double") < F.lit(GOPHER_SYMBOL_RATIO) * n_words.cast("double")
+    ) & (
+        n_ellipsis.cast("double")
+        < F.lit(GOPHER_SYMBOL_RATIO) * n_words.cast("double")
+    )
+    r_alpha = n_alpha.cast("double") >= F.lit(GOPHER_ALPHA_RATIO) * n_words.cast(
+        "double"
+    )
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        round_to(mwl, 6).alias("mean_word_len"),
+        r_words.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_symbol.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mwl & r_symbol & r_alpha & r_stop).alias("passes"),
+    )
+
+
+def _gopher_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text, {sql_tokens("lower(text)")} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_words,
+    list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                (a, v) -> a + v)::BIGINT AS sum_len,
+    length(regexp_extract_all(text, '#'))::BIGINT AS n_hash,
+    length(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS n_ellipsis,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+    len(list_filter(list_distinct(toks),
+                    x -> list_contains([{stop}], x)))::BIGINT AS n_stop
+  FROM staged
+),
+r AS (
+  SELECT doc_id, n_words,
+    sum_len::DOUBLE / n_words::DOUBLE AS mwl,
+    (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+      AS rule_word_count,
+    (sum_len::DOUBLE / n_words::DOUBLE >= {GOPHER_MIN_MWL}
+     AND sum_len::DOUBLE / n_words::DOUBLE <= {GOPHER_MAX_MWL})
+      AS rule_mean_word_len,
+    (n_hash::DOUBLE < {GOPHER_SYMBOL_RATIO} * n_words::DOUBLE
+     AND n_ellipsis::DOUBLE < {GOPHER_SYMBOL_RATIO} * n_words::DOUBLE)
+      AS rule_symbol_ratio,
+    (n_alpha::DOUBLE >= {GOPHER_ALPHA_RATIO} * n_words::DOUBLE)
+      AS rule_alpha_words,
+    (n_stop >= {GOPHER_MIN_STOPWORDS}) AS rule_stopwords
+  FROM b
+)
+SELECT doc_id, n_words, {sql_round("mwl", 6)} AS mean_word_len,
+       rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+       rule_alpha_words, rule_stopwords,
+       (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+        AND rule_alpha_words AND rule_stopwords) AS passes
+FROM r
+"""
+
+
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(
@@ -3201,6 +3318,7 @@ QUERIES = {
     "docs_semantic_dedup": docs_semantic_dedup,
     "semdedup_incremental_batch": semdedup_incremental_batch,
     "docs_dsir_weights": docs_dsir_weights,
+    "docs_gopher_rules": docs_gopher_rules,
     "lsh_recall_eval": lsh_recall_eval,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
@@ -3276,6 +3394,7 @@ ORACLES = {
     "docs_semantic_dedup": _semdedup_sql(),
     "semdedup_incremental_batch": _semdedup_incremental_sql(),
     "docs_dsir_weights": _dsir_sql(),
+    "docs_gopher_rules": _gopher_sql(),
     "lsh_recall_eval": _lsh_recall_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
