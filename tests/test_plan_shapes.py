@@ -432,3 +432,27 @@ def test_dsir_prunes_columns_and_broadcasts_stats(spark):
     plan = plans.executed_plan(df)
     assert "source" not in plan.split("ReadSchema")[1][:200]
     assert plans.broadcast_join_count(df) >= 2  # totals + stats
+
+
+def test_gopher_rules_is_projection_only(spark):
+    # every rule is row-local: the whole query must plan as a scan +
+    # projection — zero exchanges, zero joins, zero windows
+    df = llm.docs_gopher_rules(spark, SF_DIR)
+    assert plans.exchange_count(df) == 0
+    plan = plans.executed_plan(df)
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_holt_and_kanonymity_are_aggregate_only(spark):
+    # recursive smoothing and the QI audit both reduce to aggregates —
+    # no window chain, no self-join, nothing cartesian
+    from pyspark_data_processing_challenge_spark.queries import (
+        analytics,
+        extra,
+    )
+
+    for q in (analytics.revenue_holt_forecast, extra.customers_k_anonymity):
+        plan = plans.executed_plan(q(spark, SF_DIR))
+        assert "Window" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "SortMergeJoin" not in plan, q.__name__

@@ -614,3 +614,56 @@ def test_bootstrap_ci_width_contract(spark):
     # (2) replicas refine, not shrink: same order of magnitude
     assert w64 < 3.0 * w16 and w16 < 3.0 * w64
     o.unpersist()
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{path}/documents.parquet")
+
+
+def test_gopher_rules_on_planted_docs(spark, tmp_path):
+    """Semantic contract on planted inputs (the corpus-level parity
+    test can't isolate single rules): a clean 60-word English doc
+    passes every gate; a symbol-spam fragment fails word count, symbol
+    ratio, alpha share, and stopword floor — and the emitted verdicts
+    say exactly which."""
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    good = ("the quick brown fox jumps over lazy dogs and cats " * 6).strip()
+    bad = "#### ####"
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, good, "en", "web", len(good)), (2, bad, "web", "web", len(bad))],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in llm.docs_gopher_rules(spark, str(tmp_path)).collect()
+    }
+    g, b = out[1], out[2]
+    assert g["passes"] and all(
+        g[k] for k in g if k.startswith("rule_")
+    )
+    assert not b["passes"]
+    assert not b["rule_word_count"]  # 2 words < 50
+    assert not b["rule_symbol_ratio"]  # 8 hashes over 2 words
+    assert not b["rule_alpha_words"]  # no alphabetic token
+    assert not b["rule_stopwords"]  # no English markers
+
+
+def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
+    """The DSIR contract: documents drawn from the target distribution
+    (lang='en' vocabulary) must out-score documents with disjoint
+    vocabulary — every planted en doc above every planted zh doc."""
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    en = [(i, "alpha beta gamma alpha beta", "en", "web", 27) for i in range(3)]
+    zh = [(10 + i, "omega sigma tau omega sigma", "zh", "web", 27) for i in range(2)]
+    _write_docs(spark, tmp_path, en + zh)
+    rows = {
+        r["doc_id"]: r["avg_log_ratio"]
+        for r in llm.docs_dsir_weights(spark, str(tmp_path)).collect()
+    }
+    assert min(rows[i] for i in (0, 1, 2)) > max(rows[i] for i in (10, 11))
+    assert all(rows[i] > 0 for i in (0, 1, 2))  # target-like is positive
