@@ -125,6 +125,7 @@ HEADLINE = [
     "events_dow_hour_profile",
     # round-8 additions
     "docs_dsir_weights",
+    "lsh_recall_banded_eval",
 ]
 
 

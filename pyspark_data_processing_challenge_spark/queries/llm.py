@@ -3162,6 +3162,134 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_OR_TABLES = 4  # OR-construction: seeds LSH_SEED .. LSH_SEED+3
+
+
+def lsh_recall_banded_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OR-construction companion to :func:`lsh_recall_eval`: the
+    same sampled exact baseline, but a candidate counts as found if it
+    shares a bucket in ANY of {T} independent 6-plane tables (seeds
+    {s}..{s}+{T}-1) — the banded shape every production near-dup path
+    in this repo uses. Together the two gates measure the lesson the
+    single-table gate can only narrate: P(found) rises from
+    1-in-12ish (one AND-only table) to 1 - (1 - p)^{T}, and both
+    numbers are versioned and hash-checked. Same linear plan: the
+    extra tables are {T}-1 more projected bucket columns on the same
+    scan, not more joins."""
+    from ..functions.textfns import char_hash
+    from ..operators import similarity
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    qsample = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            char_hash(
+                F.concat(F.col("vec_id").cast("string"), F.lit(LSH_EVAL_SALT))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(LSH_EVAL_NQ)
+        .select(F.col("vec_id").alias("id_q"), F.col("embedding").alias("vec_q"))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("id_n"), F.col("embedding").alias("vec_n")
+    )
+    true_pairs = (
+        corpus.join(F.broadcast(qsample), F.col("id_q") != F.col("id_n"))
+        .filter(
+            vectors.cosine(F.col("vec_q"), F.col("vec_n")) >= EMB_ND_THRESHOLD
+        )
+        .select("id_q", "id_n")
+    )
+    bucketed = emb
+    for ti in range(LSH_OR_TABLES):
+        bucketed = similarity.with_lsh_bucket(
+            bucketed,
+            num_planes=LSH_PLANES,
+            dim=64,
+            seed=LSH_SEED + ti,
+            out_col=f"b{ti}",
+        )
+    bucketed = bucketed.select(
+        "vec_id", *[f"b{ti}" for ti in range(LSH_OR_TABLES)]
+    )
+    ba = bucketed.select(
+        F.col("vec_id").alias("id_q"),
+        *[F.col(f"b{ti}").alias(f"qa{ti}") for ti in range(LSH_OR_TABLES)],
+    )
+    bb = bucketed.select(
+        F.col("vec_id").alias("id_n"),
+        *[F.col(f"b{ti}").alias(f"nb{ti}") for ti in range(LSH_OR_TABLES)],
+    )
+    any_hit = None
+    for ti in range(LSH_OR_TABLES):
+        h = F.col(f"qa{ti}") == F.col(f"nb{ti}")
+        any_hit = h if any_hit is None else (any_hit | h)
+    flagged = (
+        true_pairs.join(ba, "id_q")
+        .join(bb, "id_n")
+        .select(any_hit.cast("long").alias("__hit"))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("__hit").cast("long").alias("n_candidates"),
+        (F.count(F.lit(1)) - F.sum("__hit")).cast("long").alias("n_missed"),
+        round_to(
+            F.sum("__hit").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _lsh_bucket_sql(seed: int) -> str:
+    planes = vectors.random_planes(LSH_PLANES, 64, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(f"{x!r}::DOUBLE" for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN {sql_dot_const(arr)} >= 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _lsh_recall_banded_sql() -> str:
+    qhash = sql_char_hash(f"vec_id::VARCHAR || '{LSH_EVAL_SALT}'")
+    bucket_cols = ", ".join(
+        f"({_lsh_bucket_sql(LSH_SEED + ti)}) AS b{ti}"
+        for ti in range(LSH_OR_TABLES)
+    )
+    any_hit = " OR ".join(
+        f"ba.b{ti} = bb.b{ti}" for ti in range(LSH_OR_TABLES)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+q AS (
+  SELECT vec_id AS id_q, e AS eq FROM (
+    SELECT vec_id, e, {qhash} AS h FROM v
+    ORDER BY h, vec_id LIMIT {LSH_EVAL_NQ}
+  )
+),
+b AS (SELECT vec_id, {bucket_cols} FROM v),
+exact AS (
+  SELECT q.id_q, v.vec_id AS id_n
+  FROM q JOIN v ON v.vec_id <> q.id_q
+  WHERE {sql_cosine("q.eq", "v.e", EMB_DIM)} >= {EMB_ND_THRESHOLD}
+),
+flagged AS (
+  SELECT CASE WHEN {any_hit} THEN 1 ELSE 0 END AS hit
+  FROM exact e
+  JOIN b ba ON ba.vec_id = e.id_q
+  JOIN b bb ON bb.vec_id = e.id_n
+)
+SELECT count(*)::BIGINT AS n_true_pairs,
+       sum(hit)::BIGINT AS n_candidates,
+       (count(*) - sum(hit))::BIGINT AS n_missed,
+       {sql_round("sum(hit)::DOUBLE / count(*)::DOUBLE", 6)} AS recall
+FROM flagged
+"""
+
+
 def _lsh_recall_sql() -> str:
     planes = vectors.random_planes(LSH_PLANES, 64, LSH_SEED)
     terms = []
@@ -3320,6 +3448,7 @@ QUERIES = {
     "docs_dsir_weights": docs_dsir_weights,
     "docs_gopher_rules": docs_gopher_rules,
     "lsh_recall_eval": lsh_recall_eval,
+    "lsh_recall_banded_eval": lsh_recall_banded_eval,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -3396,6 +3525,7 @@ ORACLES = {
     "docs_dsir_weights": _dsir_sql(),
     "docs_gopher_rules": _gopher_sql(),
     "lsh_recall_eval": _lsh_recall_sql(),
+    "lsh_recall_banded_eval": _lsh_recall_banded_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
