@@ -57,6 +57,7 @@ _VERDICT_PRIORITY = [
     "revenue_holt_forecast",  # new: recursive smoothing as one fold
     "docs_gopher_rules",  # new: the Gopher/MassiveText quality gate
     "lsh_recall_banded_eval",  # new: OR-construction recall companion
+    "parts_entity_resolution",  # new: block → score → closure pipeline
     # --- behavior touched in r08 (selection.py band refinement went
     # distributed) — re-verify even though r04/r05 verdicts exist ---
     "agg_quartiles_orders",
@@ -89,8 +90,7 @@ _VERDICT_PRIORITY = [
     "docs_repetition",
     "events_variant_stats",
     "approx_percentiles_by_type",
-    "image_phash",
-    # (image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
+    # (image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
     # kmeans_two_step, docs_domain_mix, embedding_quantize,
     # docs_sentences_udtf, events_grouped_center remain r04-verdict;
     # they queue for the r09 window — 50 slots full)
@@ -214,6 +214,7 @@ _ROTATED_OUT = {
     "docs_pack_sequences": "r04",
     "docs_decontaminate": "r04",
     "image_phash_near_dup": "r04",
+    "image_phash": "r04",
     "kmeans_two_step": "r04",
     "docs_domain_mix": "r04",
     "embedding_quantize": "r04",

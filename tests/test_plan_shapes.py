@@ -456,3 +456,12 @@ def test_holt_and_kanonymity_are_aggregate_only(spark):
         assert "Window" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
         assert "SortMergeJoin" not in plan, q.__name__
+
+
+def test_entity_resolution_is_block_bounded(spark):
+    # candidate generation must be the (brand, size) equi-join — an
+    # accidental cross join would be corpus x corpus
+    from pyspark_data_processing_challenge_spark.queries import extra
+
+    plan = plans.executed_plan(extra.parts_entity_resolution(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
