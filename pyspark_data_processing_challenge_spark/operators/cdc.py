@@ -64,6 +64,44 @@ def merge_apply(
     return keep.unionByName(upserts)
 
 
+def changelog_compact(
+    log: DataFrame,
+    keys: Sequence[str],
+    *,
+    version_col: str = "version",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Compact a multi-version CDC changelog (Debezium/Kafka topic
+    shape: many I/U/D ops PER KEY, ordered by ``version_col``) into the
+    current snapshot — the log-compaction step that turns a change
+    stream back into a table.
+
+    Last-writer-wins per key: the row with the highest version supplies
+    every payload column; keys whose latest op is ``delete_op``
+    disappear. Implemented as ONE ``max_by`` aggregation, not a window +
+    filter: ``max_by`` carries a (version, value) pair per column that
+    combines map-side, so a 100 TB log compacts with partial aggregation
+    before the single key shuffle — a ranking window would shuffle the
+    full log first and keep every version resident for sorting.
+
+    Versions must be unique per key (CDC offsets are); ties would make
+    ``max_by`` nondeterministic. The latest-op comparison is null-safe:
+    a NULL op is an upsert, never a silent delete (merge_apply's rule).
+    """
+    payload = [
+        c for c in log.columns if c not in (*keys, version_col, op_col)
+    ]
+    compacted = log.groupBy(*[F.col(k) for k in keys]).agg(
+        *[F.max_by(c, version_col).alias(c) for c in payload],
+        F.max(version_col).alias(version_col),
+        F.max_by(op_col, version_col).alias(op_col),
+    )
+    return compacted.filter(
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+    ).drop(op_col)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

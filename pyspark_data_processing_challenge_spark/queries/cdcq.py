@@ -80,6 +80,76 @@ def cdc_merge_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+LOG_U1_MOD, LOG_U2_MOD, LOG_DEL_MOD = 7, 13, 11
+LOG_U1_BUMP, LOG_U2_BUMP = 100.0, 250.0
+
+
+def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction: a four-version CDC changelog over orders (insert
+    everything at v0, price-bump updates at v1 for keys % 7 = 0 and v2
+    for keys % 13 = 0, deletes at v3 for keys % 11 = 0) folds back into
+    the current snapshot with ``cdc.changelog_compact`` — one map-side-
+    combinable ``max_by`` aggregation, last writer wins, latest-op-D
+    keys gone. The oracle states the fixed point directly (what each
+    key's final row must be), so the hash check proves the replay
+    converges to the right table, not merely that it is internally
+    consistent."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v0 = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("version"),
+        F.lit("I").alias("op"),
+    )
+    v1 = o.filter(F.col("o_orderkey") % LOG_U1_MOD == 0).select(
+        "o_orderkey",
+        F.lit("U1").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(LOG_U1_BUMP)).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % LOG_U2_MOD == 0).select(
+        "o_orderkey",
+        F.lit("U2").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(LOG_U2_BUMP)).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    v3 = o.filter(F.col("o_orderkey") % LOG_DEL_MOD == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(3).alias("version"),
+        F.lit("D").alias("op"),
+    )
+    log = v0.unionByName(v1).unionByName(v2).unionByName(v3)
+    out = cdc.changelog_compact(log, ["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("version").cast("long").alias("last_version"),
+    )
+
+
+_CHANGELOG_SQL = f"""
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % {LOG_U2_MOD} = 0 THEN 'U2'
+       WHEN o_orderkey % {LOG_U1_MOD} = 0 THEN 'U1'
+       ELSE o_orderstatus END AS o_orderstatus,
+  CASE WHEN o_orderkey % {LOG_U2_MOD} = 0 THEN o_totalprice + {LOG_U2_BUMP}
+       WHEN o_orderkey % {LOG_U1_MOD} = 0 THEN o_totalprice + {LOG_U1_BUMP}
+       ELSE o_totalprice END AS o_totalprice,
+  (CASE WHEN o_orderkey % {LOG_U2_MOD} = 0 THEN 2
+        WHEN o_orderkey % {LOG_U1_MOD} = 0 THEN 1
+        ELSE 0 END)::BIGINT AS last_version
+FROM orders WHERE o_orderkey % {LOG_DEL_MOD} <> 0
+"""
+
+
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot CDC: diff the original orders against the
     merged-with-deletes version and emit one (key, op) row per change —
@@ -301,6 +371,7 @@ WHERE xor_a IS DISTINCT FROM xor_b OR n_a IS DISTINCT FROM n_b
 
 QUERIES = {
     "snapshot_merkle_diff": snapshot_merkle_diff,
+    "cdc_changelog_compact": cdc_changelog_compact,
     "cdc_merge_orders": cdc_merge_orders,
     "ivm_daily_revenue": ivm_daily_revenue,
     "scd2_customer_history": scd2_customer_history,
@@ -310,6 +381,7 @@ QUERIES = {
 
 ORACLES = {
     "snapshot_merkle_diff": _MERKLE_SQL,
+    "cdc_changelog_compact": _CHANGELOG_SQL,
     "ivm_daily_revenue": _IVM_SQL,
     "cdc_merge_orders": f"""
         WITH updates AS (
