@@ -1549,6 +1549,164 @@ def revenue_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HW_GAMMA = 0.25
+
+
+def revenue_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing over daily revenue —
+    the third member of the exponential-smoothing family (SES → Holt →
+    Holt-Winters), adding a 7-slot day-of-week seasonal state to Holt's
+    level+trend: l' = α(y − s_dow) + (1−α)(l+b), b' = β(l'−l) + (1−β)b,
+    s_dow' = γ(y − l − b) + (1−γ)s_dow. Seasonal slots key on the
+    CALENDAR day-of-week (epoch-day mod 7 — exact integer arithmetic in
+    both engines), not series position, so calendar gaps in the daily
+    series can't rotate the season. Initialization l=y₁, b=0, s=0⃗ (the
+    seasonal profile is learned through γ, documented variant).
+
+    Like Holt/CUSUM/ACF, the recursion is ONE left fold over the
+    day-sorted series — the accumulator carries (l, b, Σ|err|, s₀..s₆)
+    and each element is a (y, dow) pair; coefficients 0.5/0.25 are
+    exactly-representable binary literals, so the IEEE sequence is
+    engine-identical and the oracle hash-checks a seasonal forecast.
+    Scale shape: the daily aggregate is the only fact-table work; the
+    fold is one calendar-bounded row."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("revc")
+    )
+    series = daily.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "day",
+                        "revc",
+                        (
+                            F.datediff(F.col("day"), F.lit("1970-01-01")) % 7
+                        ).alias("dow"),
+                    )
+                )
+            ),
+            lambda x: F.array(
+                x["revc"].cast("double") / F.lit(100.0),
+                x["dow"].cast("double"),
+            ),
+        ).alias("__s"),
+        ((F.datediff(F.max("day"), F.lit("1970-01-01")) + 1) % 7).alias(
+            "__dow_next"
+        ),
+    )
+    a, b_, g = HOLT_ALPHA, HOLT_BETA, HW_GAMMA
+    zero = F.struct(
+        F.element_at(F.element_at("__s", 1), 1).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("sae"),
+        F.array_repeat(F.lit(0.0), 7).alias("s"),
+    )
+
+    def step(acc, x):
+        y = F.element_at(x, 1)
+        slot = F.element_at(x, 2).cast("int")  # 0-based dow
+        snead = F.element_at(acc["s"], slot + 1)
+        fc = acc["l"] + acc["b"] + snead
+        new_l = F.lit(a) * (y - snead) + F.lit(1 - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            new_l.alias("l"),
+            (F.lit(b_) * (new_l - acc["l"]) + F.lit(1 - b_) * acc["b"]).alias(
+                "b"
+            ),
+            (acc["sae"] + F.abs(y - fc)).alias("sae"),
+            F.transform(
+                acc["s"],
+                lambda v, i: F.when(
+                    i == slot,
+                    F.lit(g) * (y - acc["l"] - acc["b"])
+                    + F.lit(1 - g) * snead,
+                ).otherwise(v),
+            ).alias("s"),
+        )
+
+    folded = series.select(
+        F.size("__s").alias("__n"),
+        F.col("__dow_next"),
+        F.aggregate(
+            F.slice(F.col("__s"), 2, F.size("__s") - 1), zero, step
+        ).alias("__h"),
+    )
+    return folded.select(
+        F.col("__n").cast("long").alias("n_days"),
+        round_to(F.col("__h.l"), 6).alias("level"),
+        round_to(F.col("__h.b"), 6).alias("trend"),
+        round_to(
+            F.element_at(F.col("__h.s"), F.col("__dow_next") + 1), 6
+        ).alias("season_next"),
+        round_to(
+            F.col("__h.l")
+            + F.col("__h.b")
+            + F.element_at(F.col("__h.s"), F.col("__dow_next") + 1),
+            6,
+        ).alias("forecast_next"),
+        round_to(
+            F.col("__h.sae") / (F.col("__n") - 1).cast("double"), 6
+        ).alias("mae"),
+    )
+
+
+# DuckDB twin of the fold: acc = [l, b, sae, s0..s6] (10 doubles),
+# element x = [y, dow]. Repeated subexpressions (new_l, s_dow) are
+# textual macros — the oracle replays the identical IEEE sequence.
+_HW_SNEAD = "acc[4 + (x[2])::INT]"  # s-slot k (0-based dow) is acc[4+k]
+_HW_NEWL = (
+    f"({HOLT_ALPHA} * (x[1] - {_HW_SNEAD}) "
+    f"+ {1 - HOLT_ALPHA} * (acc[1] + acc[2]))"
+)
+
+_HW_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS revc
+  FROM orders GROUP BY day
+),
+s AS (
+  SELECT
+    list_transform(
+      list(
+        [revc::DOUBLE / 100.0,
+         (datediff('day', DATE '1970-01-01', day::DATE) % 7)::DOUBLE]
+        ORDER BY day),
+      v -> v) AS ys,
+    ((datediff('day', DATE '1970-01-01', max(day)::DATE) + 1) % 7) AS dow_next
+  FROM daily
+),
+f AS (
+  SELECT len(ys) AS n, dow_next,
+    list_reduce(
+      list_prepend([ys[1][1], 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                   ys[2:]),
+      (acc, x) -> [
+        {_HW_NEWL},
+        {HOLT_BETA} * ({_HW_NEWL} - acc[1]) + {1 - HOLT_BETA} * acc[2],
+        acc[3] + abs(x[1] - (acc[1] + acc[2] + {_HW_SNEAD}))
+      ] || list_transform(acc[4:], (v, i) ->
+        CASE WHEN i = (x[2])::INT + 1
+             THEN {HW_GAMMA} * (x[1] - acc[1] - acc[2])
+                  + {1 - HW_GAMMA} * {_HW_SNEAD}
+             ELSE v END)
+    ) AS h
+  FROM s
+)
+SELECT n::BIGINT AS n_days,
+       {sql_round("h[1]", 6)} AS level,
+       {sql_round("h[2]", 6)} AS trend,
+       {sql_round("h[4 + dow_next]", 6)} AS season_next,
+       {sql_round("h[1] + h[2] + h[4 + dow_next]", 6)} AS forecast_next,
+       {sql_round("h[3] / (n - 1)::DOUBLE", 6)} AS mae
+FROM f
+"""
+
+
 _HOLT_SQL = f"""
 WITH daily AS (
   SELECT o_orderdate AS day,
@@ -2711,6 +2869,7 @@ QUERIES = {
     "revenue_cusum_shifts": revenue_cusum_shifts,
     "revenue_acf": revenue_acf,
     "revenue_holt_forecast": revenue_holt_forecast,
+    "revenue_holt_winters": revenue_holt_winters,
     "priority_mix_chi2": priority_mix_chi2,
     "bootstrap_mean_ci": bootstrap_mean_ci,
     "events_dow_hour_profile": events_dow_hour_profile,
@@ -2749,6 +2908,7 @@ ORACLES = {
     "revenue_cusum_shifts": _CUSUM_SQL,
     "revenue_acf": _ACF_SQL,
     "revenue_holt_forecast": _HOLT_SQL,
+    "revenue_holt_winters": _HW_SQL,
     "priority_mix_chi2": _CHI2_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
     "events_dow_hour_profile": _DOW_HOUR_SQL,
