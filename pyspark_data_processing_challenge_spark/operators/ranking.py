@@ -82,3 +82,51 @@ def bm25_scores(
         )
         score = score + idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
     return scored.select("id", "dl", score.alias("score_raw"))
+
+
+def postings(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional inverted-index postings: one (doc, pos, tok) row per
+    token occurrence, positions 1-based in token order — the physical
+    layout behind every full-text index (term-sorted, doc/position
+    payload). Built with a single posexplode over the staged token
+    array; at 100 TB this is one scan fanning out map-side with no
+    shuffle — the shuffle happens only when a consumer groups or joins
+    by term/doc.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(textfns.tokens(F.col(text_col))).alias("pos0", "tok"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+    )
+
+
+def phrase_search(posting_df: DataFrame, phrase: Sequence[str]) -> DataFrame:
+    """Exact-phrase search over positional postings: doc matches at
+    position p iff phrase[i] occurs at p+i for every i. Classic
+    positional-intersection plan: each term's postings are FILTERED
+    first (term predicate pushes to the scan — the inverted index's
+    seek), normalized to the anchor position (pos − i), then chained
+    through equi-joins on (doc, anchor). Join inputs are
+    term-selectivity-sized, never the full index; k−1 hash joins for a
+    k-term phrase, each shuffling only that term's postings.
+
+    Returns one row per matching document: match count + first match
+    position.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one term")
+    cur = posting_df.filter(F.col("tok") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = posting_df.filter(F.col("tok") == term).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["doc_id", "p0"])
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p0").alias("first_pos"),
+    )

@@ -1097,6 +1097,41 @@ def docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ("table", "scan")
+
+
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over a positional inverted index: build
+    (doc, pos, term) postings with one posexplode
+    (operators/ranking.postings), then intersect consecutive positions
+    for the phrase "table scan" (ranking.phrase_search). The plan is
+    the real full-text-engine shape — per-term postings are filtered
+    BEFORE the join (the index seek; predicate pushes into the scan),
+    position chaining is k−1 equi-joins sized by term selectivity, and
+    the per-doc rollup is one map-side-combinable aggregate. BM25 ranks
+    bags of words; this is the operator that answers quoted queries."""
+    from ..operators import ranking
+
+    d = _docs(spark, sf_dir)  # documents scan, already spread
+    post = ranking.postings(d, id_col="doc_id", text_col="text")
+    return ranking.phrase_search(post, list(PHRASE))
+
+
+def _phrase_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest({sql_tokens("text")}) AS tok,
+         generate_subscripts({sql_tokens("text")}, 1)::BIGINT AS pos
+  FROM documents
+)
+SELECT a.doc_id, count(*)::BIGINT AS n_matches, min(a.pos)::BIGINT AS first_pos
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+GROUP BY a.doc_id
+"""
+
+
 def _bm25_sql() -> str:
     k1, b = BM25_K1, BM25_B
     tf_cols = ",\n         ".join(
@@ -2092,6 +2127,7 @@ QUERIES = {
     "docs_char_entropy_explode": docs_char_entropy_explode,
     "events_m4_downsample": events_m4_downsample,
     "docs_bm25": docs_bm25,
+    "docs_phrase_search": docs_phrase_search,
     "docs_hashed_features": docs_hashed_features,
     "sketch_merge_distinct": sketch_merge_distinct,
     "sketch_overlap_users": sketch_overlap_users,
@@ -2117,6 +2153,7 @@ ORACLES = {
     "docs_char_entropy_explode": _ENTROPY_SQL,
     "events_m4_downsample": _M4_SQL,
     "docs_bm25": _bm25_sql(),
+    "docs_phrase_search": _phrase_sql(),
     "docs_hashed_features": _FH_SQL,
     "sketch_merge_distinct": _SKETCH_SQL,
     "sketch_overlap_users": _SKETCH_OVERLAP_SQL,
