@@ -242,3 +242,39 @@ def weighted_sample_without_replacement(
         .filter(F.col("rk") <= k)
         .drop("__score")
     )
+
+
+def global_row_numbers(
+    df: DataFrame, order_cols: list[str], *, bucket: str
+) -> DataFrame:
+    """Scale-safe ``row_number() OVER (ORDER BY order_cols)`` — dense
+    1-based global ranks without the single-partition global window.
+
+    Requires ``bucket`` to be an ORDER-PREFIX of ``order_cols``: every
+    row in bucket b must sort before every row in any bucket b' > b
+    (e.g. bucket = leading characters of the first order column). Ranks
+    are then per-bucket ``row_number`` (a partitioned window — each
+    bucket sorts independently) plus the cumulative count of all
+    earlier buckets. The offset table is ONE row per bucket — a tiny
+    aggregate whose own window is bounded by bucket cardinality, not
+    data size — and joins back as a broadcast. The ordering must be
+    total (include a unique tie-break column) or ranks within ties are
+    nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(bucket).orderBy(*order_cols)
+    local = df.withColumn("__lr", F.row_number().over(w))
+    counts = df.groupBy(bucket).agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy(bucket).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        bucket,
+        F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offs), bucket)
+        .withColumn("rnk", (F.col("__lr") + F.col("__off")).cast("long"))
+        .drop("__lr", "__off")
+    )

@@ -1020,6 +1020,88 @@ FROM p LEFT JOIN comp c USING (p_partkey)
 """
 
 
+SNM_WINDOW = 4  # pair records within 3 sorted positions
+SNM_JACCARD = 0.6
+
+
+def parts_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    OTHER classic entity-resolution candidate generator: sort all
+    records by a key (lowercased name, partkey tie-break), then pair
+    each record with the next w−1 in sort order, regardless of any
+    blocking attribute. Complements :func:`parts_entity_resolution`'s
+    equi-blocking — SNM finds matches whose (brand, size) disagree but
+    whose names collate together, at a candidate cost of exactly
+    (w−1)·n pairs.
+
+    Scale shape: the global sort rank comes from
+    ``selection.global_row_numbers`` — per-bucket windows (bucket =
+    2-char key prefix, an order-prefix) plus a one-row-per-bucket
+    cumulative offset table, never a single-partition window;
+    neighbor pairing is an equi-join on rank after a 3-way explode of
+    offsets; the Jaccard is staged once per pair. Output: matched
+    pairs with their rank distance and rounded score."""
+    from ..operators import selection
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("__k"),
+        F.array_distinct(
+            textfns.tokens(F.lower(F.col("p_name")))
+        ).alias("__toks"),
+    ).withColumn("__b", F.substring("__k", 1, 2))
+    ranked = selection.global_row_numbers(
+        p, ["__k", "p_partkey"], bucket="__b"
+    )
+    a = ranked.select(
+        F.col("rnk").alias("__ra"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("__toks").alias("__ta"),
+    )
+    b = ranked.select(
+        F.col("rnk").alias("__rb"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("__toks").alias("__tb"),
+    )
+    cand = a.withColumn(
+        "__d", F.explode(F.sequence(F.lit(1), F.lit(SNM_WINDOW - 1)))
+    ).withColumn("__rb", F.col("__ra") + F.col("__d"))
+    staged = cand.join(b, "__rb").withColumn(
+        "__j",
+        F.size(F.array_intersect("__ta", "__tb")).cast("double")
+        / F.size(F.array_union("__ta", "__tb")).cast("double"),
+    )
+    return staged.filter(F.col("__j") >= SNM_JACCARD).select(
+        "id_a",
+        "id_b",
+        F.col("__d").cast("long").alias("dist"),
+        round_to(F.col("__j"), 6).alias("jaccard"),
+    )
+
+
+_SNM_SQL = f"""
+WITH p AS (
+  SELECT p_partkey, lower(p_name) AS k,
+         list_distinct({sql_tokens("lower(p_name)")}) AS toks
+  FROM part
+),
+r AS (
+  SELECT p_partkey, toks,
+         row_number() OVER (ORDER BY k, p_partkey) AS rnk
+  FROM p
+),
+j AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         (b.rnk - a.rnk)::BIGINT AS dist,
+         len(list_intersect(a.toks, b.toks))::DOUBLE
+           / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE AS jac
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {SNM_WINDOW - 1}
+)
+SELECT id_a, id_b, dist, {sql_round("jac", 6)} AS jaccard
+FROM j WHERE jac >= {SNM_JACCARD}
+"""
+
+
 K_ANON = 5
 
 
@@ -1086,6 +1168,7 @@ QUERIES = {
     "customers_masked": customers_masked,
     "customers_k_anonymity": customers_k_anonymity,
     "parts_entity_resolution": parts_entity_resolution,
+    "parts_snm_pairs": parts_snm_pairs,
     "events_udtf_polymorphic": events_udtf_polymorphic,
     "lateral_top_customers": lateral_top_customers,
     "spatial_grid_neighbors": spatial_grid_neighbors,
@@ -1113,6 +1196,7 @@ ORACLES = {
     "customers_masked": _MASKED_SQL,
     "customers_k_anonymity": _K_ANON_SQL,
     "parts_entity_resolution": _ER_SQL,
+    "parts_snm_pairs": _SNM_SQL,
     "events_udtf_polymorphic": _UDTF_POLY_SQL,
     "lateral_top_customers": _LATERAL_SQL,
     "spatial_grid_neighbors": _SPATIAL_SQL,
