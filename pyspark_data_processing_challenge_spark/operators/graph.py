@@ -203,3 +203,61 @@ def triangle_stats(
         )
         .alias("transitivity_raw"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of "drop every
+    node with degree < k, keep only edges between survivors" — the
+    degeneracy decomposition step behind community cores, spam/bot
+    subgraph mining, and graph sparsification.
+
+    Returns one row per surviving node: (node, deg) degrees inside the
+    final subgraph, plus a ``converged`` flag (true iff no surviving
+    node is still below k — i.e. the fixpoint was reached and the
+    output IS the k-core, not a partial peel). Peeling needs
+    O(peel depth) rounds; a fixed bound keeps the plan finite and the
+    flag keeps it honest — callers re-run with more rounds when false.
+
+    Scale shape per round: one map-side-combinable degree aggregate +
+    two semi-joins (broadcast-eligible once the survivor set shrinks);
+    each round's edge set is localCheckpointed so round r+1 re-reads a
+    materialized RDD, not r compounded lineages of the upstream edge
+    build (the connected_components lesson).
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k >= 1 and rounds >= 1, got k={k}, rounds={rounds}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("n"))
+            .unionByName(ed.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(rounds):
+        keep = degrees(e).filter(F.col("deg") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    final = degrees(e)
+    summary = final.agg(
+        F.coalesce(
+            F.bool_and(F.col("deg") >= k), F.lit(True)
+        ).alias("converged")
+    )
+    return final.select(
+        F.col("n").cast("long").alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+    ).crossJoin(F.broadcast(summary))

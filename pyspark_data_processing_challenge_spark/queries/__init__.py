@@ -62,6 +62,7 @@ _VERDICT_PRIORITY = [
     "revenue_holt_winters",  # new: seasonal smoothing, dow-keyed state
     "docs_phrase_search",  # new: positional postings intersection
     "parts_snm_pairs",  # new: sorted-neighborhood ER blocking
+    "copurchase_kcore",  # new: bounded k-core peeling
     # --- behavior touched in r08 (selection.py band refinement went
     # distributed) — re-verify even though r04/r05 verdicts exist ---
     "agg_quartiles_orders",
@@ -89,8 +90,7 @@ _VERDICT_PRIORITY = [
     "op_dedup_subset",
     "agg_salted_revenue",
     # --- r04-verdict re-verification rotation (oldest after r02) ---
-    "agg_pricing_summary",
-    # (join_revenue_by_nation, docs_repetition, events_variant_stats, approx_percentiles_by_type, image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
+    # (agg_pricing_summary, join_revenue_by_nation, docs_repetition, events_variant_stats, approx_percentiles_by_type, image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
     # kmeans_two_step, docs_domain_mix, embedding_quantize,
     # docs_sentences_udtf, events_grouped_center remain r04-verdict;
     # they queue for the r09 window — 50 slots full)
@@ -213,6 +213,7 @@ _ROTATED_OUT = {
     "events_variant_stats": "r04",
     "docs_repetition": "r04",
     "join_revenue_by_nation": "r04",
+    "agg_pricing_summary": "r04",
     "profile_orders": "r04",
     "docs_split_assign": "r04",
     "docs_pack_sequences": "r04",

@@ -2161,24 +2161,15 @@ FROM c CROSS JOIN tot
 """
 
 
-def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the co-purchase graph: parts are linked when
-    they appear in >= 2 common orders (the basket-bounded self-join
-    from part_pair_affinity, support-thresholded so edge count stays
-    linear in baskets). Counting uses DEGREE-ORIENTED wedge generation
-    (operators/graph.triangle_stats): every edge points at its
-    higher-(degree, id) endpoint, wedges spawn only at each pair's
-    lowest apex — Σ outdeg² = O(m^1.5) work regardless of hub skew —
-    and one join against the oriented edge set closes them. The oracle
-    recounts with the orientation-free triple join (counts are
-    orientation-invariant), so a green hash validates the oriented
-    algorithm end-to-end."""
-    from ..operators import graph
-
-    # basket pairs WITHOUT a self-join: collect each order's (distinct,
-    # sorted) parts once and enumerate ordered pairs as an array
-    # expression — one shuffle replaces the join's two-sided exchange
-    # (measured ~30% on the edge build; identical pair multiset)
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, *, support: int
+) -> DataFrame:
+    """Co-purchase edges (u < v part pairs in >= ``support`` common
+    orders) WITHOUT a self-join: collect each order's (distinct,
+    sorted) parts once and enumerate ordered pairs as an array
+    expression — one shuffle replaces the join's two-sided exchange
+    (measured ~30% on the edge build; identical pair multiset). The
+    support threshold keeps edge count linear in baskets."""
     basket = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -2199,13 +2190,84 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     )
-    e = (
+    return (
         pairs.select("p.u", "p.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
+        .filter(F.col("w") >= support)
         .select("u", "v")
     )
+
+
+KCORE_K, KCORE_ROUNDS = 2, 4
+
+
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the co-purchase graph
+    (operators/graph.kcore): peel nodes below degree KCORE_K for
+    KCORE_ROUNDS rounds, keeping edges between survivors — the degeneracy step that
+    isolates the graph's dense backbone (community cores, recommender
+    seeds) from the degree-1 fringe. Each round is one degree aggregate
+    + two survivor semi-joins with the round's edge set
+    localCheckpointed; output is every surviving node with its in-core
+    degree and a converged flag proving the fixpoint was reached (on
+    this graph the 2-core settles in 3 rounds; the 4th certifies it).
+    The oracle replays the identical peel as materialized nested CTEs,
+    so the hash pins every round's survivor set transitively."""
+    from ..operators import graph
+
+    e = _copurchase_edges(spark, sf_dir, support=2)
+    return graph.kcore(e, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    k, rounds = KCORE_K, KCORE_ROUNDS
+    q = """
+WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT x.l_partkey AS u, y.l_partkey AS v
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        q += f""",
+d{r} AS MATERIALIZED (
+  SELECT n, count(*)::BIGINT AS deg
+  FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev})
+  GROUP BY 1),
+k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r}))"""
+        prev = f"e{r}"
+    return q + f""",
+final AS (
+  SELECT n, count(*)::BIGINT AS deg
+  FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev})
+  GROUP BY 1)
+SELECT n::BIGINT AS node, deg,
+       coalesce((SELECT bool_and(deg >= {k}) FROM final), true) AS converged
+FROM final
+"""
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph: parts are linked when
+    they appear in >= 2 common orders (the basket-bounded self-join
+    from part_pair_affinity, support-thresholded so edge count stays
+    linear in baskets). Counting uses DEGREE-ORIENTED wedge generation
+    (operators/graph.triangle_stats): every edge points at its
+    higher-(degree, id) endpoint, wedges spawn only at each pair's
+    lowest apex — Σ outdeg² = O(m^1.5) work regardless of hub skew —
+    and one join against the oriented edge set closes them. The oracle
+    recounts with the orientation-free triple join (counts are
+    orientation-invariant), so a green hash validates the oriented
+    algorithm end-to-end."""
+    from ..operators import graph
+
+    e = _copurchase_edges(spark, sf_dir, support=2)
     out = graph.triangle_stats(e)
     return out.select(
         "n_nodes",
@@ -2870,6 +2932,7 @@ QUERIES = {
     "revenue_acf": revenue_acf,
     "revenue_holt_forecast": revenue_holt_forecast,
     "revenue_holt_winters": revenue_holt_winters,
+    "copurchase_kcore": copurchase_kcore,
     "priority_mix_chi2": priority_mix_chi2,
     "bootstrap_mean_ci": bootstrap_mean_ci,
     "events_dow_hour_profile": events_dow_hour_profile,
@@ -2909,6 +2972,7 @@ ORACLES = {
     "revenue_acf": _ACF_SQL,
     "revenue_holt_forecast": _HOLT_SQL,
     "revenue_holt_winters": _HW_SQL,
+    "copurchase_kcore": _kcore_sql(),
     "priority_mix_chi2": _CHI2_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
     "events_dow_hour_profile": _DOW_HOUR_SQL,

@@ -78,3 +78,30 @@ def test_triangle_stats_known_graph(spark):
     # degrees: 3,3,3,4,1 -> wedges = 3+3+3+6+0 = 15
     assert row.n_wedges == 15
     assert abs(row.transitivity_raw - 12 / 15) < 1e-12
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle {1,2,3} + chain 3-4-5: 2-core = the triangle (4 and 5
+    # peel in two rounds); converged since no survivor is below 2
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    rows = {r.node: r for r in graph.kcore(e, k=2, rounds=3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r.deg == 2 for r in rows.values())
+    assert all(r.converged for r in rows.values())
+
+
+def test_kcore_partial_peel_reports_unconverged(spark):
+    # chain of 6: 2-core is empty, but one round only strips the two
+    # endpoints — survivors still have degree-1 nodes -> converged False
+    e = _chain_edges(spark, 6).selectExpr("id_a as u", "id_b as v")
+    out = graph.kcore(e, k=2, rounds=1).collect()
+    assert out and all(not r.converged for r in out)
+    # enough rounds peel everything: empty output is the true 2-core
+    assert graph.kcore(e, k=2, rounds=4).count() == 0
+
+
+def test_kcore_rejects_bad_params(spark):
+    e = spark.createDataFrame([(1, 2)], "u long, v long")
+    with pytest.raises(ValueError, match="rounds"):
+        graph.kcore(e, k=2, rounds=0)
