@@ -527,3 +527,56 @@ def pq_adc_topk(
         ).alias("adc_dist")
     )
     return adc.orderBy("adc_dist", "id").limit(k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k most-similar corpus vectors with a DIFFERENT label — the
+    pairs that sit just across the decision boundary and carry most of
+    the gradient signal (easy negatives are already far away;
+    triplet/InfoNCE training quality hinges on these).
+
+    Same plan as :func:`cosine_topk`: the anchor set is broadcast (no
+    corpus shuffle), cross-label filtering happens IN the join
+    condition so same-label rows never materialize, and the per-anchor
+    shortlist is a window bounded by the anchor partition. Exact
+    scoring — at corpus scales where one scan per mining pass is too
+    slow, swap the scorer for the IVF/ADC shortlist operators
+    (ivf_topk/pq_adc_topk) and keep this ranking shape.
+
+    Output: (anchor_id, anchor_label, neighbor_id, neighbor_label,
+    cosine, rank), rank 1..k by cosine desc with neighbor-id tie-break.
+    """
+    q = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("anchor_label") != F.col("neighbor_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "neighbor_id",
+        "neighbor_label",
+        vectors.cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

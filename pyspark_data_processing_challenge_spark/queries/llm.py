@@ -3328,6 +3328,75 @@ FROM flagged
 """
 
 
+HN_NQ, HN_K, HN_SALT = 16, 5, ":hn"
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives): for
+    a deterministic fixed-size anchor sample (the {NQ} vectors with the
+    smallest salted char_hash of their id — the recall-gate sampling
+    contract), the top-{K} most-similar vectors whose cluster LABEL
+    differs — the just-across-the-boundary pairs a contrastive
+    (triplet/InfoNCE) trainer feeds as negatives. Anchors broadcast
+    against ONE corpus scan (O(NQ·n), never all-pairs); same-label rows
+    are filtered in the join condition; the per-anchor top-k is a
+    window bounded by the anchor partition. The exact scorer swaps for
+    the IVF/ADC shortlist at mining-pass scale; the ranking shape —
+    and this oracle — stay identical."""
+    from ..functions.textfns import char_hash
+    from ..operators import similarity
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    anchors = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            "label",
+            char_hash(
+                F.concat(F.col("vec_id").cast("string"), F.lit(HN_SALT))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(HN_NQ)
+        .drop("__h")
+    )
+    out = similarity.hard_negatives(emb, anchors, k=HN_K)
+    return out.select(
+        "anchor_id",
+        F.col("anchor_label").cast("long").alias("anchor_label"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        round_to(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _hard_neg_sql() -> str:
+    qhash = sql_char_hash(f"vec_id::VARCHAR || '{HN_SALT}'")
+    return f"""
+WITH v AS (SELECT vec_id, label, {_EMB} AS e FROM embeddings),
+q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, e AS eq FROM (
+    SELECT vec_id, label, e, {qhash} AS h FROM v
+    ORDER BY h, vec_id LIMIT {HN_NQ}
+  )
+),
+scored AS (
+  SELECT q.anchor_id, q.anchor_label::BIGINT AS anchor_label,
+         v.vec_id AS neighbor_id, v.label::BIGINT AS neighbor_label,
+         {sql_cosine("q.eq", "v.e", EMB_DIM)} AS cos_raw,
+         row_number() OVER (
+           PARTITION BY q.anchor_id
+           ORDER BY {sql_cosine("q.eq", "v.e", EMB_DIM)} DESC, v.vec_id
+         ) AS rank
+  FROM q JOIN v ON v.label <> q.anchor_label
+)
+SELECT anchor_id, anchor_label, neighbor_id, neighbor_label,
+       {sql_round("cos_raw", 6)} AS cosine, rank::BIGINT AS rank
+FROM scored WHERE rank <= {HN_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # train/val/test vocabulary-coverage report
 # ---------------------------------------------------------------------------
@@ -3449,6 +3518,7 @@ QUERIES = {
     "docs_gopher_rules": docs_gopher_rules,
     "lsh_recall_eval": lsh_recall_eval,
     "lsh_recall_banded_eval": lsh_recall_banded_eval,
+    "embedding_hard_negatives": embedding_hard_negatives,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -3526,6 +3596,7 @@ ORACLES = {
     "docs_gopher_rules": _gopher_sql(),
     "lsh_recall_eval": _lsh_recall_sql(),
     "lsh_recall_banded_eval": _lsh_recall_banded_sql(),
+    "embedding_hard_negatives": _hard_neg_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
