@@ -1147,3 +1147,95 @@ def containment_pairs(
             "__cont_raw"
         ),
     )
+
+
+def bbit_minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    b_bits: int = 2,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+    arrow: bool = True,
+    hot_threshold: int = 64,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """b-bit MinHash near-duplicates (Li & König, WWW 2010): keep only
+    the lowest ``b_bits`` of every MinHash slot, so signature storage
+    shrinks 64/b-fold (2 bits: a 32-slot signature is 8 bytes instead
+    of 256) — at 100 TB, the difference between a signature store that
+    broadcasts / stays in executor memory and one that doesn't.
+
+    Truncation makes UNEQUAL slots collide with probability C = 2^-b,
+    so the observed match fraction P over-counts; the paper's corrected
+    estimator Ĵ = (P − C) / (1 − C) is what the threshold applies to.
+    The plan is the minhash_near_duplicates shape on the truncated
+    array: full-width signatures exist only transiently inside the
+    per-row projection (never stored or shuffled); banding, the skew-
+    guarded self-join, and the slot-agreement fold all read the b-bit
+    array. More slots at fewer bits holds estimator variance while
+    shrinking bytes — the paper's core trade.
+    """
+    mask_mod = 1 << b_bits
+    rows_per_band = num_hashes // bands
+    if arrow:
+        from ..functions.fast_text import with_minhash_fast
+
+        sigs = with_minhash_fast(
+            df.select(id_col, text_col), text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ).select(F.col(id_col).alias("doc"), "minhash")
+    else:
+        sigs = with_minhash(
+            df.select(id_col, text_col), text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ).select(F.col(id_col).alias("doc"), "minhash")
+    bb = sigs.select(
+        "doc",
+        F.transform(
+            "minhash", lambda h: (h % F.lit(mask_mod)).cast("int")
+        ).alias("bb"),
+    ).repartition("doc")
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("bb"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                "-",
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = bb.select(
+        "doc", "bb", F.explode(F.array(*band_rows)).alias("bk")
+    ).select(
+        "doc", "bb", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    pairs = banded_pairs(
+        exploded, "bb", hot_threshold=hot_threshold, num_blocks=num_blocks
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("bb_a"), F.col("bb_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    collision = 1.0 / float(mask_mod)
+    p = n_match.cast("double") / F.lit(float(num_hashes))
+    est = (p - F.lit(collision)) / F.lit(1.0 - collision)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            n_match.cast("long").alias("n_match"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )

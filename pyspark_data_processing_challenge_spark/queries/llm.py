@@ -363,6 +363,32 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BB_SLOTS, BB_BITS, BB_BANDS, BB_THRESHOLD = 32, 2, 4, 0.5
+
+
+def minhash_bbit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash near-dup pairs (Li & König WWW 2010,
+    operators/dedup.bbit_minhash_near_duplicates) on the planted-
+    duplicate corpus: 32 slots truncated to their lowest 2 bits (8-byte
+    signatures — 32x smaller than full-width), banded 4×8 for
+    candidates, thresholded on the collision-corrected estimator
+    Ĵ = (P − 1/4) / (3/4). The oracle recomputes truncation, banding
+    AND the corrected estimator from full signatures, so the hash pins
+    the b-bit algebra end-to-end."""
+    d = _perturbed_docs(spark, sf_dir)
+    out = dedup.bbit_minhash_near_duplicates(
+        d,
+        "text",
+        "doc_id",
+        num_hashes=BB_SLOTS,
+        b_bits=BB_BITS,
+        shingle_n=MH_SHINGLE_N,
+        bands=BB_BANDS,
+        threshold=BB_THRESHOLD,
+    )
+    return out.select("id_a", "id_b", "n_match", "est_jaccard")
+
+
 SH_BITS, SH_BANDS, SH_MAX_HAMMING, SH_SHINGLE_N = 32, 4, 3, 3
 
 
@@ -2187,6 +2213,43 @@ WHERE ({_sql_band_match(_MH_RPB, MH_ND_BANDS)})
 """
 )
 
+_BB_MOD = 1 << BB_BITS
+_BB_RPB = BB_SLOTS // BB_BANDS
+_BB_AGREE = " + ".join(
+    f"(CASE WHEN a.mh_{i} % {_BB_MOD} = b.mh_{i} % {_BB_MOD} THEN 1 ELSE 0 END)"
+    for i in range(BB_SLOTS)
+)
+_BB_EST = (
+    f"((({_BB_AGREE})::DOUBLE / {float(BB_SLOTS)}) - {1.0 / _BB_MOD})"
+    f" / {1.0 - 1.0 / _BB_MOD}"
+)
+
+
+def _bb_band_match() -> str:
+    conds = []
+    for b in range(BB_BANDS):
+        eqs = [
+            f"a.mh_{b * _BB_RPB + r} % {_BB_MOD} = b.mh_{b * _BB_RPB + r} % {_BB_MOD}"
+            for r in range(_BB_RPB)
+        ]
+        conds.append("(" + " AND ".join(eqs) + ")")
+    return " OR ".join(conds)
+
+
+_BB_ND_SQL = (
+    "WITH"
+    + _sql_minhash_sig_cte(_PERTURB_SQL, BB_SLOTS, MH_SHINGLE_N)
+    + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ({_BB_AGREE})::BIGINT AS n_match,
+       {_BB_EST} AS est_jaccard
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE ({_bb_band_match()})
+  AND {_BB_EST} >= {BB_THRESHOLD}
+"""
+)
+
+
 _SIMHASH_SQL = (
     "WITH hashed AS ("
     f"  SELECT doc_id, list_transform({sql_tokens('lower(text)')}, "
@@ -3519,6 +3582,7 @@ QUERIES = {
     "lsh_recall_eval": lsh_recall_eval,
     "lsh_recall_banded_eval": lsh_recall_banded_eval,
     "embedding_hard_negatives": embedding_hard_negatives,
+    "minhash_bbit_near_dup": minhash_bbit_near_dup,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -3597,6 +3661,7 @@ ORACLES = {
     "lsh_recall_eval": _lsh_recall_sql(),
     "lsh_recall_banded_eval": _lsh_recall_banded_sql(),
     "embedding_hard_negatives": _hard_neg_sql(),
+    "minhash_bbit_near_dup": _BB_ND_SQL,
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
