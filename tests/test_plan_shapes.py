@@ -465,3 +465,79 @@ def test_entity_resolution_is_block_bounded(spark):
 
     plan = plans.executed_plan(extra.parts_entity_resolution(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_changelog_compact_is_single_aggregate(spark):
+    # max_by compaction must be ONE key shuffle with map-side partials —
+    # a window+filter replay would sort the full log instead
+    from pyspark_data_processing_challenge_spark.queries import cdcq
+
+    df = cdcq.cdc_changelog_compact(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Window" not in plan
+    assert plans.exchange_count(df) == 1
+
+
+def test_holt_winters_is_aggregate_only(spark):
+    # the seasonal fold is one calendar-bounded row: no windows, no
+    # joins — same contract as the Holt/CUSUM family
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    plan = plans.executed_plan(analytics.revenue_holt_winters(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_phrase_search_filters_terms_before_join(spark):
+    # per-term postings must be filtered before the position join —
+    # never a cartesian, and the term predicate must appear as a Filter
+    # on tok, not post-join
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    df = advanced.docs_phrase_search(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("table scan") == 0  # phrase never matched as text
+
+
+def test_snm_rank_has_no_global_window(spark):
+    # global ranks must come from per-bucket windows + the tiny offset
+    # table: every Window node's partition spec must be non-empty
+    # except over the one-row-per-bucket aggregate (which sits above an
+    # aggregate, not the scan)
+    from pyspark_data_processing_challenge_spark.queries import extra
+
+    df = extra.parts_snm_pairs(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # the big-side window partitions by __b; the only permissible
+    # unpartitioned window (rendered "], []" in the spec) is the one
+    # over the one-row-per-bucket offset aggregate
+    assert plan.count("], []") <= 1
+
+
+def test_hard_negatives_broadcasts_anchors(spark):
+    # anchor sample broadcast against one corpus scan; never sort-merge
+    df = llm.embedding_hard_negatives(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sort_merge_join_count(df) == 0
+
+
+def test_bbit_minhash_has_no_cartesian(spark):
+    df = llm.minhash_bbit_near_dup(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_rounds_are_checkpoint_bounded(spark):
+    # each peel round reads the previous round's materialized RDD —
+    # the final plan must hang off a scan of an existing RDD, not a
+    # recompiled lineage of the basket edge build
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.copurchase_kcore(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
