@@ -126,6 +126,18 @@ HEADLINE = [
     # round-8 additions
     "docs_dsir_weights",
     "lsh_recall_banded_eval",
+    "docs_gopher_rules",
+    "parts_entity_resolution",
+    "revenue_holt_forecast",
+    "customers_k_anonymity",
+    # round-8 second wave
+    "cdc_changelog_compact",
+    "revenue_holt_winters",
+    "docs_phrase_search",
+    "parts_snm_pairs",
+    "copurchase_kcore",
+    "embedding_hard_negatives",
+    "minhash_bbit_near_dup",
 ]
 
 
