@@ -254,3 +254,60 @@ def funnel_stages(
         *[F.col(c) for c in names],
         stage_expr.cast("int").alias("stage"),
     )
+
+
+def throttle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    ts_col: str,
+    id_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Debounce / rate-limit dedup: per key, keep an event only if at
+    least ``gap_seconds`` passed since the last KEPT event — the
+    notification-throttle / retry-collapse semantics. This is NOT the
+    lag() predicate (gap vs the previous event): a burst of closely
+    spaced events must all collapse onto the burst's FIRST event, which
+    makes the kept set a recursive statistic — so it computes as one
+    per-key sorted fold over (ts, id) pairs (the CUSUM/Holt shape),
+    carrying (last-kept timestamp, kept ids) through the array
+    aggregate. Integer epoch-microsecond arithmetic end to end: the
+    fold is engine-exact and oracle-hashable.
+
+    Scale shape: one groupBy(key) shuffle; each group's events must fit
+    one array (true for per-user event streams; a key with unbounded
+    history would sessionize first). Output: (key_cols..., id) of kept
+    events, exploded back to rows.
+    """
+    gap_us = int(round(gap_seconds * 1_000_000))
+    pair = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("id"),
+    )
+    g = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.array_sort(F.collect_list(pair)).alias("__evs")
+    )
+    zero = F.struct(
+        F.lit(-1).cast("long").alias("last"),
+        F.array().cast("array<long>").alias("kept"),
+    )
+
+    def step(acc, x):
+        keep = (acc["last"] < 0) | (
+            (x["us"] - acc["last"]) >= F.lit(gap_us)
+        )
+        return F.struct(
+            F.when(keep, x["us"]).otherwise(acc["last"]).alias("last"),
+            F.when(
+                keep, F.array_append(acc["kept"], x["id"])
+            ).otherwise(acc["kept"]).alias("kept"),
+        )
+
+    folded = g.select(
+        *key_cols,
+        F.aggregate(F.col("__evs"), zero, step).alias("__acc"),
+    )
+    return folded.select(
+        *key_cols, F.explode(F.col("__acc.kept")).alias(id_col)
+    )

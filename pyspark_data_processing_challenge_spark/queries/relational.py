@@ -251,6 +251,29 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEBOUNCE_GAP_S = 86_400.0  # collapse repeats within 24h of the kept event
+
+
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throttle / debounce dedup (operators/temporal.throttle): per
+    (user, event_type), keep an event only when >= 24h passed since the
+    last KEPT one — bursts collapse onto their first event. Distinct
+    from sessionization (which labels; this filters) and from a lag()
+    screen (gap measures to the last SURVIVOR, a recursive statistic):
+    the kept set computes as one per-key sorted fold in exact
+    epoch-microsecond integers, so the oracle replays it bit-for-bit.
+    One groupBy shuffle total."""
+    e = t(spark, sf_dir, "events")
+    out = temporal.throttle(
+        e,
+        ["user_id", "event_type"],
+        ts_col="ts",
+        id_col="event_id",
+        gap_seconds=DEBOUNCE_GAP_S,
+    )
+    return out.select("user_id", "event_type", "event_id")
+
+
 def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase event, the user's latest prior-or-equal click
     (classic as-of enrichment). Right side pre-deduped per (user, ts)
@@ -284,6 +307,35 @@ _EVENTS_NORM = '''
   )
 '''
 
+# Fold shape constraint (DuckDB 1.0.0): a multi-row list_reduce whose
+# lambda RETURNS acc UNCHANGED on some branch (or rebuilds it from a
+# slice) corrupts accumulators across vector chunks under threads>1 —
+# measured on this query and minimized to a 4000-row repro. The lambda
+# below always CONSTRUCTS (acc || CASE..[]..END, appends only, last
+# kept pair read via negative index), which is chunk-safe.
+_DEBOUNCE_SQL = f"""
+WITH {_EVENTS_NORM.strip()},
+g AS (
+  SELECT user_id, event_type,
+         list([epoch_us(ts), event_id] ORDER BY ts, event_id) AS evs
+  FROM events_norm GROUP BY 1, 2
+),
+f AS (
+  SELECT user_id, event_type,
+    list_reduce(
+      list_prepend([(-1)::BIGINT, (-1)::BIGINT], evs),
+      (acc, x) -> acc || (
+        CASE WHEN acc[-2] < 0
+              OR x[1] - acc[-2] >= {int(DEBOUNCE_GAP_S * 1_000_000)}
+        THEN [x[1], x[2]] ELSE []::BIGINT[] END)) AS acc
+  FROM g
+)
+SELECT user_id, event_type,
+       unnest(list_filter(acc[3:], (v, i) -> i % 2 = 0)) AS event_id
+FROM f
+"""
+
+
 _REVENUE_SQL = f"""
     SELECT n_name,
       {sql_round("sum(o_totalprice)", 2)} AS revenue,
@@ -310,6 +362,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_hourly_tvf": events_hourly_tvf,
     "sessionize_events": sessionize_events,
+    "events_debounce": events_debounce,
     "asof_join_purchases": asof_join_purchases,
 }
 
@@ -398,6 +451,7 @@ ORACLES = {
           count(*) AS n, {sql_round("sum(value)", 4)} AS sum_value
         FROM events_norm GROUP BY 1, 2
     """,
+    "events_debounce": _DEBOUNCE_SQL,
     "sessionize_events": f"""
         WITH {_EVENTS_NORM},
         flagged AS (
