@@ -2638,6 +2638,134 @@ def equi_depth_bins_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS, PSI_SPLIT = 10, "1998-04-01"
+
+
+def price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift screen — the ML-monitoring
+    standard for "did this feature's distribution move between
+    snapshots": the REFERENCE population (orders before {split}) sets
+    10 equi-depth bin edges via the distributed exact order-statistics
+    machinery (selection.ntile_assign — no global sort); both
+    populations then bin by value against the broadcast 9-edge array,
+    and PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref). Per-bin contributions
+    ship alongside the total (the actionable part: WHICH decile
+    drifted); the total folds in bin order (sorted-fold float rule),
+    and ln of exact-count ratios is hash-portable (surprisal
+    precedent). Rule of thumb: PSI < 0.1 stable, > 0.25 investigate.
+
+    Scale shape: two scans (reference ntile + full tag), one tiny edge
+    broadcast, one 10-row aggregate — no shuffle keyed on rows."""
+    from ..operators import selection
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    split = F.to_timestamp(F.lit(PSI_SPLIT))
+    ref = o.filter(F.col("o_orderdate") < split)
+    refb = selection.ntile_assign(
+        ref, "o_totalprice", "o_orderkey", PSI_BINS
+    )
+    edges = (
+        refb.filter(F.col("bucket") < PSI_BINS)
+        .groupBy("bucket")
+        .agg(F.min("o_totalprice").alias("e"))
+        .agg(F.array_sort(F.collect_list("e")).alias("edges"))
+    )
+    tagged = o.crossJoin(F.broadcast(edges)).select(
+        (F.col("o_orderdate") >= split).alias("is_cur"),
+        (
+            1
+            + F.size(
+                F.filter(
+                    F.col("edges"),
+                    lambda e: F.col("o_totalprice") < e,
+                )
+            )
+        ).alias("bin"),
+    )
+    counts = tagged.groupBy("bin").agg(
+        F.sum((~F.col("is_cur")).cast("long")).alias("n_ref"),
+        F.sum(F.col("is_cur").cast("long")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    pr = F.col("n_ref").cast("double") / F.col("__tr").cast("double")
+    pc = F.col("n_cur").cast("double") / F.col("__tc").cast("double")
+    c2 = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            (pc - pr) * F.log(pc / pr),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__contrib"),
+    )
+    psi = c2.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", "__contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__contrib"],
+        ).alias("__psi")
+    )
+    return c2.crossJoin(F.broadcast(psi)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_ref",
+        "n_cur",
+        round_to(F.col("__contrib"), 6).alias("contrib"),
+        round_to(F.col("__psi"), 6).alias("psi"),
+    )
+
+
+_PSI_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         (o_orderdate >= TIMESTAMP '{PSI_SPLIT}') AS is_cur
+  FROM orders
+),
+rb AS (
+  SELECT o_totalprice,
+         ntile({PSI_BINS}) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+           AS bucket
+  FROM orders WHERE o_orderdate < TIMESTAMP '{PSI_SPLIT}'
+),
+ed AS (SELECT bucket, min(o_totalprice) AS e FROM rb
+       WHERE bucket < {PSI_BINS} GROUP BY bucket),
+ea AS (SELECT list(e ORDER BY e) AS edges FROM ed),
+tagged AS (
+  SELECT is_cur,
+         1 + len(list_filter(ea.edges, e -> o.o_totalprice < e)) AS bin
+  FROM o, ea
+),
+counts AS (
+  SELECT bin, sum((NOT is_cur)::INT)::BIGINT AS n_ref,
+         sum(is_cur::INT)::BIGINT AS n_cur
+  FROM tagged GROUP BY bin
+),
+tot AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM counts),
+c2 AS (
+  SELECT bin, n_ref, n_cur,
+    CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+      (n_cur::DOUBLE / tc::DOUBLE - n_ref::DOUBLE / tr::DOUBLE)
+      * ln((n_cur::DOUBLE / tc::DOUBLE) / (n_ref::DOUBLE / tr::DOUBLE))
+    ELSE 0.0 END AS contrib
+  FROM counts, tot
+),
+psi AS (
+  SELECT list_reduce(list_prepend(0.0::DOUBLE, list(contrib ORDER BY bin)),
+                     (a, b) -> a + b) AS p
+  FROM c2
+)
+SELECT bin::BIGINT AS bin, n_ref, n_cur,
+       {sql_round("contrib", 6)} AS contrib,
+       {sql_round("psi.p", 6)} AS psi
+FROM c2, psi
+"""
+
+
 _EDB_SQL = f"""
 WITH b AS (
   SELECT o_totalprice,
@@ -2933,6 +3061,7 @@ QUERIES = {
     "revenue_holt_forecast": revenue_holt_forecast,
     "revenue_holt_winters": revenue_holt_winters,
     "copurchase_kcore": copurchase_kcore,
+    "price_psi_drift": price_psi_drift,
     "priority_mix_chi2": priority_mix_chi2,
     "bootstrap_mean_ci": bootstrap_mean_ci,
     "events_dow_hour_profile": events_dow_hour_profile,
@@ -2973,6 +3102,7 @@ ORACLES = {
     "revenue_holt_forecast": _HOLT_SQL,
     "revenue_holt_winters": _HW_SQL,
     "copurchase_kcore": _kcore_sql(),
+    "price_psi_drift": _PSI_SQL,
     "priority_mix_chi2": _CHI2_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
     "events_dow_hour_profile": _DOW_HOUR_SQL,
