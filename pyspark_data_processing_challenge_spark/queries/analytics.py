@@ -2720,6 +2720,49 @@ def price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QT_BUCKET_WIDTH = 50_000.0
+
+
+def totalprice_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (empirical-CDF) feature transform — the rank-based
+    normalization ML pipelines apply to heavy-tailed features (the
+    uniform-output stage of rank-gauss): every order's price maps to
+    rank/n under total order (price, orderkey). Ranks come from
+    ``selection.global_row_numbers`` with bucket = floor(price/50k) (a
+    numeric order-prefix), so the plan is per-bucket windows plus a
+    one-row-per-bucket offset table — the scale-safe substitute for
+    ``percent_rank() OVER (ORDER BY ...)``'s single-partition sort,
+    proven equal to it by this oracle."""
+    from ..operators import selection
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn(
+        "__b", F.floor(F.col("o_totalprice") / F.lit(QT_BUCKET_WIDTH))
+    )
+    ranked = selection.global_row_numbers(
+        o, ["o_totalprice", "o_orderkey"], bucket="__b"
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "o_orderkey",
+        round_to(
+            F.col("rnk").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("cdf"),
+    )
+
+
+_QT_SQL = f"""
+WITH r AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT o_orderkey, {sql_round("rnk::DOUBLE / n::DOUBLE", 6)} AS cdf FROM r
+"""
+
+
 _PSI_SQL = f"""
 WITH o AS (
   SELECT o_orderkey, o_totalprice,
@@ -3062,6 +3105,7 @@ QUERIES = {
     "revenue_holt_winters": revenue_holt_winters,
     "copurchase_kcore": copurchase_kcore,
     "price_psi_drift": price_psi_drift,
+    "totalprice_quantile_transform": totalprice_quantile_transform,
     "priority_mix_chi2": priority_mix_chi2,
     "bootstrap_mean_ci": bootstrap_mean_ci,
     "events_dow_hour_profile": events_dow_hour_profile,
@@ -3103,6 +3147,7 @@ ORACLES = {
     "revenue_holt_winters": _HW_SQL,
     "copurchase_kcore": _kcore_sql(),
     "price_psi_drift": _PSI_SQL,
+    "totalprice_quantile_transform": _QT_SQL,
     "priority_mix_chi2": _CHI2_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
     "events_dow_hour_profile": _DOW_HOUR_SQL,
