@@ -71,6 +71,7 @@ def changelog_compact(
     version_col: str = "version",
     op_col: str = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Compact a multi-version CDC changelog (Debezium/Kafka topic
     shape: many I/U/D ops PER KEY, ordered by ``version_col``) into the
@@ -88,6 +89,12 @@ def changelog_compact(
     Versions must be unique per key (CDC offsets are); ties would make
     ``max_by`` nondeterministic. The latest-op comparison is null-safe:
     a NULL op is an upsert, never a silent delete (merge_apply's rule).
+
+    ``keep_tombstones=True`` retains latest-op-delete keys WITH the op
+    column — the per-batch form for a compacted store whose LATER
+    readers must still see that a key died (streaming CDC apply:
+    within-batch compaction keeps tombstones, the snapshot read over
+    all batches drops them).
     """
     payload = [
         c for c in log.columns if c not in (*keys, version_col, op_col)
@@ -97,6 +104,8 @@ def changelog_compact(
         F.max(version_col).alias(version_col),
         F.max_by(op_col, version_col).alias(op_col),
     )
+    if keep_tombstones:
+        return compacted
     return compacted.filter(
         ~F.col(op_col).eqNullSafe(F.lit(delete_op))
     ).drop(op_col)

@@ -94,6 +94,18 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     key's final row must be), so the hash check proves the replay
     converges to the right table, not merely that it is internally
     consistent."""
+    out = cdc.changelog_compact(_order_log(spark, sf_dir), ["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("version").cast("long").alias("last_version"),
+    )
+
+
+def _order_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-version synthetic changelog over orders (shared by the
+    batch compaction query and the streaming CDC-apply twin)."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -125,14 +137,7 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).alias("version"),
         F.lit("D").alias("op"),
     )
-    log = v0.unionByName(v1).unionByName(v2).unionByName(v3)
-    out = cdc.changelog_compact(log, ["o_orderkey"])
-    return out.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.col("version").cast("long").alias("last_version"),
-    )
+    return v0.unionByName(v1).unionByName(v2).unionByName(v3)
 
 
 _CHANGELOG_SQL = f"""

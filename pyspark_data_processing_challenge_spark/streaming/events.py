@@ -805,3 +805,72 @@ def ivm_ingest_sink(store_dir: str):
         )
 
     return sink
+
+
+def cdc_apply_sink(store_dir: str, *, keys, version_col="version", op_col="op"):
+    """foreachBatch sink for STREAMING CDC APPLY — log compaction at
+    ingest, the streaming face of ``operators/cdc.changelog_compact``
+    (the pattern that keeps a queryable snapshot current from a
+    Debezium/Kafka change topic without a table format): each
+    micro-batch compacts WITHIN itself (one max_by aggregate, keeping
+    delete tombstones so later epochs still see the key died) and
+    writes the survivors to its own ``__epoch`` partition. The store
+    is therefore an epoch-partitioned, per-epoch-compacted changelog;
+    :func:`cdc_current_snapshot` compacts across epochs on read with
+    the lexicographic (epoch, version) order.
+
+    Replay safety: the batch reads NO prior state — its output is a
+    pure function of its input rows — and dynamic overwrite replaces
+    only its own epoch partition, so at-least-once redelivery is
+    idempotent by construction (no store-read epoch fencing needed,
+    unlike dedup_ingest_sink).
+    """
+    from ..operators.cdc import changelog_compact
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        compacted = changelog_compact(
+            batch_df,
+            keys,
+            version_col=version_col,
+            op_col=op_col,
+            keep_tombstones=True,
+        )
+        (
+            compacted.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(store_dir)
+        )
+
+    return sink
+
+
+def cdc_current_snapshot(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    keys,
+    version_col: str = "version",
+    op_col: str = "op",
+    epoch_width: int = 1_000_000_000,
+) -> DataFrame:
+    """Current table state from a :func:`cdc_apply_sink` store: compact
+    across epochs with the composite version ``__epoch * width +
+    version`` (later epochs always win; within an epoch the source
+    version orders), dropping tombstones. One max_by aggregate over
+    the store — cost O(store), and the store is already per-epoch
+    compacted so it holds at most one row per (key, epoch), not the
+    raw change stream. ``version_col`` values must stay below
+    ``epoch_width``."""
+    from ..operators.cdc import changelog_compact
+
+    store = spark.read.parquet(store_dir).withColumn(
+        "__cv",
+        F.col("__epoch").cast("long") * F.lit(epoch_width)
+        + F.col(version_col).cast("long"),
+    ).drop("__epoch", version_col)
+    return changelog_compact(
+        store, keys, version_col="__cv", op_col=op_col
+    ).withColumnRenamed("__cv", "composite_version")

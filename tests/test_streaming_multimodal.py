@@ -1385,3 +1385,71 @@ def test_incremental_phash_equals_full_recompute(spark):
     )
     assert store2.count() == hashes.count()
     assert not any(r.id_a == r.id_b for r in pairs2.collect())
+
+
+def test_streaming_cdc_apply(spark, tmp_path):
+    """CDC apply at ingest: change-log micro-batches compact into an
+    epoch-partitioned snapshot store; the cross-epoch snapshot read
+    equals the batch changelog_compact of the full log, and replaying
+    a committed epoch leaves the store byte-identical."""
+    from pyspark_data_processing_challenge_spark.operators import cdc
+    from pyspark_data_processing_challenge_spark.queries import cdcq
+
+    log = cdcq._order_log(spark, SF_DIR).cache()
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1 carries TWO versions (0 and 1) so within-batch compaction
+    # is exercised; batch 3 is the delete wave (tombstones must survive
+    # the per-batch write and kill keys at snapshot-read time)
+    log.filter(F.col("version") <= 1).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    log.filter(F.col("version") == 2).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    log.filter(F.col("version") == 3).coalesce(1).write.parquet(
+        str(src / "b3.parquet")
+    )
+    store_dir = str(tmp_path / "store")
+    schema = (
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "version int, op string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    sink = sev.cdc_apply_sink(store_dir, keys=["o_orderkey"])
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snap = sev.cdc_current_snapshot(spark, store_dir, keys=["o_orderkey"])
+    got = {
+        (r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"])
+        for r in snap.collect()
+    }
+    want = {
+        (r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"])
+        for r in cdc.changelog_compact(log, ["o_orderkey"]).collect()
+    }
+    assert got == want and want
+
+    # replay epoch 1 (b2): the store must not change
+    before = sorted(
+        repr(tuple(r)) for r in spark.read.parquet(store_dir).collect()
+    )
+    sink(spark.read.parquet(str(src / "b2.parquet")), 1)
+    after = sorted(
+        repr(tuple(r)) for r in spark.read.parquet(store_dir).collect()
+    )
+    assert before == after
