@@ -2310,6 +2310,101 @@ FROM tri
 """
 
 
+def ab_mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per event type between
+    the two experiment arms — the NONPARAMETRIC partner of
+    :func:`ab_test_events`'s Welch t (rank-based, so heavy tails and
+    outliers can't fake a lift). Tie-aware throughout: average ranks
+    via value-group counts, and the tie-corrected normal approximation
+    z = (U_A − n_A n_B/2) / sqrt(n_A n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1)))).
+
+    Exactness discipline: ranks never materialize per row — value
+    groups carry (n_v, na_v), the rank-sum folds as the INTEGER
+    2·R_A = Σ na_v·(2·cum_before + n_v + 1), and every reported double
+    derives from exact BIGINTs in a pinned expression tree, so the
+    oracle hashes a rank test bit-for-bit. Scale shape: one value-group
+    aggregate (map-side combined); the cumulative window partitions by
+    type over DISTINCT VALUES (bounded by the value domain, not row
+    count); one per-type rollup."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        ((F.col("user_id") % 2) == 0).alias("__ia"),
+    )
+    g = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum(F.col("__ia").cast("long")).alias("na_v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn(
+        "__cum", F.coalesce(F.sum("n_v").over(w), F.lit(0).cast("long"))
+    )
+    s = c.groupBy("event_type").agg(
+        F.sum(
+            F.col("na_v") * (2 * F.col("__cum") + F.col("n_v") + 1)
+        ).alias("__ra2"),
+        F.sum("n_v").alias("__n"),
+        F.sum("na_v").alias("__na"),
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).alias("__t"),
+    )
+    na, n = F.col("__na"), F.col("__n")
+    nb = n - na
+    u2 = F.col("__ra2") - na * (na + 1)  # exact 2·U_A as BIGINT
+    num = (u2 - na * nb).cast("double") / F.lit(2.0)
+    var_term = (n + 1).cast("double") - F.col("__t").cast("double") / (
+        n * (n - 1)
+    ).cast("double")
+    z = num / F.sqrt(
+        (na * nb).cast("double") * var_term / F.lit(12.0)
+    )
+    return s.select(
+        "event_type",
+        na.alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        round_to(u2.cast("double") / F.lit(2.0), 6).alias("u_a"),
+        round_to(z, 6).alias("z"),
+    )
+
+
+_MWU_SQL = f"""
+WITH e AS (
+  SELECT event_type, value, (user_id % 2 = 0) AS ia FROM events
+),
+g AS (
+  SELECT event_type, value, count(*)::BIGINT AS n_v,
+         sum(ia::INT)::BIGINT AS na_v
+  FROM e GROUP BY 1, 2
+),
+c AS (
+  SELECT *, coalesce(sum(n_v) OVER (
+    PARTITION BY event_type ORDER BY value
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+  FROM g
+),
+s AS (
+  SELECT event_type,
+         sum(na_v * (2 * cum + n_v + 1))::BIGINT AS ra2,
+         sum(n_v)::BIGINT AS n, sum(na_v)::BIGINT AS na,
+         sum(n_v * n_v * n_v - n_v)::BIGINT AS t
+  FROM c GROUP BY 1
+)
+SELECT event_type, na AS n_a, (n - na)::BIGINT AS n_b,
+       {sql_round("(ra2 - na * (na + 1))::DOUBLE / 2.0", 6)} AS u_a,
+       {sql_round(
+           "((ra2 - na * (na + 1) - na * (n - na))::DOUBLE / 2.0)"
+           " / sqrt((na * (n - na))::DOUBLE"
+           " * ((n + 1)::DOUBLE - t::DOUBLE / (n * (n - 1))::DOUBLE)"
+           " / 12.0)", 6)} AS z
+FROM s
+"""
+
+
 def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's t-test per event type between two experiment arms
     (user_id parity — the deterministic stand-in for an assignment
@@ -3079,6 +3174,7 @@ QUERIES = {
     "target_encode_priority": target_encode_priority,
     "equi_depth_bins_totalprice": equi_depth_bins_totalprice,
     "ab_test_events": ab_test_events,
+    "ab_mannwhitney_events": ab_mannwhitney_events,
     "event_segment_mutual_info": event_segment_mutual_info,
     "events_mad_outliers": events_mad_outliers,
     "cohort_retention": cohort_retention,
@@ -3116,6 +3212,7 @@ QUERIES = {
 ORACLES = {
     "copurchase_triangles": _TRIANGLES_SQL,
     "ab_test_events": _AB_TEST_SQL,
+    "ab_mannwhitney_events": _MWU_SQL,
     "event_segment_mutual_info": _MI_SQL,
     "events_mad_outliers": _MAD_SQL,
     "momentum_contribution": _CONTRIB_SQL,
