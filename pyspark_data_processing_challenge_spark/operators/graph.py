@@ -261,3 +261,65 @@ def kcore(
         F.col("n").cast("long").alias("node"),
         F.col("deg").cast("long").alias("deg"),
     ).crossJoin(F.broadcast(summary))
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007's community detector, made reproducible): labels start as node
+    ids; each round EVERY node simultaneously adopts the most frequent
+    label among its neighbors, ties broken by smallest label. A fixed
+    round count keeps the plan finite and the output a pure function of
+    the graph (classic async LPA is update-order dependent — useless
+    under an oracle); communities stabilize in a few rounds on
+    small-world graphs, and the ``n_changed``-style convergence check
+    is the caller's follow-up query if needed.
+
+    Scale shape per round: one equi-join (edges ⋈ labels on the
+    neighbor), one (node, label) count aggregate (map-side combined),
+    one max_by argmax — all key shuffles, nothing quadratic; per-round
+    localCheckpoint so lineage stays flat (the connected_components
+    lesson). Output: (node, label) after ``rounds`` rounds.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        fwd.unionByName(
+            fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        freq = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(sym.u.alias("nu"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            freq.groupBy("nu")
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (-F.col("label")).alias("nl"),
+                    ),
+                ).alias("label")
+            )
+            .select(F.col("nu").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return labels

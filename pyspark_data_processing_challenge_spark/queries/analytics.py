@@ -2253,6 +2253,60 @@ FROM final
 """
 
 
+LPA_ROUNDS = 3
+
+
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph via deterministic
+    synchronous label propagation (operators/graph.label_propagation —
+    LPA_ROUNDS rounds, most-frequent-neighbor label, smallest-label
+    ties): the modularity-free community pass that groups parts bought
+    together, at a cost of rounds × (join + count + argmax) key
+    shuffles. Where connected components answers "reachable at all",
+    LPA splits dense regions into locally coherent groups. The oracle
+    replays the identical synchronous rounds as materialized CTEs with
+    a window argmax, pinning every round's label table transitively."""
+    from ..operators import graph
+
+    e = _copurchase_edges(spark, sf_dir, support=2)
+    out = graph.label_propagation(e, rounds=LPA_ROUNDS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _lpa_sql() -> str:
+    q = """
+WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT x.l_partkey AS u, y.l_partkey AS v
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS label FROM e
+)"""
+    for r in range(1, LPA_ROUNDS + 1):
+        q += f""",
+l{r} AS MATERIALIZED (
+  SELECT u AS node, label FROM (
+    SELECT e.u, l.label,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM e JOIN l{r - 1} l ON e.v = l.node
+    GROUP BY e.u, l.label
+  ) WHERE rn = 1
+)"""
+    return q + f"""
+SELECT node::BIGINT AS node, label::BIGINT AS label FROM l{LPA_ROUNDS}
+"""
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-purchase graph: parts are linked when
     they appear in >= 2 common orders (the basket-bounded self-join
@@ -3200,6 +3254,7 @@ QUERIES = {
     "revenue_holt_forecast": revenue_holt_forecast,
     "revenue_holt_winters": revenue_holt_winters,
     "copurchase_kcore": copurchase_kcore,
+    "copurchase_communities": copurchase_communities,
     "price_psi_drift": price_psi_drift,
     "totalprice_quantile_transform": totalprice_quantile_transform,
     "priority_mix_chi2": priority_mix_chi2,
@@ -3243,6 +3298,7 @@ ORACLES = {
     "revenue_holt_forecast": _HOLT_SQL,
     "revenue_holt_winters": _HW_SQL,
     "copurchase_kcore": _kcore_sql(),
+    "copurchase_communities": _lpa_sql(),
     "price_psi_drift": _PSI_SQL,
     "totalprice_quantile_transform": _QT_SQL,
     "priority_mix_chi2": _CHI2_SQL,

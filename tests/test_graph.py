@@ -105,3 +105,22 @@ def test_kcore_rejects_bad_params(spark):
     e = spark.createDataFrame([(1, 2)], "u long, v long")
     with pytest.raises(ValueError, match="rounds"):
         graph.kcore(e, k=2, rounds=0)
+
+
+def test_label_propagation_two_triangles(spark):
+    # two triangles {1,2,3} and {10,11,12} joined by bridge 3-10:
+    # after 3 synchronous rounds each triangle converges on its own
+    # minimum label; the bridge does not merge them
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    labels = {r.node: r.label for r in
+              graph.label_propagation(e, rounds=3).collect()}
+    assert len({labels[1], labels[2], labels[3]}) == 1
+    assert len({labels[10], labels[11], labels[12]}) == 1
+    assert labels[1] != labels[10]
+
+
+def test_label_propagation_rejects_bad_rounds(spark):
+    e = spark.createDataFrame([(1, 2)], "u long, v long")
+    with pytest.raises(ValueError, match="rounds"):
+        graph.label_propagation(e, rounds=0)
