@@ -874,3 +874,56 @@ def cdc_current_snapshot(
     return changelog_compact(
         store, keys, version_col="__cv", op_col=op_col
     ).withColumnRenamed("__cv", "composite_version")
+
+
+def psi_ingest_sink(out_dir: str, *, edges, ref_counts, value_col: str):
+    """foreachBatch sink for STREAMING DRIFT MONITORING — the
+    population-stability-index screen (queries/analytics.
+    price_psi_drift) run against every micro-batch: the REFERENCE
+    population's equi-depth edges and bin counts are frozen at sink
+    creation (tiny Python lists — the broadcast-literal analogue), each
+    batch bins its rows by value, and one (epoch, n_cur, psi) row lands
+    in the epoch's partition. This is how a feature store watches an
+    arriving feed degrade in real time instead of discovering drift at
+    the next batch audit.
+
+    The 10-bin count table collapses to the driver (bounded by bin
+    count, never rows) and PSI folds in ascending-bin order in exact
+    Python floats — deterministic, replay-idempotent (pure function of
+    the batch + dynamic epoch overwrite).
+    """
+    k = len(ref_counts)
+    if len(edges) != k - 1:
+        raise ValueError(f"need {k - 1} edges for {k} bins, got {len(edges)}")
+    tr = float(sum(ref_counts))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        edge_arr = F.array(*[F.lit(float(e)) for e in edges])
+        v = F.col(value_col)
+        binned = batch_df.select(
+            (1 + F.size(F.filter(edge_arr, lambda e: v < e))).alias("bin")
+        )
+        rows = binned.groupBy("bin").count().collect()
+        by_bin = {r["bin"]: r["count"] for r in rows}
+        tc = float(sum(by_bin.values()))
+        psi = 0.0
+        for b in range(1, k + 1):
+            n_cur, n_ref = by_bin.get(b, 0), ref_counts[b - 1]
+            if n_cur > 0 and n_ref > 0 and tc > 0:
+                import math
+
+                pc, pr = n_cur / tc, n_ref / tr
+                psi += (pc - pr) * math.log(pc / pr)
+        out = spark.createDataFrame(
+            [(int(tc), float(psi), int(epoch_id))],
+            "n_cur long, psi double, __epoch int",
+        )
+        (
+            out.write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(out_dir)
+        )
+
+    return sink

@@ -1453,3 +1453,97 @@ def test_streaming_cdc_apply(spark, tmp_path):
         repr(tuple(r)) for r in spark.read.parquet(store_dir).collect()
     )
     assert before == after
+
+
+def test_streaming_psi_monitor(spark, tmp_path):
+    """PSI at ingest: per-epoch drift of arriving order prices against
+    frozen reference edges equals the same statistic computed in batch
+    on each micro-batch's rows; replay is idempotent."""
+    import math
+
+    from pyspark_data_processing_challenge_spark.operators import selection
+    from pyspark_data_processing_challenge_spark.queries import analytics
+    from pyspark_data_processing_challenge_spark.queries._util import t
+
+    o = t(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).cache()
+    split = F.to_timestamp(F.lit(analytics.PSI_SPLIT))
+    ref = o.filter(F.col("o_orderdate") < split)
+    refb = selection.ntile_assign(
+        ref, "o_totalprice", "o_orderkey", analytics.PSI_BINS
+    )
+    edge_rows = (
+        refb.filter(F.col("bucket") < analytics.PSI_BINS)
+        .groupBy("bucket").agg(F.min("o_totalprice").alias("e"))
+        .collect()
+    )
+    edges = sorted(r["e"] for r in edge_rows)
+    binexpr = (
+        1 + F.size(F.filter(
+            F.array(*[F.lit(float(e)) for e in edges]),
+            lambda e: F.col("o_totalprice") < e,
+        ))
+    ).alias("bin")
+    ref_counts = [0] * analytics.PSI_BINS
+    for r in ref.select(binexpr).groupBy("bin").count().collect():
+        ref_counts[r["bin"] - 1] = r["count"]
+
+    cur = o.filter(F.col("o_orderdate") >= split)
+    src = tmp_path / "src"
+    src.mkdir()
+    cur.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    cur.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    out_dir = str(tmp_path / "psi")
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    sink = sev.psi_ingest_sink(
+        out_dir, edges=edges, ref_counts=ref_counts,
+        value_col="o_totalprice",
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["__epoch"]: (r["n_cur"], r["psi"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(got) == {0, 1}
+    tr = float(sum(ref_counts))
+    for parity, (n_cur, psi) in ((0, got[0]), (1, got[1])):
+        batch = cur.filter(F.col("o_orderkey") % 2 == parity)
+        counts = {
+            r["bin"]: r["count"]
+            for r in batch.select(binexpr).groupBy("bin").count().collect()
+        }
+        tc = float(sum(counts.values()))
+        want = 0.0
+        for b in range(1, analytics.PSI_BINS + 1):
+            nc, nr = counts.get(b, 0), ref_counts[b - 1]
+            if nc > 0 and nr > 0 and tc > 0:
+                want += (nc / tc - nr / tr) * math.log((nc / tc) / (nr / tr))
+        assert n_cur == int(tc) and psi == want
+
+    # replay epoch 0: byte-identical
+    before = sorted(map(repr, spark.read.parquet(out_dir).collect()))
+    sink(spark.read.parquet(str(src / "b1.parquet")), 0)
+    after = sorted(map(repr, spark.read.parquet(out_dir).collect()))
+    assert before == after
