@@ -3460,6 +3460,104 @@ FROM scored WHERE rank <= {HN_K}
 """
 
 
+MRL_DIMS = (8, 16, 32)
+MRL_NQ, MRL_K, MRL_SALT = 16, 5, ":mrl"
+
+
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncation evaluation: how much exact top-k
+    retrieval quality survives keeping only the first d of 64 embedding
+    dimensions (d ∈ 8/16/32) — the sizing study behind every
+    truncated-embedding store (MRL-trained models make prefixes usable;
+    this measures whether YOURS are). For the standard fixed-size
+    anchor sample, recall@k = |topk_d ∩ topk_64| / k, averaged over
+    anchors as an exact integer ratio. One broadcast-anchor corpus scan
+    per dimension (the cosine_topk plan); prefix truncation is a
+    column slice, so no re-embedding, no second store."""
+    from ..functions.textfns import char_hash
+    from ..operators import similarity
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    anchors = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            char_hash(
+                F.concat(F.col("vec_id").cast("string"), F.lit(MRL_SALT))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(MRL_NQ)
+        .drop("__h")
+    )
+
+    def topk(dim: int) -> DataFrame:
+        cut = lambda df: df.select(  # noqa: E731
+            "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+        )
+        return similarity.cosine_topk(
+            cut(emb), cut(anchors), k=MRL_K
+        ).select("query_id", "neighbor_id")
+
+    full = topk(EMB_DIM)
+    outs = []
+    for d in MRL_DIMS:
+        hits = topk(d).join(full, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("__hits")
+        )
+        outs.append(
+            hits.select(
+                F.lit(d).cast("long").alias("dim"),
+                F.lit(MRL_NQ).cast("long").alias("n_queries"),
+                F.col("__hits").cast("long").alias("n_hits"),
+                round_to(
+                    F.col("__hits").cast("double")
+                    / F.lit(float(MRL_NQ * MRL_K)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _mrl_sql() -> str:
+    qhash = sql_char_hash(f"vec_id::VARCHAR || '{MRL_SALT}'")
+    blocks = []
+    for d in MRL_DIMS:
+        blocks.append(f"""
+SELECT {d}::BIGINT AS dim, {MRL_NQ}::BIGINT AS n_queries,
+       count(*)::BIGINT AS n_hits,
+       {sql_round(f"count(*)::DOUBLE / {float(MRL_NQ * MRL_K)}", 6)} AS recall
+FROM t{d} JOIN t{EMB_DIM} USING (query_id, neighbor_id)""")
+    topks = []
+    for d in (*MRL_DIMS, EMB_DIM):
+        topks.append(f"""
+t{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {sql_cosine("q.eq", "v.e", d)} DESC, v.vec_id
+           ) AS rnk
+    FROM q JOIN v ON v.vec_id <> q.vec_id
+  ) WHERE rnk <= {MRL_K}
+)""")
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+q AS (
+  SELECT vec_id, e AS eq FROM (
+    SELECT vec_id, e, {qhash} AS h FROM v
+    ORDER BY h, vec_id LIMIT {MRL_NQ}
+  )
+),
+{",".join(topks)}
+{" UNION ALL ".join(blocks)}
+"""
+
+
 # ---------------------------------------------------------------------------
 # train/val/test vocabulary-coverage report
 # ---------------------------------------------------------------------------
@@ -3583,6 +3681,7 @@ QUERIES = {
     "lsh_recall_banded_eval": lsh_recall_banded_eval,
     "embedding_hard_negatives": embedding_hard_negatives,
     "minhash_bbit_near_dup": minhash_bbit_near_dup,
+    "matryoshka_recall_eval": matryoshka_recall_eval,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -3662,6 +3761,7 @@ ORACLES = {
     "lsh_recall_banded_eval": _lsh_recall_banded_sql(),
     "embedding_hard_negatives": _hard_neg_sql(),
     "minhash_bbit_near_dup": _BB_ND_SQL,
+    "matryoshka_recall_eval": _mrl_sql(),
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
