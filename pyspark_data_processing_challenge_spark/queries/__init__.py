@@ -71,6 +71,7 @@ _VERDICT_PRIORITY = [
     "ab_mannwhitney_events",  # new: tie-corrected rank-sum A/B test
     "copurchase_communities",  # new: deterministic label propagation
     "matryoshka_recall_eval",  # new: truncated-embedding recall study
+    "corpus_zipf_fit",  # new: Zipf slope screen (Heaps' partner)
     # --- behavior touched in r08 (selection.py band refinement went
     # distributed) — re-verify even though r04/r05 verdicts exist ---
     "agg_quartiles_orders",
@@ -88,9 +89,8 @@ _VERDICT_PRIORITY = [
     "simhash_near_dup",
     "embedding_topk",
     "embedding_lsh_buckets",
-    "near_dup_clusters",
     # --- r04-verdict re-verification rotation (oldest after r02) ---
-    # (curate_corpus, minhash_signatures_fast, dedup_drop_exact, docs_quality, docs_lang_id, docs_token_stats, op_dedup_subset, agg_salted_revenue, agg_pricing_summary, join_revenue_by_nation, docs_repetition, events_variant_stats, approx_percentiles_by_type, image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
+    # (near_dup_clusters, curate_corpus, minhash_signatures_fast, dedup_drop_exact, docs_quality, docs_lang_id, docs_token_stats, op_dedup_subset, agg_salted_revenue, agg_pricing_summary, join_revenue_by_nation, docs_repetition, events_variant_stats, approx_percentiles_by_type, image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
     # kmeans_two_step, docs_domain_mix, embedding_quantize,
     # docs_sentences_udtf, events_grouped_center remain r04-verdict;
     # they queue for the r09 window — 50 slots full)
@@ -217,6 +217,7 @@ _ROTATED_OUT = {
     "dedup_drop_exact": "r02",
     "minhash_signatures_fast": "r02",
     "curate_corpus": "r02",
+    "near_dup_clusters": "r02",
     "approx_percentiles_by_type": "r04",
     "events_variant_stats": "r04",
     "docs_repetition": "r04",

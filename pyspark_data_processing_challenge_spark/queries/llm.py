@@ -2642,6 +2642,105 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 SCALING_BUCKETS = 8
 
 
+ZIPF_TOP = 100
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit — Heaps' partner statistic: OLS slope of
+    ln(frequency) vs ln(rank) over the top-{N} corpus terms (natural
+    text sits near −1; synthetic/templated corpora flatten, so the
+    slope is a cheap "is this distribution natural" screen next to the
+    scaling curve). One token-count aggregate, a TakeOrdered top-{N}
+    by (freq desc, term), then the regression folds over the 100-row
+    (rank, freq) array in rank order — the sorted-fold float rule —
+    with slope/intercept from pinned closed-form expressions. ln of
+    exact counts and exact ranks: hash-portable (surprisal precedent).
+    """
+    d = spread(t(spark, sf_dir, "documents"))
+    counts = (
+        d.select(
+            F.explode(textfns.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(ZIPF_TOP)
+    )
+    arr = counts.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("cnt")).alias("nc"), "tok"))
+        ).alias("__a")
+    )
+    pts = arr.select(
+        F.transform(
+            F.col("__a"),
+            lambda x, i: F.struct(
+                F.log((i + 1).cast("double")).alias("x"),
+                F.log((-x["nc"]).cast("double")).alias("y"),
+            ),
+        ).alias("__p")
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+    )
+
+    def step(acc, p):
+        return F.struct(
+            (acc["sx"] + p["x"]).alias("sx"),
+            (acc["sy"] + p["y"]).alias("sy"),
+            (acc["sxy"] + p["x"] * p["y"]).alias("sxy"),
+            (acc["sxx"] + p["x"] * p["x"]).alias("sxx"),
+        )
+
+    folded = pts.select(
+        F.size("__p").cast("double").alias("__n"),
+        F.aggregate("__p", zero, step).alias("__s"),
+    )
+    n, s = F.col("__n"), F.col("__s")
+    slope = (n * s["sxy"] - s["sx"] * s["sy"]) / (
+        n * s["sxx"] - s["sx"] * s["sx"]
+    )
+    return folded.select(
+        n.cast("long").alias("n_terms"),
+        round_to(slope, 6).alias("zipf_slope"),
+        round_to((s["sy"] - slope * s["sx"]) / n, 6).alias("intercept"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH c AS (
+  SELECT tok, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest({sql_tokens("lower(text)")}) AS tok FROM documents
+  ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT {ZIPF_TOP}
+),
+r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM c
+),
+a AS (SELECT list([rnk::DOUBLE, cnt::DOUBLE] ORDER BY rnk) AS pts FROM r),
+f AS (
+  SELECT len(pts)::DOUBLE AS n,
+    list_reduce(
+      list_prepend([0.0, 0.0, 0.0, 0.0],
+                   list_transform(pts, p -> [ln(p[1]), ln(p[2]), 0.0, 0.0])),
+      (acc, x) -> [acc[1] + x[1], acc[2] + x[2],
+                   acc[3] + x[1] * x[2], acc[4] + x[1] * x[1]]
+    ) AS s
+  FROM a
+)
+SELECT n::BIGINT AS n_terms,
+       {sql_round(
+           "(n * s[3] - s[1] * s[2]) / (n * s[4] - s[1] * s[1])", 6)}
+         AS zipf_slope,
+       {sql_round(
+           "(s[2] - ((n * s[3] - s[1] * s[2]) / (n * s[4] - s[1] * s[1]))"
+           " * s[1]) / n", 6)} AS intercept
+FROM f
+"""
+
+
 def corpus_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law CORPUS SCALING CURVE: how vocabulary grows as the
     corpus grows — the measurement behind "how much more data until
@@ -3682,6 +3781,7 @@ QUERIES = {
     "embedding_hard_negatives": embedding_hard_negatives,
     "minhash_bbit_near_dup": minhash_bbit_near_dup,
     "matryoshka_recall_eval": matryoshka_recall_eval,
+    "corpus_zipf_fit": corpus_zipf_fit,
     "video_frame_stats": video_frame_stats,
     "video_scene_cuts": video_scene_cuts,
     "image_resize_thumbs": image_resize_thumbs,
@@ -3762,6 +3862,7 @@ ORACLES = {
     "embedding_hard_negatives": _hard_neg_sql(),
     "minhash_bbit_near_dup": _BB_ND_SQL,
     "matryoshka_recall_eval": _mrl_sql(),
+    "corpus_zipf_fit": _ZIPF_SQL,
     "video_frame_stats": _VIDEO_FRAME_SQL,
     "video_scene_cuts": _VIDEO_CUTS_SQL,
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
