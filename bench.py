@@ -138,6 +138,13 @@ HEADLINE = [
     "copurchase_kcore",
     "embedding_hard_negatives",
     "minhash_bbit_near_dup",
+    "events_debounce",
+    "price_psi_drift",
+    "totalprice_quantile_transform",
+    "ab_mannwhitney_events",
+    "copurchase_communities",
+    "matryoshka_recall_eval",
+    "corpus_zipf_fit",
 ]
 
 
