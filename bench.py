@@ -145,6 +145,8 @@ HEADLINE = [
     "copurchase_communities",
     "matryoshka_recall_eval",
     "corpus_zipf_fit",
+    "events_lead_lag",
+    "users_kaplan_meier",
 ]
 
 

@@ -72,6 +72,8 @@ _VERDICT_PRIORITY = [
     "copurchase_communities",  # new: deterministic label propagation
     "matryoshka_recall_eval",  # new: truncated-embedding recall study
     "corpus_zipf_fit",  # new: Zipf slope screen (Heaps' partner)
+    "events_lead_lag",  # new: lead-lag cross-correlation
+    "users_kaplan_meier",  # new: censoring-aware retention curve
     # --- behavior touched in r08 (selection.py band refinement went
     # distributed) — re-verify even though r04/r05 verdicts exist ---
     "agg_quartiles_orders",
@@ -87,10 +89,8 @@ _VERDICT_PRIORITY = [
     "ref_flagship_pipeline",
     "minhash_near_dup",
     "simhash_near_dup",
-    "embedding_topk",
-    "embedding_lsh_buckets",
     # --- r04-verdict re-verification rotation (oldest after r02) ---
-    # (near_dup_clusters, curate_corpus, minhash_signatures_fast, dedup_drop_exact, docs_quality, docs_lang_id, docs_token_stats, op_dedup_subset, agg_salted_revenue, agg_pricing_summary, join_revenue_by_nation, docs_repetition, events_variant_stats, approx_percentiles_by_type, image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
+    # (embedding_topk, embedding_lsh_buckets, near_dup_clusters, curate_corpus, minhash_signatures_fast, dedup_drop_exact, docs_quality, docs_lang_id, docs_token_stats, op_dedup_subset, agg_salted_revenue, agg_pricing_summary, join_revenue_by_nation, docs_repetition, events_variant_stats, approx_percentiles_by_type, image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
     # kmeans_two_step, docs_domain_mix, embedding_quantize,
     # docs_sentences_udtf, events_grouped_center remain r04-verdict;
     # they queue for the r09 window — 50 slots full)
@@ -218,6 +218,8 @@ _ROTATED_OUT = {
     "minhash_signatures_fast": "r02",
     "curate_corpus": "r02",
     "near_dup_clusters": "r02",
+    "embedding_topk": "r02",
+    "embedding_lsh_buckets": "r02",
     "approx_percentiles_by_type": "r04",
     "events_variant_stats": "r04",
     "docs_repetition": "r04",

@@ -2364,6 +2364,218 @@ FROM tri
 """
 
 
+LL_MAX_LAG = 7
+
+
+def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily click and purchase
+    series: Pearson r of clicks(day) vs purchases(day + lag) for lag ∈
+    [−7, +7] — the screen that answers "do clicks LEAD purchases, and
+    by how many days" before anyone fits an attribution model. Two
+    daily aggregates, a 15-way lag explode on the click side, one
+    equi-join on the shifted day, and per-lag sufficient statistics
+    (Σx, Σy, Σxy, Σx², Σy², n) as EXACT BIGINTs — r is then a pinned
+    closed-form double, so the oracle hashes all 15 correlations.
+    Bounded by days × lags, never event rows."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("da"), F.col("n").alias("x")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("db"), F.col("n").alias("y")
+    )
+    lagged = a.withColumn(
+        "lag", F.explode(F.sequence(F.lit(-LL_MAX_LAG), F.lit(LL_MAX_LAG)))
+    ).withColumn("target", F.date_add(F.col("da"), F.col("lag")))
+    j = lagged.join(b, lagged.target == b.db)
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        round_to(num / F.sqrt(denx * deny), 6).alias("r"),
+    )
+
+
+KM_CENSOR_DAYS = 7
+
+
+def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes — the censoring-
+    aware retention estimator (naive retention curves understate the
+    tail because still-active users haven't churned YET): lifetime =
+    days between a user's first and last event; users active within
+    {c} days of the data horizon are right-censored (they count in the
+    at-risk denominator but never as churn events). S(t) =
+    Π_{{t_i ≤ t}} (1 − d_i/n_i) with deaths-before-censorings tie
+    convention.
+
+    Scale shape: one per-user aggregate, one duration-group aggregate,
+    an at-risk reverse-cumulative window over DISTINCT durations
+    (bounded by the calendar span, not user count), and the product
+    folds once in duration order (sorted-fold rule) — each factor
+    1 − d/n is a single division of exact BIGINTs, so the oracle
+    hashes a survival curve."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("day").alias("fd"), F.max("day").alias("ld")
+    )
+    hz = e.agg(F.max("day").alias("hz"))
+    u = pu.crossJoin(F.broadcast(hz)).select(
+        F.datediff("ld", "fd").cast("long").alias("t"),
+        (F.datediff("hz", "ld") < KM_CENSOR_DAYS).alias("cens"),
+    )
+    g = u.groupBy("t").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((~F.col("cens")).cast("long")).alias("d"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn(
+        "__bef", F.coalesce(F.sum("m").over(w), F.lit(0).cast("long"))
+    )
+    tot = g.agg(F.sum("m").alias("__tot"))
+    cc = c.crossJoin(F.broadcast(tot)).select(
+        "t", "d", (F.col("__tot") - F.col("__bef")).alias("n_risk")
+    )
+    arr = cc.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "n_risk"))).alias(
+            "__a"
+        )
+    )
+    zero = F.struct(
+        F.lit(1.0).alias("s"),
+        F.array()
+        .cast("array<struct<t:long,n_risk:long,d:long,s:double>>")
+        .alias("out"),
+    )
+
+    def step(acc, x):
+        s_new = acc["s"] * (
+            F.lit(1.0)
+            - x["d"].cast("double") / x["n_risk"].cast("double")
+        )
+        return F.struct(
+            s_new.alias("s"),
+            F.array_append(
+                acc["out"],
+                F.struct(
+                    x["t"].alias("t"),
+                    x["n_risk"].alias("n_risk"),
+                    x["d"].alias("d"),
+                    s_new.alias("s"),
+                ),
+            ).alias("out"),
+        )
+
+    rows = arr.select(
+        F.explode(F.aggregate("__a", zero, step)["out"]).alias("r")
+    )
+    return rows.select(
+        F.col("r.t").alias("duration_days"),
+        F.col("r.n_risk").alias("n_risk"),
+        F.col("r.d").alias("n_churned"),
+        round_to(F.col("r.s"), 6).alias("survival"),
+    )
+
+
+_KM_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP)::DATE AS day FROM events
+),
+pu AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM e GROUP BY 1),
+hz AS (SELECT max(day) AS h FROM e),
+u AS (
+  SELECT datediff('day', fd, ld)::BIGINT AS t,
+         (datediff('day', ld, h) < {KM_CENSOR_DAYS}) AS cens
+  FROM pu, hz
+),
+g AS (
+  SELECT t, count(*)::BIGINT AS m, sum((NOT cens)::INT)::BIGINT AS d
+  FROM u GROUP BY t
+),
+c AS (
+  SELECT t, d,
+    (sum(m) OVER ())::BIGINT
+      - coalesce(sum(m) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS n_risk
+  FROM g
+),
+a AS (
+  SELECT list([t::DOUBLE, d::DOUBLE, n_risk::DOUBLE] ORDER BY t) AS pts
+  FROM c
+),
+f AS (
+  SELECT list_reduce(
+    list_prepend([1.0::DOUBLE], pts),
+    (acc, x) -> acc || [x[1], x[3], x[2],
+                        acc[-1] * (1.0 - x[2] / x[3])]
+  ) AS acc
+  FROM a
+),
+rows AS (
+  SELECT unnest(list_transform(
+    range(0, ((len(acc) - 1) // 4)::INT),
+    k -> [acc[2 + 4 * k], acc[3 + 4 * k], acc[4 + 4 * k], acc[5 + 4 * k]]
+  )) AS r
+  FROM f
+)
+SELECT r[1]::BIGINT AS duration_days, r[2]::BIGINT AS n_risk,
+       r[3]::BIGINT AS n_churned, {sql_round("r[4]", 6)} AS survival
+FROM rows
+"""
+
+
+_LL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS TIMESTAMP)::DATE AS day, event_type,
+         count(*)::BIGINT AS n
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+a AS (SELECT day AS da, n AS x FROM daily WHERE event_type = 'click'),
+b AS (SELECT day AS db, n AS y FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT range::INT AS lag FROM range({-LL_MAX_LAG}, {LL_MAX_LAG + 1})),
+j AS (
+  SELECT l.lag, a.x, b.y
+  FROM a CROSS JOIN lags l
+  JOIN b ON b.db = a.da + to_days(l.lag)
+),
+s AS (
+  SELECT lag, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+  FROM j GROUP BY lag
+)
+SELECT lag::BIGINT AS lag, n AS n_days,
+       {sql_round(
+           "(n::DOUBLE * sxy - sx * sy)::DOUBLE"
+           " / sqrt((n::DOUBLE * sxx - sx * sx)::DOUBLE"
+           " * (n::DOUBLE * syy - sy * sy)::DOUBLE)", 6)} AS r
+FROM s
+"""
+
+
 def ab_mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) test per event type between
     the two experiment arms — the NONPARAMETRIC partner of
@@ -3229,6 +3441,8 @@ QUERIES = {
     "equi_depth_bins_totalprice": equi_depth_bins_totalprice,
     "ab_test_events": ab_test_events,
     "ab_mannwhitney_events": ab_mannwhitney_events,
+    "events_lead_lag": events_lead_lag,
+    "users_kaplan_meier": users_kaplan_meier,
     "event_segment_mutual_info": event_segment_mutual_info,
     "events_mad_outliers": events_mad_outliers,
     "cohort_retention": cohort_retention,
@@ -3268,6 +3482,8 @@ ORACLES = {
     "copurchase_triangles": _TRIANGLES_SQL,
     "ab_test_events": _AB_TEST_SQL,
     "ab_mannwhitney_events": _MWU_SQL,
+    "events_lead_lag": _LL_SQL,
+    "users_kaplan_meier": _KM_SQL,
     "event_segment_mutual_info": _MI_SQL,
     "events_mad_outliers": _MAD_SQL,
     "momentum_contribution": _CONTRIB_SQL,
