@@ -147,6 +147,7 @@ HEADLINE = [
     "corpus_zipf_fit",
     "events_lead_lag",
     "users_kaplan_meier",
+    "conversion_wilson_ci",
 ]
 
 

@@ -2414,6 +2414,84 @@ def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WILSON_Z = 1.96
+
+
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals for per-nation customer conversion (share
+    of customers with at least one order) — the binomial CI that stays
+    honest at small n and extreme rates, where the naive Wald interval
+    collapses or escapes [0,1]. One semi-join marks converters, one
+    aggregate per nation, and lo/hi are closed-form doubles from exact
+    (k, n) BIGINTs with the z=1.96 literal shared across engines —
+    identical IEEE trees, so the oracle hashes the intervals. This is
+    the per-segment readout a growth dashboard should ship instead of
+    bare rates."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    n_ = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    conv = c.join(
+        o.withColumnRenamed("o_custkey", "c_custkey").distinct(),
+        "c_custkey",
+        "semi",
+    ).select("c_custkey", F.lit(1).alias("__k"))
+    g = (
+        c.join(conv.select("c_custkey", "__k"), "c_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("__k"), F.lit(0))).alias("k"),
+        )
+        .join(F.broadcast(n_), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    z = F.lit(WILSON_Z)
+    nn = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nn
+    z2n = z * z / nn
+    center = p + z2n / F.lit(2.0)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nn + z * z / (F.lit(4.0) * nn * nn)
+    )
+    denom = F.lit(1.0) + z2n
+    return g.select(
+        "n_name",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        round_to(p, 6).alias("rate"),
+        round_to((center - half) / denom, 6).alias("wilson_lo"),
+        round_to((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+_WILSON_SQL = f"""
+WITH conv AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+g AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n,
+         sum(CASE WHEN conv.c_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS k
+  FROM customer LEFT JOIN conv USING (c_custkey)
+  GROUP BY c_nationkey
+)
+SELECT n_name, n, k,
+       {sql_round("k::DOUBLE / n::DOUBLE", 6)} AS rate,
+       {sql_round(
+           "((k::DOUBLE / n::DOUBLE + ({z} * {z} / n::DOUBLE) / 2.0)"
+           " - {z} * sqrt((k::DOUBLE / n::DOUBLE)"
+           " * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE"
+           " + {z} * {z} / (4.0 * n::DOUBLE * n::DOUBLE)))"
+           " / (1.0 + {z} * {z} / n::DOUBLE)".format(z=WILSON_Z), 6)}
+         AS wilson_lo,
+       {sql_round(
+           "((k::DOUBLE / n::DOUBLE + ({z} * {z} / n::DOUBLE) / 2.0)"
+           " + {z} * sqrt((k::DOUBLE / n::DOUBLE)"
+           " * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE"
+           " + {z} * {z} / (4.0 * n::DOUBLE * n::DOUBLE)))"
+           " / (1.0 + {z} * {z} / n::DOUBLE)".format(z=WILSON_Z), 6)}
+         AS wilson_hi
+FROM g JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
 KM_CENSOR_DAYS = 7
 
 
@@ -3443,6 +3521,7 @@ QUERIES = {
     "ab_mannwhitney_events": ab_mannwhitney_events,
     "events_lead_lag": events_lead_lag,
     "users_kaplan_meier": users_kaplan_meier,
+    "conversion_wilson_ci": conversion_wilson_ci,
     "event_segment_mutual_info": event_segment_mutual_info,
     "events_mad_outliers": events_mad_outliers,
     "cohort_retention": cohort_retention,
@@ -3484,6 +3563,7 @@ ORACLES = {
     "ab_mannwhitney_events": _MWU_SQL,
     "events_lead_lag": _LL_SQL,
     "users_kaplan_meier": _KM_SQL,
+    "conversion_wilson_ci": _WILSON_SQL,
     "event_segment_mutual_info": _MI_SQL,
     "events_mad_outliers": _MAD_SQL,
     "momentum_contribution": _CONTRIB_SQL,
