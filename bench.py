@@ -148,6 +148,7 @@ HEADLINE = [
     "events_lead_lag",
     "users_kaplan_meier",
     "conversion_wilson_ci",
+    "cms_selfjoin_size",
 ]
 
 

@@ -662,6 +662,86 @@ def cms_heavy_hitters(
     )
 
 
+def cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-SIZE ESTIMATION — the cost-model primitive a
+    planner needs before committing to a join strategy: the self-join
+    size Σ count(k)² of lineitem on l_partkey (the same second
+    frequency moment that flags skew) estimated from the 4×512-cell
+    count-min sketch as min_d Σ_b cell², next to the exact answer.
+    The CMS inner product is provably one-sided (cells are sums of
+    non-negative counts, so collisions only ADD cross terms) — the
+    ``one_sided`` bool is that contract, hash-checked; the ratio says
+    what a 2048-cell summary costs in precision. At 100 TB the exact
+    side is this query's own verification harness — production keeps
+    only the broadcastable sketch."""
+    from ..operators import sketches
+
+    pc = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = sketches.cms_cells(pc, key_col="l_partkey", count_col="cnt")
+    perd = cells.groupBy("d").agg(
+        F.sum(F.col("c") * F.col("c")).alias("__ip")
+    )
+    est = perd.agg(F.min("__ip").cast("long").alias("cms_estimate"))
+    ex = pc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias(
+            "exact_selfjoin"
+        ),
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        "n_keys",
+        "exact_selfjoin",
+        "cms_estimate",
+        round_to(
+            F.col("cms_estimate").cast("double")
+            / F.col("exact_selfjoin").cast("double"),
+            6,
+        ).alias("ratio"),
+        (F.col("cms_estimate") >= F.col("exact_selfjoin")).alias(
+            "one_sided"
+        ),
+    )
+
+
+def _cms_join_sql() -> str:
+    from ..operators.sketches import CMS_D, CMS_SEED, CMS_W
+
+    coeffs = textfns.minhash_coeffs(CMS_D, seed=CMS_SEED)
+    p = textfns.MINHASH_P
+    values = ", ".join(
+        f"({d}, {a}::BIGINT, {b}::BIGINT)"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH coeffs(d, a, b) AS (VALUES {values}),
+pc AS (
+  SELECT l_partkey, count(*)::BIGINT AS cnt,
+         {sql_char_hash("l_partkey::VARCHAR")} AS h
+  FROM lineitem GROUP BY l_partkey
+),
+cells AS (
+  SELECT d, (a * h + b) % {p} % {CMS_W} AS bucket, sum(cnt)::BIGINT AS c
+  FROM pc CROSS JOIN coeffs GROUP BY 1, 2
+),
+perd AS (SELECT d, sum(c * c)::BIGINT AS ip FROM cells GROUP BY d),
+est AS (SELECT min(ip)::BIGINT AS cms_estimate FROM perd),
+ex AS (
+  SELECT count(*)::BIGINT AS n_keys,
+         sum(cnt * cnt)::BIGINT AS exact_selfjoin
+  FROM pc
+)
+SELECT n_keys, exact_selfjoin, cms_estimate,
+       {sql_round("cms_estimate::DOUBLE / exact_selfjoin::DOUBLE", 6)}
+         AS ratio,
+       cms_estimate >= exact_selfjoin AS one_sided
+FROM ex, est
+"""
+
+
 def _cms_sql() -> str:
     coeffs = textfns.minhash_coeffs(CMS_D, seed=CMS_SEED)
     p = textfns.MINHASH_P
@@ -2133,6 +2213,7 @@ QUERIES = {
     "sketch_overlap_users": sketch_overlap_users,
     "corpus_manifest": corpus_manifest,
     "cms_heavy_hitters": cms_heavy_hitters,
+    "cms_selfjoin_size": cms_selfjoin_size,
     "bloom_join_prune": bloom_join_prune,
     "histogram_quantile_sketch": histogram_quantile_sketch,
     "zone_map_pruning": zone_map_pruning,
@@ -2159,6 +2240,7 @@ ORACLES = {
     "sketch_overlap_users": _SKETCH_OVERLAP_SQL,
     "corpus_manifest": _manifest_sql(),
     "cms_heavy_hitters": _cms_sql(),
+    "cms_selfjoin_size": _cms_join_sql(),
     "bloom_join_prune": _bloom_sql(),
     "histogram_quantile_sketch": _hq_sql(),
     "zone_map_pruning": _ZONE_MAP_SQL,
