@@ -149,6 +149,7 @@ HEADLINE = [
     "users_kaplan_meier",
     "conversion_wilson_ci",
     "cms_selfjoin_size",
+    "docs_rrf_fusion",
 ]
 
 

@@ -76,6 +76,7 @@ _VERDICT_PRIORITY = [
     "users_kaplan_meier",  # new: censoring-aware retention curve
     "conversion_wilson_ci",  # new: binomial CI per segment
     "cms_selfjoin_size",  # new: sketch join-size estimation
+    "docs_rrf_fusion",  # new: reciprocal-rank hybrid fusion
     # --- behavior touched in r08 (selection.py band refinement went
     # distributed) — re-verify even though r04/r05 verdicts exist ---
     "agg_quartiles_orders",
@@ -88,9 +89,8 @@ _VERDICT_PRIORITY = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     # --- oldest-verdict re-verification rotation (r01+r02 / r02) ---
-    "ref_flagship_pipeline",
     # --- r04-verdict re-verification rotation (oldest after r02) ---
-    # (minhash_near_dup, simhash_near_dup, embedding_topk, embedding_lsh_buckets, near_dup_clusters, curate_corpus, minhash_signatures_fast, dedup_drop_exact, docs_quality, docs_lang_id, docs_token_stats, op_dedup_subset, agg_salted_revenue, agg_pricing_summary, join_revenue_by_nation, docs_repetition, events_variant_stats, approx_percentiles_by_type, image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
+    # (ref_flagship_pipeline, minhash_near_dup, simhash_near_dup, embedding_topk, embedding_lsh_buckets, near_dup_clusters, curate_corpus, minhash_signatures_fast, dedup_drop_exact, docs_quality, docs_lang_id, docs_token_stats, op_dedup_subset, agg_salted_revenue, agg_pricing_summary, join_revenue_by_nation, docs_repetition, events_variant_stats, approx_percentiles_by_type, image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
     # kmeans_two_step, docs_domain_mix, embedding_quantize,
     # docs_sentences_udtf, events_grouped_center remain r04-verdict;
     # they queue for the r09 window — 50 slots full)
@@ -221,6 +221,7 @@ _ROTATED_OUT = {
     "embedding_topk": "r02",
     "simhash_near_dup": "r02",
     "minhash_near_dup": "r02+r03",
+    "ref_flagship_pipeline": "r01+r02",
     "embedding_lsh_buckets": "r02",
     "approx_percentiles_by_type": "r04",
     "events_variant_stats": "r04",

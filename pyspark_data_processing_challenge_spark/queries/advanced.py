@@ -1177,6 +1177,148 @@ def docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K, RRF_POOL, RRF_TOP = 60, 20, 10
+
+
+def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-search
+    combiner every modern retrieval stack uses to merge rankers without
+    score calibration: each ranker contributes 1/(k + rank), k=60.
+    Here the BM25 ranking fuses with a length-normalized term-frequency
+    ranking (a deliberately different relevance shape) for the shared
+    query {{table, join, window}}: top-20 per ranker (TakeOrdered —
+    rank windows run on 20-row frames), full-outer join on doc, RRF
+    sum with fixed coalesce order, top-10 by (rrf desc, doc). Swap
+    ranker 2 for the embedding top-k and this IS lexical+vector hybrid
+    search; the fusion plan is identical."""
+    from ..functions import textfns
+    from ..operators import ranking
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    bm = ranking.bm25_scores(
+        d, list(BM25_TERMS), text_col="text", id_col="doc_id",
+        k1=BM25_K1, b=BM25_B,
+    )
+    w_bm = Window.orderBy(F.desc("score_raw"), "id")
+    top_bm = (
+        bm.orderBy(F.desc("score_raw"), "id")
+        .limit(RRF_POOL)
+        .withColumn("ra", F.row_number().over(w_bm))
+        .select(F.col("id").alias("doc_id"), "ra")
+    )
+    staged = d.select(
+        "doc_id", textfns.tokens(F.col("text")).alias("__tk")
+    )
+    def _eq(term: str):
+        # closure factory, NOT a default-arg lambda: pyspark binds HOF
+        # lambda variables by parameter count (CLAUDE.md trap)
+        return lambda x: x == F.lit(term)
+
+    tf_sum = None
+    for term in BM25_TERMS:
+        c = F.size(F.filter(F.col("__tk"), _eq(term)))
+        tf_sum = c if tf_sum is None else tf_sum + c
+    scored2 = staged.select(
+        "doc_id",
+        (
+            tf_sum.cast("double") / F.size("__tk").cast("double")
+        ).alias("s2"),
+    )
+    w_tf = Window.orderBy(F.desc("s2"), "doc_id")
+    top_tf = (
+        scored2.orderBy(F.desc("s2"), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn("rb", F.row_number().over(w_tf))
+        .select("doc_id", "rb")
+    )
+    fused = top_bm.join(top_tf, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("ra").cast("long").alias("rank_bm25"),
+        F.col("rb").cast("long").alias("rank_tf"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("ra")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rb")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("__rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("__rrf"), "doc_id")
+        .limit(RRF_TOP)
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_tf",
+            round_to(F.col("__rrf"), 6).alias("rrf"),
+        )
+    )
+
+
+def _rrf_sql() -> str:
+    k1, b = BM25_K1, BM25_B
+    tf_cols = ",\n         ".join(
+        f"length(list_filter(tk, x -> x = '{t_}'))::DOUBLE AS tf_{i}"
+        for i, t_ in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum((tf_{i} > 0)::BIGINT)::DOUBLE AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    norm = f"({k1} * (1.0 - {b} + ({b} * dl::DOUBLE) / (sum_dl / N)))"
+    terms_sum = "0.0"
+    for i in range(len(BM25_TERMS)):
+        idf = f"ln(1.0 + (N - df_{i} + 0.5) / (df_{i} + 0.5))"
+        terms_sum += f" + {idf} * (tf_{i} * {k1 + 1.0}) / (tf_{i} + {norm})"
+    tf_total = " + ".join(f"tf_{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+staged AS (
+  SELECT doc_id, length(tk)::BIGINT AS dl,
+         {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS N, sum(dl)::DOUBLE AS sum_dl,
+         {df_cols}
+  FROM staged
+),
+scored AS (
+  SELECT doc_id, dl, ({terms_sum}) AS score_raw, ({tf_total}) AS tfsum
+  FROM staged, stats
+),
+top_bm AS (
+  SELECT doc_id, rn AS ra FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_raw DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {RRF_POOL}
+),
+top_tf AS (
+  SELECT doc_id, rn AS rb FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY tfsum::DOUBLE / dl::DOUBLE DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {RRF_POOL}
+),
+fused AS (
+  SELECT doc_id, ra::BIGINT AS rank_bm25, rb::BIGINT AS rank_tf,
+         coalesce(1.0 / ({RRF_K} + ra)::DOUBLE, 0.0)
+           + coalesce(1.0 / ({RRF_K} + rb)::DOUBLE, 0.0) AS rrf_raw
+  FROM top_bm FULL OUTER JOIN top_tf USING (doc_id)
+)
+SELECT doc_id, rank_bm25, rank_tf, {sql_round("rrf_raw", 6)} AS rrf
+FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT {RRF_TOP}
+"""
+
+
 PHRASE = ("table", "scan")
 
 
@@ -2208,6 +2350,7 @@ QUERIES = {
     "events_m4_downsample": events_m4_downsample,
     "docs_bm25": docs_bm25,
     "docs_phrase_search": docs_phrase_search,
+    "docs_rrf_fusion": docs_rrf_fusion,
     "docs_hashed_features": docs_hashed_features,
     "sketch_merge_distinct": sketch_merge_distinct,
     "sketch_overlap_users": sketch_overlap_users,
@@ -2235,6 +2378,7 @@ ORACLES = {
     "events_m4_downsample": _M4_SQL,
     "docs_bm25": _bm25_sql(),
     "docs_phrase_search": _phrase_sql(),
+    "docs_rrf_fusion": _rrf_sql(),
     "docs_hashed_features": _FH_SQL,
     "sketch_merge_distinct": _SKETCH_SQL,
     "sketch_overlap_users": _SKETCH_OVERLAP_SQL,
