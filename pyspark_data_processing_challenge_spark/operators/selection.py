@@ -133,9 +133,8 @@ def exact_order_statistics(
                 wb.orderBy(F.col(value_col).desc(), F.col(tie_col).asc())
             ),
         )
-        .withColumn("__bsz", F.count(F.lit(1)).over(wb))
         .filter(F.col("__rn") == k_expr)
-        .select("__band", value_col, tie_col, "__bsz")
+        .select("__band", value_col, tie_col)
         .collect()
     )
     by_band = {r["__band"]: r for r in picked}

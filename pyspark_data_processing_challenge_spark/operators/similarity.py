@@ -554,6 +554,14 @@ def hard_negatives(
 
     Output: (anchor_id, anchor_label, neighbor_id, neighbor_label,
     cosine, rank), rank 1..k by cosine desc with neighbor-id tie-break.
+
+    NULL-label semantics: the join condition is plain ``!=``, so a row
+    with a NULL label (anchor OR corpus side) evaluates to NULL and is
+    EXCLUDED — unlabeled rows mine no negatives and serve as none.
+    This is deliberate: an unlabeled corpus row might share the
+    anchor's class, and a false negative poisons contrastive training
+    far more than a missed candidate. Pre-assign labels (or filter to
+    labeled rows) before mining if NULL-labeled rows should count.
     """
     q = anchors.select(
         F.col(id_col).alias("anchor_id"),

@@ -29,75 +29,124 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- the 18 round-7 additions that have NEVER had a driver slot
-    # (VERDICT r07 item 1: every one is locally bit-exact green but the
-    # r07 window was at its 50-slot cap) ---
-    "docs_semantic_dedup",  # now with the r08 skew-cap sub-split
-    "bootstrap_mean_ci",
-    "lsh_recall_eval",  # r08: sampled baseline — behavior changed
-    "audio_fingerprint_near_dup",
-    "video_remux_dedup",
-    "image_tri_codec_near_dup",
-    "spatial_grid_neighbors",
-    "priority_mix_chi2",
-    "events_dow_hour_profile",
-    "docs_blocklist_screen",
-    "domain_reweight_plan",
-    "corpus_scaling_curve",
-    "snapshot_merkle_diff",
-    "customers_masked",
-    "events_udtf_polymorphic",
-    "lateral_top_customers",
-    "events_hourly_tvf",
-    "join_revenue_by_nation_shj",
-    # --- round-8 additions (first driver verdict needed) ---
-    "semdedup_incremental_batch",  # new: incremental semantic dedup
-    "docs_dsir_weights",  # new: DSIR importance-resampling weights
-    "customers_k_anonymity",  # new: post-masking release gate
-    "revenue_holt_forecast",  # new: recursive smoothing as one fold
-    "docs_gopher_rules",  # new: the Gopher/MassiveText quality gate
-    "lsh_recall_banded_eval",  # new: OR-construction recall companion
-    "parts_entity_resolution",  # new: block → score → closure pipeline
-    "cdc_changelog_compact",  # new: multi-version log compaction
-    "revenue_holt_winters",  # new: seasonal smoothing, dow-keyed state
-    "docs_phrase_search",  # new: positional postings intersection
-    "parts_snm_pairs",  # new: sorted-neighborhood ER blocking
-    "copurchase_kcore",  # new: bounded k-core peeling
-    "embedding_hard_negatives",  # new: contrastive negative mining
-    "minhash_bbit_near_dup",  # new: b-bit minhash (Li-König)
-    "events_debounce",  # new: throttle dedup as a recursive fold
-    "price_psi_drift",  # new: PSI distribution-drift screen
-    "totalprice_quantile_transform",  # new: scale-safe empirical CDF
-    "ab_mannwhitney_events",  # new: tie-corrected rank-sum A/B test
-    "copurchase_communities",  # new: deterministic label propagation
-    "matryoshka_recall_eval",  # new: truncated-embedding recall study
-    "corpus_zipf_fit",  # new: Zipf slope screen (Heaps' partner)
-    "events_lead_lag",  # new: lead-lag cross-correlation
-    "users_kaplan_meier",  # new: censoring-aware retention curve
-    "conversion_wilson_ci",  # new: binomial CI per segment
-    "cms_selfjoin_size",  # new: sketch join-size estimation
-    "docs_rrf_fusion",  # new: reciprocal-rank hybrid fusion
-    # --- behavior touched in r08 (selection.py band refinement went
-    # distributed) — re-verify even though r04/r05 verdicts exist ---
-    "agg_quartiles_orders",
-    "window_ntile_orders",  # shares the selection oracle; r01-only verdict
-    # --- the 4 remaining r01-only-verdict entries (displaced from the
-    # r07 window; each has a newer sibling verdict but the bar says a
-    # fresh driver row) ---
-    "multimodal_meta",
-    "window_lag_delta",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    # --- oldest-verdict re-verification rotation (r01+r02 / r02) ---
-    # --- r04-verdict re-verification rotation (oldest after r02) ---
-    # (ref_flagship_pipeline, minhash_near_dup, simhash_near_dup, embedding_topk, embedding_lsh_buckets, near_dup_clusters, curate_corpus, minhash_signatures_fast, dedup_drop_exact, docs_quality, docs_lang_id, docs_token_stats, op_dedup_subset, agg_salted_revenue, agg_pricing_summary, join_revenue_by_nation, docs_repetition, events_variant_stats, approx_percentiles_by_type, image_phash, image_phash_near_dup, docs_decontaminate, docs_split_assign, docs_pack_sequences, profile_orders,
-    # kmeans_two_step, docs_domain_mix, embedding_quantize,
-    # docs_sentences_udtf, events_grouped_center remain r04-verdict;
-    # they queue for the r09 window — 50 slots full)
+    # --- round-9 additions (first driver verdict needed) ---
+    # (appended as implemented this round; see section below)
+    # --- oldest-verdict re-verification rotation (VERDICT r08 item 1):
+    # the 14 r02-vintage rows — shared utilities under them (spread,
+    # _util.t, fast_text) changed in r06-r08, so their driver verdicts
+    # predate the code they now run through ---
+    "ref_flagship_pipeline",  # r01+r02
+    "minhash_near_dup",  # r02+r03
+    "simhash_near_dup",  # r02
+    "embedding_topk",  # r02
+    "embedding_lsh_buckets",  # r02
+    "near_dup_clusters",  # r02
+    "curate_corpus",  # r02
+    "minhash_signatures_fast",  # r02
+    "dedup_drop_exact",  # r02
+    "docs_quality",  # r02
+    "docs_lang_id",  # r02
+    "docs_token_stats",  # r02
+    "op_dedup_subset",  # r02
+    "agg_salted_revenue",  # r02
+    # --- the 17 r04-vintage rows (oldest after r02) ---
+    "sessionize_events",  # r01+r02+r04
+    "agg_pricing_summary",  # r04
+    "join_revenue_by_nation",  # r04
+    "docs_repetition",  # r04
+    "events_variant_stats",  # r04
+    "approx_percentiles_by_type",  # r04
+    "image_phash",  # r04
+    "image_phash_near_dup",  # r04
+    "docs_decontaminate",  # r04
+    "docs_split_assign",  # r04
+    "docs_pack_sequences",  # r04
+    "profile_orders",  # r04
+    "kmeans_two_step",  # r04
+    "docs_domain_mix",  # r04
+    "embedding_quantize",  # r04
+    "docs_sentences_udtf",  # r04
+    "events_grouped_center",  # r04
+    # --- r05-vintage re-verification FILLERS (next-oldest after
+    # the r02/r04 set). Each round-9 catalog addition displaces
+    # one filler (new queries pin ABOVE this section; displaced
+    # fillers return to _ROTATED_OUT) so the window stays at 50. ---
+    "docs_dup_spans",  # r05-vintage
+    "docs_strip_dup_spans",  # r05-vintage
+    "docs_weighted_sample",  # r05-vintage
+    "user_streaks",  # r05-vintage
+    "docs_char_entropy",  # r05-vintage
+    "events_arrow_scaled",  # r05-vintage
+    "orders_zvalue",  # r05-vintage
+    "orders_hilbert",  # r05-vintage
+    "pq_topk",  # r05-vintage
+    "sessionize_events_native",  # r05-vintage
+    "events_m4_downsample",  # r05-vintage
+    "docs_bm25",  # r05-vintage
+    "docs_hashed_features",  # r05-vintage
+    "sketch_merge_distinct",  # r05-vintage
+    "ivfpq_topk",  # r05-vintage
+    "orders_pit_acctbal",  # r05-vintage
+    "events_funnel",  # r05-vintage
+    "ref_flagship_pipeline_keyed",  # r05-vintage
+    "multimodal_decode",  # r05-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    # r09 rotation: the entire 50-slot r08 window came back green
+    # (CORRECTNESS_r08 50/50) and rotates out to fund the oldest-
+    # verdict (r02/r04-vintage) re-verification set + round-9 adds.
+    "docs_semantic_dedup": "r08",
+    "bootstrap_mean_ci": "r08",
+    "lsh_recall_eval": "r08",
+    "audio_fingerprint_near_dup": "r08",
+    "video_remux_dedup": "r08",
+    "image_tri_codec_near_dup": "r08",
+    "spatial_grid_neighbors": "r08",
+    "priority_mix_chi2": "r08",
+    "events_dow_hour_profile": "r08",
+    "docs_blocklist_screen": "r08",
+    "domain_reweight_plan": "r08",
+    "corpus_scaling_curve": "r08",
+    "snapshot_merkle_diff": "r08",
+    "customers_masked": "r08",
+    "events_udtf_polymorphic": "r08",
+    "lateral_top_customers": "r08",
+    "events_hourly_tvf": "r08",
+    "join_revenue_by_nation_shj": "r08",
+    "semdedup_incremental_batch": "r08",
+    "docs_dsir_weights": "r08",
+    "customers_k_anonymity": "r08",
+    "revenue_holt_forecast": "r08",
+    "docs_gopher_rules": "r08",
+    "lsh_recall_banded_eval": "r08",
+    "parts_entity_resolution": "r08",
+    "cdc_changelog_compact": "r08",
+    "revenue_holt_winters": "r08",
+    "docs_phrase_search": "r08",
+    "parts_snm_pairs": "r08",
+    "copurchase_kcore": "r08",
+    "embedding_hard_negatives": "r08",
+    "minhash_bbit_near_dup": "r08",
+    "events_debounce": "r08",
+    "price_psi_drift": "r08",
+    "totalprice_quantile_transform": "r08",
+    "ab_mannwhitney_events": "r08",
+    "copurchase_communities": "r08",
+    "matryoshka_recall_eval": "r08",
+    "corpus_zipf_fit": "r08",
+    "events_lead_lag": "r08",
+    "users_kaplan_meier": "r08",
+    "conversion_wilson_ci": "r08",
+    "cms_selfjoin_size": "r08",
+    "docs_rrf_fusion": "r08",
+    "agg_quartiles_orders": "r04+r08",
+    "window_ntile_orders": "r01+r08",
+    "multimodal_meta": "r01+r08",
+    "window_lag_delta": "r01+r08",
+    "ngram_jaccard_pairs": "r01+r08",
+    "minhash_signatures": "r01+r08",
     # round-6 window (all 50 green r06 — the first fully green round
     # at the window cap; rotated out to fund the r07 queue + r01 tail)
     "pq_codes": "r06",
@@ -208,58 +257,8 @@ _ROTATED_OUT = {
     "asof_join_purchases": "r01+r07",
     # r04-verdict entries NOT in the r08 re-verify rotation (50 slots
     # full; they queue for r09):
-    "sessionize_events": "r01+r02+r04",
-    "agg_salted_revenue": "r02",
-    "op_dedup_subset": "r02",
-    "docs_token_stats": "r02",
-    "docs_lang_id": "r02",
-    "docs_quality": "r02",
-    "dedup_drop_exact": "r02",
-    "minhash_signatures_fast": "r02",
-    "curate_corpus": "r02",
-    "near_dup_clusters": "r02",
-    "embedding_topk": "r02",
-    "simhash_near_dup": "r02",
-    "minhash_near_dup": "r02+r03",
-    "ref_flagship_pipeline": "r01+r02",
-    "embedding_lsh_buckets": "r02",
-    "approx_percentiles_by_type": "r04",
-    "events_variant_stats": "r04",
-    "docs_repetition": "r04",
-    "join_revenue_by_nation": "r04",
-    "agg_pricing_summary": "r04",
-    "profile_orders": "r04",
-    "docs_split_assign": "r04",
-    "docs_pack_sequences": "r04",
-    "docs_decontaminate": "r04",
-    "image_phash_near_dup": "r04",
-    "image_phash": "r04",
-    "kmeans_two_step": "r04",
-    "docs_domain_mix": "r04",
-    "embedding_quantize": "r04",
-    "docs_sentences_udtf": "r04",
-    "events_grouped_center": "r04",
     # round-5 front-pinned additions: green r05 verdicts
-    "docs_dup_spans": "r05",
-    "docs_strip_dup_spans": "r05",
-    "docs_weighted_sample": "r05",
-    "user_streaks": "r05",
-    "docs_char_entropy": "r05",
-    "events_arrow_scaled": "r05",
-    "orders_zvalue": "r05",
-    "orders_hilbert": "r05",
-    "pq_topk": "r05",
-    "sessionize_events_native": "r05",
-    "events_m4_downsample": "r05",
-    "docs_bm25": "r05",
-    "docs_hashed_features": "r05",
-    "sketch_merge_distinct": "r05",
-    "ivfpq_topk": "r05",
-    "orders_pit_acctbal": "r05",
-    "events_funnel": "r05",
     # re-verified green in the r05 window
-    "ref_flagship_pipeline_keyed": "r02+r05",
-    "multimodal_decode": "r02+r05",
     "approx_distinct_stats": "r04+r05",
     "cdc_merge_orders": "r02+r05",
     "scd2_customer_history": "r02+r05",

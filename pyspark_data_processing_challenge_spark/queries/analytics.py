@@ -2669,11 +2669,18 @@ def ab_mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hashes a rank test bit-for-bit. Scale shape: one value-group
     aggregate (map-side combined); the cumulative window partitions by
     type over DISTINCT VALUES (bounded by the value domain, not row
-    count); one per-type rollup."""
-    e = t(spark, sf_dir, "events").select(
-        "event_type",
-        "value",
-        ((F.col("user_id") % 2) == 0).alias("__ia"),
+    count); one per-type rollup. NULL values are excluded on BOTH
+    sides (a NULL has no rank; and Spark's window default NULLS FIRST
+    vs DuckDB's NULLS LAST would otherwise shift every cumulative rank
+    offset the moment a fixture gains a NULL value)."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            ((F.col("user_id") % 2) == 0).alias("__ia"),
+        )
     )
     g = e.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("n_v"),
@@ -2719,6 +2726,7 @@ def ab_mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MWU_SQL = f"""
 WITH e AS (
   SELECT event_type, value, (user_id % 2 = 0) AS ia FROM events
+  WHERE value IS NOT NULL
 ),
 g AS (
   SELECT event_type, value, count(*)::BIGINT AS n_v,

@@ -374,7 +374,10 @@ def minhash_bbit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, thresholded on the collision-corrected estimator
     Ĵ = (P − 1/4) / (3/4). The oracle recomputes truncation, banding
     AND the corrected estimator from full signatures, so the hash pins
-    the b-bit algebra end-to-end."""
+    the b-bit algebra end-to-end. est_jaccard goes through
+    round_to(…, 6) per the hashed-float convention (n_match/32 with
+    exact 0.25/0.75 literals happens to be exact today, but the
+    convention keeps that reasoning local)."""
     d = _perturbed_docs(spark, sf_dir)
     out = dedup.bbit_minhash_near_duplicates(
         d,
@@ -386,7 +389,12 @@ def minhash_bbit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BB_BANDS,
         threshold=BB_THRESHOLD,
     )
-    return out.select("id_a", "id_b", "n_match", "est_jaccard")
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_match",
+        round_to(F.col("est_jaccard"), 6).alias("est_jaccard"),
+    )
 
 
 SH_BITS, SH_BANDS, SH_MAX_HAMMING, SH_SHINGLE_N = 32, 4, 3, 3
@@ -2242,7 +2250,7 @@ _BB_ND_SQL = (
     + f"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ({_BB_AGREE})::BIGINT AS n_match,
-       {_BB_EST} AS est_jaccard
+       {sql_round(_BB_EST, 6)} AS est_jaccard
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE ({_bb_band_match()})
   AND {_BB_EST} >= {BB_THRESHOLD}
