@@ -127,6 +127,13 @@ def ivf_assign(
     (id, vec, centroid_id). At 100 TB this is the linear pass that
     buckets the corpus; writing the result partitioned by centroid_id
     gives pruned ANN probes on read.
+
+    The argmax is a ``max_by`` aggregate over struct ordering
+    ((cos, -cid) — highest cosine, then smallest centroid id), NOT a
+    per-doc row_number window: the aggregate partial-combines map-side
+    (each task reduces its |codebook|-way explosion locally before the
+    exchange), where the window would shuffle AND sort the full
+    corpus × codebook expansion.
     """
     c = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
     cb = centroids.select(
@@ -135,11 +142,16 @@ def ivf_assign(
     scored = c.join(F.broadcast(cb)).select(
         "doc", "vec", "cid", vectors.cosine(F.col("vec"), F.col("cv")).alias("cos")
     )
-    w = Window.partitionBy("doc").orderBy(F.col("cos").desc(), F.col("cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("doc", "vec", F.col("cid").alias("centroid_id"))
+    best = scored.groupBy("doc").agg(
+        F.max_by(
+            F.struct(F.col("cid"), F.col("vec")),
+            F.struct(F.col("cos"), (-F.col("cid")).alias("__nc")),
+        ).alias("__best")
+    )
+    return best.select(
+        "doc",
+        F.col("__best.vec").alias("vec"),
+        F.col("__best.cid").alias("centroid_id"),
     )
 
 
@@ -220,6 +232,15 @@ def semdedup_pairs(
     ``assigned``: (id, vec, centroid_id) from :func:`ivf_assign`.
     Output: (id_a, id_b) with id_a < id_b and cosine >= threshold.
     """
+    # Materialize the assignment ONCE: it feeds three consumers (the
+    # size aggregate and BOTH self-join sides), and Spark performs no
+    # common-subexpression elimination across join sides — without the
+    # checkpoint the upstream assignment (scan + |codebook| cosines +
+    # argmax) re-executes 3x (measured 4.6 s -> 3.0 s on the SemDeDup
+    # headline query). At cluster scale this materialization is the
+    # assignment table you would persist partitioned by centroid_id
+    # anyway (ivf_assign docstring).
+    assigned = assigned.localCheckpoint()
     sizes = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("__csz")
     )
