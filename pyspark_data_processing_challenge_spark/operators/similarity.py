@@ -14,7 +14,7 @@ North-star extension (SURVEY.md §7.4). Two tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
@@ -153,6 +153,136 @@ def ivf_assign(
         F.col("__best.vec").alias("vec"),
         F.col("__best.cid").alias("centroid_id"),
     )
+
+
+def codebook_assign_column(
+    codebook: list[tuple[int, list[float]]], vec: Column
+) -> Column:
+    """Argmax-cosine centroid id as ONE projection Column over a
+    DRIVER-SIDE codebook literal — the per-micro-batch form of
+    :func:`ivf_assign` for streaming ingest, where re-planning the
+    codebook join re-scans the centroid lineage and re-broadcasts the
+    codebook EVERY epoch. Built once at sink construction (Column
+    expressions bind late, so one Column serves every batch), it turns
+    assignment into a join-free, shuffle-free projection.
+
+    Semantics are identical to :func:`ivf_assign` (highest cosine,
+    then smallest centroid id; same left-fold dot product, so the
+    doubles are bit-identical). The codebook is bounded by contract
+    (it is broadcast in the batch form); NULL/NaN cosines never beat a
+    real one (comparison yields false → accumulator kept).
+
+    The per-element cosine is staged through a single-element
+    ``transform`` so the fold body references it once — referencing a
+    non-lambda-var subtree twice inside a HOF body re-evaluates it per
+    reference (see textfns.shingle_hashes).
+    """
+    if not codebook:
+        raise ValueError("codebook must be non-empty")
+    # Literal construction matters twice here. Per ELEMENT lits
+    # (|codebook| x dim F.lit calls) cost 3-5 s of py4j round trips at
+    # build; an F.expr("named_struct(...)") string parses in one call
+    # but leaves a ~|codebook|·dim-node tree that every epoch's
+    # analyzer/optimizer re-walks (~0.7 s/job vs ~0.35 s with true
+    # Literal nodes). One numpy row per centroid is the sweet spot:
+    # |codebook| py4j calls (~0.7 s build), and each row is a single
+    # Literal node so the per-epoch tree is ~2·|codebook| nodes.
+    # (F.lit on a nested Python list decomposes into per-element lits;
+    # 2-D ndarrays are unsupported as literals.)
+    ordered = sorted(codebook)
+    cids = F.lit([int(cid) for cid, _ in ordered])
+    try:
+        import numpy as np
+
+        rows = [
+            F.lit(np.asarray([float(x) for x in cv], dtype=np.float64))
+            for _, cv in ordered
+        ]
+        cvs = F.array(*rows)
+    except ImportError:  # pragma: no cover — numpy is baked in
+        cvs = F.lit([[float(x) for x in cv] for _, cv in ordered])
+    arr = F.arrays_zip(cids.alias("cid"), cvs.alias("cv"))
+    init = F.struct(
+        F.lit(-2.0).alias("cos"), F.lit(2**62).cast("long").alias("cid")
+    )
+    best = F.aggregate(
+        arr,
+        init,
+        lambda acc, c: F.transform(
+            F.array(vectors.cosine(vec, c["cv"])),
+            lambda cs: F.when(
+                (cs > acc["cos"])
+                | ((cs == acc["cos"]) & (c["cid"] < acc["cid"])),
+                F.struct(cs.alias("cos"), c["cid"].alias("cid")),
+            ).otherwise(acc),
+        )[0],
+    )
+    return best["cid"]
+
+
+def incremental_semdedup_pairs_assigned(
+    assigned_batch: DataFrame,
+    seen_store: DataFrame,
+    *,
+    threshold: float,
+    nsplits: int = 1,
+    cache_into: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Core of :func:`incremental_semdedup_pairs` for a batch that is
+    ALREADY assigned (``(doc, vec, centroid_id)`` — e.g. via the
+    hoisted :func:`codebook_assign_column` in the streaming sink).
+    Same contract and return value.
+
+    Join orientation is the ingest contract: the BATCH is small (one
+    micro-batch) and the STORE is the unbounded side, so both the
+    within-batch self-join and the batch-vs-history join BROADCAST the
+    batch — the store streams through one scan and is never shuffled.
+    Pre-r09 the history join was a shuffle join, re-exchanging the
+    whole store every epoch (quadratic total I/O over a stream's
+    life)."""
+    nb = assigned_batch.withColumn(
+        "__sub", F.pmod(F.col("doc"), F.lit(nsplits))
+    ).persist()
+    if cache_into is not None:
+        cache_into.append(nb)
+    cos = vectors.cosine
+    l, r = nb.alias("l"), F.broadcast(nb).alias("r")
+    within = l.join(
+        r,
+        (F.col("l.centroid_id") == F.col("r.centroid_id"))
+        & (F.col("l.__sub") == F.col("r.__sub"))
+        & (F.col("l.doc") < F.col("r.doc")),
+    ).select(
+        F.col("l.doc").alias("id_a"),
+        F.col("r.doc").alias("id_b"),
+        cos(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
+    )
+    # the store is banded on read — __sub is pure arithmetic, no state
+    hb = seen_store.withColumn(
+        "__sub", F.pmod(F.col("doc"), F.lit(nsplits))
+    ).alias("h")
+    versus = F.broadcast(nb).alias("n").join(
+        hb,
+        (F.col("n.centroid_id") == F.col("h.centroid_id"))
+        & (F.col("n.__sub") == F.col("h.__sub"))
+        # replay guard: a re-ingested id must not pair with itself
+        & (F.col("n.doc") != F.col("h.doc")),
+    ).select(
+        F.least(F.col("n.doc"), F.col("h.doc")).alias("id_a"),
+        F.greatest(F.col("n.doc"), F.col("h.doc")).alias("id_b"),
+        cos(F.col("n.vec"), F.col("h.vec")).alias("cosine"),
+    )
+    pairs = (
+        within.unionByName(versus)
+        .filter(F.col("cosine") >= threshold)
+        # replay: a batch-internal pair of two RE-ingested ids shows up
+        # in both branches — same ids, same symmetric cosine — dedup it
+        .distinct()
+    )
+    fresh = nb.drop("__sub").join(
+        seen_store.select("doc"), "doc", "left_anti"
+    )
+    return pairs, seen_store.unionByName(fresh)
 
 
 def ivf_topk(
@@ -316,47 +446,14 @@ def incremental_semdedup_pairs(
         vec_col=vec_col,
         centroid_id=centroid_id,
         centroid_vec=centroid_vec,
-    ).withColumn("__sub", F.pmod(F.col("doc"), F.lit(nsplits))).persist()
-    if cache_into is not None:
-        cache_into.append(nb)
-    cos = vectors.cosine
-    l, r = nb.alias("l"), nb.alias("r")
-    within = l.join(
-        r,
-        (F.col("l.centroid_id") == F.col("r.centroid_id"))
-        & (F.col("l.__sub") == F.col("r.__sub"))
-        & (F.col("l.doc") < F.col("r.doc")),
-    ).select(
-        F.col("l.doc").alias("id_a"),
-        F.col("r.doc").alias("id_b"),
-        cos(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
     )
-    # the store is banded on read — __sub is pure arithmetic, no state
-    hb = seen_store.withColumn(
-        "__sub", F.pmod(F.col("doc"), F.lit(nsplits))
-    ).alias("h")
-    versus = nb.alias("n").join(
-        hb,
-        (F.col("n.centroid_id") == F.col("h.centroid_id"))
-        & (F.col("n.__sub") == F.col("h.__sub"))
-        # replay guard: a re-ingested id must not pair with itself
-        & (F.col("n.doc") != F.col("h.doc")),
-    ).select(
-        F.least(F.col("n.doc"), F.col("h.doc")).alias("id_a"),
-        F.greatest(F.col("n.doc"), F.col("h.doc")).alias("id_b"),
-        cos(F.col("n.vec"), F.col("h.vec")).alias("cosine"),
+    return incremental_semdedup_pairs_assigned(
+        nb,
+        seen_store,
+        threshold=threshold,
+        nsplits=nsplits,
+        cache_into=cache_into,
     )
-    pairs = (
-        within.unionByName(versus)
-        .filter(F.col("cosine") >= threshold)
-        # replay: a batch-internal pair of two RE-ingested ids shows up
-        # in both branches — same ids, same symmetric cosine — dedup it
-        .distinct()
-    )
-    fresh = nb.drop("__sub").join(
-        seen_store.select("doc"), "doc", "left_anti"
-    )
-    return pairs, seen_store.unionByName(fresh)
 
 
 def embedding_near_duplicates(

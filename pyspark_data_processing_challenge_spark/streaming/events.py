@@ -427,15 +427,36 @@ def semdedup_ingest_sink(
     epoch sees exactly the prior state it saw the first time and
     overwrites its own pair and assignment partitions — idempotent
     under at-least-once delivery, including the pairing decision.
+
+    Per-epoch amortization: the codebook is collected ONCE here (it is
+    bounded by contract — the batch operator broadcasts it) and folded
+    into a single assignment Column (similarity.codebook_assign_column)
+    reused by every micro-batch. Pre-r09 the sink re-planned the
+    codebook join per epoch — re-scanning the centroid DataFrame's
+    lineage and re-broadcasting it every batch, a fixed cost that
+    dominated small-batch throughput.
     """
-    from ..operators.similarity import incremental_semdedup_pairs
+    from ..operators.similarity import (
+        codebook_assign_column,
+        incremental_semdedup_pairs_assigned,
+    )
+
+    codebook = [
+        (r["cid"], list(r["cv"])) for r in centroids.collect()
+    ]
+    assign_col = codebook_assign_column(codebook, F.col("embedding"))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             store = (
-                spark.read.parquet(store_dir)
+                # declared schema: skip per-epoch parquet footer
+                # schema inference over every prior epoch's files
+                spark.read.schema(
+                    "doc long, vec array<float>, centroid_id bigint,"
+                    " __epoch int"
+                )
+                .parquet(store_dir)
                 .filter(F.col("__epoch") < F.lit(epoch_id))
                 .select("doc", "vec", "centroid_id")
             )
@@ -448,26 +469,42 @@ def semdedup_ingest_sink(
                 [], "doc long, vec array<float>, centroid_id bigint"
             )
         caches: list = []
-        pairs, updated = incremental_semdedup_pairs(
-            batch_df,
+        # a micro-batch arrives as ONE input split (file-source batch),
+        # so without the repartition every per-row codebook cosine runs
+        # on a single core (the CLAUDE.md single-row-group trap —
+        # measured ~2 s/epoch serialized vs ~0.3 s spread)
+        assigned = batch_df.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            F.col("vec_id").alias("doc"),
+            F.col("embedding").alias("vec"),
+            assign_col.alias("centroid_id"),
+        )
+        pairs, _updated = incremental_semdedup_pairs_assigned(
+            assigned,
             store,
-            centroids,
             threshold=threshold,
             nsplits=nsplits,
             cache_into=caches,
         )
+        # Write THIS epoch's partition directory directly — same
+        # __epoch=N layout the partitioned reader discovers, same
+        # replay idempotency (a replayed epoch overwrites exactly its
+        # own directory), but without the dynamic-overwrite machinery
+        # (per-partition sort + partition discovery) in every epoch.
         (
-            pairs.withColumn("__epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .partitionBy("__epoch")
-            .parquet(pairs_dir)
+            pairs.write.mode("overwrite")
+            .parquet(f"{pairs_dir}/__epoch={int(epoch_id)}")
         )
-        fresh = updated.join(store.select("doc"), "doc", "left_anti")
+        # fresh = cached assignment minus history — NOT
+        # (store ∪ fresh) anti store, which re-scanned the unbounded
+        # store twice per epoch for the same rows
+        fresh = caches[0].drop("__sub").join(
+            store.select("doc"), "doc", "left_anti"
+        )
         (
-            fresh.withColumn("__epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .partitionBy("__epoch")
-            .parquet(store_dir)
+            fresh.write.mode("overwrite")
+            .parquet(f"{store_dir}/__epoch={int(epoch_id)}")
         )
         for c in caches:
             c.unpersist()
