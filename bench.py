@@ -30,6 +30,25 @@ from pyspark_data_processing_challenge_spark.session import get_session  # noqa:
 
 # Representative mix: the reference pipeline, heavy relational shapes,
 # and every north-star operator family (text, dedup, ANN).
+#
+# SELECTION RATIONALE (VERDICT r08 item 4): the headline tracks the
+# catalog's COST ENVELOPE, not its count — every query whose plan
+# shape or data volume could plausibly dominate a run is here. The
+# ~90 catalog queries deliberately excluded fall into three classes:
+#   1. surface-coverage micro-queries — one-aggregate/one-filter
+#      shapes over a single table (string_functions, date_functions,
+#      map_functions, collection_functions duplicates, the op_*
+#      reference micro-filters, simple window/join/set-op shapes like
+#      sort_top20_orders, semi/anti_join_*, pivot/unpivot/rollup);
+#      each is sub-second and plan-isomorphic to a headline sibling
+#      that already times the same scan+exchange skeleton.
+#   2. intermediates subsumed by their consumers — minhash_signatures
+#      (timed inside minhash_near_dup), simhash_values, pq_codes,
+#      ivf_assignments, image_phash, docs_dup_spans' strip twin, etc.
+#   3. tiny-dimension lookups (multimodal_meta, customers_masked,
+#      corpus_manifest) bounded by table width, not scale factor.
+# Every excluded query still runs per-session under the bit-exact
+# oracle-parity suite, so exclusion affects timing visibility only.
 HEADLINE = [
     "ref_flagship_pipeline",
     "ref_flagship_pipeline_keyed",
@@ -150,6 +169,39 @@ HEADLINE = [
     "conversion_wilson_ci",
     "cms_selfjoin_size",
     "docs_rrf_fusion",
+    # round-9 additions: fold in the remaining non-trivial catalog
+    # queries so the headline covers the whole cost envelope (the
+    # exclusion rationale above documents what stays out and why)
+    "ab_test_events",
+    "benford_totalprice",
+    "cdc_merge_delete_orders",
+    "docs_bm25",
+    "docs_bpe_pair_counts",
+    "docs_hashed_features",
+    "docs_lang_id",
+    "docs_pii_scrub",
+    "docs_readability",
+    "docs_strip_dup_spans",
+    "docs_weighted_sample",
+    "embedding_near_dup",
+    "embedding_random_projection",
+    "event_transitions",
+    "events_m4_downsample",
+    "events_mad_outliers",
+    "fuzzy_match_parts",
+    "image_cross_codec_near_dup",
+    "ivfpq_topk",
+    "kmeans_two_step",
+    "max_concurrent_sessions",
+    "momentum_contribution",
+    "purchase_attribution",
+    "rag_chunk_dedup",
+    "seasonal_decompose_daily",
+    "sessionize_events_native",
+    "sketch_overlap_users",
+    "snapshot_merkle_diff",
+    "sql_recursive_hierarchy",
+    "top_event_paths",
 ]
 
 
@@ -515,6 +567,8 @@ def main() -> None:
     finally:
         shutil.rmtree(sd_store, ignore_errors=True)
 
+    _bench_ingest_ratio(spark, sf_dir, times)
+
     streaming = _bench_streaming(spark, sf_dir)
 
     total = round(sum(times.values()), 3)
@@ -584,6 +638,273 @@ def result_lines(times: dict, streaming: dict, sf: float) -> list[str]:
             }
         )
     return [detail, final]
+
+
+def _bench_ingest_ratio(spark, sf_dir: str, times: dict) -> None:
+    """1:10 batch:store ingest contract (VERDICT r08 item 5).
+
+    The incremental pairs in main() split ONE corpus ~7:1, which
+    leaves batch ≈ corpus: fixed costs dominate both sides and the
+    O(batch)-vs-O(corpus) advantage never shows (~25% at sf0.1). This
+    section measures the REAL ingest shape — a persisted store built
+    from 10 history units vs a 1-unit batch — by replicating history
+    10x with per-replica perturbations that keep rows / shingles /
+    rasters / vectors DISTINCT across replicas (replica-identical
+    content would let signatures collide across replicas, collapsing
+    exact dedup and quadratically inflating the banded joins):
+
+    - exact: l_orderkey offset per replica (every column hashed)
+    - minhash: replica index prefixed to text (disjoint shingles)
+    - phash: doc_id offset per replica (rasters are id-derived)
+    - semantic: embedding circularly shifted by replica index
+      (decorrelates vectors; vec_id offset keeps ids disjoint)
+
+    The full path re-processes all 11 units of RAW input; the
+    incremental path processes 1 raw unit plus a scan of the compact
+    signature store — that asymmetry (hash/decode/score cost vs
+    signature bytes) is the contract being measured. Store prep is
+    untimed amortized state; code paths are identical to the 7:1
+    pairs above, so their warm runs double as JIT warm-up and these
+    time single-shot.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from pyspark_data_processing_challenge_spark.operators import dedup as dd
+    from pyspark_data_processing_challenge_spark.operators import (
+        multimodal as mmod,
+    )
+    from pyspark_data_processing_challenge_spark.operators import (
+        similarity as simod,
+    )
+    from pyspark_data_processing_challenge_spark.queries import llm as llmq
+    from pyspark_data_processing_challenge_spark.queries._util import spread
+
+    R = 10
+    reps = SF.array(*[SF.lit(i) for i in range(1, R + 1)])
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # --- exact row dedup ------------------------------------------
+    li = spread(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    hist = (
+        li.withColumn("__rep", SF.explode(reps))
+        .withColumn(
+            "l_orderkey",
+            SF.col("l_orderkey")
+            + SF.col("__rep").cast("long") * SF.lit(10_000_000_000),
+        )
+        .drop("__rep")
+    )
+    store_dir = tempfile.mkdtemp(prefix="fp10_")
+    scratch = tempfile.mkdtemp(prefix="fp10_scratch_")
+    try:
+        dd.with_row_fingerprint(hist).select("__fp0", "__fp1").write.mode(
+            "overwrite"
+        ).parquet(store_dir)
+
+        timed(
+            "dedup_full_1to10",
+            lambda: dd.drop_duplicate_rows(hist.unionByName(li))
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
+        def inc_exact():
+            store = spark.read.parquet(store_dir)
+            fresh, _ = dd.incremental_exact_dedup(li, store, keep_fps=True)
+            fresh = fresh.persist()
+            fresh.drop("__fp0", "__fp1").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            fresh.select("__fp0", "__fp1").write.mode("append").parquet(
+                scratch
+            )
+            fresh.unpersist()
+
+        timed("dedup_incremental_1to10", inc_exact)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    # --- minhash near-dup -----------------------------------------
+    mh_params = dict(num_hashes=16, shingle_n=3, bands=4, threshold=0.5)
+    corpus = llmq._perturbed_docs(spark, sf_dir)
+    mh_hist = (
+        corpus.withColumn("__rep", SF.explode(reps))
+        .withColumn(
+            "doc_id",
+            SF.col("doc_id")
+            + SF.col("__rep").cast("long") * SF.lit(10_000_000),
+        )
+        .withColumn(
+            "text",
+            SF.concat(
+                SF.col("__rep").cast("string"), SF.lit(" "), SF.col("text")
+            ),
+        )
+        .drop("__rep")
+    )
+    sig_store = tempfile.mkdtemp(prefix="mh10_")
+    try:
+        empty = spark.createDataFrame(
+            [], "doc long, minhash array<bigint>, band int, key string"
+        )
+        caches: list = []
+        _, hist_banded = dd.incremental_minhash_near_duplicates(
+            mh_hist, empty, "text", "doc_id", cache_into=caches, **mh_params
+        )
+        hist_banded.write.mode("overwrite").parquet(sig_store)
+        for c in caches:
+            c.unpersist()
+
+        timed(
+            "minhash_full_1to10",
+            lambda: dd.minhash_near_duplicates(
+                mh_hist.unionByName(corpus), "text", "doc_id", **mh_params
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
+        def inc_mh():
+            store = spark.read.parquet(sig_store)
+            caches2: list = []
+            pairs, new_banded = dd.incremental_minhash_near_duplicates(
+                corpus, store, "text", "doc_id",
+                cache_into=caches2, **mh_params,
+            )
+            pairs.write.format("noop").mode("overwrite").save()
+            new_banded.write.mode("append").parquet(sig_store)
+            for c in caches2:
+                c.unpersist()
+
+        timed("minhash_incremental_1to10", inc_mh)
+    finally:
+        shutil.rmtree(sig_store, ignore_errors=True)
+
+    # --- perceptual hash near-dup ---------------------------------
+    docs_ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    ids_hist = docs_ids.withColumn("__rep", SF.explode(reps)).select(
+        (
+            SF.col("doc_id")
+            + SF.col("__rep").cast("long") * SF.lit(10_000_000)
+        ).alias("doc_id")
+    )
+    m_hist = mmod.plant_phash_corpus(ids_hist, "doc_id")
+    m_batch = mmod.plant_phash_corpus(docs_ids, "doc_id")
+    ph_store = tempfile.mkdtemp(prefix="ph10_")
+    try:
+        mmod.phash_batch(m_hist).select(
+            "media_id", "h_hi", "h_lo"
+        ).write.mode("overwrite").parquet(ph_store)
+
+        timed(
+            "phash_full_1to10",
+            lambda: mmod.phash_hamming_pairs(
+                mmod.phash_batch(m_hist.unionByName(m_batch)).select(
+                    "media_id", "h_hi", "h_lo"
+                )
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
+        def inc_ph():
+            store = spark.read.parquet(ph_store)
+            caches3: list = []
+            pairs, updated = mmod.incremental_phash_near_duplicates(
+                mmod.phash_batch(m_batch).select(
+                    "media_id", "h_hi", "h_lo"
+                ),
+                store,
+                cache_into=caches3,
+            )
+            pairs.write.format("noop").mode("overwrite").save()
+            updated.join(
+                store.select("media_id"), "media_id", "left_anti"
+            ).write.mode("append").parquet(ph_store)
+            for c in caches3:
+                c.unpersist()
+
+        timed("phash_incremental_1to10", inc_ph)
+    finally:
+        shutil.rmtree(ph_store, ignore_errors=True)
+
+    # --- semantic (SemDeDup) --------------------------------------
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    dim = SF.size(SF.col("embedding"))
+    e_hist = emb.withColumn("__rep", SF.explode(reps)).select(
+        (
+            SF.col("vec_id")
+            + SF.col("__rep").cast("long") * SF.lit(10_000_000)
+        ).alias("vec_id"),
+        SF.concat(
+            SF.slice(
+                SF.col("embedding"),
+                SF.col("__rep") + SF.lit(1),
+                dim - SF.col("__rep"),
+            ),
+            SF.slice(SF.col("embedding"), SF.lit(1), SF.col("__rep")),
+        ).alias("embedding"),
+    )
+    sd_cent = emb.filter(
+        SF.col("vec_id") < llmq.SEMDEDUP_NCLUSTERS
+    ).select(SF.col("vec_id").alias("cid"), SF.col("embedding").alias("cv"))
+    sd_store = tempfile.mkdtemp(prefix="sd10_")
+    try:
+        simod.ivf_assign(
+            e_hist, sd_cent, centroid_id="cid", centroid_vec="cv"
+        ).write.mode("overwrite").parquet(sd_store)
+
+        timed(
+            "semdedup_full_1to10",
+            lambda: simod.semdedup_pairs(
+                simod.ivf_assign(
+                    e_hist.unionByName(emb.select("vec_id", "embedding")),
+                    sd_cent,
+                    centroid_id="cid",
+                    centroid_vec="cv",
+                ),
+                threshold=llmq.SEMDEDUP_THRESHOLD,
+                max_cluster=llmq.SEMDEDUP_MAX_CLUSTER,
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
+        def inc_sd():
+            store = spark.read.parquet(sd_store)
+            caches4: list = []
+            pairs, updated = simod.incremental_semdedup_pairs(
+                emb,
+                store,
+                sd_cent,
+                threshold=llmq.SEMDEDUP_THRESHOLD,
+                nsplits=llmq.SEMDEDUP_INC_NSPLITS,
+                cache_into=caches4,
+            )
+            pairs.write.format("noop").mode("overwrite").save()
+            updated.join(
+                store.select("doc"), "doc", "left_anti"
+            ).write.mode("append").parquet(sd_store)
+            for c in caches4:
+                c.unpersist()
+
+        timed("semdedup_incremental_1to10", inc_sd)
+    finally:
+        shutil.rmtree(sd_store, ignore_errors=True)
 
 
 def _bench_streaming(spark, sf_dir: str) -> dict:

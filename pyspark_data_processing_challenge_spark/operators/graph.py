@@ -147,6 +147,53 @@ def cluster_canonical(
     )
 
 
+def cluster_keep_best(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    component_col: str = "component",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Representative-quality canonicalization: per near-dup cluster
+    keep the HIGHEST-``score_col`` member (ties → smallest id), not the
+    smallest id — the policy real curation pipelines want, since the
+    min-id member of a paraphrase cluster is arbitrary while the
+    highest-quality member is the one worth training on
+    (:func:`cluster_canonical` is the min-id variant).
+
+    Rows absent from ``components`` (never in any near-dup pair) are
+    singleton clusters and keep themselves. Output: ``df``'s columns
+    plus ``component_col`` (cluster id) and ``keep_col`` (true iff the
+    row is its cluster's argmax). Deterministic: the argmax is a
+    ``max_by`` over (score, -id) struct ordering.
+
+    Scale shape: one left join on the id (components is pair-bounded),
+    one map-side-combinable ``max_by`` aggregate per cluster, one
+    equi-join back on the cluster key — no windows, no driver state.
+    """
+    comp = components.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias(component_col),
+    )
+    tagged = df.join(comp, id_col, "left").withColumn(
+        component_col,
+        F.coalesce(F.col(component_col), F.col(id_col)),
+    )
+    best = tagged.groupBy(component_col).agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("__ni")),
+        ).alias("__best_id")
+    )
+    return (
+        tagged.join(best, component_col)
+        .withColumn(keep_col, F.col(id_col) == F.col("__best_id"))
+        .drop("__best_id")
+    )
+
+
 def triangle_stats(
     edges: DataFrame,
     *,

@@ -2682,13 +2682,23 @@ def video_frame_bytes(bid: int, k: int, size: int) -> bytes:
     return bytes((j * 29 + k * 13 + bid * 7) % 256 for j in range(size))
 
 
-def encode_mp4_frames(duration_ms: int, bid: int, *, timescale: int = 1000) -> bytes:
+def encode_mp4_frames(
+    duration_ms: int,
+    bid: int,
+    *,
+    timescale: int = 1000,
+    frames: list | None = None,
+) -> bytes:
     """ISO-BMFF stream WITH media samples: ftyp + moov carrying a real
     trak/mdia/minf/stbl hierarchy (stsd/stts/stsc/stsz/stco) + an mdat
     holding the frame payloads, chunk offset correctly resolved against
     the final moov size. Any BMFF-aware parser can walk the sample
-    table and extract the frames."""
-    frames = [video_frame_bytes(bid, k, size) for size, k in video_frame_plan(bid)]
+    table and extract the frames. ``frames`` overrides the default
+    id-derived frame plan (the keyframe corpus plants raster frames)."""
+    if frames is None:
+        frames = [
+            video_frame_bytes(bid, k, size) for size, k in video_frame_plan(bid)
+        ]
     dur = duration_ms * timescale // 1000
     mvhd = _mp4_box(
         b"mvhd",
@@ -2860,6 +2870,170 @@ def plant_video_remux_corpus(df: DataFrame, id_col: str) -> DataFrame:
     )
     corpus = _spread_ids(ids.unionByName(copies), "media_id")
     return corpus.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+VIDEO_KEYFRAME_OFFSET = 2_000_000
+VIDEO_KEYFRAME_EVERY = 3
+
+
+def plant_video_keyframe_corpus(df: DataFrame, id_col: str) -> DataFrame:
+    """Cross-modality near-dup corpus: for every
+    ``VIDEO_KEYFRAME_EVERY``-th id, a REAL MP4 whose KEYFRAME (sample
+    0) is the grayscale raster of image ``bid`` from the pHash corpus
+    with ``bid % 3`` perturbed pixels (:func:`_phash_raster` — the
+    same flip rule the image-copy plant uses), preceded by a ``>II``
+    (width, height) header so a frame decoder knows the raster dims
+    (a real codec carries dims intrinsically; the synthetic frame
+    payload is raw). Filler frames reuse the standard id-derived frame
+    bytes. media_id = bid + VIDEO_KEYFRAME_OFFSET (disjoint from the
+    image corpus and its +1e6 copies).
+
+    The scenario: stills extracted from (or re-used as) video frames —
+    thumbnail/keyframe reuse across modalities."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        def make(mid: int) -> bytes:
+            bid = mid - VIDEO_KEYFRAME_OFFSET
+            w, h = bid % 48 + 16, (bid * 7) % 32 + 16
+            key = struct.pack(">II", w, h) + _phash_raster(
+                bid, w, h, bid % 3
+            )
+            filler = [
+                video_frame_bytes(bid, k + 1, (bid + k * 7) % 96 + 32)
+                for k in range(bid % 3 + 1)
+            ]
+            return encode_mp4_frames(
+                (bid % 20 + 1) * 500, bid, frames=[key] + filler
+            )
+
+        return ids.map(lambda i: make(int(i)))
+
+    ids = _spread_ids(
+        df.filter(F.col(id_col) % VIDEO_KEYFRAME_EVERY == 0).select(
+            (F.col(id_col).cast("long") + VIDEO_KEYFRAME_OFFSET).alias(
+                "media_id"
+            )
+        ),
+        "media_id",
+    )
+    return ids.select("media_id", _gen(F.col("media_id")).alias("payload"))
+
+
+def video_keyframe_phash_batch(df: DataFrame) -> DataFrame:
+    """(media_id, payload) MP4s → pHash of the KEYFRAME (sample 0):
+    walk the real sample table, slice frame 0 out of mdat, read the
+    ``>II`` dims header, dHash the raster — the video-side half of the
+    cross-modality near-dup join (the image side is
+    :func:`phash_batch`). Arrow-batched; NULL row when the payload has
+    no sample table or the keyframe is not a dimensioned raster."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, his, los = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                frames = parse_mp4_frames(payload)
+                ok = False
+                if frames:
+                    key = frames[0]
+                    if len(key) >= 8:
+                        w, h = struct.unpack(">II", key[:8])
+                        if len(key) == 8 + w * h and w >= 9 and h >= 8:
+                            hi, lo = dhash64(key[8:], w, h)
+                            ws.append(w); hs.append(h)
+                            his.append(hi); los.append(lo)
+                            ok = True
+                if not ok:
+                    ws.append(None); hs.append(None)
+                    his.append(None); los.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "h_hi": pd.array(his, dtype="Int64"),
+                    "h_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, PHASH_SCHEMA)
+
+
+def cross_phash_hamming_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    max_distance: int = 3,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+) -> DataFrame:
+    """Banded-Hamming join BETWEEN two hash sets (the cross-modality
+    form of :func:`phash_hamming_pairs` — image hashes vs video
+    keyframe hashes): split each 64-bit hash into four 16-bit bands;
+    by pigeonhole any pair within Hamming distance ``max_distance``
+    (<= 3) agrees on at least one band, so an equi-join on
+    (band, value) finds EVERY such pair while comparing only within
+    buckets — linear candidate generation, never a cross join. A pair
+    agreeing on several bands surfaces once per band with the same
+    hamming → dropDuplicates on the id pair.
+
+    ``left``/``right``: (media_id, h_hi, h_lo). Output:
+    (left_id, right_id, hamming)."""
+    if max_distance > 3:
+        raise ValueError(
+            "4 bands of a 64-bit hash are pigeonhole-complete only for "
+            f"max_distance <= 3, got {max_distance}"
+        )
+
+    def banded(h: DataFrame, idc: str) -> DataFrame:
+        mask = F.lit(0xFFFF)
+        bandvals = [
+            F.shiftrightunsigned(F.col("h_hi"), 16).bitwiseAND(mask),
+            F.col("h_hi").bitwiseAND(mask),
+            F.shiftrightunsigned(F.col("h_lo"), 16).bitwiseAND(mask),
+            F.col("h_lo").bitwiseAND(mask),
+        ]
+        return h.filter(
+            F.col("h_hi").isNotNull() & F.col("h_lo").isNotNull()
+        ).select(
+            F.col("media_id").alias(idc),
+            F.struct("h_hi", "h_lo").alias(f"__ph_{idc}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), v.alias("key"))
+                        for b, v in enumerate(bandvals)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            idc,
+            f"__ph_{idc}",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+
+    la, rb = banded(left, left_id), banded(right, right_id)
+    ham = (
+        F.bit_count(
+            F.col(f"__ph_{left_id}.h_hi").bitwiseXOR(
+                F.col(f"__ph_{right_id}.h_hi")
+            )
+        )
+        + F.bit_count(
+            F.col(f"__ph_{left_id}.h_lo").bitwiseXOR(
+                F.col(f"__ph_{right_id}.h_lo")
+            )
+        )
+    ).cast("long")
+    return (
+        la.join(rb, ["band", "key"])
+        .select(left_id, right_id, ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates([left_id, right_id])
+    )
 
 
 VIDEO_SIG_SCHEMA = T.StructType(

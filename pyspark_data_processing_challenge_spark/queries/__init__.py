@@ -30,7 +30,8 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
     # --- round-9 additions (first driver verdict needed) ---
-    # (appended as implemented this round; see section below)
+    "near_dup_keep_best",  # new: keep-best-per-cluster curation policy
+    "image_video_cross_near_dup",  # new: image vs video-keyframe pHash join
     # --- oldest-verdict re-verification rotation (VERDICT r08 item 1):
     # the 14 r02-vintage rows — shared utilities under them (spread,
     # _util.t, fast_text) changed in r06-r08, so their driver verdicts
@@ -88,8 +89,6 @@ _VERDICT_PRIORITY = [
     "ivfpq_topk",  # r05-vintage
     "orders_pit_acctbal",  # r05-vintage
     "events_funnel",  # r05-vintage
-    "ref_flagship_pipeline_keyed",  # r05-vintage
-    "multimodal_decode",  # r05-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -259,6 +258,8 @@ _ROTATED_OUT = {
     # full; they queue for r09):
     # round-5 front-pinned additions: green r05 verdicts
     # re-verified green in the r05 window
+    "multimodal_decode": "r02+r05",  # displaced r09 filler (slot went to near_dup_keep_best)
+    "ref_flagship_pipeline_keyed": "r02+r05",  # displaced r09 filler (slot went to image_video_cross_near_dup)
     "approx_distinct_stats": "r04+r05",
     "cdc_merge_orders": "r02+r05",
     "scd2_customer_history": "r02+r05",

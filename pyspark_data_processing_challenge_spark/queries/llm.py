@@ -537,6 +537,36 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(pairs)
 
 
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-QUALITY canonicalization of the minhash near-dup
+    clusters (VERDICT r08 item 6): :func:`near_dup_clusters` keeps each
+    cluster's min id, but the min-id member of a paraphrase group is
+    arbitrary — real curation keeps the member worth training on. This
+    composes the transitive closure with the composite quality score
+    (textfns.quality_score) through graph.cluster_keep_best: per
+    cluster, keep = argmax (quality, then smallest id); docs in no
+    pair are singletons and keep themselves. The oracle replays the
+    closure (recursive CTE), the score, and the argmax (arg_max over a
+    [quality, -id] sort key), so the policy is part of the verified
+    contract. Scale shape: pair-bounded closure + one map-side
+    max_by aggregate + equi-join back — no global windows."""
+    from ..operators import graph
+
+    d = _perturbed_docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", textfns.quality_score(F.col("text")).alias("quality")
+    )
+    pairs = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
+    comp = graph.connected_components(pairs)
+    out = graph.cluster_keep_best(scored, comp, "doc_id", "quality")
+    return out.select(
+        "doc_id",
+        F.col("component").cast("long").alias("cluster"),
+        round_to(F.col("quality"), 6).alias("quality"),
+        "keep",
+    )
+
+
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation — the flagship LLM-pipeline
     composition: quality gate + language gate + deterministic hash
@@ -1003,6 +1033,33 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_hamming_pairs(hashes, max_distance=3)
 
 
+def image_video_cross_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODALITY near-dup join (VERDICT r08 item 7): images that
+    are near-duplicates of video KEYFRAMES — the thumbnail/still-reuse
+    scenario a multimodal curation pipeline must catch. Image side:
+    real PNG decode → dHash (phash_batch). Video side: real ISO-BMFF
+    sample-table walk → keyframe slice → dHash
+    (video_keyframe_phash_batch). The join is the 16-bit banded
+    Hamming equi-join BETWEEN the two hash sets
+    (cross_phash_hamming_pairs — pigeonhole-complete at distance <= 3,
+    linear candidates, never a cross join; plan test pins no
+    cartesian). The oracle recomputes BOTH modalities' hashes from the
+    planting arithmetic and joins all-pairs, so banding completeness
+    is verified, not assumed."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    imgs = multimodal.phash_batch(
+        multimodal.plant_phash_corpus(d, "doc_id")
+    ).select("media_id", "h_hi", "h_lo")
+    vids = multimodal.video_keyframe_phash_batch(
+        multimodal.plant_video_keyframe_corpus(d, "doc_id")
+    ).select("media_id", "h_hi", "h_lo")
+    return multimodal.cross_phash_hamming_pairs(
+        imgs, vids, left_id="image_id", right_id="video_id"
+    )
+
+
 BPE_PAIR_TOP = 50
 
 
@@ -1440,6 +1497,61 @@ SELECT a.media_id AS id_a, b.media_id AS id_b,
     AS hamming
 FROM hashes a JOIN hashes b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+"""
+)
+
+
+def _vid_keyframe_hashes_cte() -> str:
+    """Video-keyframe hash CTEs (``vhashes``): same raster/dHash
+    arithmetic as _phash_hashes_cte but over the keyframe corpus —
+    every VIDEO_KEYFRAME_EVERY-th doc, nflip = bid % 3, media_id
+    offset by VIDEO_KEYFRAME_OFFSET."""
+    from ..operators.multimodal import (
+        VIDEO_KEYFRAME_EVERY,
+        VIDEO_KEYFRAME_OFFSET,
+    )
+
+    xi, xi1, yj = "(i*w)//9", "((i+1)*w)//9", "(j*h)//8"
+    return f""",
+  vids AS (
+    SELECT doc_id::BIGINT + {VIDEO_KEYFRAME_OFFSET} AS media_id,
+           doc_id::BIGINT AS bid
+    FROM documents WHERE doc_id % {VIDEO_KEYFRAME_EVERY} = 0
+  ),
+  vdims AS (
+    SELECT media_id, bid,
+      (bid % 48 + 16)::BIGINT AS w,
+      ((bid*7) % 32 + 16)::BIGINT AS h,
+      bid % 3 AS nflip
+    FROM vids
+  ),
+  vbits AS (
+    SELECT media_id,
+      flatten(list_transform(range(0, 8), j ->
+        list_transform(range(0, 8), i ->
+          CASE WHEN {_phash_px(xi, yj)} > {_phash_px(xi1, yj)}
+               THEN 1::BIGINT ELSE 0::BIGINT END
+      ))) AS bv
+    FROM vdims
+  ),
+  vhashes AS (
+    SELECT media_id,
+      list_sum(list_transform(range(0, 32), k -> bv[k+1] * (1::BIGINT << k)))::BIGINT AS h_hi,
+      list_sum(list_transform(range(0, 32), k -> bv[k+33] * (1::BIGINT << k)))::BIGINT AS h_lo
+    FROM vbits
+  )"""
+
+
+_XMODAL_ND_SQL = (
+    "WITH"
+    + _phash_hashes_cte()
+    + _vid_keyframe_hashes_cte()
+    + """
+SELECT a.media_id AS image_id, b.media_id AS video_id,
+  (bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)))::BIGINT
+    AS hamming
+FROM hashes a JOIN vhashes b
+  ON bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
 """
 )
 
@@ -2326,6 +2438,43 @@ _PAIRS_CTES = (
 )
 
 _CLUSTERS_SQL = "WITH RECURSIVE" + _PAIRS_CTES + "SELECT node, component FROM comp"
+
+_KEEP_BEST_SQL = (
+    "WITH RECURSIVE"
+    + _PAIRS_CTES
+    + f""",
+  scored AS (
+    SELECT doc_id,
+      (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN list_sum(list_transform({sql_tokens("text")}, t__ -> length(t__)))::DOUBLE
+                / nullif(length({sql_tokens("text")}), 0)::DOUBLE BETWEEN 3 AND 12
+              THEN 0.25 ELSE 0.0 END
+       + CASE WHEN {_sql_stop_hits("en")}::DOUBLE
+                / nullif(length({sql_tokens("text")}), 0)::DOUBLE >= 0.02
+              THEN 0.25 ELSE 0.0 END
+       + CASE WHEN length({sql_tokens("text")}) >= 10 THEN 0.25 ELSE 0.0 END
+      )::DOUBLE AS quality
+    FROM docs_src
+  ),
+  tagged AS (
+    SELECT s.doc_id, s.quality,
+           coalesce(c.component, s.doc_id)::BIGINT AS cluster
+    FROM scored s LEFT JOIN comp c ON c.node = s.doc_id
+  ),
+  mx AS (SELECT cluster, max(quality) AS mq FROM tagged GROUP BY cluster),
+  best AS (
+    -- argmax(quality) with min-id tie-break; DuckDB 1.0's arg_max
+    -- takes no composite sort key, so max-then-min-id. The equality
+    -- compares the oracle's own doubles with themselves — exact.
+    SELECT t.cluster, min(t.doc_id) AS best_id
+    FROM tagged t JOIN mx ON t.cluster = mx.cluster AND t.quality = mx.mq
+    GROUP BY t.cluster
+  )
+SELECT t.doc_id, t.cluster, {sql_round("t.quality", 6)} AS quality,
+       (t.doc_id = b.best_id) AS keep
+FROM tagged t JOIN best b USING (cluster)
+"""
+)
 
 _CURATE_SQL = (
     "WITH RECURSIVE"
@@ -3760,6 +3909,7 @@ QUERIES = {
     "minhash_signatures_fast": minhash_signatures_fast,
     "minhash_near_dup": minhash_near_dup,
     "near_dup_clusters": near_dup_clusters,
+    "near_dup_keep_best": near_dup_keep_best,
     "curate_corpus": curate_corpus,
     "simhash_values": simhash_values,
     "simhash_near_dup": simhash_near_dup,
@@ -3795,6 +3945,7 @@ QUERIES = {
     "image_resize_thumbs": image_resize_thumbs,
     "image_phash": image_phash,
     "image_phash_near_dup": image_phash_near_dup,
+    "image_video_cross_near_dup": image_video_cross_near_dup,
     "image_phash_jpeg_near_dup": image_phash_jpeg_near_dup,
     "image_rgb_phash_near_dup": image_rgb_phash_near_dup,
     "image_rgb_histogram": image_rgb_histogram,
@@ -3841,6 +3992,7 @@ ORACLES = {
     "minhash_signatures_fast": _MINHASH_SIG_SQL,
     "minhash_near_dup": _MINHASH_ND_SQL,
     "near_dup_clusters": _CLUSTERS_SQL,
+    "near_dup_keep_best": _KEEP_BEST_SQL,
     "curate_corpus": _CURATE_SQL,
     "simhash_values": _SIMHASH_SQL,
     "simhash_near_dup": _SIMHASH_ND_SQL,
@@ -3876,6 +4028,7 @@ ORACLES = {
     "image_resize_thumbs": _IMAGE_RESIZE_SQL,
     "image_phash": _PHASH_SQL,
     "image_phash_near_dup": _PHASH_ND_SQL,
+    "image_video_cross_near_dup": _XMODAL_ND_SQL,
     "image_phash_jpeg_near_dup": _jpeg_phash_nd_sql(),
     "image_rgb_phash_near_dup": _rgb_phash_nd_sql(),
     "image_rgb_histogram": _rgb_hist_sql(),

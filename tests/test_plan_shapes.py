@@ -541,3 +541,13 @@ def test_kcore_rounds_are_checkpoint_bounded(spark):
     plan = plans.executed_plan(df)
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cross_modal_near_dup_is_banded_equi_join(spark):
+    # the image-vs-video-keyframe join must stay a (band, key)
+    # equi-join between the two hash sets — an accidental cross join
+    # would be |images| x |videos| at corpus scale
+    df = llm.image_video_cross_near_dup(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
