@@ -202,6 +202,12 @@ HEADLINE = [
     "snapshot_merkle_diff",
     "sql_recursive_hierarchy",
     "top_event_paths",
+    # round-9 new operators
+    "near_dup_keep_best",
+    "image_video_cross_near_dup",
+    "docs_kneser_ney_ppl",
+    "revenue_mann_kendall",
+    "customers_mahalanobis_outliers",
 ]
 
 
@@ -291,11 +297,16 @@ def main() -> None:
 
     def incremental_batch(fp_out: str):
         store = spark.read.parquet(store_dir)
-        fresh, _ = dd.incremental_exact_dedup(batch, store, keep_fps=True)
+        caches: list = []
+        fresh, _ = dd.incremental_exact_dedup(
+            batch, store, keep_fps=True, cache_into=caches
+        )
         fresh = fresh.persist()
         fresh.drop("__fp0", "__fp1").write.format("noop").mode("overwrite").save()
         fresh.select("__fp0", "__fp1").write.mode("append").parquet(fp_out)
         fresh.unpersist()
+        for c in caches:
+            c.unpersist()
 
     try:
         dd.with_row_fingerprint(history).select("__fp0", "__fp1").write.mode(
@@ -473,7 +484,11 @@ def main() -> None:
             cache_into=caches,
         )
         pairs.write.format("noop").mode("overwrite").save()
-        fresh = updated.join(store.select("media_id"), "media_id", "left_anti")
+        fresh = dd.batch_minus_store(
+            mmod.phash_batch(m_batch).select("media_id", "h_hi", "h_lo"),
+            store.select("media_id"),
+            "media_id",
+        )
         if append:
             fresh.write.mode("append").parquet(ph_store)
         else:
@@ -540,7 +555,13 @@ def main() -> None:
             cache_into=caches,
         )
         pairs.write.format("noop").mode("overwrite").save()
-        fresh = updated.join(store.select("doc"), "doc", "left_anti")
+        fresh = dd.batch_minus_store(
+            simod.ivf_assign(
+                sd_batch, sd_cent, centroid_id="cid", centroid_vec="cv"
+            ),
+            store.select("doc"),
+            "doc",
+        )
         if append:
             fresh.write.mode("append").parquet(sd_store)
         else:
@@ -666,6 +687,22 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict) -> None:
     untimed amortized state; code paths are identical to the 7:1
     pairs above, so their warm runs double as JIT warm-up and these
     time single-shot.
+
+    HONEST MEASUREMENT NOTE (the minhash/phash precedent): at sf0.1 on
+    local[32] these measure ~1.5-1.8x for minhash/phash/semantic (vs
+    LOSING at the 7:1 shape — the O(batch) join orientation landed
+    with this section) and ~1x for exact dedup. The sf0.1 ratios are
+    JOB-OVERHEAD-BOUND, not a property of the plans: the incremental
+    floor here is ~2.5-3 s of fixed cost (batch hash + store scan +
+    two writes) while full recompute's marginal cost is only
+    ~0.4-0.6 s per replicated unit (a 6.6M-row keys-only shuffle is
+    cheap on one host). At real scale both sides become compute/IO
+    bound and the ratio approaches the 11x unit asymmetry — what this
+    section pins is that the incremental side's exchanges are all
+    BATCH-sized (batch_minus_store + broadcast-batch joins; the store
+    is scanned, never shuffled — plan-pinned in
+    tests/test_plan_shapes.py), i.e. the property that makes the
+    asymptotic claim true.
     """
     import shutil
     import tempfile
@@ -718,7 +755,10 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict) -> None:
 
         def inc_exact():
             store = spark.read.parquet(store_dir)
-            fresh, _ = dd.incremental_exact_dedup(li, store, keep_fps=True)
+            caches: list = []
+            fresh, _ = dd.incremental_exact_dedup(
+                li, store, keep_fps=True, cache_into=caches
+            )
             fresh = fresh.persist()
             fresh.drop("__fp0", "__fp1").write.format("noop").mode(
                 "overwrite"
@@ -727,6 +767,8 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict) -> None:
                 scratch
             )
             fresh.unpersist()
+            for c in caches:
+                c.unpersist()
 
         timed("dedup_incremental_1to10", inc_exact)
     finally:
@@ -831,8 +873,10 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict) -> None:
                 cache_into=caches3,
             )
             pairs.write.format("noop").mode("overwrite").save()
-            updated.join(
-                store.select("media_id"), "media_id", "left_anti"
+            dd.batch_minus_store(
+                mmod.phash_batch(m_batch).select("media_id", "h_hi", "h_lo"),
+                store.select("media_id"),
+                "media_id",
             ).write.mode("append").parquet(ph_store)
             for c in caches3:
                 c.unpersist()
@@ -896,8 +940,12 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict) -> None:
                 cache_into=caches4,
             )
             pairs.write.format("noop").mode("overwrite").save()
-            updated.join(
-                store.select("doc"), "doc", "left_anti"
+            dd.batch_minus_store(
+                simod.ivf_assign(
+                    emb, sd_cent, centroid_id="cid", centroid_vec="cv"
+                ),
+                store.select("doc"),
+                "doc",
             ).write.mode("append").parquet(sd_store)
             for c in caches4:
                 c.unpersist()

@@ -112,12 +112,32 @@ def drop_duplicate_rows(df: DataFrame, cols: Sequence[str] | None = None) -> Dat
     return deduped.drop(*fp_cols)
 
 
+def batch_minus_store(
+    batch: DataFrame, store: DataFrame, key_cols: Sequence[str] | str
+) -> DataFrame:
+    """Batch rows whose key is NOT in the store, WITHOUT shuffling the
+    store — the anti-join shape every incremental ingest needs. A plain
+    ``batch ANTI store`` join shuffles the unbounded store every batch
+    (O(store) network per ingest); instead (1) one store SCAN probed by
+    a broadcast of the batch keys emits the hit set (≤ |batch| keys),
+    (2) the batch anti-joins the broadcast hits. Everything exchanged
+    is batch-sized; the store streams through a single scan."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    hits = (
+        store.join(F.broadcast(batch.select(*keys).distinct()), keys, "left_semi")
+        .select(*keys)
+        .distinct()
+    )
+    return batch.join(F.broadcast(hits), keys, "left_anti")
+
+
 def incremental_exact_dedup(
     new_df: DataFrame,
     seen_fps: DataFrame,
     cols: Sequence[str] | None = None,
     *,
     keep_fps: bool = False,
+    cache_into: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The 100 TB ingest pattern the row fingerprint exists for: dedup a
     NEW batch against the full corpus WITHOUT touching old data.
@@ -126,14 +146,30 @@ def incremental_exact_dedup(
     16 bytes/row regardless of corpus row width). Returns
     ``(fresh_rows, updated_seen_fps)``: rows never seen before (batch-
     internal duplicates also collapsed), and the store to persist for
-    the next batch. Per batch this shuffles only the batch plus an
-    anti-join against the fingerprint table; re-running whole-corpus
-    ``dropDuplicates`` nightly re-shuffles everything ever ingested.
+    the next batch. Re-running whole-corpus ``dropDuplicates`` nightly
+    re-shuffles everything ever ingested.
+
+    Join orientation is the ingest contract (the same rule as the
+    incremental SemDeDup join): the BATCH is the small side, the store
+    is unbounded. A plain ``batch ANTI store`` join shuffles the WHOLE
+    store every batch — O(store) network per ingest, which at a 1:10
+    batch:store ratio made the incremental path LOSE to full recompute
+    (measured 4.5 s vs 4.1 s at sf0.1). Instead: (1) one store SCAN
+    probed by a broadcast of the batch fingerprints emits the ≤|batch|
+    hit set; (2) the batch anti-joins the broadcast hit set. The store
+    is never shuffled and everything exchanged is batch-sized.
 
     ``keep_fps=True`` leaves the ``__fp0``/``__fp1`` columns on the
     returned fresh rows so an ingest can persist rows AND their store
     fingerprints from ONE computed frame (persist/localCheckpoint it)
     instead of re-running the anti-join per output.
+
+    ``cache_into``: when a list is passed, the deduped fingerprinted
+    batch is persisted and appended to it (caller unpersists) — the
+    batch feeds both the store probe's broadcast and the anti-join's
+    left side, and without the cache the fingerprint + dedup lineage
+    executes once per consumer (measured 3x at the bench's 1:10
+    ingest shape).
     """
     fp_cols = ["__fp0", "__fp1"]
     fingerprinted = with_row_fingerprint(new_df, cols)
@@ -145,7 +181,10 @@ def incremental_exact_dedup(
         if cols is None
         else fingerprinted.dropDuplicates(fp_cols)
     )
-    fresh = batch.join(seen_fps, fp_cols, "left_anti")
+    if cache_into is not None:
+        batch = batch.persist()
+        cache_into.append(batch)
+    fresh = batch_minus_store(batch, seen_fps, fp_cols)
     updated = seen_fps.unionByName(fresh.select(*fp_cols))
     return (fresh if keep_fps else fresh.drop(*fp_cols)), updated
 
@@ -522,7 +561,12 @@ def incremental_minhash_near_duplicates(
         )
         return agree.cast("double") / F.lit(float(num_hashes))
 
-    l, r = new_banded.alias("l"), new_banded.alias("r")
+    # ingest orientation (the batch_minus_store/SemDeDup rule): the
+    # batch is the small side — broadcast it on the self-join and the
+    # history join so the banded STORE streams through one scan and is
+    # never shuffled (a shuffle join re-exchanges the whole store
+    # every batch: O(store) network per ingest)
+    l, r = new_banded.alias("l"), F.broadcast(new_banded).alias("r")
     within = l.join(
         r,
         (F.col("l.band") == F.col("r.band"))
@@ -533,7 +577,7 @@ def incremental_minhash_near_duplicates(
         F.col("r.doc").alias("id_b"),
         est(F.col("l.minhash"), F.col("r.minhash")).alias("est_jaccard"),
     )
-    n, h = new_banded.alias("n"), seen_banded.alias("h")
+    n, h = F.broadcast(new_banded).alias("n"), seen_banded.alias("h")
     versus = n.join(
         h,
         (F.col("n.band") == F.col("h.band"))
@@ -553,8 +597,10 @@ def incremental_minhash_near_duplicates(
     )
     # replay-idempotent store update: only docs NOT already in history
     # add band rows (otherwise re-ingesting a batch after a failure
-    # doubles that doc's rows and breaks full-recompute equivalence)
-    fresh = new_banded.join(seen_banded.select("doc"), "doc", "left_anti")
+    # doubles that doc's rows and breaks full-recompute equivalence);
+    # batch_minus_store keeps this O(batch) — the store is scanned,
+    # never shuffled
+    fresh = batch_minus_store(new_banded, seen_banded.select("doc"), "doc")
     return pairs, seen_banded.unionByName(fresh)
 
 

@@ -2054,7 +2054,10 @@ def incremental_phash_near_duplicates(
         F.bit_count(F.col("a_ph.h_hi").bitwiseXOR(F.col("b_ph.h_hi")))
         + F.bit_count(F.col("a_ph.h_lo").bitwiseXOR(F.col("b_ph.h_lo")))
     ).cast("long")
-    l, r = nb.alias("l"), nb.alias("r")
+    # ingest orientation (the batch_minus_store/SemDeDup rule): the
+    # batch is the small side — broadcast it on both joins so the
+    # banded store streams through one scan and is never shuffled
+    l, r = nb.alias("l"), F.broadcast(nb).alias("r")
     within = l.join(
         r,
         (F.col("l.band") == F.col("r.band"))
@@ -2067,7 +2070,7 @@ def incremental_phash_near_duplicates(
         F.col("r.ph").alias("b_ph"),
     )
     hb = _phash_banded(seen_hashes).alias("h")
-    versus = nb.alias("n").join(
+    versus = F.broadcast(nb).alias("n").join(
         hb,
         (F.col("n.band") == F.col("h.band"))
         & (F.col("n.key") == F.col("h.key"))
@@ -2089,8 +2092,12 @@ def incremental_phash_near_duplicates(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
-    fresh = new_hashes.join(
-        seen_hashes.select("media_id"), "media_id", "left_anti"
+    from .dedup import batch_minus_store
+
+    # O(batch) store-freshness check — the store is scanned, never
+    # shuffled (batch_minus_store docstring)
+    fresh = batch_minus_store(
+        new_hashes, seen_hashes.select("media_id"), "media_id"
     )
     return pairs, seen_hashes.unionByName(fresh)
 

@@ -279,8 +279,12 @@ def incremental_semdedup_pairs_assigned(
         # in both branches — same ids, same symmetric cosine — dedup it
         .distinct()
     )
-    fresh = nb.drop("__sub").join(
-        seen_store.select("doc"), "doc", "left_anti"
+    from .dedup import batch_minus_store
+
+    # O(batch) store-freshness check — the store is scanned, never
+    # shuffled (batch_minus_store docstring)
+    fresh = batch_minus_store(
+        nb.drop("__sub"), seen_store.select("doc"), "doc"
     )
     return pairs, seen_store.unionByName(fresh)
 

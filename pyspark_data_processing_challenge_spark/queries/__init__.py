@@ -32,6 +32,9 @@ _VERDICT_PRIORITY = [
     # --- round-9 additions (first driver verdict needed) ---
     "near_dup_keep_best",  # new: keep-best-per-cluster curation policy
     "image_video_cross_near_dup",  # new: image vs video-keyframe pHash join
+    "docs_kneser_ney_ppl",  # new: interpolated KN bigram LM quality score
+    "revenue_mann_kendall",  # new: nonparametric trend test, exact S/ties
+    "customers_mahalanobis_outliers",  # new: closed-form 2-D outlier screen
     # --- oldest-verdict re-verification rotation (VERDICT r08 item 1):
     # the 14 r02-vintage rows — shared utilities under them (spread,
     # _util.t, fast_text) changed in r06-r08, so their driver verdicts
@@ -86,9 +89,6 @@ _VERDICT_PRIORITY = [
     "docs_bm25",  # r05-vintage
     "docs_hashed_features",  # r05-vintage
     "sketch_merge_distinct",  # r05-vintage
-    "ivfpq_topk",  # r05-vintage
-    "orders_pit_acctbal",  # r05-vintage
-    "events_funnel",  # r05-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -260,6 +260,9 @@ _ROTATED_OUT = {
     # re-verified green in the r05 window
     "multimodal_decode": "r02+r05",  # displaced r09 filler (slot went to near_dup_keep_best)
     "ref_flagship_pipeline_keyed": "r02+r05",  # displaced r09 filler (slot went to image_video_cross_near_dup)
+    "ivfpq_topk": "r05",  # displaced r09 filler (slot went to docs_kneser_ney_ppl)
+    "orders_pit_acctbal": "r05",  # displaced r09 filler (slot went to revenue_mann_kendall)
+    "events_funnel": "r05",  # displaced r09 filler (slot went to customers_mahalanobis_outliers)
     "approx_distinct_stats": "r04+r05",
     "cdc_merge_orders": "r02+r05",
     "scd2_customer_history": "r02+r05",

@@ -3518,7 +3518,236 @@ FROM base b LEFT JOIN seas s ON dayofweek(b.day) = s.dw
 """
 
 
+def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over daily revenue — the NONPARAMETRIC
+    monotone-trend screen (rank-based: outlier days can't fake or
+    hide a drift, unlike an OLS slope): S = Σ_{i<j} sign(x_j − x_i),
+    tie-corrected var S = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18, and
+    the continuity-corrected z = (S ∓ 1)/√var. |z| > 1.96 calls the
+    trend at 5%.
+
+    Exactness: revenue is BIGINT cents (the CUSUM rule), so every
+    sign comparison, S, and both variance numerators are exact
+    integers; var/z are pinned double expressions over them. Scale
+    shape: the pairwise join runs over the DAY-aggregated series —
+    bounded by the calendar (~2.4k rows; 36.5k for a century), so the
+    broadcast non-equi self-join is O(days²) on a dimension that does
+    NOT grow with the fact table; the heavy work is the one daily
+    aggregate."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("revc")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("revc").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("revc").alias("xb"))
+    sgn = (
+        F.when(F.col("xb") > F.col("xa"), F.lit(1))
+        .when(F.col("xb") < F.col("xa"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    s_row = a.join(F.broadcast(b), F.col("da") < F.col("db")).agg(
+        F.sum(sgn).alias("s")
+    )
+    nt = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("revc")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n = F.col("n")
+    var_num = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    ).cast("double")
+    var_s = var_num / F.lit(18.0)
+    s = F.col("s")
+    z = (
+        F.when(s > 0, (s - 1).cast("double") / F.sqrt(var_s))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s_row.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            n.cast("long").alias("n_days"),
+            s.cast("long").alias("s"),
+            round_to(var_s, 6).alias("var_s"),
+            round_to(z, 6).alias("z"),
+            F.when(z > 1.96, F.lit("increasing"))
+            .when(z < -1.96, F.lit("decreasing"))
+            .otherwise(F.lit("none"))
+            .alias("trend"),
+        )
+    )
+
+
+_MANN_KENDALL_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS revc
+  FROM orders GROUP BY 1
+),
+sp AS (
+  SELECT sum(CASE WHEN b.revc > a.revc THEN 1
+                  WHEN b.revc < a.revc THEN -1 ELSE 0 END)::BIGINT AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+nt AS (SELECT count(*)::BIGINT AS n FROM daily),
+ties AS (
+  SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY revc)
+)
+SELECT n AS n_days, s,
+  {sql_round("(n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0", 6)}
+    AS var_s,
+  {sql_round(
+      "CASE WHEN s > 0 THEN (s - 1)::DOUBLE"
+      " / sqrt((n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0)"
+      " WHEN s < 0 THEN (s + 1)::DOUBLE"
+      " / sqrt((n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0)"
+      " ELSE 0.0 END", 6)} AS z,
+  CASE WHEN (CASE WHEN s > 0 THEN (s - 1)::DOUBLE
+      / sqrt((n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0)
+      WHEN s < 0 THEN (s + 1)::DOUBLE
+      / sqrt((n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0)
+      ELSE 0.0 END) > 1.96 THEN 'increasing'
+    WHEN (CASE WHEN s > 0 THEN (s - 1)::DOUBLE
+      / sqrt((n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0)
+      WHEN s < 0 THEN (s + 1)::DOUBLE
+      / sqrt((n * (n - 1) * (2 * n + 5) - tie_term)::DOUBLE / 18.0)
+      ELSE 0.0 END) < -1.96 THEN 'decreasing'
+    ELSE 'none' END AS trend
+FROM sp, nt, ties
+"""
+
+
+MAHAL_THRESHOLD = 9.21  # chi-square(2) 99th percentile — exact literal
+
+
+def customers_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen over customers in
+    (order count, total spend) space — the multivariate partner of the
+    per-column z-score: a customer with unremarkable marginals can
+    still be an extreme COMBINATION (3 orders, $900k), and only the
+    covariance-corrected distance sees it. 2-D means the inverse is
+    closed-form, so md² = (dx² σyy − 2 dx dy σxy + dy² σxx)/det is one
+    pinned expression — no linear-algebra library, no iteration.
+
+    Exactness: per-customer features are exact BIGINTs — order count
+    and WHOLE-DOLLAR spend (cents div 100; the sub-dollar tail is
+    noise at outlier scale). Dollars, not cents, because the moment
+    sums must convert to double EXACTLY: Σ spend² in dollars stays
+    under 2^53 up to ~10M customers, where the cents form overflows
+    double precision and the DECIMAL→double conversion rule drifts
+    across engines (the cusum post-mortem; re-scale to k$ beyond).
+    The sums aggregate in DECIMAL(38,0) (order-independent); every
+    double derives from those exact integers in the same expression
+    tree both engines run, and md² goes through round_to 6. Scale
+    shape: one customer aggregate, one 1-row moment aggregate
+    broadcast back, one projection-side filter — no windows, no joins
+    beyond the broadcast scalar."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("__cents"),
+    ).select(
+        "o_custkey",
+        "n_orders",
+        F.expr("__cents div 100").alias("spend_usd"),
+    )
+    d38 = "decimal(38,0)"
+    m = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_orders").cast(d38)).alias("sx"),
+        F.sum(F.col("spend_usd").cast(d38)).alias("sy"),
+        F.sum((F.col("n_orders") * F.col("n_orders")).cast(d38)).alias("sxx"),
+        F.sum((F.col("n_orders") * F.col("spend_usd")).cast(d38)).alias("sxy"),
+        F.sum(
+            (F.col("spend_usd") * F.col("spend_usd")).cast(d38)
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    mx, my = F.col("sx").cast("double") / n, F.col("sy").cast("double") / n
+    vxx = F.col("sxx").cast("double") / n - mx * mx
+    vxy = F.col("sxy").cast("double") / n - mx * my
+    vyy = F.col("syy").cast("double") / n - my * my
+    det = vxx * vyy - vxy * vxy
+    dx = F.col("n_orders").cast("double") - mx
+    dy = F.col("spend_usd").cast("double") - my
+    md2 = (dx * dx * vyy - 2 * dx * dy * vxy + dy * dy * vxx) / det
+    return (
+        cust.crossJoin(F.broadcast(m))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("spend_usd").cast("long").alias("spend_usd"),
+            round_to(md2, 6).alias("md2"),
+        )
+        .filter(F.col("md2") > MAHAL_THRESHOLD)
+    )
+
+
+_MAHAL_EXPR = (
+    "((c.n_orders::DOUBLE - m.sx::DOUBLE / m.n::DOUBLE)"
+    " * (c.n_orders::DOUBLE - m.sx::DOUBLE / m.n::DOUBLE)"
+    " * (m.syy::DOUBLE / m.n::DOUBLE"
+    "    - (m.sy::DOUBLE / m.n::DOUBLE) * (m.sy::DOUBLE / m.n::DOUBLE))"
+    " - 2 * (c.n_orders::DOUBLE - m.sx::DOUBLE / m.n::DOUBLE)"
+    " * (c.spend_usd::DOUBLE - m.sy::DOUBLE / m.n::DOUBLE)"
+    " * (m.sxy::DOUBLE / m.n::DOUBLE"
+    "    - (m.sx::DOUBLE / m.n::DOUBLE) * (m.sy::DOUBLE / m.n::DOUBLE))"
+    " + (c.spend_usd::DOUBLE - m.sy::DOUBLE / m.n::DOUBLE)"
+    " * (c.spend_usd::DOUBLE - m.sy::DOUBLE / m.n::DOUBLE)"
+    " * (m.sxx::DOUBLE / m.n::DOUBLE"
+    "    - (m.sx::DOUBLE / m.n::DOUBLE) * (m.sx::DOUBLE / m.n::DOUBLE)))"
+    " / ((m.sxx::DOUBLE / m.n::DOUBLE"
+    "     - (m.sx::DOUBLE / m.n::DOUBLE) * (m.sx::DOUBLE / m.n::DOUBLE))"
+    "    * (m.syy::DOUBLE / m.n::DOUBLE"
+    "       - (m.sy::DOUBLE / m.n::DOUBLE) * (m.sy::DOUBLE / m.n::DOUBLE))"
+    "    - (m.sxy::DOUBLE / m.n::DOUBLE"
+    "       - (m.sx::DOUBLE / m.n::DOUBLE) * (m.sy::DOUBLE / m.n::DOUBLE))"
+    "      * (m.sxy::DOUBLE / m.n::DOUBLE"
+    "         - (m.sx::DOUBLE / m.n::DOUBLE) * (m.sy::DOUBLE / m.n::DOUBLE)))"
+)
+
+_MAHAL_SQL = f"""
+WITH cust AS (
+  SELECT custkey, n_orders, cents // 100 AS spend_usd FROM (
+    SELECT o_custkey AS custkey, count(*)::BIGINT AS n_orders,
+           sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS cents
+    FROM orders GROUP BY 1
+  )
+),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(n_orders::DECIMAL(38,0)) AS sx,
+         sum(spend_usd::DECIMAL(38,0)) AS sy,
+         sum((n_orders * n_orders)::DECIMAL(38,0)) AS sxx,
+         sum((n_orders * spend_usd)::DECIMAL(38,0)) AS sxy,
+         sum((spend_usd * spend_usd)::DECIMAL(38,0)) AS syy
+  FROM cust
+)
+SELECT c.custkey, c.n_orders, c.spend_usd,
+       {sql_round(_MAHAL_EXPR, 6)} AS md2
+FROM cust c CROSS JOIN m
+WHERE {sql_round(_MAHAL_EXPR, 6)} > {MAHAL_THRESHOLD}
+"""
+
+
 QUERIES = {
+    "revenue_mann_kendall": revenue_mann_kendall,
+    "customers_mahalanobis_outliers": customers_mahalanobis_outliers,
     "copurchase_triangles": copurchase_triangles,
     "momentum_contribution": momentum_contribution,
     "seasonal_decompose_daily": seasonal_decompose_daily,
@@ -3566,6 +3795,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "revenue_mann_kendall": _MANN_KENDALL_SQL,
+    "customers_mahalanobis_outliers": _MAHAL_SQL,
     "copurchase_triangles": _TRIANGLES_SQL,
     "ab_test_events": _AB_TEST_SQL,
     "ab_mannwhitney_events": _MWU_SQL,

@@ -2796,6 +2796,159 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 
 
+KN_DISCOUNT = 0.75  # exactly representable — the hashed-float rule
+
+
+def docs_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bits/bigram under an interpolated KNESER-NEY
+    bigram LM trained on the corpus itself — the smoothing real LM
+    quality filters (CCNet-style) use, one rung above
+    docs_bigram_surprisal's unsmoothed MLE:
+
+        P_KN(w2|w1) = (c12 − d)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+
+    with absolute discount d = {d} (exactly representable). The
+    continuation probability N1+(·w2)/N1+(··) scores a word by how
+    many DISTINCT contexts it follows — "Francisco" is frequent but
+    predicts poorly outside "San" — which is what distinguishes KN
+    from simple interpolation. Every in-doc bigram has c12 >= 1 so
+    the discounted term is positive and no zero ever reaches log2.
+
+    Engine-portability: all four count families (c12, c1, N1+(w1·),
+    N1+(·w2), N1+(··)) are exact BIGINTs; the per-term probability is
+    one pinned double expression; the per-doc sum folds over the
+    doc's bigram list sorted by (w1, w2); log2-of-ratio + round_to 6
+    (the surprisal/DSIR precedent). Scale shape: the bigram explode
+    feeds map-side-combined aggregates; N1+ marginals are one extra
+    aggregate over the (already small) distinct-bigram table; the
+    grand total is a broadcast scalar."""
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", textfns.tokens(F.lower(F.col("text"))).alias("tk")
+    )
+    n1 = F.size("tk") - 1
+    prs = F.when(
+        F.size("tk") < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.zip_with(
+            F.slice("tk", 1, n1),
+            F.slice("tk", 2, n1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    big = toks.select("doc_id", F.explode(prs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    tf = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).persist()
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tot = c12.agg(F.count(F.lit(1)).alias("n1p_tot"))
+    kn = (
+        (F.col("c12").cast("double") - F.lit(KN_DISCOUNT))
+        / F.col("c1").cast("double")
+        + (F.lit(KN_DISCOUNT) * F.col("n1p_fwd").cast("double"))
+        / F.col("c1").cast("double")
+        * (F.col("n1p_bwd").cast("double") / F.col("n1p_tot").cast("double"))
+    )
+    terms = (
+        tf.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "w1", "w2", "tf", kn.alias("p_kn"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sort_array(
+                F.collect_list(F.struct("w1", "w2", "tf", "p_kn"))
+            ).alias("__terms"),
+        )
+    )
+    folded = -F.aggregate(
+        F.col("__terms"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["tf"].cast("double") * F.log2(s["p_kn"]),
+    )
+    scored = terms.select(
+        "doc_id",
+        "n_bigrams",
+        round_to(folded / F.col("n_bigrams").cast("double"), 6).alias(
+            "kn_bits_per_bigram"
+        ),
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "kn_bits_per_bigram",
+        )
+    )
+
+
+docs_kneser_ney_ppl.__doc__ = docs_kneser_ney_ppl.__doc__.format(
+    d=KN_DISCOUNT
+)
+
+
+_KN_PPL_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {sql_tokens("lower(text)")} AS toks FROM documents
+),
+big AS (
+  SELECT doc_id, u.w1, u.w2 FROM (
+    SELECT doc_id,
+      unnest(CASE WHEN len(toks) < 2 THEN []
+             ELSE list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])) END) AS u
+    FROM tk
+  )
+),
+tf AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+       FROM big GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, sum(tf)::BIGINT AS c12 FROM tf GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p_fwd
+       FROM c12 GROUP BY w1),
+cont AS (SELECT w2, count(*)::BIGINT AS n1p_bwd FROM c12 GROUP BY w2),
+tot AS (SELECT count(*)::BIGINT AS n1p_tot FROM c12),
+terms AS (
+  SELECT f.doc_id, sum(f.tf)::BIGINT AS n_bigrams,
+         list(struct_pack(w1 := f.w1, w2 := f.w2, tf := f.tf,
+            p_kn := (p.c12::DOUBLE - {KN_DISCOUNT}) / o.c1::DOUBLE
+              + ({KN_DISCOUNT} * o.n1p_fwd::DOUBLE) / o.c1::DOUBLE
+                * (q.n1p_bwd::DOUBLE / t.n1p_tot::DOUBLE))
+              ORDER BY f.w1, f.w2) AS ts
+  FROM tf f JOIN c12 p USING (w1, w2) JOIN c1 o USING (w1)
+       JOIN cont q USING (w2) CROSS JOIN tot t
+  GROUP BY f.doc_id
+),
+scored AS (
+  SELECT doc_id, n_bigrams,
+         {sql_round(
+             "-list_reduce(list_prepend(0.0::DOUBLE, "
+             "list_transform(ts, s -> s.tf::DOUBLE * log2(s.p_kn))), "
+             "(a, b) -> a + b) / n_bigrams::DOUBLE",
+             6,
+         )} AS kn_bits_per_bigram
+  FROM terms
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       s.kn_bits_per_bigram
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 SCALING_BUCKETS = 8
 
 
@@ -3910,6 +4063,7 @@ QUERIES = {
     "minhash_near_dup": minhash_near_dup,
     "near_dup_clusters": near_dup_clusters,
     "near_dup_keep_best": near_dup_keep_best,
+    "docs_kneser_ney_ppl": docs_kneser_ney_ppl,
     "curate_corpus": curate_corpus,
     "simhash_values": simhash_values,
     "simhash_near_dup": simhash_near_dup,
@@ -3993,6 +4147,7 @@ ORACLES = {
     "minhash_near_dup": _MINHASH_ND_SQL,
     "near_dup_clusters": _CLUSTERS_SQL,
     "near_dup_keep_best": _KEEP_BEST_SQL,
+    "docs_kneser_ney_ppl": _KN_PPL_SQL,
     "curate_corpus": _CURATE_SQL,
     "simhash_values": _SIMHASH_SQL,
     "simhash_near_dup": _SIMHASH_ND_SQL,

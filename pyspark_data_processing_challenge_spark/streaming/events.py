@@ -498,9 +498,12 @@ def semdedup_ingest_sink(
         )
         # fresh = cached assignment minus history — NOT
         # (store ∪ fresh) anti store, which re-scanned the unbounded
-        # store twice per epoch for the same rows
-        fresh = caches[0].drop("__sub").join(
-            store.select("doc"), "doc", "left_anti"
+        # store twice per epoch for the same rows; batch_minus_store
+        # keeps the remaining store scan shuffle-free
+        from ..operators.dedup import batch_minus_store
+
+        fresh = batch_minus_store(
+            caches[0].drop("__sub"), store.select("doc"), "doc"
         )
         (
             fresh.write.mode("overwrite")

@@ -551,3 +551,19 @@ def test_cross_modal_near_dup_is_banded_equi_join(spark):
     plan = plans.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch_minus_store_never_shuffles_the_store(spark):
+    # the incremental-ingest anti-join contract: the store side must
+    # reach the join as a plain scan feeding a broadcast probe — a
+    # SortMergeJoin/ShuffledHashJoin here re-exchanges the unbounded
+    # store every batch (O(store) network per ingest)
+    from pyspark_data_processing_challenge_spark.operators import dedup as dd
+
+    batch = spark.range(100).selectExpr("id as k", "id * 2 as payload")
+    store = spark.range(100000).selectExpr("id as k")
+    df = dd.batch_minus_store(batch, store, "k")
+    plan = plans.executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plans.broadcast_join_count(df) >= 2  # probe + anti

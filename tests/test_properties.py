@@ -667,3 +667,69 @@ def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
     }
     assert min(rows[i] for i in (0, 1, 2)) > max(rows[i] for i in (10, 11))
     assert all(rows[i] > 0 for i in (0, 1, 2))  # target-like is positive
+
+
+# --- k-core peeling vs brute force (VERDICT r08 item 8) --------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+        lambda t: t[0] != t[1]
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _brute_kcore(edges: list[tuple[int, int]], k: int):
+    """Synchronous peel to fixpoint, mirroring graph.kcore's round
+    semantics (drop ALL sub-k nodes at once, then restrict edges).
+    Returns ({node: deg}, depth) where depth = rounds until a pass
+    removes nothing."""
+    es = {tuple(sorted(e)) for e in edges}
+    depth = 0
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg, depth
+        depth += 1
+        es = {e for e in es if e[0] not in drop and e[1] not in drop}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists, k=st.sampled_from([2, 3]))
+def test_kcore_convergence_flag_vs_brute_force(spark, edges, k):
+    """Planted-depth property: with rounds >= the true peel depth the
+    output must equal the brute-force k-core AND flag converged; with
+    rounds < depth it must flag converged=False (a partial peel is not
+    the k-core). The existing chain test pins one instance; this pins
+    the contract on arbitrary small graphs."""
+    from pyspark_data_processing_challenge_spark.operators import graph
+
+    # canonicalize to a DISTINCT undirected edge list — the operator's
+    # input contract (near-dup pair lists are distinct pairs); a
+    # duplicated edge would double-count degree on the Spark side
+    edges = sorted({tuple(sorted(t)) for t in edges})
+    expect, depth = _brute_kcore(edges, k)
+    e = spark.createDataFrame(edges, "u long, v long")
+
+    done = graph.kcore(e, k=k, rounds=depth + 1).collect()
+    assert {r.node: r.deg for r in done} == expect
+    assert all(r.converged for r in done)
+
+    if depth > 1:
+        partial = graph.kcore(e, k=k, rounds=depth - 1).collect()
+        # sub-k survivors must exist (the peel was not finished) and
+        # the flag must say so on every row
+        assert partial and all(not r.converged for r in partial)
+        # re-running with enough rounds reaches the true k-core —
+        # the recovery path the flag exists to enable
+        redo = graph.kcore(e, k=k, rounds=depth).collect()
+        assert {r.node: r.deg for r in redo} == expect
