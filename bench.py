@@ -208,6 +208,8 @@ HEADLINE = [
     "docs_kneser_ney_ppl",
     "revenue_mann_kendall",
     "customers_mahalanobis_outliers",
+    "ivf_ndcg_eval",
+    "parts_jaccard_similarity",
 ]
 
 

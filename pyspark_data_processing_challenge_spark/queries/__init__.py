@@ -35,6 +35,8 @@ _VERDICT_PRIORITY = [
     "docs_kneser_ney_ppl",  # new: interpolated KN bigram LM quality score
     "revenue_mann_kendall",  # new: nonparametric trend test, exact S/ties
     "customers_mahalanobis_outliers",  # new: closed-form 2-D outlier screen
+    "ivf_ndcg_eval",  # new: position-graded ANN quality gate
+    "parts_jaccard_similarity",  # new: item-item CF set similarity
     # --- oldest-verdict re-verification rotation (VERDICT r08 item 1):
     # the 14 r02-vintage rows — shared utilities under them (spread,
     # _util.t, fast_text) changed in r06-r08, so their driver verdicts
@@ -87,8 +89,6 @@ _VERDICT_PRIORITY = [
     "sessionize_events_native",  # r05-vintage
     "events_m4_downsample",  # r05-vintage
     "docs_bm25",  # r05-vintage
-    "docs_hashed_features",  # r05-vintage
-    "sketch_merge_distinct",  # r05-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -263,6 +263,8 @@ _ROTATED_OUT = {
     "ivfpq_topk": "r05",  # displaced r09 filler (slot went to docs_kneser_ney_ppl)
     "orders_pit_acctbal": "r05",  # displaced r09 filler (slot went to revenue_mann_kendall)
     "events_funnel": "r05",  # displaced r09 filler (slot went to customers_mahalanobis_outliers)
+    "sketch_merge_distinct": "r05",  # displaced r09 filler (slot went to ivf_ndcg_eval)
+    "docs_hashed_features": "r05",  # displaced r09 filler (slot went to parts_jaccard_similarity)
     "approx_distinct_stats": "r04+r05",
     "cdc_merge_orders": "r02+r05",
     "scd2_customer_history": "r02+r05",

@@ -3630,6 +3630,105 @@ FROM sp, nt, ties
 """
 
 
+JACC_MIN_COMMON, JACC_THRESHOLD = 3, 0.12
+
+
+def parts_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: Jaccard of the
+    CUSTOMER sets of two parts, J = |C_a ∩ C_b| / (|C_a| + |C_b| −
+    |C_a ∩ C_b|) — the link-prediction / "customers also bought"
+    primitive, and the set-similarity twin of part_pair_affinity's
+    lift (lift scores co-occurrence against independence; Jaccard
+    scores it against the items' audience sizes, so a niche pair with
+    perfectly overlapping buyers ranks high even at tiny support).
+
+    Scale shape: the intersection counts enumerate pairs WITHIN each
+    customer's (distinct, sorted) part basket — one shuffle, fanout
+    bounded by basket size squared, never a part-level self-join; the
+    per-part audience degrees join back on the pair keys. All counts
+    exact BIGINTs; J is one pinned ratio through round_to 6. The
+    (min-common {mc}, J >= {th}) gate bounds the output to genuinely
+    similar pairs."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = cp.groupBy("part").agg(F.count(F.lit(1)).alias("deg"))
+    basket = cp.groupBy("cust").agg(
+        F.array_sort(F.collect_set("part")).alias("ps")
+    )
+    common = (
+        basket.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= JACC_MIN_COMMON)
+    )
+    da = deg.select(F.col("part").alias("part_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("part").alias("part_b"), F.col("deg").alias("db"))
+    jac = F.col("common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("da").cast("long").alias("da"),
+            F.col("db").cast("long").alias("db"),
+            round_to(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACC_THRESHOLD)
+    )
+
+
+parts_jaccard_similarity.__doc__ = parts_jaccard_similarity.__doc__.format(
+    mc=JACC_MIN_COMMON, th=JACC_THRESHOLD
+)
+
+
+_PARTS_JACCARD_SQL = f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT part, count(*)::BIGINT AS deg FROM cp GROUP BY part),
+common AS (
+  SELECT a.part AS part_a, b.part AS part_b, count(*)::BIGINT AS common
+  FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= {JACC_MIN_COMMON}
+)
+SELECT c.part_a, c.part_b, c.common, x.deg AS da, y.deg AS db,
+  {sql_round("c.common::DOUBLE / (x.deg + y.deg - c.common)::DOUBLE", 6)}
+    AS jaccard
+FROM common c JOIN deg x ON x.part = c.part_a JOIN deg y ON y.part = c.part_b
+WHERE {sql_round("c.common::DOUBLE / (x.deg + y.deg - c.common)::DOUBLE", 6)}
+      >= {JACC_THRESHOLD}
+"""
+
+
 MAHAL_THRESHOLD = 9.21  # chi-square(2) 99th percentile — exact literal
 
 
@@ -3747,6 +3846,7 @@ WHERE {sql_round(_MAHAL_EXPR, 6)} > {MAHAL_THRESHOLD}
 
 QUERIES = {
     "revenue_mann_kendall": revenue_mann_kendall,
+    "parts_jaccard_similarity": parts_jaccard_similarity,
     "customers_mahalanobis_outliers": customers_mahalanobis_outliers,
     "copurchase_triangles": copurchase_triangles,
     "momentum_contribution": momentum_contribution,
@@ -3796,6 +3896,7 @@ QUERIES = {
 
 ORACLES = {
     "revenue_mann_kendall": _MANN_KENDALL_SQL,
+    "parts_jaccard_similarity": _PARTS_JACCARD_SQL,
     "customers_mahalanobis_outliers": _MAHAL_SQL,
     "copurchase_triangles": _TRIANGLES_SQL,
     "ab_test_events": _AB_TEST_SQL,

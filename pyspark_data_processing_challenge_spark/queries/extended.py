@@ -795,6 +795,77 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RANKING-quality gate: nDCG@k of the IVF probe against the
+    exact ranking — the companion to ivf_recall_eval's set-overlap
+    recall. Recall treats all true neighbors equally; nDCG grades
+    POSITION: returning the true #1 at rank 5 costs more than missing
+    the true #5, which is what retrieval-augmented consumers actually
+    feel. Graded relevance rel = k+1−exact_rank (0 for results outside
+    the true top-k); DCG folds rel/log2(rank+1) over the IVF list in
+    rank order; IDCG is the same fold over the perfect ranking —
+    BOTH computed with the identical fold expression in each engine
+    (log2 of exact small integers, sorted fold, round_to 6 — the
+    surprisal rule). Scale shape: reuses the broadcast-query IVF and
+    exact-topk plans; the grading join runs on two k-row-per-query
+    frames."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS)
+    queries = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    )
+    approx = similarity.ivf_topk(
+        emb, queries, cent, k=IVF_K, nprobe=IVF_NPROBE
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    exact = similarity.cosine_topk(emb, queries, k=IVF_K).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("exact_rank"),
+    )
+    rel = F.coalesce(
+        F.lit(IVF_K + 1) - F.col("exact_rank"), F.lit(0).cast("long")
+    ).cast("long")
+    terms = approx.join(
+        F.broadcast(exact), ["query_id", "neighbor_id"], "left"
+    ).select("query_id", "rank", rel.alias("rel"))
+    per = terms.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        F.sort_array(F.collect_list(F.struct("rank", "rel"))).alias("__t"),
+    )
+    dcg = F.aggregate(
+        F.col("__t"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["rel"].cast("double") / F.log2((s["rank"] + 1).cast("double")),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.lit(IVF_K)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.lit(IVF_K + 1) - i).cast("double")
+        / F.log2((i + 1).cast("double")),
+    )
+    return per.select(
+        "query_id",
+        "n_results",
+        round_to(dcg, 6).alias("dcg"),
+        round_to(dcg / idcg, 6).alias("ndcg"),
+    )
+
+
+_NDCG_FOLD = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(ts, s -> s.rel::DOUBLE / log2((s.rank + 1)::DOUBLE))), "
+    "(a, b) -> a + b)"
+)
+_IDCG_FOLD = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    f"list_transform(range(1, {IVF_K + 1}), "
+    f"i -> ({IVF_K + 1} - i)::DOUBLE / log2((i + 1)::DOUBLE))), "
+    "(a, b) -> a + b)"
+)
+
+
 def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration on DataFrames — the iterative-ML shape:
     E-step is the IVF assignment (broadcast codebook, linear scan),
@@ -1073,6 +1144,64 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 )
 
+def _ivf_ndcg_sql() -> str:
+    return (
+        "WITH"
+        + _IVF_ASSIGN_CTE
+        + f""",
+  q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+  qprobe AS (
+    SELECT query_id, qv, cid AS centroid_id FROM (
+      SELECT q.query_id, q.qv, cent.cid,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="cent.cv")} DESC,
+                                    cent.cid) AS rn
+      FROM q, cent
+    ) WHERE rn <= {IVF_NPROBE}
+  ),
+  cand AS (
+    SELECT qprobe.query_id, qprobe.qv, assigned.vec_id AS neighbor_id,
+           assigned.e
+    FROM qprobe JOIN assigned USING (centroid_id)
+    WHERE qprobe.query_id <> assigned.vec_id
+  ),
+  approx AS (
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY {_IVF_COS.format(a="qv", b="e")} DESC,
+                                    neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= {IVF_K}
+  ),
+  exact AS (
+    SELECT query_id, neighbor_id, rank AS exact_rank FROM (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="v.e")} DESC,
+                                    v.vec_id) AS rank
+      FROM q, v WHERE q.query_id <> v.vec_id
+    ) WHERE rank <= {IVF_K}
+  ),
+  terms AS (
+    SELECT a.query_id, a.rank::BIGINT AS rank,
+           coalesce({IVF_K + 1} - e.exact_rank, 0)::BIGINT AS rel
+    FROM approx a LEFT JOIN exact e USING (query_id, neighbor_id)
+  ),
+  per AS (
+    SELECT query_id, count(*)::BIGINT AS n_results,
+           list(struct_pack(rank := rank, rel := rel) ORDER BY rank) AS ts
+    FROM terms GROUP BY 1
+  )
+SELECT query_id, n_results,
+  {sql_round(_NDCG_FOLD, 6)} AS dcg,
+  {sql_round(f"({_NDCG_FOLD}) / ({_IDCG_FOLD})", 6)} AS ndcg
+FROM per
+"""
+    )
+
+
 def _ivf_recall_sql() -> str:
     return (
         "WITH"
@@ -1208,6 +1337,7 @@ QUERIES = {
     "ivf_assignments": ivf_assignments,
     "ivf_topk": ivf_topk,
     "ivf_recall_eval": ivf_recall_eval,
+    "ivf_ndcg_eval": ivf_ndcg_eval,
     "kmeans_update_centroids": kmeans_update_centroids,
     "kmeans_two_step": kmeans_two_step,
     "events_variant_stats": events_variant_stats,
@@ -1293,6 +1423,7 @@ ORACLES = {
     "ivf_assignments": _IVF_ASSIGN_SQL,
     "ivf_topk": _IVF_TOPK_SQL,
     "ivf_recall_eval": _ivf_recall_sql(),
+    "ivf_ndcg_eval": _ivf_ndcg_sql(),
     "kmeans_update_centroids": _KMEANS_SQL,
     "kmeans_two_step": _KMEANS2_SQL,
     # same oracle as the JSON-path twin — both decode paths must agree
