@@ -567,3 +567,25 @@ def test_batch_minus_store_never_shuffles_the_store(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert plans.broadcast_join_count(df) >= 2  # probe + anti
+
+
+def test_round9_queries_have_no_cartesian(spark):
+    # r09 additions: every join must be equi/broadcast — Mann-Kendall's
+    # day-pair join and the scalar moment joins are broadcast
+    # nested-loop by design (bounded dimension / single-row), never an
+    # unhinted CartesianProduct; the basket-enumerated Jaccard must
+    # never degrade to a part-level self-join
+    from pyspark_data_processing_challenge_spark.queries import (
+        analytics,
+        extended,
+    )
+
+    for q in (
+        analytics.revenue_mann_kendall,
+        analytics.customers_mahalanobis_outliers,
+        analytics.parts_jaccard_similarity,
+        extended.ivf_ndcg_eval,
+        llm.docs_kneser_ney_ppl,
+    ):
+        plan = plans.executed_plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q.__name__
