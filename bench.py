@@ -210,6 +210,7 @@ HEADLINE = [
     "customers_mahalanobis_outliers",
     "ivf_ndcg_eval",
     "parts_jaccard_similarity",
+    "minhash_precision_eval",
 ]
 
 

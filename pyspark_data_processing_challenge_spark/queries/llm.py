@@ -447,6 +447,76 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", round_to(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def minhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION gate for the minhash estimator — the companion to the
+    recall gates (lsh_recall_eval measures what banding misses; this
+    measures what the ESTIMATOR gets wrong on the candidates it does
+    see): over all banded candidate pairs, compare the 16-slot
+    estimate Ĵ against the exact 3-gram Jaccard at the production
+    threshold. Output is ONE exact row — candidates, est-positives,
+    true positives among them, precision, plus the estimator's misses
+    (true >= τ but Ĵ < τ) — so the catalog's near-dup claims carry a
+    measured false-positive rate, not a folklore one.
+
+    Scale shape: candidates are the linear banded set; the exact
+    Jaccard runs ONLY on candidates (shingle sets join on the pair
+    keys); one final single-row aggregate. Exactness: slot-agreement
+    counts and set sizes are integers; Ĵ = agree/16 and J are pinned
+    ratios; precision rounds portably."""
+    d = _perturbed_docs(spark, sf_dir)
+    sigs = dedup.with_minhash(
+        d.select("doc_id", "text"),
+        "text",
+        num_hashes=MH_HASHES,
+        shingle_n=MH_SHINGLE_N,
+    ).select(F.col("doc_id").alias("doc"), "minhash")
+    cands = dedup.minhash_candidates(
+        sigs, "doc", bands=MH_ND_BANDS, rows_per_band=MH_HASHES // MH_ND_BANDS
+    )
+    sa = sigs.select(F.col("doc").alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col("doc").alias("id_b"), F.col("minhash").alias("mh_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+                lambda e: e,
+            )
+        ).cast("double")
+        / F.lit(float(MH_HASHES))
+    )
+    estimated = (
+        cands.join(sa, "id_a").join(sb, "id_b").select(
+            "id_a", "id_b", est.alias("est")
+        )
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        d,
+        "text",
+        "doc_id",
+        shingle_n=MH_SHINGLE_N,
+        threshold=0.0,
+        candidates=cands,
+    ).select("id_a", "id_b", "jaccard")
+    joined = estimated.join(exact, ["id_a", "id_b"]).select(
+        (F.col("est") >= MH_ND_THRESHOLD).alias("__ep"),
+        (F.col("jaccard") >= MH_ND_THRESHOLD).alias("__tp"),
+    )
+    ep = F.sum(F.col("__ep").cast("long"))
+    tp = F.sum((F.col("__ep") & F.col("__tp")).cast("long"))
+    missed = F.sum(((~F.col("__ep")) & F.col("__tp")).cast("long"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        ep.cast("long").alias("n_est_pos"),
+        tp.cast("long").alias("n_true_pos"),
+        round_to(tp.cast("double") / ep.cast("double"), 6).alias(
+            "precision"
+        ),
+        missed.cast("long").alias("n_est_missed"),
+    )
+
+
+
+
 def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (AllPairs,
     Bayardo WWW 2007): every pair with 3-gram Jaccard >= 3/5, found by
@@ -2338,6 +2408,41 @@ WHERE ({_sql_band_match(_MH_RPB, MH_ND_BANDS)})
 """
 )
 
+_MH_PRECISION_SQL = (
+    "WITH"
+    + _sql_minhash_sig_cte(_PERTURB_SQL, MH_HASHES, MH_SHINGLE_N)
+    + f""",
+  sh AS (
+    SELECT doc_id, {sql_shingles("text", MH_SHINGLE_N)} AS s
+    FROM (SELECT * FROM docs_src)
+  ),
+  cands AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ({_MH_AGREE})::DOUBLE / {float(MH_HASHES)} AS est
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE {_sql_band_match(MH_HASHES // MH_ND_BANDS, MH_ND_BANDS)}
+  ),
+  graded AS (
+    SELECT c.est >= {MH_ND_THRESHOLD} AS ep,
+      (length(list_intersect(x.s, y.s))::DOUBLE
+       / length(list_distinct(list_concat(x.s, y.s)))::DOUBLE)
+        >= {MH_ND_THRESHOLD} AS tp
+    FROM cands c JOIN sh x ON x.doc_id = c.id_a
+                 JOIN sh y ON y.doc_id = c.id_b
+    -- Spark's try_divide drops zero-union pairs; mirror it
+    WHERE length(list_distinct(list_concat(x.s, y.s))) > 0
+  )
+SELECT count(*)::BIGINT AS n_candidates,
+  sum(ep::INT)::BIGINT AS n_est_pos,
+  sum((ep AND tp)::INT)::BIGINT AS n_true_pos,
+  {sql_round("sum((ep AND tp)::INT)::DOUBLE / sum(ep::INT)::DOUBLE", 6)}
+    AS precision,
+  sum(((NOT ep) AND tp)::INT)::BIGINT AS n_est_missed
+FROM graded
+"""
+)
+
+
 _BB_MOD = 1 << BB_BITS
 _BB_RPB = BB_SLOTS // BB_BANDS
 _BB_AGREE = " + ".join(
@@ -3415,7 +3520,14 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = graph.connected_components(pairs)
     return (
         emb.select(F.col("vec_id"))
-        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        # comp is pair-bounded (only vectors in some near-dup pair) and
+        # already materialized by the CC checkpoint — broadcast it so
+        # the corpus id scan never shuffles for this decoration join
+        .join(
+            F.broadcast(comp.withColumnRenamed("node", "vec_id")),
+            "vec_id",
+            "left",
+        )
         .select(
             "vec_id",
             F.coalesce(F.col("component"), F.col("vec_id"))
@@ -4069,6 +4181,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "near_dup_keep_best": near_dup_keep_best,
     "docs_kneser_ney_ppl": docs_kneser_ney_ppl,
+    "minhash_precision_eval": minhash_precision_eval,
     "curate_corpus": curate_corpus,
     "simhash_values": simhash_values,
     "simhash_near_dup": simhash_near_dup,
@@ -4153,6 +4266,7 @@ ORACLES = {
     "near_dup_clusters": _CLUSTERS_SQL,
     "near_dup_keep_best": _KEEP_BEST_SQL,
     "docs_kneser_ney_ppl": _KN_PPL_SQL,
+    "minhash_precision_eval": _MH_PRECISION_SQL,
     "curate_corpus": _CURATE_SQL,
     "simhash_values": _SIMHASH_SQL,
     "simhash_near_dup": _SIMHASH_ND_SQL,
