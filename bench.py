@@ -211,6 +211,7 @@ HEADLINE = [
     "ivf_ndcg_eval",
     "parts_jaccard_similarity",
     "minhash_precision_eval",
+    "semdedup_recall_eval",
 ]
 
 

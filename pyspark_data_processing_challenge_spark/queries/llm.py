@@ -3541,6 +3541,120 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-RECALL gate for SemDeDup's cluster restriction — the
+    semantic member of the honesty-gate family (lsh_recall_eval,
+    minhash_precision_eval): docs_semantic_dedup only scores pairs
+    that land in the same (centroid, skew-sub-bucket), so any true
+    above-threshold pair split across clusters is silent loss. This
+    measures it: exact truth = EVERY pair with cosine >= τ (the
+    spread all-pairs baseline — verification scale only; sample the
+    queries at corpus scale like lsh_recall_eval); recall = the
+    fraction co-located under the exact keying the production query
+    uses (same size-derived sub-split arithmetic). Output is one
+    exact row (true pairs, co-located, split, recall) so the
+    restriction documented in docs_semantic_dedup's contract is a
+    measured number, not a caveat."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    truth = similarity.embedding_near_duplicates(
+        emb, threshold=SEMDEDUP_THRESHOLD, exact=True
+    ).select("id_a", "id_b")
+    cent = emb.filter(F.col("vec_id") < SEMDEDUP_NCLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(
+        emb, cent, centroid_id="cid", centroid_vec="cv"
+    )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("__csz")
+    )
+    keyed = (
+        assigned.join(F.broadcast(sizes), "centroid_id")
+        .withColumn(
+            "__nsplits",
+            F.expr(
+                f"(__csz + {SEMDEDUP_MAX_CLUSTER - 1})"
+                f" div {SEMDEDUP_MAX_CLUSTER}"
+            ),
+        )
+        .select(
+            F.col("doc").alias("vid"),
+            "centroid_id",
+            F.pmod(F.col("doc"), F.col("__nsplits")).alias("sub"),
+        )
+    )
+    ka = keyed.select(
+        F.col("vid").alias("id_a"),
+        F.col("centroid_id").alias("ca"),
+        F.col("sub").alias("sa"),
+    )
+    kb = keyed.select(
+        F.col("vid").alias("id_b"),
+        F.col("centroid_id").alias("cb"),
+        F.col("sub").alias("sb"),
+    )
+    flagged = (
+        truth.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            ((F.col("ca") == F.col("cb")) & (F.col("sa") == F.col("sb")))
+            .cast("long")
+            .alias("__hit")
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("__hit").cast("long").alias("n_candidates"),
+        (F.count(F.lit(1)) - F.sum("__hit")).cast("long").alias("n_split"),
+        round_to(
+            F.sum("__hit").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _semdedup_recall_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, {_EMB} AS cv FROM embeddings
+         WHERE vec_id < {SEMDEDUP_NCLUSTERS}),
+scored AS (
+  SELECT v.vec_id, v.e, cent.cid,
+    {sql_cosine("v.e", "cent.cv", EMB_DIM)} AS cos
+  FROM v, cent
+),
+assigned AS (
+  SELECT vec_id, e, cid AS centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+keyed AS (
+  SELECT vec_id, centroid_id,
+    vec_id % ((count(*) OVER (PARTITION BY centroid_id)
+               + {SEMDEDUP_MAX_CLUSTER - 1}) // {SEMDEDUP_MAX_CLUSTER})
+      AS sub
+  FROM assigned
+),
+truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE {sql_cosine("a.e", "b.e", EMB_DIM)} >= {SEMDEDUP_THRESHOLD}
+),
+flags AS (
+  SELECT (x.centroid_id = y.centroid_id AND x.sub = y.sub)::INT AS hit
+  FROM truth t JOIN keyed x ON x.vec_id = t.id_a
+               JOIN keyed y ON y.vec_id = t.id_b
+)
+SELECT count(*)::BIGINT AS n_true_pairs,
+  sum(hit)::BIGINT AS n_candidates,
+  (count(*) - sum(hit))::BIGINT AS n_split,
+  {sql_round("sum(hit)::DOUBLE / count(*)::DOUBLE", 6)} AS recall
+FROM flags
+"""
+
+
 def _semdedup_sql() -> str:
     return f"""
 WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
@@ -4182,6 +4296,7 @@ QUERIES = {
     "near_dup_keep_best": near_dup_keep_best,
     "docs_kneser_ney_ppl": docs_kneser_ney_ppl,
     "minhash_precision_eval": minhash_precision_eval,
+    "semdedup_recall_eval": semdedup_recall_eval,
     "curate_corpus": curate_corpus,
     "simhash_values": simhash_values,
     "simhash_near_dup": simhash_near_dup,
@@ -4267,6 +4382,7 @@ ORACLES = {
     "near_dup_keep_best": _KEEP_BEST_SQL,
     "docs_kneser_ney_ppl": _KN_PPL_SQL,
     "minhash_precision_eval": _MH_PRECISION_SQL,
+    "semdedup_recall_eval": _semdedup_recall_sql(),
     "curate_corpus": _CURATE_SQL,
     "simhash_values": _SIMHASH_SQL,
     "simhash_near_dup": _SIMHASH_ND_SQL,
