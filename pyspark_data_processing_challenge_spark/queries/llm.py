@@ -3474,6 +3474,9 @@ FROM per, tot t
 
 
 
+LSH_EVAL_NQ = 100  # fixed-size query sample — baseline cost is O(NQ·n)
+LSH_EVAL_SALT = ":lshq"
+
 SEMDEDUP_THRESHOLD = 0.4
 SEMDEDUP_NCLUSTERS = 64
 # skew cap: clusters above this size split into id % ceil(size/cap)
@@ -3541,24 +3544,53 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SD_EVAL_SALT = ":sdq"  # decorrelated from the LSH gate's sample
+
+
 def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-RECALL gate for SemDeDup's cluster restriction — the
     semantic member of the honesty-gate family (lsh_recall_eval,
     minhash_precision_eval): docs_semantic_dedup only scores pairs
     that land in the same (centroid, skew-sub-bucket), so any true
     above-threshold pair split across clusters is silent loss. This
-    measures it: exact truth = EVERY pair with cosine >= τ (the
-    spread all-pairs baseline — verification scale only; sample the
-    queries at corpus scale like lsh_recall_eval); recall = the
-    fraction co-located under the exact keying the production query
-    uses (same size-derived sub-split arithmetic). Output is one
-    exact row (true pairs, co-located, split, recall) so the
-    restriction documented in docs_semantic_dedup's contract is a
-    measured number, not a caveat."""
+    measures it on the house scale-safe shape: truth = every
+    (sampled query, neighbor) pair with cosine >= τ, where the query
+    sample is the {nq} vectors with the smallest portable char_hash
+    (TakeOrdered, fixed size — the gate itself stays O(NQ·n) at any
+    corpus, per the lsh_recall_eval rule); recall = the fraction
+    co-located under the exact keying the production query uses (same
+    size-derived sub-split arithmetic). Output is one exact row
+    (true pairs, co-located, split, recall) so the restriction
+    documented in docs_semantic_dedup's contract is a measured
+    number, not a caveat."""
+    from ..functions.textfns import char_hash
+
     emb = spread(t(spark, sf_dir, "embeddings"))
-    truth = similarity.embedding_near_duplicates(
-        emb, threshold=SEMDEDUP_THRESHOLD, exact=True
-    ).select("id_a", "id_b")
+    qsample = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            char_hash(
+                F.concat(F.col("vec_id").cast("string"), F.lit(SD_EVAL_SALT))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(LSH_EVAL_NQ)
+        .select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_q")
+        )
+    )
+    truth = (
+        emb.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_n")
+        )
+        .join(F.broadcast(qsample), F.col("id_a") != F.col("id_b"))
+        .filter(
+            vectors.cosine(F.col("vec_q"), F.col("vec_n"))
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
     cent = emb.filter(F.col("vec_id") < SEMDEDUP_NCLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -3613,7 +3645,13 @@ def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+semdedup_recall_eval.__doc__ = semdedup_recall_eval.__doc__.format(
+    nq=LSH_EVAL_NQ
+)
+
+
 def _semdedup_recall_sql() -> str:
+    qhash = sql_char_hash(f"vec_id::VARCHAR || '{SD_EVAL_SALT}'")
     return f"""
 WITH v AS (SELECT vec_id, {_EMB} AS e FROM embeddings),
 cent AS (SELECT vec_id AS cid, {_EMB} AS cv FROM embeddings
@@ -3637,10 +3675,16 @@ keyed AS (
       AS sub
   FROM assigned
 ),
+q AS (
+  SELECT vec_id AS id_a, e AS eq FROM (
+    SELECT vec_id, e, {qhash} AS h FROM v
+    ORDER BY h, vec_id LIMIT {LSH_EVAL_NQ}
+  )
+),
 truth AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
-  WHERE {sql_cosine("a.e", "b.e", EMB_DIM)} >= {SEMDEDUP_THRESHOLD}
+  SELECT q.id_a, v.vec_id AS id_b
+  FROM q JOIN v ON q.id_a <> v.vec_id
+  WHERE {sql_cosine("q.eq", "v.e", EMB_DIM)} >= {SEMDEDUP_THRESHOLD}
 ),
 flags AS (
   SELECT (x.centroid_id = y.centroid_id AND x.sub = y.sub)::INT AS hit
@@ -3707,8 +3751,6 @@ FROM v LEFT JOIN comp c USING (vec_id)
 
 
 
-LSH_EVAL_NQ = 100  # fixed-size query sample — baseline cost is O(NQ·n)
-LSH_EVAL_SALT = ":lshq"
 
 
 SEMDEDUP_INC_NSPLITS = 2  # static skew split for the incremental form
