@@ -212,6 +212,7 @@ HEADLINE = [
     "parts_jaccard_similarity",
     "minhash_precision_eval",
     "semdedup_recall_eval",
+    "revenue_runs_test",
 ]
 
 

@@ -3630,6 +3630,112 @@ FROM sp, nt, ties
 """
 
 
+def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz RUNS test on day-over-day revenue direction —
+    the randomness screen that pairs with revenue_mann_kendall: the
+    trend test asks "is it drifting", the runs test asks "is the
+    up/down sequence serially independent" (momentum clusters ups,
+    mean-reversion alternates; both shrink or inflate the run count
+    R against E[R] = 2·n₊·n₋/(n₊+n₋) + 1). Zero-change days drop, the
+    classic treatment. Everything derives from exact integers —
+    BIGINT-cents signs, integer run count via one lag over the sign
+    series — and E/Var/z are pinned double expressions; |z| <= 1.96
+    passes at 5%. Scale shape: one daily aggregate; both lags run on
+    the calendar-bounded day series (the CUSUM rule), never the fact
+    table."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("revc")
+    )
+    wd = Window.orderBy("day")
+    signs = (
+        daily.withColumn("__prev", F.lag("revc").over(wd))
+        .filter(F.col("__prev").isNotNull() & (F.col("revc") != F.col("__prev")))
+        .select(
+            "day",
+            F.when(F.col("revc") > F.col("__prev"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    runs = signs.withColumn("__ps", F.lag("s").over(wd)).select(
+        "s",
+        F.when(
+            F.col("__ps").isNull() | (F.col("s") != F.col("__ps")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("n_plus"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("n_minus"),
+        F.sum("__new_run").alias("n_runs"),
+    )
+    n1, n2, r = (
+        F.col("n_plus").cast("double"),
+        F.col("n_minus").cast("double"),
+        F.col("n_runs").cast("double"),
+    )
+    n = n1 + n2
+    er = 2.0 * n1 * n2 / n + 1.0
+    vr = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1.0))
+    z = (r - er) / F.sqrt(vr)
+    return agg.select(
+        F.col("n_plus").cast("long").alias("n_plus"),
+        F.col("n_minus").cast("long").alias("n_minus"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        round_to(er, 6).alias("expected_runs"),
+        round_to(z, 6).alias("z"),
+        (F.abs(z) <= 1.96).alias("looks_random"),
+    )
+
+
+_RUNS_Z = (
+    "(n_runs::DOUBLE - (2.0 * n_plus::DOUBLE * n_minus::DOUBLE"
+    " / (n_plus::DOUBLE + n_minus::DOUBLE) + 1.0))"
+    " / sqrt(2.0 * n_plus::DOUBLE * n_minus::DOUBLE"
+    " * (2.0 * n_plus::DOUBLE * n_minus::DOUBLE"
+    "    - n_plus::DOUBLE - n_minus::DOUBLE)"
+    " / ((n_plus::DOUBLE + n_minus::DOUBLE)"
+    "    * (n_plus::DOUBLE + n_minus::DOUBLE)"
+    "    * (n_plus::DOUBLE + n_minus::DOUBLE - 1.0)))"
+)
+
+_RUNS_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS revc
+  FROM orders GROUP BY 1
+),
+signs AS (
+  SELECT day, CASE WHEN revc > prev THEN 1 ELSE -1 END AS s
+  FROM (SELECT day, revc, lag(revc) OVER (ORDER BY day) AS prev FROM daily)
+  WHERE prev IS NOT NULL AND revc <> prev
+),
+runs AS (
+  SELECT s, CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END::BIGINT
+           AS new_run
+  FROM (SELECT s, lag(s) OVER (ORDER BY day) AS ps FROM signs)
+),
+agg AS (
+  SELECT sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)::BIGINT AS n_plus,
+         sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::BIGINT AS n_minus,
+         sum(new_run)::BIGINT AS n_runs
+  FROM runs
+)
+SELECT n_plus, n_minus, n_runs,
+  {sql_round(
+      "2.0 * n_plus::DOUBLE * n_minus::DOUBLE"
+      " / (n_plus::DOUBLE + n_minus::DOUBLE) + 1.0", 6)} AS expected_runs,
+  {sql_round(_RUNS_Z, 6)} AS z,
+  abs({_RUNS_Z}) <= 1.96 AS looks_random
+FROM agg
+"""
+
+
 JACC_MIN_COMMON, JACC_TOP = 3, 50
 
 
@@ -3837,6 +3943,7 @@ WHERE {sql_round(_MAHAL_EXPR, 6)} > {MAHAL_THRESHOLD}
 
 QUERIES = {
     "revenue_mann_kendall": revenue_mann_kendall,
+    "revenue_runs_test": revenue_runs_test,
     "parts_jaccard_similarity": parts_jaccard_similarity,
     "customers_mahalanobis_outliers": customers_mahalanobis_outliers,
     "copurchase_triangles": copurchase_triangles,
@@ -3887,6 +3994,7 @@ QUERIES = {
 
 ORACLES = {
     "revenue_mann_kendall": _MANN_KENDALL_SQL,
+    "revenue_runs_test": _RUNS_SQL,
     "parts_jaccard_similarity": _PARTS_JACCARD_SQL,
     "customers_mahalanobis_outliers": _MAHAL_SQL,
     "copurchase_triangles": _TRIANGLES_SQL,
