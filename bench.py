@@ -213,6 +213,7 @@ HEADLINE = [
     "minhash_precision_eval",
     "semdedup_recall_eval",
     "revenue_runs_test",
+    "corpus_tokenizer_fertility",
 ]
 
 

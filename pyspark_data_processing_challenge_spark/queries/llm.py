@@ -1771,6 +1771,68 @@ FROM c
 """
 
 
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — the tokenizer-selection /
+    serving-cost metric multilingual pipelines budget with: subword
+    (BPE-ish) tokens per whitespace word, plus chars per token, per
+    declared language. High-fertility languages cost proportionally
+    more context window and FLOPs per word; a fertility table is how
+    you catch a tokenizer that fragments one language before training
+    on it. Corpus-level ratios of exact BIGINT sums (Σbpe, Σwords,
+    Σchars aggregated per language — order-independent), pinned
+    double divisions, round_to 6. One map-side-combined aggregate —
+    any corpus size."""
+    d = spread(t(spark, sf_dir, "documents"))
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).cast("long")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe).alias("__bpe"),
+        F.sum(textfns.token_count(F.col("text"))).alias("__ws"),
+        F.sum(F.length("text").cast("long")).alias("__chars"),
+    )
+    return per.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("__bpe").cast("long").alias("bpe_tokens"),
+        F.col("__ws").cast("long").alias("ws_tokens"),
+        round_to(
+            F.try_divide(
+                F.col("__bpe").cast("double"), F.col("__ws").cast("double")
+            ),
+            6,
+        ).alias("fertility"),
+        round_to(
+            F.try_divide(
+                F.col("__chars").cast("double"), F.col("__bpe").cast("double")
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+_FERTILITY_SQL = f"""
+WITH c AS (
+  SELECT lang, text,
+    len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS bpe,
+    {sql_token_count("text")} AS ws,
+    length(text)::BIGINT AS chars
+  FROM documents
+),
+per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(bpe)::BIGINT AS bpe,
+         sum(ws)::BIGINT AS ws, sum(chars)::BIGINT AS chars
+  FROM c GROUP BY lang
+)
+SELECT lang, n_docs, bpe AS bpe_tokens, ws AS ws_tokens,
+  CASE WHEN ws = 0 THEN NULL
+       ELSE {sql_round("bpe::DOUBLE / ws::DOUBLE", 6)} END AS fertility,
+  CASE WHEN bpe = 0 THEN NULL
+       ELSE {sql_round("chars::DOUBLE / bpe::DOUBLE", 6)} END
+    AS chars_per_token
+FROM per
+"""
+
+
 def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-modality decode (image + audio + video): plant real PNG/
     JPEG/GIF/WAV/MP4 payloads with id-derived metadata, parse the
@@ -4339,6 +4401,7 @@ QUERIES = {
     "docs_kneser_ney_ppl": docs_kneser_ney_ppl,
     "minhash_precision_eval": minhash_precision_eval,
     "semdedup_recall_eval": semdedup_recall_eval,
+    "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "curate_corpus": curate_corpus,
     "simhash_values": simhash_values,
     "simhash_near_dup": simhash_near_dup,
@@ -4425,6 +4488,7 @@ ORACLES = {
     "docs_kneser_ney_ppl": _KN_PPL_SQL,
     "minhash_precision_eval": _MH_PRECISION_SQL,
     "semdedup_recall_eval": _semdedup_recall_sql(),
+    "corpus_tokenizer_fertility": _FERTILITY_SQL,
     "curate_corpus": _CURATE_SQL,
     "simhash_values": _SIMHASH_SQL,
     "simhash_near_dup": _SIMHASH_ND_SQL,
