@@ -124,3 +124,25 @@ def test_label_propagation_rejects_bad_rounds(spark):
     e = spark.createDataFrame([(1, 2)], "u long, v long")
     with pytest.raises(ValueError, match="rounds"):
         graph.label_propagation(e, rounds=0)
+
+
+def test_cluster_keep_best_policy(spark):
+    # cluster {1,2,3}: 2 has the top score -> only 2 keeps; ties on
+    # score break to the SMALLEST id ({5,6} both 0.5 -> 5); row 9 is in
+    # no pair -> singleton cluster, keeps itself
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "node long, component long"
+    )
+    df = spark.createDataFrame(
+        [(1, 0.25), (2, 0.75), (3, 0.5), (5, 0.5), (6, 0.5), (9, 0.0)],
+        "doc_id long, quality double",
+    )
+    out = {
+        r.doc_id: r
+        for r in graph.cluster_keep_best(df, comps, "doc_id", "quality").collect()
+    }
+    assert {i: out[i].keep for i in sorted(out)} == {
+        1: False, 2: True, 3: False, 5: True, 6: False, 9: True,
+    }
+    assert out[9].component == 9  # singleton keeps its own id as cluster
+    assert out[6].component == 5

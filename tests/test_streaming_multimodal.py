@@ -1547,3 +1547,34 @@ def test_streaming_psi_monitor(spark, tmp_path):
     sink(spark.read.parquet(str(src / "b1.parquet")), 0)
     after = sorted(map(repr, spark.read.parquet(out_dir).collect()))
     assert before == after
+
+
+def test_codebook_assign_column_equals_ivf_assign(spark):
+    # the streaming sink's hoisted literal-codebook fold must stay
+    # bit-identical to the batch ivf_assign (same cosine fold, same
+    # argmax tie-break) — the twin-equality proof for the semantic
+    # ingest path depends on it
+    from pyspark.sql import functions as F
+
+    from pyspark_data_processing_challenge_spark.operators.similarity import (
+        codebook_assign_column,
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    codebook = [(r["cid"], list(r["cv"])) for r in cent.collect()]
+    col = codebook_assign_column(codebook, F.col("embedding"))
+    a = {
+        r["vec_id"]: r["c"]
+        for r in emb.select("vec_id", col.alias("c")).collect()
+    }
+    b = {
+        r["doc"]: r["centroid_id"]
+        for r in ivf_assign(
+            emb, cent, centroid_id="cid", centroid_vec="cv"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
