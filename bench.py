@@ -214,6 +214,7 @@ HEADLINE = [
     "semdedup_recall_eval",
     "revenue_runs_test",
     "corpus_tokenizer_fertility",
+    "events_entropy_rate",
 ]
 
 

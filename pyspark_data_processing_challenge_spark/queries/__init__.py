@@ -41,6 +41,7 @@ _VERDICT_PRIORITY = [
     "semdedup_recall_eval",  # new: cluster-restriction recall gate
     "revenue_runs_test",  # new: Wald-Wolfowitz serial-independence screen
     "corpus_tokenizer_fertility",  # new: per-language tokenizer cost table
+    "events_entropy_rate",  # new: Markov-chain predictability summary
     # --- oldest-verdict re-verification rotation (VERDICT r08 item 1):
     # the 14 r02-vintage rows — shared utilities under them (spread,
     # _util.t, fast_text) changed in r06-r08, so their driver verdicts
@@ -88,7 +89,6 @@ _VERDICT_PRIORITY = [
     "docs_char_entropy",  # r05-vintage
     "events_arrow_scaled",  # r05-vintage
     "orders_zvalue",  # r05-vintage
-    "orders_hilbert",  # r05-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -269,6 +269,7 @@ _ROTATED_OUT = {
     "events_m4_downsample": "r05",  # displaced r09 filler (slot went to semdedup_recall_eval)
     "sessionize_events_native": "r05",  # displaced r09 filler (slot went to revenue_runs_test)
     "pq_topk": "r05",  # displaced r09 filler (slot went to corpus_tokenizer_fertility)
+    "orders_hilbert": "r05",  # displaced r09 filler (slot went to events_entropy_rate)
     "approx_distinct_stats": "r04+r05",
     "cdc_merge_orders": "r02+r05",
     "scd2_customer_history": "r02+r05",

@@ -3630,6 +3630,98 @@ FROM sp, nt, ties
 """
 
 
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the user-behavior Markov chain — how
+    predictable the next event is given the current one:
+    H = −Σ_ij (n_ij/N)·log2(n_ij/n_i) bits/transition, the
+    information-theoretic summary of event_transitions' probability
+    table (a chain near log2(|types|) is noise; near 0 is a rigid
+    funnel). Also reports H₀ = log2(n_states) and the predictability
+    ratio 1 − H/H₀.
+
+    Exactness: transition counts are exact BIGINTs; the double sum
+    folds over the (src, dst) terms sorted lexicographically —
+    DOMAIN-bounded (|types|² entries), so the collect_list array is
+    tiny at any corpus scale — and log2 of count ratios + round_to 6
+    is the surprisal rule. Scale shape: one user-partitioned lead(),
+    one |types|²-bounded aggregate, one single-row fold."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.withColumn("dst_type", F.lead("event_type").over(w)).where(
+        F.col("dst_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("dst_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("nij"))
+    totals = counts.groupBy("src").agg(F.sum("nij").alias("ni"))
+    terms = counts.join(F.broadcast(totals), "src")
+    folded = terms.agg(
+        F.sum("nij").alias("n_transitions"),
+        F.count(F.lit(1)).alias("__k"),
+        F.countDistinct("src").alias("n_states"),
+        F.sort_array(
+            F.collect_list(F.struct("src", "dst", "nij", "ni"))
+        ).alias("__t"),
+    )
+    n = F.col("n_transitions").cast("double")
+    h = -F.aggregate(
+        F.col("__t"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s["nij"].cast("double") / n)
+        * F.log2(s["nij"].cast("double") / s["ni"].cast("double")),
+    )
+    h0 = F.log2(F.col("n_states").cast("double"))
+    return folded.select(
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.col("n_states").cast("long").alias("n_states"),
+        round_to(h, 6).alias("entropy_rate_bits"),
+        round_to(F.lit(1.0) - h / h0, 6).alias("predictability"),
+    )
+
+
+_ENTROPY_RATE_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+  FROM events
+),
+p AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM e
+),
+c AS (
+  SELECT src, dst, count(*)::BIGINT AS nij
+  FROM p WHERE dst IS NOT NULL GROUP BY src, dst
+),
+tot AS (SELECT src, sum(nij)::BIGINT AS ni FROM c GROUP BY src),
+folded AS (
+  SELECT sum(c.nij)::BIGINT AS n_transitions,
+         count(DISTINCT c.src)::BIGINT AS n_states,
+         list(struct_pack(src := c.src, dst := c.dst, nij := c.nij,
+                          ni := tot.ni)
+              ORDER BY c.src, c.dst) AS ts
+  FROM c JOIN tot USING (src)
+)
+SELECT n_transitions, n_states,
+  {sql_round(
+      "-list_reduce(list_prepend(0.0::DOUBLE, list_transform(ts, "
+      "s -> (s.nij::DOUBLE / n_transitions::DOUBLE)"
+      " * log2(s.nij::DOUBLE / s.ni::DOUBLE))), (a, b) -> a + b)",
+      6)} AS entropy_rate_bits,
+  {sql_round(
+      "1.0 - (-list_reduce(list_prepend(0.0::DOUBLE, list_transform(ts, "
+      "s -> (s.nij::DOUBLE / n_transitions::DOUBLE)"
+      " * log2(s.nij::DOUBLE / s.ni::DOUBLE))), (a, b) -> a + b))"
+      " / log2(n_states::DOUBLE)",
+      6)} AS predictability
+FROM folded
+"""
+
+
 def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald-Wolfowitz RUNS test on day-over-day revenue direction —
     the randomness screen that pairs with revenue_mann_kendall: the
@@ -3944,6 +4036,7 @@ WHERE {sql_round(_MAHAL_EXPR, 6)} > {MAHAL_THRESHOLD}
 QUERIES = {
     "revenue_mann_kendall": revenue_mann_kendall,
     "revenue_runs_test": revenue_runs_test,
+    "events_entropy_rate": events_entropy_rate,
     "parts_jaccard_similarity": parts_jaccard_similarity,
     "customers_mahalanobis_outliers": customers_mahalanobis_outliers,
     "copurchase_triangles": copurchase_triangles,
@@ -3995,6 +4088,7 @@ QUERIES = {
 ORACLES = {
     "revenue_mann_kendall": _MANN_KENDALL_SQL,
     "revenue_runs_test": _RUNS_SQL,
+    "events_entropy_rate": _ENTROPY_RATE_SQL,
     "parts_jaccard_similarity": _PARTS_JACCARD_SQL,
     "customers_mahalanobis_outliers": _MAHAL_SQL,
     "copurchase_triangles": _TRIANGLES_SQL,
