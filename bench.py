@@ -215,6 +215,7 @@ HEADLINE = [
     "revenue_runs_test",
     "corpus_tokenizer_fertility",
     "events_entropy_rate",
+    "nation_revenue_gini",
 ]
 
 

@@ -42,6 +42,7 @@ _VERDICT_PRIORITY = [
     "revenue_runs_test",  # new: Wald-Wolfowitz serial-independence screen
     "corpus_tokenizer_fertility",  # new: per-language tokenizer cost table
     "events_entropy_rate",  # new: Markov-chain predictability summary
+    "nation_revenue_gini",  # new: revenue-concentration inequality summary
     # --- oldest-verdict re-verification rotation (VERDICT r08 item 1):
     # the 14 r02-vintage rows — shared utilities under them (spread,
     # _util.t, fast_text) changed in r06-r08, so their driver verdicts
@@ -88,7 +89,6 @@ _VERDICT_PRIORITY = [
     "user_streaks",  # r05-vintage
     "docs_char_entropy",  # r05-vintage
     "events_arrow_scaled",  # r05-vintage
-    "orders_zvalue",  # r05-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -270,6 +270,7 @@ _ROTATED_OUT = {
     "sessionize_events_native": "r05",  # displaced r09 filler (slot went to revenue_runs_test)
     "pq_topk": "r05",  # displaced r09 filler (slot went to corpus_tokenizer_fertility)
     "orders_hilbert": "r05",  # displaced r09 filler (slot went to events_entropy_rate)
+    "orders_zvalue": "r05",  # displaced r09 filler (slot went to nation_revenue_gini)
     "approx_distinct_stats": "r04+r05",
     "cdc_merge_orders": "r02+r05",
     "scd2_customer_history": "r02+r05",

@@ -3630,6 +3630,94 @@ FROM sp, nt, ties
 """
 
 
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across nations — the
+    inequality summary for "is our business one-market-heavy":
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the ascending-sorted
+    per-nation revenues, with the top nation's share alongside.
+
+    Exactness: revenues are BIGINT cents; rank-weighted products stay
+    exact integers (rank <= |nations|), so G is one pinned double
+    expression over exact sums. The global rank window is safe HERE
+    because it orders the NATION dimension (25 rows, bounded by
+    geography, never the fact table) — the same domain-bounded
+    exemption as the CUSUM day series; per-customer Gini would need
+    the distributed order-statistics machinery instead. Scale shape:
+    one fact aggregate keyed by nation, then dimension-sized work."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_dim = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("revc")
+        )
+    )
+    w = Window.orderBy("revc", "c_nationkey")
+    ranked = per.withColumn("__i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("revc").alias("total_cents"),
+        F.sum(F.col("__i") * F.col("revc")).alias("__s"),
+        F.max("revc").alias("__top"),
+    )
+    n, tot = (
+        F.col("n_nations").cast("double"),
+        F.col("total_cents").cast("double"),
+    )
+    gini = (2.0 * F.col("__s").cast("double")) / (n * tot) - (n + 1.0) / n
+    return agg.crossJoin(
+        F.broadcast(
+            per.join(
+                n_dim, per.c_nationkey == n_dim.n_nationkey
+            ).orderBy(F.desc("revc"), "n_name").limit(1).select(
+                F.col("n_name").alias("top_nation"), F.col("revc").alias("__tr")
+            )
+        )
+    ).select(
+        F.col("n_nations").cast("long").alias("n_nations"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        round_to(gini, 6).alias("gini"),
+        "top_nation",
+        round_to(F.col("__tr").cast("double") / tot, 6).alias("top_share"),
+    )
+
+
+_GINI_SQL = f"""
+WITH per AS (
+  SELECT c.c_nationkey,
+         sum((o.o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS revc
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT revc, row_number() OVER (ORDER BY revc, c_nationkey) AS i FROM per
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_nations, sum(revc)::BIGINT AS total_cents,
+         sum(i * revc)::BIGINT AS s
+  FROM ranked
+),
+top AS (
+  SELECT n.n_name AS top_nation, p.revc AS tr
+  FROM per p JOIN nation n ON p.c_nationkey = n.n_nationkey
+  ORDER BY p.revc DESC, n.n_name LIMIT 1
+)
+SELECT n_nations, total_cents,
+  {sql_round(
+      "(2.0 * s::DOUBLE) / (n_nations::DOUBLE * total_cents::DOUBLE)"
+      " - (n_nations::DOUBLE + 1.0) / n_nations::DOUBLE", 6)} AS gini,
+  top_nation,
+  {sql_round("tr::DOUBLE / total_cents::DOUBLE", 6)} AS top_share
+FROM agg, top
+"""
+
+
 def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy RATE of the user-behavior Markov chain — how
     predictable the next event is given the current one:
@@ -4037,6 +4125,7 @@ QUERIES = {
     "revenue_mann_kendall": revenue_mann_kendall,
     "revenue_runs_test": revenue_runs_test,
     "events_entropy_rate": events_entropy_rate,
+    "nation_revenue_gini": nation_revenue_gini,
     "parts_jaccard_similarity": parts_jaccard_similarity,
     "customers_mahalanobis_outliers": customers_mahalanobis_outliers,
     "copurchase_triangles": copurchase_triangles,
@@ -4089,6 +4178,7 @@ ORACLES = {
     "revenue_mann_kendall": _MANN_KENDALL_SQL,
     "revenue_runs_test": _RUNS_SQL,
     "events_entropy_rate": _ENTROPY_RATE_SQL,
+    "nation_revenue_gini": _GINI_SQL,
     "parts_jaccard_similarity": _PARTS_JACCARD_SQL,
     "customers_mahalanobis_outliers": _MAHAL_SQL,
     "copurchase_triangles": _TRIANGLES_SQL,
