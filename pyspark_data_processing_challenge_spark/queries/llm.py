@@ -464,12 +464,18 @@ def minhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and set sizes are integers; Ĵ = agree/16 and J are pinned
     ratios; precision rounds portably."""
     d = _perturbed_docs(spark, sf_dir)
-    sigs = dedup.with_minhash(
-        d.select("doc_id", "text"),
-        "text",
-        num_hashes=MH_HASHES,
-        shingle_n=MH_SHINGLE_N,
-    ).select(F.col("doc_id").alias("doc"), "minhash")
+    # three consumers (candidate banding + both estimator join sides) —
+    # persist or the tokenize+hash lineage runs 3x (tfidf pattern)
+    sigs = (
+        dedup.with_minhash(
+            d.select("doc_id", "text"),
+            "text",
+            num_hashes=MH_HASHES,
+            shingle_n=MH_SHINGLE_N,
+        )
+        .select(F.col("doc_id").alias("doc"), "minhash")
+        .persist()
+    )
     cands = dedup.minhash_candidates(
         sigs, "doc", bands=MH_ND_BANDS, rows_per_band=MH_HASHES // MH_ND_BANDS
     )
