@@ -420,14 +420,19 @@ def main() -> None:
     def mh_incremental(append: bool):
         store = spark.read.parquet(sig_store)
         caches: list = []
-        pairs, new_banded = dd.incremental_minhash_near_duplicates(
-            mh_batch, store, "text", "doc_id", cache_into=caches, **mh_params
+        fresh_rows: list = []
+        pairs, _ = dd.incremental_minhash_near_duplicates(
+            mh_batch, store, "text", "doc_id",
+            cache_into=caches, fresh_into=fresh_rows, **mh_params,
         )
         pairs.write.format("noop").mode("overwrite").save()
+        # append only the batch's FRESH band rows — appending the full
+        # updated store (store ∪ fresh) would write ~store-size bytes
+        # per batch and duplicate history on re-run (r9 advice)
         if append:
-            new_banded.write.mode("append").parquet(sig_store)
+            fresh_rows[0].write.mode("append").parquet(sig_store)
         else:
-            new_banded.write.format("noop").mode("overwrite").save()
+            fresh_rows[0].write.format("noop").mode("overwrite").save()
         for c in caches:
             c.unpersist()
 
@@ -827,12 +832,15 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict) -> None:
         def inc_mh():
             store = spark.read.parquet(sig_store)
             caches2: list = []
-            pairs, new_banded = dd.incremental_minhash_near_duplicates(
+            fresh2: list = []
+            pairs, _ = dd.incremental_minhash_near_duplicates(
                 corpus, store, "text", "doc_id",
-                cache_into=caches2, **mh_params,
+                cache_into=caches2, fresh_into=fresh2, **mh_params,
             )
             pairs.write.format("noop").mode("overwrite").save()
-            new_banded.write.mode("append").parquet(sig_store)
+            # fresh rows only — NOT the full updated store (r9 advice:
+            # appending store ∪ fresh wrote ~11 store-units per batch)
+            fresh2[0].write.mode("append").parquet(sig_store)
             for c in caches2:
                 c.unpersist()
 

@@ -534,6 +534,7 @@ def incremental_minhash_near_duplicates(
     threshold: float = 0.7,
     arrow: bool = True,
     cache_into: list | None = None,
+    fresh_into: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup detection of a NEW batch against corpus history without
     recomputing historical signatures — the batch-over-batch form of
@@ -543,7 +544,11 @@ def incremental_minhash_near_duplicates(
     (doc, minhash, band, key) built by earlier calls (or empty with
     that schema). Returns ``(pairs, updated_banded)``: near-dup pairs
     of new docs against history AND within the batch, plus the table to
-    persist. Per batch this shuffles only the batch's bands and
+    persist. A physical store kept as parquet should APPEND only the
+    batch's fresh band rows, not ``updated_banded`` (which is the full
+    union and would duplicate history on append) — pass ``fresh_into``
+    (a list, same style as ``cache_into``) to receive that fresh-only
+    frame. Per batch this shuffles only the batch's bands and
     equi-joins the (partitionable-by-band/key) store — history text is
     never re-read. Results equal a full recompute over the union
     corpus, restricted to pairs touching the new batch.
@@ -601,6 +606,8 @@ def incremental_minhash_near_duplicates(
     # batch_minus_store keeps this O(batch) — the store is scanned,
     # never shuffled
     fresh = batch_minus_store(new_banded, seen_banded.select("doc"), "doc")
+    if fresh_into is not None:
+        fresh_into.append(fresh)
     return pairs, seen_banded.unionByName(fresh)
 
 

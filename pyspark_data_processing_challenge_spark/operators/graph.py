@@ -66,10 +66,19 @@ def connected_components(
     # ~100k edges per partition keeps partitions executor-sized at
     # scale. Restored in ``finally`` — the returned labels are
     # checkpointed, so downstream plans never see the override.
+    # CAVEAT (r9 advice): the override is SESSION-global while the loop
+    # runs — a concurrent query on the same session (threaded caller, a
+    # streaming epoch) would plan its shuffles at loop_sp. All in-repo
+    # callers are single-threaded per session; concurrent callers
+    # should clone the session (spark.newSession()) first.
     spark = sym.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = sym.count()
-    loop_sp = max(2, min(int(old_sp), (n_edges // 100_000) + 2))
+    try:
+        sess_sp = int(old_sp)
+    except (TypeError, ValueError):  # e.g. "auto" on some platforms
+        sess_sp = spark.sparkContext.defaultParallelism
+    loop_sp = max(2, min(sess_sp, (n_edges // 100_000) + 2))
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()

@@ -169,8 +169,14 @@ def codebook_assign_column(
     Semantics are identical to :func:`ivf_assign` (highest cosine,
     then smallest centroid id; same left-fold dot product, so the
     doubles are bit-identical). The codebook is bounded by contract
-    (it is broadcast in the batch form); NULL/NaN cosines never beat a
-    real one (comparison yields false → accumulator kept).
+    (it is broadcast in the batch form). NULL cosines (zero-norm
+    vectors — ``vectors.cosine`` uses try_divide) are coalesced to
+    -2.0 so a degenerate vector deterministically gets the SMALLEST
+    centroid id — the same answer ivf_assign's max_by produces (NULL
+    ordering sorts lowest, so its struct argmax falls through to the
+    -cid tie-break); without the coalesce every fold comparison is
+    NULL, the init accumulator survives, and the sentinel cid 2**62
+    leaks into the store (r9 advice).
 
     The per-element cosine is staged through a single-element
     ``transform`` so the fold body references it once — referencing a
@@ -209,7 +215,7 @@ def codebook_assign_column(
         arr,
         init,
         lambda acc, c: F.transform(
-            F.array(vectors.cosine(vec, c["cv"])),
+            F.array(F.coalesce(vectors.cosine(vec, c["cv"]), F.lit(-2.0))),
             lambda cs: F.when(
                 (cs > acc["cos"])
                 | ((cs == acc["cos"]) & (c["cid"] < acc["cid"])),

@@ -465,7 +465,12 @@ def minhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios; precision rounds portably."""
     d = _perturbed_docs(spark, sf_dir)
     # three consumers (candidate banding + both estimator join sides) —
-    # persist or the tokenize+hash lineage runs 3x (tfidf pattern)
+    # materialize or the tokenize+hash lineage runs 3x (tfidf pattern).
+    # localCheckpoint, NOT persist: a query-scope persist has no
+    # unpersist path once the frame is returned, so cached blocks
+    # accumulate across a 243-query session; checkpoint blocks are
+    # ContextCleaner-released when the frame is GC'd (r9 advice,
+    # semdedup_pairs precedent)
     sigs = (
         dedup.with_minhash(
             d.select("doc_id", "text"),
@@ -474,7 +479,7 @@ def minhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_n=MH_SHINGLE_N,
         )
         .select(F.col("doc_id").alias("doc"), "minhash")
-        .persist()
+        .localCheckpoint()
     )
     cands = dedup.minhash_candidates(
         sigs, "doc", bands=MH_ND_BANDS, rows_per_band=MH_HASHES // MH_ND_BANDS
@@ -2883,13 +2888,14 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = toks.select("doc_id", F.explode(pairs).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    # tokenize ONCE: corpus counts derive from the persisted per-doc tf
-    # aggregate (the tfidf_top_terms pattern — without the cache the
-    # explode stage runs once per marginal)
+    # tokenize ONCE: corpus counts derive from the materialized per-doc
+    # tf aggregate (the tfidf_top_terms pattern — without it the
+    # explode stage runs once per marginal). localCheckpoint, not
+    # persist: no unpersist path after return (r9 advice)
     tf = (
         big.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .localCheckpoint()
     )
     c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -3018,12 +3024,18 @@ def docs_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = toks.select("doc_id", F.explode(prs).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
+    # localCheckpoint, not persist: no unpersist path after return
+    # (r9 advice — cached blocks otherwise accumulate across sessions)
     tf = (
         big.groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .localCheckpoint()
     )
-    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).persist()
+    c12 = (
+        tf.groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("c12"))
+        .localCheckpoint()
+    )
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
     )

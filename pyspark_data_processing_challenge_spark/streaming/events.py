@@ -448,12 +448,18 @@ def semdedup_ingest_sink(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # the store's vec type follows the STREAM's embedding element
+        # type (the sink writes the batch's embedding column verbatim);
+        # a hardcoded array<float> made every post-epoch-0 read of an
+        # array<double> stream fail on parquet type mismatch (r9
+        # advice) — derive it from the live batch schema instead
+        vec_t = batch_df.schema["embedding"].dataType.simpleString()
         try:
             store = (
                 # declared schema: skip per-epoch parquet footer
                 # schema inference over every prior epoch's files
                 spark.read.schema(
-                    "doc long, vec array<float>, centroid_id bigint,"
+                    f"doc long, vec {vec_t}, centroid_id bigint,"
                     " __epoch int"
                 )
                 .parquet(store_dir)
@@ -466,7 +472,7 @@ def semdedup_ingest_sink(
             if "PATH_NOT_FOUND" not in str(e):
                 raise
             store = spark.createDataFrame(
-                [], "doc long, vec array<float>, centroid_id bigint"
+                [], f"doc long, vec {vec_t}, centroid_id bigint"
             )
         caches: list = []
         # a micro-batch arrives as ONE input split (file-source batch),

@@ -1578,3 +1578,39 @@ def test_codebook_assign_column_equals_ivf_assign(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_codebook_assign_degenerate_zero_vector(spark):
+    # zero-norm vector → every cosine NULL (try_divide): both forms
+    # must return the SAME deterministic assignment (the smallest cid),
+    # never the fold's 2**62 init sentinel (r9 advice — the sentinel
+    # leaked a nonexistent centroid into the streaming store)
+    from pyspark.sql import functions as F
+
+    from pyspark_data_processing_challenge_spark.operators.similarity import (
+        codebook_assign_column,
+        ivf_assign,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "cid long, cv array<double>",
+    )
+    codebook = [(r["cid"], list(r["cv"])) for r in cent.collect()]
+    col = codebook_assign_column(codebook, F.col("embedding"))
+    a = {
+        r["vec_id"]: r["c"]
+        for r in vecs.select("vec_id", col.alias("c")).collect()
+    }
+    b = {
+        r["doc"]: r["centroid_id"]
+        for r in ivf_assign(
+            vecs, cent, centroid_id="cid", centroid_vec="cv"
+        ).collect()
+    }
+    assert a == b
+    assert a[1] == 3  # smallest cid, not the 2**62 sentinel
