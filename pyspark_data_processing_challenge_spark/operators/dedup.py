@@ -113,7 +113,11 @@ def drop_duplicate_rows(df: DataFrame, cols: Sequence[str] | None = None) -> Dat
 
 
 def batch_minus_store(
-    batch: DataFrame, store: DataFrame, key_cols: Sequence[str] | str
+    batch: DataFrame,
+    store: DataFrame,
+    key_cols: Sequence[str] | str,
+    *,
+    batch_distinct: bool = False,
 ) -> DataFrame:
     """Batch rows whose key is NOT in the store, WITHOUT shuffling the
     store — the anti-join shape every incremental ingest needs. A plain
@@ -121,10 +125,19 @@ def batch_minus_store(
     (O(store) network per ingest); instead (1) one store SCAN probed by
     a broadcast of the batch keys emits the hit set (≤ |batch| keys),
     (2) the batch anti-joins the broadcast hits. Everything exchanged
-    is batch-sized; the store streams through a single scan."""
+    is batch-sized; the store streams through a single scan.
+
+    ``batch_distinct=True`` asserts the caller already collapsed the
+    batch to distinct keys (e.g. the fingerprint-deduped batch of
+    :func:`incremental_exact_dedup`) and skips the probe's defensive
+    pre-broadcast ``distinct`` — one less batch-sized exchange on the
+    ingest floor."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    probe = batch.select(*keys)
+    if not batch_distinct:
+        probe = probe.distinct()
     hits = (
-        store.join(F.broadcast(batch.select(*keys).distinct()), keys, "left_semi")
+        store.join(F.broadcast(probe), keys, "left_semi")
         .select(*keys)
         .distinct()
     )
@@ -184,7 +197,9 @@ def incremental_exact_dedup(
     if cache_into is not None:
         batch = batch.persist()
         cache_into.append(batch)
-    fresh = batch_minus_store(batch, seen_fps, fp_cols)
+    # the batch is already fp-deduped above — skip the probe's
+    # defensive distinct (one less batch-sized exchange per ingest)
+    fresh = batch_minus_store(batch, seen_fps, fp_cols, batch_distinct=True)
     updated = seen_fps.unionByName(fresh.select(*fp_cols))
     return (fresh if keep_fps else fresh.drop(*fp_cols)), updated
 
@@ -864,6 +879,7 @@ def incremental_duplicated_spans(
     k: int = 4,
     min_count: int = 2,
     store_update: str = "combined",
+    cache_into: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-over-batch repeated-substring detection: span stats for a
     NEW batch against the whole corpus history without re-reading any
@@ -892,26 +908,61 @@ def incremental_duplicated_spans(
         same stance as the fingerprint store's append), with periodic
         compaction folding partials together.
     Duplicated-position semantics are identical either way (tested).
+
+    ``cache_into``: when a list is passed, the batch's positional grams
+    and per-gram counts are persisted and appended (caller unpersists) —
+    they feed the store probe, the duplicated-gram decision, the
+    position join, and (batch mode) the store update, and without the
+    cache the tokenize+explode lineage re-executes per consumer.
+
+    Join orientation is the ingest contract (the batch_minus_store
+    rule): the duplicated-gram decision needs stored counts only for
+    grams PRESENT IN THE BATCH, so the store is SCANNED once, probed by
+    a broadcast of the batch's distinct grams, and the batch-sized hit
+    set broadcasts back — a full-outer merge here re-shuffled the whole
+    store every batch (O(store) network per ingest). ``"combined"``
+    mode's returned store still pays the full merge — that is its
+    rewrite-the-store semantics; the ingest shape is ``"batch"``.
     """
     if store_update not in ("combined", "batch"):
         raise ValueError(f"store_update {store_update!r}: combined or batch")
     grams = _positional_grams(new_df, text_col, id_col, k)
+    if cache_into is not None:
+        grams = grams.persist()
+        cache_into.append(grams)
     batch_counts = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("__bn")
     )
-    combined = (
-        batch_counts.join(seen_gram_counts, "gram", "full")
+    if cache_into is not None:
+        batch_counts = batch_counts.persist()
+        cache_into.append(batch_counts)
+    # store scan probed by the broadcast batch grams (groupBy output is
+    # distinct by construction); hits are ≤ |batch grams| and broadcast
+    # back — nothing store-sized is ever exchanged
+    stored_hits = seen_gram_counts.join(
+        F.broadcast(batch_counts.select("gram")), "gram", "left_semi"
+    )
+    dup_grams = (
+        batch_counts.join(F.broadcast(stored_hits), "gram", "left")
         .select(
             "gram",
             (
                 F.coalesce("__bn", F.lit(0)) + F.coalesce("n", F.lit(0))
             ).alias("n"),
         )
+        .filter(F.col("n") >= min_count)
+        .select("gram")
     )
-    dup_grams = combined.filter(F.col("n") >= min_count).select("gram")
-    dup_pos = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    dup_pos = grams.join(F.broadcast(dup_grams), "gram").select(
+        "doc_id", "pos"
+    )
     updated = (
-        combined
+        batch_counts.join(seen_gram_counts, "gram", "full").select(
+            "gram",
+            (
+                F.coalesce("__bn", F.lit(0)) + F.coalesce("n", F.lit(0))
+            ).alias("n"),
+        )
         if store_update == "combined"
         else batch_counts.select("gram", F.col("__bn").alias("n"))
     )

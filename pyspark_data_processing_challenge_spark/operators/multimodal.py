@@ -2032,6 +2032,7 @@ def incremental_phash_near_duplicates(
     *,
     max_distance: int = 3,
     cache_into: list | None = None,
+    fresh_into: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup of a NEW media batch against the persisted perceptual-
     hash store WITHOUT re-decoding history — the image/audio member of
@@ -2046,7 +2047,14 @@ def incremental_phash_near_duplicates(
     at 100 TB of media the store is ~0.0001% of the data. Results
     equal a full recompute over the union corpus restricted to pairs
     touching the batch; the store update is replay-idempotent (re-
-    ingested ids add no duplicate rows)."""
+    ingested ids add no duplicate rows).
+
+    ``fresh_into``: when a list is passed, receives the batch's FRESH
+    (media_id, h_hi, h_lo) rows — what a physical parquet store should
+    APPEND — derived from the PERSISTED banded batch, so the caller
+    never re-runs the decode/hash lineage under ``new_hashes`` a second
+    time just to compute the store delta (measured a full duplicate
+    phash pass at the 1:10 ingest bench)."""
     nb = _phash_banded(new_hashes).persist()
     if cache_into is not None:
         cache_into.append(nb)
@@ -2095,10 +2103,23 @@ def incremental_phash_near_duplicates(
     from .dedup import batch_minus_store
 
     # O(batch) store-freshness check — the store is scanned, never
-    # shuffled (batch_minus_store docstring)
-    fresh = batch_minus_store(
-        new_hashes, seen_hashes.select("media_id"), "media_id"
+    # shuffled (batch_minus_store docstring). Re-derive the plain
+    # (media_id, h_hi, h_lo) rows from the PERSISTED banded frame
+    # (band 0 carries one row per doc) instead of new_hashes, whose
+    # lineage re-runs the whole decode+hash pass per consumer.
+    batch_plain = nb.filter(F.col("band") == 0).select(
+        F.col("doc").alias("media_id"),
+        F.col("ph.h_hi").alias("h_hi"),
+        F.col("ph.h_lo").alias("h_lo"),
     )
+    fresh = batch_minus_store(
+        batch_plain,
+        seen_hashes.select("media_id"),
+        "media_id",
+        batch_distinct=True,  # one band-0 row per media_id by construction
+    )
+    if fresh_into is not None:
+        fresh_into.append(fresh)
     return pairs, seen_hashes.unionByName(fresh)
 
 

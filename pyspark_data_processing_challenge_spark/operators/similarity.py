@@ -233,6 +233,7 @@ def incremental_semdedup_pairs_assigned(
     threshold: float,
     nsplits: int = 1,
     cache_into: list | None = None,
+    fresh_into: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Core of :func:`incremental_semdedup_pairs` for a batch that is
     ALREADY assigned (``(doc, vec, centroid_id)`` — e.g. via the
@@ -288,10 +289,16 @@ def incremental_semdedup_pairs_assigned(
     from .dedup import batch_minus_store
 
     # O(batch) store-freshness check — the store is scanned, never
-    # shuffled (batch_minus_store docstring)
+    # shuffled (batch_minus_store docstring). fresh reads the PERSISTED
+    # assigned batch, so exposing it via ``fresh_into`` lets a caller
+    # append the store delta without re-running the batch's codebook
+    # assignment a second time (measured a full duplicate ivf_assign
+    # pass at the 1:10 ingest bench).
     fresh = batch_minus_store(
         nb.drop("__sub"), seen_store.select("doc"), "doc"
     )
+    if fresh_into is not None:
+        fresh_into.append(fresh)
     return pairs, seen_store.unionByName(fresh)
 
 
@@ -426,6 +433,7 @@ def incremental_semdedup_pairs(
     threshold: float,
     nsplits: int = 1,
     cache_into: list | None = None,
+    fresh_into: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup of a NEW vector batch against the persisted assignment
     store WITHOUT re-scoring history — the semantic member of the
@@ -463,6 +471,7 @@ def incremental_semdedup_pairs(
         threshold=threshold,
         nsplits=nsplits,
         cache_into=cache_into,
+        fresh_into=fresh_into,
     )
 
 

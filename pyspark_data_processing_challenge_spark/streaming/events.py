@@ -486,12 +486,14 @@ def semdedup_ingest_sink(
             F.col("embedding").alias("vec"),
             assign_col.alias("centroid_id"),
         )
+        fresh_frames: list = []
         pairs, _updated = incremental_semdedup_pairs_assigned(
             assigned,
             store,
             threshold=threshold,
             nsplits=nsplits,
             cache_into=caches,
+            fresh_into=fresh_frames,
         )
         # Write THIS epoch's partition directory directly — same
         # __epoch=N layout the partitioned reader discovers, same
@@ -502,15 +504,11 @@ def semdedup_ingest_sink(
             pairs.write.mode("overwrite")
             .parquet(f"{pairs_dir}/__epoch={int(epoch_id)}")
         )
-        # fresh = cached assignment minus history — NOT
-        # (store ∪ fresh) anti store, which re-scanned the unbounded
-        # store twice per epoch for the same rows; batch_minus_store
-        # keeps the remaining store scan shuffle-free
-        from ..operators.dedup import batch_minus_store
-
-        fresh = batch_minus_store(
-            caches[0].drop("__sub"), store.select("doc"), "doc"
-        )
+        # fresh = cached assignment minus history (exposed by the
+        # operator via fresh_into — reads the persisted batch, never
+        # re-assigns); NOT (store ∪ fresh) anti store, which re-scanned
+        # the unbounded store twice per epoch for the same rows
+        fresh = fresh_frames[0]
         (
             fresh.write.mode("overwrite")
             .parquet(f"{store_dir}/__epoch={int(epoch_id)}")
