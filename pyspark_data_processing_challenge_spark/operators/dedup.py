@@ -118,6 +118,7 @@ def batch_minus_store(
     key_cols: Sequence[str] | str,
     *,
     batch_distinct: bool = False,
+    store_unique_keys: bool = False,
 ) -> DataFrame:
     """Batch rows whose key is NOT in the store, WITHOUT shuffling the
     store — the anti-join shape every incremental ingest needs. A plain
@@ -131,16 +132,21 @@ def batch_minus_store(
     batch to distinct keys (e.g. the fingerprint-deduped batch of
     :func:`incremental_exact_dedup`) and skips the probe's defensive
     pre-broadcast ``distinct`` — one less batch-sized exchange on the
-    ingest floor."""
+    ingest floor.
+
+    ``store_unique_keys=True`` asserts the store holds at most one row
+    per key (a dedup fingerprint store by contract) and skips the hit
+    set's ``distinct`` — the left-anti probe only checks existence, so
+    duplicate hit keys would be correct but pay an extra batch-sized
+    exchange; with unique store keys the semi-join output is already
+    distinct. Leave False for banded stores (multiple rows per doc)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     probe = batch.select(*keys)
     if not batch_distinct:
         probe = probe.distinct()
-    hits = (
-        store.join(F.broadcast(probe), keys, "left_semi")
-        .select(*keys)
-        .distinct()
-    )
+    hits = store.join(F.broadcast(probe), keys, "left_semi").select(*keys)
+    if not store_unique_keys:
+        hits = hits.distinct()
     return batch.join(F.broadcast(hits), keys, "left_anti")
 
 
@@ -197,9 +203,12 @@ def incremental_exact_dedup(
     if cache_into is not None:
         batch = batch.persist()
         cache_into.append(batch)
-    # the batch is already fp-deduped above — skip the probe's
-    # defensive distinct (one less batch-sized exchange per ingest)
-    fresh = batch_minus_store(batch, seen_fps, fp_cols, batch_distinct=True)
+    # the batch is already fp-deduped above, and the store is unique
+    # per fingerprint by contract — skip both defensive distincts
+    # (two fewer batch-sized exchanges per ingest)
+    fresh = batch_minus_store(
+        batch, seen_fps, fp_cols, batch_distinct=True, store_unique_keys=True
+    )
     updated = seen_fps.unionByName(fresh.select(*fp_cols))
     return (fresh if keep_fps else fresh.drop(*fp_cols)), updated
 

@@ -2117,6 +2117,7 @@ def incremental_phash_near_duplicates(
         seen_hashes.select("media_id"),
         "media_id",
         batch_distinct=True,  # one band-0 row per media_id by construction
+        store_unique_keys=True,  # one hash row per media_id by contract
     )
     if fresh_into is not None:
         fresh_into.append(fresh)

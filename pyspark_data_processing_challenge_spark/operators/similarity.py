@@ -295,7 +295,10 @@ def incremental_semdedup_pairs_assigned(
     # assignment a second time (measured a full duplicate ivf_assign
     # pass at the 1:10 ingest bench).
     fresh = batch_minus_store(
-        nb.drop("__sub"), seen_store.select("doc"), "doc"
+        nb.drop("__sub"),
+        seen_store.select("doc"),
+        "doc",
+        store_unique_keys=True,  # one assignment row per doc by contract
     )
     if fresh_into is not None:
         fresh_into.append(fresh)

@@ -68,3 +68,28 @@ def test_total_matches_sum_of_detail():
     times = _fake_times(25)
     detail, final = bench.result_lines(times, {}, 0.1)
     assert json.loads(final)["value"] == round(sum(times.values()), 3)
+
+
+def test_stats_and_baselines_land_in_detail_only():
+    # VERDICT r09 items 4+8: multi-rep {min, median, reps} metadata and
+    # the brute-force baseline class ride in the DETAIL line; the final
+    # line (and its total) covers headline queries only.
+    times = _fake_times(20)
+    stats = {"some_extremely_long_query_name_number_0003": {
+        "min": 0.4, "median": 0.6, "reps": 3}}
+    baselines = {"embedding_near_dup": 5.8}
+    detail, final = bench.result_lines(
+        times, _fake_streaming(), 0.1, stats=stats, baselines=baselines
+    )
+    d = json.loads(detail)
+    assert d["query_stats"] == stats
+    assert d["baselines"] == baselines
+    f = json.loads(final)
+    assert f["value"] == round(sum(times.values()), 3)  # baselines excluded
+    assert "baselines" not in f and "query_stats" not in f
+    assert len(final) <= bench.FINAL_LINE_BUDGET
+
+
+def test_baseline_queries_not_in_headline():
+    for name in bench.BASELINES:
+        assert name not in bench.HEADLINE
