@@ -14,6 +14,8 @@ North-star extension (SURVEY.md §7.4). Two tiers:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -226,6 +228,58 @@ def codebook_assign_column(
     return best["cid"]
 
 
+def codebook_assign_udf(codebook: list[tuple[int, list[float]]]):
+    """Arrow-batched twin of :func:`codebook_assign_column`: argmax-
+    cosine centroid id as a pandas UDF over a driver-side numpy
+    codebook. Returns a Column factory (call with the vector column).
+
+    Why it exists: the Column form's fold carries |codebook| ndarray
+    Literal nodes that the analyzer re-walks on EVERY micro-batch job
+    (~0.4 s/epoch of driver time at 64x64 — measured in the semdedup
+    ingest sink), while this UDF's plan is a single node; the numpy
+    kernel is also vectorized per batch. Values are BIT-IDENTICAL to
+    codebook_assign_column / ivf_assign (pinned by the streaming twin
+    tests):
+
+    - elements cast float32→float64 before multiplying (as_double);
+    - dot products and norms are np.cumsum sequential folds — the same
+      adds in the same order as the Column form's left fold;
+    - cosine = dot / (cnorm * vnorm), IEEE division;
+    - zero-norm denominators (try_divide's NULL) become -2.0, matching
+      the Column form's coalesce, so degenerate vectors get the
+      smallest centroid id;
+    - the codebook iterates in ascending-cid order and np.argmax keeps
+      the FIRST maximum — highest cosine, then smallest cid, exactly
+      ivf_assign's max_by tie-break.
+    """
+    if not codebook:
+        raise ValueError("codebook must be non-empty")
+    import numpy as np
+
+    ordered = sorted((int(cid), [float(x) for x in cv]) for cid, cv in codebook)
+    cids = np.asarray([c for c, _ in ordered], dtype=np.int64)
+    mat = np.asarray([cv for _, cv in ordered], dtype=np.float64)  # (C, D)
+    cnorm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])  # left-fold norms
+
+    @F.pandas_udf("long")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=np.int64)
+        for i, v in enumerate(vecs):
+            if v is None or len(v) == 0:
+                out[i] = cids[0]  # empty vec: every cosine NULL → -2.0
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            dots = np.cumsum(mat * x[None, :], axis=1)[:, -1]
+            vnorm = np.sqrt(np.cumsum(x * x)[-1])
+            denom = vnorm * cnorm
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, -2.0, dots / denom)
+            out[i] = cids[int(np.argmax(cos))]
+        return pd.Series(out)
+
+    return _assign
+
+
 def incremental_semdedup_pairs_assigned(
     assigned_batch: DataFrame,
     seen_store: DataFrame,
@@ -253,37 +307,40 @@ def incremental_semdedup_pairs_assigned(
     if cache_into is not None:
         cache_into.append(nb)
     cos = vectors.cosine
-    l, r = nb.alias("l"), F.broadcast(nb).alias("r")
-    within = l.join(
-        r,
-        (F.col("l.centroid_id") == F.col("r.centroid_id"))
-        & (F.col("l.__sub") == F.col("r.__sub"))
-        & (F.col("l.doc") < F.col("r.doc")),
-    ).select(
-        F.col("l.doc").alias("id_a"),
-        F.col("r.doc").alias("id_b"),
-        cos(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
-    )
-    # the store is banded on read — __sub is pure arithmetic, no state
-    hb = seen_store.withColumn(
-        "__sub", F.pmod(F.col("doc"), F.lit(nsplits))
-    ).alias("h")
-    versus = F.broadcast(nb).alias("n").join(
-        hb,
-        (F.col("n.centroid_id") == F.col("h.centroid_id"))
-        & (F.col("n.__sub") == F.col("h.__sub"))
-        # replay guard: a re-ingested id must not pair with itself
-        & (F.col("n.doc") != F.col("h.doc")),
-    ).select(
-        F.least(F.col("n.doc"), F.col("h.doc")).alias("id_a"),
-        F.greatest(F.col("n.doc"), F.col("h.doc")).alias("id_b"),
-        cos(F.col("n.vec"), F.col("h.vec")).alias("cosine"),
+    # ONE broadcast join does both the within-batch and the
+    # batch-vs-history pairing: the right side is (store ∪ batch), so
+    # a within-batch pair (a, b) arrives twice — (n=a, h=b) and
+    # (n=b, h=a) — and collapses under least/greatest + the final
+    # distinct, with the SAME cosine (the left-fold dot commutes
+    # element-wise, so orientation cannot skew the float). Pre-r10 the
+    # two cases were separate joins — an extra join + broadcast-build
+    # job per micro-batch epoch. The store is banded on read — __sub
+    # is pure arithmetic, no state; everything exchanged is
+    # batch-sized and the store still streams through one scan.
+    hb = (
+        seen_store.withColumn(
+            "__sub", F.pmod(F.col("doc"), F.lit(nsplits))
+        )
+        .unionByName(nb)
+        .alias("h")
     )
     pairs = (
-        within.unionByName(versus)
+        F.broadcast(nb).alias("n")
+        .join(
+            hb,
+            (F.col("n.centroid_id") == F.col("h.centroid_id"))
+            & (F.col("n.__sub") == F.col("h.__sub"))
+            # self guard — also the replay guard: a re-ingested id
+            # must not pair with its own historical row
+            & (F.col("n.doc") != F.col("h.doc")),
+        )
+        .select(
+            F.least(F.col("n.doc"), F.col("h.doc")).alias("id_a"),
+            F.greatest(F.col("n.doc"), F.col("h.doc")).alias("id_b"),
+            cos(F.col("n.vec"), F.col("h.vec")).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
-        # replay: a batch-internal pair of two RE-ingested ids shows up
-        # in both branches — same ids, same symmetric cosine — dedup it
+        # dedups the doubled within-batch pairs AND replayed ids
         .distinct()
     )
     from .dedup import batch_minus_store

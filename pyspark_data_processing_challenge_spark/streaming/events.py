@@ -407,8 +407,7 @@ def read_embeddings_stream(
 
 
 def semdedup_ingest_sink(
-    pairs_dir: str,
-    store_dir: str,
+    out_dir: str,
     centroids: DataFrame,
     *,
     threshold: float,
@@ -419,32 +418,47 @@ def semdedup_ingest_sink(
     (exact fingerprints via dedup_ingest_sink, now embeddings): each
     micro-batch assigns against the STATIC broadcast codebook, pairs
     against the persisted epoch-partitioned assignment store
-    (operators/similarity.incremental_semdedup_pairs), writes the
-    batch's near-dup pairs, and appends only its fresh assignments.
+    (operators/similarity.incremental_semdedup_pairs), and commits the
+    batch's near-dup pairs plus its fresh assignments in ONE write.
+
+    Output layout: ``out_dir/__epoch=N/kind={pairs,assign}`` — the two
+    per-epoch outputs are one parquet commit, partitioned by ``kind``.
+    Readers filter on the partition columns (partition pruning means a
+    store read never touches pairs files and vice versa):
+    pairs = ``read.parquet(out_dir).filter(kind = 'pairs')``; the
+    assignment store = ``filter(kind = 'assign')`` with the declared
+    store schema. Pre-r10 the sink committed pairs and assignments as
+    two separate jobs per epoch — two full job schedules + two parquet
+    commits for micro-batch-sized outputs was ~40% of the steady-state
+    epoch cost.
 
     Replay safety (the dedup_ingest_sink contract): the store read
     FILTERS to epochs strictly before the current one, so a replayed
     epoch sees exactly the prior state it saw the first time and
-    overwrites its own pair and assignment partitions — idempotent
-    under at-least-once delivery, including the pairing decision.
+    overwrites exactly its own ``__epoch=N`` directory (both kinds) —
+    idempotent under at-least-once delivery, including the pairing
+    decision.
 
     Per-epoch amortization: the codebook is collected ONCE here (it is
-    bounded by contract — the batch operator broadcasts it) and folded
-    into a single assignment Column (similarity.codebook_assign_column)
+    bounded by contract — the batch operator broadcasts it) and baked
+    into a single Arrow-batched assignment UDF
+    (similarity.codebook_assign_udf, bit-identical to ivf_assign)
     reused by every micro-batch. Pre-r09 the sink re-planned the
     codebook join per epoch — re-scanning the centroid DataFrame's
-    lineage and re-broadcasting it every batch, a fixed cost that
-    dominated small-batch throughput.
+    lineage and re-broadcasting it every batch; the r09 Column-fold
+    form fixed that but still carried |codebook| ndarray Literal nodes
+    the analyzer re-walked every epoch job (~0.4 s/epoch at 64x64 —
+    the single-node UDF removes that too).
     """
     from ..operators.similarity import (
-        codebook_assign_column,
+        codebook_assign_udf,
         incremental_semdedup_pairs_assigned,
     )
 
     codebook = [
         (r["cid"], list(r["cv"])) for r in centroids.collect()
     ]
-    assign_col = codebook_assign_column(codebook, F.col("embedding"))
+    assign_udf = codebook_assign_udf(codebook)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -457,13 +471,18 @@ def semdedup_ingest_sink(
         try:
             store = (
                 # declared schema: skip per-epoch parquet footer
-                # schema inference over every prior epoch's files
+                # schema inference over every prior epoch's files.
+                # kind is a PARTITION column, so the filter prunes at
+                # the directory level — pairs files are never opened.
                 spark.read.schema(
                     f"doc long, vec {vec_t}, centroid_id bigint,"
-                    " __epoch int"
+                    " kind string, __epoch int"
                 )
-                .parquet(store_dir)
-                .filter(F.col("__epoch") < F.lit(epoch_id))
+                .parquet(out_dir)
+                .filter(
+                    (F.col("__epoch") < F.lit(epoch_id))
+                    & (F.col("kind") == "assign")
+                )
                 .select("doc", "vec", "centroid_id")
             )
         except AnalysisException as e:
@@ -475,16 +494,18 @@ def semdedup_ingest_sink(
                 [], f"doc long, vec {vec_t}, centroid_id bigint"
             )
         caches: list = []
-        # a micro-batch arrives as ONE input split (file-source batch),
-        # so without the repartition every per-row codebook cosine runs
-        # on a single core (the CLAUDE.md single-row-group trap —
-        # measured ~2 s/epoch serialized vs ~0.3 s spread)
-        assigned = batch_df.repartition(
-            spark.sparkContext.defaultParallelism
-        ).select(
+        # A micro-batch arrives as ONE input split (file-source batch).
+        # With the old interpreted Column fold that serialized ~2 s of
+        # per-row cosines on one core and a repartition was mandatory;
+        # the numpy kernel assigns ~200k rows/s/core, so micro-batches
+        # stay single-split (the exchange cost more than it saved —
+        # measured ~0.25 s/epoch) and only multi-100k-row batches need
+        # input parallelism — which a file/Kafka source already
+        # provides via its own split granularity at that size.
+        assigned = batch_df.select(
             F.col("vec_id").alias("doc"),
             F.col("embedding").alias("vec"),
-            assign_col.alias("centroid_id"),
+            assign_udf(F.col("embedding")).alias("centroid_id"),
         )
         fresh_frames: list = []
         pairs, _updated = incremental_semdedup_pairs_assigned(
@@ -495,23 +516,27 @@ def semdedup_ingest_sink(
             cache_into=caches,
             fresh_into=fresh_frames,
         )
-        # Write THIS epoch's partition directory directly — same
-        # __epoch=N layout the partitioned reader discovers, same
-        # replay idempotency (a replayed epoch overwrites exactly its
-        # own directory), but without the dynamic-overwrite machinery
-        # (per-partition sort + partition discovery) in every epoch.
-        (
-            pairs.write.mode("overwrite")
-            .parquet(f"{pairs_dir}/__epoch={int(epoch_id)}")
+        # ONE commit for the epoch: pairs ∪ fresh assignments under
+        # kind= partitions, written directly into this epoch's
+        # __epoch=N directory (same replay idempotency as before, no
+        # dynamic-overwrite machinery). fresh = cached assignment minus
+        # history (fresh_into — reads the persisted batch, never
+        # re-assigns). unionByName(allowMissingColumns) fills the
+        # other kind's columns with NULLs; partition pruning on kind
+        # means neither reader ever decodes them.
+        # coalesce(1): both outputs are micro-batch-bounded; committing
+        # 32 near-empty task files per epoch is the classic streaming
+        # small-files anti-pattern AND ~2x the epoch's commit overhead
+        # (a large deployment would coalesce to ceil(bytes/128MB)).
+        bundle = pairs.withColumn("kind", F.lit("pairs")).unionByName(
+            fresh_frames[0].withColumn("kind", F.lit("assign")),
+            allowMissingColumns=True,
         )
-        # fresh = cached assignment minus history (exposed by the
-        # operator via fresh_into — reads the persisted batch, never
-        # re-assigns); NOT (store ∪ fresh) anti store, which re-scanned
-        # the unbounded store twice per epoch for the same rows
-        fresh = fresh_frames[0]
         (
-            fresh.write.mode("overwrite")
-            .parquet(f"{store_dir}/__epoch={int(epoch_id)}")
+            bundle.coalesce(1)
+            .write.partitionBy("kind")
+            .mode("overwrite")
+            .parquet(f"{out_dir}/__epoch={int(epoch_id)}")
         )
         for c in caches:
             c.unpersist()

@@ -437,7 +437,7 @@ def test_streaming_semdedup_ingest(spark, tmp_path):
     emb.filter(F.col("vec_id") >= 150).coalesce(1).write.parquet(
         str(src / "b2.parquet")
     )
-    pairs_dir, store_dir = str(tmp_path / "pairs"), str(tmp_path / "store")
+    out_dir = str(tmp_path / "out")
     stream = (
         spark.readStream.schema(sev.EMB_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -445,9 +445,31 @@ def test_streaming_semdedup_ingest(spark, tmp_path):
         .option("pathGlobFilter", "*.parquet")
         .parquet(str(src))
     )
-    sink = sev.semdedup_ingest_sink(
-        pairs_dir, store_dir, cent, threshold=th, nsplits=nsp
-    )
+    sink = sev.semdedup_ingest_sink(out_dir, cent, threshold=th, nsplits=nsp)
+
+    # kind-partitioned epoch bundles: each reader declares its own
+    # schema and prunes on the kind partition (the sink's contract)
+    def read_pairs():
+        return (
+            spark.read.schema(
+                "id_a long, id_b long, cosine double,"
+                " kind string, __epoch int"
+            )
+            .parquet(out_dir)
+            .filter(F.col("kind") == "pairs")
+            .drop("kind")
+        )
+
+    def read_store():
+        return (
+            spark.read.schema(
+                "doc long, vec array<float>, centroid_id bigint,"
+                " kind string, __epoch int"
+            )
+            .parquet(out_dir)
+            .filter(F.col("kind") == "assign")
+            .drop("kind")
+        )
     q = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -458,10 +480,10 @@ def test_streaming_semdedup_ingest(spark, tmp_path):
     finally:
         q.stop()
 
-    written = spark.read.parquet(pairs_dir)
+    written = read_pairs()
     assert written.select("__epoch").distinct().count() == 2
     key = lambda r: (r["id_a"], r["id_b"], round(r["cosine"], 9))
-    got = {key(r) for r in written.collect()}
+    got = {key(r) for r in written.select("id_a", "id_b", "cosine").collect()}
 
     assigned = similarity.ivf_assign(
         emb, cent, centroid_id="cid", centroid_vec="cv"
@@ -488,12 +510,17 @@ def test_streaming_semdedup_ingest(spark, tmp_path):
     assert got == want and want
 
     # replay epoch 0: pair and store partitions must not change
-    before = sorted(tuple(r) for r in spark.read.parquet(pairs_dir).collect())
-    store_before = spark.read.parquet(store_dir).count()
+    before = sorted(tuple(r) for r in read_pairs().collect())
+    store_rows_before = sorted(
+        tuple(r) for r in read_store().select("doc", "centroid_id").collect()
+    )
     sink(spark.read.parquet(str(src / "b1.parquet")), 0)
-    after = sorted(tuple(r) for r in spark.read.parquet(pairs_dir).collect())
+    after = sorted(tuple(r) for r in read_pairs().collect())
     assert after == before
-    assert spark.read.parquet(store_dir).count() == store_before
+    store_rows_after = sorted(
+        tuple(r) for r in read_store().select("doc", "centroid_id").collect()
+    )
+    assert store_rows_after == store_rows_before
 
 
 def test_png_raster_roundtrip_all_filters():
