@@ -216,6 +216,10 @@ HEADLINE = [
     "corpus_tokenizer_fertility",
     "events_entropy_rate",
     "nation_revenue_gini",
+    # round-10 new operators
+    "docs_quality_classifier",
+    "embedding_kmeanspp_seeds",
+    "docs_bpe_train_vocab",
 ]
 
 # Exact verification baselines (VERDICT r09 item 4): intentionally

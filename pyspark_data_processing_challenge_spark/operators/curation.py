@@ -178,3 +178,157 @@ def pack_sequences(
         F.floor(start / F.lit(capacity)).cast("long").alias("seq_id"),
         (start % F.lit(capacity)).cast("long").alias("seq_offset"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    int_weights: Sequence[int],
+    scale: int = 4,
+) -> DataFrame:
+    """fastText-style linear quality classifier with no model
+    dependency: hashing-trick bag-of-words features (Weinberger et al.
+    2009 — the docs_hashed_features scheme: bucket = char_hash % dim,
+    sign from the hash's next bit) dotted with a fixed integer weight
+    vector, squashed through a sigmoid.
+
+    Engine-portability is designed in (the CLAUDE.md float rules):
+    the dot product is an EXACT BIGINT — each token contributes
+    ``sign * int_weights[bucket]`` and integer sums are
+    order-independent, so no float ever rides through a shuffle. The
+    logit is one IEEE division of exact integers,
+    ``z_num / (scale * dl)`` (dl = token count, the per-doc length
+    normalizer), and the only transcendental is the final sigmoid.
+
+    Scale shape: tokenize → per-token weight term → ONE groupBy(id)
+    aggregate (map-side combined); the weight vector is a single
+    64-int array literal in the plan, never a join. Inference over
+    100 TB is a scan + one keys-only shuffle.
+
+    Returns (id, dl, z_num, logit, prob, keep): exact token count and
+    integer dot, the raw logit/probability (UNrounded — query-layer
+    rounds for hashed outputs), and keep = z_num >= 0 (exact-integer
+    decision, no float threshold).
+    """
+    dim = len(int_weights)
+    if dim == 0:
+        raise ValueError("int_weights must be non-empty")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(textfns.tokens(F.col(text_col))).alias("tok"),
+    )
+    staged = toks.withColumn("__h", textfns.char_hash(F.col("tok")))
+    wlit = F.lit([int(x) for x in int_weights])
+    sgn = F.when(
+        (F.floor(F.col("__h") / dim) % 2) == 0, F.lit(1)
+    ).otherwise(F.lit(-1)).cast("long")
+    term = sgn * F.element_at(
+        wlit, (F.col("__h") % dim).cast("int") + F.lit(1)
+    ).cast("long")
+    agg = staged.select("id", term.alias("__term")).groupBy("id").agg(
+        F.sum("__term").alias("z_num"), F.count(F.lit(1)).alias("dl")
+    )
+    logit = F.col("z_num").cast("double") / (
+        F.lit(float(scale)) * F.col("dl").cast("double")
+    )
+    return agg.select(
+        "id",
+        "dl",
+        "z_num",
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+        (F.col("z_num") >= 0).alias("keep"),
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, *, n_merges: int
+) -> DataFrame:
+    """BPE tokenizer TRAINING to a merge list (Sennrich et al. 2016),
+    distributed — the N-iteration composition of the single
+    docs_bpe_merge_step: repeatedly count adjacent symbol pairs, take
+    the best merge (max count, lexicographic tie-break), apply it
+    corpus-wide, and continue on the merged symbols.
+
+    Scale shape (what real corpus-scale BPE trainers do): the corpus
+    collapses ONCE to the distinct-word frequency table — pair counts
+    are then frequency-weighted sums over the (small) word vocabulary,
+    so each training iteration is one pair-keyed aggregate over vocab
+    rows, NOT a rescan of 100 TB of text. Each iteration
+    localCheckpoints the rewritten word table (the CLAUDE.md
+    iterative-operator rule — without it iteration k re-executes all
+    k-1 prior rewrites) and collects exactly ONE row (the argmax pair)
+    to drive the next plan.
+
+    Merge semantics: ``replace(word, pair, chr(i))`` — leftmost
+    non-overlapping greedy, BPE's definition ("aaaa" under merge "aa"
+    is two merged symbols). Each merge's symbol is a distinct sentinel
+    char, so later pairs can span merged symbols; the returned
+    ``pair`` column expands sentinels recursively to a bracketed
+    display form ("[ab]c" = merge of the ab-symbol with c).
+
+    Returns one row per executed merge: (merge_rank, pair, n,
+    n_symbols) with n = the merge's weighted pair count and n_symbols
+    = the distinct symbol count of the FINAL rewritten vocabulary
+    (base characters + surviving merge symbols) — the trained vocab
+    size. All counts are exact BIGINTs; the only strings are sentinel
+    arithmetic — an external SQL engine replays the whole loop
+    bit-identically.
+    """
+    if n_merges < 1 or n_merges > 30:
+        raise ValueError("n_merges must be in [1, 30] (sentinel chars)")
+    spark = df.sparkSession
+    words = df.select(F.explode(textfns.tokens(F.col(text_col))).alias("w"))
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, int]] = []
+    for i in range(1, n_merges + 1):
+        c = F.split(F.col("w"), "")
+        pairs = wf.select(
+            "f",
+            F.explode(
+                F.when(
+                    F.size(c) < 2, F.array().cast("array<string>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(c) - 2),
+                        lambda j: F.concat_ws("", F.slice(c, j + 1, 2)),
+                    )
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        mp, n = best[0]["pair"], int(best[0]["n"])
+        merges.append((i, mp, n))
+        wf = wf.select(
+            F.replace(F.col("w"), F.lit(mp), F.lit(chr(i))).alias("w"), "f"
+        ).localCheckpoint()
+    n_symbols = int(
+        wf.select(F.explode(F.split(F.col("w"), "")).alias("ch"))
+        .agg(F.count_distinct("ch"))
+        .collect()[0][0]
+    )
+    disp: dict[int, str] = {}
+    rows = []
+    for i, mp, n in merges:
+        s = mp
+        for j in range(i - 1, 0, -1):
+            s = s.replace(chr(j), "[" + disp[j] + "]")
+        disp[i] = s
+        rows.append((i, s, n, n_symbols))
+    return spark.createDataFrame(
+        rows, "merge_rank long, pair string, n long, n_symbols long"
+    )

@@ -228,6 +228,86 @@ def codebook_assign_column(
     return best["cid"]
 
 
+def kmeanspp_seed(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int,
+    n_candidates: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-means++ (maximin / Gonzalez) seeding for every
+    clustering consumer in this repo (SemDeDup, IVF, PQ), replacing the
+    convention "first-k ids" codebook init.
+
+    Scale shape (the lsh_recall_eval sampling pattern): the candidate
+    set is a FIXED-SIZE deterministic sample — the ``n_candidates``
+    vectors with the smallest portable char_hash(id || salt), a
+    TakeOrdered over one scan, never a fraction of n — so seeding cost
+    does not grow at 100x. The maximin loop then runs driver-side over
+    the collected candidates (bounded by construction — the same class
+    as the codebook collect every IVF/PQ consumer already does).
+
+    Determinism + portability: seed 1 is the hash-order-first
+    candidate; each subsequent seed is the candidate maximizing its
+    minimum squared-L2 distance to the chosen set (ties -> smallest
+    id). Squared L2 is a left-to-right fold over float64 casts —
+    Python's sequential loop, Spark's F.aggregate, and DuckDB's
+    list_reduce all produce bit-identical doubles, so an external SQL
+    replay of the whole greedy loop hash-matches.
+
+    Returns (seed_rank, id, vec, min_dist2): rank 1..k, the seed's id
+    and float64 vector (feed ``.select(id as cid, vec as cv)`` straight
+    into ivf_assign / the Lloyd step), and the maximin distance at
+    selection time (0.0 for seed 1 — its distance to itself;
+    NULL would round-trip as NaN through Arrow/pandas readers).
+    """
+    if k < 1 or n_candidates < k:
+        raise ValueError("need n_candidates >= k >= 1")
+    from ..functions.textfns import char_hash
+
+    cand_rows = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            char_hash(
+                F.concat(F.col(id_col).cast("string"), F.lit(salt))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "id")
+        .limit(n_candidates)
+        .collect()
+    )
+    if not cand_rows:
+        raise ValueError("empty input")
+
+    def d2(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            diff = x - y
+            acc = acc + diff * diff
+        return acc
+
+    first = cand_rows[0]
+    chosen: list[tuple] = [(1, first["id"], list(first["vec"]), 0.0)]
+    rest = [[r["id"], list(r["vec"]), 0.0] for r in cand_rows[1:]]
+    for e in rest:
+        e[2] = d2(e[1], chosen[0][2])
+    for rank in range(2, min(k, len(cand_rows)) + 1):
+        best = min(rest, key=lambda e: (-e[2], e[0]))
+        chosen.append((rank, best[0], best[1], best[2]))
+        rest = [e for e in rest if e[0] != best[0]]
+        for e in rest:
+            nd = d2(e[1], best[1])
+            if nd < e[2]:
+                e[2] = nd
+    return df.sparkSession.createDataFrame(
+        chosen,
+        "seed_rank long, id long, vec array<double>, min_dist2 double",
+    )
+
+
 def codebook_assign_udf(codebook: list[tuple[int, list[float]]]):
     """Arrow-batched twin of :func:`codebook_assign_column`: argmax-
     cosine centroid id as a pandas UDF over a driver-side numpy

@@ -29,73 +29,68 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- round-9 additions (first driver verdict needed) ---
-    "near_dup_keep_best",  # new: keep-best-per-cluster curation policy
-    "image_video_cross_near_dup",  # new: image vs video-keyframe pHash join
-    "docs_kneser_ney_ppl",  # new: interpolated KN bigram LM quality score
-    "revenue_mann_kendall",  # new: nonparametric trend test, exact S/ties
-    "customers_mahalanobis_outliers",  # new: closed-form 2-D outlier screen
-    "ivf_ndcg_eval",  # new: position-graded ANN quality gate
-    "parts_jaccard_similarity",  # new: item-item CF set similarity
-    "minhash_precision_eval",  # new: estimator false-positive gate
-    "semdedup_recall_eval",  # new: cluster-restriction recall gate
-    "revenue_runs_test",  # new: Wald-Wolfowitz serial-independence screen
-    "corpus_tokenizer_fertility",  # new: per-language tokenizer cost table
-    "events_entropy_rate",  # new: Markov-chain predictability summary
-    "nation_revenue_gini",  # new: revenue-concentration inequality summary
-    # --- oldest-verdict re-verification rotation (VERDICT r08 item 1):
-    # the 14 r02-vintage rows — shared utilities under them (spread,
-    # _util.t, fast_text) changed in r06-r08, so their driver verdicts
-    # predate the code they now run through ---
-    "ref_flagship_pipeline",  # r01+r02
-    "minhash_near_dup",  # r02+r03
-    "simhash_near_dup",  # r02
-    "embedding_topk",  # r02
-    "embedding_lsh_buckets",  # r02
-    "near_dup_clusters",  # r02
-    "curate_corpus",  # r02
-    "minhash_signatures_fast",  # r02
-    "dedup_drop_exact",  # r02
-    "docs_quality",  # r02
-    "docs_lang_id",  # r02
-    "docs_token_stats",  # r02
-    "op_dedup_subset",  # r02
-    "agg_salted_revenue",  # r02
-    # --- the 17 r04-vintage rows (oldest after r02) ---
-    "sessionize_events",  # r01+r02+r04
-    "agg_pricing_summary",  # r04
-    "join_revenue_by_nation",  # r04
-    "docs_repetition",  # r04
-    "events_variant_stats",  # r04
-    "approx_percentiles_by_type",  # r04
-    "image_phash",  # r04
-    "image_phash_near_dup",  # r04
-    "docs_decontaminate",  # r04
-    "docs_split_assign",  # r04
-    "docs_pack_sequences",  # r04
-    "profile_orders",  # r04
-    "kmeans_two_step",  # r04
-    "docs_domain_mix",  # r04
-    "embedding_quantize",  # r04
-    "docs_sentences_udtf",  # r04
-    "events_grouped_center",  # r04
-    # --- r05-vintage re-verification FILLERS (next-oldest after
-    # the r02/r04 set). Each round-9 catalog addition displaces
-    # one filler (new queries pin ABOVE this section; displaced
-    # fillers return to _ROTATED_OUT) so the window stays at 50. ---
-    "docs_dup_spans",  # r05-vintage
-    "docs_strip_dup_spans",  # r05-vintage
-    "docs_weighted_sample",  # r05-vintage
-    "user_streaks",  # r05-vintage
-    "docs_char_entropy",  # r05-vintage
-    "events_arrow_scaled",  # r05-vintage
+    # --- round-10 additions (first driver verdict needed) ---
+    "docs_quality_classifier",  # new: hashed-feature linear quality scorer
+    "embedding_kmeanspp_seeds",  # new: deterministic k-means++ (maximin) seeding
+    "docs_bpe_train_vocab",  # new: N-merge BPE training loop
+    # --- oldest-verdict re-verification rotation (VERDICT r09
+    # item 3): the 43 r05-vintage rows — the oldest band after the
+    # r09 rotation — re-verify in this window ---
+    "multimodal_decode",  # was r02+r05-vintage
+    "ref_flagship_pipeline_keyed",  # was r02+r05-vintage
+    "ivfpq_topk",  # was r05-vintage
+    "orders_pit_acctbal",  # was r05-vintage
+    "events_funnel",  # was r05-vintage
+    "sketch_merge_distinct",  # was r05-vintage
+    "docs_hashed_features",  # was r05-vintage
+    "docs_bm25",  # was r05-vintage
+    "events_m4_downsample",  # was r05-vintage
+    "sessionize_events_native",  # was r05-vintage
+    "pq_topk",  # was r05-vintage
+    "orders_hilbert",  # was r05-vintage
+    "orders_zvalue",  # was r05-vintage
+    "approx_distinct_stats",  # was r04+r05-vintage
+    "cdc_merge_orders",  # was r02+r05-vintage
+    "scd2_customer_history",  # was r02+r05-vintage
+    "ivf_assignments",  # was r02+r05-vintage
+    "ivf_topk",  # was r02+r05-vintage
+    "tfidf_top_terms",  # was r02+r05-vintage
+    "cube_orders",  # was r02+r05-vintage
+    "top_terms",  # was r02+r05-vintage
+    "string_functions",  # was r02+r05-vintage
+    "date_functions",  # was r02+r05-vintage
+    "range_join_promos",  # was r02+r05-vintage
+    "unpivot_lineitem",  # was r02+r05-vintage
+    "grouping_sets_orders",  # was r02+r05-vintage
+    "stratified_sample_docs",  # was r02+r05-vintage
+    "posexplode_tokens",  # was r02+r05-vintage
+    "regex_extract_parts",  # was r02+r05-vintage
+    "window_rank_stats",  # was r02+r05-vintage
+    "agg_conditional",  # was r02+r05-vintage
+    "kmeans_update_centroids",  # was r02+r05-vintage
+    "doc_length_histogram",  # was r02+r05-vintage
+    "multimodal_media_decode",  # was r04+r05-vintage
+    "docs_bpe_token_count",  # was r02+r05-vintage
+    "join_regional_revenue",  # was r02+r05-vintage
+    "rolling_7d_revenue",  # was r02+r05-vintage
+    "agg_topk_orders",  # was r04+r05-vintage
+    "docs_outlier_trim",  # was r04+r05-vintage
+    "fuzzy_match_parts",  # was r04+r05-vintage
+    "docs_pii_scrub",  # was r04+r05-vintage
+    "cdc_merge_delete_orders",  # was r04+r05-vintage
+    "snapshot_diff_orders",  # was r04+r05-vintage
+    # --- r06-vintage FILLERS (next-oldest) to hold the window at 50 ---
+    "pq_codes",  # r06-vintage
+    "pq_trained_topk",  # r06-vintage
+    "image_phash_jpeg_near_dup",  # r06-vintage
+    "docs_char_entropy_explode",  # r06-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
-    # r09 rotation: the entire 50-slot r08 window came back green
-    # (CORRECTNESS_r08 50/50) and rotates out to fund the oldest-
-    # verdict (r02/r04-vintage) re-verification set + round-9 adds.
+    # r10 rotation: the entire 50-slot r09 window came back green
+    # (CORRECTNESS_r09 50/50) and rotates out to fund the oldest-
+    # verdict (r05-vintage) re-verification set + round-10 adds.
     "docs_semantic_dedup": "r08",
     "bootstrap_mean_ci": "r08",
     "lsh_recall_eval": "r08",
@@ -146,12 +141,6 @@ _ROTATED_OUT = {
     "window_lag_delta": "r01+r08",
     "ngram_jaccard_pairs": "r01+r08",
     "minhash_signatures": "r01+r08",
-    # round-6 window (all 50 green r06 — the first fully green round
-    # at the window cap; rotated out to fund the r07 queue + r01 tail)
-    "pq_codes": "r06",
-    "pq_trained_topk": "r06",
-    "image_phash_jpeg_near_dup": "r06",
-    "docs_char_entropy_explode": "r06",
     "docs_bpe_pair_counts": "r06",
     "audio_features": "r06",
     "video_frame_stats": "r06",
@@ -198,10 +187,6 @@ _ROTATED_OUT = {
     "docs_unigram_surprisal": "r06",
     "split_oov_rate": "r06",
     "nation_trade_pagerank2": "r06",
-    # r08 rotation: the entire 50-slot r07 window came back green
-    # (CORRECTNESS_r07 50/50) and rotates out to fund the 18-query
-    # never-checked queue + the oldest-verdict re-verification set.
-    # round-7 additions, first verdict r07:
     "image_rgb_phash_near_dup": "r07",
     "image_rgb_histogram": "r07",
     "audio_spectral_features": "r07",
@@ -212,7 +197,6 @@ _ROTATED_OUT = {
     "revenue_cusum_shifts": "r07",
     "revenue_acf": "r07",
     "pyds_docs_pushdown": "r07",
-    # queued-since-round-6 entries, first verdict r07:
     "collection_functions": "r07",
     "map_functions": "r07",
     "target_encode_priority": "r07",
@@ -226,7 +210,6 @@ _ROTATED_OUT = {
     "funnel_dropoff": "r07",
     "sketch_overlap_users": "r07",
     "corpus_manifest": "r07",
-    # the r01-only tail re-verified in the r07 window:
     "events_json_stats": "r01+r07",
     "percentiles_by_type": "r01+r07",
     "rollup_lineitem": "r01+r07",
@@ -254,53 +237,56 @@ _ROTATED_OUT = {
     "op_standardize_units": "r01+r07",
     "op_null_counts": "r01+r07",
     "asof_join_purchases": "r01+r07",
-    # r04-verdict entries NOT in the r08 re-verify rotation (50 slots
-    # full; they queue for r09):
-    # round-5 front-pinned additions: green r05 verdicts
-    # re-verified green in the r05 window
-    "multimodal_decode": "r02+r05",  # displaced r09 filler (slot went to near_dup_keep_best)
-    "ref_flagship_pipeline_keyed": "r02+r05",  # displaced r09 filler (slot went to image_video_cross_near_dup)
-    "ivfpq_topk": "r05",  # displaced r09 filler (slot went to docs_kneser_ney_ppl)
-    "orders_pit_acctbal": "r05",  # displaced r09 filler (slot went to revenue_mann_kendall)
-    "events_funnel": "r05",  # displaced r09 filler (slot went to customers_mahalanobis_outliers)
-    "sketch_merge_distinct": "r05",  # displaced r09 filler (slot went to ivf_ndcg_eval)
-    "docs_hashed_features": "r05",  # displaced r09 filler (slot went to parts_jaccard_similarity)
-    "docs_bm25": "r05",  # displaced r09 filler (slot went to minhash_precision_eval)
-    "events_m4_downsample": "r05",  # displaced r09 filler (slot went to semdedup_recall_eval)
-    "sessionize_events_native": "r05",  # displaced r09 filler (slot went to revenue_runs_test)
-    "pq_topk": "r05",  # displaced r09 filler (slot went to corpus_tokenizer_fertility)
-    "orders_hilbert": "r05",  # displaced r09 filler (slot went to events_entropy_rate)
-    "orders_zvalue": "r05",  # displaced r09 filler (slot went to nation_revenue_gini)
-    "approx_distinct_stats": "r04+r05",
-    "cdc_merge_orders": "r02+r05",
-    "scd2_customer_history": "r02+r05",
-    "ivf_assignments": "r02+r05",
-    "ivf_topk": "r02+r05",
-    "tfidf_top_terms": "r02+r05",
-    "cube_orders": "r02+r05",
-    "top_terms": "r02+r05",
-    "string_functions": "r02+r05",
-    "date_functions": "r02+r05",
-    "range_join_promos": "r02+r05",
-    "unpivot_lineitem": "r02+r05",
-    "grouping_sets_orders": "r02+r05",
-    "stratified_sample_docs": "r02+r05",
-    "posexplode_tokens": "r02+r05",
-    "regex_extract_parts": "r02+r05",
-    "window_rank_stats": "r02+r05",
-    "agg_conditional": "r02+r05",
-    "kmeans_update_centroids": "r02+r05",
-    "doc_length_histogram": "r02+r05",
-    "multimodal_media_decode": "r04+r05",
-    "docs_bpe_token_count": "r02+r05",
-    "join_regional_revenue": "r02+r05",
-    "rolling_7d_revenue": "r02+r05",
-    "agg_topk_orders": "r04+r05",
-    "docs_outlier_trim": "r04+r05",
-    "fuzzy_match_parts": "r04+r05",
-    "docs_pii_scrub": "r04+r05",
-    "cdc_merge_delete_orders": "r04+r05",
-    "snapshot_diff_orders": "r04+r05",
+    "near_dup_keep_best": "r09",
+    "image_video_cross_near_dup": "r09",
+    "docs_kneser_ney_ppl": "r09",
+    "revenue_mann_kendall": "r09",
+    "customers_mahalanobis_outliers": "r09",
+    "ivf_ndcg_eval": "r09",
+    "parts_jaccard_similarity": "r09",
+    "minhash_precision_eval": "r09",
+    "semdedup_recall_eval": "r09",
+    "revenue_runs_test": "r09",
+    "corpus_tokenizer_fertility": "r09",
+    "events_entropy_rate": "r09",
+    "nation_revenue_gini": "r09",
+    "ref_flagship_pipeline": "r01+r02+r09",
+    "minhash_near_dup": "r02+r03+r09",
+    "simhash_near_dup": "r02+r09",
+    "embedding_topk": "r02+r09",
+    "embedding_lsh_buckets": "r02+r09",
+    "near_dup_clusters": "r02+r09",
+    "curate_corpus": "r02+r09",
+    "minhash_signatures_fast": "r02+r09",
+    "dedup_drop_exact": "r02+r09",
+    "docs_quality": "r02+r09",
+    "docs_lang_id": "r02+r09",
+    "docs_token_stats": "r02+r09",
+    "op_dedup_subset": "r02+r09",
+    "agg_salted_revenue": "r02+r09",
+    "sessionize_events": "r01+r02+r04+r09",
+    "agg_pricing_summary": "r04+r09",
+    "join_revenue_by_nation": "r04+r09",
+    "docs_repetition": "r04+r09",
+    "events_variant_stats": "r04+r09",
+    "approx_percentiles_by_type": "r04+r09",
+    "image_phash": "r04+r09",
+    "image_phash_near_dup": "r04+r09",
+    "docs_decontaminate": "r04+r09",
+    "docs_split_assign": "r04+r09",
+    "docs_pack_sequences": "r04+r09",
+    "profile_orders": "r04+r09",
+    "kmeans_two_step": "r04+r09",
+    "docs_domain_mix": "r04+r09",
+    "embedding_quantize": "r04+r09",
+    "docs_sentences_udtf": "r04+r09",
+    "events_grouped_center": "r04+r09",
+    "docs_dup_spans": "r05+r09",
+    "docs_strip_dup_spans": "r05+r09",
+    "docs_weighted_sample": "r05+r09",
+    "user_streaks": "r05+r09",
+    "docs_char_entropy": "r05+r09",
+    "events_arrow_scaled": "r05+r09",
 }
 
 

@@ -4399,7 +4399,211 @@ FROM held GROUP BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier (fastText-style inference;
+# operators/curation.hashed_linear_score)
+# ---------------------------------------------------------------------------
+
+QC_DIM = 64
+# Fixed "trained" integer weight vector — a deterministic mix of signs
+# and magnitudes in [-8, 8]. Integer weights make the per-doc dot an
+# exact BIGINT (order-independent through shuffles); a real deployment
+# would quantize its trained float weights the same way (8-bit
+# quantization is standard for linear text classifiers).
+QC_WEIGHTS = [((7 * b + 3) % 17) - 8 for b in range(QC_DIM)]
+QC_SCALE = 4
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free quality-classifier inference at corpus scale: hashed
+    bag-of-words features (the docs_hashed_features scheme) dotted with
+    the fixed QC_WEIGHTS vector, length-normalized logit, sigmoid
+    probability, and an exact-integer keep decision (z_num >= 0 — no
+    float ever decides). One scan + one keys-only aggregate; the weight
+    vector is a 64-int array literal in the plan, never a join."""
+    from ..operators import curation
+
+    d = t(spark, sf_dir, "documents")
+    out = curation.hashed_linear_score(
+        d, "text", "doc_id", int_weights=QC_WEIGHTS, scale=QC_SCALE
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "dl",
+        "z_num",
+        round_to(F.col("logit"), 6).alias("logit"),
+        round_to(F.col("prob"), 6).alias("prob"),
+        "keep",
+    )
+
+
+def _qc_sql() -> str:
+    wlist = ", ".join(str(w) for w in QC_WEIGHTS)
+    z = f"(z_num::DOUBLE / ({QC_SCALE} * dl)::DOUBLE)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens("text")}) AS tok FROM documents
+),
+terms AS (
+  SELECT doc_id,
+         (CASE WHEN (__h // {QC_DIM}) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+           * ([{wlist}])[(__h % {QC_DIM})::INT + 1]::BIGINT AS term
+  FROM (SELECT doc_id, {sql_char_hash("tok")} AS __h FROM toks)
+),
+agg AS (
+  SELECT doc_id, sum(term)::BIGINT AS z_num, count(*)::BIGINT AS dl
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, dl, z_num,
+       {sql_round(z, 6)} AS logit,
+       {sql_round(f"1.0 / (1.0 + exp(-{z}))", 6)} AS prob,
+       z_num >= 0 AS keep
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means++ seeding (operators/similarity.kmeanspp_seed)
+# ---------------------------------------------------------------------------
+
+KMPP_K = 8
+KMPP_CANDIDATES = 64
+KMPP_SALT = "kmpp"
+
+
+def embedding_kmeanspp_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means++ (maximin) seeds over the embedding
+    corpus: the {KMPP_K} seeds greedily chosen from a fixed
+    {KMPP_CANDIDATES}-candidate char_hash sample (seed 1 = hash-order
+    first; each next seed maximizes its min squared-L2 distance to the
+    chosen set, ties to the smallest id). The oracle replays the whole
+    greedy loop in SQL with the same left-fold distance arithmetic —
+    bit-identical doubles, so the maximin distances hash-match."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    seeds = similarity.kmeanspp_seed(
+        emb, k=KMPP_K, n_candidates=KMPP_CANDIDATES, salt=KMPP_SALT
+    )
+    return seeds.select(
+        "seed_rank",
+        F.col("id").alias("vec_id"),
+        round_to(F.col("min_dist2"), 6).alias("min_dist2"),
+    )
+
+
+def _kmpp_sql() -> str:
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+            f"(x, y) -> x + y)"
+        )
+
+    h = sql_char_hash(f"vec_id::VARCHAR || '{KMPP_SALT}'")
+    parts = [
+        f"""
+WITH cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {h} AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT {KMPP_CANDIDATES}
+),
+s1 AS (SELECT vec_id, v FROM cand ORDER BY h, vec_id LIMIT 1),
+m1 AS (
+  SELECT c.vec_id, c.v, {d2("c.v", "s.v")} AS md
+  FROM cand c, s1 s WHERE c.vec_id <> s.vec_id
+)"""
+    ]
+    for i in range(2, KMPP_K + 1):
+        parts.append(
+            f""",
+s{i} AS (SELECT vec_id, v, md FROM m{i - 1}
+         ORDER BY md DESC, vec_id LIMIT 1)"""
+        )
+        if i < KMPP_K:
+            parts.append(
+                f""",
+m{i} AS (
+  SELECT c.vec_id, c.v, least(c.md, {d2("c.v", "s.v")}) AS md
+  FROM m{i - 1} c, s{i} s WHERE c.vec_id <> s.vec_id
+)"""
+            )
+    selects = [
+        "SELECT 1::BIGINT AS seed_rank, vec_id, 0.0::DOUBLE AS min_dist2"
+        " FROM s1"
+    ] + [
+        f"SELECT {i}::BIGINT, vec_id, {sql_round('md', 6)} FROM s{i}"
+        for i in range(2, KMPP_K + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# BPE training to a merge list (operators/curation.bpe_train_merges)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 6
+
+
+def docs_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus: {BPE_TRAIN_MERGES}
+    greedy merge iterations on the frequency-weighted distinct-word
+    table (one localCheckpoint + one pair-keyed aggregate per
+    iteration), emitting the ordered merge list with each merge's
+    weighted count and the final trained symbol-vocabulary size. The
+    oracle replays all iterations in unrolled SQL — byte-identical
+    merge choices, counts, and display forms."""
+    from ..operators import curation
+
+    d = spread(t(spark, sf_dir, "documents"))
+    return curation.bpe_train_merges(d, "text", n_merges=BPE_TRAIN_MERGES)
+
+
+def _bpe_train_sql() -> str:
+    n = BPE_TRAIN_MERGES
+    ctes = [
+        f"""toks AS (
+  SELECT unnest({sql_tokens("text")}) AS w FROM documents
+),
+wf0 AS (SELECT w, count(*)::BIGINT AS f FROM toks GROUP BY w)"""
+    ]
+    for i in range(1, n + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT c[k] || c[k + 1] AS pair, f
+  FROM (SELECT string_split(w, '') AS c, f FROM wf{i - 1}),
+       unnest(range(1, greatest(length(c) - 1, 0) + 1)) AS u(k)
+),
+b{i} AS (SELECT pair, sum(f)::BIGINT AS n FROM p{i} GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 1),
+wf{i} AS (SELECT replace(w, (SELECT pair FROM b{i}), chr({i})) AS w, f
+          FROM wf{i - 1})"""
+        )
+        de = f"(SELECT pair FROM b{i})"
+        for j in range(i - 1, 0, -1):
+            de = (
+                f"replace({de}, chr({j}),"
+                f" '[' || (SELECT s FROM d{j}) || ']')"
+            )
+        ctes.append(f"d{i} AS (SELECT {de} AS s)")
+    ctes.append(
+        f"""sym AS (
+  SELECT count(DISTINCT ch)::BIGINT AS n_symbols
+  FROM (SELECT unnest(string_split(w, '')) AS ch FROM wf{n})
+)"""
+    )
+    selects = [
+        f"SELECT {i}::BIGINT AS merge_rank, (SELECT s FROM d{i}) AS pair,"
+        f" (SELECT n FROM b{i}) AS n, sym.n_symbols FROM sym"
+        for i in range(1, n + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
 QUERIES = {
+    "docs_quality_classifier": docs_quality_classifier,
+    "embedding_kmeanspp_seeds": embedding_kmeanspp_seeds,
+    "docs_bpe_train_vocab": docs_bpe_train_vocab,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_bigram_surprisal": docs_bigram_surprisal,
     "corpus_scaling_curve": corpus_scaling_curve,
@@ -4474,6 +4678,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_quality_classifier": _qc_sql(),
+    "embedding_kmeanspp_seeds": _kmpp_sql(),
+    "docs_bpe_train_vocab": _bpe_train_sql(),
     "docs_unigram_surprisal": _SURPRISAL_SQL,
     "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "corpus_scaling_curve": _SCALING_SQL,

@@ -94,3 +94,70 @@ def test_ivfpq_probes_subset_and_broadcasts(spark):
     assert len(rows) == advanced.PQ_TOPK
     assert plans.broadcast_join_count(top) >= 3  # centroids, probes, codebook
     assert plans.sort_merge_join_count(top) == 0
+
+
+def test_kmeanspp_seeds_beat_convention_after_one_lloyd_step(spark):
+    """VERDICT r09 item 6: k-means++ (maximin) seeding must improve the
+    spherical-k-means objective (mean cosine to the assigned centroid)
+    over the convention first-k-ids codebook, measured after ONE Lloyd
+    step from each init — the pq_lloyd_step precedent. Deterministic
+    data + deterministic seeding → a pinned relation, not a flaky
+    statistical bet (measured 0.2480 vs 0.2427 at sf0.001, 0.2449 vs
+    0.2417 at sf0.01)."""
+    from pyspark_data_processing_challenge_spark.functions import vectors
+    from pyspark_data_processing_challenge_spark.operators import similarity
+    from pyspark_data_processing_challenge_spark.queries._util import spread, t
+    from tests.conftest import SF_DIR
+
+    emb = spread(t(spark, SF_DIR, "embeddings"))
+
+    def one_step_objective(cent):
+        a = similarity.ivf_assign(
+            emb, cent, centroid_id="cid", centroid_vec="cv"
+        )
+        means = (
+            a.select("centroid_id", F.posexplode("vec").alias("dim", "v"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("v").alias("c"))
+        )
+        cent2 = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda x: x["c"],
+                ).alias("cv")
+            )
+            .select(F.col("centroid_id").alias("cid"), "cv")
+        )
+        a2 = similarity.ivf_assign(
+            emb, cent2, centroid_id="cid", centroid_vec="cv"
+        )
+        j = a2.join(cent2, a2.centroid_id == cent2.cid).select(
+            vectors.cosine(F.col("vec"), F.col("cv")).alias("cos")
+        )
+        return j.agg(F.avg("cos")).collect()[0][0]
+
+    seeds = similarity.kmeanspp_seed(emb, k=8, n_candidates=64, salt="kmpp")
+    pp = seeds.select(F.col("id").alias("cid"), F.col("vec").alias("cv"))
+    conv = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assert one_step_objective(pp) >= one_step_objective(conv)
+
+
+def test_kmeanspp_seed_determinism_and_shape(spark):
+    from pyspark_data_processing_challenge_spark.operators import similarity
+    from pyspark_data_processing_challenge_spark.queries._util import t
+    from tests.conftest import SF_DIR
+
+    emb = t(spark, SF_DIR, "embeddings")
+    a = similarity.kmeanspp_seed(emb, k=5, n_candidates=32, salt="x").collect()
+    b = similarity.kmeanspp_seed(emb, k=5, n_candidates=32, salt="x").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert [r["seed_rank"] for r in a] == [1, 2, 3, 4, 5]
+    assert len({r["id"] for r in a}) == 5
+    assert a[0]["min_dist2"] == 0.0
+    # maximin distances are non-increasing in rank
+    ds = [r["min_dist2"] for r in a[1:]]
+    assert all(x >= y for x, y in zip(ds, ds[1:]))
