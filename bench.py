@@ -220,6 +220,7 @@ HEADLINE = [
     "docs_quality_classifier",
     "embedding_kmeanspp_seeds",
     "docs_bpe_train_vocab",
+    "docs_perceptron_train",
 ]
 
 # Exact verification baselines (VERDICT r09 item 4): intentionally

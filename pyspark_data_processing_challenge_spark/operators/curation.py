@@ -332,3 +332,123 @@ def bpe_train_merges(
     return spark.createDataFrame(
         rows, "merge_rank long, pair string, n long, n_symbols long"
     )
+
+
+def perceptron_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label,
+    *,
+    dim: int = 64,
+    steps: int = 4,
+) -> DataFrame:
+    """Distributed BATCH PERCEPTRON training over hashing-trick
+    features — the training counterpart of
+    :func:`hashed_linear_score`'s inference, with the property that
+    makes corpus-scale training verifiable: every quantity in the loop
+    is an exact INTEGER (features are signed counts, weights start at
+    0 and move by integer aggregate updates, the misclassification
+    decision is ``y * z <= 0``), so there is no float summation order
+    to drift and an external SQL engine replays every step
+    bit-identically. This is the classic reason the perceptron — not
+    logistic SGD — is the distributed-exactness demonstration: SGD's
+    gradient is a float sum whose value depends on reduction order.
+
+    ``label`` is a Column evaluating to +1/-1 per row (weak labels —
+    e.g. a length or rule-based signal). Features: bucket =
+    char_hash(token) % dim with a sign bit (the docs_hashed_features
+    scheme) plus a constant bias feature at bucket ``dim``.
+
+    Per step (batch perceptron): z = x·w per doc (broadcast of the
+    dim+1-row weight table), misclassified = y*z <= 0, weight delta =
+    sum over misclassified of y*x per bucket (map-side-combined
+    aggregate over a doc-keyed equi-join — both sides corpus-sized, so
+    NO broadcast of the misclassified set), w += delta. The weight
+    table localCheckpoints per step (the iterative-operator rule — the
+    step-k plan otherwise re-executes all k-1 prior steps, twice each,
+    2^k blow-up); the feature table checkpoints once.
+
+    Returns one row per step: (step, n_errors, delta_l1) — training
+    error count and total absolute weight movement (0 = converged).
+    The per-step stats stay LAZY (a union of one-row aggregates over
+    the checkpointed inputs, evaluated once when the caller
+    materializes) — collecting them eagerly per step tripled the
+    action count and doubled wall time at bench scale.
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(textfns.tokens(F.col(text_col))).alias("tok"),
+    )
+    staged = toks.withColumn("__h", textfns.char_hash(F.col("tok")))
+    sgn = F.when(
+        (F.floor(F.col("__h") / dim) % 2) == 0, F.lit(1)
+    ).otherwise(F.lit(-1)).cast("long")
+    sparse = (
+        staged.select(
+            "id",
+            (F.col("__h") % dim).cast("long").alias("bucket"),
+            sgn.alias("__s"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("__s").alias("x"))
+        .filter(F.col("x") != 0)
+    )
+    bias = df.select(
+        F.col(id_col).alias("id"),
+        F.lit(dim).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("x"),
+    )
+    feats = sparse.unionByName(bias).localCheckpoint()
+    ydf = df.select(
+        F.col(id_col).alias("id"), label.cast("long").alias("y")
+    ).localCheckpoint()
+    w = spark.createDataFrame(
+        [(b, 0) for b in range(dim + 1)], "bucket long, w long"
+    ).localCheckpoint()
+    stats: list[DataFrame] = []
+    for step in range(1, steps + 1):
+        z = (
+            feats.join(F.broadcast(w), "bucket")
+            .groupBy("id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+        )
+        mis = (
+            z.join(ydf, "id")
+            .filter(F.col("y") * F.col("z") <= 0)
+            .select("id", "y")
+        )
+        g = (
+            feats.join(mis, "id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("x")).alias("g"))
+        )
+        w_new = (
+            w.join(g, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w") + F.coalesce(F.col("g"), F.lit(0))).alias("w"),
+            )
+            .localCheckpoint()
+        )
+        stats.append(
+            mis.agg(F.count(F.lit(1)).alias("n_errors"))
+            .crossJoin(
+                g.agg(
+                    F.coalesce(F.sum(F.abs(F.col("g"))), F.lit(0)).alias(
+                        "delta_l1"
+                    )
+                )
+            )
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("n_errors").cast("long"),
+                F.col("delta_l1").cast("long"),
+            )
+        )
+        w = w_new
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

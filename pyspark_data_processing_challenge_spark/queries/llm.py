@@ -4600,10 +4600,92 @@ wf{i} AS (SELECT replace(w, (SELECT pair FROM b{i}), chr({i})) AS w, f
     )
 
 
+# ---------------------------------------------------------------------------
+# batch-perceptron classifier training (operators/curation.perceptron_train)
+# ---------------------------------------------------------------------------
+
+PT_STEPS = 4
+PT_LABEL_MIN_DL = 15
+
+
+def docs_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier TRAINING (the counterpart of
+    docs_quality_classifier's inference): {PT_STEPS} batch-perceptron
+    steps over hashed bag-of-words features + bias, weak labels from
+    the length rule dl >= {PT_LABEL_MIN_DL}. Every step is
+    integer-exact (signed-count features, integer weight aggregates,
+    y*z <= 0 decisions), so the per-step error counts and weight
+    movement hash-match an unrolled SQL replay."""
+    from ..operators import curation
+
+    d = spread(t(spark, sf_dir, "documents"))
+    label = F.when(
+        textfns.token_count(F.col("text")) >= PT_LABEL_MIN_DL, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return curation.perceptron_train(
+        d, "text", "doc_id", label, dim=QC_DIM, steps=PT_STEPS
+    )
+
+
+def _pt_sql() -> str:
+    dim, nsteps = QC_DIM, PT_STEPS
+    ctes = [
+        f"""toks AS (
+  SELECT doc_id AS id, unnest({sql_tokens("text")}) AS tok FROM documents
+),
+sparse AS (
+  SELECT id, (__h % {dim})::BIGINT AS bucket,
+         sum(CASE WHEN (__h // {dim}) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+           AS x
+  FROM (SELECT id, {sql_char_hash("tok")} AS __h FROM toks)
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN (__h // {dim}) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+),
+feats AS (
+  SELECT * FROM sparse
+  UNION ALL
+  SELECT doc_id, {dim}::BIGINT, 1::BIGINT FROM documents
+),
+yl AS (
+  SELECT doc_id AS id,
+         (CASE WHEN {sql_token_count("text")} >= {PT_LABEL_MIN_DL}
+               THEN 1 ELSE -1 END)::BIGINT AS y
+  FROM documents
+),
+w0 AS (SELECT i::BIGINT AS bucket, 0::BIGINT AS w FROM range(0, {dim + 1}) t(i))"""
+    ]
+    for k in range(1, nsteps + 1):
+        ctes.append(
+            f"""z{k} AS (
+  SELECT f.id, sum(f.x * w.w)::BIGINT AS z
+  FROM feats f JOIN w{k - 1} w USING (bucket) GROUP BY f.id
+),
+mis{k} AS (
+  SELECT z.id, yl.y FROM z{k} z JOIN yl USING (id) WHERE yl.y * z.z <= 0
+),
+g{k} AS (
+  SELECT f.bucket, sum(m.y * f.x)::BIGINT AS g
+  FROM feats f JOIN mis{k} m USING (id) GROUP BY f.bucket
+),
+w{k} AS (
+  SELECT w.bucket, (w.w + coalesce(g.g, 0))::BIGINT AS w
+  FROM w{k - 1} w LEFT JOIN g{k} g USING (bucket)
+)"""
+        )
+    selects = [
+        f"SELECT {k}::BIGINT AS step,"
+        f" (SELECT count(*)::BIGINT FROM mis{k}) AS n_errors,"
+        f" (SELECT coalesce(sum(abs(g)), 0)::BIGINT FROM g{k}) AS delta_l1"
+        for k in range(1, nsteps + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
     "docs_quality_classifier": docs_quality_classifier,
     "embedding_kmeanspp_seeds": embedding_kmeanspp_seeds,
     "docs_bpe_train_vocab": docs_bpe_train_vocab,
+    "docs_perceptron_train": docs_perceptron_train,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_bigram_surprisal": docs_bigram_surprisal,
     "corpus_scaling_curve": corpus_scaling_curve,
@@ -4681,6 +4763,7 @@ ORACLES = {
     "docs_quality_classifier": _qc_sql(),
     "embedding_kmeanspp_seeds": _kmpp_sql(),
     "docs_bpe_train_vocab": _bpe_train_sql(),
+    "docs_perceptron_train": _pt_sql(),
     "docs_unigram_surprisal": _SURPRISAL_SQL,
     "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "corpus_scaling_curve": _SCALING_SQL,

@@ -589,3 +589,36 @@ def test_round9_queries_have_no_cartesian(spark):
     ):
         plan = plans.executed_plan(q(spark, SF_DIR))
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_quality_classifier_one_scan_one_exchange(spark):
+    # r10: the hashed-linear scorer is a scan + ONE keys-only hash
+    # aggregate; the weight vector must ride as an array literal, never
+    # a join (any join here would broadcast-or-shuffle per inference
+    # run over 100 TB)
+    df = llm.docs_quality_classifier(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert plans.exchange_count(df) == 1
+    assert "Join" not in plan
+
+
+def test_kmeanspp_candidate_sample_is_take_ordered(spark):
+    # r10: the candidate sample must be a TakeOrdered (fixed-size
+    # top-k on the hash), not a global sort — the scale-safe gate
+    # sampling rule (CLAUDE.md)
+    from pyspark_data_processing_challenge_spark.queries._util import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+    from pyspark_data_processing_challenge_spark.functions.textfns import (
+        char_hash,
+    )
+
+    cand = (
+        emb.select(
+            "vec_id",
+            char_hash(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(64)
+    )
+    assert "TakeOrderedAndProject" in plans.executed_plan(cand)
