@@ -221,6 +221,8 @@ HEADLINE = [
     "embedding_kmeanspp_seeds",
     "docs_bpe_train_vocab",
     "docs_perceptron_train",
+    "docs_classifier_calibration",
+    "minhash_threshold_sweep",
 ]
 
 # Exact verification baselines (VERDICT r09 item 4): intentionally

@@ -34,6 +34,8 @@ _VERDICT_PRIORITY = [
     "embedding_kmeanspp_seeds",  # new: deterministic k-means++ (maximin) seeding
     "docs_bpe_train_vocab",  # new: N-merge BPE training loop
     "docs_perceptron_train",  # new: integer-exact batch-perceptron training
+    "docs_classifier_calibration",  # new: logit-bucket reliability table
+    "minhash_threshold_sweep",  # new: est-Jaccard threshold-capacity curve
     # --- oldest-verdict re-verification rotation (VERDICT r09
     # item 3): the 43 r05-vintage rows — the oldest band after the
     # r09 rotation — re-verify in this window ---
@@ -82,13 +84,13 @@ _VERDICT_PRIORITY = [
     "snapshot_diff_orders",  # was r04+r05-vintage
     # --- r06-vintage FILLERS (next-oldest) to hold the window at 50 ---
     "pq_codes",  # r06-vintage
-    "pq_trained_topk",  # r06-vintage
-    "image_phash_jpeg_near_dup",  # r06-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
     "docs_char_entropy_explode": "r06",
+    "pq_trained_topk": "r06",
+    "image_phash_jpeg_near_dup": "r06",
     # r10 rotation: the entire 50-slot r09 window came back green
     # (CORRECTNESS_r09 50/50) and rotates out to fund the oldest-
     # verdict (r05-vintage) re-verification set + round-10 adds.

@@ -4681,11 +4681,133 @@ w{k} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _mh_sweep_sql() -> str:
+    agree_d = f"({_MH_AGREE})::BIGINT"
+    return (
+        "WITH"
+        + _sql_minhash_sig_cte(_PERTURB_SQL, MH_HASHES, MH_SHINGLE_N)
+        + f""",
+cands AS (
+  SELECT {agree_d} AS agree
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE ({_sql_band_match(MH_HASHES // MH_ND_BANDS, MH_ND_BANDS)})
+)
+SELECT {sql_round(f"agree::DOUBLE / {float(MH_HASHES)}", 6)} AS est_jaccard,
+       count(*)::BIGINT AS n_pairs,
+       sum(count(*)) OVER (
+         ORDER BY agree DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS n_at_or_above
+FROM cands GROUP BY agree
+"""
+    )
+
+
+def docs_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the hashed-linear classifier: 16 logit
+    buckets (floor(logit*8), clamped to [-8, 7]) vs the observed rate
+    of the dl >= {PT_LABEL_MIN_DL} weak label — the calibration check
+    every deployed quality scorer needs. Bucketing happens on the
+    LOGIT (exact-integer division → identical doubles in both
+    engines), never on the sigmoid output (exp can differ by an ulp at
+    a bucket boundary); the rate divides exact counts."""
+    from ..operators import curation
+
+    d = t(spark, sf_dir, "documents")
+    scored = curation.hashed_linear_score(
+        d, "text", "doc_id", int_weights=QC_WEIGHTS, scale=QC_SCALE
+    )
+    bucket = F.greatest(
+        F.least(F.floor(F.col("logit") * 8), F.lit(7)), F.lit(-8)
+    ).cast("long")
+    pos = (F.col("dl") >= PT_LABEL_MIN_DL).cast("long")
+    return (
+        scored.select(bucket.alias("bucket"), pos.alias("__pos"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__pos").alias("n_pos"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            round_to(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("pos_rate"),
+        )
+    )
+
+
+def _qc_cal_sql() -> str:
+    wlist = ", ".join(str(w) for w in QC_WEIGHTS)
+    z = f"(z_num::DOUBLE / ({QC_SCALE} * dl)::DOUBLE)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens("text")}) AS tok FROM documents
+),
+terms AS (
+  SELECT doc_id,
+         (CASE WHEN (__h // {QC_DIM}) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+           * ([{wlist}])[(__h % {QC_DIM})::INT + 1]::BIGINT AS term
+  FROM (SELECT doc_id, {sql_char_hash("tok")} AS __h FROM toks)
+),
+agg AS (
+  SELECT doc_id, sum(term)::BIGINT AS z_num, count(*)::BIGINT AS dl
+  FROM terms GROUP BY doc_id
+),
+bucketed AS (
+  SELECT greatest(least(floor({z} * 8), 7), -8)::BIGINT AS bucket,
+         (dl >= {PT_LABEL_MIN_DL})::INT AS pos
+  FROM agg
+)
+SELECT bucket, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+       {sql_round("sum(pos)::DOUBLE / count(*)::DOUBLE", 6)} AS pos_rate
+FROM bucketed GROUP BY bucket
+"""
+
+
+def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-capacity curve for the banded MinHash detector: every
+    banded candidate pair bucketed by its estimated Jaccard (agreeing
+    slots / {MH_HASHES} — an exact dyadic rational), with the
+    cumulative pair count at-or-above each level. This is the table an
+    operator reads to PICK a dedup threshold (pairs kept vs threshold)
+    instead of guessing; the at-or-above column is a running sum over
+    the bounded 17-value est domain, never a corpus-sized window."""
+    corpus = _perturbed_docs(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(
+        corpus, "text", "doc_id",
+        num_hashes=MH_HASHES, shingle_n=MH_SHINGLE_N,
+        bands=MH_ND_BANDS, threshold=0.0,
+    )
+    from pyspark.sql import Window as W
+
+    agree = (F.col("est_jaccard") * MH_HASHES).cast("long")
+    counts = (
+        pairs.select(agree.alias("agree"))
+        .groupBy("agree")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = W.orderBy(F.desc("agree")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return counts.select(
+        round_to(
+            F.col("agree").cast("double") / F.lit(float(MH_HASHES)), 6
+        ).alias("est_jaccard"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("n_at_or_above"),
+    )
+
+
 QUERIES = {
     "docs_quality_classifier": docs_quality_classifier,
     "embedding_kmeanspp_seeds": embedding_kmeanspp_seeds,
     "docs_bpe_train_vocab": docs_bpe_train_vocab,
     "docs_perceptron_train": docs_perceptron_train,
+    "docs_classifier_calibration": docs_classifier_calibration,
+    "minhash_threshold_sweep": minhash_threshold_sweep,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_bigram_surprisal": docs_bigram_surprisal,
     "corpus_scaling_curve": corpus_scaling_curve,
@@ -4764,6 +4886,8 @@ ORACLES = {
     "embedding_kmeanspp_seeds": _kmpp_sql(),
     "docs_bpe_train_vocab": _bpe_train_sql(),
     "docs_perceptron_train": _pt_sql(),
+    "docs_classifier_calibration": _qc_cal_sql(),
+    "minhash_threshold_sweep": _mh_sweep_sql(),
     "docs_unigram_surprisal": _SURPRISAL_SQL,
     "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "corpus_scaling_curve": _SCALING_SQL,
