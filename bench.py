@@ -223,6 +223,7 @@ HEADLINE = [
     "docs_perceptron_train",
     "docs_classifier_calibration",
     "minhash_threshold_sweep",
+    "ivf_nprobe_curve",
 ]
 
 # Exact verification baselines (VERDICT r09 item 4): intentionally

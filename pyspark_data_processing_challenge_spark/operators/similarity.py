@@ -496,6 +496,86 @@ def ivf_topk(
     )
 
 
+def ivf_topk_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """IVF top-k at EVERY probe depth in one pass — the recall-vs-
+    nprobe capacity curve's candidate generator. The corpus is
+    assigned and joined against the probe map ONCE at max(nprobes),
+    carrying each candidate's PROBE RANK (how deep in the query's
+    centroid ranking its list sits); the result set at a smaller
+    nprobe is then just ``probe_rank <= p`` over the checkpointed
+    candidates — |nprobes| windowed top-k's over k-row-per-query
+    frames instead of |nprobes| corpus scans.
+
+    Output: (nprobe, query_id, neighbor_id, cosine, rank)."""
+    pmax = max(nprobes)
+    cb = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = ivf_assign(
+        corpus, cb, id_col=id_col, vec_col=vec_col,
+        centroid_id="cid", centroid_vec="cv",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qscored = q.join(F.broadcast(cb)).select(
+        "query_id", "qvec", "cid",
+        vectors.cosine(F.col("qvec"), F.col("cv")).alias("qcos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cid")
+    )
+    probes = (
+        qscored.withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= pmax)
+        .select(
+            "query_id", "qvec", "probe_rank",
+            F.col("cid").alias("centroid_id"),
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("doc"))
+        .select(
+            "query_id",
+            "probe_rank",
+            F.col("doc").alias("neighbor_id"),
+            vectors.cosine(F.col("qvec"), F.col("vec")).alias("cosine"),
+        )
+        # |nprobes| consumers below — without the checkpoint the
+        # corpus assignment + candidate join re-executes per depth
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    out = None
+    for p in nprobes:
+        topk = (
+            cand.filter(F.col("probe_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(int(p)).cast("long").alias("nprobe"),
+                "query_id",
+                "neighbor_id",
+                "cosine",
+                "rank",
+            )
+        )
+        out = topk if out is None else out.unionByName(topk)
+    return out
+
+
 def semdedup_pairs(
     assigned: DataFrame,
     *,

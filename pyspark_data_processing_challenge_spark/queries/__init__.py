@@ -36,6 +36,7 @@ _VERDICT_PRIORITY = [
     "docs_perceptron_train",  # new: integer-exact batch-perceptron training
     "docs_classifier_calibration",  # new: logit-bucket reliability table
     "minhash_threshold_sweep",  # new: est-Jaccard threshold-capacity curve
+    "ivf_nprobe_curve",  # new: recall-vs-nprobe capacity curve
     # --- oldest-verdict re-verification rotation (VERDICT r09
     # item 3): the 43 r05-vintage rows — the oldest band after the
     # r09 rotation — re-verify in this window ---
@@ -83,12 +84,12 @@ _VERDICT_PRIORITY = [
     "cdc_merge_delete_orders",  # was r04+r05-vintage
     "snapshot_diff_orders",  # was r04+r05-vintage
     # --- r06-vintage FILLERS (next-oldest) to hold the window at 50 ---
-    "pq_codes",  # r06-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
     "docs_char_entropy_explode": "r06",
+    "pq_codes": "r06",
     "pq_trained_topk": "r06",
     "image_phash_jpeg_near_dup": "r06",
     # r10 rotation: the entire 50-slot r09 window came back green

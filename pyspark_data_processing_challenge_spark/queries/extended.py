@@ -1311,7 +1311,117 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 )
 
+IVF_NPROBE_GRID = (1, 2, 4)
+
+
+def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF capacity curve: mean recall@{IVF_K} at nprobe = 1, 2, 4
+    in ONE pass (operators/similarity.ivf_topk_curve — candidates
+    generated once at the deepest probe, shallower depths are a
+    probe-rank filter). This is the table an operator reads to PICK an
+    nprobe (recall gained per extra list probed) instead of guessing —
+    the ANN twin of minhash_threshold_sweep. Recall divides exact
+    integer hit counts by the constant {IVF_K}*|queries|."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS)
+    queries = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    )
+    approx = similarity.ivf_topk_curve(
+        emb, queries, cent, k=IVF_K, nprobes=IVF_NPROBE_GRID
+    ).select("nprobe", "query_id", "neighbor_id")
+    exact = similarity.cosine_topk(emb, queries, k=IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(
+        F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi"
+    )
+    nq = IVF_QUERY_HI - IVF_QUERY_LO
+    grid = spark.createDataFrame(
+        [(int(p),) for p in IVF_NPROBE_GRID], "nprobe long"
+    )
+    counted = hits.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        grid.join(counted, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            round_to(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.lit(float(IVF_K * nq)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_nprobe_curve_sql() -> str:
+    pmax = max(IVF_NPROBE_GRID)
+    nq = IVF_QUERY_HI - IVF_QUERY_LO
+    branches = []
+    for p in IVF_NPROBE_GRID:
+        branches.append(
+            f"""
+  approx_{p} AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY {_IVF_COS.format(a="qv", b="e")} DESC,
+                                    neighbor_id) AS rank
+      FROM cand WHERE probe_rank <= {p}
+    ) WHERE rank <= {IVF_K}
+  ),
+  r_{p} AS (
+    SELECT {p}::BIGINT AS nprobe, count(*)::BIGINT AS n_hit
+    FROM exact e JOIN approx_{p} a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  )"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT nprobe, n_hit,"
+        f" {sql_round(f'n_hit::DOUBLE / {float(IVF_K * nq)}', 6)} AS recall"
+        f" FROM r_{p}"
+        for p in IVF_NPROBE_GRID
+    )
+    return (
+        "WITH"
+        + _IVF_ASSIGN_CTE
+        + f""",
+  q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+  qprobe AS (
+    SELECT query_id, qv, cid AS centroid_id, rn AS probe_rank FROM (
+      SELECT q.query_id, q.qv, cent.cid,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="cent.cv")} DESC,
+                                    cent.cid) AS rn
+      FROM q, cent
+    ) WHERE rn <= {pmax}
+  ),
+  cand AS (
+    SELECT qprobe.query_id, qprobe.qv, qprobe.probe_rank,
+           assigned.vec_id AS neighbor_id, assigned.e
+    FROM qprobe JOIN assigned USING (centroid_id)
+    WHERE qprobe.query_id <> assigned.vec_id
+  ),
+  exact AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="v.e")} DESC,
+                                    v.vec_id) AS rank
+      FROM q, v WHERE q.query_id <> v.vec_id
+    ) WHERE rank <= {IVF_K}
+  ),{",".join(branches)}
+{unions}
+"""
+    )
+
+
 QUERIES = {
+    "ivf_nprobe_curve": ivf_nprobe_curve,
     "events_json_stats": events_json_stats,
     "ivf_trained_topk": ivf_trained_topk,
     "window_lag_delta": window_lag_delta,
@@ -1423,6 +1533,7 @@ ORACLES = {
     "ivf_assignments": _IVF_ASSIGN_SQL,
     "ivf_topk": _IVF_TOPK_SQL,
     "ivf_recall_eval": _ivf_recall_sql(),
+    "ivf_nprobe_curve": _ivf_nprobe_curve_sql(),
     "ivf_ndcg_eval": _ivf_ndcg_sql(),
     "kmeans_update_centroids": _KMEANS_SQL,
     "kmeans_two_step": _KMEANS2_SQL,
