@@ -622,3 +622,26 @@ def test_kmeanspp_candidate_sample_is_take_ordered(spark):
         .limit(64)
     )
     assert "TakeOrderedAndProject" in plans.executed_plan(cand)
+
+
+def test_r10_eval_queries_plan_shapes(spark):
+    # threshold sweep: banded candidates only, never an all-pairs join;
+    # nprobe curve: codebook/probe joins broadcast, no cartesian
+    from pyspark_data_processing_challenge_spark.queries import extended as ext
+
+    plan = plans.executed_plan(llm.minhash_threshold_sweep(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    df = ext.ivf_nprobe_curve(spark, SF_DIR)
+    plan2 = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan2
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_perceptron_training_error_decreases(spark):
+    # step 1 starts from w=0 (everything misclassified); by step 2 the
+    # batch update must have learned most of the length rule —
+    # deterministic data + integer updates make this a pinned fact,
+    # not a statistical bet (500 -> 19 errors at sf0.001/sf0.01)
+    rows = {r["step"]: r for r in llm.docs_perceptron_train(spark, SF_DIR).collect()}
+    assert rows[2]["n_errors"] < rows[1]["n_errors"]
+    assert rows[1]["n_errors"] > 0
