@@ -224,6 +224,7 @@ HEADLINE = [
     "docs_classifier_calibration",
     "minhash_threshold_sweep",
     "ivf_nprobe_curve",
+    "phash_precision_eval",
 ]
 
 # Exact verification baselines (VERDICT r09 item 4): intentionally

@@ -37,6 +37,7 @@ _VERDICT_PRIORITY = [
     "docs_classifier_calibration",  # new: logit-bucket reliability table
     "minhash_threshold_sweep",  # new: est-Jaccard threshold-capacity curve
     "ivf_nprobe_curve",  # new: recall-vs-nprobe capacity curve
+    "phash_precision_eval",  # new: perceptual-hash false-positive gate
     # --- oldest-verdict re-verification rotation (VERDICT r09
     # item 3): the 43 r05-vintage rows — the oldest band after the
     # r09 rotation — re-verify in this window ---
@@ -82,12 +83,14 @@ _VERDICT_PRIORITY = [
     "fuzzy_match_parts",  # was r04+r05-vintage
     "docs_pii_scrub",  # was r04+r05-vintage
     "cdc_merge_delete_orders",  # was r04+r05-vintage
-    "snapshot_diff_orders",  # was r04+r05-vintage
     # --- r06-vintage FILLERS (next-oldest) to hold the window at 50 ---
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    # the one r05-vintage row displaced by the round-10 additions
+    # (window capped at 50) — front of the r11 re-verification queue
+    "snapshot_diff_orders": "r04+r05",
     "docs_char_entropy_explode": "r06",
     "pq_codes": "r06",
     "pq_trained_topk": "r06",

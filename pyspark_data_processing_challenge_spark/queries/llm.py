@@ -4681,6 +4681,87 @@ w{k} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def phash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION gate for the banded pHash detector (the perceptual
+    twin of minhash_precision_eval): of the Hamming<=3 pairs found on
+    the planted PNG corpus, how many are the planted perturbed copies
+    vs coincidental hash collisions between unrelated rasters — the
+    false-positive rate a dedup operator pays at this radius. One
+    summary row of exact counts + precision/recall; the oracle
+    recomputes every hash arithmetically and joins ALL pairs, so this
+    simultaneously re-proves the 16-bit banding's pigeonhole
+    completeness at distance <= 3 (found set == exact all-pairs set)."""
+    from ..operators import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    corpus = multimodal.plant_phash_corpus(d, "doc_id")
+    hashes = multimodal.phash_batch(corpus)
+    pairs = multimodal.phash_hamming_pairs(hashes, max_distance=3)
+    every, off = multimodal.PHASH_COPY_EVERY, multimodal.PHASH_COPY_OFFSET
+    is_planted = (
+        (F.col("id_b") - F.col("id_a") == off)
+        & (F.col("id_a") % every == 0)
+    ).cast("long")
+    n_planted_total = d.filter(F.col("doc_id") % every == 0).count()
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.sum(is_planted).alias("n_planted_found"),
+    )
+    return agg.select(
+        "n_found",
+        F.col("n_planted_found").cast("long").alias("n_planted_found"),
+        (F.col("n_found") - F.col("n_planted_found"))
+        .cast("long")
+        .alias("n_coincidental"),
+        F.lit(int(n_planted_total)).cast("long").alias("n_planted_total"),
+        round_to(
+            F.col("n_planted_found").cast("double")
+            / F.col("n_found").cast("double"),
+            6,
+        ).alias("precision"),
+        round_to(
+            F.col("n_planted_found").cast("double")
+            / F.lit(float(n_planted_total)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _phash_precision_sql() -> str:
+    from ..operators.multimodal import PHASH_COPY_EVERY, PHASH_COPY_OFFSET
+
+    return (
+        "WITH"
+        + _phash_hashes_cte()
+        + f""",
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.h_hi, b.h_hi))
+        + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+),
+flagged AS (
+  SELECT (id_b - id_a = {PHASH_COPY_OFFSET}
+          AND id_a % {PHASH_COPY_EVERY} = 0)::INT AS planted
+  FROM pairs
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_planted_total FROM documents
+  WHERE doc_id % {PHASH_COPY_EVERY} = 0
+)
+SELECT count(*)::BIGINT AS n_found,
+       sum(planted)::BIGINT AS n_planted_found,
+       (count(*) - sum(planted))::BIGINT AS n_coincidental,
+       tot.n_planted_total,
+       {sql_round("sum(planted)::DOUBLE / count(*)::DOUBLE", 6)}
+         AS precision,
+       {sql_round("sum(planted)::DOUBLE / tot.n_planted_total::DOUBLE", 6)}
+         AS recall
+FROM flagged, tot GROUP BY tot.n_planted_total
+"""
+    )
+
+
 def _mh_sweep_sql() -> str:
     agree_d = f"({_MH_AGREE})::BIGINT"
     return (
@@ -4808,6 +4889,7 @@ QUERIES = {
     "docs_perceptron_train": docs_perceptron_train,
     "docs_classifier_calibration": docs_classifier_calibration,
     "minhash_threshold_sweep": minhash_threshold_sweep,
+    "phash_precision_eval": phash_precision_eval,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_bigram_surprisal": docs_bigram_surprisal,
     "corpus_scaling_curve": corpus_scaling_curve,
@@ -4888,6 +4970,7 @@ ORACLES = {
     "docs_perceptron_train": _pt_sql(),
     "docs_classifier_calibration": _qc_cal_sql(),
     "minhash_threshold_sweep": _mh_sweep_sql(),
+    "phash_precision_eval": _phash_precision_sql(),
     "docs_unigram_surprisal": _SURPRISAL_SQL,
     "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "corpus_scaling_curve": _SCALING_SQL,
