@@ -225,6 +225,8 @@ HEADLINE = [
     "minhash_threshold_sweep",
     "ivf_nprobe_curve",
     "phash_precision_eval",
+    "docs_hashed_embedding",
+    "hashed_embedding_planted_cosine",
 ]
 
 # Exact verification baselines (VERDICT r09 item 4): intentionally

@@ -19,7 +19,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import vectors
+from ..functions import textfns, vectors
 
 
 def cosine_topk(
@@ -493,6 +493,72 @@ def ivf_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def hashed_text_embedding(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 64,
+    out_dim: int = 16,
+) -> DataFrame:
+    """MODEL-FREE text embeddings: the bridge from raw text to this
+    repo's ANN family without any external encoder. Two stages, both
+    exact-integer: (1) hashing-trick signed bag-of-words (the
+    docs_hashed_features scheme, ``dim`` buckets); (2) a deterministic
+    ±1 random-sign projection to ``out_dim`` dims (Achlioptas 2003 —
+    sign matrices satisfy the JL lemma; the sign of cell (b, j) is
+    pure arithmetic, ``(b*31 + j*17 + 5) % 2``, so an external SQL
+    engine reproduces every coordinate bit-exactly and no plane
+    literals ride in the plan).
+
+    Near-duplicate texts differ in a few tokens → their sparse
+    features differ in a few buckets → their projections stay close
+    (verified by the planted-pair cosine gate). Output is LONG format
+    (id, j, v) with BIGINT coordinates — feed a 16-slot pivot/collect
+    when an array column is needed, or cosine the long form directly.
+
+    Scale shape: tokenize → one (id, bucket) aggregate → a bounded
+    ``out_dim``-way explode of the SPARSE features (not the tokens) →
+    one (id, j) aggregate. Two keys-only shuffles, map-side combined;
+    no UDFs, no literals, no joins."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(textfns.tokens(F.col(text_col))).alias("tok"),
+    )
+    staged = toks.withColumn("__h", textfns.char_hash(F.col("tok")))
+    sgn = F.when(
+        (F.floor(F.col("__h") / dim) % 2) == 0, F.lit(1)
+    ).otherwise(F.lit(-1)).cast("long")
+    sparse = (
+        staged.select(
+            "id",
+            (F.col("__h") % dim).cast("long").alias("bucket"),
+            sgn.alias("__s"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("__s").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    exploded = sparse.select(
+        "id",
+        "w",
+        "bucket",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(out_dim - 1))
+        ).alias("j"),
+    )
+    cell_sign = F.when(
+        (F.col("bucket") * 31 + F.col("j") * 17 + 5) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1)).cast("long")
+    return (
+        exploded.select(
+            "id", "j", (F.col("w") * cell_sign).alias("__t")
+        )
+        .groupBy("id", "j")
+        .agg(F.sum("__t").alias("v"))
     )
 
 

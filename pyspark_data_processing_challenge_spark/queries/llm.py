@@ -4762,6 +4762,110 @@ FROM flagged, tot GROUP BY tot.n_planted_total
     )
 
 
+TE_DIM = 16
+TE_COS_THRESHOLD = 0.8
+
+
+def docs_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free 16-dim text embeddings
+    (operators/similarity.hashed_text_embedding): signed hashed
+    bag-of-words projected through a deterministic ±1 sign matrix —
+    every coordinate an exact BIGINT, two keys-only shuffles, no UDFs
+    or literals. The bridge from raw text into the ANN family when no
+    trained encoder is available."""
+    d = spread(t(spark, sf_dir, "documents"))
+    return similarity.hashed_text_embedding(
+        d, "text", "doc_id", dim=QC_DIM, out_dim=TE_DIM
+    ).select(F.col("id").alias("doc_id"), "j", "v")
+
+
+def _te_sparse_cte(source: str) -> str:
+    return f"""toks AS (
+  SELECT doc_id AS id, unnest({sql_tokens("text")}) AS tok FROM ({source})
+),
+sparse AS (
+  SELECT id, (__h % {QC_DIM})::BIGINT AS bucket,
+         sum(CASE WHEN (__h // {QC_DIM}) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+           AS w
+  FROM (SELECT id, {sql_char_hash("tok")} AS __h FROM toks)
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN (__h // {QC_DIM}) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+),
+emb AS (
+  SELECT id, j::BIGINT AS j,
+         sum(w * (CASE WHEN (bucket * 31 + j * 17 + 5) % 2 = 0
+                       THEN 1 ELSE -1 END))::BIGINT AS v
+  FROM sparse, range(0, {TE_DIM}) t(j)
+  GROUP BY 1, 2
+)"""
+
+
+_TE_SQL = (
+    "WITH "
+    + _te_sparse_cte("SELECT doc_id, text FROM documents")
+    + "\nSELECT id AS doc_id, j, v FROM emb"
+)
+
+
+def hashed_embedding_planted_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the hashed text embeddings: on the
+    planted-duplicate corpus, every (doc, perturbed copy) pair's
+    embedding cosine — near-dup TEXTS must stay near in the projected
+    space for the embedding to be useful as an ANN key. One summary
+    row: pair count, pairs above {TE_COS_THRESHOLD}, and the minimum
+    cosine (a min over identically-computed doubles — order-free)."""
+    corpus = _perturbed_docs(spark, sf_dir)
+    emb_long = similarity.hashed_text_embedding(
+        corpus, "text", "doc_id", dim=QC_DIM, out_dim=TE_DIM
+    )
+    vecs = emb_long.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "v"))),
+            lambda s: s["v"].cast("double"),
+        ).alias("vec")
+    )
+    a = vecs.filter(F.col("id") < 100000).select(
+        F.col("id").alias("base_id"), F.col("vec").alias("va")
+    )
+    b = vecs.filter(F.col("id") >= 100000).select(
+        (F.col("id") - 100000).alias("base_id"), F.col("vec").alias("vb")
+    )
+    cos = vectors.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "base_id")
+        .select(cos.alias("__c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("__c") >= TE_COS_THRESHOLD).cast("long")
+            ).alias("n_above"),
+            round_to(F.min("__c"), 6).alias("min_cosine"),
+        )
+    )
+
+
+def _te_planted_sql() -> str:
+    cos = sql_cosine("a.va", "b.vb", TE_DIM)
+    return (
+        "WITH "
+        + _te_sparse_cte(_PERTURB_SQL)
+        + f""",
+vecs AS (
+  SELECT id, list(v::DOUBLE ORDER BY j) AS vv FROM emb GROUP BY id
+),
+pc AS (
+  SELECT {cos.replace("a.va", "a.vv").replace("b.vb", "b.vv")} AS c
+  FROM vecs a JOIN vecs b ON b.id = a.id + 100000
+  WHERE a.id < 100000
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       sum((c >= {TE_COS_THRESHOLD})::INT)::BIGINT AS n_above,
+       {sql_round("min(c)", 6)} AS min_cosine
+FROM pc
+"""
+    )
+
+
 def _mh_sweep_sql() -> str:
     agree_d = f"({_MH_AGREE})::BIGINT"
     return (
@@ -4890,6 +4994,8 @@ QUERIES = {
     "docs_classifier_calibration": docs_classifier_calibration,
     "minhash_threshold_sweep": minhash_threshold_sweep,
     "phash_precision_eval": phash_precision_eval,
+    "docs_hashed_embedding": docs_hashed_embedding,
+    "hashed_embedding_planted_cosine": hashed_embedding_planted_cosine,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_bigram_surprisal": docs_bigram_surprisal,
     "corpus_scaling_curve": corpus_scaling_curve,
@@ -4971,6 +5077,8 @@ ORACLES = {
     "docs_classifier_calibration": _qc_cal_sql(),
     "minhash_threshold_sweep": _mh_sweep_sql(),
     "phash_precision_eval": _phash_precision_sql(),
+    "docs_hashed_embedding": _TE_SQL,
+    "hashed_embedding_planted_cosine": _te_planted_sql(),
     "docs_unigram_surprisal": _SURPRISAL_SQL,
     "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "corpus_scaling_curve": _SCALING_SQL,
