@@ -227,6 +227,7 @@ HEADLINE = [
     "phash_precision_eval",
     "docs_hashed_embedding",
     "hashed_embedding_planted_cosine",
+    "simhash_precision_eval",
 ]
 
 # Exact verification baselines (VERDICT r09 item 4): intentionally

@@ -4762,6 +4762,71 @@ FROM flagged, tot GROUP BY tot.n_planted_total
     )
 
 
+def simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION gate for the SimHash detector — completing the
+    honesty-gate matrix (minhash_precision_eval, phash_precision_eval,
+    the lsh/banded/ivf/semdedup recall gates): of the Hamming<={SH_MAX_HAMMING}
+    pairs found on the planted corpus, how many are the planted
+    perturbed copies vs coincidental fingerprint collisions. One
+    summary row of exact counts + precision/recall; banding is
+    pigeonhole-complete at this radius, so the oracle's all-pairs
+    recompute simultaneously re-proves completeness."""
+    pairs = simhash_near_dup(spark, sf_dir)
+    is_planted = (F.col("id_b") - F.col("id_a") == 100000).cast("long")
+    n_total = (
+        t(spark, sf_dir, "documents").count()
+    )  # one planted copy per doc
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.sum(is_planted).alias("n_planted_found"),
+    )
+    return agg.select(
+        "n_found",
+        F.col("n_planted_found").cast("long").alias("n_planted_found"),
+        (F.col("n_found") - F.col("n_planted_found"))
+        .cast("long")
+        .alias("n_coincidental"),
+        F.lit(int(n_total)).cast("long").alias("n_planted_total"),
+        round_to(
+            F.col("n_planted_found").cast("double")
+            / F.col("n_found").cast("double"),
+            6,
+        ).alias("precision"),
+        round_to(
+            F.col("n_planted_found").cast("double") / F.lit(float(n_total)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _simhash_precision_sql() -> str:
+    return f"""
+WITH aug AS ({_PERTURB_SQL}),
+hashed AS (
+  SELECT doc_id,
+    list_transform({sql_shingles("text", SH_SHINGLE_N)}, s__ -> {sql_char_hash("s__")}) AS hs
+  FROM aug
+),
+sims AS (SELECT doc_id, {sql_simhash("hs", SH_BITS)} AS simhash FROM hashed),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SH_MAX_HAMMING}
+),
+flagged AS (SELECT (id_b - id_a = 100000)::INT AS planted FROM pairs),
+tot AS (SELECT count(*)::BIGINT AS n_planted_total FROM documents)
+SELECT count(*)::BIGINT AS n_found,
+       sum(planted)::BIGINT AS n_planted_found,
+       (count(*) - sum(planted))::BIGINT AS n_coincidental,
+       tot.n_planted_total,
+       {sql_round("sum(planted)::DOUBLE / count(*)::DOUBLE", 6)}
+         AS precision,
+       {sql_round("sum(planted)::DOUBLE / tot.n_planted_total::DOUBLE", 6)}
+         AS recall
+FROM flagged, tot GROUP BY tot.n_planted_total
+"""
+
+
 TE_DIM = 16
 TE_COS_THRESHOLD = 0.8
 
@@ -4996,6 +5061,7 @@ QUERIES = {
     "phash_precision_eval": phash_precision_eval,
     "docs_hashed_embedding": docs_hashed_embedding,
     "hashed_embedding_planted_cosine": hashed_embedding_planted_cosine,
+    "simhash_precision_eval": simhash_precision_eval,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_bigram_surprisal": docs_bigram_surprisal,
     "corpus_scaling_curve": corpus_scaling_curve,
@@ -5079,6 +5145,7 @@ ORACLES = {
     "phash_precision_eval": _phash_precision_sql(),
     "docs_hashed_embedding": _TE_SQL,
     "hashed_embedding_planted_cosine": _te_planted_sql(),
+    "simhash_precision_eval": _simhash_precision_sql(),
     "docs_unigram_surprisal": _SURPRISAL_SQL,
     "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "corpus_scaling_curve": _SCALING_SQL,
