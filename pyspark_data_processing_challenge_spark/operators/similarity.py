@@ -542,6 +542,9 @@ def hashed_text_embedding(
         .agg(F.sum("__s").alias("w"))
         .filter(F.col("w") != 0)
     )
+    # explode can't nest inside .cast() (CLAUDE.md) — explode first,
+    # cast to long in the next projection (the driver hash is
+    # type-tagged, and the oracle's range() yields BIGINT)
     exploded = sparse.select(
         "id",
         "w",
@@ -555,7 +558,9 @@ def hashed_text_embedding(
     ).otherwise(F.lit(-1)).cast("long")
     return (
         exploded.select(
-            "id", "j", (F.col("w") * cell_sign).alias("__t")
+            "id",
+            F.col("j").cast("long").alias("j"),
+            (F.col("w") * cell_sign).alias("__t"),
         )
         .groupBy("id", "j")
         .agg(F.sum("__t").alias("v"))
