@@ -228,6 +228,7 @@ HEADLINE = [
     "docs_hashed_embedding",
     "hashed_embedding_planted_cosine",
     "simhash_precision_eval",
+    "parts_fs_weights",
 ]
 
 # Exact verification baselines (VERDICT r09 item 4): intentionally

@@ -1164,7 +1164,149 @@ FROM g
 """
 
 
+def parts_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter (1969) match weights — the probabilistic scoring
+    layer record-linkage systems put ON TOP of the blocking + rules
+    pipeline (parts_entity_resolution is the deterministic lineage;
+    this estimates how much EVIDENCE each comparison field carries).
+    Within the (p_brand, p_size) blocked candidate pairs, pseudo-labels
+    come from the ER match rule (name Jaccard >= {ER_JACCARD}); for
+    each field (full p_type, its head token, the 100-unit retail-price
+    bucket) we estimate m = P(agree | match) and u = P(agree |
+    non-match) with add-one smoothing and emit the agreement weight
+    log2(m/u) and disagreement weight log2((1-m)/(1-u)).
+
+    Portability: every count is an exact BIGINT; m, u, and the weight
+    arguments are divisions of exact integers computed in the same
+    order in both engines, and log2 of such ratios is hash-portable
+    with round_to 6 (the surprisal/DSIR precedent). Scale shape: one
+    blocked equi-self-join (never corpus x corpus), a bounded 3-way
+    explode of per-pair agreement flags, one keys-only aggregate."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.col("p_type").alias("ty"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("th"),
+        F.floor(F.col("p_retailprice") / F.lit(100.0))
+        .cast("long")
+        .alias("pb"),
+        F.array_distinct(
+            textfns.tokens(F.lower(F.col("p_name")))
+        ).alias("__toks"),
+    )
+    a = p.select(
+        "p_brand", "p_size",
+        F.col("p_partkey").alias("ka"), F.col("__toks").alias("ta"),
+        F.col("ty").alias("tya"), F.col("th").alias("tha"),
+        F.col("pb").alias("pba"),
+    )
+    b = p.select(
+        "p_brand", "p_size",
+        F.col("p_partkey").alias("kb"), F.col("__toks").alias("tb"),
+        F.col("ty").alias("tyb"), F.col("th").alias("thb"),
+        F.col("pb").alias("pbb"),
+    )
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    ).cast("double")
+    pairs = (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            (jac >= ER_JACCARD).cast("long").alias("is_match"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("type").alias("field"),
+                        (F.col("tya") == F.col("tyb"))
+                        .cast("long")
+                        .alias("agree"),
+                    ),
+                    F.struct(
+                        F.lit("type_head").alias("field"),
+                        (F.col("tha") == F.col("thb"))
+                        .cast("long")
+                        .alias("agree"),
+                    ),
+                    F.struct(
+                        F.lit("price_bucket").alias("field"),
+                        (F.col("pba") == F.col("pbb"))
+                        .cast("long")
+                        .alias("agree"),
+                    ),
+                )
+            ).alias("u"),
+        )
+    )
+    agg = pairs.groupBy(F.col("u.field").alias("field")).agg(
+        F.sum("is_match").alias("n_match"),
+        F.sum(F.lit(1) - F.col("is_match")).alias("n_unmatch"),
+        F.sum(F.col("is_match") * F.col("u.agree")).alias("am"),
+        F.sum((F.lit(1) - F.col("is_match")) * F.col("u.agree")).alias("au"),
+    )
+    m = (F.col("am") + 1).cast("double") / (F.col("n_match") + 2).cast(
+        "double"
+    )
+    u = (F.col("au") + 1).cast("double") / (F.col("n_unmatch") + 2).cast(
+        "double"
+    )
+    return agg.select(
+        "field",
+        F.col("n_match").cast("long").alias("n_match"),
+        F.col("n_unmatch").cast("long").alias("n_unmatch"),
+        round_to(m, 6).alias("m_agree"),
+        round_to(u, 6).alias("u_agree"),
+        round_to(F.log2(m / u), 6).alias("w_agree"),
+        round_to(
+            F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)), 6
+        ).alias("w_disagree"),
+    )
+
+
+def _fs_weights_sql() -> str:
+    m = "((am + 1)::DOUBLE / (n_match + 2)::DOUBLE)"
+    u = "((au + 1)::DOUBLE / (n_unmatch + 2)::DOUBLE)"
+    return f"""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size, p_type AS ty,
+         string_split(p_type, ' ')[1] AS th,
+         floor(p_retailprice / 100.0)::BIGINT AS pb,
+         list_distinct({sql_tokens("lower(p_name)")}) AS toks
+  FROM part
+),
+pairs AS (
+  SELECT (len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE
+          >= {ER_JACCARD})::BIGINT AS is_match,
+         unnest([
+           {{'field': 'type', 'agree': (a.ty = b.ty)::BIGINT}},
+           {{'field': 'type_head', 'agree': (a.th = b.th)::BIGINT}},
+           {{'field': 'price_bucket', 'agree': (a.pb = b.pb)::BIGINT}}
+         ]) AS u
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+),
+agg AS (
+  SELECT u.field AS field,
+         sum(is_match)::BIGINT AS n_match,
+         sum(1 - is_match)::BIGINT AS n_unmatch,
+         sum(is_match * u.agree)::BIGINT AS am,
+         sum((1 - is_match) * u.agree)::BIGINT AS au
+  FROM pairs GROUP BY u.field
+)
+SELECT field, n_match, n_unmatch,
+       {sql_round(m, 6)} AS m_agree,
+       {sql_round(u, 6)} AS u_agree,
+       {sql_round(f"log2({m} / {u})", 6)} AS w_agree,
+       {sql_round(f"log2((1.0 - {m}) / (1.0 - {u}))", 6)} AS w_disagree
+FROM agg
+"""
+
+
 QUERIES = {
+    "parts_fs_weights": parts_fs_weights,
     "customers_masked": customers_masked,
     "customers_k_anonymity": customers_k_anonymity,
     "parts_entity_resolution": parts_entity_resolution,
@@ -1193,6 +1335,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "parts_fs_weights": _fs_weights_sql(),
     "customers_masked": _MASKED_SQL,
     "customers_k_anonymity": _K_ANON_SQL,
     "parts_entity_resolution": _ER_SQL,
