@@ -645,3 +645,12 @@ def test_perceptron_training_error_decreases(spark):
     rows = {r["step"]: r for r in llm.docs_perceptron_train(spark, SF_DIR).collect()}
     assert rows[2]["n_errors"] < rows[1]["n_errors"]
     assert rows[1]["n_errors"] > 0
+
+
+def test_hashed_embedding_two_exchanges_no_joins(spark):
+    # r10: the model-free text embedding is two keys-only aggregates —
+    # any join or literal-matrix broadcast here would be a regression
+    df = llm.docs_hashed_embedding(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Join" not in plan
+    assert plans.exchange_count(df) == 2
