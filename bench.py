@@ -229,6 +229,7 @@ HEADLINE = [
     "hashed_embedding_planted_cosine",
     "simhash_precision_eval",
     "parts_fs_weights",
+    "corpus_dedup_funnel",
 ]
 
 # Exact verification baselines (VERDICT r09 item 4): intentionally

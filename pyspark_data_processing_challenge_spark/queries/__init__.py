@@ -42,6 +42,7 @@ _VERDICT_PRIORITY = [
     "hashed_embedding_planted_cosine",  # new: embedding quality gate
     "simhash_precision_eval",  # new: SimHash false-positive gate
     "parts_fs_weights",  # new: Fellegi-Sunter linkage evidence weights
+    "corpus_dedup_funnel",  # new: raw -> exact -> near yield report
     # --- oldest-verdict re-verification rotation (VERDICT r09
     # item 3): the 43 r05-vintage rows — the oldest band after the
     # r09 rotation — re-verify in this window ---
@@ -82,7 +83,6 @@ _VERDICT_PRIORITY = [
     "docs_bpe_token_count",  # was r02+r05-vintage
     "join_regional_revenue",  # was r02+r05-vintage
     "rolling_7d_revenue",  # was r02+r05-vintage
-    "agg_topk_orders",  # was r04+r05-vintage
     # --- r06-vintage FILLERS (next-oldest) to hold the window at 50 ---
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
@@ -91,6 +91,7 @@ _ROTATED_OUT = {
     # the one r05-vintage row displaced by the round-10 additions
     # (window capped at 50) — front of the r11 re-verification queue
     "snapshot_diff_orders": "r04+r05",
+    "agg_topk_orders": "r04+r05",
     "docs_outlier_trim": "r04+r05",
     "fuzzy_match_parts": "r04+r05",
     "docs_pii_scrub": "r04+r05",

@@ -4762,6 +4762,131 @@ FROM flagged, tot GROUP BY tot.n_planted_total
     )
 
 
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION FUNNEL REPORT every data team builds: one table of
+    per-stage yields for the dedup pipeline raw → exact → near. The
+    corpus plants BOTH duplicate kinds (every doc once verbatim under
+    id+200000 — an exact dup — and once with 3 junk suffix tokens
+    under id+100000 — a near dup); stage 1 keeps the min-id row per
+    content fingerprint (dedup.drop_exact_duplicates), stage 2 runs
+    banded MinHash pairs + transitive closure over the exact-stage
+    SURVIVORS and keeps each cluster's min id. Emits (stage, n_in,
+    n_kept, n_dropped) — exact integers; the oracle replays the whole
+    funnel (fingerprint groups, signatures, banded pairs, recursive-CTE
+    closure) end-to-end.
+
+    Scale shape: every stage is the production operator (fingerprint
+    groupBy; banded join + checkpointed CC bounded by pair count); the
+    report rows are three one-row aggregates assembled lazily."""
+    from ..operators import graph
+
+    base = spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    corpus = base.unionByName(
+        base.select(
+            (F.col("doc_id") + F.lit(200000)).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(PERTURB_SUFFIX)).alias("text"),
+        )
+    )
+    survivors = dedup.drop_exact_duplicates(corpus, "text", "doc_id")
+    pairs = dedup.minhash_near_duplicates(
+        survivors, "text", "doc_id",
+        num_hashes=MH_HASHES, shingle_n=MH_SHINGLE_N,
+        bands=MH_ND_BANDS, threshold=MH_ND_THRESHOLD,
+    ).select("id_a", "id_b")
+    comp = graph.connected_components(pairs)
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors2 = survivors.join(dropped, "doc_id", "left_anti")
+    r = corpus.agg(F.count(F.lit(1)).alias("n_raw"))
+    e = survivors.agg(F.count(F.lit(1)).alias("n_exact"))
+    n = survivors2.agg(F.count(F.lit(1)).alias("n_near"))
+    stages = F.array(
+        F.struct(
+            F.lit("1_raw").alias("stage"),
+            F.col("n_raw").alias("n_in"),
+            F.col("n_raw").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit("2_exact").alias("stage"),
+            F.col("n_raw").alias("n_in"),
+            F.col("n_exact").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit("3_near").alias("stage"),
+            F.col("n_exact").alias("n_in"),
+            F.col("n_near").alias("n_kept"),
+        ),
+    )
+    return (
+        r.crossJoin(e)
+        .crossJoin(n)
+        .select(F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_in").cast("long").alias("n_in"),
+            F.col("s.n_kept").cast("long").alias("n_kept"),
+            (F.col("s.n_in") - F.col("s.n_kept"))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def _funnel_sql() -> str:
+    corpus_sql = f"""SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id,
+                   text || '{PERTURB_SUFFIX}' AS text FROM documents"""
+    survivors_sql = f"""SELECT c.doc_id, c.text FROM ({corpus_sql}) c
+  JOIN (SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id, {sql_fingerprint("text")} AS f
+              FROM ({corpus_sql}))
+        GROUP BY f) k USING (doc_id)"""
+    return (
+        "WITH RECURSIVE"
+        + _sql_minhash_sig_cte(survivors_sql, MH_HASHES, MH_SHINGLE_N)
+        + f""",
+  pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE ({_sql_band_match(_MH_RPB, MH_ND_BANDS)})
+      AND ({_MH_AGREE})::DOUBLE / {float(MH_HASHES)} >= {MH_ND_THRESHOLD}
+  ),
+  sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+  ),
+  reach(id, label) AS (
+    SELECT u AS id, u AS label FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v AS id, r.label FROM reach r JOIN sym s ON s.u = r.id
+  ),
+  comp AS (SELECT id AS node, min(label) AS component FROM reach GROUP BY id),
+  dropped AS (SELECT node FROM comp WHERE node <> component),
+  n_raw AS (SELECT count(*)::BIGINT AS n FROM ({corpus_sql})),
+  n_exact AS (SELECT count(*)::BIGINT AS n FROM docs_src),
+  n_near AS (
+    SELECT count(*)::BIGINT AS n FROM docs_src
+    WHERE doc_id NOT IN (SELECT node FROM dropped)
+  )
+SELECT '1_raw' AS stage, n_raw.n AS n_in, n_raw.n AS n_kept,
+       0::BIGINT AS n_dropped FROM n_raw
+UNION ALL
+SELECT '2_exact', n_raw.n, n_exact.n, (n_raw.n - n_exact.n)::BIGINT
+FROM n_raw, n_exact
+UNION ALL
+SELECT '3_near', n_exact.n, n_near.n, (n_exact.n - n_near.n)::BIGINT
+FROM n_exact, n_near
+"""
+    )
+
+
 def simhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRECISION gate for the SimHash detector — completing the
     honesty-gate matrix (minhash_precision_eval, phash_precision_eval,
@@ -5062,6 +5187,7 @@ QUERIES = {
     "docs_hashed_embedding": docs_hashed_embedding,
     "hashed_embedding_planted_cosine": hashed_embedding_planted_cosine,
     "simhash_precision_eval": simhash_precision_eval,
+    "corpus_dedup_funnel": corpus_dedup_funnel,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_bigram_surprisal": docs_bigram_surprisal,
     "corpus_scaling_curve": corpus_scaling_curve,
@@ -5146,6 +5272,7 @@ ORACLES = {
     "docs_hashed_embedding": _TE_SQL,
     "hashed_embedding_planted_cosine": _te_planted_sql(),
     "simhash_precision_eval": _simhash_precision_sql(),
+    "corpus_dedup_funnel": _funnel_sql(),
     "docs_unigram_surprisal": _SURPRISAL_SQL,
     "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "corpus_scaling_curve": _SCALING_SQL,
