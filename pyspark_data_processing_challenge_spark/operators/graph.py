@@ -58,38 +58,38 @@ def connected_components(
     )
     # Scale the per-round exchanges to the GRAPH, not the session: the
     # edge list is usually tiny relative to the corpus (candidate pairs
-    # only), and every round pays 2 checkpointed jobs whose shuffles
-    # default to the corpus-sized spark.sql.shuffle.partitions —
+    # only), and every round pays checkpointed jobs whose shuffles
+    # would default to the corpus-sized spark.sql.shuffle.partitions —
     # near-empty tasks dominate wall-clock on small graphs (measured
     # ~1.8 s -> ~1.3 s on the 140-edge SemDeDup graph at 32
     # partitions). sym is already materialized, so the count is free;
     # ~100k edges per partition keeps partitions executor-sized at
-    # scale. Restored in ``finally`` — the returned labels are
-    # checkpointed, so downstream plans never see the override.
-    # CAVEAT (r9 advice): the override is SESSION-global while the loop
-    # runs — a concurrent query on the same session (threaded caller, a
-    # streaming epoch) would plan its shuffles at loop_sp. All in-repo
-    # callers are single-threaded per session; concurrent callers
-    # should clone the session (spark.newSession()) first.
+    # scale. SCOPED, not session-global (r9 advice, landed r11): the
+    # loop pre-partitions both relations on their join keys with
+    # explicit ``repartition(loop_sp, key)`` and the joins/aggregates
+    # then reuse that co-partitioning, so every loop exchange is
+    # loop_sp-sized while the session conf is never touched — safe
+    # under concurrent queries on the same session (AQE does not
+    # coalesce user-specified repartitions, so the size sticks).
     spark = sym.sparkSession
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = sym.count()
     try:
-        sess_sp = int(old_sp)
+        sess_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" on some platforms
         sess_sp = spark.sparkContext.defaultParallelism
     loop_sp = max(2, min(sess_sp, (n_edges // 100_000) + 2))
+    # re-checkpoint the edge list hash-partitioned on the join side —
+    # a cheap second pass over the (already materialized) pairs that
+    # makes every round's sym ⋈ labels join exchange-free
+    sym = sym.repartition(loop_sp, "v").localCheckpoint()
     labels = (
         sym.select(F.col("u").alias("id"))
+        .repartition(loop_sp, "id")
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
-        labels, n_changed = _cc_loop(sym, labels, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    labels, n_changed = _cc_loop(sym, labels, max_iter, loop_sp)
     if n_changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
@@ -100,14 +100,27 @@ def connected_components(
 
 
 def _cc_loop(
-    sym: DataFrame, labels: DataFrame, max_iter: int
+    sym: DataFrame, labels: DataFrame, max_iter: int, loop_sp: int
 ) -> tuple[DataFrame, int]:
     """Min-label propagation + pointer jumping; returns the final label
-    table and the last round's changed probe (0 iff converged)."""
+    table and the last round's changed probe (0 iff converged).
+
+    Exchange budget per round — every one explicit and loop_sp-sized
+    (the session's spark.sql.shuffle.partitions is never consulted):
+    ``sym`` arrives hash(v, loop_sp) and ``labels`` hash(id, loop_sp),
+    so the neighbor join is exchange-free; one explicit
+    repartition(loop_sp, u) feeds the min aggregate (trading map-side
+    combine for a pinned partition count — near-dup graphs are
+    degree-bounded, so the fanout the combine would collapse is small);
+    the stepped left join is co-partitioned (id ↔ u); the pointer jump
+    repartitions the probe side on label; the final repartition
+    restores hash(id, loop_sp) for the next round, preserved through
+    localCheckpoint."""
     n_changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.v == labels.id)
+            .repartition(loop_sp, "u")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -121,7 +134,8 @@ def _cc_loop(
         # pointer jump: label ← label(label). Labels only decrease toward
         # the component min and label(x) is in x's component, so this is
         # safe — and it at least halves the remaining chain depth.
-        a, b = stepped.alias("a"), stepped.alias("b")
+        a = stepped.repartition(loop_sp, "label").alias("a")
+        b = stepped.alias("b")
         updated = (
             a.join(b, F.col("a.label") == F.col("b.id"), "left")
             .select(
@@ -135,6 +149,7 @@ def _cc_loop(
             .select(
                 "id", "label", (F.col("label") < F.col("old")).alias("changed")
             )
+            .repartition(loop_sp, "id")
         ).localCheckpoint()
         n_changed = updated.filter(F.col("changed")).limit(1).count()
         labels = updated.drop("changed")

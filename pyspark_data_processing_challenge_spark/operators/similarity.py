@@ -510,9 +510,19 @@ def hashed_text_embedding(
     docs_hashed_features scheme, ``dim`` buckets); (2) a deterministic
     ±1 random-sign projection to ``out_dim`` dims (Achlioptas 2003 —
     sign matrices satisfy the JL lemma; the sign of cell (b, j) is
-    pure arithmetic, ``(b*31 + j*17 + 5) % 2``, so an external SQL
-    engine reproduces every coordinate bit-exactly and no plane
-    literals ride in the plan).
+    pure arithmetic, parity of ``(b*1315423911 + j*2654435761 + 5)
+    % 1000000007``, so an external SQL engine reproduces every
+    coordinate bit-exactly and no plane literals ride in the plan).
+
+    The mix MUST NOT be parity-separable: an earlier form,
+    ``(b*31 + j*17 + 5) % 2``, reduces to parity(b)^parity(j)^1
+    (all coefficients odd), which makes the sign matrix RANK 1 —
+    every doc embeds to ±c*(-1,1,-1,...) and all cosines are ±1.
+    Routing the mix through an odd-prime modulus first decouples the
+    bit from input parities (measured rank 15/16 at 64×16; the
+    planted-cosine gate's negative control pins this property).
+    Coefficients stay exact in int64: b < dim ≤ 2^20 and j < out_dim
+    keep ``b*1315423911 + j*2654435761`` under 2^52.
 
     Near-duplicate texts differ in a few tokens → their sparse
     features differ in a few buckets → their projections stay close
@@ -554,7 +564,17 @@ def hashed_text_embedding(
         ).alias("j"),
     )
     cell_sign = F.when(
-        (F.col("bucket") * 31 + F.col("j") * 17 + 5) % 2 == 0, F.lit(1)
+        (
+            (
+                F.col("bucket") * F.lit(1315423911)
+                + F.col("j") * F.lit(2654435761)
+                + F.lit(5)
+            )
+            % F.lit(1000000007)
+        )
+        % 2
+        == 0,
+        F.lit(1),
     ).otherwise(F.lit(-1)).cast("long")
     return (
         exploded.select(
@@ -943,6 +963,93 @@ def pq_adc_topk(
     per_sub = exploded.join(
         F.broadcast(qtable),
         (F.col("s") == F.col("qs")) & (F.col("code") == F.col("j")),
+    ).select("id", "s", "qd")
+    adc = per_sub.groupBy("id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "qd"))),
+                lambda x: x["qd"],
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("adc_dist")
+    )
+    return adc.orderBy("adc_dist", "id").limit(k)
+
+
+def ivf_residuals(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    *,
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """IVFADC residuals: r(x) = x − c(x), each vector minus its coarse
+    centroid (Jégou et al., TPAMI 2011 §IV — the published IVFADC
+    quantizes RESIDUALS, not raw vectors: inside one inverted list all
+    members share a coarse centroid, so the residual distribution is
+    centered and the M×k* PQ codebook spends its codes on the
+    within-list variation instead of re-encoding the list's offset —
+    sharper codes at the same bit budget, which is what keeps ADC
+    ranking accurate at 100 TB).
+
+    ``assigned`` is :func:`ivf_assign` output (doc, vec, centroid_id);
+    ``centroids`` the (cid, cv) codebook — broadcast, so this is a
+    pure map-side projection over the corpus. The subtraction is
+    double arithmetic over identically-loaded inputs, hence bit-exact
+    across engines (no rounding needed — a difference of two exact
+    doubles is exact). Output: (doc, centroid_id, rvec array<double>).
+    """
+    cb = centroids.select(
+        F.col(centroid_id).alias("__rc"), F.col(centroid_vec).alias("__rv")
+    )
+    return (
+        assigned.join(
+            F.broadcast(cb), assigned.centroid_id == F.col("__rc")
+        )
+        .select(
+            "doc",
+            "centroid_id",
+            F.zip_with(
+                "vec",
+                "__rv",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("rvec"),
+        )
+    )
+
+
+def ivfpq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_sub: DataFrame,
+    *,
+    k: int,
+) -> DataFrame:
+    """Per-list asymmetric distance top-k — the residual-IVFADC probe
+    (:func:`pq_adc_topk` generalized to LIST-DEPENDENT query tables).
+    With residual codes, the query's lookup table differs per probed
+    list (the query residual q − c_L changes with L), so ``query_sub``
+    carries (centroid_id, s, qv) — one subvector set per probed list —
+    and each candidate's fold uses ITS list's table via the
+    (centroid_id, s, code) equi-join. Both the codebook and the
+    |probes|·M·k* table are broadcast; the candidate set is
+    list-bounded, so nothing corpus-sized shuffles. ADC distance is a
+    subspace-ordered left fold (engine-portable)."""
+    qtable = query_sub.join(F.broadcast(codebook), "s").select(
+        F.col("centroid_id").alias("qc"),
+        F.col("s").alias("qs"),
+        "j",
+        _sq_l2(F.col("qv"), F.col("cv")).alias("qd"),
+    )
+    exploded = codes.select(
+        "id", "centroid_id", F.posexplode("codes").alias("s", "code")
+    )
+    per_sub = exploded.join(
+        F.broadcast(qtable),
+        (F.col("centroid_id") == F.col("qc"))
+        & (F.col("s") == F.col("qs"))
+        & (F.col("code") == F.col("j")),
     ).select("id", "s", "qd")
     adc = per_sub.groupBy("id").agg(
         F.aggregate(

@@ -262,6 +262,26 @@ _AUG_SQL = """
 
 PERTURB_SUFFIX = " zz9 qq8 vv7"
 
+# the planted-duplicate id convention: copies live at doc_id + k*PLANT_OFFSET
+PLANT_OFFSET = 100000
+
+
+def _plant_guarded(d: DataFrame) -> DataFrame:
+    """Fail LOUDLY (not corrupt silently) if the base corpus's doc_ids
+    ever collide with the planted-copy id bands (doc_id + 100000 /
+    + 200000). Executor-side assert_true behind an always-true filter —
+    distributed, no driver collect, un-prunable by Catalyst; zero rows
+    change while the invariant holds (max doc_id is 4999 at sf0.1)."""
+    return d.filter(
+        F.assert_true(
+            F.col("doc_id") < PLANT_OFFSET,
+            F.lit(
+                "planted-duplicate id convention violated: base doc_id"
+                " >= 100000 would collide with the copy bands"
+            ),
+        ).isNull()
+    )
+
 
 def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ slightly-perturbed copy (3 appended junk tokens) —
@@ -270,7 +290,9 @@ def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so LSH buckets stay small and candidate generation stays linear
     (unigram similarity on this shared-vocabulary synthetic corpus is
     degenerate — half of all pairs match, which is a quadratic trap)."""
-    d = spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    d = _plant_guarded(
+        spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    )
     return d.unionByName(
         d.select(
             (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
@@ -4780,7 +4802,9 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     report rows are three one-row aggregates assembled lazily."""
     from ..operators import graph
 
-    base = spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    base = _plant_guarded(
+        spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    )
     corpus = base.unionByName(
         base.select(
             (F.col("doc_id") + F.lit(200000)).alias("doc_id"), "text"
@@ -4983,7 +5007,8 @@ sparse AS (
 ),
 emb AS (
   SELECT id, j::BIGINT AS j,
-         sum(w * (CASE WHEN (bucket * 31 + j * 17 + 5) % 2 = 0
+         sum(w * (CASE WHEN ((bucket * 1315423911 + j * 2654435761 + 5)
+                             % 1000000007) % 2 = 0
                        THEN 1 ELSE -1 END))::BIGINT AS v
   FROM sparse, range(0, {TE_DIM}) t(j)
   GROUP BY 1, 2
@@ -4998,12 +5023,18 @@ _TE_SQL = (
 
 
 def hashed_embedding_planted_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality gate for the hashed text embeddings: on the
-    planted-duplicate corpus, every (doc, perturbed copy) pair's
-    embedding cosine — near-dup TEXTS must stay near in the projected
-    space for the embedding to be useful as an ANN key. One summary
-    row: pair count, pairs above {TE_COS_THRESHOLD}, and the minimum
-    cosine (a min over identically-computed doubles — order-free)."""
+    """Quality gate for the hashed text embeddings, with a NEGATIVE
+    CONTROL: on the planted-duplicate corpus, (a) every (doc,
+    perturbed copy) pair's cosine — near-dup TEXTS must stay near in
+    the projected space — and (b) every (doc, perturbed copy of the
+    NEXT doc) pair's cosine — unrelated texts must NOT all look alike.
+    The control is what catches rank-collapse regressions in the sign
+    matrix (a parity-separable mix makes every cosine ±1, so the
+    positive half alone can never fail — the r10 advice finding).
+    One summary row; the mins/maxes are over identically-computed
+    doubles — order-free. Each perturbed vector is exploded into its
+    positive key (own base) and control key (base − 1) so one join
+    serves both halves."""
     corpus = _perturbed_docs(spark, sf_dir)
     emb_long = similarity.hashed_text_embedding(
         corpus, "text", "doc_id", dim=QC_DIM, out_dim=TE_DIM
@@ -5020,16 +5051,46 @@ def hashed_embedding_planted_cosine(spark: SparkSession, sf_dir: str) -> DataFra
     b = vecs.filter(F.col("id") >= 100000).select(
         (F.col("id") - 100000).alias("base_id"), F.col("vec").alias("vb")
     )
+    b2 = b.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("base_id").alias("k"),
+                    F.lit(1).cast("long").alias("is_pos"),
+                ),
+                F.struct(
+                    (F.col("base_id") - 1).alias("k"),
+                    F.lit(0).cast("long").alias("is_pos"),
+                ),
+            )
+        ).alias("e"),
+        "vb",
+    ).select(F.col("e.k").alias("base_id"), F.col("e.is_pos").alias("is_pos"), "vb")
     cos = vectors.cosine(F.col("va"), F.col("vb"))
     return (
-        a.join(b, "base_id")
-        .select(cos.alias("__c"))
+        a.join(b2, "base_id")
+        .select("is_pos", cos.alias("__c"))
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_pos").alias("n_pairs"),
             F.sum(
-                (F.col("__c") >= TE_COS_THRESHOLD).cast("long")
+                (
+                    (F.col("is_pos") == 1)
+                    & (F.col("__c") >= TE_COS_THRESHOLD)
+                ).cast("long")
             ).alias("n_above"),
-            round_to(F.min("__c"), 6).alias("min_cosine"),
+            round_to(
+                F.min(F.when(F.col("is_pos") == 1, F.col("__c"))), 6
+            ).alias("min_cosine"),
+            F.sum(F.lit(1) - F.col("is_pos")).alias("n_neg_pairs"),
+            F.sum(
+                (
+                    (F.col("is_pos") == 0)
+                    & (F.col("__c") >= TE_COS_THRESHOLD)
+                ).cast("long")
+            ).alias("n_neg_above"),
+            round_to(
+                F.max(F.when(F.col("is_pos") == 0, F.col("__c"))), 6
+            ).alias("max_neg_cosine"),
         )
     )
 
@@ -5044,13 +5105,22 @@ vecs AS (
   SELECT id, list(v::DOUBLE ORDER BY j) AS vv FROM emb GROUP BY id
 ),
 pc AS (
-  SELECT {cos.replace("a.va", "a.vv").replace("b.vb", "b.vv")} AS c
+  SELECT 1 AS is_pos,
+         {cos.replace("a.va", "a.vv").replace("b.vb", "b.vv")} AS c
   FROM vecs a JOIN vecs b ON b.id = a.id + 100000
   WHERE a.id < 100000
+  UNION ALL
+  SELECT 0 AS is_pos,
+         {cos.replace("a.va", "a.vv").replace("b.vb", "b.vv")} AS c
+  FROM vecs a JOIN vecs b ON b.id = a.id + 100001
+  WHERE a.id < 100000
 )
-SELECT count(*)::BIGINT AS n_pairs,
-       sum((c >= {TE_COS_THRESHOLD})::INT)::BIGINT AS n_above,
-       {sql_round("min(c)", 6)} AS min_cosine
+SELECT sum(is_pos)::BIGINT AS n_pairs,
+       sum((is_pos = 1 AND c >= {TE_COS_THRESHOLD})::INT)::BIGINT AS n_above,
+       {sql_round("min(CASE WHEN is_pos = 1 THEN c END)", 6)} AS min_cosine,
+       sum(1 - is_pos)::BIGINT AS n_neg_pairs,
+       sum((is_pos = 0 AND c >= {TE_COS_THRESHOLD})::INT)::BIGINT AS n_neg_above,
+       {sql_round("max(CASE WHEN is_pos = 0 THEN c END)", 6)} AS max_neg_cosine
 FROM pc
 """
     )

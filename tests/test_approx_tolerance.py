@@ -85,3 +85,25 @@ def test_random_projection_recall(spark):
     assert row["n_queries"] == 200
     assert row["n_copy_is_nn"] == 200
     assert row["recall_at_1"] == 1.0
+
+
+def test_hashed_embedding_gate_discriminates(spark):
+    """The planted-cosine gate must SEPARATE planted near-dup pairs
+    from the unrelated-pair negative control — this is the regression
+    net for sign-matrix rank collapse (a parity-separable mix makes
+    every embedding collinear: every cosine is ±1, the positive half
+    passes vacuously, and ~half the CONTROL pairs land at exactly
+    +1.0). Measured at sf0.01 after the r11 fix: 499/500 positives
+    >= 0.8 vs 92/499 controls — wide margins on both bounds."""
+    from pyspark_data_processing_challenge_spark.queries.llm import (
+        hashed_embedding_planted_cosine,
+    )
+
+    row = hashed_embedding_planted_cosine(spark, SF01_DIR).collect()[0]
+    assert row["n_pairs"] > 0 and row["n_neg_pairs"] > 0
+    pos_rate = row["n_above"] / row["n_pairs"]
+    neg_rate = row["n_neg_above"] / row["n_neg_pairs"]
+    assert pos_rate >= 0.95, (row["n_above"], row["n_pairs"])
+    assert neg_rate <= 0.35, (row["n_neg_above"], row["n_neg_pairs"])
+    # collapse signature: min positive cosine pinned at exactly 1.0
+    assert row["min_cosine"] < 1.0

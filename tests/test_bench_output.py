@@ -93,3 +93,17 @@ def test_stats_and_baselines_land_in_detail_only():
 def test_baseline_queries_not_in_headline():
     for name in bench.BASELINES:
         assert name not in bench.HEADLINE
+
+
+def test_prior_round_mins_sf_scoped():
+    """VERDICT r10 #1: the >1.5x-vs-prior re-run policy needs a prior
+    reference AT THE SAME sf — a snapshot from another scale factor
+    must be skipped (else sf0.01 iteration flags everything), and a
+    missing sf yields {} so the policy degrades to the absolute
+    thresholds."""
+    prior = bench._prior_round_mins(0.1)
+    assert prior, "committed BENCH_full snapshots should provide sf0.1 mins"
+    assert all(isinstance(v, (int, float)) for v in prior.values())
+    # baselines are folded in so movers outside the headline get reps too
+    assert "embedding_near_dup" in prior
+    assert bench._prior_round_mins(123.456) == {}

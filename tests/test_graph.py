@@ -146,3 +146,33 @@ def test_cluster_keep_best_policy(spark):
     }
     assert out[9].component == 9  # singleton keeps its own id as cluster
     assert out[6].component == 5
+
+
+def test_cc_loop_scoped_not_session_global(spark):
+    """VERDICT r10 #6: the CC loop must size its exchanges via explicit
+    repartition(loop_sp, key) — NEVER by flipping the session-global
+    spark.sql.shuffle.partitions (a concurrent query on the same
+    session would plan corpus shuffles at loop_sp). Pins: (a) no
+    conf.set of shuffle.partitions during the loop, (b) the returned
+    labels land in loop_sp partitions (2 for a tiny graph) even though
+    the session conf stays much larger."""
+    from unittest import mock
+
+    sess_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    assert int(sess_sp) > 2  # the pin below is vacuous otherwise
+    edges = _chain_edges(spark, 40)
+    real_set = spark.conf.set
+    calls = []
+
+    def spy(key, value):
+        calls.append((key, str(value)))
+        return real_set(key, value)
+
+    with mock.patch.object(spark.conf, "set", side_effect=spy):
+        comp = graph.connected_components(edges, max_iter=10)
+        n_parts = comp.rdd.getNumPartitions()
+        rows = comp.collect()
+    assert not [c for c in calls if c[0] == "spark.sql.shuffle.partitions"], calls
+    assert spark.conf.get("spark.sql.shuffle.partitions") == sess_sp
+    assert n_parts == 2, n_parts  # loop_sp for a 39-edge graph
+    assert len(rows) == 40 and all(r["component"] == 0 for r in rows)

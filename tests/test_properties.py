@@ -733,3 +733,22 @@ def test_kcore_convergence_flag_vs_brute_force(spark, edges, k):
         # the recovery path the flag exists to enable
         redo = graph.kcore(e, k=k, rounds=depth).collect()
         assert {r.node: r.deg for r in redo} == expect
+
+
+def test_plant_guard_raises_on_id_collision(spark):
+    """The planted-duplicate corpora (_perturbed_docs, the funnel's
+    triple corpus) put copies at doc_id + 100000/200000; the guard must
+    fail LOUDLY — not silently corrupt the funnel counts — once base
+    doc_ids reach the copy band (r10 advice). Executor-side assert_true,
+    no driver collect."""
+    import pytest as _pytest
+
+    from pyspark_data_processing_challenge_spark.queries.llm import (
+        _plant_guarded,
+    )
+
+    ok = spark.createDataFrame([(1, "a"), (99999, "b")], "doc_id long, text string")
+    assert _plant_guarded(ok).count() == 2
+    bad = spark.createDataFrame([(1, "a"), (100000, "b")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="planted-duplicate id convention"):
+        _plant_guarded(bad).count()
