@@ -85,6 +85,10 @@ HEADLINE = [
     "docs_pack_sequences",
     # round-5 additions
     "docs_dup_spans",
+    "docs_max_dup_extents",
+    "corpus_top_dup_extents",
+    "ivf_list_stats",
+    "ivf_staleness_eval",
     "docs_char_entropy",
     "user_streaks",
     "orders_zvalue",
@@ -192,6 +196,8 @@ HEADLINE = [
     "fuzzy_match_parts",
     "image_cross_codec_near_dup",
     "ivfpq_topk",
+    "ivfpq_residual_topk",
+    "ivfpq_ingest_postings",
     "kmeans_two_step",
     "max_concurrent_sessions",
     "momentum_contribution",
@@ -222,6 +228,7 @@ HEADLINE = [
     "embedding_kmeanspp_seeds",
     "docs_bpe_train_vocab",
     "docs_perceptron_train",
+    "docs_trained_classifier_eval",
     "docs_classifier_calibration",
     "minhash_threshold_sweep",
     "ivf_nprobe_curve",
@@ -973,6 +980,82 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict, stats: dict) -> None:
             shutil.rmtree(sd_store, ignore_errors=True)
             shutil.rmtree(sd_scratch, ignore_errors=True)
 
+        # --- ANN index maintenance (IVF-PQ postings, 1:100) -----------
+        # The index (list id + residual PQ codes per vector) is a pure
+        # function of the vector under static geometry, so ingest is
+        # append-only: full twin re-encodes history ∪ batch every
+        # "ingest"; incremental encodes only the batch after a
+        # batch_minus_store probe of the posting store. Same 1:100
+        # embedding shape as the SemDeDup family (sd_frames).
+        from pyspark_data_processing_challenge_spark.queries import (
+            advanced as advq,
+        )
+
+        iv_cent = emb.filter(SF.col("vec_id") < 8).select(
+            SF.col("vec_id").alias("cid"), SF.col("embedding").alias("cv")
+        )
+        iv_cb = simod.pq_subvectors(
+            simod.ivf_residuals(
+                simod.ivf_assign(
+                    emb.filter(
+                        (SF.col("vec_id") >= 8)
+                        & (SF.col("vec_id") < 8 + advq.PQ_NCODES)
+                    ),
+                    iv_cent,
+                    centroid_id="cid",
+                    centroid_vec="cv",
+                ),
+                iv_cent,
+            ),
+            vec_col="rvec",
+            id_col="doc",
+            m=advq.PQ_M,
+            dsub=advq.PQ_DSUB,
+        ).select(
+            "s", (SF.col("id") - 8).alias("j"), SF.col("sv").alias("cv")
+        )
+        iv_empty = spark.createDataFrame([], "doc long")
+        iv_store = tempfile.mkdtemp(prefix="iv100_")
+        iv_scratch = tempfile.mkdtemp(prefix="iv100_scratch_")
+        try:
+            _, iv_hist0 = sd_frames(901)
+            simod.incremental_ivfpq_postings(
+                iv_hist0, iv_empty, iv_cent, iv_cb,
+                m=advq.PQ_M, dsub=advq.PQ_DSUB,
+            ).write.mode("overwrite").parquet(iv_store)
+
+            def full_iv(rep: int):
+                e_batch, e_hist = sd_frames(110 + rep)
+                simod.incremental_ivfpq_postings(
+                    e_hist.unionByName(e_batch), iv_empty, iv_cent, iv_cb,
+                    m=advq.PQ_M, dsub=advq.PQ_DSUB,
+                ).write.format("noop").mode("overwrite").save()
+
+            def inc_iv(rep: int):
+                e_batch, _ = sd_frames(210 + rep)
+                store = spark.read.parquet(iv_store).select("doc")
+                caches5: list = []
+                fresh5 = simod.incremental_ivfpq_postings(
+                    e_batch, store, iv_cent, iv_cb,
+                    m=advq.PQ_M, dsub=advq.PQ_DSUB,
+                    cache_into=caches5,
+                )
+                fresh5.write.mode("append").parquet(f"{iv_scratch}/rep{rep}")
+                for c in caches5:
+                    c.unpersist()
+
+            timed_reps("ivfpq_full_1to100", full_iv, nreps=2, warm=False)
+            timed_reps("ivfpq_incremental_1to100", inc_iv, nreps=3, warm=True)
+            # the verdict's asked-for ingest throughput, derived from
+            # the measured min (batch size is salt-independent)
+            iv_batch_rows = sd_frames(0)[0].count()
+            stats.setdefault("ivfpq_incremental_1to100", {})[
+                "rows_per_sec"
+            ] = round(iv_batch_rows / times["ivfpq_incremental_1to100"], 1)
+        finally:
+            shutil.rmtree(iv_store, ignore_errors=True)
+            shutil.rmtree(iv_scratch, ignore_errors=True)
+
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
 
@@ -1156,6 +1239,56 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                 .parquet(esrc)
                 .writeStream.foreachBatch(sd_sink)
                 .option("checkpointLocation", f"{tmp}/ck_sd")
+                .start()
+            ),
+            rows=n_emb,
+        )
+
+        # IVF-PQ-index-at-ingest: the same embedding micro-batches
+        # maintain the ANN posting store (fused assign→residual→encode
+        # kernel + batch_minus_store replay guard). Static codebooks
+        # collected at sink construction — outside the timer.
+        from pyspark_data_processing_challenge_spark.operators import (
+            similarity as simod2,
+        )
+        from pyspark_data_processing_challenge_spark.queries import (
+            advanced as advq2,
+        )
+
+        iv_cent2 = emb.filter(SF.col("vec_id") < 8).select(
+            SF.col("vec_id").alias("cid"), SF.col("embedding").alias("cv")
+        )
+        iv_cb2 = simod2.pq_subvectors(
+            simod2.ivf_residuals(
+                simod2.ivf_assign(
+                    emb.filter(
+                        (SF.col("vec_id") >= 8) & (SF.col("vec_id") < 24)
+                    ),
+                    iv_cent2,
+                    centroid_id="cid",
+                    centroid_vec="cv",
+                ),
+                iv_cent2,
+            ),
+            vec_col="rvec",
+            id_col="doc",
+            m=advq2.PQ_M,
+            dsub=advq2.PQ_DSUB,
+        ).select(
+            "s", (SF.col("id") - 8).alias("j"), SF.col("sv").alias("cv")
+        )
+        iv_sink = sev.ivfpq_ingest_sink(
+            f"{tmp}/iv_out", iv_cent2, iv_cb2,
+            m=advq2.PQ_M, dsub=advq2.PQ_DSUB,
+        )
+        run(
+            "ivfpq_ingest",
+            lambda: (
+                spark.readStream.schema(sev.EMB_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(esrc)
+                .writeStream.foreachBatch(iv_sink)
+                .option("checkpointLocation", f"{tmp}/ck_iv")
                 .start()
             ),
             rows=n_emb,

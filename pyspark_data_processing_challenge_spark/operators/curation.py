@@ -342,6 +342,8 @@ def perceptron_train(
     *,
     dim: int = 64,
     steps: int = 4,
+    weights_into: list | None = None,
+    feats_into: list | None = None,
 ) -> DataFrame:
     """Distributed BATCH PERCEPTRON training over hashing-trick
     features — the training counterpart of
@@ -375,6 +377,13 @@ def perceptron_train(
     the checkpointed inputs, evaluated once when the caller
     materializes) — collecting them eagerly per step tripled the
     action count and doubled wall time at bench scale.
+
+    ``weights_into`` (optional list) receives the FINAL (bucket, w)
+    weight table — already checkpointed, dim+1 rows — so a caller can
+    close the train→infer loop (docs_trained_classifier_eval scores
+    the corpus with these instead of fixed weights). ``feats_into``
+    receives the checkpointed (id, bucket, x) feature table (bias row
+    included) for inference over the identical features.
     """
     spark = df.sparkSession
     toks = df.select(
@@ -448,6 +457,10 @@ def perceptron_train(
             )
         )
         w = w_new
+    if weights_into is not None:
+        weights_into.append(w)
+    if feats_into is not None:
+        feats_into.append(feats)
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)

@@ -879,6 +879,190 @@ def _span_stats(
     )
 
 
+def _suffix_lcp_scored(
+    df: DataFrame, text_col: str, id_col: str, *, k: int, w: int
+) -> DataFrame:
+    """(doc_id, pos, suffix, lcp) — every position's w-truncated token
+    suffix and its exact maximal duplicated-prefix length (the
+    suffix-window LCS core shared by :func:`suffix_window_lcs_stats`
+    and the top-extents report). See suffix_window_lcs_stats for the
+    algorithm and scale notes."""
+    toks = textfns.tokens(F.col(text_col))
+    doc = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    suf = doc.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("__t") < k, F.array().cast("array<array<string>>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - k),
+                    lambda i: F.slice(F.col("__t"), i + 1, w),
+                )
+            )
+        ).alias("pos", "suffix"),
+    )
+    anch = suf.withColumn(
+        "anchor", F.concat_ws(" ", F.slice("suffix", 1, k))
+    )
+    wsuf = Window.partitionBy("anchor").orderBy("suffix", "doc_id", "pos")
+    nb = anch.select(
+        "doc_id",
+        "pos",
+        "suffix",
+        F.lag("suffix").over(wsuf).alias("__prev"),
+        F.lead("suffix").over(wsuf).alias("__next"),
+    )
+
+    def lcp_to(other: str):
+        o = F.col(other)
+        z = F.zip_with(
+            F.col("suffix"),
+            o,
+            lambda x, y: F.when(
+                x.isNotNull() & y.isNotNull() & (x == y), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        minlen = F.least(F.size("suffix"), F.size(o))
+        p = F.array_position(z, 0)
+        return F.when(o.isNull(), F.lit(0).cast("long")).otherwise(
+            F.when(p == 0, minlen.cast("long")).otherwise(p - 1)
+        )
+
+    return nb.select(
+        "doc_id",
+        "pos",
+        "suffix",
+        F.greatest(lcp_to("__prev"), lcp_to("__next")).alias("lcp"),
+    )
+
+
+def top_dup_extents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 4,
+    w: int = 32,
+    n: int = 20,
+) -> DataFrame:
+    """The inspection artifact substring dedup actually produces: the
+    corpus's top-``n`` maximal duplicated extents WITH their text —
+    (doc_id, pos, extent_len, extent_text), ordered by extent length.
+    This is what an operator reads to see WHAT is duplicated (license
+    headers, templates, boilerplate) before choosing a strip policy;
+    the per-doc stats form (:func:`suffix_window_lcs_stats`) only says
+    how much.
+
+    Deterministic and scale-stable: a TakeOrdered top-``n`` by
+    (extent_len desc, doc_id, pos) — never a fraction, never a global
+    window (the CLAUDE.md scale-stable-output rule); the extent text
+    is sliced from the position's suffix window, so no second pass
+    over the corpus."""
+    scored = _suffix_lcp_scored(df, text_col, id_col, k=k, w=w)
+    return (
+        scored.filter(F.col("lcp") >= k)
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("lcp").alias("extent_len"),
+            F.concat_ws(
+                " ", F.slice("suffix", 1, F.col("lcp").cast("int"))
+            ).alias("extent_text"),
+        )
+        .orderBy(F.desc("extent_len"), "doc_id", "pos")
+        .limit(n)
+    )
+
+
+def suffix_window_lcs_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 4,
+    w: int = 32,
+) -> DataFrame:
+    """EXACT maximal duplicated-extent statistics via suffix ordering
+    within bounded windows — the Lee et al. 2022 suffix-array
+    completeness step that :func:`duplicated_span_stats`' k-gram merge
+    approximates. For every token position p, lcp(p) = the exact
+    length (capped at ``w``) of the longest token prefix starting at p
+    that occurs at least twice corpus-wide — so spans LONGER than k
+    resolve to their true extents instead of a union of k-gram hits.
+
+    Suffix-array semantics without a suffix array (the distributed
+    shape): suffixes truncated to ``w`` tokens sort WITHIN anchor
+    partitions keyed by the position's k-gram — any duplicated prefix
+    of length >= k shares its first k-gram, so partitioning loses
+    nothing at or above the report floor — and each suffix's lcp is
+    the max LCP against its two sorted neighbors (the classic
+    suffix-array adjacency property, valid restricted to a partition
+    because partition order IS global order there). LCP itself is
+    first-mismatch position over the zipped equality array
+    (array_position — no fold), an exact integer in both engines.
+
+    Provable relations to the k-gram form (pinned in
+    tests/test_spans.py AND visible across both engines' outputs):
+      - n_dup_pos == duplicated_span_stats' dup_positions
+        (lcp(p) >= k  ⟺  p's k-gram repeats);
+      - dup_token_cov_lcs >= its dup_token_cov (each [p, p+lcp(p))
+        extent contains the k-gram's [p, p+k)). In fact the two
+        coverages are provably EQUAL (every interior k-gram of a
+        repeated block is itself duplicated, so the k-gram union
+        already spans [p, p+lcp)); what the LCS form strictly ADDS is
+        the exact per-position extent — max_dup_len and the
+        longest-duplicated-substring report (:func:`top_dup_extents`)
+        are unobtainable from k-gram hits alone.
+
+    Scale notes: the suffix projection is corpus_tokens × w cells —
+    the price of exactness; at petabyte scale pack each suffix window
+    as an array of 64-bit token hashes (collision-checked) instead of
+    strings, same plan. Anchor partitions are gram-frequency bounded
+    (skewed stop-gram anchors would salt on a suffix prefix byte).
+    One anchor-keyed exchange for the sort, two doc-keyed windows for
+    the interval union — never a global window.
+
+    Returns per doc: (doc_id, n_dup_pos, max_dup_len,
+    dup_token_cov_lcs), zero-filled for clean docs.
+    """
+    scored = _suffix_lcp_scored(df, text_col, id_col, k=k, w=w).drop(
+        "suffix"
+    )
+    dup = scored.filter(F.col("lcp") >= k)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    endc = F.col("pos") + F.col("lcp")
+    prev_end = F.max(endc).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = dup.withColumn(
+        "__add",
+        F.greatest(
+            endc - F.greatest(F.coalesce(prev_end, F.col("pos")), F.col("pos")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    per_doc = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pos"),
+        F.max("lcp").alias("max_dup_len"),
+        F.sum("__add").alias("dup_token_cov_lcs"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_pos", F.lit(0)).cast("long").alias("n_dup_pos"),
+            F.coalesce("max_dup_len", F.lit(0))
+            .cast("long")
+            .alias("max_dup_len"),
+            F.coalesce("dup_token_cov_lcs", F.lit(0))
+            .cast("long")
+            .alias("dup_token_cov_lcs"),
+        )
+    )
+
+
 def incremental_duplicated_spans(
     new_df: DataFrame,
     seen_gram_counts: DataFrame,

@@ -360,6 +360,87 @@ def codebook_assign_udf(codebook: list[tuple[int, list[float]]]):
     return _assign
 
 
+def ivfpq_encode_udf(
+    coarse_codebook: list[tuple[int, list[float]]],
+    pq_codebook: list[tuple[int, int, list[float]]],
+    *,
+    m: int,
+    dsub: int,
+):
+    """Arrow-batched fused IVF-PQ posting encoder for streaming ingest:
+    one pandas UDF does coarse-assign → residual → per-subspace PQ
+    encode over driver-side numpy codebooks, returning a
+    (centroid_id, codes) struct per vector. The streaming twin of the
+    :func:`ivf_assign` → :func:`ivf_residuals` → :func:`pq_encode`
+    batch chain, built once per sink lifetime (the
+    codebook_assign_udf rationale: Column-fold forms carry codebook
+    literals the analyzer re-walks every epoch).
+
+    Bit-identity with the batch operators (pinned by the streaming
+    twin test):
+    - coarse stage is exactly :func:`codebook_assign_udf`'s kernel
+      (cumsum left-fold dots/norms, first-max argmax = highest cosine
+      then smallest cid, zero-norm → -2.0);
+    - residual = float64(vec) − float64(coarse cv): exact;
+    - per-subspace distance is the cumsum left fold of (r−c)², the
+      same adds in the same order as ``_sq_l2``; np.argmin keeps the
+      FIRST minimum over codes iterated in ascending j — pq_encode's
+      (dist, j) min_by tie-break.
+    """
+    if not coarse_codebook or not pq_codebook:
+        raise ValueError("both codebooks must be non-empty")
+    import numpy as np
+
+    ordered = sorted(
+        (int(cid), [float(x) for x in cv]) for cid, cv in coarse_codebook
+    )
+    cids = np.asarray([c for c, _ in ordered], dtype=np.int64)
+    cmat = np.asarray([cv for _, cv in ordered], dtype=np.float64)  # (C, D)
+    cnorm = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+    by_s: dict[int, list[tuple[int, list[float]]]] = {}
+    for s, j, cv in pq_codebook:
+        by_s.setdefault(int(s), []).append((int(j), [float(x) for x in cv]))
+    if sorted(by_s) != list(range(m)):
+        raise ValueError(f"pq codebook must cover subspaces 0..{m - 1}")
+    pq_j = []
+    pq_mat = []
+    for s in range(m):
+        rows = sorted(by_s[s])
+        pq_j.append(np.asarray([j for j, _ in rows], dtype=np.int32))
+        pq_mat.append(np.asarray([cv for _, cv in rows], dtype=np.float64))
+
+    @F.pandas_udf("centroid_id long, codes array<int>")
+    def _encode(vecs: pd.Series) -> pd.DataFrame:
+        out_cid = np.empty(len(vecs), dtype=np.int64)
+        out_codes: list = []
+        for i, v in enumerate(vecs):
+            if v is None or len(v) == 0:
+                # degenerate vector: smallest cid (the -2.0 coalesce
+                # convention), residual = -centroid
+                x = np.zeros(cmat.shape[1], dtype=np.float64)
+                ci = 0
+            else:
+                x = np.asarray(v, dtype=np.float64)
+                dots = np.cumsum(cmat * x[None, :], axis=1)[:, -1]
+                vnorm = np.sqrt(np.cumsum(x * x)[-1])
+                denom = vnorm * cnorm
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom == 0.0, -2.0, dots / denom)
+                ci = int(np.argmax(cos))
+            out_cid[i] = cids[ci]
+            r = x - cmat[ci]
+            codes = np.empty(m, dtype=np.int32)
+            for s in range(m):
+                rs = r[s * dsub : (s + 1) * dsub]
+                d2 = (pq_mat[s] - rs[None, :]) ** 2
+                dist = np.cumsum(d2, axis=1)[:, -1]
+                codes[s] = pq_j[s][int(np.argmin(dist))]
+            out_codes.append(codes)
+        return pd.DataFrame({"centroid_id": out_cid, "codes": out_codes})
+
+    return _encode
+
+
 def incremental_semdedup_pairs_assigned(
     assigned_batch: DataFrame,
     seen_store: DataFrame,
@@ -1026,32 +1107,39 @@ def ivfpq_adc_topk(
     *,
     k: int,
 ) -> DataFrame:
-    """Per-list asymmetric distance top-k — the residual-IVFADC probe
-    (:func:`pq_adc_topk` generalized to LIST-DEPENDENT query tables).
-    With residual codes, the query's lookup table differs per probed
-    list (the query residual q − c_L changes with L), so ``query_sub``
-    carries (centroid_id, s, qv) — one subvector set per probed list —
-    and each candidate's fold uses ITS list's table via the
-    (centroid_id, s, code) equi-join. Both the codebook and the
-    |probes|·M·k* table are broadcast; the candidate set is
+    """Per-query, per-list asymmetric distance top-k — the
+    residual-IVFADC probe (:func:`pq_adc_topk` generalized to
+    LIST-DEPENDENT query tables and a query batch). With residual
+    codes, a query's lookup table differs per probed list (the query
+    residual q − c_L changes with L), so ``query_sub`` carries
+    (query_id, centroid_id, s, qv) — one subvector set per (query,
+    probed list) — and each candidate's fold uses ITS list's table via
+    the (query_id, centroid_id, s, code) equi-join. ``codes`` carries
+    the probed candidates already routed per query: (query_id, id,
+    centroid_id, codes). Both the codebook and the
+    |queries|·nprobe·M·k* table are broadcast; candidates are
     list-bounded, so nothing corpus-sized shuffles. ADC distance is a
-    subspace-ordered left fold (engine-portable)."""
+    subspace-ordered left fold (engine-portable); the final top-k is
+    a window over each query's bounded candidate frame — never the
+    corpus. Output: (query_id, id, adc_dist, rank)."""
     qtable = query_sub.join(F.broadcast(codebook), "s").select(
+        F.col("query_id").alias("qq"),
         F.col("centroid_id").alias("qc"),
         F.col("s").alias("qs"),
         "j",
         _sq_l2(F.col("qv"), F.col("cv")).alias("qd"),
     )
     exploded = codes.select(
-        "id", "centroid_id", F.posexplode("codes").alias("s", "code")
+        "query_id", "id", "centroid_id", F.posexplode("codes").alias("s", "code")
     )
     per_sub = exploded.join(
         F.broadcast(qtable),
-        (F.col("centroid_id") == F.col("qc"))
+        (F.col("query_id") == F.col("qq"))
+        & (F.col("centroid_id") == F.col("qc"))
         & (F.col("s") == F.col("qs"))
         & (F.col("code") == F.col("j")),
-    ).select("id", "s", "qd")
-    adc = per_sub.groupBy("id").agg(
+    ).select("query_id", "id", "s", "qd")
+    adc = per_sub.groupBy("query_id", "id").agg(
         F.aggregate(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("s", "qd"))),
@@ -1061,7 +1149,89 @@ def ivfpq_adc_topk(
             lambda acc, d: acc + d,
         ).alias("adc_dist")
     )
-    return adc.orderBy("adc_dist", "id").limit(k)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
+    return adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def incremental_ivfpq_postings(
+    new_batch: DataFrame,
+    posting_store: DataFrame,
+    centroids: DataFrame,
+    pq_codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+    m: int,
+    dsub: int,
+    cache_into: list | None = None,
+) -> DataFrame:
+    """Fresh IVF-PQ index postings for a NEW embedding batch — the ANN
+    member of the incremental-ingest family (exact fingerprints,
+    minhash signatures, span grams, perceptual hashes, semdedup
+    assignments). The index geometry is STATIC by the store contract
+    (coarse ``centroids`` and residual ``pq_codebook`` are trained
+    once, like the paper's k-means fit), so a vector's posting
+    (list id + residual PQ codes) is a pure function of the vector —
+    ingest appends fresh postings and NEVER touches existing ones,
+    and the incremental index equals a full rebuild over the union
+    corpus row-for-row (tests/test_pq.py twin-proves it, probe
+    included).
+
+    Store-orientation contract (dedup.batch_minus_store): replayed ids
+    are dropped by probing the posting store with a BROADCAST of the
+    batch keys — everything exchanged is batch-sized, the store
+    streams through one scan and is never shuffled. Then the fresh
+    rows take the encode path of the residual composite: coarse-assign
+    against the broadcast centroids, residual = vec − centroid
+    (:func:`ivf_residuals`), PQ-encode the residual against the
+    broadcast codebook — keyed on a (doc, centroid_id) struct so the
+    list id rides through the encode aggregate and no post-join is
+    needed. Output: (doc, centroid_id, codes) — append-only.
+
+    Duplicate ids WITHIN one batch collapse to one posting
+    (dropDuplicates on the id — encode is deterministic, so survivors
+    are interchangeable)."""
+    from . import dedup
+
+    batch = new_batch.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+    ).dropDuplicates(["doc"])
+    fresh = dedup.batch_minus_store(
+        batch,
+        posting_store.select("doc"),
+        "doc",
+        batch_distinct=True,
+        store_unique_keys=True,
+    )
+    if cache_into is not None:
+        fresh = fresh.persist()
+        cache_into.append(fresh)
+    assigned = ivf_assign(
+        fresh,
+        centroids,
+        id_col="doc",
+        vec_col="vec",
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+    )
+    res = ivf_residuals(
+        assigned, centroids, centroid_id=centroid_id, centroid_vec=centroid_vec
+    )
+    keyed = res.select(
+        F.struct("doc", "centroid_id").alias("__pk"), "rvec"
+    )
+    codes = pq_encode(
+        keyed, pq_codebook, vec_col="rvec", id_col="__pk", m=m, dsub=dsub
+    )
+    return codes.select(
+        F.col("id.doc").alias("doc"),
+        F.col("id.centroid_id").alias("centroid_id"),
+        "codes",
+    )
 
 
 def hard_negatives(

@@ -29,80 +29,134 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- round-10 additions (first driver verdict needed) ---
-    "docs_quality_classifier",  # new: hashed-feature linear quality scorer
-    "embedding_kmeanspp_seeds",  # new: deterministic k-means++ (maximin) seeding
-    "docs_bpe_train_vocab",  # new: N-merge BPE training loop
-    "docs_perceptron_train",  # new: integer-exact batch-perceptron training
-    "docs_classifier_calibration",  # new: logit-bucket reliability table
-    "minhash_threshold_sweep",  # new: est-Jaccard threshold-capacity curve
-    "ivf_nprobe_curve",  # new: recall-vs-nprobe capacity curve
-    "phash_precision_eval",  # new: perceptual-hash false-positive gate
-    "docs_hashed_embedding",  # new: model-free hashed text embeddings
-    "hashed_embedding_planted_cosine",  # new: embedding quality gate
-    "simhash_precision_eval",  # new: SimHash false-positive gate
-    "parts_fs_weights",  # new: Fellegi-Sunter linkage evidence weights
-    "corpus_dedup_funnel",  # new: raw -> exact -> near yield report
-    # --- oldest-verdict re-verification rotation (VERDICT r09
-    # item 3): the 43 r05-vintage rows — the oldest band after the
-    # r09 rotation — re-verify in this window ---
-    "multimodal_decode",  # was r02+r05-vintage
-    "ref_flagship_pipeline_keyed",  # was r02+r05-vintage
-    "ivfpq_topk",  # was r05-vintage
-    "orders_pit_acctbal",  # was r05-vintage
-    "events_funnel",  # was r05-vintage
-    "sketch_merge_distinct",  # was r05-vintage
-    "docs_hashed_features",  # was r05-vintage
-    "docs_bm25",  # was r05-vintage
-    "events_m4_downsample",  # was r05-vintage
-    "sessionize_events_native",  # was r05-vintage
-    "pq_topk",  # was r05-vintage
-    "orders_hilbert",  # was r05-vintage
-    "orders_zvalue",  # was r05-vintage
-    "approx_distinct_stats",  # was r04+r05-vintage
-    "cdc_merge_orders",  # was r02+r05-vintage
-    "scd2_customer_history",  # was r02+r05-vintage
-    "ivf_assignments",  # was r02+r05-vintage
-    "ivf_topk",  # was r02+r05-vintage
-    "tfidf_top_terms",  # was r02+r05-vintage
-    "cube_orders",  # was r02+r05-vintage
-    "top_terms",  # was r02+r05-vintage
-    "string_functions",  # was r02+r05-vintage
-    "date_functions",  # was r02+r05-vintage
-    "range_join_promos",  # was r02+r05-vintage
-    "unpivot_lineitem",  # was r02+r05-vintage
-    "grouping_sets_orders",  # was r02+r05-vintage
-    "stratified_sample_docs",  # was r02+r05-vintage
-    "posexplode_tokens",  # was r02+r05-vintage
-    "regex_extract_parts",  # was r02+r05-vintage
-    "window_rank_stats",  # was r02+r05-vintage
-    "agg_conditional",  # was r02+r05-vintage
-    "kmeans_update_centroids",  # was r02+r05-vintage
-    "doc_length_histogram",  # was r02+r05-vintage
-    "multimodal_media_decode",  # was r04+r05-vintage
-    "docs_bpe_token_count",  # was r02+r05-vintage
-    "join_regional_revenue",  # was r02+r05-vintage
-    "rolling_7d_revenue",  # was r02+r05-vintage
-    # --- r06-vintage FILLERS (next-oldest) to hold the window at 50 ---
+    # --- round-11 additions (first driver verdict needed) ---
+    "ivfpq_residual_topk",  # new: true IVFADC (trained coarse + residual PQ)
+    "ivfpq_ingest_postings",  # new: incremental ANN-index ingest
+    "docs_trained_classifier_eval",  # new: train->infer->calibrate loop
+    "docs_max_dup_extents",  # new: suffix-window LCS maximal extents
+    "corpus_top_dup_extents",  # new: top duplicated extents report
+    "ivf_list_stats",  # new: IVF list-balance report
+    "ivf_staleness_eval",  # new: IVF staleness gate
+    # --- the six entries displaced by the r10 window cap (queued
+    # since r10; VERDICT r10 #5 asks for them at the front) ---
+    "snapshot_diff_orders",  # was r04+r05-vintage
+    "cdc_merge_delete_orders",  # was r04+r05-vintage
+    "docs_pii_scrub",  # was r04+r05-vintage
+    "fuzzy_match_parts",  # was r04+r05-vintage
+    "docs_outlier_trim",  # was r04+r05-vintage
+    "agg_topk_orders",  # was r04+r05-vintage
+    # --- oldest-verdict re-verification rotation: the r06-vintage
+    # band (oldest remaining after r10 re-verified the r05 band);
+    # 10 r06 rows stay queued for the r12 front ---
+    "docs_char_entropy_explode",  # was r06-vintage
+    "pq_codes",  # was r06-vintage
+    "pq_trained_topk",  # was r06-vintage
+    "image_phash_jpeg_near_dup",  # was r06-vintage
+    "docs_bpe_pair_counts",  # was r06-vintage
+    "audio_features",  # was r06-vintage
+    "video_frame_stats",  # was r06-vintage
+    "image_resize_thumbs",  # was r06-vintage
+    "cms_heavy_hitters",  # was r06-vintage
+    "bloom_join_prune",  # was r06-vintage
+    "setsim_prefix_pairs",  # was r06-vintage
+    "copurchase_triangles",  # was r06-vintage
+    "docs_bpe_merge_step",  # was r06-vintage
+    "histogram_quantile_sketch",  # was r06-vintage
+    "zone_map_pruning",  # was r06-vintage
+    "embedding_random_projection",  # was r06-vintage
+    "snapshot_drift_report",  # was r06-vintage
+    "ab_test_events",  # was r06-vintage
+    "audio_transcode_features",  # was r06-vintage
+    "video_scene_cuts",  # was r06-vintage
+    "zone_map_pruning_2d",  # was r06-vintage
+    "sql_recursive_hierarchy",  # was r06-vintage
+    "event_segment_mutual_info",  # was r06-vintage
+    "ivm_daily_revenue",  # was r06-vintage
+    "image_cross_codec_near_dup",  # was r06-vintage
+    "events_grouped_center_arrow",  # was r06-vintage
+    "events_mad_outliers",  # was r06-vintage
+    "salted_join_revenue",  # was r06-vintage
+    "ivf_trained_topk",  # was r06-vintage
+    "cohort_retention",  # was r06-vintage
+    "event_transitions",  # was r06-vintage
+    "regr_price_by_brand",  # was r06-vintage
+    "events_rolling_zscore",  # was r06-vintage
+    "orders_gap_fill",  # was r06-vintage
+    "rolling_7d_distinct_users",  # was r06-vintage
+    "nation_trade_pagerank",  # was r06-vintage
+    "max_concurrent_sessions",  # was r06-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
-    # the one r05-vintage row displaced by the round-10 additions
-    # (window capped at 50) — front of the r11 re-verification queue
-    "snapshot_diff_orders": "r04+r05",
-    "agg_topk_orders": "r04+r05",
-    "docs_outlier_trim": "r04+r05",
-    "fuzzy_match_parts": "r04+r05",
-    "docs_pii_scrub": "r04+r05",
-    "cdc_merge_delete_orders": "r04+r05",
-    "docs_char_entropy_explode": "r06",
-    "pq_codes": "r06",
-    "pq_trained_topk": "r06",
-    "image_phash_jpeg_near_dup": "r06",
-    # r10 rotation: the entire 50-slot r09 window came back green
-    # (CORRECTNESS_r09 50/50) and rotates out to fund the oldest-
-    # verdict (r05-vintage) re-verification set + round-10 adds.
+    # front of the r12 re-verification queue: the r06 rows the
+    # 50-slot window could not fit this round
+    "rfm_segments": "r06",
+    "rag_chunk_dedup": "r06",
+    "docs_rag_chunks": "r06",
+    "conversion_lag_histogram": "r06",
+    "lineitem_skew_profile": "r06",
+    "part_pair_affinity": "r06",
+    "top_event_paths": "r06",
+    "revenue_mom_yoy": "r06",
+    "region_nation_revenue_share": "r06",
+    "benford_totalprice": "r06",
+    "docs_unigram_surprisal": "r06",
+    "split_oov_rate": "r06",
+    "nation_trade_pagerank2": "r06",
+    # r11 rotation: the entire 50-slot r10 window came back green
+    # (CORRECTNESS_r10 50/50) and rotates out to fund the r06-band
+    # re-verification set + the round-11 additions.
+    "docs_quality_classifier": "r10",
+    "embedding_kmeanspp_seeds": "r10",
+    "docs_bpe_train_vocab": "r10",
+    "docs_perceptron_train": "r10",
+    "docs_classifier_calibration": "r10",
+    "minhash_threshold_sweep": "r10",
+    "ivf_nprobe_curve": "r10",
+    "phash_precision_eval": "r10",
+    "docs_hashed_embedding": "r10",
+    "hashed_embedding_planted_cosine": "r10",
+    "simhash_precision_eval": "r10",
+    "parts_fs_weights": "r10",
+    "corpus_dedup_funnel": "r10",
+    "multimodal_decode": "r02+r05+r10",
+    "ref_flagship_pipeline_keyed": "r02+r05+r10",
+    "ivfpq_topk": "r05+r10",
+    "orders_pit_acctbal": "r05+r10",
+    "events_funnel": "r05+r10",
+    "sketch_merge_distinct": "r05+r10",
+    "docs_hashed_features": "r05+r10",
+    "docs_bm25": "r05+r10",
+    "events_m4_downsample": "r05+r10",
+    "sessionize_events_native": "r05+r10",
+    "pq_topk": "r05+r10",
+    "orders_hilbert": "r05+r10",
+    "orders_zvalue": "r05+r10",
+    "approx_distinct_stats": "r04+r05+r10",
+    "cdc_merge_orders": "r02+r05+r10",
+    "scd2_customer_history": "r02+r05+r10",
+    "ivf_assignments": "r02+r05+r10",
+    "ivf_topk": "r02+r05+r10",
+    "tfidf_top_terms": "r02+r05+r10",
+    "cube_orders": "r02+r05+r10",
+    "top_terms": "r02+r05+r10",
+    "string_functions": "r02+r05+r10",
+    "date_functions": "r02+r05+r10",
+    "range_join_promos": "r02+r05+r10",
+    "unpivot_lineitem": "r02+r05+r10",
+    "grouping_sets_orders": "r02+r05+r10",
+    "stratified_sample_docs": "r02+r05+r10",
+    "posexplode_tokens": "r02+r05+r10",
+    "regex_extract_parts": "r02+r05+r10",
+    "window_rank_stats": "r02+r05+r10",
+    "agg_conditional": "r02+r05+r10",
+    "kmeans_update_centroids": "r02+r05+r10",
+    "doc_length_histogram": "r02+r05+r10",
+    "multimodal_media_decode": "r04+r05+r10",
+    "docs_bpe_token_count": "r02+r05+r10",
+    "join_regional_revenue": "r02+r05+r10",
+    "rolling_7d_revenue": "r02+r05+r10",
     "docs_semantic_dedup": "r08",
     "bootstrap_mean_ci": "r08",
     "lsh_recall_eval": "r08",
@@ -153,42 +207,6 @@ _ROTATED_OUT = {
     "window_lag_delta": "r01+r08",
     "ngram_jaccard_pairs": "r01+r08",
     "minhash_signatures": "r01+r08",
-    "docs_bpe_pair_counts": "r06",
-    "audio_features": "r06",
-    "video_frame_stats": "r06",
-    "image_resize_thumbs": "r06",
-    "cms_heavy_hitters": "r06",
-    "bloom_join_prune": "r06",
-    "setsim_prefix_pairs": "r06",
-    "copurchase_triangles": "r06",
-    "docs_bpe_merge_step": "r06",
-    "histogram_quantile_sketch": "r06",
-    "zone_map_pruning": "r06",
-    "embedding_random_projection": "r06",
-    "snapshot_drift_report": "r06",
-    "ab_test_events": "r06",
-    "audio_transcode_features": "r06",
-    "video_scene_cuts": "r06",
-    "zone_map_pruning_2d": "r06",
-    "sql_recursive_hierarchy": "r06",
-    "event_segment_mutual_info": "r06",
-    "ivm_daily_revenue": "r06",
-    "image_cross_codec_near_dup": "r06",
-    "events_grouped_center_arrow": "r06",
-    "events_mad_outliers": "r06",
-    "salted_join_revenue": "r06",
-    "ivf_trained_topk": "r06",
-    "cohort_retention": "r06",
-    "event_transitions": "r06",
-    "regr_price_by_brand": "r06",
-    "events_rolling_zscore": "r06",
-    "docs_rag_chunks": "r06",
-    "orders_gap_fill": "r06",
-    "rolling_7d_distinct_users": "r06",
-    "nation_trade_pagerank": "r06",
-    "max_concurrent_sessions": "r06",
-    "rag_chunk_dedup": "r06",
-    "rfm_segments": "r06",
     "conversion_lag_histogram": "r06",
     "lineitem_skew_profile": "r06",
     "part_pair_affinity": "r06",

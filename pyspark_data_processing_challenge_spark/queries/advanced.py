@@ -16,7 +16,7 @@ oracle with identical column names and engine-portable arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import HASH_MOD
@@ -97,6 +97,120 @@ SELECT d.doc_id,
        coalesce(p.dup_spans, 0)::BIGINT AS dup_spans,
        coalesce(p.dup_token_cov, 0)::BIGINT AS dup_token_cov
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+LCS_W = 32
+
+
+def docs_max_dup_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximal duplicated extents (suffix-window LCS —
+    operators/dedup.suffix_window_lcs_stats): the Lee et al. 2022
+    completeness step over the k-gram span form, on the
+    planted-duplicate corpus where every base doc's text recurs
+    verbatim inside its perturbed copy — so true extents run far past
+    k and the k-gram approximation visibly under-reports them.
+    Per-position lcp is the exact repeated-prefix length (capped at
+    {LCS_W}); relations to docs_dup_spans' k-gram form (position sets
+    EQUAL, coverage >=) are pinned in tests/test_spans.py."""
+    from .llm import _perturbed_docs
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    return dedup.suffix_window_lcs_stats(
+        corpus, "text", "doc_id", k=SPAN_K, w=LCS_W
+    )
+
+
+def _lcs_scored_ctes() -> str:
+    """Shared WITH-body through ``scored`` (doc_id, pos, suffix, lcp)
+    for the suffix-window LCS oracles (_max_dup_sql, _top_extents_sql)
+    over the planted corpus."""
+    from .llm import _PERTURB_SQL
+
+    def lcp_sql(o: str) -> str:
+        # list_position returns 0 for a missing element on this DuckDB
+        # (NULL on others) — nullif routes BOTH conventions to the
+        # all-equal minlen branch, mirroring Spark's p == 0 case
+        minlen = f"least(len(suffix), len({o}))"
+        return (
+            f"(CASE WHEN {o} IS NULL THEN 0 ELSE coalesce(nullif("
+            f"list_position(list_transform(range(1, {minlen} + 1), "
+            f"mi -> (suffix[mi] = {o}[mi])::INT), 0), 0) - 1, {minlen}) END)"
+        )
+
+    k, w = SPAN_K, LCS_W
+    return f"""base AS ({_PERTURB_SQL}),
+toks AS (SELECT doc_id, {sql_tokens("text")} AS tk FROM base),
+sufs AS (
+  SELECT doc_id, i - 1 AS pos, tk[i : i + {w - 1}] AS suffix,
+         array_to_string(tk[i : i + {k - 1}], ' ') AS anchor
+  FROM toks, unnest(range(1, greatest(length(tk) - {k - 1}, 0) + 1)) AS u(i)
+),
+nb AS (
+  SELECT doc_id, pos, suffix,
+         lag(suffix) OVER w1 AS prv, lead(suffix) OVER w1 AS nxt
+  FROM sufs
+  WINDOW w1 AS (PARTITION BY anchor ORDER BY suffix, doc_id, pos)
+),
+scored AS (
+  SELECT doc_id, pos, suffix,
+         greatest({lcp_sql("prv")}, {lcp_sql("nxt")})::BIGINT AS lcp
+  FROM nb
+)"""
+
+
+def _max_dup_sql() -> str:
+    k = SPAN_K
+    return f"""
+WITH {_lcs_scored_ctes()},
+dup AS (SELECT doc_id, pos, lcp FROM scored WHERE lcp >= {k}),
+cov AS (
+  SELECT doc_id, pos, lcp,
+         greatest(pos + lcp - greatest(coalesce(max(pos + lcp) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos),
+           0) AS addcov
+  FROM dup
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_pos,
+         max(lcp)::BIGINT AS max_dup_len,
+         sum(addcov)::BIGINT AS dup_token_cov_lcs
+  FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(p.n_dup_pos, 0)::BIGINT AS n_dup_pos,
+       coalesce(p.max_dup_len, 0)::BIGINT AS max_dup_len,
+       coalesce(p.dup_token_cov_lcs, 0)::BIGINT AS dup_token_cov_lcs
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+TOP_EXTENTS_N = 20
+
+
+def corpus_top_dup_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-{TOP_EXTENTS_N} maximal duplicated extents WITH their
+    text (operators/dedup.top_dup_extents) — the artifact an operator
+    inspects to see WHAT is duplicated (boilerplate, licenses,
+    templates) before choosing a strip policy. Deterministic
+    TakeOrdered by (extent_len desc, doc_id, pos); extent text sliced
+    from the position's suffix window, no second corpus pass."""
+    from .llm import _perturbed_docs
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    return dedup.top_dup_extents(
+        corpus, "text", "doc_id", k=SPAN_K, w=LCS_W, n=TOP_EXTENTS_N
+    )
+
+
+def _top_extents_sql() -> str:
+    return f"""
+WITH {_lcs_scored_ctes()}
+SELECT doc_id, pos, lcp AS extent_len,
+       array_to_string(suffix[1 : lcp::INT], ' ') AS extent_text
+FROM scored WHERE lcp >= {SPAN_K}
+ORDER BY extent_len DESC, doc_id, pos LIMIT {TOP_EXTENTS_N}
 """
 
 
@@ -2004,6 +2118,411 @@ SELECT vec_id, adc_dist FROM (
 """
 
 
+def _ivfpq_multi(
+    spark: SparkSession, sf_dir: str, *, residual: bool
+) -> DataFrame:
+    """Shared multi-query IVF-PQ pipeline over queries
+    [IVF_QUERY_LO, IVF_QUERY_HI). ``residual=True`` is published
+    IVFADC (Jégou et al., TPAMI 2011 §IV): one k-means M-step trains
+    the coarse quantizer (centroid ← member mean, rounded 6 dp — the
+    kmeans_two_step determinism pattern), lists are rebuilt, the PQ
+    stage quantizes RESIDUALS (vec − trained centroid) with a
+    residual-convention init + one pq_lloyd_step, and each query gets
+    a PER-PROBED-LIST lookup table from its per-list residual.
+    ``residual=False`` is the raw-vector composite (``ivfpq_topk``
+    semantics: untrained coarse quantizer, convention raw codebook,
+    list-independent tables routed through the same operator) — kept
+    as the recall baseline the residual form must beat
+    (tests/test_pq.py). Output: (query_id, vec_id, adc_dist, rank)."""
+    from ..functions import vectors
+    from ..operators.similarity import ivf_residuals, ivfpq_adc_topk
+    from .extended import (
+        IVF_NCENTROIDS,
+        IVF_NPROBE,
+        IVF_QUERY_HI,
+        IVF_QUERY_LO,
+    )
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent0 = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    if residual:
+        a0 = similarity.ivf_assign(
+            emb, cent0, centroid_id="cid", centroid_vec="cv"
+        )
+        means = (
+            a0.select("centroid_id", F.posexplode("vec").alias("dim", "v"))
+            .groupBy("centroid_id", "dim")
+            .agg(round_to(F.avg("v"), 6).alias("c"))
+        )
+        cent = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda x: x["c"],
+                ).alias("cv")
+            )
+            .select(F.col("centroid_id").alias("cid"), "cv")
+        )
+        # the trained assignment feeds residuals AND the candidate
+        # router, and the residuals feed init/Lloyd/encode — without
+        # materialization the two-pass coarse training re-executes per
+        # consumer (measured 5.7 s -> 4.0 s warm at sf0.1; the
+        # CLAUDE.md iterative-operator rule)
+        assign = similarity.ivf_assign(
+            emb, cent, centroid_id="cid", centroid_vec="cv"
+        ).localCheckpoint()
+        res = ivf_residuals(assign, cent).localCheckpoint()
+        sub = similarity.pq_subvectors(
+            res, vec_col="rvec", id_col="doc", m=PQ_M, dsub=PQ_DSUB
+        )
+        # residual-convention init: slices of residuals
+        # IVF_NCENTROIDS..+PQ_NCODES (the centroids' own residuals
+        # vanish under a perfect coarse fit — skip that band), then
+        # one Lloyd step re-centers on the residual distribution
+        cb0 = sub.filter(
+            (F.col("id") >= IVF_NCENTROIDS)
+            & (F.col("id") < IVF_NCENTROIDS + PQ_NCODES)
+        ).select(
+            "s",
+            (F.col("id") - IVF_NCENTROIDS).alias("j"),
+            F.col("sv").alias("cv"),
+        )
+        cb = similarity.pq_lloyd_step(sub, cb0)
+        codes = similarity.pq_encode(
+            res, cb, vec_col="rvec", id_col="doc", m=PQ_M, dsub=PQ_DSUB
+        )
+    else:
+        cent = cent0
+        assign = similarity.ivf_assign(
+            emb, cent, centroid_id="cid", centroid_vec="cv"
+        )
+        cb = _pq_codebook(spark, sf_dir)
+        codes = similarity.pq_encode(
+            emb, cb, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
+        ).withColumnRenamed("vec_id", "id")
+    q = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "cid")
+    probes = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qe",
+            "cid",
+            "cv",
+            vectors.cosine(F.col("qe"), F.col("cv")).alias("qcos"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "qe", F.col("cid").alias("centroid_id"), "cv")
+    )
+    # per-(query, list) subvectors: the residual form subtracts the
+    # probed list's centroid, the raw form uses the query unchanged
+    # for every list (the table is then list-independent, but routing
+    # it per list keeps ONE operator serving both)
+    qvec = (
+        F.zip_with(
+            "qe", "cv", lambda x, y: x.cast("double") - y.cast("double")
+        )
+        if residual
+        else F.transform("qe", lambda x: x.cast("double"))
+    )
+    qres = probes.select(
+        F.struct("query_id", "centroid_id").alias("qk"), qvec.alias("rvec")
+    )
+    qsub = similarity.pq_subvectors(
+        qres, vec_col="rvec", id_col="qk", m=PQ_M, dsub=PQ_DSUB
+    ).select(
+        F.col("id.query_id").alias("query_id"),
+        F.col("id.centroid_id").alias("centroid_id"),
+        "s",
+        F.col("sv").alias("qv"),
+    )
+    # probed-list candidates (assignment ⋈ broadcast probes), then
+    # their codes — bounded by |queries|·nprobe lists, broadcast into
+    # the codes scan (at petabyte scale with huge lists this becomes
+    # a shuffle-hash join on id; semantics unchanged)
+    cand_ids = (
+        assign.join(
+            F.broadcast(probes.select("query_id", "centroid_id")),
+            "centroid_id",
+        )
+        .filter(F.col("doc") != F.col("query_id"))
+        .select("query_id", F.col("doc").alias("id"), "centroid_id")
+    )
+    cand_codes = codes.join(F.broadcast(cand_ids), "id")
+    return ivfpq_adc_topk(cand_codes, cb, qsub, k=PQ_TOPK)
+
+
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVFADC (Jégou et al., TPAMI 2011 §IV): trained coarse
+    quantizer + PQ over RESIDUALS (vec − coarse centroid) — the
+    upgrade over ``ivfpq_topk`` the published system actually ships.
+    Within one inverted list every member shares a coarse centroid, so
+    residuals are centered and the 16 codes/subspace encode
+    within-list variation instead of re-encoding the list offset; at
+    100 TB that is what keeps ADC ranking sharp inside each list
+    (measured: 26 vs 14 summed recall@10 over the 10-query batch at
+    sf0.01 against the raw-vector composite — tests/test_pq.py pins
+    the inequality). Per-query top-{PQ_TOPK} over queries 100..110."""
+    out = _ivfpq_multi(spark, sf_dir, residual=True)
+    return out.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        round_to(F.col("adc_dist"), 6).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ivfpq_residual_sql() -> str:
+    from .extended import (
+        _IVF_ASSIGN_CTE,
+        _IVF_COS,
+        IVF_NCENTROIDS,
+        IVF_NPROBE,
+        IVF_QUERY_HI,
+        IVF_QUERY_LO,
+    )
+
+    return f"""
+WITH {_IVF_ASSIGN_CTE},
+texpl AS (
+  SELECT centroid_id,
+    unnest(list_transform(range(1, 65), i -> {{'dim': i - 1, 'v': e[i]}})) AS u
+  FROM assigned
+),
+tmeans AS (
+  SELECT centroid_id, CAST(u['dim'] AS INT) AS dim,
+    {sql_round("avg(u['v'])", 6)} AS c
+  FROM texpl GROUP BY 1, 2
+),
+cent1 AS (
+  SELECT centroid_id AS cid, list(c ORDER BY dim) AS cv FROM tmeans GROUP BY 1
+),
+scored2 AS (
+  SELECT v.vec_id, v.e, cent1.cid,
+    {_IVF_COS.format(a="v.e", b="cent1.cv")} AS cos
+  FROM v, cent1
+),
+assigned2 AS (
+  SELECT vec_id, e, cid AS centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid) AS rn
+    FROM scored2
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id AS id, a.centroid_id,
+         list_transform(range(1, 65), i -> a.e[i] - c1.cv[i]) AS rv
+  FROM assigned2 a JOIN cent1 c1 ON c1.cid = a.centroid_id
+),
+rsubs AS (
+  SELECT id, s, rv[s * {PQ_DSUB} + 1 : s * {PQ_DSUB} + {PQ_DSUB}] AS sv
+  FROM res, unnest(range(0, {PQ_M})) AS u(s)
+),
+cb0 AS (
+  SELECT s, id - {IVF_NCENTROIDS} AS j, sv AS cv FROM rsubs
+  WHERE id >= {IVF_NCENTROIDS} AND id < {IVF_NCENTROIDS + PQ_NCODES}
+),
+rscored0 AS (
+  SELECT rsubs.id, rsubs.s, rsubs.sv, cb0.j,
+         {_sql_sq_l2("rsubs.sv", "cb0.cv", PQ_DSUB)} AS dist
+  FROM rsubs JOIN cb0 USING (s)
+),
+rassigned AS (
+  SELECT id, s, (array_agg(j ORDER BY dist, j))[1] AS j, first(sv) AS sv
+  FROM rscored0 GROUP BY id, s
+),
+rexpl AS (
+  SELECT s, j, d - 1 AS dim, sv[d]::DOUBLE AS v
+  FROM rassigned, unnest(range(1, {PQ_DSUB + 1})) AS u(d)
+),
+rmeans AS (
+  SELECT s, j, dim, {sql_round("avg(v)", 6)} AS c
+  FROM rexpl GROUP BY s, j, dim
+),
+rcb1 AS (
+  SELECT s, j, array_agg(c ORDER BY dim) AS cv FROM rmeans GROUP BY s, j
+),
+rscored1 AS (
+  SELECT rsubs.id, rsubs.s, rcb1.j,
+         {_sql_sq_l2("rsubs.sv", "rcb1.cv", PQ_DSUB)} AS dist
+  FROM rsubs JOIN rcb1 USING (s)
+),
+rcodes AS (
+  SELECT id, s, (array_agg(j ORDER BY dist, j))[1] AS code
+  FROM rscored1 GROUP BY id, s
+),
+q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v
+  WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}
+),
+qp AS (
+  SELECT query_id, qe, centroid_id, cv FROM (
+    SELECT q.query_id, q.qe, c1.cid AS centroid_id, c1.cv,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_IVF_COS.format(a="q.qe", b="c1.cv")} DESC, c1.cid) AS rn
+    FROM q, cent1 c1
+  ) WHERE rn <= {IVF_NPROBE}
+),
+qres AS (
+  SELECT query_id, centroid_id,
+         list_transform(range(1, 65), i -> qe[i] - cv[i]) AS rv
+  FROM qp
+),
+qrsub AS (
+  SELECT query_id, centroid_id, s,
+         rv[s * {PQ_DSUB} + 1 : s * {PQ_DSUB} + {PQ_DSUB}] AS qv
+  FROM qres, unnest(range(0, {PQ_M})) AS u(s)
+),
+qtable AS (
+  SELECT qs.query_id, qs.centroid_id, qs.s, rcb1.j,
+         {_sql_sq_l2("qs.qv", "rcb1.cv", PQ_DSUB)} AS qd
+  FROM qrsub qs JOIN rcb1 USING (s)
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS id, a.centroid_id
+  FROM assigned2 a JOIN qp p ON p.centroid_id = a.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+per_sub AS (
+  SELECT c.query_id, c.id, rc.s, qt.qd
+  FROM cand c
+  JOIN rcodes rc ON rc.id = c.id
+  JOIN qtable qt ON qt.query_id = c.query_id
+                AND qt.centroid_id = c.centroid_id
+                AND qt.s = rc.s AND qt.j = rc.code
+),
+adc AS (
+  SELECT query_id, id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list({{'s': s, 'qd': qd}})), x -> x.qd)),
+           (x, y) -> x + y) AS adc_dist
+  FROM per_sub GROUP BY query_id, id
+),
+ranked AS (
+  SELECT query_id, id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, id) AS rank
+  FROM adc
+)
+SELECT query_id, id AS vec_id, {sql_round("adc_dist", 6)} AS adc_dist,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {PQ_TOPK}
+"""
+
+
+def ivfpq_ingest_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance at ingest
+    (operators/similarity.incremental_ivfpq_postings): the IVF-PQ
+    index — (doc → list id, residual PQ codes) postings — is kept
+    fresh by APPENDING each batch's postings instead of rebuilding,
+    closing the ingest story the dedup/phash/semdedup families already
+    have. The index geometry (coarse centroids + residual-convention
+    PQ codebook over residuals {IVF_NCENTROIDS}..+{PQ_NCODES}) is
+    static by contract; replayed ids are dropped by probing the
+    posting store with a broadcast of the batch keys (the
+    batch_minus_store orientation — the store is never shuffled).
+    Here the store is the 95%-of-corpus history (every vec_id except
+    those ≡ 10 mod 20) built through the SAME operator against an
+    empty store, and the batch (vec_id ≡ 0 mod 10) is half replays —
+    the output is exactly the genuinely-new ids' postings.
+    Twin-equality with a full rebuild — probe included — is pinned in
+    tests/test_pq.py."""
+    from ..operators.similarity import (
+        incremental_ivfpq_postings,
+        ivf_residuals,
+    )
+    from .extended import IVF_NCENTROIDS
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cb_src = emb.filter(
+        (F.col("vec_id") >= IVF_NCENTROIDS)
+        & (F.col("vec_id") < IVF_NCENTROIDS + PQ_NCODES)
+    )
+    cb_assign = similarity.ivf_assign(
+        cb_src, cent, centroid_id="cid", centroid_vec="cv"
+    )
+    cb = similarity.pq_subvectors(
+        ivf_residuals(cb_assign, cent),
+        vec_col="rvec",
+        id_col="doc",
+        m=PQ_M,
+        dsub=PQ_DSUB,
+    ).select(
+        "s", (F.col("id") - IVF_NCENTROIDS).alias("j"), F.col("sv").alias("cv")
+    )
+    history = emb.filter(
+        (F.col("vec_id") % 10 != 0) | (F.col("vec_id") % 20 == 0)
+    )
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    empty = spark.createDataFrame([], "doc long")
+    store = incremental_ivfpq_postings(
+        history, empty, cent, cb, m=PQ_M, dsub=PQ_DSUB
+    )
+    fresh = incremental_ivfpq_postings(
+        batch, store, cent, cb, m=PQ_M, dsub=PQ_DSUB
+    )
+    return fresh.select(
+        F.col("doc").alias("vec_id"),
+        "centroid_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+    )
+
+
+def _ivfpq_ingest_sql() -> str:
+    from .extended import _IVF_ASSIGN_CTE, IVF_NCENTROIDS
+
+    return f"""
+WITH {_IVF_ASSIGN_CTE},
+res AS (
+  SELECT a.vec_id AS id, a.centroid_id,
+         list_transform(range(1, 65), i -> a.e[i] - cent.cv[i]) AS rv
+  FROM assigned a JOIN cent ON cent.cid = a.centroid_id
+),
+rsubs AS (
+  SELECT id, s, rv[s * {PQ_DSUB} + 1 : s * {PQ_DSUB} + {PQ_DSUB}] AS sv
+  FROM res, unnest(range(0, {PQ_M})) AS u(s)
+),
+cb0 AS (
+  SELECT s, id - {IVF_NCENTROIDS} AS j, sv AS cv FROM rsubs
+  WHERE id >= {IVF_NCENTROIDS} AND id < {IVF_NCENTROIDS + PQ_NCODES}
+),
+rscored AS (
+  SELECT rsubs.id, rsubs.s, cb0.j,
+         {_sql_sq_l2("rsubs.sv", "cb0.cv", PQ_DSUB)} AS dist
+  FROM rsubs JOIN cb0 USING (s)
+),
+rcodes AS (
+  SELECT id, s, (array_agg(j ORDER BY dist, j))[1] AS code
+  FROM rscored GROUP BY id, s
+),
+posting AS (
+  SELECT c.id, r.centroid_id,
+         array_to_string(array_agg(c.code ORDER BY c.s), ',') AS codes
+  FROM rcodes c JOIN (SELECT id, centroid_id FROM res) r USING (id)
+  GROUP BY c.id, r.centroid_id
+),
+storeids AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0 OR vec_id % 20 = 0
+),
+batchids AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0),
+fresh AS (
+  SELECT vec_id FROM batchids
+  WHERE vec_id NOT IN (SELECT vec_id FROM storeids)
+)
+SELECT p.id AS vec_id, p.centroid_id, p.codes
+FROM posting p JOIN fresh f ON f.vec_id = p.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Z-order (Morton) clustering value
 # ---------------------------------------------------------------------------
@@ -2342,6 +2861,8 @@ QUERIES = {
     "pq_trained_topk": pq_trained_topk,
     "sessionize_events_native": sessionize_events_native,
     "docs_dup_spans": docs_dup_spans,
+    "docs_max_dup_extents": docs_max_dup_extents,
+    "corpus_top_dup_extents": corpus_top_dup_extents,
     "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_weighted_sample": docs_weighted_sample,
     "user_streaks": user_streaks,
@@ -2362,6 +2883,8 @@ QUERIES = {
     "zone_map_pruning": zone_map_pruning,
     "zone_map_pruning_2d": zone_map_pruning_2d,
     "ivfpq_topk": ivfpq_topk,
+    "ivfpq_residual_topk": ivfpq_residual_topk,
+    "ivfpq_ingest_postings": ivfpq_ingest_postings,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
     "funnel_dropoff": funnel_dropoff,
@@ -2369,6 +2892,8 @@ QUERIES = {
 
 ORACLES = {
     "docs_dup_spans": _DUP_SPANS_SQL,
+    "docs_max_dup_extents": _max_dup_sql(),
+    "corpus_top_dup_extents": _top_extents_sql(),
     "docs_strip_dup_spans": _STRIP_SQL,
     "docs_weighted_sample": _WSWR_SQL,
     "user_streaks": _STREAKS_SQL,
@@ -2390,6 +2915,8 @@ ORACLES = {
     "zone_map_pruning": _ZONE_MAP_SQL,
     "zone_map_pruning_2d": _zm2_sql(),
     "ivfpq_topk": _ivfpq_sql(),
+    "ivfpq_residual_topk": _ivfpq_residual_sql(),
+    "ivfpq_ingest_postings": _ivfpq_ingest_sql(),
     "orders_pit_acctbal": _pit_sql(),
     "events_funnel": _FUNNEL_SQL,
     "funnel_dropoff": _funnel_dropoff_sql(),

@@ -964,6 +964,118 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list BALANCE report — the operational table behind
+    every IVF deployment decision (re-train the codebook? salt a hot
+    list? raise nprobe?): per-list posting count, share of the corpus,
+    and imbalance factor n·k/total (1.0 = perfectly balanced; a 100 TB
+    index with a 20× hot list probes 20× the bytes whenever that list
+    is hit). One broadcast-codebook assignment pass + one keys-only
+    count; the total rides in as a broadcast single-row aggregate."""
+    from ..functions import vectors  # noqa: F401 (doc parity)
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(
+        emb, cent, centroid_id="cid", centroid_vec="cv"
+    )
+    per_list = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    total = per_list.agg(F.sum("n_vecs").alias("__tot"))
+    return per_list.crossJoin(F.broadcast(total)).select(
+        "centroid_id",
+        "n_vecs",
+        round_to(
+            F.col("n_vecs").cast("double") / F.col("__tot").cast("double"), 6
+        ).alias("share"),
+        round_to(
+            F.col("n_vecs").cast("double")
+            * F.lit(float(IVF_NCENTROIDS))
+            / F.col("__tot").cast("double"),
+            6,
+        ).alias("imbalance"),
+    )
+
+
+def ivf_staleness_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index STALENESS gate for the incremental-ingest story: as
+    batches accumulate under a static codebook, how stale is the
+    geometry? Measured as the fraction of the corpus whose nearest
+    centroid CHANGES under a one-M-step retrained codebook, plus the
+    count whose assigned cosine would improve — the two numbers an
+    operator reads to schedule a re-index. Counts only (n_reassigned,
+    n_cos_improved are comparisons of identically-computed doubles —
+    exact in both engines); no float averages ride in the hash."""
+    from ..functions import vectors
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent0 = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+
+    def assign_cos(cent):
+        a = similarity.ivf_assign(
+            emb, cent, centroid_id="cid", centroid_vec="cv"
+        )
+        return a.join(
+            F.broadcast(cent), a.centroid_id == F.col("cid")
+        ).select(
+            "doc",
+            "centroid_id",
+            vectors.cosine(F.col("vec"), F.col("cv")).alias("cos"),
+        )
+
+    a0 = assign_cos(cent0)
+    means = (
+        similarity.ivf_assign(
+            emb, cent0, centroid_id="cid", centroid_vec="cv"
+        )
+        .select("centroid_id", F.posexplode("vec").alias("dim", "v"))
+        .groupBy("centroid_id", "dim")
+        .agg(round_to(F.avg("v"), 6).alias("c"))
+    )
+    cent1 = (
+        means.groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"],
+            ).alias("cv")
+        )
+        .select(F.col("centroid_id").alias("cid"), "cv")
+    )
+    a1 = assign_cos(cent1)
+    j = a0.select(
+        "doc",
+        F.col("centroid_id").alias("c0"),
+        F.col("cos").alias("cos0"),
+    ).join(
+        a1.select(
+            "doc",
+            F.col("centroid_id").alias("c1"),
+            F.col("cos").alias("cos1"),
+        ),
+        "doc",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("c0") != F.col("c1")).cast("long")).alias(
+            "n_reassigned"
+        ),
+        round_to(
+            F.sum((F.col("c0") != F.col("c1")).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("reassign_rate"),
+        F.sum((F.col("cos1") > F.col("cos0")).cast("long")).alias(
+            "n_cos_improved"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -1107,6 +1219,64 @@ SELECT vec_id, cid AS centroid_id FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
   FROM scored2
 ) WHERE rn = 1
+"""
+)
+
+_IVF_LIST_STATS_SQL = (
+    "WITH"
+    + _IVF_ASSIGN_CTE
+    + f""",
+  per_list AS (
+    SELECT centroid_id, count(*)::BIGINT AS n_vecs FROM assigned GROUP BY 1
+  ),
+  tot AS (SELECT sum(n_vecs)::BIGINT AS t FROM per_list)
+SELECT centroid_id, n_vecs,
+  {sql_round("n_vecs::DOUBLE / t::DOUBLE", 6)} AS share,
+  {sql_round(f"n_vecs::DOUBLE * {IVF_NCENTROIDS} / t::DOUBLE", 6)} AS imbalance
+FROM per_list, tot
+"""
+)
+
+_IVF_STALENESS_SQL = (
+    "WITH"
+    + _IVF_ASSIGN_CTE
+    + f""",
+  a0 AS (
+    SELECT vec_id, cid AS c0, cos AS cos0 FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid) AS rn
+      FROM scored) WHERE rn = 1
+  ),
+  texpl AS (
+    SELECT centroid_id,
+      unnest(list_transform(range(1, 65), i -> {{'dim': i - 1, 'v': e[i]}})) AS u
+    FROM assigned
+  ),
+  tmeans AS (
+    SELECT centroid_id, CAST(u['dim'] AS INT) AS dim,
+      {sql_round("avg(u['v'])", 6)} AS c
+    FROM texpl GROUP BY 1, 2
+  ),
+  cent1 AS (
+    SELECT centroid_id AS cid, list(c ORDER BY dim) AS cv FROM tmeans GROUP BY 1
+  ),
+  scored1 AS (
+    SELECT v.vec_id, cent1.cid,
+      {_IVF_COS.format(a="v.e", b="cent1.cv")} AS cos
+    FROM v, cent1
+  ),
+  a1 AS (
+    SELECT vec_id, cid AS c1, cos AS cos1 FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid) AS rn
+      FROM scored1) WHERE rn = 1
+  )
+SELECT count(*)::BIGINT AS n_vecs,
+  sum((c0 <> c1)::INT)::BIGINT AS n_reassigned,
+  {sql_round("sum((c0 <> c1)::INT)::DOUBLE / count(*)::DOUBLE", 6)}
+    AS reassign_rate,
+  sum((cos1 > cos0)::INT)::BIGINT AS n_cos_improved
+FROM a0 JOIN a1 USING (vec_id)
 """
 )
 
@@ -1424,6 +1594,8 @@ QUERIES = {
     "ivf_nprobe_curve": ivf_nprobe_curve,
     "events_json_stats": events_json_stats,
     "ivf_trained_topk": ivf_trained_topk,
+    "ivf_list_stats": ivf_list_stats,
+    "ivf_staleness_eval": ivf_staleness_eval,
     "window_lag_delta": window_lag_delta,
     "window_ntile_orders": window_ntile_orders,
     "agg_quartiles_orders": agg_quartiles_orders,
@@ -1475,6 +1647,8 @@ ORACLES = {
     "snapshot_drift_report": _drift_sql(),
     "salted_join_revenue": _SALTED_JOIN_SQL,
     "ivf_trained_topk": _IVF_TRAINED_SQL,
+    "ivf_list_stats": _IVF_LIST_STATS_SQL,
+    "ivf_staleness_eval": _IVF_STALENESS_SQL,
     "orders_expectations": _expectations_sql(),
     "sql_recursive_hierarchy": _RECURSIVE_SQL,
     "agg_salted_revenue": """

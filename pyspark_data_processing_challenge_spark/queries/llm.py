@@ -4649,7 +4649,10 @@ def docs_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pt_sql() -> str:
+def _pt_ctes() -> str:
+    """The unrolled batch-perceptron WITH-body (feats, labels, weight
+    tables w0..w{PT_STEPS}) shared by the training oracle (_pt_sql)
+    and the trained-classifier eval oracle (_trained_eval_sql)."""
     dim, nsteps = QC_DIM, PT_STEPS
     ctes = [
         f"""toks AS (
@@ -4694,13 +4697,17 @@ w{k} AS (
   FROM w{k - 1} w LEFT JOIN g{k} g USING (bucket)
 )"""
         )
+    return ",\n".join(ctes)
+
+
+def _pt_sql() -> str:
     selects = [
         f"SELECT {k}::BIGINT AS step,"
         f" (SELECT count(*)::BIGINT FROM mis{k}) AS n_errors,"
         f" (SELECT coalesce(sum(abs(g)), 0)::BIGINT FROM g{k}) AS delta_l1"
-        for k in range(1, nsteps + 1)
+        for k in range(1, PT_STEPS + 1)
     ]
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    return "WITH " + _pt_ctes() + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def phash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5212,6 +5219,123 @@ FROM bucketed GROUP BY bucket
 """
 
 
+def docs_trained_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the train→infer→calibrate loop (VERDICT r10 #4): the
+    {PT_STEPS}-step batch-perceptron's TRAINED weights — which until
+    r11 nobody consumed — score the corpus, and the output carries
+    (a) the trained model's reliability table (logit buckets vs the
+    dl >= {PT_LABEL_MIN_DL} weak-label rate, the
+    docs_classifier_calibration convention) and (b) both models'
+    training-error counts on the weak label, so the trained-beats-
+    fixed relation is IN the hashed output (tests pin
+    n_errors_trained <= n_errors_fixed). Inference is the training
+    z: feats ⋈ broadcast(dim+1 weight table) — integer-exact, one
+    keys-only shuffle; the oracle replays training + inference +
+    calibration in one unrolled SQL statement."""
+    from ..operators import curation
+
+    d = spread(t(spark, sf_dir, "documents"))
+    label = F.when(
+        textfns.token_count(F.col("text")) >= PT_LABEL_MIN_DL, F.lit(1)
+    ).otherwise(F.lit(-1))
+    weights: list = []
+    featsl: list = []
+    curation.perceptron_train(
+        d, "text", "doc_id", label, dim=QC_DIM, steps=PT_STEPS,
+        weights_into=weights, feats_into=featsl,
+    )
+    w_t, feats = weights[0], featsl[0]
+    zt = (
+        feats.join(F.broadcast(w_t), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("zt"))
+    )
+    fixed = curation.hashed_linear_score(
+        d, "text", "doc_id", int_weights=QC_WEIGHTS, scale=QC_SCALE
+    )
+    y = (
+        F.when(F.col("dl") >= PT_LABEL_MIN_DL, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    ev = zt.join(fixed.select("id", "z_num", "dl"), "id").withColumn("y", y)
+    errs = ev.agg(
+        F.sum(
+            ((F.col("y") * F.col("zt")) <= 0).cast("long")
+        ).alias("n_errors_trained"),
+        F.sum(
+            ((F.col("y") * F.col("z_num")) <= 0).cast("long")
+        ).alias("n_errors_fixed"),
+    )
+    logit_t = F.col("zt").cast("double") / (
+        F.lit(float(QC_SCALE)) * F.col("dl").cast("double")
+    )
+    bucket = F.greatest(
+        F.least(F.floor(logit_t * 8), F.lit(7)), F.lit(-8)
+    ).cast("long")
+    cal = (
+        ev.select(
+            bucket.alias("bucket"),
+            (F.col("y") == 1).cast("long").alias("__pos"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__pos").alias("n_pos"))
+    )
+    return cal.crossJoin(F.broadcast(errs)).select(
+        "bucket",
+        "n",
+        "n_pos",
+        round_to(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pos_rate"),
+        "n_errors_trained",
+        "n_errors_fixed",
+    )
+
+
+def _trained_eval_sql() -> str:
+    wlist = ", ".join(str(w) for w in QC_WEIGHTS)
+    zt_logit = f"(zt::DOUBLE / ({QC_SCALE} * dl)::DOUBLE)"
+    return f"""
+WITH {_pt_ctes()},
+zt AS (
+  SELECT f.id, sum(f.x * w.w)::BIGINT AS zt
+  FROM feats f JOIN w{PT_STEPS} w USING (bucket) GROUP BY f.id
+),
+fterms AS (
+  SELECT doc_id,
+         (CASE WHEN (__h // {QC_DIM}) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+           * ([{wlist}])[(__h % {QC_DIM})::INT + 1]::BIGINT AS term
+  FROM (SELECT doc_id, {sql_char_hash("tok")} AS __h
+        FROM (SELECT doc_id, unnest({sql_tokens("text")}) AS tok
+              FROM documents))
+),
+fagg AS (
+  SELECT doc_id, sum(term)::BIGINT AS z_num, count(*)::BIGINT AS dl
+  FROM fterms GROUP BY doc_id
+),
+ev AS (
+  SELECT z.id, z.zt, a.z_num, a.dl,
+         (CASE WHEN a.dl >= {PT_LABEL_MIN_DL} THEN 1 ELSE -1 END)::BIGINT AS y
+  FROM zt z JOIN fagg a ON a.doc_id = z.id
+),
+errs AS (
+  SELECT sum((y * zt <= 0)::INT)::BIGINT AS n_errors_trained,
+         sum((y * z_num <= 0)::INT)::BIGINT AS n_errors_fixed
+  FROM ev
+),
+cal AS (
+  SELECT greatest(least(floor({zt_logit} * 8), 7), -8)::BIGINT AS bucket,
+         count(*)::BIGINT AS n, sum((y = 1)::INT)::BIGINT AS n_pos
+  FROM ev GROUP BY 1
+)
+SELECT bucket, n, n_pos,
+       {sql_round("n_pos::DOUBLE / n::DOUBLE", 6)} AS pos_rate,
+       errs.n_errors_trained, errs.n_errors_fixed
+FROM cal, errs
+"""
+
+
 def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-capacity curve for the banded MinHash detector: every
     banded candidate pair bucketed by its estimated Jaccard (agreeing
@@ -5251,6 +5375,7 @@ QUERIES = {
     "embedding_kmeanspp_seeds": embedding_kmeanspp_seeds,
     "docs_bpe_train_vocab": docs_bpe_train_vocab,
     "docs_perceptron_train": docs_perceptron_train,
+    "docs_trained_classifier_eval": docs_trained_classifier_eval,
     "docs_classifier_calibration": docs_classifier_calibration,
     "minhash_threshold_sweep": minhash_threshold_sweep,
     "phash_precision_eval": phash_precision_eval,
@@ -5336,6 +5461,7 @@ ORACLES = {
     "embedding_kmeanspp_seeds": _kmpp_sql(),
     "docs_bpe_train_vocab": _bpe_train_sql(),
     "docs_perceptron_train": _pt_sql(),
+    "docs_trained_classifier_eval": _trained_eval_sql(),
     "docs_classifier_calibration": _qc_cal_sql(),
     "minhash_threshold_sweep": _mh_sweep_sql(),
     "phash_precision_eval": _phash_precision_sql(),

@@ -544,6 +544,83 @@ def semdedup_ingest_sink(
     return sink
 
 
+def ivfpq_ingest_sink(
+    out_dir: str,
+    centroids: DataFrame,
+    pq_codebook: DataFrame,
+    *,
+    m: int,
+    dsub: int,
+):
+    """foreachBatch sink maintaining the IVF-PQ index AT INGEST — the
+    streaming face of operators/similarity.incremental_ivfpq_postings
+    (the ANN member of the incremental family, next to the exact-dedup
+    and semdedup sinks): each micro-batch drops replayed ids via the
+    batch_minus_store probe of the posting store (store streams
+    through one id-projected scan, never shuffled), then encodes only
+    the fresh vectors with ONE fused Arrow-batched kernel
+    (similarity.ivfpq_encode_udf: coarse-assign → residual → PQ codes,
+    bit-identical to the batch chain) and commits the epoch's postings
+    in one coalesced write.
+
+    Both codebooks are STATIC by the index contract and collected once
+    at sink construction (bounded — they are broadcast in the batch
+    form); per-epoch plans are a scan + two broadcast joins + one
+    UDF projection, no codebook literals for the analyzer to re-walk.
+
+    Replay safety (the dedup_ingest_sink contract): the store read
+    filters to epochs strictly before the current one and the write
+    overwrites exactly ``out_dir/__epoch=N`` — idempotent under
+    at-least-once delivery. Store readers declare the posting schema
+    (doc, centroid_id, codes) and prune to the columns they need.
+    """
+    from ..operators import dedup as _dd
+    from ..operators.similarity import ivfpq_encode_udf
+
+    coarse = [(r["cid"], list(r["cv"])) for r in centroids.collect()]
+    pq = [(r["s"], r["j"], list(r["cv"])) for r in pq_codebook.collect()]
+    enc = ivfpq_encode_udf(coarse, pq, m=m, dsub=dsub)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store_ids = (
+                spark.read.schema(
+                    "doc long, centroid_id bigint, codes array<int>,"
+                    " __epoch int"
+                )
+                .parquet(out_dir)
+                .filter(F.col("__epoch") < F.lit(int(epoch_id)))
+                .select("doc")
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            store_ids = spark.createDataFrame([], "doc long")
+        batch = batch_df.select(
+            F.col("vec_id").alias("doc"), F.col("embedding").alias("vec")
+        ).dropDuplicates(["doc"])
+        fresh = _dd.batch_minus_store(
+            batch,
+            store_ids,
+            "doc",
+            batch_distinct=True,
+            store_unique_keys=True,
+        )
+        postings = fresh.select("doc", enc(F.col("vec")).alias("__e")).select(
+            "doc",
+            F.col("__e.centroid_id").alias("centroid_id"),
+            F.col("__e.codes").alias("codes"),
+        )
+        (
+            postings.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/__epoch={int(epoch_id)}")
+        )
+
+    return sink
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a bounded stream to completion synchronously into an
     in-memory table ``name`` (complete mode — test harness only)."""

@@ -201,3 +201,64 @@ def test_span_stats_match_bruteforce_reference(spark):
         for r in out.collect()
     }
     assert got == want
+
+
+def _lcs(spark, rows, k=3, w=8):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.suffix_window_lcs_stats(df, "text", "doc_id", k=k, w=w)
+    return {
+        r.doc_id: (r.n_dup_pos, r.max_dup_len, r.dup_token_cov_lcs)
+        for r in out.collect()
+    }
+
+
+def test_lcs_exact_extent_beyond_k(spark):
+    # a 6-token verbatim repeat with k=3: the k-gram form can only say
+    # "positions 0..3 are duplicated"; the LCS form must report the
+    # exact maximal extent 6 at the repeat's start
+    rows = [(1, "a b c d e f x y"), (2, "p q a b c d e f")]
+    got = _lcs(spark, rows, k=3, w=8)
+    assert got[1][1] == 6 and got[2][1] == 6  # max_dup_len = exact extent
+    assert got[1][0] == 4  # dup positions: starts 0..3 (suffix >= k)
+    assert got[1][2] == 6  # union coverage = the 6 repeated tokens
+
+
+def test_lcs_window_cap(spark):
+    # extents are capped at w — a 6-token repeat under w=4 reports 4
+    rows = [(1, "a b c d e f"), (2, "a b c d e f")]
+    got = _lcs(spark, rows, k=3, w=4)
+    assert got[1][1] == 4
+
+
+def test_lcs_relations_to_kgram_form_on_planted_corpus(spark):
+    """VERDICT r10 #7 done-criterion: on the planted corpus (every base
+    doc's text recurs verbatim inside its perturbed copy) the LCS form
+    must (a) flag EXACTLY the k-gram form's duplicated positions
+    (lcp >= k iff the k-gram repeats) and (b) cover at least the
+    k-gram spans (each [p, p+lcp) extent contains [p, p+k)) — spans
+    are a superset, per maximal-extent completeness."""
+    from pyspark_data_processing_challenge_spark.queries.llm import (
+        _perturbed_docs,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = _perturbed_docs(spark, SF_DIR)
+    kg = {
+        r.doc_id: r
+        for r in dedup.duplicated_span_stats(
+            corpus, "text", "doc_id", k=4
+        ).collect()
+    }
+    lcs_rows = dedup.suffix_window_lcs_stats(
+        corpus, "text", "doc_id", k=4, w=32
+    ).collect()
+    assert len(lcs_rows) == len(kg)
+    for r in lcs_rows:
+        g = kg[r.doc_id]
+        assert r.n_dup_pos == g.dup_positions, (r.doc_id, r.n_dup_pos, g.dup_positions)
+        assert r.dup_token_cov_lcs >= g.dup_token_cov, (r.doc_id,)
+    # the strictly-added information is the EXACT extent: whole-doc
+    # planted repeats must report extents at the window cap, far
+    # beyond the k the k-gram form can see
+    beyond_k = [r for r in lcs_rows if r.max_dup_len > 4]
+    assert beyond_k and max(r.max_dup_len for r in beyond_k) == 32
