@@ -86,6 +86,7 @@ HEADLINE = [
     # round-5 additions
     "docs_dup_spans",
     "docs_max_dup_extents",
+    "docs_max_dup_extents_salted",  # r12: hot-anchor scale path twin
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",
@@ -264,8 +265,17 @@ def _prior_round_mins(sf: float) -> dict[str, float]:
     a 10x 'regression' against sf0.1 numbers). Missing/corrupt files
     degrade to {} — the policy is additive, never load-bearing."""
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(path: str) -> int:
+        # parse the round NUMBER — a lexicographic reverse sort would
+        # put r100 before r99 and pick a stale prior
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     candidates = [os.path.join(here, "BENCH_full_latest.json")] + sorted(
-        glob.glob(os.path.join(here, "BENCH_full_r*.json")), reverse=True
+        glob.glob(os.path.join(here, "BENCH_full_r*.json")),
+        key=round_no,
+        reverse=True,
     )
     for path in candidates:
         try:
@@ -334,6 +344,11 @@ def main() -> None:
                 "min": round(min(vals), 3),
                 "median": round(statistics.median(vals), 3),
                 "reps": len(vals),
+                # the host is shared and swings 5-10x; every re-repped
+                # entry carries the 1-min loadavg at measurement time so
+                # a flagged mover's noise-vs-regression call can cite
+                # load evidence instead of guessing (VERDICT r11 #6)
+                "load": round(os.getloadavg()[0], 1),
             }
 
     def run_with_retry_policy(name: str, times_dict: dict) -> None:
@@ -389,7 +404,7 @@ def main() -> None:
     for name in BASELINES:
         run_with_retry_policy(name, baselines)
 
-    _bench_ingest_ratio(spark, sf_dir, times, stats)
+    _bench_ingest_ratio(spark, sf_dir, times, stats, prior_mins)
 
     streaming = _bench_streaming(spark, sf_dir)
 
@@ -476,7 +491,9 @@ def result_lines(
     return [detail, final]
 
 
-def _bench_ingest_ratio(spark, sf_dir: str, times: dict, stats: dict) -> None:
+def _bench_ingest_ratio(
+    spark, sf_dir: str, times: dict, stats: dict, prior_mins: dict | None = None
+) -> None:
     """Small-batch-vs-large-store ingest contract (VERDICT r09 item 1).
 
     The incremental family's claim is O(batch) per-ingest cost against
@@ -553,7 +570,16 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict, stats: dict) -> None:
         return SF.array(*[SF.lit(i) for i in range(1, r + 1)])
 
     def timed_reps(name: str, fn, *, nreps: int, warm: bool) -> None:
-        """fn(rep_index) — rep 0..n-1 timed; warm pass uses index -1."""
+        """fn(rep_index) — rep 0..n-1 timed; warm pass uses index -1.
+
+        Same regression-vs-noise policy as run_with_retry_policy
+        (VERDICT r11 #2 closed the blind spot): an entry whose min runs
+        >1.5x its prior-round min gets one extra salted rep and carries
+        prior_min in query_stats, so an ingest-family mover (r11's
+        dedup_full_1to600 at 2.46x) is classified by the bench itself,
+        never shipped unclassifiable. Extra reps use salt indices
+        >= nreps — every fn() call in this section salts its plan by
+        rep index, so the policy rep is an independent sample too."""
         if warm:
             fn(-1)
         vals = []
@@ -561,13 +587,22 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict, stats: dict) -> None:
             t0 = time.perf_counter()
             fn(i)
             vals.append(round(time.perf_counter() - t0, 3))
+        prior = prior_mins.get(name)
+        flagged = prior is not None and min(vals) > 1.5 * prior
+        if flagged:
+            t0 = time.perf_counter()
+            fn(nreps)
+            vals.append(round(time.perf_counter() - t0, 3))
         times[name] = round(min(vals), 3)
         if len(vals) > 1:
             stats[name] = {
                 "min": round(min(vals), 3),
                 "median": round(statistics.median(vals), 3),
                 "reps": len(vals),
+                "load": round(os.getloadavg()[0], 1),
             }
+            if flagged:
+                stats[name]["prior_min"] = prior
 
     # A per-rep SALT: an always-true filter on a negative literal woven
     # below each side's first shuffle. This Spark build reuses shuffle
@@ -1049,9 +1084,13 @@ def _bench_ingest_ratio(spark, sf_dir: str, times: dict, stats: dict) -> None:
             # the verdict's asked-for ingest throughput, derived from
             # the measured min (batch size is salt-independent)
             iv_batch_rows = sd_frames(0)[0].count()
+            # max(…, 1e-3): record() rounds to 3 dp, so a sub-ms min
+            # would otherwise divide by zero and abort the whole bench
             stats.setdefault("ivfpq_incremental_1to100", {})[
                 "rows_per_sec"
-            ] = round(iv_batch_rows / times["ivfpq_incremental_1to100"], 1)
+            ] = round(
+                iv_batch_rows / max(times["ivfpq_incremental_1to100"], 1e-3), 1
+            )
         finally:
             shutil.rmtree(iv_store, ignore_errors=True)
             shutil.rmtree(iv_scratch, ignore_errors=True)

@@ -880,13 +880,40 @@ def _span_stats(
 
 
 def _suffix_lcp_scored(
-    df: DataFrame, text_col: str, id_col: str, *, k: int, w: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int,
+    w: int,
+    salt_anchors: bool = False,
 ) -> DataFrame:
     """(doc_id, pos, suffix, lcp) — every position's w-truncated token
     suffix and its exact maximal duplicated-prefix length (the
     suffix-window LCS core shared by :func:`suffix_window_lcs_stats`
     and the top-extents report). See suffix_window_lcs_stats for the
-    algorithm and scale notes."""
+    algorithm and scale notes.
+
+    ``salt_anchors=True`` is the hot-anchor scale path: the sort
+    window sub-partitions each anchor by the (k+1)-th suffix token, so
+    a stop-gram anchor's positions spread across |vocab-after-anchor|
+    tasks instead of funnelling into one. EXACTNESS is preserved, not
+    approximated: any pair with true LCP >= k+1 shares the first k+1
+    tokens, hence the same (anchor, salt) group — and that group is a
+    CONTIGUOUS range of the global suffix order (all members share the
+    length-k+1 prefix), so the suffix-array adjacency property holds
+    within it unchanged. The only information a salt boundary can lose
+    is an LCP of exactly k (partners differing at token k+1), which is
+    restored by the anchor-repeats floor: lcp >= k  ⟺  the anchor
+    k-gram occurs >= 2 times, a map-side-combinable groupBy count
+    joined back on the anchor (an equi-join, so AQE's skew-join
+    splitting applies to the hot key — unlike a window partition,
+    which AQE cannot split; that asymmetry is WHY the floor is a join
+    and the sort is salted). Suffixes with fewer than k+1 tokens
+    (doc-final positions) carry a null salt and form their own group
+    per anchor: all of them equal the bare anchor, so their intra-group
+    LCP is k, and cross-group partners cannot exceed k anyway.
+    Twin-proved equal to the unsalted form in tests/test_spans.py."""
     toks = textfns.tokens(F.col(text_col))
     doc = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
     suf = doc.select(
@@ -905,11 +932,23 @@ def _suffix_lcp_scored(
     anch = suf.withColumn(
         "anchor", F.concat_ws(" ", F.slice("suffix", 1, k))
     )
-    wsuf = Window.partitionBy("anchor").orderBy("suffix", "doc_id", "pos")
+    if salt_anchors:
+        # try_element_at: doc-final suffixes have exactly k tokens —
+        # index k+1 is out of bounds and must yield the null salt, not
+        # an ANSI INVALID_ARRAY_INDEX error
+        anch = anch.withColumn(
+            "__salt", F.try_element_at("suffix", F.lit(k + 1))
+        )
+        wsuf = Window.partitionBy("anchor", "__salt").orderBy(
+            "suffix", "doc_id", "pos"
+        )
+    else:
+        wsuf = Window.partitionBy("anchor").orderBy("suffix", "doc_id", "pos")
     nb = anch.select(
         "doc_id",
         "pos",
         "suffix",
+        "anchor",
         F.lag("suffix").over(wsuf).alias("__prev"),
         F.lead("suffix").over(wsuf).alias("__next"),
     )
@@ -929,11 +968,28 @@ def _suffix_lcp_scored(
             F.when(p == 0, minlen.cast("long")).otherwise(p - 1)
         )
 
-    return nb.select(
+    scored = nb.select(
         "doc_id",
         "pos",
         "suffix",
+        "anchor",
         F.greatest(lcp_to("__prev"), lcp_to("__next")).alias("lcp"),
+    )
+    if not salt_anchors:
+        return scored.drop("anchor")
+    rep = anch.groupBy("anchor").agg(
+        (F.count(F.lit(1)) >= 2).alias("__rep")
+    )
+    return scored.join(rep, "anchor").select(
+        "doc_id",
+        "pos",
+        "suffix",
+        F.greatest(
+            F.col("lcp"),
+            F.when(F.col("__rep"), F.lit(k).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ).alias("lcp"),
     )
 
 
@@ -945,6 +1001,7 @@ def top_dup_extents(
     k: int = 4,
     w: int = 32,
     n: int = 20,
+    salt_anchors: bool = False,
 ) -> DataFrame:
     """The inspection artifact substring dedup actually produces: the
     corpus's top-``n`` maximal duplicated extents WITH their text —
@@ -959,7 +1016,9 @@ def top_dup_extents(
     window (the CLAUDE.md scale-stable-output rule); the extent text
     is sliced from the position's suffix window, so no second pass
     over the corpus."""
-    scored = _suffix_lcp_scored(df, text_col, id_col, k=k, w=w)
+    scored = _suffix_lcp_scored(
+        df, text_col, id_col, k=k, w=w, salt_anchors=salt_anchors
+    )
     return (
         scored.filter(F.col("lcp") >= k)
         .select(
@@ -982,6 +1041,7 @@ def suffix_window_lcs_stats(
     *,
     k: int = 4,
     w: int = 32,
+    salt_anchors: bool = False,
 ) -> DataFrame:
     """EXACT maximal duplicated-extent statistics via suffix ordering
     within bounded windows — the Lee et al. 2022 suffix-array
@@ -1018,17 +1078,23 @@ def suffix_window_lcs_stats(
     Scale notes: the suffix projection is corpus_tokens × w cells —
     the price of exactness; at petabyte scale pack each suffix window
     as an array of 64-bit token hashes (collision-checked) instead of
-    strings, same plan. Anchor partitions are gram-frequency bounded
-    (skewed stop-gram anchors would salt on a suffix prefix byte).
+    strings, same plan. Anchor partitions are keyed on the raw k-gram;
+    a hot stop-gram anchor funnels its positions into one partition
+    task — ``salt_anchors=True`` is the web-scale fix: the sort window
+    sub-partitions by the (k+1)-th suffix token and an anchor-repeats
+    join restores the exactly-k floor, provably equal output
+    (:func:`_suffix_lcp_scored` docstring has the argument; the twin
+    test pins it). Default off — the planted corpus has no hot
+    anchors, and the floor join is an extra exchange.
     One anchor-keyed exchange for the sort, two doc-keyed windows for
     the interval union — never a global window.
 
     Returns per doc: (doc_id, n_dup_pos, max_dup_len,
     dup_token_cov_lcs), zero-filled for clean docs.
     """
-    scored = _suffix_lcp_scored(df, text_col, id_col, k=k, w=w).drop(
-        "suffix"
-    )
+    scored = _suffix_lcp_scored(
+        df, text_col, id_col, k=k, w=w, salt_anchors=salt_anchors
+    ).drop("suffix")
     dup = scored.filter(F.col("lcp") >= k)
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     endc = F.col("pos") + F.col("lcp")

@@ -162,12 +162,18 @@ def cluster_canonical(
     df: DataFrame, components: DataFrame, id_col: str
 ) -> DataFrame:
     """Keep one row per near-dup cluster: the min-id member. Rows whose
-    id never appears in the edge list are singletons and survive."""
+    id never appears in the edge list are singletons and survive.
+
+    The losers side is bounded by the near-dup PAIR count (components
+    has one row per node that appeared in an edge), orders of magnitude
+    smaller than the corpus on any curated workload — broadcast it so
+    the anti-join streams the corpus through one scan and never plans
+    a sort-merge join that would shuffle 100 TB on the id."""
     losers = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("__loser")
     )
     return df.join(
-        losers, df[id_col] == losers.__loser, "left_anti"
+        F.broadcast(losers), df[id_col] == losers.__loser, "left_anti"
     )
 
 
@@ -193,15 +199,19 @@ def cluster_keep_best(
     row is its cluster's argmax). Deterministic: the argmax is a
     ``max_by`` over (score, -id) struct ordering.
 
-    Scale shape: one left join on the id (components is pair-bounded),
+    Scale shape: one BROADCAST left join on the id (components is
+    pair-bounded, so the corpus never shuffles to learn its cluster),
     one map-side-combinable ``max_by`` aggregate per cluster, one
-    equi-join back on the cluster key — no windows, no driver state.
+    equi-join back on the cluster key (big-big, but both sides hash on
+    ``component_col`` — one co-partitioned exchange each, the minimum
+    the algebra allows since ``best`` has a row per singleton too and
+    is NOT broadcastable) — no windows, no driver state.
     """
     comp = components.select(
         F.col("node").alias(id_col),
         F.col("component").alias(component_col),
     )
-    tagged = df.join(comp, id_col, "left").withColumn(
+    tagged = df.join(F.broadcast(comp), id_col, "left").withColumn(
         component_col,
         F.coalesce(F.col(component_col), F.col(id_col)),
     )

@@ -1080,6 +1080,12 @@ def ivf_residuals(
     double arithmetic over identically-loaded inputs, hence bit-exact
     across engines (no rounding needed — a difference of two exact
     doubles is exact). Output: (doc, centroid_id, rvec array<double>).
+
+    Degenerate vectors (empty/short): zip_with pads the missing
+    elements with null; the coalesce to 0.0 makes the residual
+    0 − c = −centroid, which is exactly what the fused single-pass
+    encoder (:func:`ivfpq_encode_udf`) computes for an empty vector —
+    the two paths agree on ALL inputs, not just well-formed ones.
     """
     cb = centroids.select(
         F.col(centroid_id).alias("__rc"), F.col(centroid_vec).alias("__rv")
@@ -1094,7 +1100,8 @@ def ivf_residuals(
             F.zip_with(
                 "vec",
                 "__rv",
-                lambda x, y: x.cast("double") - y.cast("double"),
+                lambda x, y: F.coalesce(x.cast("double"), F.lit(0.0))
+                - y.cast("double"),
             ).alias("rvec"),
         )
     )
@@ -1119,35 +1126,51 @@ def ivfpq_adc_topk(
     centroid_id, codes). Both the codebook and the
     |queries|·nprobe·M·k* table are broadcast; candidates are
     list-bounded, so nothing corpus-sized shuffles. ADC distance is a
-    subspace-ordered left fold (engine-portable); the final top-k is
-    a window over each query's bounded candidate frame — never the
-    corpus. Output: (query_id, id, adc_dist, rank)."""
-    qtable = query_sub.join(F.broadcast(codebook), "s").select(
-        F.col("query_id").alias("qq"),
-        F.col("centroid_id").alias("qc"),
-        F.col("s").alias("qs"),
-        "j",
-        _sq_l2(F.col("qv"), F.col("cv")).alias("qd"),
+    ROW-LOCAL subspace-ordered fold (engine-portable): the
+    per-(query, list) distance table folds into one broadcast map
+    keyed by s·65536+j, and each candidate row sums
+    element_at(table, key(s, codes[s])) over ascending s — no
+    posexplode, no M-wide 4-key equi-join, and no (query_id, id)
+    re-aggregation exchange over candidate rows (the r11 shape paid
+    all three; fold order and float values are identical, so result
+    hashes are unchanged — VERDICT r11 #4). The map is keyed, not
+    positional, so a codebook with non-dense code ids stays correct;
+    a code absent from the codebook yields a NULL distance (loud in
+    the ranking) rather than the old inner join's silent subspace
+    drop. The final top-k is a window over each query's bounded
+    candidate frame — never the corpus. Output:
+    (query_id, id, adc_dist, rank)."""
+    qmap = (
+        query_sub.join(F.broadcast(codebook), "s")
+        .select(
+            F.col("query_id").alias("qq"),
+            F.col("centroid_id").alias("qc"),
+            (F.col("s") * F.lit(65536) + F.col("j")).alias("key"),
+            _sq_l2(F.col("qv"), F.col("cv")).alias("value"),
+        )
+        .groupBy("qq", "qc")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("key", "value"))
+            ).alias("__tbl")
+        )
     )
-    exploded = codes.select(
-        "query_id", "id", "centroid_id", F.posexplode("codes").alias("s", "code")
-    )
-    per_sub = exploded.join(
-        F.broadcast(qtable),
+    adc = codes.join(
+        F.broadcast(qmap),
         (F.col("query_id") == F.col("qq"))
-        & (F.col("centroid_id") == F.col("qc"))
-        & (F.col("s") == F.col("qs"))
-        & (F.col("code") == F.col("j")),
-    ).select("query_id", "id", "s", "qd")
-    adc = per_sub.groupBy("query_id", "id").agg(
+        & (F.col("centroid_id") == F.col("qc")),
+    ).select(
+        "query_id",
+        "id",
         F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "qd"))),
-                lambda x: x["qd"],
-            ),
+            F.sequence(F.lit(0), F.size("codes") - F.lit(1)),
             F.lit(0.0),
-            lambda acc, d: acc + d,
-        ).alias("adc_dist")
+            lambda acc, s: acc
+            + F.element_at(
+                F.col("__tbl"),
+                s * F.lit(65536) + F.element_at(F.col("codes"), s + F.lit(1)),
+            ),
+        ).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
     return adc.withColumn("rank", F.row_number().over(w)).filter(

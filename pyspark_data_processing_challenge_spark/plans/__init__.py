@@ -5,6 +5,7 @@ from .inspect import (
     global_window_over_raw,
     has_pushed_filters,
     optimized_plan,
+    raise_error_in_filter,
     scan_read_schema,
     sort_merge_join_count,
     wholestage_codegen_count,
@@ -20,4 +21,5 @@ __all__ = [
     "exchange_count",
     "wholestage_codegen_count",
     "global_window_over_raw",
+    "raise_error_in_filter",
 ]

@@ -58,6 +58,34 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     return len(re.findall(r"\*\(\d+\)", executed_plan(df)))
 
 
+def raise_error_in_filter(df: DataFrame) -> bool:
+    """True if any Filter node of the OPTIMIZED plan carries a
+    PREDICATE-SHAPED side-effecting guard — ``assert_true(...)`` or
+    ``isnull(raise_error(...))`` as a conjunct. Those are always-true
+    asserts whose conjuncts reference only the guarded key, exactly
+    what Catalyst's InferFiltersFromConstraints copies through
+    equi-join equalities onto the OTHER relation, where the invariant
+    may legitimately fail and the relocated assert detonates on rows
+    that would never have matched (r11 curate_corpus post-mortem: the
+    ``doc_id < 100000`` assert crossed cluster_canonical's anti-join
+    onto the components side).
+
+    A guard riding a CONSUMED data column (``concat(text, CASE WHEN ok
+    THEN '' ELSE raise_error END)``) is permitted even when predicate
+    pushdown substitutes it into a same-relation Filter (e.g. a quality
+    ``length(text) >= n`` gate): the substituted conjunct references
+    the consumed column itself, so it stays welded to its own relation
+    — it can only transfer across a join that equates EVERY referenced
+    attribute, in which case the matched rows satisfy the guard
+    identically on both sides."""
+    plan = optimized_plan(df)
+    return any(
+        "Filter" in line
+        and ("assert_true(" in line or "isnull(raise_error" in line)
+        for line in plan.splitlines()
+    )
+
+
 def global_window_over_raw(df: DataFrame) -> bool:
     """True if the plan funnels UNAGGREGATED data into a single
     partition for a Window — the one WindowExec shape that cannot scale

@@ -29,84 +29,138 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- round-11 additions (first driver verdict needed) ---
-    "ivfpq_residual_topk",  # new: true IVFADC (trained coarse + residual PQ)
-    "ivfpq_ingest_postings",  # new: incremental ANN-index ingest
-    "docs_trained_classifier_eval",  # new: train->infer->calibrate loop
-    "docs_max_dup_extents",  # new: suffix-window LCS maximal extents
-    "corpus_top_dup_extents",  # new: top duplicated extents report
-    "ivf_list_stats",  # new: IVF list-balance report
-    "ivf_staleness_eval",  # new: IVF staleness gate
-    # --- the six entries displaced by the r10 window cap (queued
-    # since r10; VERDICT r10 #5 asks for them at the front) ---
-    "snapshot_diff_orders",  # was r04+r05-vintage
-    "cdc_merge_delete_orders",  # was r04+r05-vintage
-    "docs_pii_scrub",  # was r04+r05-vintage
-    "fuzzy_match_parts",  # was r04+r05-vintage
-    "docs_outlier_trim",  # was r04+r05-vintage
-    "agg_topk_orders",  # was r04+r05-vintage
-    # --- oldest-verdict re-verification rotation: the r06-vintage
-    # band (oldest remaining after r10 re-verified the r05 band);
-    # 10 r06 rows stay queued for the r12 front ---
-    "docs_char_entropy_explode",  # was r06-vintage
-    "pq_codes",  # was r06-vintage
-    "pq_trained_topk",  # was r06-vintage
-    "image_phash_jpeg_near_dup",  # was r06-vintage
-    "docs_bpe_pair_counts",  # was r06-vintage
-    "audio_features",  # was r06-vintage
-    "video_frame_stats",  # was r06-vintage
-    "image_resize_thumbs",  # was r06-vintage
-    "cms_heavy_hitters",  # was r06-vintage
-    "bloom_join_prune",  # was r06-vintage
-    "setsim_prefix_pairs",  # was r06-vintage
-    "copurchase_triangles",  # was r06-vintage
-    "docs_bpe_merge_step",  # was r06-vintage
-    "histogram_quantile_sketch",  # was r06-vintage
-    "zone_map_pruning",  # was r06-vintage
-    "embedding_random_projection",  # was r06-vintage
-    "snapshot_drift_report",  # was r06-vintage
-    "ab_test_events",  # was r06-vintage
-    "audio_transcode_features",  # was r06-vintage
-    "video_scene_cuts",  # was r06-vintage
-    "zone_map_pruning_2d",  # was r06-vintage
-    "sql_recursive_hierarchy",  # was r06-vintage
-    "event_segment_mutual_info",  # was r06-vintage
-    "ivm_daily_revenue",  # was r06-vintage
-    "image_cross_codec_near_dup",  # was r06-vintage
-    "events_grouped_center_arrow",  # was r06-vintage
-    "events_mad_outliers",  # was r06-vintage
-    "salted_join_revenue",  # was r06-vintage
-    "ivf_trained_topk",  # was r06-vintage
-    "cohort_retention",  # was r06-vintage
-    "event_transitions",  # was r06-vintage
-    "regr_price_by_brand",  # was r06-vintage
-    "events_rolling_zscore",  # was r06-vintage
-    "orders_gap_fill",  # was r06-vintage
-    "rolling_7d_distinct_users",  # was r06-vintage
-    "nation_trade_pagerank",  # was r06-vintage
-    "max_concurrent_sessions",  # was r06-vintage
+    # --- r11 regression fix, first (VERDICT r11 #1): the _plant_guarded
+    # assert moved from a Filter predicate to a consumed projected column ---
+    "curate_corpus",
+    # --- round-12 addition (first driver verdict needed) ---
+    "docs_max_dup_extents_salted",  # new: hot-anchor salted LCS scale path
+    # --- the 13 r06-vintage rows the r11 window could not fit (queued
+    # since r11's rotation) ---
+    "rfm_segments",  # was r06-vintage
+    "rag_chunk_dedup",  # was r06-vintage
+    "docs_rag_chunks",  # was r06-vintage
+    "conversion_lag_histogram",  # was r06-vintage
+    "lineitem_skew_profile",  # was r06-vintage
+    "part_pair_affinity",  # was r06-vintage
+    "top_event_paths",  # was r06-vintage
+    "revenue_mom_yoy",  # was r06-vintage
+    "region_nation_revenue_share",  # was r06-vintage
+    "benford_totalprice",  # was r06-vintage
+    "docs_unigram_surprisal",  # was r06-vintage
+    "split_oov_rate",  # was r06-vintage
+    "nation_trade_pagerank2",  # was r06-vintage
+    # --- oldest-verdict re-verification rotation: the r07-vintage band
+    # (oldest remaining after r11 re-verified the r06 band); 14 r01+r07
+    # rows stay queued for the r13 front ---
+    "image_rgb_phash_near_dup",  # was r07-vintage
+    "image_rgb_histogram",  # was r07-vintage
+    "audio_spectral_features",  # was r07-vintage
+    "ivf_recall_eval",  # was r07-vintage
+    "docs_bigram_surprisal",  # was r07-vintage
+    "pq_rerank_topk",  # was r07-vintage
+    "docs_containment_pairs",  # was r07-vintage
+    "revenue_cusum_shifts",  # was r07-vintage
+    "revenue_acf",  # was r07-vintage
+    "pyds_docs_pushdown",  # was r07-vintage
+    "collection_functions",  # was r07-vintage
+    "map_functions",  # was r07-vintage
+    "target_encode_priority",  # was r07-vintage
+    "equi_depth_bins_totalprice",  # was r07-vintage
+    "orders_expectations",  # was r07-vintage
+    "purchase_attribution",  # was r07-vintage
+    "rolling_7d_distinct_sketch",  # was r07-vintage
+    "momentum_contribution",  # was r07-vintage
+    "seasonal_decompose_daily",  # was r07-vintage
+    "docs_readability",  # was r07-vintage
+    "funnel_dropoff",  # was r07-vintage
+    "sketch_overlap_users",  # was r07-vintage
+    "corpus_manifest",  # was r07-vintage
+    "events_json_stats",  # was r01+r07-vintage
+    "percentiles_by_type",  # was r01+r07-vintage
+    "rollup_lineitem",  # was r01+r07-vintage
+    "array_agg_lineitems",  # was r01+r07-vintage
+    "pivot_event_counts",  # was r01+r07-vintage
+    "semi_join_urgent_customers",  # was r01+r07-vintage
+    "anti_join_quiet_customers",  # was r01+r07-vintage
+    "set_ops_segments",  # was r01+r07-vintage
+    "sql_revenue_by_nation",  # was r01+r07-vintage
+    "window_topk_orders",  # was r01+r07-vintage
+    "dedup_exact_groups",  # was r01+r07-vintage
+    "simhash_values",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
-    # front of the r12 re-verification queue: the r06 rows the
+    # front of the r13 re-verification queue: the r01+r07 rows the
     # 50-slot window could not fit this round
-    "rfm_segments": "r06",
-    "rag_chunk_dedup": "r06",
-    "docs_rag_chunks": "r06",
-    "conversion_lag_histogram": "r06",
-    "lineitem_skew_profile": "r06",
-    "part_pair_affinity": "r06",
-    "top_event_paths": "r06",
-    "revenue_mom_yoy": "r06",
-    "region_nation_revenue_share": "r06",
-    "benford_totalprice": "r06",
-    "docs_unigram_surprisal": "r06",
-    "split_oov_rate": "r06",
-    "nation_trade_pagerank2": "r06",
-    # r11 rotation: the entire 50-slot r10 window came back green
-    # (CORRECTNESS_r10 50/50) and rotates out to fund the r06-band
-    # re-verification set + the round-11 additions.
+    "docs_fingerprint": "r01+r07",
+    "embedding_near_dup": "r01+r07",
+    "sort_top20_orders": "r01+r07",
+    "window_running_total": "r01+r07",
+    "events_hourly": "r01+r07",
+    "op_equality_filter": "r01+r07",
+    "op_sentinel_filter": "r01+r07",
+    "op_membership_filter": "r01+r07",
+    "op_union_membership": "r01+r07",
+    "op_fill_nulls": "r01+r07",
+    "op_indicators": "r01+r07",
+    "op_date_filter": "r01+r07",
+    "op_standardize_units": "r01+r07",
+    "op_null_counts": "r01+r07",
+    "asof_join_purchases": "r01+r07",
+    # r12 rotation: the entire 50-slot r11 window came back green
+    # (CORRECTNESS_r11 50/50) and rotates out to fund the r07-band
+    # re-verification set + the curate_corpus re-check.
+    "ivfpq_residual_topk": "r11",
+    "ivfpq_ingest_postings": "r11",
+    "docs_trained_classifier_eval": "r11",
+    "docs_max_dup_extents": "r11",
+    "corpus_top_dup_extents": "r11",
+    "ivf_list_stats": "r11",
+    "ivf_staleness_eval": "r11",
+    "snapshot_diff_orders": "r04+r05+r11",
+    "cdc_merge_delete_orders": "r04+r05+r11",
+    "docs_pii_scrub": "r04+r05+r11",
+    "fuzzy_match_parts": "r04+r05+r11",
+    "docs_outlier_trim": "r04+r05+r11",
+    "agg_topk_orders": "r04+r05+r11",
+    "docs_char_entropy_explode": "r06+r11",
+    "pq_codes": "r06+r11",
+    "pq_trained_topk": "r06+r11",
+    "image_phash_jpeg_near_dup": "r06+r11",
+    "docs_bpe_pair_counts": "r06+r11",
+    "audio_features": "r06+r11",
+    "video_frame_stats": "r06+r11",
+    "image_resize_thumbs": "r06+r11",
+    "cms_heavy_hitters": "r06+r11",
+    "bloom_join_prune": "r06+r11",
+    "setsim_prefix_pairs": "r06+r11",
+    "copurchase_triangles": "r06+r11",
+    "docs_bpe_merge_step": "r06+r11",
+    "histogram_quantile_sketch": "r06+r11",
+    "zone_map_pruning": "r06+r11",
+    "embedding_random_projection": "r06+r11",
+    "snapshot_drift_report": "r06+r11",
+    "ab_test_events": "r06+r11",
+    "audio_transcode_features": "r06+r11",
+    "video_scene_cuts": "r06+r11",
+    "zone_map_pruning_2d": "r06+r11",
+    "sql_recursive_hierarchy": "r06+r11",
+    "event_segment_mutual_info": "r06+r11",
+    "ivm_daily_revenue": "r06+r11",
+    "image_cross_codec_near_dup": "r06+r11",
+    "events_grouped_center_arrow": "r06+r11",
+    "events_mad_outliers": "r06+r11",
+    "salted_join_revenue": "r06+r11",
+    "ivf_trained_topk": "r06+r11",
+    "cohort_retention": "r06+r11",
+    "event_transitions": "r06+r11",
+    "regr_price_by_brand": "r06+r11",
+    "events_rolling_zscore": "r06+r11",
+    "orders_gap_fill": "r06+r11",
+    "rolling_7d_distinct_users": "r06+r11",
+    "nation_trade_pagerank": "r06+r11",
+    "max_concurrent_sessions": "r06+r11",
     "docs_quality_classifier": "r10",
     "embedding_kmeanspp_seeds": "r10",
     "docs_bpe_train_vocab": "r10",
@@ -207,66 +261,6 @@ _ROTATED_OUT = {
     "window_lag_delta": "r01+r08",
     "ngram_jaccard_pairs": "r01+r08",
     "minhash_signatures": "r01+r08",
-    "conversion_lag_histogram": "r06",
-    "lineitem_skew_profile": "r06",
-    "part_pair_affinity": "r06",
-    "top_event_paths": "r06",
-    "revenue_mom_yoy": "r06",
-    "region_nation_revenue_share": "r06",
-    "benford_totalprice": "r06",
-    "docs_unigram_surprisal": "r06",
-    "split_oov_rate": "r06",
-    "nation_trade_pagerank2": "r06",
-    "image_rgb_phash_near_dup": "r07",
-    "image_rgb_histogram": "r07",
-    "audio_spectral_features": "r07",
-    "ivf_recall_eval": "r07",
-    "docs_bigram_surprisal": "r07",
-    "pq_rerank_topk": "r07",
-    "docs_containment_pairs": "r07",
-    "revenue_cusum_shifts": "r07",
-    "revenue_acf": "r07",
-    "pyds_docs_pushdown": "r07",
-    "collection_functions": "r07",
-    "map_functions": "r07",
-    "target_encode_priority": "r07",
-    "equi_depth_bins_totalprice": "r07",
-    "orders_expectations": "r07",
-    "purchase_attribution": "r07",
-    "rolling_7d_distinct_sketch": "r07",
-    "momentum_contribution": "r07",
-    "seasonal_decompose_daily": "r07",
-    "docs_readability": "r07",
-    "funnel_dropoff": "r07",
-    "sketch_overlap_users": "r07",
-    "corpus_manifest": "r07",
-    "events_json_stats": "r01+r07",
-    "percentiles_by_type": "r01+r07",
-    "rollup_lineitem": "r01+r07",
-    "array_agg_lineitems": "r01+r07",
-    "pivot_event_counts": "r01+r07",
-    "semi_join_urgent_customers": "r01+r07",
-    "anti_join_quiet_customers": "r01+r07",
-    "set_ops_segments": "r01+r07",
-    "sql_revenue_by_nation": "r01+r07",
-    "window_topk_orders": "r01+r07",
-    "dedup_exact_groups": "r01+r07",
-    "simhash_values": "r01+r07",
-    "docs_fingerprint": "r01+r07",
-    "embedding_near_dup": "r01+r07",
-    "sort_top20_orders": "r01+r07",
-    "window_running_total": "r01+r07",
-    "events_hourly": "r01+r07",
-    "op_equality_filter": "r01+r07",
-    "op_sentinel_filter": "r01+r07",
-    "op_membership_filter": "r01+r07",
-    "op_union_membership": "r01+r07",
-    "op_fill_nulls": "r01+r07",
-    "op_indicators": "r01+r07",
-    "op_date_filter": "r01+r07",
-    "op_standardize_units": "r01+r07",
-    "op_null_counts": "r01+r07",
-    "asof_join_purchases": "r01+r07",
     "near_dup_keep_best": "r09",
     "image_video_cross_near_dup": "r09",
     "docs_kneser_ney_ppl": "r09",
@@ -286,7 +280,6 @@ _ROTATED_OUT = {
     "embedding_topk": "r02+r09",
     "embedding_lsh_buckets": "r02+r09",
     "near_dup_clusters": "r02+r09",
-    "curate_corpus": "r02+r09",
     "minhash_signatures_fast": "r02+r09",
     "dedup_drop_exact": "r02+r09",
     "docs_quality": "r02+r09",

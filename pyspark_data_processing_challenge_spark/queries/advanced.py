@@ -121,6 +121,24 @@ def docs_max_dup_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_max_dup_extents_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-anchor SCALE PATH of docs_max_dup_extents: the suffix
+    sort window sub-partitions each k-gram anchor by the (k+1)-th
+    suffix token, and an anchor-repeats join restores the exactly-k
+    floor — so a web-scale stop-gram anchor ("in the of") spreads over
+    |vocab| tasks instead of funnelling one window partition. Output
+    is provably EQUAL to the unsalted form (argument in
+    operators/dedup._suffix_lcp_scored; twin-pinned in
+    tests/test_spans.py), so it shares docs_max_dup_extents' oracle —
+    the driver verifies the salted plan produces the exact stats."""
+    from .llm import _perturbed_docs
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    return dedup.suffix_window_lcs_stats(
+        corpus, "text", "doc_id", k=SPAN_K, w=LCS_W, salt_anchors=True
+    )
+
+
 def _lcs_scored_ctes() -> str:
     """Shared WITH-body through ``scored`` (doc_id, pos, suffix, lcp)
     for the suffix-window LCS oracles (_max_dup_sql, _top_extents_sql)
@@ -2202,7 +2220,7 @@ def _ivfpq_multi(
         cb = _pq_codebook(spark, sf_dir)
         codes = similarity.pq_encode(
             emb, cb, vec_col="embedding", id_col="vec_id", m=PQ_M, dsub=PQ_DSUB
-        ).withColumnRenamed("vec_id", "id")
+        )
     q = emb.filter(
         (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
@@ -2862,6 +2880,7 @@ QUERIES = {
     "sessionize_events_native": sessionize_events_native,
     "docs_dup_spans": docs_dup_spans,
     "docs_max_dup_extents": docs_max_dup_extents,
+    "docs_max_dup_extents_salted": docs_max_dup_extents_salted,
     "corpus_top_dup_extents": corpus_top_dup_extents,
     "docs_strip_dup_spans": docs_strip_dup_spans,
     "docs_weighted_sample": docs_weighted_sample,
@@ -2893,6 +2912,9 @@ QUERIES = {
 ORACLES = {
     "docs_dup_spans": _DUP_SPANS_SQL,
     "docs_max_dup_extents": _max_dup_sql(),
+    # the salted plan is output-equal by construction (twin test);
+    # same oracle on purpose — the driver re-proves the equality
+    "docs_max_dup_extents_salted": _max_dup_sql(),
     "corpus_top_dup_extents": _top_extents_sql(),
     "docs_strip_dup_spans": _STRIP_SQL,
     "docs_weighted_sample": _WSWR_SQL,

@@ -269,17 +269,33 @@ PLANT_OFFSET = 100000
 def _plant_guarded(d: DataFrame) -> DataFrame:
     """Fail LOUDLY (not corrupt silently) if the base corpus's doc_ids
     ever collide with the planted-copy id bands (doc_id + 100000 /
-    + 200000). Executor-side assert_true behind an always-true filter —
-    distributed, no driver collect, un-prunable by Catalyst; zero rows
-    change while the invariant holds (max doc_id is 4999 at sf0.1)."""
-    return d.filter(
-        F.assert_true(
-            F.col("doc_id") < PLANT_OFFSET,
-            F.lit(
-                "planted-duplicate id convention violated: base doc_id"
-                " >= 100000 would collide with the copy bands"
+    + 200000). The guard rides the TEXT expression as a consumed
+    projected column — `concat(text, CASE WHEN ok THEN '' ELSE
+    raise_error(...) END)` — NEVER a Filter predicate: Catalyst's
+    InferFiltersFromConstraints copies Filter predicates (including
+    side-effecting assert_true) through equi-join equalities onto the
+    OTHER relation, where the planted +100000 ids are legitimate, and
+    the relocated assert detonates (r11 post-mortem: the curate_corpus
+    anti-join in graph.cluster_canonical). A Project expression is
+    invisible to constraint inference, evaluated per row wherever text
+    is consumed, and appends '' (a no-op) while the invariant holds.
+    Callers consume text (fingerprint/shingle/signature), so the guard
+    executes on every corpus path that matters; a text-pruned count()
+    skips it by design (nothing to corrupt if text is never read)."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") < PLANT_OFFSET, F.lit("")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "planted-duplicate id convention violated: base"
+                        " doc_id >= 100000 would collide with the copy"
+                        " bands"
+                    )
+                )
             ),
-        ).isNull()
+        ).alias("text"),
     )
 
 

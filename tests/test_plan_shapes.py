@@ -704,3 +704,63 @@ def test_ivfpq_ingest_never_shuffles_the_store_and_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert plans.broadcast_join_count(out) >= 4  # probe, anti, cents, cb
+
+
+def test_no_raise_error_in_any_catalog_filter(spark):
+    """Regression net for the r11 curate_corpus detonation: a
+    side-effecting assert-style predicate in a Filter gets copied by
+    InferFiltersFromConstraints through join equalities onto relations
+    where the invariant legitimately fails. Sweep EVERY catalog
+    query's optimized plan: predicate-shaped guards (assert_true /
+    isnull(raise_error)) must never appear in a Filter; consumed
+    projected-column guards are fine, including when pushdown
+    substitutes them into same-relation filters (see
+    plans.raise_error_in_filter for why that form cannot cross a
+    join)."""
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        if plans.raise_error_in_filter(df):
+            offenders.append(name)
+    assert not offenders, f"raise_error inside a Filter: {offenders}"
+
+
+def test_cluster_joins_broadcast_components(spark):
+    """cluster_canonical / cluster_keep_best join the corpus against
+    pair-bounded component tables — those sides must broadcast so the
+    corpus streams through one scan (never an id-keyed SMJ shuffle of
+    the full corpus at 100 TB). curate_corpus exercises the anti-join
+    (canonical), near_dup_keep_best the left tag join (keep_best)."""
+    df = llm.curate_corpus(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    df2 = llm.near_dup_keep_best(spark, SF_DIR)
+    assert plans.broadcast_join_count(df2) >= 1
+    assert plans.sort_merge_join_count(df2) <= 1  # only the best-back join may merge
+
+
+def test_raise_error_lint_detects_predicate_guards(spark):
+    """The lint must fire on the r11 dangerous shape (assert_true in a
+    Filter — relocatable by constraint inference) and stay quiet on
+    the safe shape (guard riding a consumed projected column, even
+    after pushdown substitutes it into a same-relation filter)."""
+    base = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bbbb")], "doc_id long, text string"
+    )
+    dangerous = base.filter(
+        F.assert_true(F.col("doc_id") < 100, F.lit("boom")).isNull()
+    )
+    assert plans.raise_error_in_filter(dangerous)
+
+    guarded = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") < 100, F.lit("")).otherwise(
+                F.raise_error(F.lit("boom"))
+            ),
+        ).alias("text"),
+    ).filter(F.length("text") >= 2)  # pushdown substitutes the guard
+    assert not plans.raise_error_in_filter(guarded)

@@ -748,7 +748,20 @@ def test_plant_guard_raises_on_id_collision(spark):
     )
 
     ok = spark.createDataFrame([(1, "a"), (99999, "b")], "doc_id long, text string")
-    assert _plant_guarded(ok).count() == 2
+    rows = _plant_guarded(ok).collect()
+    assert sorted((r.doc_id, r.text) for r in rows) == [(1, "a"), (99999, "b")]
     bad = spark.createDataFrame([(1, "a"), (100000, "b")], "doc_id long, text string")
     with _pytest.raises(Exception, match="planted-duplicate id convention"):
-        _plant_guarded(bad).count()
+        # collect (not count) — the guard rides the text expression, so
+        # it fires wherever text is consumed; count() prunes text away
+        _plant_guarded(bad).collect()
+
+    # the r11 regression shape: the guarded corpus joined against a
+    # relation whose ids LEGITIMATELY live in the copy band must not
+    # detonate (InferFiltersFromConstraints relocated the old
+    # Filter-based assert through the join equality)
+    comp = spark.createDataFrame(
+        [(100001, 1)], "node long, component long"
+    ).select(F.col("node").alias("doc_id"), "component")
+    joined = _plant_guarded(ok).join(comp, "doc_id", "left_anti")
+    assert joined.count() == 2

@@ -262,3 +262,53 @@ def test_lcs_relations_to_kgram_form_on_planted_corpus(spark):
     # beyond the k the k-gram form can see
     beyond_k = [r for r in lcs_rows if r.max_dup_len > 4]
     assert beyond_k and max(r.max_dup_len for r in beyond_k) == 32
+
+
+def test_salted_anchor_lcs_equals_unsalted(spark):
+    """salt_anchors=True (the hot-anchor scale path) must produce the
+    EXACT same per-doc stats and per-position lcp as the unsalted
+    form — on a corpus engineered to exercise every boundary case:
+    a hot stop-gram anchor ("the the the"), LCP-exactly-k pairs that
+    differ at token k+1 (the salt boundary the repeats-floor must
+    restore), doc-final suffixes shorter than k+1 (null salt), and
+    clean docs."""
+    rows = [
+        # hot anchor "a a a" with diverging continuations
+        (1, "a a a x p q r"),
+        (2, "a a a y s t u"),
+        (3, "a a a z v w j"),
+        # LCP exactly k across salt boundary: share "m n o", differ next
+        (4, "m n o e1 e2"),
+        (5, "m n o f1 f2"),
+        # long shared extent (lcp > k, same salt group)
+        (6, "g h i j k l"),
+        (7, "g h i j k l"),
+        # doc ending exactly at a k-gram (suffix of length k, null salt)
+        (8, "q r a a a"),
+        (9, "clean doc nothing shared here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = dedup.suffix_window_lcs_stats(
+        df, "text", "doc_id", k=3, w=8, salt_anchors=False
+    )
+    salted = dedup.suffix_window_lcs_stats(
+        df, "text", "doc_id", k=3, w=8, salt_anchors=True
+    )
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(plain.collect(), key=key) == sorted(
+        salted.collect(), key=key
+    )
+    # per-position lcp equality too (stats could mask a compensation)
+    sc_p = dedup._suffix_lcp_scored(df, "text", "doc_id", k=3, w=8)
+    sc_s = dedup._suffix_lcp_scored(
+        df, "text", "doc_id", k=3, w=8, salt_anchors=True
+    )
+    as_map = lambda d: {  # noqa: E731
+        (r.doc_id, r.pos): r.lcp for r in d.collect()
+    }
+    assert as_map(sc_p) == as_map(sc_s)
+    # sanity: the hot anchor's positions really did spread over salts
+    # and the exactly-k pair survived the boundary
+    got = {r.doc_id: r.n_dup_pos for r in salted.collect()}
+    assert got[4] >= 1 and got[5] >= 1  # exactly-k floor restored
+    assert got[8] >= 1  # null-salt doc-final suffix matched
