@@ -34,6 +34,7 @@ _VERDICT_PRIORITY = [
     "curate_corpus",
     # --- round-12 addition (first driver verdict needed) ---
     "docs_max_dup_extents_salted",  # new: hot-anchor salted LCS scale path
+    "embedding_top_pc",  # new: distributed PCA (int moments + bounded eigensolve)
     # --- the 13 r06-vintage rows the r11 window could not fit (queued
     # since r11's rotation) ---
     "rfm_segments",  # was r06-vintage
@@ -86,7 +87,6 @@ _VERDICT_PRIORITY = [
     "sql_revenue_by_nation",  # was r01+r07-vintage
     "window_topk_orders",  # was r01+r07-vintage
     "dedup_exact_groups",  # was r01+r07-vintage
-    "simhash_values",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -94,6 +94,7 @@ _ROTATED_OUT = {
     # front of the r13 re-verification queue: the r01+r07 rows the
     # 50-slot window could not fit this round
     "docs_fingerprint": "r01+r07",
+    "simhash_values": "r01+r07",
     "embedding_near_dup": "r01+r07",
     "sort_top20_orders": "r01+r07",
     "window_running_total": "r01+r07",

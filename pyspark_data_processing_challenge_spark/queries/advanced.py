@@ -2869,6 +2869,142 @@ def sessionize_events_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_SCALE_BITS = 20
+PCA_ITERS = 128
+PCA_DIM = 64
+
+
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus — the SemDeDup
+    paper's preprocessing step (PCA-reduce embeddings before cosine
+    clustering) and the whitening/energy diagnostic every embedding
+    pipeline wants. Two-stage split that scales:
+
+    1. DISTRIBUTED exact pass (operators/similarity.
+       embedding_moment_sums): one explode + partial-combining groupBy
+       producing d(d+1)/2 + d + 1 INT64 moment sums — quantized
+       floor(v·2^20) so the sums are exact integers, order-independent
+       and engine-portable with no sorted-fold machinery. Nothing
+       corpus-sized shuffles; the shuffle carries ~d²/2 rows per
+       partition.
+    2. BOUNDED driver eigensolve (top_pc_power_iteration): the
+       documented codebook-collect class (2,145 rows by construction);
+       128 power iterations as explicit ascending left folds, centered
+       covariance, eigenvalue = ||Cv||, de-quantized by 2^40.
+
+    Output: (dim, loading, eigval, explained_ratio), 64 rows, all
+    rounded through the portable round_to(…, 6). The DuckDB oracle
+    replays stage 1 as GROUP BY sums and stage 2 as a recursive CTE of
+    list folds — bit-for-bit, which pins the IMPLEMENTATION; the MATH
+    (does it find the eigenvector?) is pinned against numpy eigh in
+    tests/test_pca.py (cos > 0.9999 at the measured ~1.07 eigen-gap).
+    """
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    rows = similarity.embedding_moment_sums(
+        emb, scale_bits=PCA_SCALE_BITS
+    ).collect()
+    out = similarity.top_pc_power_iteration(
+        rows, iters=PCA_ITERS, scale_bits=PCA_SCALE_BITS
+    )
+    raw = spark.createDataFrame(
+        out, "dim long, loading double, eigval double, explained_ratio double"
+    )
+    return raw.select(
+        "dim",
+        round_to(F.col("loading"), 6).alias("loading"),
+        round_to(F.col("eigval"), 6).alias("eigval"),
+        round_to(F.col("explained_ratio"), 6).alias("explained_ratio"),
+    )
+
+
+def _top_pc_sql() -> str:
+    d, iters = PCA_DIM, PCA_ITERS
+    scale = float(2**PCA_SCALE_BITS)
+    dequant = float(2 ** (2 * PCA_SCALE_BITS))
+    # matvec of the previous iterate: ascending-j left fold from 0.0
+    # per output element — the exact op order of the Python solver
+    # bare 0.0 / 0.125 literals type as DECIMAL in DuckDB and poison
+    # the whole iteration's arithmetic — every float literal is an
+    # explicit DOUBLE cast
+    u_expr = (
+        f"list_transform(range(0, {d}), ii -> list_reduce("
+        f"[CAST(0.0 AS DOUBLE)] || list_transform(range(0, {d}), "
+        f"jj -> C[ii + 1][jj + 1] * v[jj + 1]), (a, b) -> a + b))"
+    )
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+idx AS (SELECT unnest(range(0, {d})) AS i),
+nrows AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+firsts AS (
+  SELECT i.i AS i, CAST(sum(qv[i.i + 1]) AS BIGINT) AS s
+  FROM q, idx i GROUP BY i.i
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(qv[a.i + 1] * qv[b.i + 1]) AS BIGINT) AS s
+  FROM q, idx a, idx b WHERE b.i >= a.i GROUP BY a.i, b.i
+),
+cent AS (
+  SELECT p.i AS i, p.j AS j,
+         CAST(p.s AS DOUBLE) / CAST(n.n AS DOUBLE)
+           - (CAST(fi.s AS DOUBLE) / CAST(n.n AS DOUBLE))
+             * (CAST(fj.s AS DOUBLE) / CAST(n.n AS DOUBLE)) AS c
+  FROM pairs p, nrows n
+  JOIN firsts fi ON fi.i = p.i
+  JOIN firsts fj ON fj.i = p.j
+),
+sym AS (
+  SELECT i, j, c FROM cent
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cent WHERE i <> j
+),
+cmat AS (
+  SELECT list(rowl ORDER BY i) AS C FROM (
+    SELECT i, list(c ORDER BY j) AS rowl FROM sym GROUP BY i
+  )
+),
+pit AS (
+  SELECT 0 AS step,
+         list_transform(range(0, {d}),
+                        x -> CAST({1.0 / PCA_DIM ** 0.5!r} AS DOUBLE)) AS v,
+         CAST(0.0 AS DOUBLE) AS lam
+  FROM cmat
+  UNION ALL
+  SELECT step + 1, list_transform(u, x -> x / nrm) AS v, nrm AS lam
+  FROM (
+    SELECT step, u,
+           sqrt(list_reduce([CAST(0.0 AS DOUBLE)]
+                            || list_transform(u, y -> y * y),
+                            (a, b) -> a + b)) AS nrm
+    FROM (
+      SELECT step, {u_expr} AS u
+      FROM pit, cmat WHERE step < {iters}
+    )
+  )
+),
+fin AS (
+  SELECT CASE WHEN v[1] < 0 THEN list_transform(v, x -> -x) ELSE v END AS v,
+         lam
+  FROM pit WHERE step = {iters}
+),
+tracev AS (
+  SELECT list_reduce([CAST(0.0 AS DOUBLE)]
+                     || list_transform(range(0, {d}), i -> C[i + 1][i + 1]),
+                     (a, b) -> a + b) AS tr
+  FROM cmat
+)
+SELECT CAST(i.i AS BIGINT) AS dim,
+       {sql_round("f.v[i.i + 1]", 6)} AS loading,
+       {sql_round(f"f.lam / {dequant}", 6)} AS eigval,
+       {sql_round("f.lam / t.tr", 6)} AS explained_ratio
+FROM idx i, fin f, tracev t
+"""
+
+
 QUERIES = {
     "events_arrow_scaled": events_arrow_scaled,
     "orders_zvalue": orders_zvalue,
@@ -2903,6 +3039,7 @@ QUERIES = {
     "zone_map_pruning_2d": zone_map_pruning_2d,
     "ivfpq_topk": ivfpq_topk,
     "ivfpq_residual_topk": ivfpq_residual_topk,
+    "embedding_top_pc": embedding_top_pc,
     "ivfpq_ingest_postings": ivfpq_ingest_postings,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -2915,6 +3052,7 @@ ORACLES = {
     # the salted plan is output-equal by construction (twin test);
     # same oracle on purpose — the driver re-proves the equality
     "docs_max_dup_extents_salted": _max_dup_sql(),
+    "embedding_top_pc": _top_pc_sql(),
     "corpus_top_dup_extents": _top_extents_sql(),
     "docs_strip_dup_spans": _STRIP_SQL,
     "docs_weighted_sample": _WSWR_SQL,
