@@ -1473,3 +1473,42 @@ def top_pc_power_iteration(
     ratio = lam / tr
     eig = lam / float(2 ** (2 * scale_bits))
     return [(i, v[i], eig, ratio) for i in range(d)]
+
+
+def incremental_moment_sums(
+    new_batch: DataFrame,
+    moment_store: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """PCA moment-store ingest — the covariance member of the
+    incremental family (exact fingerprints, minhash signatures, span
+    grams, pHashes, semdedup assignments, ANN postings). The store IS
+    the d(d+1)/2 + d + 1 tagged int64 sums of
+    :func:`embedding_moment_sums`; ingest computes the batch's own
+    moment pass and folds it in with one tiny groupBy. Because the
+    sums are EXACT INTEGERS, addition is associative and the
+    incremental store equals a full recompute over the union corpus
+    BIT-FOR-BIT — not approximately, not after rounding (the twin test
+    asserts row equality), which is a strictly stronger contract than
+    the float-accumulator streaming-PCA folklore where batch order
+    changes the answer.
+
+    Scale shape: the corpus-sized work is the batch's own map-local
+    moment pass; the store side is ~d² rows regardless of how many
+    batches folded in, so re-solving the top PC after every ingest
+    costs O(d² + d²·iters) on the driver — the index stays fresh with
+    NO corpus re-scan. (The id column is not consulted: moment sums
+    are anonymous aggregates, so replay protection belongs to the
+    caller's batch feed, unlike the keyed stores.)"""
+    b = embedding_moment_sums(
+        new_batch, vec_col=vec_col, id_col=id_col, scale_bits=scale_bits
+    )
+    return (
+        moment_store.select("i", "j", "s")
+        .unionByName(b)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )

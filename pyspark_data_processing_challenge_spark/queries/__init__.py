@@ -35,6 +35,7 @@ _VERDICT_PRIORITY = [
     # --- round-12 addition (first driver verdict needed) ---
     "docs_max_dup_extents_salted",  # new: hot-anchor salted LCS scale path
     "embedding_top_pc",  # new: distributed PCA (int moments + bounded eigensolve)
+    "embedding_top_pc_incremental",  # new: moment-store ingest, bit-equal to full
     # --- the 13 r06-vintage rows the r11 window could not fit (queued
     # since r11's rotation) ---
     "rfm_segments",  # was r06-vintage
@@ -86,7 +87,6 @@ _VERDICT_PRIORITY = [
     "set_ops_segments",  # was r01+r07-vintage
     "sql_revenue_by_nation",  # was r01+r07-vintage
     "window_topk_orders",  # was r01+r07-vintage
-    "dedup_exact_groups",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -95,6 +95,7 @@ _ROTATED_OUT = {
     # 50-slot window could not fit this round
     "docs_fingerprint": "r01+r07",
     "simhash_values": "r01+r07",
+    "dedup_exact_groups": "r01+r07",
     "embedding_near_dup": "r01+r07",
     "sort_top20_orders": "r01+r07",
     "window_running_total": "r01+r07",

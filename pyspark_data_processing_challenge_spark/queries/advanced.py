@@ -2917,6 +2917,41 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_top_pc_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INGEST path of embedding_top_pc: the moment store is built
+    from the 90% slice (vec_id % 10 != 0), the remaining 10% arrives
+    as a batch and folds in via operators/similarity.
+    incremental_moment_sums, and the top PC is re-solved from the
+    updated store — with NO corpus re-scan beyond the batch's own
+    moment pass (the store is ~d² rows forever). Because the sums are
+    exact integers, the incremental store equals the full recompute
+    BIT-FOR-BIT, so this query shares embedding_top_pc's full-corpus
+    oracle: the driver itself re-proves store ⊕ batch == full."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    store = similarity.embedding_moment_sums(
+        base, scale_bits=PCA_SCALE_BITS
+    )
+    rows = similarity.incremental_moment_sums(
+        batch, store, scale_bits=PCA_SCALE_BITS
+    ).collect()
+    out = similarity.top_pc_power_iteration(
+        rows, iters=PCA_ITERS, scale_bits=PCA_SCALE_BITS
+    )
+    raw = spark.createDataFrame(
+        out, "dim long, loading double, eigval double, explained_ratio double"
+    )
+    return raw.select(
+        "dim",
+        round_to(F.col("loading"), 6).alias("loading"),
+        round_to(F.col("eigval"), 6).alias("eigval"),
+        round_to(F.col("explained_ratio"), 6).alias("explained_ratio"),
+    )
+
+
 def _top_pc_sql() -> str:
     d, iters = PCA_DIM, PCA_ITERS
     scale = float(2**PCA_SCALE_BITS)
@@ -3040,6 +3075,7 @@ QUERIES = {
     "ivfpq_topk": ivfpq_topk,
     "ivfpq_residual_topk": ivfpq_residual_topk,
     "embedding_top_pc": embedding_top_pc,
+    "embedding_top_pc_incremental": embedding_top_pc_incremental,
     "ivfpq_ingest_postings": ivfpq_ingest_postings,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -3053,6 +3089,10 @@ ORACLES = {
     # same oracle on purpose — the driver re-proves the equality
     "docs_max_dup_extents_salted": _max_dup_sql(),
     "embedding_top_pc": _top_pc_sql(),
+    # the incremental store equals the full recompute bit-for-bit
+    # (exact integer associativity) — shared full-corpus oracle is the
+    # point: the driver re-proves store + batch == full
+    "embedding_top_pc_incremental": _top_pc_sql(),
     "corpus_top_dup_extents": _top_extents_sql(),
     "docs_strip_dup_spans": _STRIP_SQL,
     "docs_weighted_sample": _WSWR_SQL,

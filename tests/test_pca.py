@@ -62,3 +62,23 @@ def test_power_iteration_matches_numpy_eigh(spark):
 def test_power_iteration_degenerate_inputs():
     assert sim.top_pc_power_iteration([]) == []
     assert sim.top_pc_power_iteration([(-1, -1, 0)]) == []
+
+
+def test_incremental_moments_equal_full_bitforbit(spark):
+    """The moment store folded batch-by-batch must equal one full
+    recompute ROW-FOR-ROW (exact integer associativity) — and the top
+    PC solved from the incremental store must be identical floats."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    store = sim.embedding_moment_sums(base)
+    inc = sim.incremental_moment_sums(batch, store)
+    full = sim.embedding_moment_sums(emb)
+    as_map = lambda d: {(r.i, r.j): r.s for r in d.collect()}  # noqa: E731
+    m_inc, m_full = as_map(inc), as_map(full)
+    assert m_inc == m_full
+    pc_inc = sim.top_pc_power_iteration(sorted((i, j, s) for (i, j), s in m_inc.items()))
+    pc_full = sim.top_pc_power_iteration(sorted((i, j, s) for (i, j), s in m_full.items()))
+    assert pc_inc == pc_full
