@@ -89,6 +89,7 @@ HEADLINE = [
     "docs_max_dup_extents_salted",  # r12: hot-anchor scale path twin
     "embedding_top_pc",  # r12: distributed PCA moments + bounded eigensolve
     "embedding_top_pc_incremental",  # r12: moment-store ingest twin
+    "embedding_top_k_pcs",  # r12: k-component PCA via deflation
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -36,6 +36,7 @@ _VERDICT_PRIORITY = [
     "docs_max_dup_extents_salted",  # new: hot-anchor salted LCS scale path
     "embedding_top_pc",  # new: distributed PCA (int moments + bounded eigensolve)
     "embedding_top_pc_incremental",  # new: moment-store ingest, bit-equal to full
+    "embedding_top_k_pcs",  # new: k-component PCA via deflation
     # --- the 13 r06-vintage rows the r11 window could not fit (queued
     # since r11's rotation) ---
     "rfm_segments",  # was r06-vintage
@@ -86,7 +87,6 @@ _VERDICT_PRIORITY = [
     "anti_join_quiet_customers",  # was r01+r07-vintage
     "set_ops_segments",  # was r01+r07-vintage
     "sql_revenue_by_nation",  # was r01+r07-vintage
-    "window_topk_orders",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -96,6 +96,7 @@ _ROTATED_OUT = {
     "docs_fingerprint": "r01+r07",
     "simhash_values": "r01+r07",
     "dedup_exact_groups": "r01+r07",
+    "window_topk_orders": "r01+r07",
     "embedding_near_dup": "r01+r07",
     "sort_top20_orders": "r01+r07",
     "window_running_total": "r01+r07",

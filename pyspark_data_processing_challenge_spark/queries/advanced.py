@@ -3040,6 +3040,148 @@ FROM idx i, fin f, tracev t
 """
 
 
+PCA_K = 3
+PCA_K_ITERS = 256
+
+
+def embedding_top_k_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PCA_K} principal components via power iteration with
+    DEFLATION (operators/similarity.top_k_pcs_power_iteration) — the
+    actual PCA-reduce step (SemDeDup §3 projects embeddings onto the
+    top components before clustering). Same two-stage scale split as
+    embedding_top_pc: one exact distributed int-moment pass, then the
+    whole deflation loop on the ~d² collected rows. k stops at 3
+    because convergence is eigen-gap-limited and the synthetic
+    spectrum's 4th gap (~1.009) would need ~1024 iterations — the
+    docstring math in the operator; a real corpus with genuine
+    dominant directions supports larger k at fewer iterations.
+    Output: (component, dim, loading, eigval, explained_ratio),
+    {PCA_K}·64 rows, portable round_to(…, 6)."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    rows = similarity.embedding_moment_sums(
+        emb, scale_bits=PCA_SCALE_BITS
+    ).collect()
+    out = similarity.top_k_pcs_power_iteration(
+        rows, k=PCA_K, iters=PCA_K_ITERS, scale_bits=PCA_SCALE_BITS
+    )
+    raw = spark.createDataFrame(
+        out,
+        "component long, dim long, loading double, eigval double,"
+        " explained_ratio double",
+    )
+    return raw.select(
+        "component",
+        "dim",
+        round_to(F.col("loading"), 6).alias("loading"),
+        round_to(F.col("eigval"), 6).alias("eigval"),
+        round_to(F.col("explained_ratio"), 6).alias("explained_ratio"),
+    )
+
+
+def _top_k_pcs_sql() -> str:
+    """Chained recursive-CTE replay of the deflation loop: one
+    pit{m}/fin{m} recursion per component over cmat{m}, with
+    cmat{m+1} = C − λ·v·vᵀ in the Python solver's exact op order
+    (left-associative ``C - lam * v_i * v_j``). Shares the moment/
+    centering CTE text with _top_pc_sql by construction (kept inline —
+    both are parity-tested against the same Spark arithmetic)."""
+    d, iters, k = PCA_DIM, PCA_K_ITERS, PCA_K
+    scale = float(2**PCA_SCALE_BITS)
+    dequant = float(2 ** (2 * PCA_SCALE_BITS))
+    v0 = repr(1.0 / PCA_DIM**0.5)
+    u_expr = (
+        f"list_transform(range(0, {d}), ii -> list_reduce("
+        f"[CAST(0.0 AS DOUBLE)] || list_transform(range(0, {d}), "
+        f"jj -> C[ii + 1][jj + 1] * v[jj + 1]), (a, b) -> a + b))"
+    )
+    blocks = []
+    for m in range(1, k + 1):
+        blocks.append(f"""pit{m} AS (
+  SELECT 0 AS step,
+         list_transform(range(0, {d}), x -> CAST({v0} AS DOUBLE)) AS v,
+         CAST(0.0 AS DOUBLE) AS lam
+  FROM cmat{m}
+  UNION ALL
+  SELECT step + 1, list_transform(u, x -> x / nrm) AS v, nrm AS lam
+  FROM (
+    SELECT step, u,
+           sqrt(list_reduce([CAST(0.0 AS DOUBLE)]
+                            || list_transform(u, y -> y * y),
+                            (a, b) -> a + b)) AS nrm
+    FROM (
+      SELECT step, {u_expr} AS u
+      FROM pit{m}, cmat{m} WHERE step < {iters}
+    )
+  )
+),
+fin{m} AS MATERIALIZED (
+  SELECT CASE WHEN v[1] < 0 THEN list_transform(v, x -> -x) ELSE v END AS v,
+         lam
+  FROM pit{m} WHERE step = {iters}
+)""")
+        if m < k:
+            blocks.append(f"""cmat{m + 1} AS MATERIALIZED (
+  SELECT list_transform(range(0, {d}), ii -> list_transform(range(0, {d}),
+           jj -> C[ii + 1][jj + 1] - lam * v[ii + 1] * v[jj + 1])) AS C
+  FROM cmat{m}, fin{m}
+)""")
+    selects = [
+        f"""SELECT CAST({m} AS BIGINT) AS component, CAST(i.i AS BIGINT) AS dim,
+       {sql_round(f"f{m}.v[i.i + 1]", 6)} AS loading,
+       {sql_round(f"f{m}.lam / {dequant}", 6)} AS eigval,
+       {sql_round(f"f{m}.lam / t.tr", 6)} AS explained_ratio
+FROM idx i, fin{m} f{m}, tracev t"""
+        for m in range(1, k + 1)
+    ]
+    blocks_sql = ",\n".join(blocks)
+    selects_sql = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+idx AS (SELECT unnest(range(0, {d})) AS i),
+nrows AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+firsts AS (
+  SELECT i.i AS i, CAST(sum(qv[i.i + 1]) AS BIGINT) AS s
+  FROM q, idx i GROUP BY i.i
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(qv[a.i + 1] * qv[b.i + 1]) AS BIGINT) AS s
+  FROM q, idx a, idx b WHERE b.i >= a.i GROUP BY a.i, b.i
+),
+cent AS (
+  SELECT p.i AS i, p.j AS j,
+         CAST(p.s AS DOUBLE) / CAST(n.n AS DOUBLE)
+           - (CAST(fi.s AS DOUBLE) / CAST(n.n AS DOUBLE))
+             * (CAST(fj.s AS DOUBLE) / CAST(n.n AS DOUBLE)) AS c
+  FROM pairs p, nrows n
+  JOIN firsts fi ON fi.i = p.i
+  JOIN firsts fj ON fj.i = p.j
+),
+sym AS (
+  SELECT i, j, c FROM cent
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cent WHERE i <> j
+),
+cmat1 AS MATERIALIZED (
+  SELECT list(rowl ORDER BY i) AS C FROM (
+    SELECT i, list(c ORDER BY j) AS rowl FROM sym GROUP BY i
+  )
+),
+tracev AS (
+  SELECT list_reduce([CAST(0.0 AS DOUBLE)]
+                     || list_transform(range(0, {d}), i -> C[i + 1][i + 1]),
+                     (a, b) -> a + b) AS tr
+  FROM cmat1
+),
+{blocks_sql}
+{selects_sql}
+"""
+
+
 QUERIES = {
     "events_arrow_scaled": events_arrow_scaled,
     "orders_zvalue": orders_zvalue,
@@ -3076,6 +3218,7 @@ QUERIES = {
     "ivfpq_residual_topk": ivfpq_residual_topk,
     "embedding_top_pc": embedding_top_pc,
     "embedding_top_pc_incremental": embedding_top_pc_incremental,
+    "embedding_top_k_pcs": embedding_top_k_pcs,
     "ivfpq_ingest_postings": ivfpq_ingest_postings,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -3093,6 +3236,7 @@ ORACLES = {
     # (exact integer associativity) — shared full-corpus oracle is the
     # point: the driver re-proves store + batch == full
     "embedding_top_pc_incremental": _top_pc_sql(),
+    "embedding_top_k_pcs": _top_k_pcs_sql(),
     "corpus_top_dup_extents": _top_extents_sql(),
     "docs_strip_dup_spans": _STRIP_SQL,
     "docs_weighted_sample": _WSWR_SQL,

@@ -82,3 +82,29 @@ def test_incremental_moments_equal_full_bitforbit(spark):
     pc_inc = sim.top_pc_power_iteration(sorted((i, j, s) for (i, j), s in m_inc.items()))
     pc_full = sim.top_pc_power_iteration(sorted((i, j, s) for (i, j), s in m_full.items()))
     assert pc_inc == pc_full
+
+
+def test_deflation_matches_numpy_eigh_topk(spark):
+    """top_k_pcs_power_iteration must recover the top-3 eigenpairs of
+    the centered quantized covariance (gap-limited convergence: the
+    corpus's 4th gap is too tight for k=4 at 256 iterations — the
+    documented reason the catalog query stops at 3)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = sim.embedding_moment_sums(emb).collect()
+    out = sim.top_k_pcs_power_iteration(rows, k=3, iters=256)
+    assert len(out) == 3 * 64
+    X = _emb_matrix(spark)
+    q = np.floor(X * 2**20)
+    C = q.T @ q / len(q) - np.outer(q.mean(0), q.mean(0))
+    w, V = np.linalg.eigh(C)
+    for comp in range(1, 4):
+        v_pi = np.array([t[2] for t in out if t[0] == comp])
+        cos = abs(float(V[:, -comp] @ v_pi))
+        assert cos > 0.999, (comp, cos)
+        eig = next(t[3] for t in out if t[0] == comp)
+        ref = w[-comp] / 2**40
+        assert abs(eig - ref) / ref < 1e-3, (comp, eig, ref)
+    # orthogonality of the recovered components
+    vs = [np.array([t[2] for t in out if t[0] == c]) for c in (1, 2, 3)]
+    assert abs(float(vs[0] @ vs[1])) < 1e-2
+    assert abs(float(vs[1] @ vs[2])) < 1e-2
