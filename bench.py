@@ -90,6 +90,7 @@ HEADLINE = [
     "embedding_top_pc",  # r12: distributed PCA moments + bounded eigensolve
     "embedding_top_pc_incremental",  # r12: moment-store ingest twin
     "embedding_top_k_pcs",  # r12: k-component PCA via deflation
+    "embedding_pca_project",  # r12: map-only PCA-reduce transform
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

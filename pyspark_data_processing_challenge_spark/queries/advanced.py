@@ -3078,13 +3078,74 @@ def embedding_top_k_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _top_k_pcs_sql() -> str:
-    """Chained recursive-CTE replay of the deflation loop: one
-    pit{m}/fin{m} recursion per component over cmat{m}, with
-    cmat{m+1} = C − λ·v·vᵀ in the Python solver's exact op order
-    (left-associative ``C - lam * v_i * v_j``). Shares the moment/
-    centering CTE text with _top_pc_sql by construction (kept inline —
-    both are parity-tested against the same Spark arithmetic)."""
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-REDUCE applied: every embedding projected onto the top-3
+    deflation components — the per-row transform SemDeDup actually
+    clusters on, turning the spectral report into a usable column.
+    p_m(x) = Σ_i (x_i − μ_i)·v_m_i, folded ascending from 0.0.
+
+    Scale shape — the part worth copying at 100 TB: the moment pass
+    runs ONCE (distributed, exact ints), the eigensolve ONCE on the
+    driver (~d² rows), and the projection is a pure MAP with the mean
+    and loadings bound as numpy-array literals (the F.lit(ndarray)
+    literal class CLAUDE.md documents — one true Literal node per
+    array, no per-element py4j, no join, no broadcast variable, ZERO
+    shuffles). The centered vector is staged as its own projected
+    column so the three component folds share it instead of
+    re-centering per component. Loadings enter at FULL precision (the
+    rounded report columns never feed arithmetic); the oracle re-runs
+    the identical CTE chain, so both engines project with bit-equal
+    (μ, v)."""
+    import numpy as np
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    rows = similarity.embedding_moment_sums(
+        emb, scale_bits=PCA_SCALE_BITS
+    ).collect()
+    out = similarity.top_k_pcs_power_iteration(
+        rows, k=PCA_K, iters=PCA_K_ITERS, scale_bits=PCA_SCALE_BITS
+    )
+    n = next(int(r[2]) for r in rows if int(r[0]) == -1)
+    nf = float(n)
+    scale = float(2**PCA_SCALE_BITS)
+    S = {int(r[0]): int(r[2]) for r in rows if int(r[0]) >= 0 and int(r[1]) == -1}
+    d = max(S) + 1
+    mu = np.array([(float(S[i]) / nf) / scale for i in range(d)])
+    vs = [
+        np.array([t[2] for t in out if t[0] == comp])
+        for comp in range(1, PCA_K + 1)
+    ]
+    centered = F.zip_with(
+        F.col("embedding"),
+        F.lit(mu),
+        lambda x, m: x.cast("double") - m,
+    )
+    staged = emb.select("vec_id", centered.alias("__c"))
+
+    def proj(v):
+        return F.aggregate(
+            F.zip_with(F.col("__c"), F.lit(v), lambda c, w: c * w),
+            F.lit(0.0),
+            lambda acc, term: acc + term,
+        )
+
+    return staged.select(
+        "vec_id",
+        *[
+            round_to(proj(vs[m - 1]), 6).alias(f"pc{m}")
+            for m in range(1, PCA_K + 1)
+        ],
+    )
+
+
+def _top_k_chain_sql() -> str:
+    """The WITH-RECURSIVE prefix shared by the top-k oracles: moment
+    sums, centering, cmat1, trace, then one pit{m}/fin{m} recursion
+    per component with cmat{m+1} = C − λ·v·vᵀ deflation in the Python
+    solver's exact op order (left-associative ``C - lam * v_i * v_j``).
+    Every chained CTE is MATERIALIZED: un-materialized, DuckDB inlines
+    fin1 into every pit2 step and re-runs the whole first recursion
+    quadratically (observed hang; 0.77 s materialized)."""
     d, iters, k = PCA_DIM, PCA_K_ITERS, PCA_K
     scale = float(2**PCA_SCALE_BITS)
     dequant = float(2 ** (2 * PCA_SCALE_BITS))
@@ -3125,16 +3186,7 @@ fin{m} AS MATERIALIZED (
            jj -> C[ii + 1][jj + 1] - lam * v[ii + 1] * v[jj + 1])) AS C
   FROM cmat{m}, fin{m}
 )""")
-    selects = [
-        f"""SELECT CAST({m} AS BIGINT) AS component, CAST(i.i AS BIGINT) AS dim,
-       {sql_round(f"f{m}.v[i.i + 1]", 6)} AS loading,
-       {sql_round(f"f{m}.lam / {dequant}", 6)} AS eigval,
-       {sql_round(f"f{m}.lam / t.tr", 6)} AS explained_ratio
-FROM idx i, fin{m} f{m}, tracev t"""
-        for m in range(1, k + 1)
-    ]
     blocks_sql = ",\n".join(blocks)
-    selects_sql = "\nUNION ALL\n".join(selects)
     return f"""
 WITH RECURSIVE q AS (
   SELECT list_transform(embedding,
@@ -3178,7 +3230,51 @@ tracev AS (
   FROM cmat1
 ),
 {blocks_sql}
-{selects_sql}
+"""
+
+
+def _top_k_pcs_sql() -> str:
+    k, dequant = PCA_K, float(2 ** (2 * PCA_SCALE_BITS))
+    selects = [
+        f"""SELECT CAST({m} AS BIGINT) AS component, CAST(i.i AS BIGINT) AS dim,
+       {sql_round(f"f{m}.v[i.i + 1]", 6)} AS loading,
+       {sql_round(f"f{m}.lam / {dequant}", 6)} AS eigval,
+       {sql_round(f"f{m}.lam / t.tr", 6)} AS explained_ratio
+FROM idx i, fin{m} f{m}, tracev t"""
+        for m in range(1, k + 1)
+    ]
+    return _top_k_chain_sql() + "\nUNION ALL\n".join(selects)
+
+
+def _pca_project_sql() -> str:
+    """Projection oracle: the identical CTE chain re-derives (μ, v) at
+    full precision, then each embedding row folds
+    (CAST(x_i AS DOUBLE) − μ_i)·v_m_i ascending from 0.0 — the exact
+    op order of the staged zip_with/aggregate columns."""
+    d, k = PCA_DIM, PCA_K
+    scale = float(2**PCA_SCALE_BITS)
+
+    def proj(m: int) -> str:
+        return (
+            f"list_reduce([CAST(0.0 AS DOUBLE)] || "
+            f"list_transform(range(0, {d}), i -> "
+            f"(CAST(e.embedding[i + 1] AS DOUBLE) - mu.m[i + 1])"
+            f" * f{m}.v[i + 1]), (a, b) -> a + b)"
+        )
+
+    froms = ", ".join(f"fin{m} f{m}" for m in range(1, k + 1))
+    cols = ",\n       ".join(
+        f"{sql_round(proj(m), 6)} AS pc{m}" for m in range(1, k + 1)
+    )
+    return _top_k_chain_sql() + f""",
+mulist AS MATERIALIZED (
+  SELECT list((CAST(f.s AS DOUBLE) / CAST(n.n AS DOUBLE)) / {scale}
+              ORDER BY f.i) AS m
+  FROM firsts f, nrows n
+)
+SELECT e.vec_id AS vec_id,
+       {cols}
+FROM embeddings e, mulist mu, {froms}
 """
 
 
@@ -3219,6 +3315,7 @@ QUERIES = {
     "embedding_top_pc": embedding_top_pc,
     "embedding_top_pc_incremental": embedding_top_pc_incremental,
     "embedding_top_k_pcs": embedding_top_k_pcs,
+    "embedding_pca_project": embedding_pca_project,
     "ivfpq_ingest_postings": ivfpq_ingest_postings,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -3237,6 +3334,7 @@ ORACLES = {
     # point: the driver re-proves store + batch == full
     "embedding_top_pc_incremental": _top_pc_sql(),
     "embedding_top_k_pcs": _top_k_pcs_sql(),
+    "embedding_pca_project": _pca_project_sql(),
     "corpus_top_dup_extents": _top_extents_sql(),
     "docs_strip_dup_spans": _STRIP_SQL,
     "docs_weighted_sample": _WSWR_SQL,
