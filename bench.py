@@ -91,6 +91,7 @@ HEADLINE = [
     "embedding_top_pc_incremental",  # r12: moment-store ingest twin
     "embedding_top_k_pcs",  # r12: k-component PCA via deflation
     "embedding_pca_project",  # r12: map-only PCA-reduce transform
+    "split_ngram_leakage",  # r12: cross-split sequence-leakage gate
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -38,6 +38,7 @@ _VERDICT_PRIORITY = [
     "embedding_top_pc_incremental",  # new: moment-store ingest, bit-equal to full
     "embedding_top_k_pcs",  # new: k-component PCA via deflation
     "embedding_pca_project",  # new: map-only PCA-reduce transform
+    "split_ngram_leakage",  # new: cross-split sequence-leakage gate
     # --- the 13 r06-vintage rows the r11 window could not fit (queued
     # since r11's rotation) ---
     "rfm_segments",  # was r06-vintage
@@ -86,7 +87,6 @@ _VERDICT_PRIORITY = [
     "pivot_event_counts",  # was r01+r07-vintage
     "semi_join_urgent_customers",  # was r01+r07-vintage
     "anti_join_quiet_customers",  # was r01+r07-vintage
-    "set_ops_segments",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -98,6 +98,7 @@ _ROTATED_OUT = {
     "dedup_exact_groups": "r01+r07",
     "window_topk_orders": "r01+r07",
     "sql_revenue_by_nation": "r01+r07",
+    "set_ops_segments": "r01+r07",
     "embedding_near_dup": "r01+r07",
     "sort_top20_orders": "r01+r07",
     "window_running_total": "r01+r07",

@@ -4437,6 +4437,118 @@ FROM held GROUP BY split
 """
 
 
+LEAK_N = 5
+
+
+def split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split SEQUENCE leakage — the benchmark-decontamination
+    statistic (n-gram overlap, the method decontamination reports use
+    for eval suites) applied INTERNALLY between the train split and
+    each held-out split. Token-level OOV (split_oov_rate) says whether
+    the held-out vocabulary is covered; this says whether held-out
+    CONTENT already sits in train — near-duplicates that crossed the
+    split boundary, which silently inflate eval scores.
+
+    Runs on the planted corpus (_perturbed_docs), where every base doc
+    has a 3-junk-token near-copy under id+100000: the copies hash into
+    splits independently of their base, so a held-out copy whose base
+    landed in train leaks every distinct {LEAK_N}-gram except the
+    junk-suffix ones — a guaranteed cross-split near-duplicate signal.
+    On top of that the BASE corpus is itself redundant (the span-dedup
+    family measures its repeated passages; ~4% of distinct 20-grams
+    are shared across base docs), so the reported rate is total
+    content leakage — natural boilerplate plus planted copies — which
+    is exactly what the gate should count: an eval doc's score is
+    inflated by a train-set passage match regardless of why the
+    passage repeats. Measured at sf0.01: gram_leak_rate ≈ 0.77-0.84,
+    majority-leaked ≈ 78% of held-out docs — this corpus would be a
+    badly leaking split, and the gate says so with exact integers.
+    The majority-leaked doc count uses the exact-integer test
+    h·2 >= n (no float threshold in the decision).
+
+    Scale shape: the gram explode is the span-family shape; the train
+    gram set is a distinct groupBy (map-side combined) equi-joined on
+    the gram key (AQE broadcasts while it fits — split_oov_rate's
+    documented story); two aggregates end the plan. Output: one row
+    per held-out split."""
+    from ..operators import curation
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    s = curation.split_assign(corpus, F.col("doc_id"), SPLIT_WEIGHTS)
+    grams = s.select(
+        "split",
+        "doc_id",
+        F.explode(textfns.shingles(F.col("text"), n=LEAK_N)).alias("g"),
+    )
+    train_grams = (
+        grams.where(F.col("split") == "train")
+        .select("g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    held = grams.where(F.col("split") != "train")
+    j = held.join(train_grams, "g", "left")
+    per_doc = j.groupBy("split", "doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__hit").isNotNull().cast("long")).alias("h"),
+    )
+    return (
+        per_doc.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_grams"),
+            F.sum("h").alias("n_leaked_grams"),
+            F.sum((F.col("h") * 2 >= F.col("n")).cast("long")).alias(
+                "n_docs_majority_leaked"
+            ),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_grams",
+            "n_leaked_grams",
+            round_to(
+                F.col("n_leaked_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("gram_leak_rate"),
+            "n_docs_majority_leaked",
+        )
+    )
+
+
+_LEAKAGE_SQL = f"""
+WITH base AS ({_PERTURB_SQL}),
+assigned AS (
+  SELECT doc_id, text,
+    CASE WHEN {sql_char_hash("doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+         WHEN {sql_char_hash("doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM base
+),
+grams AS (
+  SELECT split, doc_id, unnest({sql_shingles("text", LEAK_N)}) AS g
+  FROM assigned
+),
+train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+per_doc AS (
+  SELECT gr.split, gr.doc_id, count(*) AS n,
+         sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS h
+  FROM grams gr LEFT JOIN train_g t USING (g)
+  WHERE gr.split <> 'train'
+  GROUP BY gr.split, gr.doc_id
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_grams,
+       sum(h)::BIGINT AS n_leaked_grams,
+       {sql_round("CAST(sum(h) AS DOUBLE) / CAST(sum(n) AS DOUBLE)", 6)}
+         AS gram_leak_rate,
+       sum(CASE WHEN h * 2 >= n THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs_majority_leaked
+FROM per_doc GROUP BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # hashed-feature linear quality classifier (fastText-style inference;
 # operators/curation.hashed_linear_score)
@@ -5403,6 +5515,7 @@ QUERIES = {
     "docs_bigram_surprisal": docs_bigram_surprisal,
     "corpus_scaling_curve": corpus_scaling_curve,
     "split_oov_rate": split_oov_rate,
+    "split_ngram_leakage": split_ngram_leakage,
     "docs_token_stats": docs_token_stats,
     "docs_lang_id": docs_lang_id,
     "docs_quality": docs_quality,
@@ -5489,6 +5602,7 @@ ORACLES = {
     "docs_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "corpus_scaling_curve": _SCALING_SQL,
     "split_oov_rate": _OOV_SQL,
+    "split_ngram_leakage": _LEAKAGE_SQL,
     "docs_token_stats": _TOKEN_STATS_SQL,
     "docs_lang_id": _LANG_SQL,
     "docs_quality": _QUALITY_SQL,
