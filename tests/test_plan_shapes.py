@@ -764,3 +764,39 @@ def test_raise_error_lint_detects_predicate_guards(spark):
         ).alias("text"),
     ).filter(F.length("text") >= 2)  # pushdown substitutes the guard
     assert not plans.raise_error_in_filter(guarded)
+
+
+def test_pca_project_is_shuffle_free_map(spark):
+    # the PCA-reduce transform binds mean/loadings as array literals:
+    # a pure projection — zero exchanges, no window, no join
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    df = advanced.embedding_pca_project(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert plans.exchange_count(df) == 0
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_moment_sums_single_two_phase_aggregate(spark):
+    # the distributed PCA pass: d^2/2 per-row products reduce through
+    # ONE partial+final hash aggregate — the shuffle carries only the
+    # ~2k moment rows per partition, never the corpus
+    from pyspark_data_processing_challenge_spark.operators import (
+        similarity as sim,
+    )
+
+    m = sim.embedding_moment_sums(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    )
+    assert plans.exchange_count(m) == 1
+    assert plans.executed_plan(m).count("HashAggregate") >= 2
+
+
+def test_split_leakage_join_shape(spark):
+    # gram-key equi-join against the distinct train gram set: no
+    # sort-merge join, no cartesian, bounded exchange count
+    df = llm.split_ngram_leakage(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert plans.sort_merge_join_count(df) == 0
+    assert "Cartesian" not in plan
+    assert plans.exchange_count(df) <= 4
