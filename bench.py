@@ -92,6 +92,8 @@ HEADLINE = [
     "embedding_top_k_pcs",  # r12: k-component PCA via deflation
     "embedding_pca_project",  # r12: map-only PCA-reduce transform
     "split_ngram_leakage",  # r12: cross-split sequence-leakage gate
+    "ivfpq_residual_rerank_topk",  # r12: two-stage IVFADC serving
+    "ivfpq_rerank_recall_eval",  # r12: measured rerank recall lift
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -39,6 +39,8 @@ _VERDICT_PRIORITY = [
     "embedding_top_k_pcs",  # new: k-component PCA via deflation
     "embedding_pca_project",  # new: map-only PCA-reduce transform
     "split_ngram_leakage",  # new: cross-split sequence-leakage gate
+    "ivfpq_residual_rerank_topk",  # new: two-stage IVFADC + exact rerank
+    "ivfpq_rerank_recall_eval",  # new: measured rerank recall lift
     # --- the 13 r06-vintage rows the r11 window could not fit (queued
     # since r11's rotation) ---
     "rfm_segments",  # was r06-vintage
@@ -85,8 +87,6 @@ _VERDICT_PRIORITY = [
     "rollup_lineitem",  # was r01+r07-vintage
     "array_agg_lineitems",  # was r01+r07-vintage
     "pivot_event_counts",  # was r01+r07-vintage
-    "semi_join_urgent_customers",  # was r01+r07-vintage
-    "anti_join_quiet_customers",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -99,6 +99,8 @@ _ROTATED_OUT = {
     "window_topk_orders": "r01+r07",
     "sql_revenue_by_nation": "r01+r07",
     "set_ops_segments": "r01+r07",
+    "semi_join_urgent_customers": "r01+r07",
+    "anti_join_quiet_customers": "r01+r07",
     "embedding_near_dup": "r01+r07",
     "sort_top20_orders": "r01+r07",
     "window_running_total": "r01+r07",

@@ -2137,7 +2137,7 @@ SELECT vec_id, adc_dist FROM (
 
 
 def _ivfpq_multi(
-    spark: SparkSession, sf_dir: str, *, residual: bool
+    spark: SparkSession, sf_dir: str, *, residual: bool, k: int = PQ_TOPK
 ) -> DataFrame:
     """Shared multi-query IVF-PQ pipeline over queries
     [IVF_QUERY_LO, IVF_QUERY_HI). ``residual=True`` is published
@@ -2273,7 +2273,7 @@ def _ivfpq_multi(
         .select("query_id", F.col("doc").alias("id"), "centroid_id")
     )
     cand_codes = codes.join(F.broadcast(cand_ids), "id")
-    return ivfpq_adc_topk(cand_codes, cb, qsub, k=PQ_TOPK)
+    return ivfpq_adc_topk(cand_codes, cb, qsub, k=k)
 
 
 def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2296,7 +2296,10 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_residual_sql() -> str:
+def _ivfpq_residual_core_sql() -> str:
+    """WITH-prefix through ``ranked`` (query_id, id, adc_dist, rank) —
+    shared by the plain residual top-k oracle and the rerank oracle,
+    which appends an exact-cosine stage over the shortlist."""
     from .extended import (
         _IVF_ASSIGN_CTE,
         _IVF_COS,
@@ -2428,9 +2431,182 @@ ranked AS (
                             ORDER BY adc_dist, id) AS rank
   FROM adc
 )
+"""
+
+
+def _ivfpq_residual_sql() -> str:
+    return _ivfpq_residual_core_sql() + f"""
 SELECT query_id, id AS vec_id, {sql_round("adc_dist", 6)} AS adc_dist,
        rank::BIGINT AS rank
 FROM ranked WHERE rank <= {PQ_TOPK}
+"""
+
+
+IVFPQ_RERANK_SHORTLIST = 50
+
+
+def ivfpq_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE residual-IVFADC serving (Jégou TPAMI 2011 §V — the
+    shape every FAISS/ScaNN deployment ships): stage 1 shortlists
+    {IVFPQ_RERANK_SHORTLIST} candidates per query by residual ADC
+    distance (code-table lookups only), stage 2 re-ranks JUST the
+    shortlist with exact cosine against the raw vectors and keeps the
+    top-{PQ_TOPK}. The quantization error that caps ADC-only recall is
+    paid back on a constant-size candidate set — the recall lift is a
+    measured number (ivfpq_rerank_recall_eval), not a claim.
+
+    Scale shape: the shortlist (|queries|·{IVFPQ_RERANK_SHORTLIST}
+    rows) broadcasts INTO the corpus scan to fetch raw vectors — the
+    corpus never shuffles — and the final window sorts a bounded
+    shortlist frame per query."""
+    from ..functions import vectors
+    from .extended import IVF_QUERY_HI, IVF_QUERY_LO
+
+    shortlist = _ivfpq_multi(
+        spark, sf_dir, residual=True, k=IVFPQ_RERANK_SHORTLIST
+    )
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    q = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    cand = emb.select(F.col("vec_id").alias("id"), "embedding").join(
+        F.broadcast(shortlist.select("query_id", "id")), "id"
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "id",
+        vectors.cosine(F.col("embedding"), F.col("qe")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("id").alias("vec_id"),
+            round_to(F.col("cos"), 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _ivfpq_rerank_sql() -> str:
+    from .extended import _IVF_COS
+
+    return _ivfpq_residual_core_sql() + f""",
+short AS (
+  SELECT query_id, id FROM ranked WHERE rank <= {IVFPQ_RERANK_SHORTLIST}
+),
+rr AS (
+  SELECT s.query_id, s.id,
+         {_IVF_COS.format(a="v.e", b="q.qe")} AS cos
+  FROM short s
+  JOIN v ON v.vec_id = s.id
+  JOIN q ON q.query_id = s.query_id
+),
+rrk AS (
+  SELECT query_id, id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, id) AS rank
+  FROM rr
+)
+SELECT query_id, id AS vec_id, {sql_round("cos", 6)} AS cos,
+       rank::BIGINT AS rank
+FROM rrk WHERE rank <= {PQ_TOPK}
+"""
+
+
+def ivfpq_rerank_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE measured payoff of the rerank stage: per query, recall@
+    {PQ_TOPK} against exact brute-force cosine for BOTH the ADC-only
+    residual probe and the reranked two-stage serving path, side by
+    side — the one-table answer to "is stage 2 worth it?". Same
+    harness discipline as ivf_recall_eval: exact-integer hit counts,
+    terminating-decimal recalls, every join on bounded per-query
+    frames (the brute-force side reuses the broadcast-query
+    cosine_topk plan; nothing corpus-sized shuffles)."""
+    from .extended import IVF_QUERY_HI, IVF_QUERY_LO
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    )
+    exact = similarity.cosine_topk(emb, queries, k=PQ_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    adc = _ivfpq_multi(spark, sf_dir, residual=True, k=PQ_TOPK).select(
+        "query_id", F.col("id").alias("neighbor_id"), F.lit(1).alias("__a")
+    )
+    rer = ivfpq_residual_rerank_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("__r")
+    )
+    joined = exact.join(
+        F.broadcast(adc), ["query_id", "neighbor_id"], "left"
+    ).join(F.broadcast(rer), ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("__a"), F.lit(0))).cast("long").alias("n_hit_adc"),
+        F.sum(F.coalesce(F.col("__r"), F.lit(0))).cast("long").alias("n_hit_rerank"),
+        round_to(
+            F.sum(F.coalesce(F.col("__a"), F.lit(0))).cast("double")
+            / F.lit(float(PQ_TOPK)),
+            6,
+        ).alias("recall_adc"),
+        round_to(
+            F.sum(F.coalesce(F.col("__r"), F.lit(0))).cast("double")
+            / F.lit(float(PQ_TOPK)),
+            6,
+        ).alias("recall_rerank"),
+    )
+
+
+def _ivfpq_rerank_eval_sql() -> str:
+    from .extended import _IVF_COS
+
+    return _ivfpq_residual_core_sql() + f""",
+short AS (
+  SELECT query_id, id FROM ranked WHERE rank <= {IVFPQ_RERANK_SHORTLIST}
+),
+rr AS (
+  SELECT s.query_id, s.id,
+         {_IVF_COS.format(a="v.e", b="q.qe")} AS cos
+  FROM short s
+  JOIN v ON v.vec_id = s.id
+  JOIN q ON q.query_id = s.query_id
+),
+rerset AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, id) AS rank
+    FROM rr
+  ) WHERE rank <= {PQ_TOPK}
+),
+adcset AS (SELECT query_id, id FROM ranked WHERE rank <= {PQ_TOPK}),
+exact_scored AS (
+  SELECT q.query_id, v.vec_id AS id,
+         {_IVF_COS.format(a="q.qe", b="v.e")} AS cos
+  FROM q, v WHERE v.vec_id <> q.query_id
+),
+exactk AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, id) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {PQ_TOPK}
+)
+SELECT e.query_id,
+       sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_adc,
+       sum(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit_rerank,
+       {sql_round(f"CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / {float(PQ_TOPK)}", 6)}
+         AS recall_adc,
+       {sql_round(f"CAST(sum(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / {float(PQ_TOPK)}", 6)}
+         AS recall_rerank
+FROM exactk e
+LEFT JOIN adcset a ON a.query_id = e.query_id AND a.id = e.id
+LEFT JOIN rerset r ON r.query_id = e.query_id AND r.id = e.id
+GROUP BY e.query_id
 """
 
 
@@ -3312,6 +3488,8 @@ QUERIES = {
     "zone_map_pruning_2d": zone_map_pruning_2d,
     "ivfpq_topk": ivfpq_topk,
     "ivfpq_residual_topk": ivfpq_residual_topk,
+    "ivfpq_residual_rerank_topk": ivfpq_residual_rerank_topk,
+    "ivfpq_rerank_recall_eval": ivfpq_rerank_recall_eval,
     "embedding_top_pc": embedding_top_pc,
     "embedding_top_pc_incremental": embedding_top_pc_incremental,
     "embedding_top_k_pcs": embedding_top_k_pcs,
@@ -3358,6 +3536,8 @@ ORACLES = {
     "zone_map_pruning_2d": _zm2_sql(),
     "ivfpq_topk": _ivfpq_sql(),
     "ivfpq_residual_topk": _ivfpq_residual_sql(),
+    "ivfpq_residual_rerank_topk": _ivfpq_rerank_sql(),
+    "ivfpq_rerank_recall_eval": _ivfpq_rerank_eval_sql(),
     "ivfpq_ingest_postings": _ivfpq_ingest_sql(),
     "orders_pit_acctbal": _pit_sql(),
     "events_funnel": _FUNNEL_SQL,

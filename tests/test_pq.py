@@ -333,3 +333,21 @@ def test_ivfpq_ingest_twin_equals_rebuild(spark, tmp_path):
         return [(r.query_id, r.id, r.rank) for r in out.collect()]
 
     assert probe(inc) == probe(full)
+
+
+def test_rerank_lifts_residual_recall(spark):
+    """Stage-2 exact rerank must never lose a hit vs ADC-only (the
+    shortlist contains the ADC top-k by construction... NOT quite: it
+    re-orders by exact cosine, so per-query it can only gain hits that
+    exact ordering surfaces from deeper in the shortlist — assert the
+    corpus-wide lift and per-query non-collapse) — recall@10 measured
+    0.26 -> 0.42 at sf0.01."""
+    from pyspark_data_processing_challenge_spark.queries import advanced
+    from tests.conftest import SF01_DIR
+
+    rows = advanced.ivfpq_rerank_recall_eval(spark, SF01_DIR).collect()
+    assert len(rows) == 10
+    total_adc = sum(r.n_hit_adc for r in rows)
+    total_rer = sum(r.n_hit_rerank for r in rows)
+    assert total_rer > total_adc, (total_adc, total_rer)
+    assert total_rer >= 40  # measured 42; guard against regressions
