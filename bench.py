@@ -1339,6 +1339,24 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             ),
             rows=n_emb,
         )
+
+        # PCA-moments-at-ingest: the same embedding micro-batches keep
+        # the covariance moment store current (exact int64 partials,
+        # epoch-overwrite idempotent) — the streaming face of the
+        # embedding_top_pc family.
+        pca_sink = sev.pca_moments_ingest_sink(f"{tmp}/pca_store")
+        run(
+            "pca_moments_ingest",
+            lambda: (
+                spark.readStream.schema(sev.EMB_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(esrc)
+                .writeStream.foreachBatch(pca_sink)
+                .option("checkpointLocation", f"{tmp}/ck_pca")
+                .start()
+            ),
+            rows=n_emb,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -884,6 +884,46 @@ def cms_ingest_sink(store_dir: str, key_col: str = "user_id"):
     return sink
 
 
+def pca_moments_ingest_sink(
+    store_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 20,
+):
+    """Streaming face of the PCA moment store (the covariance member
+    of the ingest family, mirroring cms/ivm_ingest_sink): each
+    micro-batch runs its OWN exact int-moment pass
+    (operators/similarity.embedding_moment_sums — d(d+1)/2 + d + 1
+    tagged int64 sums) and appends the partial rows epoch-partitioned
+    with dynamic overwrite, so a replayed epoch overwrites its own
+    partition and the store stays correct under at-least-once
+    delivery. Because the sums are EXACT integers, the merged store
+    (``groupBy (i, j) sum``) equals a single batch pass over all data
+    BIT-FOR-BIT regardless of batch order or count — the streaming
+    index is always solvable (top_pc_power_iteration over ~d² rows)
+    with zero corpus re-reads. coalesce(1): the partial is ~2k rows,
+    and 32 near-empty task files per epoch ~doubles commit overhead
+    (the CLAUDE.md micro-batch sink rule)."""
+    from ..operators.similarity import embedding_moment_sums
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        m = embedding_moment_sums(
+            batch_df, vec_col=vec_col, id_col=id_col, scale_bits=scale_bits
+        )
+        (
+            m.coalesce(1)
+            .withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(store_dir)
+        )
+
+    return sink
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """The ``transformWithStateInPandas`` twin of
     :func:`running_user_totals` — Spark 4's arbitrary-state API

@@ -1745,3 +1745,67 @@ def test_streaming_ivfpq_ingest_matches_batch_rebuild(spark, tmp_path):
     before = rows(read_store())
     sink(spark.read.parquet(str(src / "b1.parquet")), 0)
     assert rows(read_store()) == before
+
+
+def test_streaming_pca_moments_matches_batch(spark, tmp_path):
+    """PCA-moments-at-ingest: per-micro-batch partial int64 moment
+    sums, merged across epochs, must equal the one-pass batch moment
+    table ROW-FOR-ROW (exact-integer mergeability — stronger than the
+    CMS cells' float-free contract only in that the downstream
+    eigensolve is then bit-identical too), and a replayed epoch must
+    leave the store unchanged."""
+    from pyspark_data_processing_challenge_spark.operators import (
+        similarity as sim,
+    )
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+
+    store = str(tmp_path / "moments_store")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    sink = sev.pca_moments_ingest_sink(store)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = (
+        spark.read.parquet(store).groupBy("i", "j").agg(F.sum("s").alias("s"))
+    )
+    direct = sim.embedding_moment_sums(emb)
+    m = {(r.i, r.j): r.s for r in merged.collect()}
+    d = {(r.i, r.j): r.s for r in direct.collect()}
+    assert m == d
+    assert spark.read.parquet(store).select("__epoch").distinct().count() >= 2
+    # the solved component from the streamed store is bit-identical
+    pc_m = sim.top_pc_power_iteration(
+        sorted((i, j, s) for (i, j), s in m.items())
+    )
+    pc_d = sim.top_pc_power_iteration(
+        sorted((i, j, s) for (i, j), s in d.items())
+    )
+    assert pc_m == pc_d
+
+    # replaying an epoch overwrites its own partition — state unchanged
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    sink(spark.read.parquet(str(src / "f1.parquet")), 0)
+    after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert after == before
