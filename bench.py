@@ -94,6 +94,7 @@ HEADLINE = [
     "split_ngram_leakage",  # r12: cross-split sequence-leakage gate
     "ivfpq_residual_rerank_topk",  # r12: two-stage IVFADC serving
     "ivfpq_rerank_recall_eval",  # r12: measured rerank recall lift
+    "ivf_silhouette_histogram",  # r12: assignment-quality margin histogram
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -41,6 +41,7 @@ _VERDICT_PRIORITY = [
     "split_ngram_leakage",  # new: cross-split sequence-leakage gate
     "ivfpq_residual_rerank_topk",  # new: two-stage IVFADC + exact rerank
     "ivfpq_rerank_recall_eval",  # new: measured rerank recall lift
+    "ivf_silhouette_histogram",  # new: assignment-quality margin histogram
     # --- the 13 r06-vintage rows the r11 window could not fit (queued
     # since r11's rotation) ---
     "rfm_segments",  # was r06-vintage
@@ -86,7 +87,6 @@ _VERDICT_PRIORITY = [
     "percentiles_by_type",  # was r01+r07-vintage
     "rollup_lineitem",  # was r01+r07-vintage
     "array_agg_lineitems",  # was r01+r07-vintage
-    "pivot_event_counts",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -101,6 +101,7 @@ _ROTATED_OUT = {
     "set_ops_segments": "r01+r07",
     "semi_join_urgent_customers": "r01+r07",
     "anti_join_quiet_customers": "r01+r07",
+    "pivot_event_counts": "r01+r07",
     "embedding_near_dup": "r01+r07",
     "sort_top20_orders": "r01+r07",
     "window_running_total": "r01+r07",

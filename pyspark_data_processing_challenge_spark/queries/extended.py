@@ -1000,6 +1000,103 @@ def ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_silhouette_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-ASSIGNMENT-quality gate: the simplified-silhouette
+    margin of every vector against the codebook — a = cosine distance
+    to its OWN centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a)/max(a, b) ∈ [0, 1] (0 = sitting on a list boundary,
+    1 = unambiguous) — reported as an exact-integer histogram per
+    list: (centroid_id, bucket floor(s·10) capped at 9, n). The
+    companion to ivf_list_stats (balance) and ivf_staleness_eval
+    (drift): a list whose mass piles into bucket 0 is a quantizer
+    that cannot separate its region, and nprobe must cover the
+    ambiguity. Counts only — s is a deterministic double computed
+    identically in both engines, and only floor/compare touch it
+    (the ivf_staleness rule), so no float reaches the hash.
+
+    Scale shape: ONE corpus scan × broadcast codebook; the top-2
+    selection is a per-doc sort of the |codebook|-element collected
+    array (bounded by the codebook contract, not the corpus), then a
+    keys-only two-level count. Nothing corpus-sized shuffles except
+    the per-doc groupBy that ivf_assign itself needs."""
+    from ..functions import vectors
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    c = emb.select(F.col("vec_id").alias("doc"), F.col("embedding").alias("vec"))
+    scored = c.join(F.broadcast(cent)).select(
+        "doc",
+        "cid",
+        vectors.cosine(F.col("vec"), F.col("cv")).alias("cos"),
+    )
+    top2 = scored.groupBy("doc").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))),
+            asc=False,
+        ).alias("__arr")
+    )
+    a = F.lit(1.0) - F.col("__arr")[0]["cos"]
+    b = F.lit(1.0) - F.col("__arr")[1]["cos"]
+    staged = top2.select(
+        (-F.col("__arr")[0]["nc"]).alias("centroid_id"),
+        a.alias("__a"),
+        b.alias("__b"),
+    )
+    s = F.when(F.greatest("__a", "__b") == F.lit(0.0), F.lit(0.0)).otherwise(
+        (F.col("__b") - F.col("__a")) / F.greatest("__a", "__b")
+    )
+    return (
+        staged.select(
+            "centroid_id",
+            F.least(
+                F.floor(s * F.lit(10.0)).cast("long"), F.lit(9).cast("long")
+            ).alias("bucket"),
+        )
+        .groupBy("centroid_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _ivf_silhouette_sql() -> str:
+    # function, not module constant: _IVF_COS is defined further down
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {IVF_NCENTROIDS}),
+scored AS (
+  SELECT v.vec_id, cent.cid,
+    {_IVF_COS.format(a="v.e", b="cent.cv")} AS cos
+  FROM v, cent
+),
+rk AS (
+  SELECT vec_id, cid, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid) AS rn
+  FROM scored
+),
+top2 AS (
+  SELECT x.vec_id, x.cid,
+         CAST(1.0 AS DOUBLE) - x.cos AS da,
+         CAST(1.0 AS DOUBLE) - y.cos AS db
+  FROM rk x JOIN rk y ON y.vec_id = x.vec_id AND y.rn = 2
+  WHERE x.rn = 1
+),
+sil AS (
+  SELECT cid,
+         CASE WHEN greatest(da, db) = CAST(0.0 AS DOUBLE)
+              THEN CAST(0.0 AS DOUBLE)
+              ELSE (db - da) / greatest(da, db) END AS s
+  FROM top2
+)
+SELECT cid AS centroid_id,
+       least(CAST(floor(s * CAST(10.0 AS DOUBLE)) AS BIGINT), 9) AS bucket,
+       count(*)::BIGINT AS n
+FROM sil GROUP BY 1, 2
+"""
+
+
 def ivf_staleness_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index STALENESS gate for the incremental-ingest story: as
     batches accumulate under a static codebook, how stale is the
@@ -1595,6 +1692,7 @@ QUERIES = {
     "events_json_stats": events_json_stats,
     "ivf_trained_topk": ivf_trained_topk,
     "ivf_list_stats": ivf_list_stats,
+    "ivf_silhouette_histogram": ivf_silhouette_histogram,
     "ivf_staleness_eval": ivf_staleness_eval,
     "window_lag_delta": window_lag_delta,
     "window_ntile_orders": window_ntile_orders,
@@ -1648,6 +1746,7 @@ ORACLES = {
     "salted_join_revenue": _SALTED_JOIN_SQL,
     "ivf_trained_topk": _IVF_TRAINED_SQL,
     "ivf_list_stats": _IVF_LIST_STATS_SQL,
+    "ivf_silhouette_histogram": _ivf_silhouette_sql(),
     "ivf_staleness_eval": _IVF_STALENESS_SQL,
     "orders_expectations": _expectations_sql(),
     "sql_recursive_hierarchy": _RECURSIVE_SQL,
