@@ -503,6 +503,8 @@ def _bench_ingest_ratio(
     spark, sf_dir: str, times: dict, stats: dict, prior_mins: dict | None = None
 ) -> None:
     """Small-batch-vs-large-store ingest contract (VERDICT r09 item 1).
+    ``prior_mins=None`` (direct/test invocation) degrades to no
+    flagging, same as an sf with no prior snapshot.
 
     The incremental family's claim is O(batch) per-ingest cost against
     an unbounded store. Earlier rounds measured a 1:10 shape with
@@ -563,6 +565,8 @@ def _bench_ingest_ratio(
     import tempfile
 
     from pyspark.sql import functions as SF
+
+    prior_mins = prior_mins or {}
 
     from pyspark_data_processing_challenge_spark.operators import dedup as dd
     from pyspark_data_processing_challenge_spark.operators import (
@@ -1126,6 +1130,8 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
     import tempfile
 
     from pyspark.sql import functions as SF
+
+    prior_mins = prior_mins or {}
 
     from pyspark_data_processing_challenge_spark.queries._util import events_table
     from pyspark_data_processing_challenge_spark.streaming import events as sev
