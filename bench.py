@@ -1131,8 +1131,6 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
 
     from pyspark.sql import functions as SF
 
-    prior_mins = prior_mins or {}
-
     from pyspark_data_processing_challenge_spark.queries._util import events_table
     from pyspark_data_processing_challenge_spark.streaming import events as sev
 
