@@ -1135,9 +1135,11 @@ def ivfpq_adc_topk(
     all three; fold order and float values are identical, so result
     hashes are unchanged — VERDICT r11 #4). The map is keyed, not
     positional, so a codebook with non-dense code ids stays correct;
-    a code absent from the codebook yields a NULL distance (loud in
-    the ranking) rather than the old inner join's silent subspace
-    drop. The final top-k is a window over each query's bounded
+    a code absent from the codebook yields a NULL distance rather than
+    the old inner join's silent subspace drop — ranked LAST explicitly
+    (asc_nulls_last: Spark's asc default is NULLS FIRST, DuckDB's is
+    NULLS LAST, and a corrupt candidate silently winning rank 1 is the
+    wrong kind of loud). The final top-k is a window over each query's bounded
     candidate frame — never the corpus. Output:
     (query_id, id, adc_dist, rank)."""
     qmap = (
@@ -1172,7 +1174,9 @@ def ivfpq_adc_topk(
             ),
         ).alias("adc_dist"),
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc_nulls_last(), "id"
+    )
     return adc.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
@@ -1349,7 +1353,10 @@ def embedding_moment_sums(
     bound: |s| <= n · 2^(2·scale_bits) — with the default 20 bits the
     int64 budget holds to n ≈ 4M rows of unit-range values; drop
     scale_bits (each −1 bit buys 4× more rows) or pre-aggregate per
-    shard at larger n.
+    shard at larger n. Rows with a NULL vector are excluded from ALL
+    sums including the count tag (their per-row entry array nulls
+    through the concat and explode drops it) — consistent: a row
+    either contributes to every moment or to none.
     """
     qexpr = F.transform(
         F.col(vec_col),

@@ -2459,6 +2459,25 @@ def ivfpq_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) broadcasts INTO the corpus scan to fetch raw vectors — the
     corpus never shuffles — and the final window sorts a bounded
     shortlist frame per query."""
+    return _rerank_scored(spark, sf_dir).filter(
+        F.col("rank") <= PQ_TOPK
+    ).select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        round_to(F.col("cos"), 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _rerank_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared two-stage frame: the 50-deep ADC
+    shortlist with BOTH its ADC rank (adc_rank, carried from
+    ivfpq_adc_topk — rank <= 10 of the 50-deep list is identical to a
+    k=10 probe, same ordering) and the exact-cosine rerank rank. The
+    serving query filters on the cosine rank; the recall eval reads
+    both ranks from ONE frame, so the residual training pipeline runs
+    once instead of twice (measured: the eval was the most expensive
+    new r12 entry at 7.5 s precisely because it trained twice)."""
     from ..functions import vectors
     from .extended import IVF_QUERY_HI, IVF_QUERY_LO
 
@@ -2470,24 +2489,17 @@ def ivfpq_residual_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     cand = emb.select(F.col("vec_id").alias("id"), "embedding").join(
-        F.broadcast(shortlist.select("query_id", "id")), "id"
+        F.broadcast(shortlist.select("query_id", "id", F.col("rank").alias("adc_rank"))),
+        "id",
     )
     scored = cand.join(F.broadcast(q), "query_id").select(
         "query_id",
         "id",
+        "adc_rank",
         vectors.cosine(F.col("embedding"), F.col("qe")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select(
-            "query_id",
-            F.col("id").alias("vec_id"),
-            round_to(F.col("cos"), 6).alias("cos"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return scored.withColumn("rank", F.row_number().over(w))
 
 
 def _ivfpq_rerank_sql() -> str:
@@ -2534,11 +2546,12 @@ def ivfpq_rerank_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk(emb, queries, k=PQ_TOPK).select(
         "query_id", "neighbor_id"
     )
-    adc = _ivfpq_multi(spark, sf_dir, residual=True, k=PQ_TOPK).select(
+    both = _rerank_scored(spark, sf_dir)
+    adc = both.filter(F.col("adc_rank") <= PQ_TOPK).select(
         "query_id", F.col("id").alias("neighbor_id"), F.lit(1).alias("__a")
     )
-    rer = ivfpq_residual_rerank_topk(spark, sf_dir).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("__r")
+    rer = both.filter(F.col("rank") <= PQ_TOPK).select(
+        "query_id", F.col("id").alias("neighbor_id"), F.lit(1).alias("__r")
     )
     joined = exact.join(
         F.broadcast(adc), ["query_id", "neighbor_id"], "left"
