@@ -42,6 +42,7 @@ _VERDICT_PRIORITY = [
     "ivfpq_residual_rerank_topk",  # new: two-stage IVFADC + exact rerank
     "ivfpq_rerank_recall_eval",  # new: measured rerank recall lift
     "ivf_silhouette_histogram",  # new: assignment-quality margin histogram
+    "revenue_theil_sen",  # new: robust slope estimator (MK's companion)
     # --- the 13 r06-vintage rows the r11 window could not fit (queued
     # since r11's rotation) ---
     "rfm_segments",  # was r06-vintage
@@ -86,7 +87,6 @@ _VERDICT_PRIORITY = [
     "events_json_stats",  # was r01+r07-vintage
     "percentiles_by_type",  # was r01+r07-vintage
     "rollup_lineitem",  # was r01+r07-vintage
-    "array_agg_lineitems",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -102,6 +102,7 @@ _ROTATED_OUT = {
     "semi_join_urgent_customers": "r01+r07",
     "anti_join_quiet_customers": "r01+r07",
     "pivot_event_counts": "r01+r07",
+    "array_agg_lineitems": "r01+r07",
     "embedding_near_dup": "r01+r07",
     "sort_top20_orders": "r01+r07",
     "window_running_total": "r01+r07",

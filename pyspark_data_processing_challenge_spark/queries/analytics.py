@@ -3590,6 +3590,115 @@ def revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope over monthly revenue — the robust ESTIMATOR
+    companion to revenue_mann_kendall's trend TEST (the standard pair
+    in every environmental/ops monitoring stack: MK says "is there a
+    monotone trend", Sen says "how steep", both immune to outlier
+    months that wreck an OLS fit; 29.3% breakdown point). slope =
+    median over all month pairs of (rev_j − rev_i)/(mi_j − mi_i),
+    intercept = median of (rev − slope·mi).
+
+    Exactness: revenue is BIGINT cents and the month index is an exact
+    integer (year·12 + month), so every pairwise slope is one double
+    division of exact ints; the median picks exact sorted elements
+    (or averages the two middles with a single (a+b)/2.0) — no
+    accumulation anywhere, so both engines agree bit-for-bit before
+    the final round_to.
+
+    Scale shape: the pairwise expansion runs over the MONTH-aggregated
+    series — bounded by the calendar (~84 months; 1.2k for a century),
+    never the fact table — so the collect_list median is the
+    documented bounded-aggregate class (months² elements by
+    construction, like the small-basket arrays); the heavy work is the
+    one monthly aggregate with map-side combine."""
+    o = t(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    monthly = o.groupBy(mi.alias("mi")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("revc")
+    )
+    a = monthly.select(F.col("mi").alias("ma"), F.col("revc").alias("xa"))
+    b = monthly.select(F.col("mi").alias("mb"), F.col("revc").alias("xb"))
+    slope = (F.col("xb") - F.col("xa")).cast("double") / (
+        F.col("mb") - F.col("ma")
+    ).cast("double")
+    pairs = a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
+    slopes = pairs.agg(
+        F.sort_array(F.collect_list(slope)).alias("sl"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+    def median_of(arr):
+        m = F.size(arr)
+        odd = F.element_at(arr, ((m + F.lit(1)) / F.lit(2)).cast("int"))
+        ev = (
+            F.element_at(arr, (m / F.lit(2)).cast("int"))
+            + F.element_at(arr, (m / F.lit(2) + F.lit(1)).cast("int"))
+        ) / F.lit(2.0)
+        return F.when(m % 2 == 1, odd).otherwise(ev)
+
+    sen = slopes.select(
+        "n_pairs", median_of(F.col("sl")).alias("__slope")
+    )
+    resid = monthly.crossJoin(F.broadcast(sen)).select(
+        "n_pairs",
+        "__slope",
+        (
+            F.col("revc").cast("double")
+            - F.col("__slope") * F.col("mi").cast("double")
+        ).alias("__r"),
+    )
+    final = resid.groupBy("n_pairs", "__slope").agg(
+        F.sort_array(F.collect_list("__r")).alias("rs"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return final.select(
+        F.col("n_months").cast("long").alias("n_months"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        round_to(F.col("__slope"), 6).alias("sen_slope"),
+        round_to(median_of(F.col("rs")), 6).alias("sen_intercept"),
+    )
+
+
+_THEIL_SEN_SQL = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mi,
+         sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS revc
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT list_sort(list(
+           CAST(b.revc - a.revc AS DOUBLE) / CAST(b.mi - a.mi AS DOUBLE)
+         )) AS sl,
+         count(*)::BIGINT AS n_pairs
+  FROM monthly a JOIN monthly b ON a.mi < b.mi
+),
+sen AS (
+  SELECT n_pairs,
+         CASE WHEN len(sl) % 2 = 1 THEN sl[(len(sl) + 1) // 2]
+              ELSE (sl[len(sl) // 2] + sl[len(sl) // 2 + 1])
+                   / CAST(2.0 AS DOUBLE) END AS slope
+  FROM slopes
+),
+resid AS (
+  SELECT s.n_pairs, s.slope,
+         list_sort(list(
+           CAST(m.revc AS DOUBLE) - s.slope * CAST(m.mi AS DOUBLE)
+         )) AS rs,
+         count(*)::BIGINT AS n_months
+  FROM monthly m, sen s
+  GROUP BY s.n_pairs, s.slope
+)
+SELECT n_months, n_pairs,
+       {sql_round("slope", 6)} AS sen_slope,
+       {sql_round("(CASE WHEN len(rs) % 2 = 1 THEN rs[(len(rs) + 1) // 2] ELSE (rs[len(rs) // 2] + rs[len(rs) // 2 + 1]) / CAST(2.0 AS DOUBLE) END)", 6)}
+         AS sen_intercept
+FROM resid
+"""
+
+
 _MANN_KENDALL_SQL = f"""
 WITH daily AS (
   SELECT o_orderdate AS day,
@@ -4123,6 +4232,7 @@ WHERE {sql_round(_MAHAL_EXPR, 6)} > {MAHAL_THRESHOLD}
 
 QUERIES = {
     "revenue_mann_kendall": revenue_mann_kendall,
+    "revenue_theil_sen": revenue_theil_sen,
     "revenue_runs_test": revenue_runs_test,
     "events_entropy_rate": events_entropy_rate,
     "nation_revenue_gini": nation_revenue_gini,
@@ -4176,6 +4286,7 @@ QUERIES = {
 
 ORACLES = {
     "revenue_mann_kendall": _MANN_KENDALL_SQL,
+    "revenue_theil_sen": _THEIL_SEN_SQL,
     "revenue_runs_test": _RUNS_SQL,
     "events_entropy_rate": _ENTROPY_RATE_SQL,
     "nation_revenue_gini": _GINI_SQL,
