@@ -96,6 +96,7 @@ HEADLINE = [
     "ivfpq_rerank_recall_eval",  # r12: measured rerank recall lift
     "ivf_silhouette_histogram",  # r12: assignment-quality margin histogram
     "revenue_theil_sen",  # r12: robust slope (bounded pairwise median)
+    "docs_mattr",  # r12: MATTR lexical diversity
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

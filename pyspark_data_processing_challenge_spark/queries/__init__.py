@@ -43,6 +43,7 @@ _VERDICT_PRIORITY = [
     "ivfpq_rerank_recall_eval",  # new: measured rerank recall lift
     "ivf_silhouette_histogram",  # new: assignment-quality margin histogram
     "revenue_theil_sen",  # new: robust slope estimator (MK's companion)
+    "docs_mattr",  # new: MATTR lexical diversity (length-robust TTR)
     # --- the 13 r06-vintage rows the r11 window could not fit (queued
     # since r11's rotation) ---
     "rfm_segments",  # was r06-vintage
@@ -86,7 +87,6 @@ _VERDICT_PRIORITY = [
     "corpus_manifest",  # was r07-vintage
     "events_json_stats",  # was r01+r07-vintage
     "percentiles_by_type",  # was r01+r07-vintage
-    "rollup_lineitem",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -103,6 +103,7 @@ _ROTATED_OUT = {
     "anti_join_quiet_customers": "r01+r07",
     "pivot_event_counts": "r01+r07",
     "array_agg_lineitems": "r01+r07",
+    "rollup_lineitem": "r01+r07",
     "embedding_near_dup": "r01+r07",
     "sort_top20_orders": "r01+r07",
     "window_running_total": "r01+r07",

@@ -1820,6 +1820,76 @@ FROM c
 """
 
 
+MATTR_W = 25
+
+
+def docs_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity (Covington & McFall 2010, the
+    length-robust replacement for raw type-token ratio that quality
+    filters actually use — raw TTR falls with length, so it cannot
+    threshold a mixed-length corpus): slide a {MATTR_W}-token window
+    over each doc, ttr_i = |distinct|/|window| per position, MATTR =
+    their mean. Repetitive/templated text scores low at ANY length;
+    a short doc (< {MATTR_W} tokens) degrades to one full-doc window,
+    the shingles short-doc convention.
+
+    Portability: ttr_i is a double ratio of exact ints and the mean
+    folds the window sequence IN POSITION ORDER from 0.0 (a sorted
+    fold by construction — transform preserves index order in both
+    engines) before one division — the surprisal/sorted-fold rule, so
+    the hash needs only round_to(…, 6). The token array is staged as
+    its own projected column (BoundReference inside the window lambda
+    — never a re-evaluated subtree, the shingles staging trap).
+
+    Scale shape: pure per-row HOF work over one scan (spread for the
+    single-row-group testdata), no shuffle at all before the driver
+    reads the rows; O(tokens · W) per doc."""
+    d = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id", textfns.tokens(F.lower(F.col("text"))).alias("__t")
+    )
+    n = F.size("__t")
+    ttrs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(MATTR_W - 1), F.lit(1))),
+        lambda i: F.size(
+            F.array_distinct(F.slice(F.col("__t"), i, MATTR_W))
+        ).cast("double")
+        / F.size(F.slice(F.col("__t"), i, MATTR_W)).cast("double"),
+    )
+    staged = d.filter(n > 0).select("doc_id", ttrs.alias("__r"))
+    mean = (
+        F.aggregate(
+            F.col("__r"), F.lit(0.0), lambda acc, x: acc + x
+        )
+        / F.size("__r").cast("double")
+    )
+    return staged.select(
+        "doc_id",
+        F.size("__r").cast("long").alias("n_windows"),
+        round_to(mean, 6).alias("mattr"),
+    )
+
+
+_MATTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("lower(text)")} AS tk FROM documents
+),
+r AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(length(tk) - {MATTR_W - 1}, 1) + 1),
+      i -> CAST(length(list_distinct(tk[i : i + {MATTR_W - 1}])) AS DOUBLE)
+           / CAST(length(tk[i : i + {MATTR_W - 1}]) AS DOUBLE)
+    ) AS rs
+  FROM toks WHERE length(tk) > 0
+)
+SELECT doc_id, length(rs)::BIGINT AS n_windows,
+  {sql_round(
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rs), (a, b) -> a + b)"
+      " / CAST(length(rs) AS DOUBLE)", 6)} AS mattr
+FROM r
+"""
+
+
 def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer FERTILITY by language — the tokenizer-selection /
     serving-cost metric multilingual pipelines budget with: subword
@@ -5516,6 +5586,7 @@ QUERIES = {
     "corpus_scaling_curve": corpus_scaling_curve,
     "split_oov_rate": split_oov_rate,
     "split_ngram_leakage": split_ngram_leakage,
+    "docs_mattr": docs_mattr,
     "docs_token_stats": docs_token_stats,
     "docs_lang_id": docs_lang_id,
     "docs_quality": docs_quality,
@@ -5603,6 +5674,7 @@ ORACLES = {
     "corpus_scaling_curve": _SCALING_SQL,
     "split_oov_rate": _OOV_SQL,
     "split_ngram_leakage": _LEAKAGE_SQL,
+    "docs_mattr": _MATTR_SQL,
     "docs_token_stats": _TOKEN_STATS_SQL,
     "docs_lang_id": _LANG_SQL,
     "docs_quality": _QUALITY_SQL,
