@@ -168,7 +168,15 @@ def cluster_canonical(
     has one row per node that appeared in an edge), orders of magnitude
     smaller than the corpus on any curated workload — broadcast it so
     the anti-join streams the corpus through one scan and never plans
-    a sort-merge join that would shuffle 100 TB on the id."""
+    a sort-merge join that would shuffle 100 TB on the id.
+
+    SIZE CONTRACT (caller obligation): the forced ``F.broadcast``
+    removes Spark's size-based fallback, so ``components`` must fit in
+    driver + executor memory (rule of thumb: < ~10^8 edge nodes). On a
+    pathologically duplicate-heavy corpus where near-dup pairs are
+    corpus-scale, drop the hint (plain join → AQE picks SMJ) rather
+    than OOM: slow-but-working beats fast-but-dead. Same contract for
+    :func:`cluster_keep_best`'s components broadcast."""
     losers = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("__loser")
     )

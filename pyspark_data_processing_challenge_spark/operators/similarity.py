@@ -1140,7 +1140,11 @@ def ivfpq_adc_topk(
     (asc_nulls_last: Spark's asc default is NULLS FIRST, DuckDB's is
     NULLS LAST, and a corrupt candidate silently winning rank 1 is the
     wrong kind of loud). The final top-k is a window over each query's bounded
-    candidate frame — never the corpus. Output:
+    candidate frame — never the corpus. Boundary contract: the
+    s·65536+j map key assumes every codebook code id j < 65536 (PQ
+    codebooks are 2^nbits entries, nbits ≤ 16 — far inside); an
+    empty ``codes`` array yields a NULL adc_dist (ranked last) rather
+    than detonating on Spark's descending sequence(0, -1). Output:
     (query_id, id, adc_dist, rank)."""
     qmap = (
         query_sub.join(F.broadcast(codebook), "s")
@@ -1164,13 +1168,17 @@ def ivfpq_adc_topk(
     ).select(
         "query_id",
         "id",
-        F.aggregate(
-            F.sequence(F.lit(0), F.size("codes") - F.lit(1)),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.element_at(
-                F.col("__tbl"),
-                s * F.lit(65536) + F.element_at(F.col("codes"), s + F.lit(1)),
+        F.when(
+            F.size("codes") > 0,
+            F.aggregate(
+                F.sequence(F.lit(0), F.size("codes") - F.lit(1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.col("__tbl"),
+                    s * F.lit(65536)
+                    + F.element_at(F.col("codes"), s + F.lit(1)),
+                ),
             ),
         ).alias("adc_dist"),
     )
@@ -1450,10 +1458,12 @@ def top_pc_power_iteration(
     # first — for sums past 2^53 the two differ in the last bit, so
     # both engines must round-then-divide
     nf = float(n)
+    # M.get(..., 0): a ragged/short vector can leave a moment cell
+    # absent — treat it as a zero sum instead of KeyError
     C = [[0.0] * d for _ in range(d)]
     for i in range(d):
         for j in range(i, d):
-            c = float(M[(i, j)]) / nf - (float(S[i]) / nf) * (
+            c = float(M.get((i, j), 0)) / nf - (float(S[i]) / nf) * (
                 float(S[j]) / nf
             )
             C[i][j] = c
@@ -1471,12 +1481,18 @@ def top_pc_power_iteration(
         for i in range(d):
             acc = acc + u[i] * u[i]
         lam = math.sqrt(acc)
+        if lam == 0.0:
+            # all-identical vectors -> zero covariance: no principal
+            # direction exists; defined empty result, like empty input
+            return []
         v = [u[i] / lam for i in range(d)]
     if v[0] < 0:
         v = [-x for x in v]
     tr = 0.0
     for i in range(d):
         tr = tr + C[i][i]
+    if tr == 0.0:
+        return []
     ratio = lam / tr
     eig = lam / float(2 ** (2 * scale_bits))
     return [(i, v[i], eig, ratio) for i in range(d)]
@@ -1564,10 +1580,11 @@ def top_k_pcs_power_iteration(
         return []
     d = max(S) + 1
     nf = float(n)
+    # M.get(..., 0): missing moment rows behave like zero sums
     C = [[0.0] * d for _ in range(d)]
     for i in range(d):
         for j in range(i, d):
-            c = float(M[(i, j)]) / nf - (float(S[i]) / nf) * (
+            c = float(M.get((i, j), 0)) / nf - (float(S[i]) / nf) * (
                 float(S[j]) / nf
             )
             C[i][j] = c
@@ -1575,10 +1592,14 @@ def top_k_pcs_power_iteration(
     tr = 0.0
     for i in range(d):
         tr = tr + C[i][i]
+    if tr == 0.0:
+        # zero covariance (all-identical vectors): no spectrum
+        return []
     out: list[tuple[int, int, float, float, float]] = []
     for comp in range(1, k + 1):
         v = [1.0 / math.sqrt(float(d))] * d
         lam = 0.0
+        degenerate = False
         for _ in range(iters):
             u = []
             for i in range(d):
@@ -1590,7 +1611,14 @@ def top_k_pcs_power_iteration(
             for i in range(d):
                 acc = acc + u[i] * u[i]
             lam = math.sqrt(acc)
+            if lam == 0.0:
+                # deflated past the matrix rank: components found so
+                # far are the whole spectrum
+                degenerate = True
+                break
             v = [u[i] / lam for i in range(d)]
+        if degenerate:
+            break
         if v[0] < 0:
             v = [-x for x in v]
         eig = lam / float(2 ** (2 * scale_bits))

@@ -3062,6 +3062,31 @@ PCA_SCALE_BITS = 20
 PCA_ITERS = 128
 PCA_DIM = 64
 
+# The PCA constructors run a distributed collect + a 128-256-iteration
+# driver eigensolve at DataFrame-BUILD time (the bounded-collect
+# class). Plan-lint sweeps and full-catalog parity runs build every
+# query, so memoize both stages per sf_dir — the moment sums are a
+# deterministic function of the parquet path, so the cache can never
+# go stale within a process (ADVICE r12: the lint sweep alone paid
+# four full solves).
+_PCA_MEMO: dict = {}
+
+
+def _pca_memo(key: tuple, compute):
+    if key not in _PCA_MEMO:
+        _PCA_MEMO[key] = compute()
+    return _PCA_MEMO[key]
+
+
+def _pca_full_rows(spark: SparkSession, sf_dir: str) -> list:
+    return _pca_memo(
+        ("rows_full", sf_dir),
+        lambda: similarity.embedding_moment_sums(
+            spread(t(spark, sf_dir, "embeddings")),
+            scale_bits=PCA_SCALE_BITS,
+        ).collect(),
+    )
+
 
 def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus — the SemDeDup
@@ -3088,12 +3113,12 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (does it find the eigenvector?) is pinned against numpy eigh in
     tests/test_pca.py (cos > 0.9999 at the measured ~1.07 eigen-gap).
     """
-    emb = spread(t(spark, sf_dir, "embeddings"))
-    rows = similarity.embedding_moment_sums(
-        emb, scale_bits=PCA_SCALE_BITS
-    ).collect()
-    out = similarity.top_pc_power_iteration(
-        rows, iters=PCA_ITERS, scale_bits=PCA_SCALE_BITS
+    rows = _pca_full_rows(spark, sf_dir)
+    out = _pca_memo(
+        ("top_pc", sf_dir),
+        lambda: similarity.top_pc_power_iteration(
+            rows, iters=PCA_ITERS, scale_bits=PCA_SCALE_BITS
+        ),
     )
     raw = spark.createDataFrame(
         out, "dim long, loading double, eigval double, explained_ratio double"
@@ -3118,17 +3143,23 @@ def embedding_top_pc_incremental(
     exact integers, the incremental store equals the full recompute
     BIT-FOR-BIT, so this query shares embedding_top_pc's full-corpus
     oracle: the driver itself re-proves store ⊕ batch == full."""
-    emb = spread(t(spark, sf_dir, "embeddings"))
-    base = emb.filter(F.col("vec_id") % 10 != 0)
-    batch = emb.filter(F.col("vec_id") % 10 == 0)
-    store = similarity.embedding_moment_sums(
-        base, scale_bits=PCA_SCALE_BITS
-    )
-    rows = similarity.incremental_moment_sums(
-        batch, store, scale_bits=PCA_SCALE_BITS
-    ).collect()
-    out = similarity.top_pc_power_iteration(
-        rows, iters=PCA_ITERS, scale_bits=PCA_SCALE_BITS
+    def _compute():
+        emb = spread(t(spark, sf_dir, "embeddings"))
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        batch = emb.filter(F.col("vec_id") % 10 == 0)
+        store = similarity.embedding_moment_sums(
+            base, scale_bits=PCA_SCALE_BITS
+        )
+        return similarity.incremental_moment_sums(
+            batch, store, scale_bits=PCA_SCALE_BITS
+        ).collect()
+
+    rows = _pca_memo(("rows_incr", sf_dir), _compute)
+    out = _pca_memo(
+        ("top_pc_incr", sf_dir),
+        lambda: similarity.top_pc_power_iteration(
+            rows, iters=PCA_ITERS, scale_bits=PCA_SCALE_BITS
+        ),
     )
     raw = spark.createDataFrame(
         out, "dim long, loading double, eigval double, explained_ratio double"
@@ -3186,7 +3217,7 @@ sym AS (
   UNION ALL
   SELECT j AS i, i AS j, c FROM cent WHERE i <> j
 ),
-cmat AS (
+cmat AS MATERIALIZED (
   SELECT list(rowl ORDER BY i) AS C FROM (
     SELECT i, list(c ORDER BY j) AS rowl FROM sym GROUP BY i
   )
@@ -3246,12 +3277,12 @@ def embedding_top_k_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant directions supports larger k at fewer iterations.
     Output: (component, dim, loading, eigval, explained_ratio),
     {PCA_K}·64 rows, portable round_to(…, 6)."""
-    emb = spread(t(spark, sf_dir, "embeddings"))
-    rows = similarity.embedding_moment_sums(
-        emb, scale_bits=PCA_SCALE_BITS
-    ).collect()
-    out = similarity.top_k_pcs_power_iteration(
-        rows, k=PCA_K, iters=PCA_K_ITERS, scale_bits=PCA_SCALE_BITS
+    rows = _pca_full_rows(spark, sf_dir)
+    out = _pca_memo(
+        ("top_k_pcs", sf_dir),
+        lambda: similarity.top_k_pcs_power_iteration(
+            rows, k=PCA_K, iters=PCA_K_ITERS, scale_bits=PCA_SCALE_BITS
+        ),
     )
     raw = spark.createDataFrame(
         out,
@@ -3288,11 +3319,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = spread(t(spark, sf_dir, "embeddings"))
-    rows = similarity.embedding_moment_sums(
-        emb, scale_bits=PCA_SCALE_BITS
-    ).collect()
-    out = similarity.top_k_pcs_power_iteration(
-        rows, k=PCA_K, iters=PCA_K_ITERS, scale_bits=PCA_SCALE_BITS
+    rows = _pca_full_rows(spark, sf_dir)
+    out = _pca_memo(
+        ("top_k_pcs", sf_dir),
+        lambda: similarity.top_k_pcs_power_iteration(
+            rows, k=PCA_K, iters=PCA_K_ITERS, scale_bits=PCA_SCALE_BITS
+        ),
     )
     n = next(int(r[2]) for r in rows if int(r[0]) == -1)
     nf = float(n)

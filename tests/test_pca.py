@@ -62,6 +62,36 @@ def test_power_iteration_matches_numpy_eigh(spark):
 def test_power_iteration_degenerate_inputs():
     assert sim.top_pc_power_iteration([]) == []
     assert sim.top_pc_power_iteration([(-1, -1, 0)]) == []
+    # all-identical vectors -> zero covariance: no principal direction
+    # exists; both solvers must return a defined empty result instead
+    # of ZeroDivisionError (ADVICE r12). n=3 copies of quantized [2, 3]:
+    zero_cov = [
+        (-1, -1, 3),  # n
+        (0, -1, 6), (1, -1, 9),  # S_i = n * v_i
+        (0, 0, 12), (0, 1, 18), (1, 1, 27),  # M_ij = n * v_i * v_j
+    ]
+    assert sim.top_pc_power_iteration(zero_cov) == []
+    assert sim.top_k_pcs_power_iteration(zero_cov, k=2) == []
+    # a missing moment row (ragged input) behaves like a zero sum, not
+    # a KeyError; result stays defined
+    ragged = [
+        (-1, -1, 2),
+        (0, -1, 3), (1, -1, 1),
+        (0, 0, 7),  # (0,1) and (1,1) absent
+    ]
+    out = sim.top_pc_power_iteration(ragged)
+    assert len(out) == 2 and all(len(t) == 4 for t in out)
+    # deflating past the matrix rank stops early with the found
+    # components rather than dividing by a zero norm: rank-1 moments
+    # (vectors [1,0] and [3,0] -> variance only in dim 0)
+    rank1 = [
+        (-1, -1, 2),
+        (0, -1, 4), (1, -1, 0),
+        (0, 0, 10), (0, 1, 0), (1, 1, 0),
+    ]
+    out2 = sim.top_k_pcs_power_iteration(rank1, k=3)
+    comps = {t[0] for t in out2}
+    assert comps == {1}, comps
 
 
 def test_incremental_moments_equal_full_bitforbit(spark):
