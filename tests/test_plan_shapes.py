@@ -766,6 +766,28 @@ def test_raise_error_lint_detects_predicate_guards(spark):
     assert not plans.raise_error_in_filter(guarded)
 
 
+def test_ivf_filtered_topk_prefilter_plan(spark):
+    """ivf_filtered_topk's metadata predicate must be a hash KEY of
+    the broadcast probe join (pre-filter: only passing candidates are
+    ever scored), never a post-join Filter — and nothing may plan a
+    sort-merge shuffle of the corpus."""
+    import re
+
+    from pyspark_data_processing_challenge_spark.queries import extended as ext
+
+    df = ext.ivf_filtered_topk(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert plans.sort_merge_join_count(df) == 0
+    assert re.search(
+        r"BroadcastHashJoin \[[^\]]*__meta[^\]]*\], \[[^\]]*__want", plan
+    ), plan
+    # the filtered ground truth streams the corpus through one scan
+    # with the predicate as the broadcast equi-key — no scan-then-
+    # filter cross join, no SMJ
+    df2 = ext.ivf_filtered_recall_eval(spark, SF_DIR)
+    assert plans.sort_merge_join_count(df2) == 0
+
+
 def test_pca_project_is_shuffle_free_map(spark):
     # the PCA-reduce transform binds mean/loadings as array literals:
     # a pure projection — zero exchanges, no window, no join
