@@ -4619,6 +4619,254 @@ FROM per_doc GROUP BY split
 """
 
 
+def _cluster_keyed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perturbed corpus tagged with its near-dup CLUSTER key: minhash
+    near-dup pairs → connected components → cluster = component's min
+    id (singletons keep their own id). The components side is
+    pair-bounded → broadcast; the corpus streams through one scan."""
+    from ..operators import graph
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    pairs = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
+    comp = graph.connected_components(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    return corpus.join(F.broadcast(comp), "doc_id", "left").withColumn(
+        "cluster",
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("long"),
+    )
+
+
+def split_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE split assignment — the operator that FIXES what
+    split_ngram_leakage measures (VERDICT r12 #2). Hashing raw doc ids
+    into train/val/test scatters a document and its near-copies across
+    splits independently, so every cross-split near-duplicate becomes
+    eval leakage. Assigning by the near-dup CLUSTER key instead (the
+    connected-components canonical id over the minhash pair graph, the
+    exact machinery curate_corpus already runs) pins a document and
+    ALL its near-copies to one split by construction — zero near-dup
+    pairs can cross a boundary. Split ratios stay ~80/10/10 in
+    EXPECTATION over clusters; heavily duplicated content shifts mass
+    together, which is the point.
+
+    Scale shape: one pair-bounded CC (iterative, localCheckpointed
+    input), one broadcast left join to tag the corpus, then the same
+    zero-shuffle char_hash projection as docs_split_assign — the only
+    delta vs raw-id splitting is the CC pass the dedup pipeline
+    already pays. Output: (doc_id, cluster, split)."""
+    from ..operators import curation
+
+    keyed = _cluster_keyed_corpus(spark, sf_dir)
+    out = curation.split_assign(keyed, F.col("cluster"), SPLIT_WEIGHTS)
+    return out.select("doc_id", "cluster", "split")
+
+
+def split_cluster_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The twin eval proving split_cluster_assign acts on
+    split_ngram_leakage's own finding: the identical {LEAK_N}-gram
+    leakage measurement under BOTH assignment schemes — 'doc_hash'
+    (raw-id hashing, split_ngram_leakage's scheme) and 'cluster'
+    (near-dup-cluster keying) — plus, per held-out split, the count of
+    near-dup PAIRS with one endpoint in train (the mechanism of the
+    leak). Under 'cluster' that pair count is ZERO by construction
+    (same component → same split), and the gram leak rate falls to the
+    base corpus's sub-threshold boilerplate floor — the residual
+    sharing minhash at τ=0.8 legitimately doesn't call a duplicate.
+
+    Scale shape: grams are exploded ONCE on doc grain and equi-joined
+    to the 2-rows/doc broadcast assignment map; the train gram set is
+    a distinct groupBy per scheme joined on (scheme, gram); the pair
+    audit joins the pair-bounded edge list to the same broadcast map
+    twice. Output: one row per (scheme, held-out split)."""
+    from ..operators import curation
+
+    keyed = _cluster_keyed_corpus(spark, sf_dir)
+    both = curation.split_assign(
+        curation.split_assign(
+            keyed, F.col("doc_id"), SPLIT_WEIGHTS, out_col="__sd"
+        ),
+        F.col("cluster"),
+        SPLIT_WEIGHTS,
+        out_col="__sc",
+    )
+    assign = both.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("doc_hash").alias("scheme"),
+                    F.col("__sd").alias("split"),
+                ),
+                F.struct(
+                    F.lit("cluster").alias("scheme"),
+                    F.col("__sc").alias("split"),
+                ),
+            )
+        ).alias("__a"),
+    ).select("doc_id", F.col("__a.scheme").alias("scheme"), F.col("__a.split").alias("split"))
+    grams = both.select(
+        "doc_id",
+        F.explode(textfns.shingles(F.col("text"), n=LEAK_N)).alias("g"),
+    )
+    tagged = grams.join(F.broadcast(assign), "doc_id")
+    train_grams = (
+        tagged.where(F.col("split") == "train")
+        .select("scheme", "g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    held = tagged.where(F.col("split") != "train")
+    j = held.join(train_grams, ["scheme", "g"], "left")
+    per_doc = j.groupBy("scheme", "split", "doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__hit").isNotNull().cast("long")).alias("h"),
+    )
+    leak = per_doc.groupBy("scheme", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_grams"),
+        F.sum("h").alias("n_leaked_grams"),
+        F.sum((F.col("h") * 2 >= F.col("n")).cast("long")).alias(
+            "n_docs_majority_leaked"
+        ),
+    )
+    pairs = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
+    a = assign.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("scheme"),
+        F.col("split").alias("__spa"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("__idb"),
+        F.col("scheme").alias("__schb"),
+        F.col("split").alias("__spb"),
+    )
+    crossing = (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(
+            F.broadcast(b),
+            (F.col("id_b") == F.col("__idb"))
+            & (F.col("scheme") == F.col("__schb")),
+        )
+        .where(
+            ((F.col("__spa") == "train") & (F.col("__spb") != "train"))
+            | ((F.col("__spb") == "train") & (F.col("__spa") != "train"))
+        )
+        .select(
+            "scheme",
+            F.when(F.col("__spa") == "train", F.col("__spb"))
+            .otherwise(F.col("__spa"))
+            .alias("split"),
+        )
+        .groupBy("scheme", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train_cross_pairs"))
+    )
+    return (
+        leak.join(crossing, ["scheme", "split"], "left")
+        .select(
+            "scheme",
+            "split",
+            "n_docs",
+            "n_grams",
+            "n_leaked_grams",
+            round_to(
+                F.col("n_leaked_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("gram_leak_rate"),
+            "n_docs_majority_leaked",
+            F.coalesce(F.col("n_train_cross_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_train_cross_pairs"),
+        )
+    )
+
+
+def _split_case_sql(key: str) -> str:
+    return (
+        f"CASE WHEN {sql_char_hash(key)} % 100 < 80 THEN 'train' "
+        f"WHEN {sql_char_hash(key)} % 100 < 90 THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+_CLUSTER_KEYED_CTES = (
+    _PAIRS_CTES
+    + f""",
+  aug AS ({_PERTURB_SQL}),
+  keyed AS (
+    SELECT a.doc_id, a.text,
+           CAST(COALESCE(c.component, a.doc_id) AS BIGINT) AS cluster
+    FROM aug a LEFT JOIN comp c ON c.node = a.doc_id
+  )
+"""
+)
+
+_SPLIT_CLUSTER_SQL = (
+    "WITH RECURSIVE"
+    + _CLUSTER_KEYED_CTES
+    + f"""
+SELECT doc_id, cluster, {_split_case_sql("cluster::VARCHAR")} AS split
+FROM keyed
+"""
+)
+
+_CLUSTER_LEAK_SQL = (
+    "WITH RECURSIVE"
+    + _CLUSTER_KEYED_CTES
+    + f""",
+  assign AS (
+    SELECT doc_id, text, 'doc_hash' AS scheme,
+           {_split_case_sql("doc_id::VARCHAR")} AS split
+    FROM keyed
+    UNION ALL
+    SELECT doc_id, text, 'cluster' AS scheme,
+           {_split_case_sql("cluster::VARCHAR")} AS split
+    FROM keyed
+  ),
+  grams AS (
+    SELECT scheme, split, doc_id, unnest({sql_shingles("text", LEAK_N)}) AS g
+    FROM assign
+  ),
+  train_g AS (SELECT DISTINCT scheme, g FROM grams WHERE split = 'train'),
+  per_doc AS (
+    SELECT gr.scheme, gr.split, gr.doc_id, count(*) AS n,
+           sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS h
+    FROM grams gr LEFT JOIN train_g tg
+      ON tg.scheme = gr.scheme AND tg.g = gr.g
+    WHERE gr.split <> 'train'
+    GROUP BY gr.scheme, gr.split, gr.doc_id
+  ),
+  leak AS (
+    SELECT scheme, split, count(*)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS n_grams, sum(h)::BIGINT AS n_leaked_grams,
+           sum(CASE WHEN h * 2 >= n THEN 1 ELSE 0 END)::BIGINT
+             AS n_docs_majority_leaked
+    FROM per_doc GROUP BY scheme, split
+  ),
+  crossing AS (
+    SELECT sa.scheme,
+           CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END
+             AS split,
+           count(*)::BIGINT AS n_train_cross_pairs
+    FROM pairs p
+    JOIN assign sa ON sa.doc_id = p.id_a
+    JOIN assign sb ON sb.doc_id = p.id_b AND sb.scheme = sa.scheme
+    WHERE (sa.split = 'train' AND sb.split <> 'train')
+       OR (sb.split = 'train' AND sa.split <> 'train')
+    GROUP BY 1, 2
+  )
+SELECT l.scheme, l.split, l.n_docs, l.n_grams, l.n_leaked_grams,
+       {sql_round("CAST(l.n_leaked_grams AS DOUBLE) / CAST(l.n_grams AS DOUBLE)", 6)}
+         AS gram_leak_rate,
+       l.n_docs_majority_leaked,
+       COALESCE(x.n_train_cross_pairs, 0)::BIGINT AS n_train_cross_pairs
+FROM leak l LEFT JOIN crossing x
+  ON x.scheme = l.scheme AND x.split = l.split
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # hashed-feature linear quality classifier (fastText-style inference;
 # operators/curation.hashed_linear_score)
@@ -5586,6 +5834,8 @@ QUERIES = {
     "corpus_scaling_curve": corpus_scaling_curve,
     "split_oov_rate": split_oov_rate,
     "split_ngram_leakage": split_ngram_leakage,
+    "split_cluster_assign": split_cluster_assign,
+    "split_cluster_leakage_eval": split_cluster_leakage_eval,
     "docs_mattr": docs_mattr,
     "docs_token_stats": docs_token_stats,
     "docs_lang_id": docs_lang_id,
@@ -5674,6 +5924,8 @@ ORACLES = {
     "corpus_scaling_curve": _SCALING_SQL,
     "split_oov_rate": _OOV_SQL,
     "split_ngram_leakage": _LEAKAGE_SQL,
+    "split_cluster_assign": _SPLIT_CLUSTER_SQL,
+    "split_cluster_leakage_eval": _CLUSTER_LEAK_SQL,
     "docs_mattr": _MATTR_SQL,
     "docs_token_stats": _TOKEN_STATS_SQL,
     "docs_lang_id": _LANG_SQL,

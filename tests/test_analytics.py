@@ -150,6 +150,32 @@ def test_surprisal_bounded_by_corpus_size(spark):
     assert rows[rows["n_tokens"] == 0]["avg_surprisal_bits"].isna().all()
 
 
+def test_cluster_split_kills_near_dup_leakage(spark):
+    """The dedup-aware split assigner's contract (VERDICT r12 #2):
+    cluster-keyed splits make cross-split near-dup pairs IMPOSSIBLE
+    (same component -> same split) and drop gram leakage to the
+    sub-threshold boilerplate floor, while the doc-hash scheme leaks
+    most planted-copy grams. Assignment itself must keep every
+    cluster in exactly one split."""
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    rows = llm.split_cluster_leakage_eval(spark, SF_DIR).toPandas()
+    byscheme = rows.set_index(["scheme", "split"])
+    for split in ("val", "test"):
+        assert byscheme.loc[("cluster", split), "n_train_cross_pairs"] == 0
+        assert byscheme.loc[("doc_hash", split), "n_train_cross_pairs"] > 0
+        assert (
+            byscheme.loc[("cluster", split), "gram_leak_rate"]
+            < 0.1 * byscheme.loc[("doc_hash", split), "gram_leak_rate"]
+        )
+    assigned = llm.split_cluster_assign(spark, SF_DIR).toPandas()
+    n_splits_per_cluster = assigned.groupby("cluster")["split"].nunique()
+    assert (n_splits_per_cluster == 1).all()
+    # ratios stay roughly 80/10/10 in expectation over clusters
+    frac_train = (assigned["split"] == "train").mean()
+    assert 0.6 < frac_train < 0.95
+
+
 def test_oov_report_shape(spark):
     from pyspark_data_processing_challenge_spark.queries import llm
 
