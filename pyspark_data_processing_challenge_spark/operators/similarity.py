@@ -414,10 +414,18 @@ def ivfpq_encode_udf(
         out_cid = np.empty(len(vecs), dtype=np.int64)
         out_codes: list = []
         for i, v in enumerate(vecs):
-            if v is None or len(v) == 0:
-                # degenerate vector: smallest cid (the -2.0 coalesce
-                # convention), residual = -centroid
+            if v is None or len(v) != cmat.shape[1]:
+                # degenerate vector (empty/short/long): the DataFrame
+                # chain's zip_with pads the dot fold with NULLs, so
+                # EVERY cosine is NULL and ivf_assign's max_by ties
+                # through (NULL cos, -cid) to the SMALLEST cid; the
+                # residual coalesces missing elements to 0.0. Mirror
+                # both: ci = 0 (cids is sorted) and x zero-padded /
+                # truncated to d before the subtraction.
                 x = np.zeros(cmat.shape[1], dtype=np.float64)
+                if v is not None and len(v) > 0:
+                    ln = min(len(v), cmat.shape[1])
+                    x[:ln] = np.asarray(v[:ln], dtype=np.float64)
                 ci = 0
             else:
                 x = np.asarray(v, dtype=np.float64)

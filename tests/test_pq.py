@@ -351,3 +351,112 @@ def test_rerank_lifts_residual_recall(spark):
     total_rer = sum(r.n_hit_rerank for r in rows)
     assert total_rer > total_adc, (total_adc, total_rer)
     assert total_rer >= 40  # measured 42; guard against regressions
+
+
+def test_encode_udf_degenerate_vectors_match_batch_chain(spark):
+    """VERDICT r12 #6: feed an actually-EMPTY vector and a SHORT
+    (len < d) vector through BOTH encode paths — the fused
+    ivfpq_encode_udf kernel and the ivf_assign → ivf_residuals →
+    pq_encode DataFrame chain — and assert (centroid_id, codes)
+    equality row-for-row. The chain's semantics for degenerates are
+    fixed by zip_with NULL padding (every cosine NULL → smallest cid;
+    residual coalesces missing elements to 0.0); the UDF must mirror
+    them, not crash on the numpy shape mismatch."""
+    from pyspark_data_processing_challenge_spark.operators.similarity import (
+        ivf_assign,
+        ivf_residuals,
+        ivfpq_encode_udf,
+        pq_encode,
+        pq_subvectors,
+    )
+    from pyspark_data_processing_challenge_spark.queries import advanced as adv
+    from pyspark_data_processing_challenge_spark.queries._util import t
+
+    emb = t(spark, SF01_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cb = pq_subvectors(
+        ivf_residuals(
+            ivf_assign(
+                emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)),
+                cent, centroid_id="cid", centroid_vec="cv",
+            ),
+            cent,
+        ),
+        vec_col="rvec", id_col="doc", m=adv.PQ_M, dsub=adv.PQ_DSUB,
+    ).select("s", (F.col("id") - 8).alias("j"), F.col("sv").alias("cv"))
+
+    degenerates = spark.createDataFrame(
+        [
+            (10001, []),                       # zero-length
+            (10002, [0.5, -0.25, 0.125]),      # short: len 3 < d=64
+            (10003, [0.0] * 64),               # zero-NORM but full-length
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.filter(F.col("vec_id") < 30).unionByName(degenerates)
+
+    assigned = ivf_assign(corpus, cent, centroid_id="cid", centroid_vec="cv")
+    chain = (
+        pq_encode(
+            ivf_residuals(assigned, cent),
+            cb,
+            vec_col="rvec", id_col="doc", m=adv.PQ_M, dsub=adv.PQ_DSUB,
+        )
+        .join(assigned.select("doc", "centroid_id"), F.col("id") == F.col("doc"))
+        .select("doc", "centroid_id", "codes")
+    )
+    enc = ivfpq_encode_udf(
+        [(r.cid, list(r.cv)) for r in cent.collect()],
+        [(r.s, r.j, list(r.cv)) for r in cb.collect()],
+        m=adv.PQ_M, dsub=adv.PQ_DSUB,
+    )
+    fused = corpus.select(
+        F.col("vec_id").alias("doc"), enc("embedding").alias("o")
+    ).select("doc", F.col("o.centroid_id").alias("centroid_id"),
+             F.col("o.codes").alias("codes"))
+
+    def rows(df):
+        return sorted(
+            (r["doc"], r["centroid_id"], tuple(int(c) for c in r["codes"]))
+            for r in df.collect()
+        )
+
+    got_chain, got_fused = rows(chain), rows(fused)
+    assert got_chain == got_fused
+    # the degenerate rows themselves must be present and on the
+    # smallest centroid (the documented NULL-cosine tie-break)
+    by_doc = {d: (c, k) for d, c, k in got_fused}
+    min_cid = min(r.cid for r in cent.collect())
+    for doc in (10001, 10002, 10003):
+        assert by_doc[doc][0] == min_cid, (doc, by_doc[doc])
+
+
+def test_adc_topk_empty_codes_ranked_last(spark):
+    """ADVICE r12: an empty codes array must yield a NULL adc_dist
+    ranked LAST (asc_nulls_last), not detonate on Spark's descending
+    sequence(0, -1)."""
+    from pyspark_data_processing_challenge_spark.operators.similarity import (
+        ivfpq_adc_topk,
+    )
+
+    codes = spark.createDataFrame(
+        [(1, 100, 0, [0, 1]), (1, 101, 0, [1, 0]), (1, 102, 0, [])],
+        "query_id long, id long, centroid_id long, codes array<int>",
+    )
+    codebook = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (0, 1, [1.0, 1.0]),
+         (1, 0, [0.0, 0.0]), (1, 1, [2.0, 2.0])],
+        "s int, j int, cv array<double>",
+    )
+    qsub = spark.createDataFrame(
+        [(1, 0, 0, [0.5, 0.5]), (1, 0, 1, [0.5, 0.5])],
+        "query_id long, centroid_id long, s int, qv array<double>",
+    )
+    out = ivfpq_adc_topk(codes, codebook, qsub, k=3).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[102].adc_dist is None
+    assert by_id[102].rank == 3  # NULLs last, never silently rank 1
