@@ -29,95 +29,125 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- r11 regression fix, first (VERDICT r11 #1): the _plant_guarded
-    # assert moved from a Filter predicate to a consumed projected column ---
-    "curate_corpus",
-    # --- round-12 addition (first driver verdict needed) ---
-    "docs_max_dup_extents_salted",  # new: hot-anchor salted LCS scale path
-    "embedding_top_pc",  # new: distributed PCA (int moments + bounded eigensolve)
-    "embedding_top_pc_incremental",  # new: moment-store ingest, bit-equal to full
-    "embedding_top_k_pcs",  # new: k-component PCA via deflation
-    "embedding_pca_project",  # new: map-only PCA-reduce transform
-    "split_ngram_leakage",  # new: cross-split sequence-leakage gate
-    "ivfpq_residual_rerank_topk",  # new: two-stage IVFADC + exact rerank
-    "ivfpq_rerank_recall_eval",  # new: measured rerank recall lift
-    "ivf_silhouette_histogram",  # new: assignment-quality margin histogram
-    "revenue_theil_sen",  # new: robust slope estimator (MK's companion)
-    "docs_mattr",  # new: MATTR lexical diversity (length-robust TTR)
-    # --- the 13 r06-vintage rows the r11 window could not fit (queued
-    # since r11's rotation) ---
-    "rfm_segments",  # was r06-vintage
-    "rag_chunk_dedup",  # was r06-vintage
-    "docs_rag_chunks",  # was r06-vintage
-    "conversion_lag_histogram",  # was r06-vintage
-    "lineitem_skew_profile",  # was r06-vintage
-    "part_pair_affinity",  # was r06-vintage
-    "top_event_paths",  # was r06-vintage
-    "revenue_mom_yoy",  # was r06-vintage
-    "region_nation_revenue_share",  # was r06-vintage
-    "benford_totalprice",  # was r06-vintage
-    "docs_unigram_surprisal",  # was r06-vintage
-    "split_oov_rate",  # was r06-vintage
-    "nation_trade_pagerank2",  # was r06-vintage
-    # --- oldest-verdict re-verification rotation: the r07-vintage band
-    # (oldest remaining after r11 re-verified the r06 band); 14 r01+r07
-    # rows stay queued for the r13 front ---
-    "image_rgb_phash_near_dup",  # was r07-vintage
-    "image_rgb_histogram",  # was r07-vintage
-    "audio_spectral_features",  # was r07-vintage
-    "ivf_recall_eval",  # was r07-vintage
-    "docs_bigram_surprisal",  # was r07-vintage
-    "pq_rerank_topk",  # was r07-vintage
-    "docs_containment_pairs",  # was r07-vintage
-    "revenue_cusum_shifts",  # was r07-vintage
-    "revenue_acf",  # was r07-vintage
-    "pyds_docs_pushdown",  # was r07-vintage
-    "collection_functions",  # was r07-vintage
-    "map_functions",  # was r07-vintage
-    "target_encode_priority",  # was r07-vintage
-    "equi_depth_bins_totalprice",  # was r07-vintage
-    "orders_expectations",  # was r07-vintage
-    "purchase_attribution",  # was r07-vintage
-    "rolling_7d_distinct_sketch",  # was r07-vintage
-    "momentum_contribution",  # was r07-vintage
-    "seasonal_decompose_daily",  # was r07-vintage
-    "docs_readability",  # was r07-vintage
-    "funnel_dropoff",  # was r07-vintage
-    "sketch_overlap_users",  # was r07-vintage
-    "corpus_manifest",  # was r07-vintage
-    "events_json_stats",  # was r01+r07-vintage
-    "percentiles_by_type",  # was r01+r07-vintage
+    # --- round-13 additions (first driver verdict needed) ---
+    "ivf_filtered_topk",  # new: metadata-filtered ANN serving (pre-filter)
+    "ivf_filtered_recall_eval",  # new: filtered recall vs exact filtered truth
+    "split_cluster_assign",  # new: dedup-aware split assignment
+    "split_cluster_leakage_eval",  # new: doc-hash vs cluster leakage twin
+    "embedding_group_pca",  # new: closed-form per-label PCA (gap-independent)
+    # --- oldest-verdict re-verification: the staged r01+r07 band
+    # (last driver-verified r07 — five rounds of drift risk covered
+    # only by the local gate until now; VERDICT r12 #1), incl. all ten
+    # SURVEY-2 op_* rows ---
+    "docs_fingerprint",  # was r01+r07-vintage
+    "simhash_values",  # was r01+r07-vintage
+    "dedup_exact_groups",  # was r01+r07-vintage
+    "window_topk_orders",  # was r01+r07-vintage
+    "sql_revenue_by_nation",  # was r01+r07-vintage
+    "set_ops_segments",  # was r01+r07-vintage
+    "semi_join_urgent_customers",  # was r01+r07-vintage
+    "anti_join_quiet_customers",  # was r01+r07-vintage
+    "pivot_event_counts",  # was r01+r07-vintage
+    "array_agg_lineitems",  # was r01+r07-vintage
+    "rollup_lineitem",  # was r01+r07-vintage
+    "embedding_near_dup",  # was r01+r07-vintage
+    "sort_top20_orders",  # was r01+r07-vintage
+    "window_running_total",  # was r01+r07-vintage
+    "events_hourly",  # was r01+r07-vintage
+    "op_equality_filter",  # was r01+r07-vintage (SURVEY-2 R4)
+    "op_sentinel_filter",  # was r01+r07-vintage (SURVEY-2 R4)
+    "op_membership_filter",  # was r01+r07-vintage (SURVEY-2 R5)
+    "op_union_membership",  # was r01+r07-vintage (SURVEY-2 R5)
+    "op_fill_nulls",  # was r01+r07-vintage (SURVEY-2 R7)
+    "op_indicators",  # was r01+r07-vintage (SURVEY-2 R6)
+    "op_date_filter",  # was r01+r07-vintage (SURVEY-2 R2/R3)
+    "op_standardize_units",  # was r01+r07-vintage (SURVEY-2 R8)
+    "op_null_counts",  # was r01+r07-vintage (SURVEY-2 Q3)
+    "asof_join_purchases",  # was r01+r07-vintage
+    # --- next-oldest vintage: the first 20 of the r08 band (the
+    # remaining r08 rows lead the r14 queue in _ROTATED_OUT) ---
+    "docs_semantic_dedup",  # was r08-vintage
+    "bootstrap_mean_ci",  # was r08-vintage
+    "lsh_recall_eval",  # was r08-vintage
+    "audio_fingerprint_near_dup",  # was r08-vintage
+    "video_remux_dedup",  # was r08-vintage
+    "image_tri_codec_near_dup",  # was r08-vintage
+    "spatial_grid_neighbors",  # was r08-vintage
+    "priority_mix_chi2",  # was r08-vintage
+    "events_dow_hour_profile",  # was r08-vintage
+    "docs_blocklist_screen",  # was r08-vintage
+    "domain_reweight_plan",  # was r08-vintage
+    "corpus_scaling_curve",  # was r08-vintage
+    "snapshot_merkle_diff",  # was r08-vintage
+    "customers_masked",  # was r08-vintage
+    "events_udtf_polymorphic",  # was r08-vintage
+    "lateral_top_customers",  # was r08-vintage
+    "events_hourly_tvf",  # was r08-vintage
+    "join_revenue_by_nation_shj",  # was r08-vintage
+    "semdedup_incremental_batch",  # was r08-vintage
+    "docs_dsir_weights",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    "customers_k_anonymity": "r08",
+    # r13 rotation: the entire 50-slot r12 window came back green
+    # (CORRECTNESS_r12 50/50) and rotates out to fund the staged
+    # r01+r07 band + the first 21 r08 rows. The r14 queue front is
+    # the REMAINING r08 band below (revenue_holt_forecast ...
+    # minhash_signatures).
+    "curate_corpus": "r12",
+    "docs_max_dup_extents_salted": "r12",
+    "embedding_top_pc": "r12",
+    "embedding_top_pc_incremental": "r12",
+    "embedding_top_k_pcs": "r12",
+    "embedding_pca_project": "r12",
+    "split_ngram_leakage": "r12",
+    "ivfpq_residual_rerank_topk": "r12",
+    "ivfpq_rerank_recall_eval": "r12",
+    "ivf_silhouette_histogram": "r12",
+    "revenue_theil_sen": "r12",
+    "docs_mattr": "r12",
+    "rfm_segments": "r06+r12",
+    "rag_chunk_dedup": "r06+r12",
+    "docs_rag_chunks": "r06+r12",
+    "conversion_lag_histogram": "r06+r12",
+    "lineitem_skew_profile": "r06+r12",
+    "part_pair_affinity": "r06+r12",
+    "top_event_paths": "r06+r12",
+    "revenue_mom_yoy": "r06+r12",
+    "region_nation_revenue_share": "r06+r12",
+    "benford_totalprice": "r06+r12",
+    "docs_unigram_surprisal": "r06+r12",
+    "split_oov_rate": "r06+r12",
+    "nation_trade_pagerank2": "r06+r12",
+    "image_rgb_phash_near_dup": "r07+r12",
+    "image_rgb_histogram": "r07+r12",
+    "audio_spectral_features": "r07+r12",
+    "ivf_recall_eval": "r07+r12",
+    "docs_bigram_surprisal": "r07+r12",
+    "pq_rerank_topk": "r07+r12",
+    "docs_containment_pairs": "r07+r12",
+    "revenue_cusum_shifts": "r07+r12",
+    "revenue_acf": "r07+r12",
+    "pyds_docs_pushdown": "r07+r12",
+    "collection_functions": "r07+r12",
+    "map_functions": "r07+r12",
+    "target_encode_priority": "r07+r12",
+    "equi_depth_bins_totalprice": "r07+r12",
+    "orders_expectations": "r07+r12",
+    "purchase_attribution": "r07+r12",
+    "rolling_7d_distinct_sketch": "r07+r12",
+    "momentum_contribution": "r07+r12",
+    "seasonal_decompose_daily": "r07+r12",
+    "docs_readability": "r07+r12",
+    "funnel_dropoff": "r07+r12",
+    "sketch_overlap_users": "r07+r12",
+    "corpus_manifest": "r07+r12",
+    "events_json_stats": "r01+r07+r12",
+    "percentiles_by_type": "r01+r07+r12",
     # front of the r13 re-verification queue: the r01+r07 rows the
     # 50-slot window could not fit this round
-    "docs_fingerprint": "r01+r07",
-    "simhash_values": "r01+r07",
-    "dedup_exact_groups": "r01+r07",
-    "window_topk_orders": "r01+r07",
-    "sql_revenue_by_nation": "r01+r07",
-    "set_ops_segments": "r01+r07",
-    "semi_join_urgent_customers": "r01+r07",
-    "anti_join_quiet_customers": "r01+r07",
-    "pivot_event_counts": "r01+r07",
-    "array_agg_lineitems": "r01+r07",
-    "rollup_lineitem": "r01+r07",
-    "embedding_near_dup": "r01+r07",
-    "sort_top20_orders": "r01+r07",
-    "window_running_total": "r01+r07",
-    "events_hourly": "r01+r07",
-    "op_equality_filter": "r01+r07",
-    "op_sentinel_filter": "r01+r07",
-    "op_membership_filter": "r01+r07",
-    "op_union_membership": "r01+r07",
-    "op_fill_nulls": "r01+r07",
-    "op_indicators": "r01+r07",
-    "op_date_filter": "r01+r07",
-    "op_standardize_units": "r01+r07",
-    "op_null_counts": "r01+r07",
-    "asof_join_purchases": "r01+r07",
     # r12 rotation: the entire 50-slot r11 window came back green
     # (CORRECTNESS_r11 50/50) and rotates out to fund the r07-band
     # re-verification set + the curate_corpus re-check.
@@ -221,27 +251,6 @@ _ROTATED_OUT = {
     "docs_bpe_token_count": "r02+r05+r10",
     "join_regional_revenue": "r02+r05+r10",
     "rolling_7d_revenue": "r02+r05+r10",
-    "docs_semantic_dedup": "r08",
-    "bootstrap_mean_ci": "r08",
-    "lsh_recall_eval": "r08",
-    "audio_fingerprint_near_dup": "r08",
-    "video_remux_dedup": "r08",
-    "image_tri_codec_near_dup": "r08",
-    "spatial_grid_neighbors": "r08",
-    "priority_mix_chi2": "r08",
-    "events_dow_hour_profile": "r08",
-    "docs_blocklist_screen": "r08",
-    "domain_reweight_plan": "r08",
-    "corpus_scaling_curve": "r08",
-    "snapshot_merkle_diff": "r08",
-    "customers_masked": "r08",
-    "events_udtf_polymorphic": "r08",
-    "lateral_top_customers": "r08",
-    "events_hourly_tvf": "r08",
-    "join_revenue_by_nation_shj": "r08",
-    "semdedup_incremental_batch": "r08",
-    "docs_dsir_weights": "r08",
-    "customers_k_anonymity": "r08",
     "revenue_holt_forecast": "r08",
     "docs_gopher_rules": "r08",
     "lsh_recall_banded_eval": "r08",

