@@ -348,8 +348,10 @@ def main() -> None:
         # eigensolve per sf_dir (for the plan-lint sweep / parity
         # runs); a timed rep must pay the real work, so clear it
         from pyspark_data_processing_challenge_spark.queries import advanced as _adv
+        from pyspark_data_processing_challenge_spark.queries import llm as _llm
 
         _adv._PCA_MEMO.clear()
+        _llm._CC_MEMO.clear()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)

@@ -4619,6 +4619,15 @@ FROM per_doc GROUP BY split
 """
 
 
+# The cluster-split constructors run minhash + iterative connected
+# components at DataFrame-BUILD time (CC localCheckpoints per
+# iteration). Full-catalog sweeps (plan lint, oracle parity) build
+# every query, so memoize the pair-bounded component rows per sf_dir —
+# deterministic function of the parquet path. bench.py clears this per
+# timed rep (same contract as advanced._PCA_MEMO).
+_CC_MEMO: dict = {}
+
+
 def _cluster_keyed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perturbed corpus tagged with its near-dup CLUSTER key: minhash
     near-dup pairs → connected components → cluster = component's min
@@ -4627,9 +4636,15 @@ def _cluster_keyed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     corpus = _perturbed_docs(spark, sf_dir)
-    pairs = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
-    comp = graph.connected_components(pairs).withColumnRenamed(
-        "node", "doc_id"
+    key = ("components", sf_dir)
+    if key not in _CC_MEMO:
+        pairs = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
+        _CC_MEMO[key] = [
+            (int(r["node"]), int(r["component"]))
+            for r in graph.connected_components(pairs).collect()
+        ]
+    comp = spark.createDataFrame(
+        _CC_MEMO[key], "doc_id long, component long"
     )
     return corpus.join(F.broadcast(comp), "doc_id", "left").withColumn(
         "cluster",
