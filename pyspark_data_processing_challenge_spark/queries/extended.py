@@ -891,6 +891,98 @@ def ivf_filtered_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
+def ivf_prefilter_vs_postfilter_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pre-vs-POST-filter tradeoff, measured (the design argument
+    behind ivf_filtered_topk made a number): 'post' runs the
+    UNFILTERED IVF top-k and drops non-matching results afterwards —
+    the naive composition every vector store warns about — while
+    'pre' filters before scoring (the shipped operator). Post-filter
+    loses twice: recall against the FILTERED ground truth collapses
+    roughly with the selectivity (a ~10% filter leaves ~10% of the
+    unfiltered shortlist), and it returns FEWER than k results
+    (n_returned), the user-visible defect. Micro-averaged over the
+    query set with exact integer counts; one row per
+    (selectivity, strategy)."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS)
+    outs = []
+    for sel, meta in (
+        ("label", F.col("label").cast("long")),
+        ("parity", (F.col("label") % 2).cast("long")),
+    ):
+        corpus = emb.select("vec_id", "embedding", meta.alias("m"))
+        queries = corpus.filter(
+            (F.col("vec_id") >= IVF_QUERY_LO)
+            & (F.col("vec_id") < IVF_QUERY_HI)
+        ).select("vec_id", "embedding", F.col("m").alias("want"))
+        exact = similarity.filtered_cosine_topk(
+            corpus, queries, meta_col="m", want_col="want", k=IVF_K
+        ).select("query_id", "neighbor_id")
+        pre = similarity.ivf_filtered_topk(
+            corpus,
+            queries,
+            cent,
+            meta_col="m",
+            want_col="want",
+            k=IVF_K,
+            nprobe=IVF_NPROBE,
+        ).select("query_id", "neighbor_id")
+        unfiltered = similarity.ivf_topk(
+            emb, queries.select("vec_id", "embedding"), cent,
+            k=IVF_K, nprobe=IVF_NPROBE,
+        ).select("query_id", "neighbor_id")
+        nmeta = corpus.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("m").alias("__nm")
+        )
+        wants = queries.select(
+            F.col("vec_id").alias("query_id"), "want"
+        )
+        post = (
+            unfiltered.join(F.broadcast(nmeta), "neighbor_id")
+            .join(F.broadcast(wants), "query_id")
+            .where(F.col("__nm") == F.col("want"))
+            .select("query_id", "neighbor_id")
+        )
+        for strategy, approx in (("pre", pre), ("post", post)):
+            hits = approx.withColumn("__hit", F.lit(1))
+            j = exact.join(
+                F.broadcast(hits), ["query_id", "neighbor_id"], "left"
+            )
+            agg = j.agg(
+                F.count_distinct(F.col("query_id")).cast("long").alias(
+                    "n_queries"
+                ),
+                F.count(F.lit(1)).cast("long").alias("n_true"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hit"),
+            )
+            nret = approx.agg(
+                F.count(F.lit(1)).cast("long").alias("n_returned")
+            )
+            outs.append(
+                agg.crossJoin(nret).select(
+                    F.lit(sel).alias("sel"),
+                    F.lit(strategy).alias("strategy"),
+                    "n_queries",
+                    "n_true",
+                    "n_hit",
+                    round_to(
+                        F.col("n_hit").cast("double")
+                        / F.col("n_true").cast("double"),
+                        6,
+                    ).alias("recall_micro"),
+                    "n_returned",
+                )
+            )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def ivf_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN RANKING-quality gate: nDCG@k of the IVF probe against the
     exact ranking — the companion to ivf_recall_eval's set-overlap
@@ -1607,6 +1699,79 @@ _IVF_FILTERED_EVAL_SQL = (
 )
 
 
+def _ivf_prepost_ctes(p: str) -> str:
+    """Adds to the prefixed filtered chain: unfiltered probe ranking
+    (post-filter strategy input), the pre/post result sets at k, and
+    the exact filtered ground truth."""
+    return f"""
+  {p}ucand AS (
+    SELECT pr.query_id, pr.qv, pr.want, a.vec_id AS neighbor_id, a.e, a.meta
+    FROM {p}qprobe pr JOIN {p}assigned a ON pr.centroid_id = a.centroid_id
+    WHERE pr.query_id <> a.vec_id
+  ),
+  {p}uranked AS (
+    SELECT query_id, neighbor_id, meta, want,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY {_IVF_COS.format(a="qv", b="e")} DESC,
+                                  neighbor_id) AS rank
+    FROM {p}ucand
+  ),
+  {p}post AS (SELECT query_id, neighbor_id FROM {p}uranked
+              WHERE rank <= {IVF_K} AND meta = want),
+  {p}pre AS (SELECT query_id, neighbor_id FROM {p}ranked
+             WHERE rank <= {IVF_K}),
+  {p}exact AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="v.e")} DESC,
+                                    v.vec_id) AS rank
+      FROM {p}q q JOIN {p}v v ON v.meta = q.want
+      WHERE q.query_id <> v.vec_id
+    ) WHERE rank <= {IVF_K}
+  )
+"""
+
+
+def _ivf_prepost_block(p: str, sel: str, strategy: str) -> str:
+    tbl = f"{p}{strategy}"
+    recall = sql_round(
+        "CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)"
+        " AS DOUBLE) / CAST(count(*) AS DOUBLE)",
+        6,
+    )
+    return f"""
+SELECT '{sel}' AS sel, '{strategy}' AS strategy,
+  count(DISTINCT e.query_id)::BIGINT AS n_queries,
+  count(*)::BIGINT AS n_true,
+  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+  {recall} AS recall_micro,
+  (SELECT count(*) FROM {tbl})::BIGINT AS n_returned
+FROM {p}exact e LEFT JOIN {tbl} a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+"""
+
+
+_IVF_PREPOST_SQL = (
+    "WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv"
+    f" FROM embeddings WHERE vec_id < {IVF_NCENTROIDS}),"
+    + _ivf_filtered_ctes("label::BIGINT", "l_")
+    + ","
+    + _ivf_prepost_ctes("l_")
+    + ","
+    + _ivf_filtered_ctes("(label % 2)::BIGINT", "y_")
+    + ","
+    + _ivf_prepost_ctes("y_")
+    + _ivf_prepost_block("l_", "label", "pre")
+    + " UNION ALL "
+    + _ivf_prepost_block("l_", "label", "post")
+    + " UNION ALL "
+    + _ivf_prepost_block("y_", "parity", "pre")
+    + " UNION ALL "
+    + _ivf_prepost_block("y_", "parity", "post")
+)
+
+
 def _ivf_ndcg_sql() -> str:
     return (
         "WITH"
@@ -1915,6 +2080,7 @@ QUERIES = {
     "ivf_recall_eval": ivf_recall_eval,
     "ivf_filtered_topk": ivf_filtered_topk,
     "ivf_filtered_recall_eval": ivf_filtered_recall_eval,
+    "ivf_prefilter_vs_postfilter_eval": ivf_prefilter_vs_postfilter_eval,
     "ivf_ndcg_eval": ivf_ndcg_eval,
     "kmeans_update_centroids": kmeans_update_centroids,
     "kmeans_two_step": kmeans_two_step,
@@ -2006,6 +2172,7 @@ ORACLES = {
     "ivf_recall_eval": _ivf_recall_sql(),
     "ivf_filtered_topk": _IVF_FILTERED_TOPK_SQL,
     "ivf_filtered_recall_eval": _IVF_FILTERED_EVAL_SQL,
+    "ivf_prefilter_vs_postfilter_eval": _IVF_PREPOST_SQL,
     "ivf_nprobe_curve": _ivf_nprobe_curve_sql(),
     "ivf_ndcg_eval": _ivf_ndcg_sql(),
     "kmeans_update_centroids": _KMEANS_SQL,
