@@ -36,6 +36,7 @@ _VERDICT_PRIORITY = [
     "split_cluster_leakage_eval",  # new: doc-hash vs cluster leakage twin
     "embedding_group_pca",  # new: closed-form per-label PCA (gap-independent)
     "ivf_prefilter_vs_postfilter_eval",  # new: measured pre-vs-post-filter tradeoff
+    "ivf_filtered_adaptive_topk",  # new: adaptive nprobe escalation under filter
     # --- oldest-verdict re-verification: the staged r01+r07 band
     # (last driver-verified r07 — five rounds of drift risk covered
     # only by the local gate until now; VERDICT r12 #1), incl. all ten
@@ -65,7 +66,7 @@ _VERDICT_PRIORITY = [
     "op_standardize_units",  # was r01+r07-vintage (SURVEY-2 R8)
     "op_null_counts",  # was r01+r07-vintage (SURVEY-2 Q3)
     "asof_join_purchases",  # was r01+r07-vintage
-    # --- next-oldest vintage: the first 19 of the r08 band (the
+    # --- next-oldest vintage: the first 18 of the r08 band (the
     # remaining r08 rows lead the r14 queue in _ROTATED_OUT) ---
     "docs_semantic_dedup",  # was r08-vintage
     "bootstrap_mean_ci",  # was r08-vintage
@@ -85,11 +86,11 @@ _VERDICT_PRIORITY = [
     "lateral_top_customers",  # was r08-vintage
     "events_hourly_tvf",  # was r08-vintage
     "join_revenue_by_nation_shj",  # was r08-vintage
-    "semdedup_incremental_batch",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    "semdedup_incremental_batch": "r08",
     "docs_dsir_weights": "r08",
     "customers_k_anonymity": "r08",
     # r13 rotation: the entire 50-slot r12 window came back green

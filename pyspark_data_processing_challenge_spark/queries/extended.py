@@ -891,6 +891,71 @@ def ivf_filtered_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
+AD_MOD, AD_NP1, AD_NP2 = 4, 2, 6
+
+
+def ivf_filtered_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE nprobe under a selective filter — the production
+    escalation pattern (Milvus/FAISS serving loops): probe
+    {AD_NP1} lists; any query whose PRE-filtered result under-fills
+    (< k passing candidates — the failure mode selective predicates
+    create that post-filtering hides) re-probes {AD_NP2} of 8 lists.
+    The filter here is deliberately narrow — label x (vec_id mod
+    {AD_MOD}), 40 groups of ~n/40 — so escalation actually fires on
+    the synthetic corpus instead of being a dead code path. Expressed
+    as pure DataFrame algebra (no driver loop): satisfied = first
+    probe's exactly-k groups; escalated = anti-join of the query set;
+    result = union with an `escalated` flag per row.
+
+    Scale shape: both stages are the plan-pinned pre-filter probe
+    (assignment scan + broadcast probes with the predicate as an
+    equi-key); stage 2's query side is the under-filled SUBSET only.
+    At 100 TB the first probe touches nprobe/|lists| of the postings
+    and only hard queries pay the wider probe — the whole point of
+    adaptive escalation."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS)
+    meta = (
+        F.col("label").cast("long") * AD_MOD
+        + F.col("vec_id") % AD_MOD
+    ).cast("long")
+    corpus = emb.select("vec_id", "embedding", meta.alias("m"))
+    queries = corpus.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select("vec_id", "embedding", F.col("m").alias("want"))
+    r1 = similarity.ivf_filtered_topk(
+        corpus, queries, cent,
+        meta_col="m", want_col="want", k=IVF_K, nprobe=AD_NP1,
+    )
+    filled = (
+        r1.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= IVF_K)
+        .select("query_id")
+    )
+    esc_q = queries.join(
+        F.broadcast(filled),
+        queries.vec_id == filled.query_id,
+        "left_anti",
+    )
+    r2 = similarity.ivf_filtered_topk(
+        corpus, esc_q, cent,
+        meta_col="m", want_col="want", k=IVF_K, nprobe=AD_NP2,
+    )
+    out = (
+        r1.join(F.broadcast(filled), "query_id")
+        .withColumn("escalated", F.lit(False))
+        .unionByName(r2.withColumn("escalated", F.lit(True)))
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        round_to(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+        "escalated",
+    )
+
+
 def ivf_prefilter_vs_postfilter_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1599,11 +1664,14 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 )
 
-def _ivf_filtered_ctes(meta_sql: str, p: str) -> str:
+def _ivf_filtered_ctes(
+    meta_sql: str, p: str, nprobe: int = IVF_NPROBE
+) -> str:
     """Filtered-IVF CTE chain with prefix ``p`` so two selectivities
-    can share one WITH block: assignment carries the metadata column,
-    the candidate join requires meta = want (pre-filter), and the
-    exact ground truth joins the raw corpus on the same predicate."""
+    (or two nprobe stages) can share one WITH block: assignment
+    carries the metadata column, the candidate join requires
+    meta = want (pre-filter), and the exact ground truth joins the
+    raw corpus on the same predicate."""
     return f"""
   {p}v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {meta_sql} AS meta
            FROM embeddings),
@@ -1630,7 +1698,7 @@ def _ivf_filtered_ctes(meta_sql: str, p: str) -> str:
                            ORDER BY {_IVF_COS.format(a="q.qv", b="cent.cv")} DESC,
                                     cent.cid) AS rn
       FROM {p}q q, cent
-    ) WHERE rn <= {IVF_NPROBE}
+    ) WHERE rn <= {nprobe}
   ),
   {p}cand AS (
     SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.e
@@ -1696,6 +1764,33 @@ _IVF_FILTERED_EVAL_SQL = (
     + _ivf_filtered_eval_block("l_", "label")
     + " UNION ALL "
     + _ivf_filtered_eval_block("y_", "parity")
+)
+
+
+_AD_META_SQL = f"(label::BIGINT * {AD_MOD} + vec_id % {AD_MOD})::BIGINT"
+
+_IVF_ADAPTIVE_SQL = (
+    "WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv"
+    f" FROM embeddings WHERE vec_id < {IVF_NCENTROIDS}),"
+    + _ivf_filtered_ctes(_AD_META_SQL, "a_", nprobe=AD_NP1)
+    + ","
+    + _ivf_filtered_ctes(_AD_META_SQL, "b_", nprobe=AD_NP2)
+    + f""",
+filled AS (
+  SELECT query_id FROM a_ranked WHERE rank <= {IVF_K}
+  GROUP BY query_id HAVING count(*) >= {IVF_K}
+)
+SELECT r.query_id, r.neighbor_id, {sql_round("r.cos_raw", 6)} AS cosine,
+       r.rank, FALSE AS escalated
+FROM a_ranked r JOIN filled f ON f.query_id = r.query_id
+WHERE r.rank <= {IVF_K}
+UNION ALL
+SELECT r.query_id, r.neighbor_id, {sql_round("r.cos_raw", 6)} AS cosine,
+       r.rank, TRUE AS escalated
+FROM b_ranked r
+WHERE r.rank <= {IVF_K}
+  AND r.query_id NOT IN (SELECT query_id FROM filled)
+"""
 )
 
 
@@ -2081,6 +2176,7 @@ QUERIES = {
     "ivf_filtered_topk": ivf_filtered_topk,
     "ivf_filtered_recall_eval": ivf_filtered_recall_eval,
     "ivf_prefilter_vs_postfilter_eval": ivf_prefilter_vs_postfilter_eval,
+    "ivf_filtered_adaptive_topk": ivf_filtered_adaptive_topk,
     "ivf_ndcg_eval": ivf_ndcg_eval,
     "kmeans_update_centroids": kmeans_update_centroids,
     "kmeans_two_step": kmeans_two_step,
@@ -2173,6 +2269,7 @@ ORACLES = {
     "ivf_filtered_topk": _IVF_FILTERED_TOPK_SQL,
     "ivf_filtered_recall_eval": _IVF_FILTERED_EVAL_SQL,
     "ivf_prefilter_vs_postfilter_eval": _IVF_PREPOST_SQL,
+    "ivf_filtered_adaptive_topk": _IVF_ADAPTIVE_SQL,
     "ivf_nprobe_curve": _ivf_nprobe_curve_sql(),
     "ivf_ndcg_eval": _ivf_ndcg_sql(),
     "kmeans_update_centroids": _KMEANS_SQL,

@@ -788,6 +788,30 @@ def test_ivf_filtered_topk_prefilter_plan(spark):
     assert plans.sort_merge_join_count(df2) == 0
 
 
+def test_adaptive_nprobe_escalation_fires_and_fills(spark):
+    """The escalation path must be exercised (not dead code on this
+    corpus), escalated queries must come from the wider probe only,
+    and non-escalated queries carry exactly k rank-consistent rows
+    from the narrow probe. No sort-merge joins anywhere."""
+    from pyspark_data_processing_challenge_spark.queries import extended as ext
+
+    df = ext.ivf_filtered_adaptive_topk(spark, SF_DIR)
+    assert plans.sort_merge_join_count(df) == 0
+    rows = df.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    n_esc = sum(1 for v in by_q.values() if v[0].escalated)
+    assert 0 < n_esc < len(by_q)  # both paths live
+    for q, v in by_q.items():
+        # escalation is per-query: rows never mix stages
+        assert len({r.escalated for r in v}) == 1, q
+        if not v[0].escalated:
+            assert len(v) == ext.IVF_K  # narrow probe filled exactly
+        ranks = sorted(r.rank for r in v)
+        assert ranks == list(range(1, len(v) + 1)), q
+
+
 def test_prefilter_beats_postfilter(spark):
     """The pre-filter design claim as a pinned inequality: at BOTH
     selectivities the pre-filtered probe's recall is >= the naive
