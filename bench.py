@@ -104,6 +104,14 @@ HEADLINE = [
     "ivf_silhouette_histogram",  # r12: assignment-quality margin histogram
     "revenue_theil_sen",  # r12: robust slope (bounded pairwise median)
     "docs_mattr",  # r12: MATTR lexical diversity
+    # round-13 additions
+    "ivf_filtered_topk",  # r13: metadata-filtered ANN (pre-filter)
+    "ivf_filtered_recall_eval",  # r13: filtered recall, two selectivities
+    "ivf_filtered_adaptive_topk",  # r13: adaptive nprobe escalation
+    "ivf_prefilter_vs_postfilter_eval",  # r13: measured pre-vs-post tradeoff
+    "split_cluster_assign",  # r13: dedup-aware split assignment
+    "split_cluster_leakage_eval",  # r13: doc-hash vs cluster leakage twin
+    "embedding_group_pca",  # r13: closed-form per-label PCA
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",
