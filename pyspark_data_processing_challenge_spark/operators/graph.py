@@ -158,6 +158,41 @@ def _cc_loop(
     return labels, n_changed
 
 
+def incremental_components(
+    new_edges: DataFrame,
+    component_store: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the UNION graph (history ∪ batch)
+    WITHOUT the historical edge list — the graph member of the
+    incremental-ingest family. The store's (node, component) labels
+    are themselves the edges of a spanning FOREST equivalent to the
+    historical graph (every labelled node links to its component's
+    min-id member, which is a node of the forest), so running
+    :func:`connected_components` over {batch edges} ∪ {store label
+    edges} yields the union graph's partition with min-id labels
+    EXACTLY — the node set is identical and min is min over the same
+    connected sets — bit-equal to a full recompute over every edge
+    ever seen. Cost: one CC over PAIR-BOUNDED rows (|store labels| +
+    |batch pairs|), never the historical pair list, never the corpus.
+
+    Merge semantics are inherent: a batch edge bridging two historical
+    components relabels both to the smaller min — exactly what the
+    full recompute says. Callers who need STICKY splits under merges
+    (no churn) must layer that policy on top; this operator's contract
+    is exactness."""
+    forest = component_store.filter(
+        F.col("node") != F.col("component")
+    ).select(F.col("node").alias(src), F.col("component").alias(dst))
+    edges = new_edges.select(src, dst).unionByName(forest)
+    return connected_components(
+        edges, src=src, dst=dst, max_iter=max_iter
+    )
+
+
 def cluster_canonical(
     df: DataFrame, components: DataFrame, id_col: str
 ) -> DataFrame:

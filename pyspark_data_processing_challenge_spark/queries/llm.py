@@ -4797,6 +4797,86 @@ def split_cluster_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inc_cluster_components(spark: SparkSession, sf_dir: str) -> list:
+    """Ingest-path component rows: history = base corpus + even-base
+    planted copies; batch = the odd-base copies. History pairs + store
+    come from one incremental-minhash call against an empty store; the
+    batch's pairs (within-batch AND versus history — the banded store
+    streams, never shuffles) feed graph.incremental_components, which
+    folds them into the store's spanning forest WITHOUT the historical
+    edge list. Memoized per sf_dir like the full-path _CC_MEMO."""
+    key = ("components_inc", sf_dir)
+    if key in _CC_MEMO:
+        return _CC_MEMO[key]
+    from ..operators import graph
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    is_batch = (F.col("doc_id") >= 100000) & (F.col("doc_id") % 2 == 1)
+    batch = corpus.filter(is_batch)
+    hist = corpus.filter(~is_batch)
+    empty = spark.createDataFrame(
+        [], "doc long, minhash array<bigint>, band int, key string"
+    )
+    mh_kw = dict(
+        num_hashes=MH_HASHES,
+        shingle_n=MH_SHINGLE_N,
+        bands=MH_ND_BANDS,
+        threshold=MH_ND_THRESHOLD,
+    )
+    caches: list = []
+    hist_pairs, hist_banded = dedup.incremental_minhash_near_duplicates(
+        hist, empty, "text", "doc_id", cache_into=caches, **mh_kw
+    )
+    comp_store = graph.connected_components(
+        hist_pairs.select("id_a", "id_b")
+    )
+    batch_pairs, _ = dedup.incremental_minhash_near_duplicates(
+        batch, hist_banded, "text", "doc_id", cache_into=caches, **mh_kw
+    )
+    comp = graph.incremental_components(
+        batch_pairs.select("id_a", "id_b"), comp_store
+    )
+    rows = [(int(r["node"]), int(r["component"])) for r in comp.collect()]
+    for c in caches:
+        c.unpersist()
+    _CC_MEMO[key] = rows
+    return rows
+
+
+def split_cluster_assign_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INGEST path of split_cluster_assign — the split-assignment
+    member of the incremental family (exact fingerprints, minhash
+    stores, span grams, moment sums, ANN postings): new documents
+    arrive as a batch, near-dup pairs are computed against the banded
+    signature STORE (which streams through one scan, never shuffled),
+    and graph.incremental_components folds the new edges into the
+    persisted (node, component) labels — the store's labels ARE a
+    spanning forest of the historical graph, so the union partition
+    and its min-id keys come out EXACTLY equal to a full recompute,
+    including the hard case where a batch doc BRIDGES two existing
+    clusters (both relabel to the smaller min — and their members'
+    splits move with them, which is what exactness demands; a
+    stability-over-exactness policy would layer on top). Shares
+    split_cluster_assign's full-corpus oracle: the driver itself
+    re-proves history ⊕ batch == full, the
+    embedding_top_pc_incremental contract."""
+    from ..operators import curation
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    comp = spark.createDataFrame(
+        _inc_cluster_components(spark, sf_dir),
+        "doc_id long, component long",
+    )
+    tagged = corpus.join(F.broadcast(comp), "doc_id", "left").withColumn(
+        "cluster",
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("long"),
+    )
+    out = curation.split_assign(tagged, F.col("cluster"), SPLIT_WEIGHTS)
+    return out.select("doc_id", "cluster", "split")
+
+
 def _split_case_sql(key: str) -> str:
     return (
         f"CASE WHEN {sql_char_hash(key)} % 100 < 80 THEN 'train' "
@@ -5850,6 +5930,7 @@ QUERIES = {
     "split_oov_rate": split_oov_rate,
     "split_ngram_leakage": split_ngram_leakage,
     "split_cluster_assign": split_cluster_assign,
+    "split_cluster_assign_incremental": split_cluster_assign_incremental,
     "split_cluster_leakage_eval": split_cluster_leakage_eval,
     "docs_mattr": docs_mattr,
     "docs_token_stats": docs_token_stats,
@@ -5940,6 +6021,10 @@ ORACLES = {
     "split_oov_rate": _OOV_SQL,
     "split_ngram_leakage": _LEAKAGE_SQL,
     "split_cluster_assign": _SPLIT_CLUSTER_SQL,
+    # the incremental store equals the full recompute bit-for-bit
+    # (spanning-forest CC folding) - shared full-corpus oracle is the
+    # point: the driver re-proves history + batch == full
+    "split_cluster_assign_incremental": _SPLIT_CLUSTER_SQL,
     "split_cluster_leakage_eval": _CLUSTER_LEAK_SQL,
     "docs_mattr": _MATTR_SQL,
     "docs_token_stats": _TOKEN_STATS_SQL,

@@ -184,3 +184,22 @@ def test_oov_report_shape(spark):
     assert (rows["n_oov"] <= rows["n_tokens"]).all()
     assert (rows["n_oov_types"] <= rows["n_types"]).all()
     assert rows["oov_rate"].between(0, 1).all()
+
+
+def test_incremental_cluster_split_equals_full(spark):
+    """The ingest path (banded-store probe + spanning-forest CC fold)
+    must reproduce split_cluster_assign ROW-FOR-ROW — same clusters,
+    same splits — the incremental-family exactness contract."""
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    full = {
+        (r.doc_id, r.cluster, r.split)
+        for r in llm.split_cluster_assign(spark, SF_DIR).collect()
+    }
+    inc = {
+        (r.doc_id, r.cluster, r.split)
+        for r in llm.split_cluster_assign_incremental(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert inc == full

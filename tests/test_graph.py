@@ -176,3 +176,40 @@ def test_cc_loop_scoped_not_session_global(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == sess_sp
     assert n_parts == 2, n_parts  # loop_sp for a 39-edge graph
     assert len(rows) == 40 and all(r["component"] == 0 for r in rows)
+
+
+def test_incremental_components_exact_incl_bridge_merge(spark):
+    """incremental_components folds new edges into the stored
+    (node, component) spanning forest and must equal a full CC over
+    every edge ever seen — INCLUDING the hard case: one batch edge
+    bridging two existing components relabels both to the smaller
+    min. Also: a batch-only pair forms a fresh component, and an
+    untouched component keeps its label."""
+    from pyspark_data_processing_challenge_spark.operators import graph
+
+    hist = spark.createDataFrame(
+        [(1, 3), (2, 4), (7, 8)], "id_a long, id_b long"
+    )
+    store = graph.connected_components(hist)
+    assert {(r.node, r.component) for r in store.collect()} == {
+        (1, 1), (3, 1), (2, 2), (4, 2), (7, 7), (8, 7),
+    }
+    batch = spark.createDataFrame(
+        [(3, 4), (10, 11)], "id_a long, id_b long"
+    )  # (3,4) BRIDGES components 1 and 2; (10,11) is brand new
+    got = {
+        (r.node, r.component)
+        for r in graph.incremental_components(batch, store).collect()
+    }
+    full = {
+        (r.node, r.component)
+        for r in graph.connected_components(
+            hist.unionByName(batch)
+        ).collect()
+    }
+    assert got == full
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),  # merged under the global min
+        (7, 7), (8, 7),                  # untouched
+        (10, 10), (11, 10),              # fresh batch-only component
+    }
