@@ -107,3 +107,29 @@ def test_prior_round_mins_sf_scoped():
     # baselines are folded in so movers outside the headline get reps too
     assert "embedding_near_dup" in prior
     assert bench._prior_round_mins(123.456) == {}
+
+
+def test_scaling_and_load_land_in_detail_only():
+    """The r13 sections — per-family scaling exponents and the pre-run
+    load baseline — ride the DETAIL line (for humans and git history)
+    and never the size-budgeted final line."""
+    scaling = {
+        "sf_small": 0.01,
+        "sf_large": 0.1,
+        "n_ratio": 10.0,
+        "families": {
+            "dedup_full_1to600": {
+                "t_small": 1.1, "t_large": 12.4, "exponent": 1.05,
+            }
+        },
+        "flagged": [],
+    }
+    detail, final = bench.result_lines(
+        _fake_times(5), _fake_streaming(), 0.1,
+        scaling=scaling, load_at_start=0.3,
+    )
+    d, f = json.loads(detail), json.loads(final)
+    assert d["scaling"] == scaling
+    assert d["load_at_start"] == 0.3
+    assert "scaling" not in f and "load_at_start" not in f
+    assert len(final) <= bench.FINAL_LINE_BUDGET
