@@ -107,6 +107,7 @@ HEADLINE = [
     # round-13 additions
     "ivf_filtered_topk",  # r13: metadata-filtered ANN (pre-filter)
     "ivf_filtered_recall_eval",  # r13: filtered recall, two selectivities
+    "ivf_filtered_cost_eval",  # r13: scored-candidate cost, pre vs unfiltered
     "ivf_filtered_adaptive_topk",  # r13: adaptive nprobe escalation
     "ivf_prefilter_vs_postfilter_eval",  # r13: measured pre-vs-post tradeoff
     "split_cluster_assign",  # r13: dedup-aware split assignment

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import textfns
+from ..functions import textfns, vectors
 from ..operators import similarity
 from ._util import round_to, spread, sql_round, sql_tokens, t
 
@@ -886,6 +886,96 @@ def ivf_filtered_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("n_true").cast("double"),
                     6,
                 ).alias("recall"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def ivf_filtered_cost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COST half of the filtered-ANN tradeoff (the recall half is
+    ivf_filtered_recall_eval): how many (query, candidate) distances
+    each strategy actually computes inside the probed lists.
+    Pre-filtering scores only predicate-passing candidates, so its
+    scored count ≈ selectivity × the unfiltered count — the claim
+    'filtered probes are CHEAPER than unfiltered' as exact integers
+    (scored_ratio ≈ 0.1 at the label filter, ≈ 0.5 at parity),
+    instead of narration. One probe join per selectivity computes
+    both counts (the pre count is a conditional sum over the same
+    candidate frame — no second scan). Output: one row per
+    selectivity."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS)
+    cb = cent.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    outs = []
+    for sel, meta in (
+        ("label", F.col("label").cast("long")),
+        ("parity", (F.col("label") % 2).cast("long")),
+    ):
+        c = emb.select(
+            F.col("vec_id").alias("doc"),
+            F.col("embedding").alias("vec"),
+            meta.alias("__meta"),
+        )
+        scored = c.join(F.broadcast(cb)).select(
+            "doc",
+            "vec",
+            "__meta",
+            "cid",
+            vectors.cosine(F.col("vec"), F.col("cv")).alias("cos"),
+        )
+        assigned = scored.groupBy("doc", "__meta").agg(
+            F.max_by(
+                F.struct(F.col("cid")),
+                F.struct(F.col("cos"), (-F.col("cid")).alias("__nc")),
+            ).alias("__best")
+        ).select("doc", "__meta", F.col("__best.cid").alias("centroid_id"))
+        q = emb.filter(
+            (F.col("vec_id") >= IVF_QUERY_LO)
+            & (F.col("vec_id") < IVF_QUERY_HI)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            meta.alias("__want"),
+        )
+        qscored = q.join(F.broadcast(cb)).select(
+            "query_id",
+            "__want",
+            "cid",
+            vectors.cosine(F.col("qvec"), F.col("cv")).alias("qcos"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("qcos").desc(), F.col("cid")
+        )
+        probes = (
+            qscored.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= IVF_NPROBE)
+            .select("query_id", "__want", F.col("cid").alias("__pcid"))
+        )
+        ucand = assigned.join(
+            F.broadcast(probes), F.col("centroid_id") == F.col("__pcid")
+        ).filter(F.col("query_id") != F.col("doc"))
+        agg = ucand.agg(
+            F.count_distinct(F.col("query_id")).cast("long").alias(
+                "n_queries"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_scored_unfiltered"),
+            F.sum((F.col("__meta") == F.col("__want")).cast("long"))
+            .cast("long")
+            .alias("n_scored_prefilter"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(sel).alias("sel"),
+                "n_queries",
+                "n_scored_unfiltered",
+                "n_scored_prefilter",
+                round_to(
+                    F.col("n_scored_prefilter").cast("double")
+                    / F.col("n_scored_unfiltered").cast("double"),
+                    6,
+                ).alias("scored_ratio"),
             )
         )
     return outs[0].unionByName(outs[1])
@@ -1767,6 +1857,35 @@ _IVF_FILTERED_EVAL_SQL = (
 )
 
 
+def _ivf_cost_block(p: str, sel: str) -> str:
+    pre = "sum(CASE WHEN u.meta = u.want THEN 1 ELSE 0 END)"
+    return f"""
+SELECT '{sel}' AS sel,
+  count(DISTINCT u.query_id)::BIGINT AS n_queries,
+  count(*)::BIGINT AS n_scored_unfiltered,
+  {pre}::BIGINT AS n_scored_prefilter,
+  {sql_round(f"CAST({pre} AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+    AS scored_ratio
+FROM (
+  SELECT pr.query_id, pr.want, a.meta
+  FROM {p}qprobe pr JOIN {p}assigned a ON pr.centroid_id = a.centroid_id
+  WHERE pr.query_id <> a.vec_id
+) u
+"""
+
+
+_IVF_COST_SQL = (
+    "WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv"
+    f" FROM embeddings WHERE vec_id < {IVF_NCENTROIDS}),"
+    + _ivf_filtered_ctes("label::BIGINT", "l_")
+    + ","
+    + _ivf_filtered_ctes("(label % 2)::BIGINT", "y_")
+    + _ivf_cost_block("l_", "label")
+    + " UNION ALL "
+    + _ivf_cost_block("y_", "parity")
+)
+
+
 _AD_META_SQL = f"(label::BIGINT * {AD_MOD} + vec_id % {AD_MOD})::BIGINT"
 
 _IVF_ADAPTIVE_SQL = (
@@ -2175,6 +2294,7 @@ QUERIES = {
     "ivf_recall_eval": ivf_recall_eval,
     "ivf_filtered_topk": ivf_filtered_topk,
     "ivf_filtered_recall_eval": ivf_filtered_recall_eval,
+    "ivf_filtered_cost_eval": ivf_filtered_cost_eval,
     "ivf_prefilter_vs_postfilter_eval": ivf_prefilter_vs_postfilter_eval,
     "ivf_filtered_adaptive_topk": ivf_filtered_adaptive_topk,
     "ivf_ndcg_eval": ivf_ndcg_eval,
@@ -2268,6 +2388,7 @@ ORACLES = {
     "ivf_recall_eval": _ivf_recall_sql(),
     "ivf_filtered_topk": _IVF_FILTERED_TOPK_SQL,
     "ivf_filtered_recall_eval": _IVF_FILTERED_EVAL_SQL,
+    "ivf_filtered_cost_eval": _IVF_COST_SQL,
     "ivf_prefilter_vs_postfilter_eval": _IVF_PREPOST_SQL,
     "ivf_filtered_adaptive_topk": _IVF_ADAPTIVE_SQL,
     "ivf_nprobe_curve": _ivf_nprobe_curve_sql(),
