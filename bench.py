@@ -113,6 +113,7 @@ HEADLINE = [
     "split_cluster_assign",  # r13: dedup-aware split assignment
     "split_cluster_leakage_eval",  # r13: doc-hash vs cluster leakage twin
     "split_cluster_assign_incremental",  # r13: exact ingest twin (forest CC fold)
+    "split_balance_report",  # r13: realized vs target split mass
     "embedding_group_pca",  # r13: closed-form per-label PCA
     "corpus_top_dup_extents",
     "ivf_list_stats",

@@ -36,6 +36,7 @@ _VERDICT_PRIORITY = [
     "split_cluster_assign",  # new: dedup-aware split assignment
     "split_cluster_leakage_eval",  # new: doc-hash vs cluster leakage twin
     "split_cluster_assign_incremental",  # new: exact ingest twin (forest CC fold)
+    "split_balance_report",  # new: realized vs target split mass under cluster keying
     "embedding_group_pca",  # new: closed-form per-label PCA (gap-independent)
     "ivf_prefilter_vs_postfilter_eval",  # new: measured pre-vs-post-filter tradeoff
     "ivf_filtered_adaptive_topk",  # new: adaptive nprobe escalation under filter
@@ -68,7 +69,7 @@ _VERDICT_PRIORITY = [
     "op_standardize_units",  # was r01+r07-vintage (SURVEY-2 R8)
     "op_null_counts",  # was r01+r07-vintage (SURVEY-2 Q3)
     "asof_join_purchases",  # was r01+r07-vintage
-    # --- next-oldest vintage: the first 16 of the r08 band (the
+    # --- next-oldest vintage: the first 15 of the r08 band (the
     # remaining r08 rows lead the r14 queue in _ROTATED_OUT) ---
     "docs_semantic_dedup",  # was r08-vintage
     "bootstrap_mean_ci",  # was r08-vintage
@@ -85,11 +86,11 @@ _VERDICT_PRIORITY = [
     "snapshot_merkle_diff",  # was r08-vintage
     "customers_masked",  # was r08-vintage
     "events_udtf_polymorphic",  # was r08-vintage
-    "lateral_top_customers",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    "lateral_top_customers": "r08",
     "events_hourly_tvf": "r08",
     "join_revenue_by_nation_shj": "r08",
     "semdedup_incremental_batch": "r08",

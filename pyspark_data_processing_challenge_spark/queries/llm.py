@@ -4877,6 +4877,46 @@ def split_cluster_assign_incremental(
     return out.select("doc_id", "cluster", "split")
 
 
+def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-keyed splitter's cost accounting: hashing CLUSTERS
+    instead of docs means heavily-duplicated content moves between
+    splits as a block, so realized doc-level shares deviate from the
+    80/10/10 target by more than iid hashing would — the price of
+    zero cross-split leakage, reported as exact integers per split
+    (docs and clusters) with share deviations. A release gate reads
+    abs_dev to decide whether the corpus's duplication structure has
+    skewed a split badly enough to re-seed the hash. One tiny
+    aggregate over the assignment frame; the scalar total joins as a
+    1-row crossJoin (the Gini-scalar pattern)."""
+    from ..operators import curation
+
+    keyed = _cluster_keyed_corpus(spark, sf_dir)
+    assigned = curation.split_assign(keyed, F.col("cluster"), SPLIT_WEIGHTS)
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.col("cluster")).cast("long").alias("n_clusters"),
+    )
+    tot = assigned.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    target = F.create_map(
+        *[x for name, w in SPLIT_WEIGHTS for x in (F.lit(name), F.lit(w))]
+    )
+    share = F.col("n_docs").cast("double") / F.col("__t").cast("double")
+    tshare = (
+        F.element_at(target, F.col("split")).cast("double") / F.lit(100.0)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            round_to(share, 6).alias("share"),
+            round_to(tshare, 6).alias("target_share"),
+            round_to(F.abs(share - tshare), 6).alias("abs_dev"),
+        )
+    )
+
+
 def _split_case_sql(key: str) -> str:
     return (
         f"CASE WHEN {sql_char_hash(key)} % 100 < 80 THEN 'train' "
@@ -4958,6 +4998,32 @@ SELECT l.scheme, l.split, l.n_docs, l.n_grams, l.n_leaked_grams,
        COALESCE(x.n_train_cross_pairs, 0)::BIGINT AS n_train_cross_pairs
 FROM leak l LEFT JOIN crossing x
   ON x.scheme = l.scheme AND x.split = l.split
+"""
+)
+
+
+_BALANCE_SHARE = "CAST(count(*) AS DOUBLE) / CAST(any_value(tot.t) AS DOUBLE)"
+_BALANCE_TARGET = (
+    "CASE a.split WHEN 'train' THEN CAST(80.0 AS DOUBLE) "
+    "WHEN 'val' THEN CAST(10.0 AS DOUBLE) "
+    "ELSE CAST(10.0 AS DOUBLE) END / CAST(100.0 AS DOUBLE)"
+)
+
+_BALANCE_SQL = (
+    "WITH RECURSIVE"
+    + _CLUSTER_KEYED_CTES
+    + f""",
+  assigned AS (
+    SELECT doc_id, cluster, {_split_case_sql("cluster::VARCHAR")} AS split
+    FROM keyed
+  ),
+  tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM assigned)
+SELECT a.split, count(*)::BIGINT AS n_docs,
+  count(DISTINCT a.cluster)::BIGINT AS n_clusters,
+  {sql_round(_BALANCE_SHARE, 6)} AS share,
+  {sql_round(_BALANCE_TARGET, 6)} AS target_share,
+  {sql_round(f"abs({_BALANCE_SHARE} - {_BALANCE_TARGET})", 6)} AS abs_dev
+FROM assigned a, tot GROUP BY a.split
 """
 )
 
@@ -5931,6 +5997,7 @@ QUERIES = {
     "split_ngram_leakage": split_ngram_leakage,
     "split_cluster_assign": split_cluster_assign,
     "split_cluster_assign_incremental": split_cluster_assign_incremental,
+    "split_balance_report": split_balance_report,
     "split_cluster_leakage_eval": split_cluster_leakage_eval,
     "docs_mattr": docs_mattr,
     "docs_token_stats": docs_token_stats,
@@ -6025,6 +6092,7 @@ ORACLES = {
     # (spanning-forest CC folding) - shared full-corpus oracle is the
     # point: the driver re-proves history + batch == full
     "split_cluster_assign_incremental": _SPLIT_CLUSTER_SQL,
+    "split_balance_report": _BALANCE_SQL,
     "split_cluster_leakage_eval": _CLUSTER_LEAK_SQL,
     "docs_mattr": _MATTR_SQL,
     "docs_token_stats": _TOKEN_STATS_SQL,

@@ -203,3 +203,15 @@ def test_incremental_cluster_split_equals_full(spark):
         ).collect()
     }
     assert inc == full
+
+
+def test_split_balance_report_is_a_distribution(spark):
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    rows = llm.split_balance_report(spark, SF_DIR).toPandas()
+    assert set(rows["split"]) == {"train", "val", "test"}
+    assert abs(rows["share"].sum() - 1.0) < 1e-4
+    assert (rows["n_clusters"] <= rows["n_docs"]).all()
+    # block-moves widen deviation vs iid, but it must stay sane
+    assert (rows["abs_dev"] < 0.15).all()
+    assert abs(rows["target_share"].sum() - 1.0) < 1e-9
