@@ -115,6 +115,9 @@ HEADLINE = [
     "split_cluster_assign_incremental",  # r13: exact ingest twin (forest CC fold)
     "split_balance_report",  # r13: realized vs target split mass
     "embedding_group_pca",  # r13: closed-form per-label PCA
+    "docs_softdedup_weights",  # r13: duplicate-aware sampling weights
+    "embedding_decontaminate",  # r13: semantic decontamination gate
+    "copurchase_link_prediction",  # r13: Adamic-Adar/RA link prediction
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",
@@ -619,7 +622,13 @@ def _bench_ingest_ratio(
 
     prior_mins = prior_mins or {}
 
+    from pyspark_data_processing_challenge_spark.operators import (
+        curation as cur,
+    )
     from pyspark_data_processing_challenge_spark.operators import dedup as dd
+    from pyspark_data_processing_challenge_spark.operators import (
+        graph as graphop,
+    )
     from pyspark_data_processing_challenge_spark.operators import (
         multimodal as mmod,
     )
@@ -908,16 +917,23 @@ def _bench_ingest_ratio(
 
         sig_store = tempfile.mkdtemp(prefix="mh300_")
         sig_scratch = tempfile.mkdtemp(prefix="mh300_scratch_")
+        comp_store = tempfile.mkdtemp(prefix="csplit300_")
+        csplit_scratch = tempfile.mkdtemp(prefix="csplit300_scratch_")
         try:
             empty = spark.createDataFrame(
                 [], "doc long, minhash array<bigint>, band int, key string"
             )
             caches: list = []
             _, mh_hist0 = mh_frames(900)
-            _, hist_banded = dd.incremental_minhash_near_duplicates(
+            hist_pairs0, hist_banded = dd.incremental_minhash_near_duplicates(
                 mh_hist0, empty, "text", "doc_id", cache_into=caches, **mh_params
             )
             hist_banded.write.mode("overwrite").parquet(sig_store)
+            # component store for the cluster-split family below — built
+            # from the SAME history pass while its caches are still alive
+            graphop.connected_components(
+                hist_pairs0.select("id_a", "id_b")
+            ).write.mode("overwrite").parquet(comp_store)
             for c in caches:
                 c.unpersist()
 
@@ -945,9 +961,84 @@ def _bench_ingest_ratio(
 
             timed_reps("minhash_full_1to300", full_mh, nreps=2, warm=False)
             timed_reps("minhash_incremental_1to300", inc_mh, nreps=3, warm=True)
+
+            # --- cluster-keyed split assignment (1:300) ----------------
+            # The end-to-end ingest the catalog's
+            # split_cluster_assign_incremental models: the HEADLINE entry
+            # times history-build + batch in one call (the correctness
+            # frame the driver hashes), which is why it reads slower than
+            # the full path there; THIS entry measures the production
+            # shape — banded signature store AND (node, component) label
+            # store prebuilt on disk, per-batch cost = batch signatures
+            # vs streamed store + CC over {batch pairs} ∪ {forest labels}
+            # + the split projection + the two store updates. Rides the
+            # minhash family's generated corpus (true-positive planted
+            # near-dups) with disjoint salt ranges.
+            def _csplit_assign(corpus, comp):
+                keyed = corpus.join(
+                    SF.broadcast(comp),
+                    corpus["doc_id"] == comp["node"],
+                    "left",
+                ).withColumn(
+                    "cluster",
+                    SF.coalesce(SF.col("component"), SF.col("doc_id")),
+                )
+                return cur.split_assign(
+                    keyed, SF.col("cluster"), llmq.SPLIT_WEIGHTS
+                ).select("doc_id", "cluster", "split")
+
+            def full_csplit(rep: int):
+                mh_batch, mh_hist = mh_frames(300 + rep)
+                corpus = mh_hist.unionByName(mh_batch)
+                pairs = dd.minhash_near_duplicates(
+                    corpus, "text", "doc_id", **mh_params
+                )
+                comp = graphop.connected_components(
+                    pairs.select("id_a", "id_b")
+                )
+                _csplit_assign(corpus, comp).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def inc_csplit(rep: int):
+                mh_batch, _ = mh_frames(400 + rep)
+                store = spark.read.parquet(sig_store)
+                comps = spark.read.parquet(comp_store)
+                caches3: list = []
+                fresh3: list = []
+                pairs, _ = dd.incremental_minhash_near_duplicates(
+                    mh_batch, store, "text", "doc_id",
+                    cache_into=caches3, fresh_into=fresh3, **mh_params,
+                )
+                comp = graphop.incremental_components(
+                    pairs.select("id_a", "id_b"), comps
+                )
+                _csplit_assign(mh_batch, comp).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                # store updates a real ingest pays: fresh signature rows
+                # + the refreshed pair-bounded label table
+                fresh3[0].write.mode("append").parquet(
+                    f"{csplit_scratch}/sig_rep{rep}"
+                )
+                comp.write.mode("overwrite").parquet(
+                    f"{csplit_scratch}/comp_rep{rep}"
+                )
+                for c in caches3:
+                    c.unpersist()
+
+            timed_reps(
+                "clustersplit_full_1to300", full_csplit, nreps=2, warm=False
+            )
+            timed_reps(
+                "clustersplit_incremental_1to300", inc_csplit, nreps=3,
+                warm=True,
+            )
         finally:
             shutil.rmtree(sig_store, ignore_errors=True)
             shutil.rmtree(sig_scratch, ignore_errors=True)
+            shutil.rmtree(comp_store, ignore_errors=True)
+            shutil.rmtree(csplit_scratch, ignore_errors=True)
 
         # --- perceptual hash near-dup (1:100) -------------------------
         # JPEG payloads (Huffman + IDCT decode) rather than PNG: per-image

@@ -40,6 +40,9 @@ _VERDICT_PRIORITY = [
     "embedding_group_pca",  # new: closed-form per-label PCA (gap-independent)
     "ivf_prefilter_vs_postfilter_eval",  # new: measured pre-vs-post-filter tradeoff
     "ivf_filtered_adaptive_topk",  # new: adaptive nprobe escalation under filter
+    "docs_softdedup_weights",  # new: duplicate-aware sampling weights (SoftDeDup)
+    "embedding_decontaminate",  # new: semantic (embedding-space) decontamination
+    "copurchase_link_prediction",  # new: Adamic-Adar/RA link prediction
     # --- oldest-verdict re-verification: the staged r01+r07 band
     # (last driver-verified r07 — five rounds of drift risk covered
     # only by the local gate until now; VERDICT r12 #1), incl. all ten

@@ -2364,6 +2364,128 @@ FROM tri
 """
 
 
+AA_MAX_DEG = 64  # apex hub cap — see docstring
+AA_MIN_COMMON = 2
+AA_TOPN = 20
+
+
+def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: Adamic-Adar and
+    resource-allocation scores for part pairs that share >=
+    AA_MIN_COMMON common neighbors but are NOT yet co-purchased — the
+    classic "customers who bought these also bought" candidate ranker
+    (Adamic & Adar 2003; Zhou et al. 2009 RA). Score = Σ over common
+    neighbors z of 1/log2(deg z) (AA) and 1/deg z (RA): rare shared
+    neighbors count more than promiscuous hubs.
+
+    Scale shape: wedge generation at apex z costs Σ deg(z)², so
+    apexes above AA_MAX_DEG are pruned — the standard LP hub cap
+    (hubs contribute ~1/log2(big) ≈ nothing to the score while
+    dominating the cost); with the cap, work is O(m·AA_MAX_DEG).
+    Already-linked pairs leave via an anti-join on the edge set, and
+    the output is a deterministic top-N by (aa desc, keys) — a
+    TakeOrdered, never a corpus-sized sort (absolute score
+    thresholds on degree-normalized scores empty as the graph grows).
+    Float discipline: per-pair scores are LEFT FOLDS over the SORTED
+    common-neighbor degree list (sort_array + F.aggregate), so the
+    oracle's list_sort + list_reduce replays them bit-for-bit; apex
+    degree >= 2 by construction (it has the two wedge endpoints), so
+    log2(deg) >= 1 and neither fold divides by zero."""
+    e = _copurchase_edges(spark, sf_dir, support=2)
+    adj = e.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionByName(
+        e.select(F.col("v").alias("z"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    apex = adj.join(deg, "z").where(F.col("d") <= AA_MAX_DEG)
+    left = apex.select("z", F.col("nb").alias("pa"), "d")
+    right = apex.select(F.col("z").alias("__z"), F.col("nb").alias("pb"))
+    wedges = left.join(
+        right,
+        (F.col("z") == F.col("__z")) & (F.col("pa") < F.col("pb")),
+    )
+    cand = (
+        wedges.groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sort_array(F.collect_list("d")).alias("__ds"),
+        )
+        .where(F.col("n_common") >= AA_MIN_COMMON)
+        .join(
+            e,
+            (F.col("pa") == F.col("u")) & (F.col("pb") == F.col("v")),
+            "left_anti",
+        )
+    )
+    scored = cand.select(
+        "pa",
+        "pb",
+        "n_common",
+        F.aggregate(
+            F.col("__ds"),
+            F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0) / F.log2(x.cast("double")),
+        ).alias("__aa"),
+        F.aggregate(
+            F.col("__ds"),
+            F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0) / x.cast("double"),
+        ).alias("__ra"),
+    )
+    return (
+        scored.orderBy(F.col("__aa").desc(), "pa", "pb")
+        .limit(AA_TOPN)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_common",
+            round_to(F.col("__aa"), 6).alias("aa_score"),
+            round_to(F.col("__ra"), 6).alias("ra_score"),
+        )
+    )
+
+
+_LINKPRED_SQL = f"""
+WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT x.l_partkey AS u, y.l_partkey AS v
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (SELECT u AS z, v AS nb FROM e UNION ALL SELECT v AS z, u AS nb FROM e),
+deg AS (SELECT z, count(*)::BIGINT AS d FROM adj GROUP BY z),
+apex AS (
+  SELECT a.z, a.nb, dg.d FROM adj a JOIN deg dg USING (z)
+  WHERE dg.d <= {AA_MAX_DEG}
+),
+wedges AS (
+  SELECT x.nb AS pa, y.nb AS pb, x.d
+  FROM apex x JOIN apex y ON x.z = y.z AND x.nb < y.nb
+),
+cand AS (
+  SELECT pa, pb, count(*)::BIGINT AS n_common, list_sort(list(d)) AS ds
+  FROM wedges GROUP BY pa, pb HAVING count(*) >= {AA_MIN_COMMON}
+),
+fresh AS (
+  SELECT c.* FROM cand c LEFT JOIN e ON e.u = c.pa AND e.v = c.pb
+  WHERE e.u IS NULL
+),
+scored AS (
+  SELECT pa, pb, n_common,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(ds, x -> CAST(1 AS DOUBLE) / log2(x))),
+      (a, b) -> a + b) AS aa,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(ds, x -> CAST(1 AS DOUBLE) / CAST(x AS DOUBLE))),
+      (a, b) -> a + b) AS ra
+  FROM fresh
+)
+SELECT pa AS part_a, pb AS part_b, n_common,
+  {sql_round("aa", 6)} AS aa_score, {sql_round("ra", 6)} AS ra_score
+FROM scored ORDER BY aa DESC, pa, pb LIMIT {AA_TOPN}
+"""
+
+
 LL_MAX_LAG = 7
 
 
@@ -4274,6 +4396,7 @@ QUERIES = {
     "revenue_holt_forecast": revenue_holt_forecast,
     "revenue_holt_winters": revenue_holt_winters,
     "copurchase_kcore": copurchase_kcore,
+    "copurchase_link_prediction": copurchase_link_prediction,
     "copurchase_communities": copurchase_communities,
     "price_psi_drift": price_psi_drift,
     "totalprice_quantile_transform": totalprice_quantile_transform,
@@ -4328,6 +4451,7 @@ ORACLES = {
     "revenue_holt_forecast": _HOLT_SQL,
     "revenue_holt_winters": _HW_SQL,
     "copurchase_kcore": _kcore_sql(),
+    "copurchase_link_prediction": _LINKPRED_SQL,
     "copurchase_communities": _lpa_sql(),
     "price_psi_drift": _PSI_SQL,
     "totalprice_quantile_transform": _QT_SQL,

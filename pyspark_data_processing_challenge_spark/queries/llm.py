@@ -5028,6 +5028,137 @@ FROM assigned a, tot GROUP BY a.split
 )
 
 
+def docs_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup: duplicate-aware SAMPLING WEIGHTS instead of drops
+    (He et al. 2024's soft deduplication) — every document in a
+    near-dup cluster keeps weight 1/|cluster|, so the cluster as a
+    whole contributes ONE document's worth of sampling mass and no
+    content is lost outright (dropping throws away the cluster's
+    lexical variation; hard-weighting keeps it at de-duplicated
+    frequency). eff_tokens = n_tokens/|cluster| is the per-doc
+    token mass a budget planner sums: Σ eff_tokens is the corpus's
+    effective (duplicate-discounted) token count.
+
+    Scale shape: the cluster key comes from the memoized pair-bounded
+    connected-components broadcast (_cluster_keyed_corpus — the same
+    one CC pass curate_corpus already pays); cluster sizes are a
+    window count over the cluster hash partitioning — ONE shuffle,
+    no join back, no second aggregate. Weight arithmetic is doubles
+    derived from the same exact integers in both engines."""
+    from pyspark.sql import Window as W
+
+    keyed = _cluster_keyed_corpus(spark, sf_dir)
+    sized = keyed.select(
+        "doc_id",
+        "cluster",
+        textfns.token_count(F.col("text")).alias("n_tokens"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(W.partitionBy("cluster")).cast("long"),
+    )
+    csize = F.col("cluster_size").cast("double")
+    return sized.select(
+        "doc_id",
+        "cluster",
+        "cluster_size",
+        "n_tokens",
+        round_to(F.lit(1.0) / csize, 6).alias("weight"),
+        round_to(F.col("n_tokens").cast("double") / csize, 6).alias(
+            "eff_tokens"
+        ),
+    )
+
+
+_SOFTDEDUP_SQL = (
+    "WITH RECURSIVE"
+    + _CLUSTER_KEYED_CTES
+    + f""",
+  sized AS (
+    SELECT doc_id, cluster, {sql_token_count("text")} AS n_tokens,
+           count(*) OVER (PARTITION BY cluster)::BIGINT AS cluster_size
+    FROM keyed
+  )
+SELECT doc_id, cluster, cluster_size, n_tokens,
+  {sql_round("CAST(1 AS DOUBLE) / cluster_size::DOUBLE", 6)} AS weight,
+  {sql_round("n_tokens::DOUBLE / cluster_size::DOUBLE", 6)} AS eff_tokens
+FROM sized
+"""
+)
+
+
+SEMDECON_NBENCH = 64  # FIXED-size benchmark set — probe cost O(64·n)
+SEMDECON_THRESHOLD = 0.4
+
+
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of
+    docs_decontaminate's verbatim n-gram gate: paraphrased benchmark
+    leakage shares no n-grams but DOES sit close in embedding space,
+    so production decontamination (GPT-4/Llama-3 reports) screens
+    both ways. Benchmark set = the first {SEMDECON_NBENCH} vectors (a
+    FIXED-size set — the gate stays O(bench·n), never a fraction that
+    would keep it quadratic); every corpus vector reports its nearest
+    benchmark item (max cosine, min-id tie-break) and a contaminated
+    flag at τ={SEMDECON_THRESHOLD}.
+
+    Scale shape: the bench side is broadcast into ONE corpus scan
+    (BroadcastNestedLoopJoin — spread, per the per-row-pair rule);
+    the per-vector argmax is a 64-row window per key. The flag
+    compares the unrounded cosine in both engines — identical doubles
+    by the left-fold dot contract (sql_cosine)."""
+    from pyspark.sql import Window as W
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    bench = emb.filter(F.col("vec_id") < SEMDECON_NBENCH).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= SEMDECON_NBENCH).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        vectors.cosine(F.col("cv"), F.col("bv")).alias("cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("bench_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            "bench_id",
+            round_to(F.col("cos"), 6).alias("max_cos"),
+            (F.col("cos") >= F.lit(SEMDECON_THRESHOLD)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+_SEMDECON_SQL = f"""
+WITH b AS (
+  SELECT vec_id AS bench_id, {_EMB} AS bv FROM embeddings
+  WHERE vec_id < {SEMDECON_NBENCH}
+), c AS (
+  SELECT vec_id, {_EMB} AS cv FROM embeddings
+  WHERE vec_id >= {SEMDECON_NBENCH}
+), scored AS (
+  SELECT vec_id, bench_id, {sql_cosine("cv", "bv", EMB_DIM)} AS cos
+  FROM c, b
+), ranked AS (
+  SELECT vec_id, bench_id, cos,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id)
+      AS rn
+  FROM scored
+)
+SELECT vec_id, bench_id, {sql_round("cos", 6)} AS max_cos,
+       cos >= {SEMDECON_THRESHOLD} AS contaminated
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # hashed-feature linear quality classifier (fastText-style inference;
 # operators/curation.hashed_linear_score)
@@ -5999,6 +6130,8 @@ QUERIES = {
     "split_cluster_assign_incremental": split_cluster_assign_incremental,
     "split_balance_report": split_balance_report,
     "split_cluster_leakage_eval": split_cluster_leakage_eval,
+    "docs_softdedup_weights": docs_softdedup_weights,
+    "embedding_decontaminate": embedding_decontaminate,
     "docs_mattr": docs_mattr,
     "docs_token_stats": docs_token_stats,
     "docs_lang_id": docs_lang_id,
@@ -6094,6 +6227,8 @@ ORACLES = {
     "split_cluster_assign_incremental": _SPLIT_CLUSTER_SQL,
     "split_balance_report": _BALANCE_SQL,
     "split_cluster_leakage_eval": _CLUSTER_LEAK_SQL,
+    "docs_softdedup_weights": _SOFTDEDUP_SQL,
+    "embedding_decontaminate": _SEMDECON_SQL,
     "docs_mattr": _MATTR_SQL,
     "docs_token_stats": _TOKEN_STATS_SQL,
     "docs_lang_id": _LANG_SQL,
