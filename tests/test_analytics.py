@@ -215,3 +215,67 @@ def test_split_balance_report_is_a_distribution(spark):
     # block-moves widen deviation vs iid, but it must stay sane
     assert (rows["abs_dev"] < 0.15).all()
     assert abs(rows["target_share"].sum() - 1.0) < 1e-9
+
+
+def test_softdedup_weights_conserve_cluster_mass(spark):
+    """SoftDeDup's invariant: every near-dup cluster contributes ONE
+    document's worth of sampling mass (sum of weights per cluster = 1
+    up to the 6-digit output rounding), singletons keep weight 1, and
+    Σ eff_tokens equals the duplicate-discounted token budget."""
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    rows = llm.docs_softdedup_weights(spark, SF_DIR).toPandas()
+    per = rows.groupby("cluster").agg(
+        wsum=("weight", "sum"), n=("doc_id", "size"), size=("cluster_size", "max")
+    )
+    assert (per["n"] == per["size"]).all()
+    assert (per["wsum"] - 1.0).abs().max() < 1e-4
+    singles = rows[rows["cluster_size"] == 1]
+    assert (singles["weight"] == 1.0).all()
+    assert (singles["eff_tokens"] == singles["n_tokens"]).all()
+    # the doubled corpus: planted copies guarantee multi-doc clusters
+    assert (rows["cluster_size"] >= 2).any()
+    eff = (rows["n_tokens"] / rows["cluster_size"]).sum()
+    assert abs(rows["eff_tokens"].sum() - eff) < 1e-3
+
+
+def test_embedding_decontaminate_partition_contract(spark):
+    """The gate's structural contract: benchmark vectors never appear
+    as corpus rows, every corpus vector reports exactly one nearest
+    benchmark item, and cosines are bounded."""
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    rows = llm.embedding_decontaminate(spark, SF_DIR).toPandas()
+    assert (rows["vec_id"] >= llm.SEMDECON_NBENCH).all()
+    assert (rows["bench_id"] < llm.SEMDECON_NBENCH).all()
+    assert rows["vec_id"].is_unique
+    assert rows["max_cos"].between(-1.000001, 1.000001).all()
+    flagged = rows[rows["contaminated"]]
+    assert (flagged["max_cos"] >= llm.SEMDECON_THRESHOLD - 1e-6).all()
+    clean = rows[~rows["contaminated"]]
+    assert (clean["max_cos"] < llm.SEMDECON_THRESHOLD + 1e-6).all()
+
+
+def test_link_prediction_predicts_only_absent_edges(spark):
+    """Link-prediction invariants: predicted pairs are NOT existing
+    edges, keys are ordered, support >= AA_MIN_COMMON, the list is the
+    deterministic top-AA_TOPN by (aa desc, keys), and per pair
+    AA >= RA > 0 (1/log2(d) >= 1/d for every apex degree d >= 2)."""
+    edges = {
+        (r.u, r.v)
+        for r in analytics._copurchase_edges(
+            spark, SF_DIR, support=2
+        ).collect()
+    }
+    rows = analytics.copurchase_link_prediction(spark, SF_DIR).toPandas()
+    assert len(rows) <= analytics.AA_TOPN
+    assert (rows["part_a"] < rows["part_b"]).all()
+    assert (rows["n_common"] >= analytics.AA_MIN_COMMON).all()
+    for r in rows.itertuples():
+        assert (r.part_a, r.part_b) not in edges
+        assert r.aa_score >= r.ra_score > 0
+    # deterministic ordering as emitted
+    key = list(
+        zip(-rows["aa_score"], rows["part_a"], rows["part_b"])
+    )
+    assert key == sorted(key)

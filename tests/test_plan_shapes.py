@@ -885,3 +885,38 @@ def test_split_leakage_join_shape(spark):
     assert plans.sort_merge_join_count(df) == 0
     assert "Cartesian" not in plan
     assert plans.exchange_count(df) <= 4
+
+
+def test_softdedup_weights_single_window_shape(spark):
+    # cluster sizes via ONE window over the cluster partitioning:
+    # component map broadcast in, no join-back aggregate, one exchange
+    df = llm.docs_softdedup_weights(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.exchange_count(df) <= 1
+
+
+def test_embedding_decontaminate_broadcast_probe(spark):
+    # fixed-size bench set broadcast into ONE corpus scan (nested-loop
+    # join streams the corpus); the per-vector argmax window is the
+    # only exchange
+    df = llm.embedding_decontaminate(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.exchange_count(df) <= 1
+
+
+def test_link_prediction_takeordered_no_cartesian(spark):
+    # deterministic top-N must plan as TakeOrdered (never a global
+    # sort of all candidate pairs); every join broadcast-sized; the
+    # pair-bounded edge list is localCheckpointed so the basket
+    # enumeration runs once, not once per plan branch
+    from pyspark_data_processing_challenge_spark.queries import analytics
+
+    df = analytics.copurchase_link_prediction(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.exchange_count(df) <= 4
