@@ -392,6 +392,179 @@ def dedup_ingest_sink(out_dir: str, fp_store_dir: str, cols=None):
     return sink
 
 
+DOCS_STREAM_SCHEMA = "doc_id long, text string"
+
+_CSPLIT_SIG_COLS = "doc long, minhash array<bigint>, band int, key string"
+_CSPLIT_STORE_SCHEMA = (
+    _CSPLIT_SIG_COLS + ", node long, component long, kind string, __epoch int"
+)
+
+
+def cluster_split_ingest_sink(
+    out_dir: str,
+    store_dir: str,
+    *,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+    weights=(("train", 80), ("val", 10), ("test", 10)),
+):
+    """foreachBatch sink for DEDUP-AWARE SPLIT ASSIGNMENT at ingest —
+    the streaming face of queries/llm.split_cluster_assign_incremental,
+    completing that family's batch → incremental → streaming arc (the
+    dedup_ingest_sink / semdedup_ingest_sink pattern): each document
+    micro-batch pairs against the persisted banded signature store
+    (which STREAMS through one scan, never shuffled), folds the new
+    edges into the persisted spanning-forest labels
+    (operators/graph.incremental_components — exact, including batch
+    docs that bridge two existing clusters), and assigns splits by the
+    resulting cluster key.
+
+    State layout, kind-partitioned in ``store_dir/__epoch=N/kind=...``
+    as ONE fused write per epoch (the semdedup_ingest_sink commit
+    shape; readers prune on the partition columns):
+    - ``sig``: the batch's fresh banded signature rows (append
+      semantics — read as the union of prior epochs)
+    - ``comp``: the full (node, component) label SNAPSHOT after this
+      epoch's fold (pair-bounded, never corpus-sized). Snapshot, not
+      delta: a bridge merge in epoch N relabels nodes first seen
+      epochs earlier, so the store read takes the LATEST prior
+      epoch only — per-epoch deltas would resurrect stale labels.
+
+    Output in ``out_dir/__epoch=N``: the batch's (doc_id, cluster,
+    split) AS OF ingest time. The exactness contract means a later
+    bridge batch can merge clusters and move earlier members' splits —
+    :func:`cluster_split_current` is the authoritative read.
+
+    Replay safety (the family contract): both store reads filter to
+    epochs strictly before the current one and every write
+    dynamic-overwrites exactly its own ``__epoch=N`` partition, so a
+    replayed epoch is byte-idempotent, including the pairing and the
+    fold."""
+    from ..operators.curation import split_assign
+    from ..operators.dedup import incremental_minhash_near_duplicates
+    from ..operators.graph import incremental_components
+
+    weights = list(weights)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            store_all = (
+                spark.read.schema(_CSPLIT_STORE_SCHEMA)
+                .parquet(store_dir)
+                .filter(F.col("__epoch") < F.lit(epoch_id))
+            )
+            sig_store = store_all.filter(F.col("kind") == "sig").select(
+                "doc", "minhash", "band", "key"
+            )
+            # bounded 1-row collect: which prior epoch holds the
+            # current label snapshot
+            last = store_all.filter(F.col("kind") == "comp").agg(
+                F.max("__epoch").alias("e")
+            ).collect()[0]["e"]
+            comp_store = (
+                store_all.filter(
+                    (F.col("kind") == "comp") & (F.col("__epoch") == last)
+                ).select("node", "component")
+                if last is not None
+                else spark.createDataFrame([], "node long, component long")
+            )
+        except AnalysisException as e:
+            # ONLY a missing store means "first epoch" (the
+            # dedup_ingest_sink contract) — anything else must fail
+            # the batch so the checkpoint retries it
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            sig_store = spark.createDataFrame([], _CSPLIT_SIG_COLS)
+            comp_store = spark.createDataFrame([], "node long, component long")
+        caches: list = []
+        fresh: list = []
+        pairs, _ = incremental_minhash_near_duplicates(
+            batch_df, sig_store, "text", "doc_id",
+            num_hashes=num_hashes, shingle_n=shingle_n, bands=bands,
+            threshold=threshold, cache_into=caches, fresh_into=fresh,
+        )
+        # localCheckpoint: the fold is consumed twice (broadcast tag +
+        # store snapshot) and is itself iterative
+        comp = incremental_components(
+            pairs.select("id_a", "id_b"), comp_store
+        ).localCheckpoint()
+        keyed = batch_df.join(
+            F.broadcast(comp),
+            batch_df["doc_id"] == comp["node"],
+            "left",
+        ).withColumn(
+            "cluster",
+            F.coalesce(F.col("component"), F.col("doc_id")).cast("long"),
+        )
+        assigned = split_assign(keyed, F.col("cluster"), weights).select(
+            "doc_id", "cluster", "split"
+        )
+        (
+            assigned.withColumn("__epoch", F.lit(epoch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(out_dir)
+        )
+        nl, ns = F.lit(None).cast("long"), F.lit(None).cast("string")
+        sig_rows = fresh[0].select(
+            "doc", "minhash", "band", "key",
+            nl.alias("node"), nl.alias("component"),
+            F.lit("sig").alias("kind"),
+        )
+        comp_rows = comp.select(
+            nl.alias("doc"),
+            F.lit(None).cast("array<bigint>").alias("minhash"),
+            F.lit(None).cast("int").alias("band"), ns.alias("key"),
+            "node", "component", F.lit("comp").alias("kind"),
+        )
+        (
+            sig_rows.unionByName(comp_rows)
+            .withColumn("__epoch", F.lit(epoch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("__epoch", "kind")
+            .parquet(store_dir)
+        )
+        for c in caches:
+            c.unpersist()
+
+    return sink
+
+
+def cluster_split_current(
+    spark: SparkSession,
+    store_dir: str,
+    docs: DataFrame,
+    *,
+    weights=(("train", 80), ("val", 10), ("test", 10)),
+) -> DataFrame:
+    """Authoritative (doc_id, cluster, split) for every ingested doc:
+    the LATEST component snapshot broadcast onto ``docs`` (one scan,
+    the split projection is shuffle-free). Equals the batch
+    split_cluster_assign over the same corpus by the incremental-CC
+    exactness contract — twin-asserted in tests."""
+    from ..operators.curation import split_assign
+
+    store_all = spark.read.schema(_CSPLIT_STORE_SCHEMA).parquet(store_dir)
+    comps = store_all.filter(F.col("kind") == "comp")
+    last = comps.agg(F.max("__epoch").alias("e")).collect()[0]["e"]
+    comp = comps.filter(F.col("__epoch") == last).select("node", "component")
+    keyed = docs.join(
+        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
+    ).withColumn(
+        "cluster",
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("long"),
+    )
+    return split_assign(keyed, F.col("cluster"), list(weights)).select(
+        "doc_id", "cluster", "split"
+    )
+
+
 EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 
