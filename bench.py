@@ -1633,6 +1633,50 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             rows=n_emb,
         )
 
+        # cluster-split-at-ingest: document micro-batches (the
+        # perturbed near-dup corpus, range-chunked so cross-batch pairs
+        # exercise the signature store) maintain the banded signature +
+        # spanning-forest label stores and emit per-batch split
+        # assignments — the streaming face of split_cluster_assign.
+        docs_pc = llmq2._perturbed_docs(spark, sf_dir)
+        n_docs_pc = docs_pc.count()
+        dsrc = f"{tmp}/dsrc"
+        _os.makedirs(dsrc)
+        db = docs_pc.selectExpr(
+            "percentile(cast(doc_id as double), array(0.25, 0.5, 0.75)) p"
+        ).first().p
+        did = SF.col("doc_id").cast("double")
+        dchunks = [
+            docs_pc.filter(did <= db[0]),
+            docs_pc.filter((did > db[0]) & (did <= db[1])),
+            docs_pc.filter((did > db[1]) & (did <= db[2])),
+            docs_pc.filter(did > db[2]),
+        ]
+        for i, ch in enumerate(dchunks):
+            ch.coalesce(1).write.parquet(f"{tmp}/d{i}")
+            shutil.copy(
+                glob.glob(f"{tmp}/d{i}/part-*.parquet")[0],
+                f"{dsrc}/{i:02d}.parquet",
+            )
+        cs_sink = sev.cluster_split_ingest_sink(
+            f"{tmp}/cs_out", f"{tmp}/cs_store",
+            num_hashes=llmq2.MH_HASHES, shingle_n=llmq2.MH_SHINGLE_N,
+            bands=llmq2.MH_ND_BANDS, threshold=llmq2.MH_ND_THRESHOLD,
+            weights=llmq2.SPLIT_WEIGHTS,
+        )
+        run(
+            "cluster_split_ingest",
+            lambda: (
+                spark.readStream.schema(sev.DOCS_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(dsrc)
+                .writeStream.foreachBatch(cs_sink)
+                .option("checkpointLocation", f"{tmp}/ck_cs")
+                .start()
+            ),
+            rows=n_docs_pc,
+        )
+
         # fixed-vs-marginal epoch decomposition for the two sinks whose
         # tiny-batch rows/s were flagged as overhead-bound (r12): a
         # second pass at double batch size, fresh state everywhere
