@@ -72,8 +72,9 @@ _VERDICT_PRIORITY = [
     "op_standardize_units",  # was r01+r07-vintage (SURVEY-2 R8)
     "op_null_counts",  # was r01+r07-vintage (SURVEY-2 Q3)
     "asof_join_purchases",  # was r01+r07-vintage
-    # --- next-oldest vintage: the first 15 of the r08 band (the
-    # remaining r08 rows lead the r14 queue in _ROTATED_OUT) ---
+    # --- next-oldest vintage: the r08 band (the 50-slot window cuts
+    # inside this list — entries past slot 50 lead the r14 queue,
+    # ahead of the remaining r08 rows in _ROTATED_OUT) ---
     "docs_semantic_dedup",  # was r08-vintage
     "bootstrap_mean_ci",  # was r08-vintage
     "lsh_recall_eval",  # was r08-vintage
@@ -86,13 +87,17 @@ _VERDICT_PRIORITY = [
     "docs_blocklist_screen",  # was r08-vintage
     "domain_reweight_plan",  # was r08-vintage
     "corpus_scaling_curve",  # was r08-vintage
-    "snapshot_merkle_diff",  # was r08-vintage
-    "customers_masked",  # was r08-vintage
-    "events_udtf_polymorphic",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
+    # displaced from the r13 window by the three r13b additions
+    # (docs_softdedup_weights / embedding_decontaminate /
+    # copurchase_link_prediction need FIRST verdicts); these three
+    # hold green r08 verdicts and lead the r14 re-verification queue
+    "snapshot_merkle_diff": "r08",
+    "customers_masked": "r08",
+    "events_udtf_polymorphic": "r08",
     "lateral_top_customers": "r08",
     "events_hourly_tvf": "r08",
     "join_revenue_by_nation_shj": "r08",
