@@ -118,6 +118,8 @@ HEADLINE = [
     "docs_softdedup_weights",  # r13: duplicate-aware sampling weights
     "embedding_decontaminate",  # r13: semantic decontamination gate
     "copurchase_link_prediction",  # r13: Adamic-Adar/RA link prediction
+    "ivf_tombstone_compact",  # r13: ANN delete lifecycle scheduler
+    "ivf_tombstone_probe_eval",  # r13: stale-results + post-delete recall
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

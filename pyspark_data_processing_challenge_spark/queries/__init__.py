@@ -43,6 +43,8 @@ _VERDICT_PRIORITY = [
     "docs_softdedup_weights",  # new: duplicate-aware sampling weights (SoftDeDup)
     "embedding_decontaminate",  # new: semantic (embedding-space) decontamination
     "copurchase_link_prediction",  # new: Adamic-Adar/RA link prediction
+    "ivf_tombstone_compact",  # new: ANN delete lifecycle / compaction scheduler
+    "ivf_tombstone_probe_eval",  # new: stale-result + post-delete recall eval
     # --- oldest-verdict re-verification: the staged r01+r07 band
     # (last driver-verified r07 — five rounds of drift risk covered
     # only by the local gate until now; VERDICT r12 #1), incl. all ten
@@ -85,8 +87,6 @@ _VERDICT_PRIORITY = [
     "priority_mix_chi2",  # was r08-vintage
     "events_dow_hour_profile",  # was r08-vintage
     "docs_blocklist_screen",  # was r08-vintage
-    "domain_reweight_plan",  # was r08-vintage
-    "corpus_scaling_curve",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -98,6 +98,8 @@ _ROTATED_OUT = {
     "snapshot_merkle_diff": "r08",
     "customers_masked": "r08",
     "events_udtf_polymorphic": "r08",
+    "domain_reweight_plan": "r08",
+    "corpus_scaling_curve": "r08",
     "lateral_top_customers": "r08",
     "events_hourly_tvf": "r08",
     "join_revenue_by_nation_shj": "r08",

@@ -8,7 +8,7 @@ TF-IDF uses a rational idf so Spark and the oracle agree bit-for-bit).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns, vectors
@@ -1343,6 +1343,120 @@ def ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TS_MOD, TS_RES = 17, 5  # tombstones: vec_id % 17 == 5 (~5.9% deleted)
+TS_COMPACT_FRAC = 0.06  # rewrite a list once >= 6% of it is deleted
+
+
+def _ivf_tombstone() -> Column:
+    return (F.col("doc") % TS_MOD) == TS_RES
+
+
+def ivf_tombstone_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE lifecycle for the ANN store — the maintenance verb every
+    production vector database ships (FAISS remove_ids, Milvus
+    compaction): deletes arrive as TOMBSTONES (the posting store is
+    append-only parquet; in-place deletes don't exist), probes mask
+    them, and a background compaction rewrites a list once its dead
+    fraction crosses a threshold. This query is the compaction
+    SCHEDULER's table: per inverted list, live/dead counts, the dead
+    fraction, whether this cycle rewrites it (frac >=
+    {TS_COMPACT_FRAC}), the post-cycle posting count, and the
+    tombstones left pending on unrewritten lists (the probe-time mask
+    cost that remains).
+
+    Scale shape: one broadcast-codebook assignment pass + one
+    keys-only 8-row aggregate — identical cost to ivf_list_stats; the
+    tombstone predicate is a pure row-local function of the id. The
+    threshold compare runs on doubles derived from the same exact
+    integers in both engines."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(
+        emb, cent, centroid_id="cid", centroid_vec="cv"
+    )
+    per = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(_ivf_tombstone().cast("long")).cast("long").alias(
+            "n_tombstoned"
+        ),
+    )
+    frac = F.col("n_tombstoned").cast("double") / F.col("n_before").cast(
+        "double"
+    )
+    compacted = frac >= F.lit(TS_COMPACT_FRAC)
+    return per.select(
+        "centroid_id",
+        "n_before",
+        "n_tombstoned",
+        round_to(frac, 6).alias("frac_deleted"),
+        compacted.alias("compacted"),
+        F.when(compacted, F.col("n_before") - F.col("n_tombstoned"))
+        .otherwise(F.col("n_before"))
+        .cast("long")
+        .alias("n_after"),
+        F.when(compacted, F.lit(0))
+        .otherwise(F.col("n_tombstoned"))
+        .cast("long")
+        .alias("n_pending"),
+    )
+
+
+def ivf_tombstone_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving under deletes, measured: (a) n_stale — how many of each
+    query's UNMASKED top-{IVF_K} are tombstoned, i.e. the wrong results
+    a probe that ignores deletes would return (non-zero by
+    construction of the ~5.9% tombstone rate); (b) recall of the
+    MASKED probe against the exact brute-force top-{IVF_K} over the
+    surviving corpus — deletes thin the probed lists, so post-delete
+    recall is a number to watch, not assume. Masking at the candidate
+    stage (before any distance work) is plan-equivalent to probing a
+    compacted store: assignment is per-vector, so filter-then-assign
+    == assign-then-filter.
+
+    Scale shape: both probe sides reuse the broadcast-query IVF plan;
+    the exact baseline is the broadcast cosine_topk plan over one
+    surviving-corpus scan; all joins are k-row-per-query frames."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS)
+    queries = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    )
+    tomb_of = lambda c: (c % TS_MOD) == TS_RES  # noqa: E731
+    surviving = emb.filter(~tomb_of(F.col("vec_id")))
+    unmasked = similarity.ivf_topk(
+        emb, queries, cent, k=IVF_K, nprobe=IVF_NPROBE
+    )
+    stale = unmasked.groupBy("query_id").agg(
+        F.sum(tomb_of(F.col("neighbor_id")).cast("long"))
+        .cast("long")
+        .alias("n_stale")
+    )
+    masked = similarity.ivf_topk(
+        surviving, queries, cent, k=IVF_K, nprobe=IVF_NPROBE
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    exact = similarity.cosine_topk(surviving, queries, k=IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(
+        F.broadcast(masked), ["query_id", "neighbor_id"], "left"
+    )
+    rec = joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_hit"),
+        round_to(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.lit(float(IVF_K)),
+            6,
+        ).alias("recall"),
+    )
+    return rec.join(F.broadcast(stale), "query_id").select(
+        "query_id", "n_stale", "n_hit", "recall"
+    )
+
+
 def ivf_silhouette_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-ASSIGNMENT-quality gate: the simplified-silhouette
     margin of every vector against the codebook — a = cosine distance
@@ -1676,6 +1790,97 @@ SELECT centroid_id, n_vecs,
 FROM per_list, tot
 """
 )
+
+_TS_PRED = f"(vec_id % {TS_MOD} = {TS_RES})"
+_TS_FRAC = "n_tombstoned::DOUBLE / n_before::DOUBLE"
+_TS_GATE = f"{_TS_FRAC} >= CAST({TS_COMPACT_FRAC} AS DOUBLE)"
+
+_IVF_TOMBSTONE_COMPACT_SQL = (
+    "WITH"
+    + _IVF_ASSIGN_CTE
+    + f""",
+  per AS (
+    SELECT centroid_id, count(*)::BIGINT AS n_before,
+           sum({_TS_PRED}::INT)::BIGINT AS n_tombstoned
+    FROM assigned GROUP BY 1
+  )
+SELECT centroid_id, n_before, n_tombstoned,
+  {sql_round(_TS_FRAC, 6)} AS frac_deleted,
+  {_TS_GATE} AS compacted,
+  (CASE WHEN {_TS_GATE} THEN n_before - n_tombstoned
+        ELSE n_before END)::BIGINT AS n_after,
+  (CASE WHEN {_TS_GATE} THEN 0 ELSE n_tombstoned END)::BIGINT AS n_pending
+FROM per
+"""
+)
+
+
+def _ivf_tombstone_eval_sql() -> str:
+    def cand(extra: str) -> str:
+        return f"""
+      SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.e
+      FROM qprobe p JOIN assigned a USING (centroid_id)
+      WHERE p.query_id <> a.vec_id{extra}
+    """
+
+    def ranked(src: str) -> str:
+        return f"""
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY {_IVF_COS.format(a="qv", b="e")} DESC,
+                                  neighbor_id) AS rank
+    FROM ({src})
+  """
+
+    tomb = f"(a.vec_id % {TS_MOD} = {TS_RES})"
+    return (
+        "WITH"
+        + _IVF_ASSIGN_CTE
+        + f""",
+  q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}),
+  qprobe AS (
+    SELECT query_id, qv, cid AS centroid_id FROM (
+      SELECT q.query_id, q.qv, cent.cid,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_IVF_COS.format(a="q.qv", b="cent.cv")} DESC,
+                                    cent.cid) AS rn
+      FROM q, cent
+    ) WHERE rn <= {IVF_NPROBE}
+  ),
+  un_ranked AS ({ranked(cand(""))}),
+  stale AS (
+    SELECT query_id,
+           sum((neighbor_id % {TS_MOD} = {TS_RES})::INT)::BIGINT AS n_stale
+    FROM un_ranked WHERE rank <= {IVF_K} GROUP BY 1
+  ),
+  m_ranked AS ({ranked(cand(f" AND NOT {tomb}"))}),
+  ex_ranked AS (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             {_IVF_COS.format(a="q.qv", b="v.e")} AS cos
+      FROM q JOIN v ON v.vec_id <> q.query_id
+      WHERE NOT (v.vec_id % {TS_MOD} = {TS_RES})
+    )
+  ),
+  rec AS (
+    SELECT e.query_id,
+           sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit
+    FROM (SELECT * FROM ex_ranked WHERE rank <= {IVF_K}) e
+    LEFT JOIN (SELECT * FROM m_ranked WHERE rank <= {IVF_K}) m
+      USING (query_id, neighbor_id)
+    GROUP BY 1
+  )
+SELECT r.query_id, s.n_stale, r.n_hit,
+  {sql_round(f"r.n_hit::DOUBLE / CAST({IVF_K} AS DOUBLE)", 6)} AS recall
+FROM rec r JOIN stale s USING (query_id)
+"""
+    )
+
 
 _IVF_STALENESS_SQL = (
     "WITH"
@@ -2267,6 +2472,8 @@ QUERIES = {
     "events_json_stats": events_json_stats,
     "ivf_trained_topk": ivf_trained_topk,
     "ivf_list_stats": ivf_list_stats,
+    "ivf_tombstone_compact": ivf_tombstone_compact,
+    "ivf_tombstone_probe_eval": ivf_tombstone_probe_eval,
     "ivf_silhouette_histogram": ivf_silhouette_histogram,
     "ivf_staleness_eval": ivf_staleness_eval,
     "window_lag_delta": window_lag_delta,
@@ -2326,6 +2533,8 @@ ORACLES = {
     "salted_join_revenue": _SALTED_JOIN_SQL,
     "ivf_trained_topk": _IVF_TRAINED_SQL,
     "ivf_list_stats": _IVF_LIST_STATS_SQL,
+    "ivf_tombstone_compact": _IVF_TOMBSTONE_COMPACT_SQL,
+    "ivf_tombstone_probe_eval": _ivf_tombstone_eval_sql(),
     "ivf_silhouette_histogram": _ivf_silhouette_sql(),
     "ivf_staleness_eval": _IVF_STALENESS_SQL,
     "orders_expectations": _expectations_sql(),

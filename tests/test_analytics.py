@@ -279,3 +279,40 @@ def test_link_prediction_predicts_only_absent_edges(spark):
         zip(-rows["aa_score"], rows["part_a"], rows["part_b"])
     )
     assert key == sorted(key)
+
+
+def test_tombstone_compact_accounting(spark):
+    """Delete-lifecycle invariants: posting mass is conserved
+    (n_after = n_before - n_tombstoned exactly on compacted lists,
+    n_before otherwise; pending tombstones only on uncompacted lists),
+    and the synthetic delete rate yields BOTH compacted and
+    tombstone-carrying lists so the scheduler table is non-vacuous."""
+    from pyspark_data_processing_challenge_spark.queries import extended
+
+    rows = extended.ivf_tombstone_compact(spark, SF_DIR).toPandas()
+    assert len(rows) == extended.IVF_NCENTROIDS
+    comp = rows[rows["compacted"]]
+    keep = rows[~rows["compacted"]]
+    assert len(comp) > 0 and len(keep) > 0
+    assert (comp["n_after"] == comp["n_before"] - comp["n_tombstoned"]).all()
+    assert (comp["n_pending"] == 0).all()
+    assert (keep["n_after"] == keep["n_before"]).all()
+    assert (keep["n_pending"] == keep["n_tombstoned"]).all()
+    assert (
+        rows["frac_deleted"] >= extended.TS_COMPACT_FRAC - 1e-9
+    ).eq(rows["compacted"]).all()
+
+
+def test_tombstone_probe_masks_deletes(spark):
+    """Serving under deletes: the unmasked probe WOULD have returned
+    stale (tombstoned) results for at least one query — the eval's
+    reason to exist — and the masked probe's recall is measured against
+    exact brute force over the surviving corpus only."""
+    from pyspark_data_processing_challenge_spark.queries import extended
+
+    rows = extended.ivf_tombstone_probe_eval(spark, SF_DIR).toPandas()
+    assert len(rows) == extended.IVF_QUERY_HI - extended.IVF_QUERY_LO
+    assert rows["n_stale"].sum() > 0
+    assert (rows["n_stale"] <= extended.IVF_K).all()
+    assert (rows["n_hit"] <= extended.IVF_K).all()
+    assert rows["recall"].between(0, 1).all()
