@@ -120,6 +120,7 @@ HEADLINE = [
     "copurchase_link_prediction",  # r13: Adamic-Adar/RA link prediction
     "ivf_tombstone_compact",  # r13: ANN delete lifecycle scheduler
     "ivf_tombstone_probe_eval",  # r13: stale-results + post-delete recall
+    "customers_dp_release",  # r13: Laplace-mechanism DP count release
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -45,6 +45,7 @@ _VERDICT_PRIORITY = [
     "copurchase_link_prediction",  # new: Adamic-Adar/RA link prediction
     "ivf_tombstone_compact",  # new: ANN delete lifecycle / compaction scheduler
     "ivf_tombstone_probe_eval",  # new: stale-result + post-delete recall eval
+    "customers_dp_release",  # new: Laplace-mechanism DP count release
     # --- oldest-verdict re-verification: the staged r01+r07 band
     # (last driver-verified r07 — five rounds of drift risk covered
     # only by the local gate until now; VERDICT r12 #1), incl. all ten
@@ -86,7 +87,6 @@ _VERDICT_PRIORITY = [
     "spatial_grid_neighbors",  # was r08-vintage
     "priority_mix_chi2",  # was r08-vintage
     "events_dow_hour_profile",  # was r08-vintage
-    "docs_blocklist_screen",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -100,6 +100,7 @@ _ROTATED_OUT = {
     "events_udtf_polymorphic": "r08",
     "domain_reweight_plan": "r08",
     "corpus_scaling_curve": "r08",
+    "docs_blocklist_screen": "r08",
     "lateral_top_customers": "r08",
     "events_hourly_tvf": "r08",
     "join_revenue_by_nation_shj": "r08",

@@ -1164,6 +1164,98 @@ FROM g
 """
 
 
+DP_EPS = 0.5  # per-release privacy budget; sensitivity 1 (count query)
+DP_B = 1.0 / DP_EPS  # Laplace scale b = sensitivity / epsilon
+DP_UBITS = 20  # uniform granularity: u = odd/2^21, exactly representable
+_LN2 = 0.6931471805599453  # closest double to ln 2 — identical literal
+# salts are PREPENDED: a trailing salt only shifts the polynomial hash
+# by the salt delta (last char has weight 31^0), leaving the two
+# uniforms correlated (measured noise ~1e-6); a leading salt reweights
+# every key character, decorrelating the draws
+_DP_SALT_A, _DP_SALT_B = "dpa:", "dpb:"
+
+
+def customers_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private COUNT release (Dwork et al. 2006's
+    Laplace mechanism, the shape every DP SQL engine ships for
+    histogram publication) — the companion to customers_k_anonymity:
+    k-anonymity SUPPRESSES risky groups, DP perturbs every released
+    count with Laplace(b = 1/ε) noise so the release carries a formal
+    (ε={DP_EPS}, 0) guarantee regardless of an attacker's side data.
+    Per market segment: the true count (kept here because the demo
+    corpus is synthetic and the oracle must verify the mechanism — a
+    real release ships ONLY n_released), the noise draw, the released
+    value clamped at 0 (post-processing preserves DP), and the budget
+    spent.
+
+    Determinism without RNG (the docs_domain_mix stance — rerun-stable
+    and engine-portable): the two uniforms come from char_hash of the
+    salted group key, mapped to u = (2·(h mod 2^{DP_UBITS}) + 1) /
+    2^{DP_UBITS + 1} — an exactly-representable dyadic rational in
+    (0, 1), never 0 — and the Laplace draw is the difference of two
+    exponentials, b·(ln u₁ − ln u₂), computed as b·ln2·(log2 u₁ −
+    log2 u₂): log2 of exact dyadic rationals is the established
+    cross-engine-portable transcendental (surprisal/DSIR/Holt
+    precedents), and ln2 is a shared literal. A production deployment
+    swaps the hash for a sealed RNG seed; the mechanism's dataflow —
+    one keys-only aggregate, row-local noise, no shuffle beyond the
+    groupBy — is identical."""
+    c = t(spark, sf_dir, "customer")
+    per = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+
+    def log2u(salt: str):
+        h = textfns.char_hash(F.concat(F.lit(salt), F.col("c_mktsegment")))
+        odd = (h % F.lit(2**DP_UBITS)) * 2 + 1
+        return F.log2(odd.cast("double")) - F.lit(float(DP_UBITS + 1))
+
+    noise = (
+        F.lit(DP_B) * F.lit(_LN2) * (log2u(_DP_SALT_A) - log2u(_DP_SALT_B))
+    )
+    staged = per.withColumn("__noise", noise)
+    return staged.select(
+        "c_mktsegment",
+        "n_true",
+        round_to(F.col("__noise"), 6).alias("noise"),
+        round_to(
+            F.greatest(
+                F.lit(0.0), F.col("n_true").cast("double") + F.col("__noise")
+            ),
+            6,
+        ).alias("n_released"),
+        F.lit(DP_EPS).alias("epsilon"),
+    )
+
+
+def _dp_log2u(salt: str) -> str:
+    h = sql_char_hash(f"'{salt}' || c_mktsegment")
+    return (
+        f"(log2(((({h}) % {2**DP_UBITS}) * 2 + 1)::DOUBLE)"
+        f" - CAST({DP_UBITS + 1} AS DOUBLE))"
+    )
+
+
+_DP_RELEASE_SQL = f"""
+WITH per AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n_true
+  FROM customer GROUP BY 1
+),
+staged AS (
+  SELECT c_mktsegment, n_true,
+    CAST({DP_B} AS DOUBLE) * CAST({_LN2!r} AS DOUBLE)
+      * ({_dp_log2u(_DP_SALT_A)} - {_dp_log2u(_DP_SALT_B)}) AS noise
+  FROM per
+)
+SELECT c_mktsegment, n_true,
+  {sql_round("noise", 6)} AS noise,
+  {sql_round("greatest(CAST(0 AS DOUBLE), n_true::DOUBLE + noise)", 6)}
+    AS n_released,
+  CAST({DP_EPS} AS DOUBLE) AS epsilon
+FROM staged
+"""
+
+
 def parts_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter (1969) match weights — the probabilistic scoring
     layer record-linkage systems put ON TOP of the blocking + rules
@@ -1309,6 +1401,7 @@ QUERIES = {
     "parts_fs_weights": parts_fs_weights,
     "customers_masked": customers_masked,
     "customers_k_anonymity": customers_k_anonymity,
+    "customers_dp_release": customers_dp_release,
     "parts_entity_resolution": parts_entity_resolution,
     "parts_snm_pairs": parts_snm_pairs,
     "events_udtf_polymorphic": events_udtf_polymorphic,
@@ -1338,6 +1431,7 @@ ORACLES = {
     "parts_fs_weights": _fs_weights_sql(),
     "customers_masked": _MASKED_SQL,
     "customers_k_anonymity": _K_ANON_SQL,
+    "customers_dp_release": _DP_RELEASE_SQL,
     "parts_entity_resolution": _ER_SQL,
     "parts_snm_pairs": _SNM_SQL,
     "events_udtf_polymorphic": _UDTF_POLY_SQL,

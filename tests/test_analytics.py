@@ -316,3 +316,24 @@ def test_tombstone_probe_masks_deletes(spark):
     assert (rows["n_stale"] <= extended.IVF_K).all()
     assert (rows["n_hit"] <= extended.IVF_K).all()
     assert rows["recall"].between(0, 1).all()
+
+
+def test_dp_release_mechanism_properties(spark):
+    """Laplace-release invariants: released values are non-negative,
+    noise actually perturbs at the b = 1/epsilon scale (the trailing-
+    salt correlation bug produced ~1e-6 noise — pin against it), the
+    mechanism is deterministic across runs, and no released value
+    leaks the true count exactly."""
+    from pyspark_data_processing_challenge_spark.queries import extra
+
+    rows = extra.customers_dp_release(spark, SF_DIR).toPandas()
+    assert (rows["n_released"] >= 0).all()
+    assert (rows["epsilon"] == extra.DP_EPS).all()
+    # scale sanity: mean |noise| of Laplace(b) is b; with 5 draws allow
+    # a wide band but far above the correlated-hash failure mode
+    assert rows["noise"].abs().max() > 0.1
+    assert rows["noise"].abs().max() < 40 * extra.DP_B
+    assert (rows["noise"] != 0).all()
+    again = extra.customers_dp_release(spark, SF_DIR).toPandas()
+    assert rows.sort_values("c_mktsegment")["n_released"].tolist() == \
+        again.sort_values("c_mktsegment")["n_released"].tolist()
