@@ -121,6 +121,8 @@ HEADLINE = [
     "ivf_tombstone_compact",  # r13: ANN delete lifecycle scheduler
     "ivf_tombstone_probe_eval",  # r13: stale-results + post-delete recall
     "customers_dp_release",  # r13: Laplace-mechanism DP count release
+    "embedding_knn_graph",  # r13: corpus-wide list-bounded kNN graph
+    "knn_graph_stats",  # r13: mutual-edge health report
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -157,6 +157,66 @@ def ivf_assign(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """Approximate kNN GRAPH over the WHOLE corpus: every vector's
+    top-k cosine neighbors within its coarse IVF list — the input
+    structure for SemDeDup-style clustering, SNN/mutual-kNN community
+    detection, and connectivity-based dedup (Abbas et al. 2023 build
+    exactly this before pruning).
+
+    Scale shape: one broadcast-codebook assignment pass, then a
+    per-list equi-self-join — pair work is Σ |list|², bounded by the
+    quantizer's balance (ivf_list_stats is the monitoring table; a
+    hot list is re-trained or salted there, the same contract FAISS
+    IVF accepts). No sub-splitting: unlike threshold pair generation
+    (semdedup), a kNN graph's per-node top-k would be biased by any
+    further partitioning of the candidate set. Recall < 1 by
+    construction (neighbors across a list boundary are invisible —
+    the IVF trade at nprobe=1); multi-assign to the top-p centroids
+    raises it at p× the pair cost.
+
+    Output: (vec_id, neighbor_id, cosine, rank), rank 1..k per node,
+    deterministic tie-break on neighbor id; nodes in lists smaller
+    than k+1 emit fewer edges."""
+    assigned = ivf_assign(
+        corpus, centroids,
+        id_col=id_col, vec_col=vec_col,
+        centroid_id=centroid_id, centroid_vec=centroid_vec,
+    )
+    left = assigned.select(
+        "centroid_id", F.col("doc").alias("vec_id"), F.col("vec").alias("__va")
+    )
+    right = assigned.select(
+        "centroid_id",
+        F.col("doc").alias("neighbor_id"),
+        F.col("vec").alias("__vb"),
+    )
+    scored = (
+        left.join(right, "centroid_id")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            vectors.cosine(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def codebook_assign_column(
     codebook: list[tuple[int, list[float]]], vec: Column
 ) -> Column:

@@ -46,6 +46,8 @@ _VERDICT_PRIORITY = [
     "ivf_tombstone_compact",  # new: ANN delete lifecycle / compaction scheduler
     "ivf_tombstone_probe_eval",  # new: stale-result + post-delete recall eval
     "customers_dp_release",  # new: Laplace-mechanism DP count release
+    "embedding_knn_graph",  # new: corpus-wide list-bounded kNN graph
+    "knn_graph_stats",  # new: degree/mutual-edge health report
     # --- oldest-verdict re-verification: the staged r01+r07 band
     # (last driver-verified r07 — five rounds of drift risk covered
     # only by the local gate until now; VERDICT r12 #1), incl. all ten
@@ -85,8 +87,6 @@ _VERDICT_PRIORITY = [
     "video_remux_dedup",  # was r08-vintage
     "image_tri_codec_near_dup",  # was r08-vintage
     "spatial_grid_neighbors",  # was r08-vintage
-    "priority_mix_chi2",  # was r08-vintage
-    "events_dow_hour_profile",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -101,6 +101,8 @@ _ROTATED_OUT = {
     "domain_reweight_plan": "r08",
     "corpus_scaling_curve": "r08",
     "docs_blocklist_screen": "r08",
+    "priority_mix_chi2": "r08",
+    "events_dow_hour_profile": "r08",
     "lateral_top_customers": "r08",
     "events_hourly_tvf": "r08",
     "join_revenue_by_nation_shj": "r08",

@@ -1343,6 +1343,62 @@ def ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 5
+
+
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph (operators/similarity.
+    knn_graph): every vector's top-{KNN_K} cosine neighbors within its
+    IVF list — the structure SemDeDup-style clustering, mutual-kNN
+    community detection, and connectivity dedup consume. Per-list
+    self-join bounded by quantizer balance (monitored by
+    ivf_list_stats); nprobe=1 recall is the IVF trade, measured by
+    the companion stats/recall entries, never assumed."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = similarity.knn_graph(emb, cent, k=KNN_K)
+    return out.select(
+        "vec_id",
+        "neighbor_id",
+        round_to(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph's health report as exact integers: node/edge
+    counts, nodes short of k edges (their list is smaller than k+1 —
+    a quantizer-balance symptom), and the MUTUAL edge count + rate
+    (u in kNN(v) AND v in kNN(u)) — mutual-kNN is the edge set
+    SNN-style clustering keeps, so its density decides whether the
+    graph is usable before anyone runs components on it. One
+    self-join of the k·n edge list on the reversed key."""
+    g = embedding_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    rev = g.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("vec_id"),
+        F.lit(1).alias("__mut"),
+    )
+    tagged = g.join(rev, ["vec_id", "neighbor_id"], "left")
+    per_node = tagged.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.sum(F.coalesce(F.col("__mut"), F.lit(0))).alias("mut"),
+    )
+    return per_node.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("n_edges"),
+        F.sum((F.col("deg") < KNN_K).cast("long"))
+        .cast("long")
+        .alias("n_short_nodes"),
+        F.sum("mut").cast("long").alias("n_mutual"),
+        round_to(
+            F.sum("mut").cast("double") / F.sum("deg").cast("double"), 6
+        ).alias("mutual_rate"),
+    )
+
+
 TS_MOD, TS_RES = 17, 5  # tombstones: vec_id % 17 == 5 (~5.9% deleted)
 TS_COMPACT_FRAC = 0.06  # rewrite a list once >= 6% of it is deleted
 
@@ -1788,6 +1844,61 @@ SELECT centroid_id, n_vecs,
   {sql_round("n_vecs::DOUBLE / t::DOUBLE", 6)} AS share,
   {sql_round(f"n_vecs::DOUBLE * {IVF_NCENTROIDS} / t::DOUBLE", 6)} AS imbalance
 FROM per_list, tot
+"""
+)
+
+_KNN_GRAPH_CTES = (
+    _IVF_ASSIGN_CTE
+    + f""",
+  kpairs AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           {_IVF_COS.format(a="a.e", b="b.e")} AS cos
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+  ),
+  kranked AS (
+    SELECT vec_id, neighbor_id, cos,
+      row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+    FROM kpairs
+  ),
+  kgraph AS (
+    SELECT vec_id, neighbor_id, cos, rank FROM kranked
+    WHERE rank <= {KNN_K}
+  )
+"""
+)
+
+_KNN_GRAPH_SQL = (
+    "WITH"
+    + _KNN_GRAPH_CTES
+    + f"""
+SELECT vec_id, neighbor_id, {sql_round("cos", 6)} AS cosine,
+       rank::BIGINT AS rank
+FROM kgraph
+"""
+)
+
+_KNN_STATS_SQL = (
+    "WITH"
+    + _KNN_GRAPH_CTES
+    + f""",
+  tagged AS (
+    SELECT g.vec_id,
+           (r.vec_id IS NOT NULL)::INT AS mut
+    FROM kgraph g LEFT JOIN kgraph r
+      ON r.vec_id = g.neighbor_id AND r.neighbor_id = g.vec_id
+  ),
+  per_node AS (
+    SELECT vec_id, count(*)::BIGINT AS deg, sum(mut)::BIGINT AS mut
+    FROM tagged GROUP BY 1
+  )
+SELECT count(*)::BIGINT AS n_nodes,
+  sum(deg)::BIGINT AS n_edges,
+  sum((deg < {KNN_K})::INT)::BIGINT AS n_short_nodes,
+  sum(mut)::BIGINT AS n_mutual,
+  {sql_round("sum(mut)::DOUBLE / sum(deg)::DOUBLE", 6)} AS mutual_rate
+FROM per_node
 """
 )
 
@@ -2474,6 +2585,8 @@ QUERIES = {
     "ivf_list_stats": ivf_list_stats,
     "ivf_tombstone_compact": ivf_tombstone_compact,
     "ivf_tombstone_probe_eval": ivf_tombstone_probe_eval,
+    "embedding_knn_graph": embedding_knn_graph,
+    "knn_graph_stats": knn_graph_stats,
     "ivf_silhouette_histogram": ivf_silhouette_histogram,
     "ivf_staleness_eval": ivf_staleness_eval,
     "window_lag_delta": window_lag_delta,
@@ -2535,6 +2648,8 @@ ORACLES = {
     "ivf_list_stats": _IVF_LIST_STATS_SQL,
     "ivf_tombstone_compact": _IVF_TOMBSTONE_COMPACT_SQL,
     "ivf_tombstone_probe_eval": _ivf_tombstone_eval_sql(),
+    "embedding_knn_graph": _KNN_GRAPH_SQL,
+    "knn_graph_stats": _KNN_STATS_SQL,
     "ivf_silhouette_histogram": _ivf_silhouette_sql(),
     "ivf_staleness_eval": _IVF_STALENESS_SQL,
     "orders_expectations": _expectations_sql(),
