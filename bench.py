@@ -123,6 +123,7 @@ HEADLINE = [
     "customers_dp_release",  # r13: Laplace-mechanism DP count release
     "embedding_knn_graph",  # r13: corpus-wide list-bounded kNN graph
     "knn_graph_stats",  # r13: mutual-edge health report
+    "embedding_snn_clusters",  # r13: mutual-kNN (SNN) clustering
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -1399,6 +1399,41 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_snn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-nearest-neighbor clustering (Ertöz/Steinbach/Kumar 2003,
+    the SemDeDup-paper pipeline's grouping step): connected components
+    over the MUTUAL edges of the kNN graph — u and v cluster together
+    only when each ranks in the other's top-{KNN_K}, which prunes the
+    asymmetric hub edges that make raw-kNN components collapse into
+    one giant blob. The arc completes here: embedding_knn_graph builds
+    the graph, knn_graph_stats reports whether the mutual edge set is
+    dense enough to be useful (~0.72), and this query runs the
+    clustering on it. Output: (node, component = min reachable id) per
+    node with at least one mutual edge.
+
+    Scale shape: the mutual filter is one self-join of the k·n edge
+    list on the reversed key; components run on the pair-bounded
+    mutual set with localCheckpointed iterations (the iterative-
+    operator rule). The oracle replays the closure as a recursive
+    CTE."""
+    from ..operators import graph
+
+    g = embedding_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    rev = g.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("vec_id"),
+    )
+    # mutual, deduplicated to u < v
+    mutual = (
+        g.join(rev, ["vec_id", "neighbor_id"])
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+        )
+    )
+    return graph.connected_components(mutual)
+
+
 TS_MOD, TS_RES = 17, 5  # tombstones: vec_id % 17 == 5 (~5.9% deleted)
 TS_COMPACT_FRAC = 0.06  # rewrite a list once >= 6% of it is deleted
 
@@ -1899,6 +1934,28 @@ SELECT count(*)::BIGINT AS n_nodes,
   sum(mut)::BIGINT AS n_mutual,
   {sql_round("sum(mut)::DOUBLE / sum(deg)::DOUBLE", 6)} AS mutual_rate
 FROM per_node
+"""
+)
+
+_SNN_CLUSTERS_SQL = (
+    "WITH RECURSIVE"
+    + _KNN_GRAPH_CTES
+    + """,
+  mutual AS (
+    SELECT g.vec_id AS u, g.neighbor_id AS v
+    FROM kgraph g JOIN kgraph r
+      ON r.vec_id = g.neighbor_id AND r.neighbor_id = g.vec_id
+    WHERE g.vec_id < g.neighbor_id
+  ),
+  sym AS (
+    SELECT u, v FROM mutual UNION SELECT v AS u, u AS v FROM mutual
+  ),
+  reach(id, label) AS (
+    SELECT u AS id, u AS label FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v AS id, r.label FROM reach r JOIN sym s ON s.u = r.id
+  )
+SELECT id AS node, min(label) AS component FROM reach GROUP BY id
 """
 )
 
@@ -2587,6 +2644,7 @@ QUERIES = {
     "ivf_tombstone_probe_eval": ivf_tombstone_probe_eval,
     "embedding_knn_graph": embedding_knn_graph,
     "knn_graph_stats": knn_graph_stats,
+    "embedding_snn_clusters": embedding_snn_clusters,
     "ivf_silhouette_histogram": ivf_silhouette_histogram,
     "ivf_staleness_eval": ivf_staleness_eval,
     "window_lag_delta": window_lag_delta,
@@ -2650,6 +2708,7 @@ ORACLES = {
     "ivf_tombstone_probe_eval": _ivf_tombstone_eval_sql(),
     "embedding_knn_graph": _KNN_GRAPH_SQL,
     "knn_graph_stats": _KNN_STATS_SQL,
+    "embedding_snn_clusters": _SNN_CLUSTERS_SQL,
     "ivf_silhouette_histogram": _ivf_silhouette_sql(),
     "ivf_staleness_eval": _IVF_STALENESS_SQL,
     "orders_expectations": _expectations_sql(),
