@@ -124,6 +124,7 @@ HEADLINE = [
     "embedding_knn_graph",  # r13: corpus-wide list-bounded kNN graph
     "knn_graph_stats",  # r13: mutual-edge health report
     "embedding_snn_clusters",  # r13: mutual-kNN (SNN) clustering
+    "knn_graph_recall_eval",  # r13: measured recall vs assignment depth
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -1399,6 +1399,103 @@ def knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_EVAL_LO, KNN_EVAL_HI = 100, 110  # fixed-size eval sample
+
+
+def knn_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph's MEASURED recall curve over assignment depth —
+    the docstring claim ("multi-assign to the top-p centroids raises
+    recall at p× the pair cost") as a number, the
+    ivfpq_rerank_recall_eval pattern: for a fixed {KNN_EVAL_HI -
+    KNN_EVAL_LO}-node sample, each node's graph edges under p=1
+    (own-list, the embedding_knn_graph shape) and p=2 (each vector
+    indexed in its top-2 lists) are scored against the exact
+    brute-force top-{KNN_K}. Output one row per (scheme, node):
+    n_hit, recall.
+
+    Scale shape: membership is the broadcast-codebook scan with a
+    per-vector top-p window (p·n rows); the eval joins only the
+    SAMPLE's membership against corpus membership on the list key;
+    duplicate pairs from sharing two lists collapse through a
+    max-aggregate before ranking; the exact side is the broadcast
+    cosine_topk plan. The sample is fixed-size by construction — the
+    gate stays O(sample·list), never quadratic."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        vectors.cosine(F.col("embedding"), F.col("cv")).alias("__cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__cos").desc(), F.col("cid")
+    )
+    memb = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select("vec_id", "embedding", F.col("cid").alias("centroid_id"), "__rn")
+    )
+    sample = memb.filter(
+        (F.col("vec_id") >= KNN_EVAL_LO) & (F.col("vec_id") < KNN_EVAL_HI)
+    )
+    exact = similarity.cosine_topk(
+        emb,
+        emb.filter(
+            (F.col("vec_id") >= KNN_EVAL_LO) & (F.col("vec_id") < KNN_EVAL_HI)
+        ),
+        k=KNN_K,
+    ).select(F.col("query_id").alias("vec_id"), "neighbor_id")
+
+    def recall_of(p: int, scheme: str) -> DataFrame:
+        s = sample.filter(F.col("__rn") <= p).select(
+            "centroid_id", "vec_id", F.col("embedding").alias("__va")
+        )
+        c = memb.filter(F.col("__rn") <= p).select(
+            "centroid_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__vb"),
+        )
+        # the SAMPLE side is the bounded one — broadcast it so the
+        # corpus membership streams through one scan
+        pairs = c.join(F.broadcast(s), "centroid_id").filter(
+            F.col("vec_id") != F.col("neighbor_id")
+        )
+        scored_p = pairs.select(
+            "vec_id",
+            "neighbor_id",
+            vectors.cosine(F.col("__va"), F.col("__vb")).alias("__c"),
+        ).groupBy("vec_id", "neighbor_id").agg(F.max("__c").alias("__c"))
+        wp = Window.partitionBy("vec_id").orderBy(
+            F.col("__c").desc(), F.col("neighbor_id")
+        )
+        edges = (
+            scored_p.withColumn("__r", F.row_number().over(wp))
+            .filter(F.col("__r") <= KNN_K)
+            .select("vec_id", "neighbor_id", F.lit(1).alias("__hit"))
+        )
+        j = exact.join(F.broadcast(edges), ["vec_id", "neighbor_id"], "left")
+        return j.groupBy("vec_id").agg(
+            F.lit(scheme).alias("scheme"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+            round_to(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.lit(float(KNN_K)),
+                6,
+            ).alias("recall"),
+        )
+
+    return (
+        recall_of(1, "p1")
+        .unionByName(recall_of(2, "p2"))
+        .select("scheme", "vec_id", "n_hit", "recall")
+    )
+
+
 def embedding_snn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-nearest-neighbor clustering (Ertöz/Steinbach/Kumar 2003,
     the SemDeDup-paper pipeline's grouping step): connected components
@@ -1958,6 +2055,68 @@ _SNN_CLUSTERS_SQL = (
 SELECT id AS node, min(label) AS component FROM reach GROUP BY id
 """
 )
+
+def _knn_recall_eval_sql() -> str:
+    lo, hi = KNN_EVAL_LO, KNN_EVAL_HI
+    ctes = (
+        "WITH"
+        + _IVF_ASSIGN_CTE
+        + f""",
+  pmemb AS (
+    SELECT vec_id, e, cid AS centroid_id, rn FROM (
+      SELECT v.vec_id, v.e, cent.cid,
+        row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY {_IVF_COS.format(a="v.e", b="cent.cv")} DESC,
+                   cent.cid) AS rn
+      FROM v, cent
+    ) WHERE rn <= 2
+  ),
+  exact_r AS (
+    SELECT vec_id, neighbor_id FROM (
+      SELECT q.vec_id, c.vec_id AS neighbor_id,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY {_IVF_COS.format(a="q.e", b="c.e")} DESC,
+                   c.vec_id) AS r
+      FROM (SELECT * FROM v WHERE vec_id >= {lo} AND vec_id < {hi}) q
+      JOIN v c ON c.vec_id <> q.vec_id
+    ) WHERE r <= {KNN_K}
+  )"""
+    )
+    blocks, finals = [], []
+    for p, s in ((1, "p1"), (2, "p2")):
+        blocks.append(f""",
+  {s}pairs AS (
+    SELECT sm.vec_id, m.vec_id AS neighbor_id,
+           max({_IVF_COS.format(a="sm.e", b="m.e")}) AS c
+    FROM (SELECT * FROM pmemb WHERE rn <= {p}
+          AND vec_id >= {lo} AND vec_id < {hi}) sm
+    JOIN (SELECT * FROM pmemb WHERE rn <= {p}) m
+      ON m.centroid_id = sm.centroid_id AND m.vec_id <> sm.vec_id
+    GROUP BY 1, 2
+  ),
+  {s}edges AS (
+    SELECT vec_id, neighbor_id FROM (
+      SELECT vec_id, neighbor_id,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY c DESC, neighbor_id) AS r
+      FROM {s}pairs
+    ) WHERE r <= {KNN_K}
+  ),
+  {s}rec AS (
+    SELECT '{s}' AS scheme, e.vec_id,
+      sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        AS n_hit
+    FROM exact_r e LEFT JOIN {s}edges g
+      ON g.vec_id = e.vec_id AND g.neighbor_id = e.neighbor_id
+    GROUP BY 1, 2
+  )""")
+        finals.append(
+            f"SELECT scheme, vec_id, n_hit,"
+            f" {sql_round(f'n_hit::DOUBLE / CAST({KNN_K} AS DOUBLE)', 6)}"
+            f" AS recall FROM {s}rec"
+        )
+    return ctes + "".join(blocks) + "\n" + "\nUNION ALL\n".join(finals)
+
 
 _TS_PRED = f"(vec_id % {TS_MOD} = {TS_RES})"
 _TS_FRAC = "n_tombstoned::DOUBLE / n_before::DOUBLE"
@@ -2645,6 +2804,7 @@ QUERIES = {
     "embedding_knn_graph": embedding_knn_graph,
     "knn_graph_stats": knn_graph_stats,
     "embedding_snn_clusters": embedding_snn_clusters,
+    "knn_graph_recall_eval": knn_graph_recall_eval,
     "ivf_silhouette_histogram": ivf_silhouette_histogram,
     "ivf_staleness_eval": ivf_staleness_eval,
     "window_lag_delta": window_lag_delta,
@@ -2709,6 +2869,7 @@ ORACLES = {
     "embedding_knn_graph": _KNN_GRAPH_SQL,
     "knn_graph_stats": _KNN_STATS_SQL,
     "embedding_snn_clusters": _SNN_CLUSTERS_SQL,
+    "knn_graph_recall_eval": _knn_recall_eval_sql(),
     "ivf_silhouette_histogram": _ivf_silhouette_sql(),
     "ivf_staleness_eval": _IVF_STALENESS_SQL,
     "orders_expectations": _expectations_sql(),
