@@ -125,6 +125,7 @@ HEADLINE = [
     "knn_graph_stats",  # r13: mutual-edge health report
     "embedding_snn_clusters",  # r13: mutual-kNN (SNN) clustering
     "knn_graph_recall_eval",  # r13: measured recall vs assignment depth
+    "docs_classifier_auc",  # r13: exact rank-sum AUC, bounded score domain
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -50,6 +50,7 @@ _VERDICT_PRIORITY = [
     "knn_graph_stats",  # new: degree/mutual-edge health report
     "embedding_snn_clusters",  # new: mutual-kNN (SNN) clustering
     "knn_graph_recall_eval",  # new: measured recall vs assignment depth
+    "docs_classifier_auc",  # new: exact ROC-AUC of the serving-quantized scorer
     # --- oldest-verdict re-verification: the staged r01+r07 band
     # (last driver-verified r07 — five rounds of drift risk covered
     # only by the local gate until now; VERDICT r12 #1), incl. all ten
@@ -86,7 +87,6 @@ _VERDICT_PRIORITY = [
     "bootstrap_mean_ci",  # was r08-vintage
     "lsh_recall_eval",  # was r08-vintage
     "audio_fingerprint_near_dup",  # was r08-vintage
-    "video_remux_dedup",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -101,6 +101,7 @@ _ROTATED_OUT = {
     "domain_reweight_plan": "r08",
     "corpus_scaling_curve": "r08",
     "docs_blocklist_screen": "r08",
+    "video_remux_dedup": "r08",
     "image_tri_codec_near_dup": "r08",
     "spatial_grid_neighbors": "r08",
     "priority_mix_chi2": "r08",

@@ -6074,6 +6074,111 @@ FROM cal, errs
 """
 
 
+AUC_QBITS = 32  # serving-score grid: floor(logit*32) clamped to [-64, 63]
+
+
+def docs_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the hashed-linear quality scorer against the
+    dl >= {PT_LABEL_MIN_DL} weak label — the ranking-quality partner
+    of docs_classifier_calibration (calibration says the
+    probabilities are honest; AUC says the ORDERING separates classes)
+    via the rank-sum identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with
+    tie-aware average ranks.
+
+    Scored on the QUANTIZED serving logit — floor(logit·{AUC_QBITS})
+    clamped to [−64, 63] — for two load-bearing reasons: (a) that is
+    the score a production scorer actually serves (the QC_WEIGHTS
+    8-bit-quantization stance), so this AUC is the deployed ranking's
+    AUC; (b) the 128-value domain BOUNDS the rank computation — value
+    groups carry (n_v, npos_v), the rank-sum folds as the integer
+    2·R₊ = Σ npos_v·(2·cum_before + n_v + 1) over ≤128 distinct
+    scores (the ab_mannwhitney_events discipline), so no global
+    per-row window exists at any corpus size. Every reported double
+    derives from exact BIGINTs. Output: one row (n, n_pos, n_neg,
+    auc, gini = 2·auc − 1).
+
+    Honest number: the FIXED weights measure ~0.51 — near-chance, as
+    they must (the logit normalizes by dl, the very feature the weak
+    label thresholds); the eval exists for the mechanism, and the
+    TRAINED perceptron twin (docs_trained_classifier_eval) carries the
+    real separation evidence (19 vs 471 errors)."""
+    from ..operators import curation
+
+    d = t(spark, sf_dir, "documents")
+    scored = curation.hashed_linear_score(
+        d, "text", "doc_id", int_weights=QC_WEIGHTS, scale=QC_SCALE
+    )
+    q = F.greatest(
+        F.least(F.floor(F.col("logit") * AUC_QBITS), F.lit(63)), F.lit(-64)
+    ).cast("long")
+    pos = (F.col("dl") >= PT_LABEL_MIN_DL).cast("long")
+    g = scored.select(q.alias("__q"), pos.alias("__p")).groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("__p").alias("npos_v")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("__q").rowsBetween(W.unboundedPreceding, -1)
+    c = g.withColumn(
+        "__cum", F.coalesce(F.sum("n_v").over(w), F.lit(0).cast("long"))
+    )
+    s = c.agg(
+        F.sum(F.col("npos_v") * (2 * F.col("__cum") + F.col("n_v") + 1))
+        .cast("long")
+        .alias("__r2"),
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum("npos_v").cast("long").alias("n_pos"),
+    )
+    npos, n = F.col("n_pos"), F.col("n")
+    nneg = n - npos
+    auc = (
+        (F.col("__r2") - npos * (npos + 1)).cast("double")
+        / (2 * npos * nneg).cast("double")
+    )
+    return s.select(
+        "n",
+        "n_pos",
+        nneg.cast("long").alias("n_neg"),
+        round_to(auc, 6).alias("auc"),
+        round_to(auc * 2 - 1, 6).alias("gini"),
+    )
+
+
+def _auc_sql() -> str:
+    # rebuild the UNROUNDED logit from the exact integers (z_num, dl) —
+    # the scored CTE's logit column is already rounded to 6dp and a
+    # boundary row could quantize differently
+    z = f"(z_num::DOUBLE / ({QC_SCALE} * dl)::DOUBLE)"
+    qc = _qc_sql()
+    return f"""
+WITH scored AS ({qc}),
+g AS (
+  SELECT greatest(least(floor({z} * {AUC_QBITS}), 63), -64)::BIGINT AS q,
+         count(*)::BIGINT AS n_v,
+         sum((dl >= {PT_LABEL_MIN_DL})::INT)::BIGINT AS npos_v
+  FROM scored GROUP BY 1
+),
+c AS (
+  SELECT q, n_v, npos_v,
+    coalesce(sum(n_v) OVER (ORDER BY q
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+  FROM g
+),
+s AS (
+  SELECT sum(npos_v * (2 * cum + n_v + 1))::BIGINT AS r2,
+         sum(n_v)::BIGINT AS n, sum(npos_v)::BIGINT AS n_pos
+  FROM c
+)
+SELECT n, n_pos, (n - n_pos)::BIGINT AS n_neg,
+  {sql_round(
+      "(r2 - n_pos * (n_pos + 1))::DOUBLE"
+      " / (2 * n_pos * (n - n_pos))::DOUBLE", 6)} AS auc,
+  {sql_round(
+      "(r2 - n_pos * (n_pos + 1))::DOUBLE"
+      " / (2 * n_pos * (n - n_pos))::DOUBLE * 2 - 1", 6)} AS gini
+FROM s
+"""
+
+
 def minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-capacity curve for the banded MinHash detector: every
     banded candidate pair bucketed by its estimated Jaccard (agreeing
@@ -6116,6 +6221,7 @@ QUERIES = {
     "docs_trained_classifier_eval": docs_trained_classifier_eval,
     "docs_classifier_calibration": docs_classifier_calibration,
     "minhash_threshold_sweep": minhash_threshold_sweep,
+    "docs_classifier_auc": docs_classifier_auc,
     "phash_precision_eval": phash_precision_eval,
     "docs_hashed_embedding": docs_hashed_embedding,
     "hashed_embedding_planted_cosine": hashed_embedding_planted_cosine,
@@ -6210,6 +6316,7 @@ ORACLES = {
     "docs_trained_classifier_eval": _trained_eval_sql(),
     "docs_classifier_calibration": _qc_cal_sql(),
     "minhash_threshold_sweep": _mh_sweep_sql(),
+    "docs_classifier_auc": _auc_sql(),
     "phash_precision_eval": _phash_precision_sql(),
     "docs_hashed_embedding": _TE_SQL,
     "hashed_embedding_planted_cosine": _te_planted_sql(),
