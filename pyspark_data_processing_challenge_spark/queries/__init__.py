@@ -91,9 +91,10 @@ _VERDICT_PRIORITY = [
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
-    # displaced from the r13 window by the three r13b additions
-    # (docs_softdedup_weights / embedding_decontaminate /
-    # copurchase_link_prediction need FIRST verdicts); these three
+    # displaced from the r13 window by the ten r13b additions
+    # (softdedup weights, semantic decon, link prediction, tombstone
+    # lifecycle pair, DP release, kNN graph + stats + SNN clusters +
+    # recall eval, classifier AUC — all need FIRST verdicts); these
     # hold green r08 verdicts and lead the r14 re-verification queue
     "snapshot_merkle_diff": "r08",
     "customers_masked": "r08",
@@ -114,9 +115,9 @@ _ROTATED_OUT = {
     "customers_k_anonymity": "r08",
     # r13 rotation: the entire 50-slot r12 window came back green
     # (CORRECTNESS_r12 50/50) and rotates out to fund the staged
-    # r01+r07 band + the first 21 r08 rows. The r14 queue front is
-    # the REMAINING r08 band below (revenue_holt_forecast ...
-    # minhash_signatures).
+    # r01+r07 band + the r13b additions. The r14 queue front is the
+    # displaced r08 band above, then the remaining r08 rows below
+    # (revenue_holt_forecast ... minhash_signatures).
     "curate_corpus": "r12",
     "docs_max_dup_extents_salted": "r12",
     "embedding_top_pc": "r12",
