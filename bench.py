@@ -126,6 +126,8 @@ HEADLINE = [
     "embedding_snn_clusters",  # r13: mutual-kNN (SNN) clustering
     "knn_graph_recall_eval",  # r13: measured recall vs assignment depth
     "docs_classifier_auc",  # r13: exact rank-sum AUC, bounded score domain
+    "embedding_binary_codes",  # r13: sign-bit 32x serving codes
+    "embedding_binary_recall_eval",  # r13: Hamming recall at 32x compression
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",
@@ -371,10 +373,12 @@ def main() -> None:
         # eigensolve per sf_dir (for the plan-lint sweep / parity
         # runs); a timed rep must pay the real work, so clear it
         from pyspark_data_processing_challenge_spark.queries import advanced as _adv
+        from pyspark_data_processing_challenge_spark.queries import extended as _ext
         from pyspark_data_processing_challenge_spark.queries import llm as _llm
 
         _adv._PCA_MEMO.clear()
         _llm._CC_MEMO.clear()
+        _ext._KNN_MEMO.clear()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)

@@ -51,6 +51,8 @@ _VERDICT_PRIORITY = [
     "embedding_snn_clusters",  # new: mutual-kNN (SNN) clustering
     "knn_graph_recall_eval",  # new: measured recall vs assignment depth
     "docs_classifier_auc",  # new: exact ROC-AUC of the serving-quantized scorer
+    "embedding_binary_codes",  # new: sign-bit 32x-compressed serving codes
+    "embedding_binary_recall_eval",  # new: Hamming recall at 32x compression
     # --- oldest-verdict re-verification: the staged r01+r07 band
     # (last driver-verified r07 — five rounds of drift risk covered
     # only by the local gate until now; VERDICT r12 #1), incl. all ten
@@ -85,8 +87,6 @@ _VERDICT_PRIORITY = [
     # ahead of the remaining r08 rows in _ROTATED_OUT) ---
     "docs_semantic_dedup",  # was r08-vintage
     "bootstrap_mean_ci",  # was r08-vintage
-    "lsh_recall_eval",  # was r08-vintage
-    "audio_fingerprint_near_dup",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -102,6 +102,8 @@ _ROTATED_OUT = {
     "domain_reweight_plan": "r08",
     "corpus_scaling_curve": "r08",
     "docs_blocklist_screen": "r08",
+    "lsh_recall_eval": "r08",
+    "audio_fingerprint_near_dup": "r08",
     "video_remux_dedup": "r08",
     "image_tri_codec_near_dup": "r08",
     "spatial_grid_neighbors": "r08",

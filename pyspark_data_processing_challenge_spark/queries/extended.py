@@ -1345,6 +1345,27 @@ def ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_K = 5
 
+# Three catalog queries consume the same k·n-edge graph (the graph
+# itself, the health report, SNN clustering), and full-catalog sweeps
+# (plan lint, oracle parity) build every query — memoize the
+# localCheckpointed edge frame per sf_dir (deterministic function of
+# the parquet path). bench.py clears this per timed rep (the _CC_MEMO
+# contract), so bench numbers stay standalone.
+_KNN_MEMO: dict = {}
+
+
+def _knn_graph_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("kgraph", sf_dir)
+    if key not in _KNN_MEMO:
+        emb = spread(t(spark, sf_dir, "embeddings"))
+        cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+        _KNN_MEMO[key] = similarity.knn_graph(
+            emb, cent, k=KNN_K
+        ).localCheckpoint()
+    return _KNN_MEMO[key]
+
 
 def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate kNN graph (operators/similarity.
@@ -1354,11 +1375,7 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join bounded by quantizer balance (monitored by
     ivf_list_stats); nprobe=1 recall is the IVF trade, measured by
     the companion stats/recall entries, never assumed."""
-    emb = spread(t(spark, sf_dir, "embeddings"))
-    cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    out = similarity.knn_graph(emb, cent, k=KNN_K)
+    out = _knn_graph_frame(spark, sf_dir)
     return out.select(
         "vec_id",
         "neighbor_id",

@@ -1035,6 +1035,166 @@ FROM dq
 """
 
 
+BQ_LO, BQ_HI = 100, 110  # fixed query sample (the IVF eval ids)
+BQ_K = 5
+
+
+def _binary_word(v, base: int):
+    """32-bit sign word of dims [base, base+32) of a double array —
+    two words per 64-dim vector so no mask ever touches a BIGINT sign
+    bit (the operators/bloom.py packing rule); literal multipliers, no
+    column shifts."""
+    terms = [
+        (v[base + i] >= 0).cast("long") * F.lit(1 << i) for i in range(32)
+    ]
+    out = F.lit(0).cast("long")
+    for term in terms:
+        out = out + term
+    return out
+
+
+def embedding_binary_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY (sign-bit) embedding quantization — the 32× compression
+    tier below embedding_quantize's int8 (256 B → 8 B per 64-dim
+    vector): each dimension's sign becomes one bit, packed into two
+    32-bit words, and similarity serves as Hamming distance via
+    xor+popcount — the binary-embedding serving trick every vector
+    store now ships (it is sign-random-projection LSH with the
+    identity projection, so the Hamming/angle relationship is the
+    Charikar 2002 bound). Map-only: one scan, 64 comparisons per row,
+    zero shuffles; the code table is the serving artifact."""
+    emb = t(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("__v")
+    )
+    return staged.select(
+        "vec_id",
+        _binary_word(F.col("__v"), 0).alias("code_lo"),
+        _binary_word(F.col("__v"), 32).alias("code_hi"),
+    )
+
+
+def embedding_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary tier's MEASURED price: per query (the fixed
+    {BQ_HI - BQ_LO}-id sample), top-{BQ_K} by Hamming distance over
+    the packed codes vs the exact cosine top-{BQ_K} — recall@k of
+    serving at 32× compression, the number that decides whether the
+    binary tier is a shortlist stage (rerank like ivfpq) or a
+    standalone index. Integer Hamming = bit_count(xor(lo)) +
+    bit_count(xor(hi)), deterministic (distance asc, id) ranking —
+    the whole approximate side is exact integers, so the oracle
+    replays it bit-for-bit. Queries broadcast into ONE spread corpus
+    scan; the exact side is the broadcast cosine_topk plan."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    codes = emb.select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("__v")
+    ).select(
+        "vec_id",
+        _binary_word(F.col("__v"), 0).alias("__lo"),
+        _binary_word(F.col("__v"), 32).alias("__hi"),
+    )
+    q = codes.filter(
+        (F.col("vec_id") >= BQ_LO) & (F.col("vec_id") < BQ_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__lo").alias("__qlo"),
+        F.col("__hi").alias("__qhi"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("__lo").bitwiseXOR(F.col("__qlo")))
+                + F.bit_count(F.col("__hi").bitwiseXOR(F.col("__qhi")))
+            ).cast("long").alias("__ham"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("__ham", "neighbor_id")
+    approx = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= BQ_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= BQ_LO) & (F.col("vec_id") < BQ_HI)
+    )
+    exact = similarity.cosine_topk(emb, queries, k=BQ_K).select(
+        "query_id", "neighbor_id"
+    )
+    j = exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        round_to(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.lit(float(BQ_K)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _sql_binary_word(e: str, base: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {e}[{base + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"({terms})::BIGINT"
+
+
+_BINARY_CODES_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id, {_sql_binary_word("e", 0)} AS code_lo,
+       {_sql_binary_word("e", 32)} AS code_hi
+FROM v
+"""
+
+_BINARY_RECALL_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+codes AS (
+  SELECT vec_id, {_sql_binary_word("e", 0)} AS lo,
+         {_sql_binary_word("e", 32)} AS hi
+  FROM v
+),
+q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM codes
+      WHERE vec_id >= {BQ_LO} AND vec_id < {BQ_HI}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         (bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)))::BIGINT
+           AS ham
+  FROM codes c, q WHERE c.vec_id <> q.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY ham, neighbor_id) AS r
+    FROM scored
+  ) WHERE r <= {BQ_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY qq.vec_id
+        ORDER BY {sql_cosine("qq.e", "c.e", EMB_DIM)} DESC, c.vec_id) AS r
+    FROM (SELECT * FROM v WHERE vec_id >= {BQ_LO} AND vec_id < {BQ_HI}) qq
+    JOIN v c ON c.vec_id <> qq.vec_id
+  ) WHERE r <= {BQ_K}
+)
+SELECT e.query_id,
+  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+  {sql_round(
+      "sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE"
+      f" / CAST({BQ_K} AS DOUBLE)", 6)} AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY 1
+"""
+
+
 MIX_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.25, "zh": 0.25}
 
 
@@ -6303,6 +6463,8 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "docs_domain_mix": docs_domain_mix,
     "embedding_quantize": embedding_quantize,
+    "embedding_binary_codes": embedding_binary_codes,
+    "embedding_binary_recall_eval": embedding_binary_recall_eval,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_repetition": docs_repetition,
@@ -6414,6 +6576,8 @@ ORACLES = {
     "docs_pack_sequences": _PACK_SQL,
     "docs_domain_mix": _MIX_SQL,
     "embedding_quantize": _QUANT_SQL,
+    "embedding_binary_codes": _BINARY_CODES_SQL,
+    "embedding_binary_recall_eval": _BINARY_RECALL_SQL,
     "docs_bpe_token_count": _BPE_SQL,
     "docs_pii_scrub": _PII_SQL,
     "docs_repetition": _REPETITION_SQL,
