@@ -128,6 +128,8 @@ HEADLINE = [
     "docs_classifier_auc",  # r13: exact rank-sum AUC, bounded score domain
     "embedding_binary_codes",  # r13: sign-bit 32x serving codes
     "embedding_binary_recall_eval",  # r13: Hamming recall at 32x compression
+    "sql_small_qty_revenue",  # r13: Q17-shape correlated scalar subquery
+    "sql_lone_late_supplier",  # r13: Q21-shape EXISTS/NOT EXISTS pair
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

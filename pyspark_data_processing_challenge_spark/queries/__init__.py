@@ -53,6 +53,8 @@ _VERDICT_PRIORITY = [
     "docs_classifier_auc",  # new: exact ROC-AUC of the serving-quantized scorer
     "embedding_binary_codes",  # new: sign-bit 32x-compressed serving codes
     "embedding_binary_recall_eval",  # new: Hamming recall at 32x compression
+    "sql_small_qty_revenue",  # new: Q17-shape correlated scalar subquery
+    "sql_lone_late_supplier",  # new: Q21-shape EXISTS/NOT EXISTS decorrelation
     # --- oldest-verdict re-verification: the staged r01+r07 band
     # (last driver-verified r07 — five rounds of drift risk covered
     # only by the local gate until now; VERDICT r12 #1), incl. all ten
@@ -82,11 +84,6 @@ _VERDICT_PRIORITY = [
     "op_standardize_units",  # was r01+r07-vintage (SURVEY-2 R8)
     "op_null_counts",  # was r01+r07-vintage (SURVEY-2 Q3)
     "asof_join_purchases",  # was r01+r07-vintage
-    # --- next-oldest vintage: the r08 band (the 50-slot window cuts
-    # inside this list — entries past slot 50 lead the r14 queue,
-    # ahead of the remaining r08 rows in _ROTATED_OUT) ---
-    "docs_semantic_dedup",  # was r08-vintage
-    "bootstrap_mean_ci",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -102,6 +99,8 @@ _ROTATED_OUT = {
     "domain_reweight_plan": "r08",
     "corpus_scaling_curve": "r08",
     "docs_blocklist_screen": "r08",
+    "docs_semantic_dedup": "r08",
+    "bootstrap_mean_ci": "r08",
     "lsh_recall_eval": "r08",
     "audio_fingerprint_near_dup": "r08",
     "video_remux_dedup": "r08",

@@ -100,6 +100,113 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape on the slim schema: per brand, the count and
+    revenue of line items whose quantity is below HALF the part's own
+    average quantity — a CORRELATED SCALAR SUBQUERY that Catalyst
+    decorrelates into an aggregate + join (RewriteCorrelatedScalarSubquery),
+    the optimizer capability this entry exists to exercise and pin.
+
+    Portability: l_quantity is integer-valued, so per-part avg = exact
+    int sum / count (one correctly-rounded division, identical both
+    engines) and 0.5· is an exact dyadic scaling; revenue sums as
+    exact BIGINT half-up cents (the money rule — never a raw double
+    sum in a hashed output)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+          count(*) AS n_small,
+          sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS revenue_cents
+        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        WHERE p_size < 10
+          AND l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM v_lineitem l2
+            WHERE l2.l_partkey = v_lineitem.l_partkey
+          )
+        GROUP BY p_brand
+        """
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT p_brand,
+  count(*) AS n_small,
+  sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+    AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size < 10
+  AND l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+  )
+GROUP BY p_brand
+"""
+
+
+def sql_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on the slim schema (no receipt/commit dates —
+    'late' = shipped more than 90 days after the order date): per
+    supplier, the count of finished multi-supplier orders where THEY
+    were the only late shipper. The EXISTS / NOT EXISTS pair is the
+    point: Catalyst decorrelates them into a left-semi and a left-anti
+    join against the same lineitem scan — the hardest standard
+    decorrelation pattern, pinned here through the SQL surface. The
+    inner lateness predicate gets its order date from a subquery-local
+    join (equality-only correlation, the decorrelation-safe form)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM v_supplier
+        JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN v_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL '90' DAY
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM v_lineitem l3
+            JOIN v_orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL '90' DAY
+          )
+        GROUP BY s_name
+        """
+    )
+
+
+_LONE_LATE_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL '90' DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL '90' DAY
+  )
+GROUP BY s_name
+"""
+
+
 def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price (deterministic tie-break)."""
     o = t(spark, sf_dir, "orders")
@@ -351,6 +458,8 @@ QUERIES = {
     "join_revenue_by_nation": join_revenue_by_nation,
     "join_revenue_by_nation_shj": join_revenue_by_nation_shj,
     "sql_revenue_by_nation": sql_revenue_by_nation,
+    "sql_small_qty_revenue": sql_small_qty_revenue,
+    "sql_lone_late_supplier": sql_lone_late_supplier,
     "window_topk_orders": window_topk_orders,
     "window_running_total": window_running_total,
     "sort_top20_orders": sort_top20_orders,
@@ -384,6 +493,8 @@ ORACLES = {
     "join_revenue_by_nation_shj": _REVENUE_SQL,
     # same oracle — the SQL-API query computes the identical rollup
     "sql_revenue_by_nation": _REVENUE_SQL,
+    "sql_small_qty_revenue": _SMALL_QTY_SQL,
+    "sql_lone_late_supplier": _LONE_LATE_SQL,
     "window_topk_orders": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
           SELECT o_custkey, o_orderkey, o_totalprice,
