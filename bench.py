@@ -130,6 +130,8 @@ HEADLINE = [
     "embedding_binary_recall_eval",  # r13: Hamming recall at 32x compression
     "sql_small_qty_revenue",  # r13: Q17-shape correlated scalar subquery
     "sql_lone_late_supplier",  # r13: Q21-shape EXISTS/NOT EXISTS pair
+    "sql_big_order_customers",  # r13: Q18-shape IN-over-HAVING semi join
+    "sql_dormant_rich_customers",  # r13: Q22-shape global-mean + anti join
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",

@@ -55,6 +55,8 @@ _VERDICT_PRIORITY = [
     "embedding_binary_recall_eval",  # new: Hamming recall at 32x compression
     "sql_small_qty_revenue",  # new: Q17-shape correlated scalar subquery
     "sql_lone_late_supplier",  # new: Q21-shape EXISTS/NOT EXISTS decorrelation
+    "sql_big_order_customers",  # new: Q18-shape IN-over-HAVING semi join
+    "sql_dormant_rich_customers",  # new: Q22-shape global-mean + anti join
     # --- oldest-verdict re-verification: the staged r01+r07 band
     # (last driver-verified r07 — five rounds of drift risk covered
     # only by the local gate until now; VERDICT r12 #1), incl. all ten
@@ -71,7 +73,6 @@ _VERDICT_PRIORITY = [
     "array_agg_lineitems",  # was r01+r07-vintage
     "rollup_lineitem",  # was r01+r07-vintage
     "embedding_near_dup",  # was r01+r07-vintage
-    "sort_top20_orders",  # was r01+r07-vintage
     "window_running_total",  # was r01+r07-vintage
     "events_hourly",  # was r01+r07-vintage
     "op_equality_filter",  # was r01+r07-vintage (SURVEY-2 R4)
@@ -83,7 +84,6 @@ _VERDICT_PRIORITY = [
     "op_date_filter",  # was r01+r07-vintage (SURVEY-2 R2/R3)
     "op_standardize_units",  # was r01+r07-vintage (SURVEY-2 R8)
     "op_null_counts",  # was r01+r07-vintage (SURVEY-2 Q3)
-    "asof_join_purchases",  # was r01+r07-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -99,6 +99,10 @@ _ROTATED_OUT = {
     "domain_reweight_plan": "r08",
     "corpus_scaling_curve": "r08",
     "docs_blocklist_screen": "r08",
+    # displaced by the Q18/Q22 additions: both carry r01+r07 verdicts
+    # and full local coverage; they rejoin the queue behind the op_* band
+    "sort_top20_orders": "r01+r07",
+    "asof_join_purchases": "r01+r07",
     "docs_semantic_dedup": "r08",
     "bootstrap_mean_ci": "r08",
     "lsh_recall_eval": "r08",

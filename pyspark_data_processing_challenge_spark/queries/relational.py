@@ -207,6 +207,96 @@ GROUP BY s_name
 """
 
 
+def sql_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18's shape: customers holding orders whose total quantity
+    exceeds 250 (~the top percentile) — an IN subquery over a
+    GROUP BY + HAVING aggregate, which Catalyst rewrites to a
+    left-semi join against the aggregated frame (the third standard
+    decorrelation pattern after Q17's scalar and Q21's EXISTS pair).
+    Quantities are integer-valued doubles, so every sum is exact in
+    any order; output counts and quantity totals are exact BIGINTs."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_name,
+          count(*) AS n_big_orders,
+          CAST(sum(oq.total_qty) AS BIGINT) AS total_qty
+        FROM v_customer
+        JOIN v_orders ON o_custkey = c_custkey
+        JOIN (
+          SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+          FROM v_lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        ) oq ON oq.l_orderkey = o_orderkey
+        GROUP BY c_name
+        """
+    )
+
+
+_BIG_ORDER_SQL = """
+SELECT c_name,
+  count(*)::BIGINT AS n_big_orders,
+  CAST(sum(oq.total_qty) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) oq ON oq.l_orderkey = o_orderkey
+GROUP BY c_name
+"""
+
+
+def sql_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape: per nation, customers whose balance is above
+    the GLOBAL average yet placed no order since 2001-01-01 — an
+    uncorrelated scalar subquery (the global mean) plus a correlated
+    NOT EXISTS that decorrelates to a left-anti join with a pushed
+    date filter on the orders side. Money discipline: balances convert
+    to exact half-up BIGINT cents BEFORE averaging (a raw double avg
+    is order-dependent); the mean is then one exact-int/int division,
+    identical in both engines."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+          count(*) AS n_custs,
+          sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS total_cents
+        FROM v_customer
+        WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) > (
+            SELECT avg(CAST(floor(c2.c_acctbal * 100.0 + 0.5) AS BIGINT))
+            FROM v_customer c2
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM v_orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+          )
+        GROUP BY c_nationkey
+        """
+    )
+
+
+_DORMANT_RICH_SQL = """
+SELECT c_nationkey,
+  count(*)::BIGINT AS n_custs,
+  sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))::BIGINT AS total_cents
+FROM customer
+WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) > (
+    SELECT avg(CAST(floor(c2.c_acctbal * 100.0 + 0.5) AS BIGINT))
+    FROM customer c2
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  )
+GROUP BY c_nationkey
+"""
+
+
 def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price (deterministic tie-break)."""
     o = t(spark, sf_dir, "orders")
@@ -459,6 +549,8 @@ QUERIES = {
     "join_revenue_by_nation_shj": join_revenue_by_nation_shj,
     "sql_revenue_by_nation": sql_revenue_by_nation,
     "sql_small_qty_revenue": sql_small_qty_revenue,
+    "sql_big_order_customers": sql_big_order_customers,
+    "sql_dormant_rich_customers": sql_dormant_rich_customers,
     "sql_lone_late_supplier": sql_lone_late_supplier,
     "window_topk_orders": window_topk_orders,
     "window_running_total": window_running_total,
@@ -494,6 +586,8 @@ ORACLES = {
     # same oracle — the SQL-API query computes the identical rollup
     "sql_revenue_by_nation": _REVENUE_SQL,
     "sql_small_qty_revenue": _SMALL_QTY_SQL,
+    "sql_big_order_customers": _BIG_ORDER_SQL,
+    "sql_dormant_rich_customers": _DORMANT_RICH_SQL,
     "sql_lone_late_supplier": _LONE_LATE_SQL,
     "window_topk_orders": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
