@@ -164,11 +164,12 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    p: int = 1,
     centroid_id: str = "cid",
     centroid_vec: str = "cv",
 ) -> DataFrame:
     """Approximate kNN GRAPH over the WHOLE corpus: every vector's
-    top-k cosine neighbors within its coarse IVF list — the input
+    top-k cosine neighbors within its coarse IVF list(s) — the input
     structure for SemDeDup-style clustering, SNN/mutual-kNN community
     detection, and connectivity-based dedup (Abbas et al. 2023 build
     exactly this before pruning).
@@ -180,18 +181,51 @@ def knn_graph(
     IVF accepts). No sub-splitting: unlike threshold pair generation
     (semdedup), a kNN graph's per-node top-k would be biased by any
     further partitioning of the candidate set. Recall < 1 by
-    construction (neighbors across a list boundary are invisible —
-    the IVF trade at nprobe=1); multi-assign to the top-p centroids
-    raises it at p× the pair cost.
+    construction (neighbors across a list boundary are invisible);
+    ``p`` multi-assigns every vector to its top-p centroids, raising
+    recall at ~p²× the pair cost (both join sides widen) plus one
+    pair-grain dedup exchange — knn_graph_recall_eval measured
+    0.18 → 0.60 recall@k going p=1 → p=2 on the eval sample,
+    which is why the catalog's serving default is p=2.
 
     Output: (vec_id, neighbor_id, cosine, rank), rank 1..k per node,
     deterministic tie-break on neighbor id; nodes in lists smaller
     than k+1 emit fewer edges."""
-    assigned = ivf_assign(
-        corpus, centroids,
-        id_col=id_col, vec_col=vec_col,
-        centroid_id=centroid_id, centroid_vec=centroid_vec,
-    )
+    if p < 1:
+        raise ValueError(f"p must be >= 1, got {p}")
+    if p == 1:
+        assigned = ivf_assign(
+            corpus, centroids,
+            id_col=id_col, vec_col=vec_col,
+            centroid_id=centroid_id, centroid_vec=centroid_vec,
+        ).select(
+            "centroid_id", F.col("doc").alias("__id"), F.col("vec").alias("__vec")
+        )
+    else:
+        # top-p membership: score all |codebook| cosines per row
+        # (broadcast join), keep ranks 1..p per vector — the same
+        # membership window knn_graph_recall_eval's p-schemes use,
+        # and rank 1 is exactly ivf_assign's argmax (cos desc, cid
+        # asc tie-break).
+        cb = centroids.select(
+            F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv")
+        )
+        sc = corpus.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        ).join(F.broadcast(cb)).select(
+            "__id",
+            "__vec",
+            "__cid",
+            vectors.cosine(F.col("__vec"), F.col("__cv")).alias("__mcos"),
+        )
+        wm = Window.partitionBy("__id").orderBy(
+            F.col("__mcos").desc(), F.col("__cid")
+        )
+        assigned = (
+            sc.withColumn("__rn", F.row_number().over(wm))
+            .filter(F.col("__rn") <= p)
+            .select(F.col("__cid").alias("centroid_id"), "__id", "__vec")
+        )
     # Per-ROW norm staging: cosine(a, b) = dot/(|a||b|) re-folds
     # dot(a,a) and dot(b,b) for EVERY pair if written as one
     # expression — 3 HOF folds per pair instead of 1 (measured 9.5 s
@@ -201,8 +235,8 @@ def knn_graph(
     # the oracle is unchanged.
     normed = assigned.select(
         "centroid_id",
-        F.col("doc").alias("vec_id"),
-        vectors.as_double(F.col("vec")).alias("__v"),
+        F.col("__id").alias("vec_id"),
+        vectors.as_double(F.col("__vec")).alias("__v"),
     ).withColumn("__n", vectors.norm2(F.col("__v")))
     left = normed.select(
         "centroid_id", "vec_id", F.col("__v").alias("__va"),
@@ -236,6 +270,14 @@ def knn_graph(
             ).alias("cosine"),
         )
     )
+    if p > 1:
+        # a pair sharing two lists scores twice with the SAME cosine
+        # (the expression depends only on the vectors) — collapse to
+        # pair grain before ranking so rank counts distinct neighbors.
+        # max() == the value; partial-aggregates map-side.
+        scored = scored.groupBy("vec_id", "neighbor_id").agg(
+            F.max("cosine").alias("cosine")
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -29,100 +29,119 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- round-13 additions (first driver verdict needed) ---
-    "ivf_filtered_topk",  # new: metadata-filtered ANN serving (pre-filter)
-    "ivf_filtered_recall_eval",  # new: filtered recall vs exact filtered truth
-    "ivf_filtered_cost_eval",  # new: scored-candidate cost, pre vs unfiltered
-    "split_cluster_assign",  # new: dedup-aware split assignment
-    "split_cluster_leakage_eval",  # new: doc-hash vs cluster leakage twin
-    "split_cluster_assign_incremental",  # new: exact ingest twin (forest CC fold)
-    "split_balance_report",  # new: realized vs target split mass under cluster keying
-    "embedding_group_pca",  # new: closed-form per-label PCA (gap-independent)
-    "ivf_prefilter_vs_postfilter_eval",  # new: measured pre-vs-post-filter tradeoff
-    "ivf_filtered_adaptive_topk",  # new: adaptive nprobe escalation under filter
-    "docs_softdedup_weights",  # new: duplicate-aware sampling weights (SoftDeDup)
-    "embedding_decontaminate",  # new: semantic (embedding-space) decontamination
-    "copurchase_link_prediction",  # new: Adamic-Adar/RA link prediction
-    "ivf_tombstone_compact",  # new: ANN delete lifecycle / compaction scheduler
-    "ivf_tombstone_probe_eval",  # new: stale-result + post-delete recall eval
-    "customers_dp_release",  # new: Laplace-mechanism DP count release
-    "embedding_knn_graph",  # new: corpus-wide list-bounded kNN graph
-    "knn_graph_stats",  # new: degree/mutual-edge health report
-    "embedding_snn_clusters",  # new: mutual-kNN (SNN) clustering
-    "knn_graph_recall_eval",  # new: measured recall vs assignment depth
-    "docs_classifier_auc",  # new: exact ROC-AUC of the serving-quantized scorer
-    "embedding_binary_codes",  # new: sign-bit 32x-compressed serving codes
-    "embedding_binary_recall_eval",  # new: Hamming recall at 32x compression
-    "sql_small_qty_revenue",  # new: Q17-shape correlated scalar subquery
-    "sql_lone_late_supplier",  # new: Q21-shape EXISTS/NOT EXISTS decorrelation
-    "sql_big_order_customers",  # new: Q18-shape IN-over-HAVING semi join
-    "sql_dormant_rich_customers",  # new: Q22-shape global-mean + anti join
-    # --- oldest-verdict re-verification: the staged r01+r07 band
-    # (last driver-verified r07 — five rounds of drift risk covered
-    # only by the local gate until now; VERDICT r12 #1), incl. all ten
-    # SURVEY-2 op_* rows ---
-    "docs_fingerprint",  # was r01+r07-vintage
-    "simhash_values",  # was r01+r07-vintage
-    "dedup_exact_groups",  # was r01+r07-vintage
-    "window_topk_orders",  # was r01+r07-vintage
-    "sql_revenue_by_nation",  # was r01+r07-vintage
-    "set_ops_segments",  # was r01+r07-vintage
-    "semi_join_urgent_customers",  # was r01+r07-vintage
-    "anti_join_quiet_customers",  # was r01+r07-vintage
-    "pivot_event_counts",  # was r01+r07-vintage
-    "array_agg_lineitems",  # was r01+r07-vintage
-    "rollup_lineitem",  # was r01+r07-vintage
-    "embedding_near_dup",  # was r01+r07-vintage
-    "window_running_total",  # was r01+r07-vintage
-    "events_hourly",  # was r01+r07-vintage
-    "op_equality_filter",  # was r01+r07-vintage (SURVEY-2 R4)
-    "op_sentinel_filter",  # was r01+r07-vintage (SURVEY-2 R4)
-    "op_membership_filter",  # was r01+r07-vintage (SURVEY-2 R5)
-    "op_union_membership",  # was r01+r07-vintage (SURVEY-2 R5)
-    "op_fill_nulls",  # was r01+r07-vintage (SURVEY-2 R7)
-    "op_indicators",  # was r01+r07-vintage (SURVEY-2 R6)
-    "op_date_filter",  # was r01+r07-vintage (SURVEY-2 R2/R3)
-    "op_standardize_units",  # was r01+r07-vintage (SURVEY-2 R8)
-    "op_null_counts",  # was r01+r07-vintage (SURVEY-2 Q3)
+    # --- round-14 additions / behavior changes (fresh verdict needed) ---
+    "snn_quality_eval",  # new: SNN cluster quality vs exact truth, p1 vs p2
+    "embedding_knn_graph",  # CHANGED r14: serving default moved to p=2 membership
+    "knn_graph_stats",  # CHANGED r14: stats over the p=2 graph
+    "embedding_snn_clusters",  # CHANGED r14: clusters over the p=2 mutual set
+    # --- oldest-verdict re-verification (VERDICT r13 #2): the six
+    # r08 rows displaced by the r13b additions, then the two
+    # r01+r07-vintage stragglers (oldest verdicts in the catalog),
+    # then the r08 band in registry-queue order ---
+    "snapshot_merkle_diff",  # was r08-vintage
+    "customers_masked",  # was r08-vintage
+    "events_udtf_polymorphic",  # was r08-vintage
+    "domain_reweight_plan",  # was r08-vintage
+    "corpus_scaling_curve",  # was r08-vintage
+    "docs_blocklist_screen",  # was r08-vintage
+    "sort_top20_orders",  # was r01+r07-vintage (oldest in catalog)
+    "asof_join_purchases",  # was r01+r07-vintage (oldest in catalog)
+    "docs_semantic_dedup",  # was r08-vintage
+    "bootstrap_mean_ci",  # was r08-vintage
+    "lsh_recall_eval",  # was r08-vintage
+    "audio_fingerprint_near_dup",  # was r08-vintage
+    "video_remux_dedup",  # was r08-vintage
+    "image_tri_codec_near_dup",  # was r08-vintage
+    "spatial_grid_neighbors",  # was r08-vintage
+    "priority_mix_chi2",  # was r08-vintage
+    "events_dow_hour_profile",  # was r08-vintage
+    "lateral_top_customers",  # was r08-vintage
+    "events_hourly_tvf",  # was r08-vintage
+    "join_revenue_by_nation_shj",  # was r08-vintage
+    "semdedup_incremental_batch",  # was r08-vintage
+    "docs_dsir_weights",  # was r08-vintage
+    "customers_k_anonymity",  # was r08-vintage
+    "revenue_holt_forecast",  # was r08-vintage
+    "docs_gopher_rules",  # was r08-vintage
+    "lsh_recall_banded_eval",  # was r08-vintage
+    "parts_entity_resolution",  # was r08-vintage
+    "cdc_changelog_compact",  # was r08-vintage
+    "revenue_holt_winters",  # was r08-vintage
+    "docs_phrase_search",  # was r08-vintage
+    "parts_snm_pairs",  # was r08-vintage
+    "copurchase_kcore",  # was r08-vintage
+    "embedding_hard_negatives",  # was r08-vintage
+    "minhash_bbit_near_dup",  # was r08-vintage
+    "events_debounce",  # was r08-vintage
+    "price_psi_drift",  # was r08-vintage
+    "totalprice_quantile_transform",  # was r08-vintage
+    "ab_mannwhitney_events",  # was r08-vintage
+    "copurchase_communities",  # was r08-vintage
+    "matryoshka_recall_eval",  # was r08-vintage
+    "corpus_zipf_fit",  # was r08-vintage
+    "events_lead_lag",  # was r08-vintage
+    "users_kaplan_meier",  # was r08-vintage
+    "conversion_wilson_ci",  # was r08-vintage
+    "cms_selfjoin_size",  # was r08-vintage
+    "docs_rrf_fusion",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
-    # displaced from the r13 window by the ten r13b additions
-    # (softdedup weights, semantic decon, link prediction, tombstone
-    # lifecycle pair, DP release, kNN graph + stats + SNN clusters +
-    # recall eval, classifier AUC — all need FIRST verdicts); these
-    # hold green r08 verdicts and lead the r14 re-verification queue
-    "snapshot_merkle_diff": "r08",
-    "customers_masked": "r08",
-    "events_udtf_polymorphic": "r08",
-    "domain_reweight_plan": "r08",
-    "corpus_scaling_curve": "r08",
-    "docs_blocklist_screen": "r08",
-    # displaced by the Q18/Q22 additions: both carry r01+r07 verdicts
-    # and full local coverage; they rejoin the queue behind the op_* band
-    "sort_top20_orders": "r01+r07",
-    "asof_join_purchases": "r01+r07",
-    "docs_semantic_dedup": "r08",
-    "bootstrap_mean_ci": "r08",
-    "lsh_recall_eval": "r08",
-    "audio_fingerprint_near_dup": "r08",
-    "video_remux_dedup": "r08",
-    "image_tri_codec_near_dup": "r08",
-    "spatial_grid_neighbors": "r08",
-    "priority_mix_chi2": "r08",
-    "events_dow_hour_profile": "r08",
-    "lateral_top_customers": "r08",
-    "events_hourly_tvf": "r08",
-    "join_revenue_by_nation_shj": "r08",
-    "semdedup_incremental_batch": "r08",
-    "docs_dsir_weights": "r08",
-    "customers_k_anonymity": "r08",
-    # r13 rotation: the entire 50-slot r12 window came back green
-    # (CORRECTNESS_r12 50/50) and rotates out to fund the staged
-    # r01+r07 band + the r13b additions. The r14 queue front is the
-    # displaced r08 band above, then the remaining r08 rows below
-    # (revenue_holt_forecast ... minhash_signatures).
+    # r14 rotation: the entire 50-slot r13 window came back green
+    # (CORRECTNESS_r13 50/50) and rotates out — except the three kNN
+    # graph queries whose BEHAVIOR changed this round (p=2 serving
+    # default) and therefore re-enter the window. The r15 queue front
+    # is the six remaining r08-vintage rows below (agg_quartiles_orders
+    # ... minhash_signatures).
+    "ivf_filtered_topk": "r13",
+    "ivf_filtered_recall_eval": "r13",
+    "ivf_filtered_cost_eval": "r13",
+    "split_cluster_assign": "r13",
+    "split_cluster_leakage_eval": "r13",
+    "split_cluster_assign_incremental": "r13",
+    "split_balance_report": "r13",
+    "embedding_group_pca": "r13",
+    "ivf_prefilter_vs_postfilter_eval": "r13",
+    "ivf_filtered_adaptive_topk": "r13",
+    "docs_softdedup_weights": "r13",
+    "embedding_decontaminate": "r13",
+    "copurchase_link_prediction": "r13",
+    "ivf_tombstone_compact": "r13",
+    "ivf_tombstone_probe_eval": "r13",
+    "customers_dp_release": "r13",
+    "knn_graph_recall_eval": "r13",
+    "docs_classifier_auc": "r13",
+    "embedding_binary_codes": "r13",
+    "embedding_binary_recall_eval": "r13",
+    "sql_small_qty_revenue": "r13",
+    "sql_lone_late_supplier": "r13",
+    "sql_big_order_customers": "r13",
+    "sql_dormant_rich_customers": "r13",
+    "docs_fingerprint": "r01+r07+r13",
+    "simhash_values": "r01+r07+r13",
+    "dedup_exact_groups": "r01+r07+r13",
+    "window_topk_orders": "r01+r07+r13",
+    "sql_revenue_by_nation": "r01+r07+r13",
+    "set_ops_segments": "r01+r07+r13",
+    "semi_join_urgent_customers": "r01+r07+r13",
+    "anti_join_quiet_customers": "r01+r07+r13",
+    "pivot_event_counts": "r01+r07+r13",
+    "array_agg_lineitems": "r01+r07+r13",
+    "rollup_lineitem": "r01+r07+r13",
+    "embedding_near_dup": "r01+r07+r13",
+    "window_running_total": "r01+r07+r13",
+    "events_hourly": "r01+r07+r13",
+    "op_equality_filter": "r01+r07+r13",
+    "op_sentinel_filter": "r01+r07+r13",
+    "op_membership_filter": "r01+r07+r13",
+    "op_union_membership": "r01+r07+r13",
+    "op_fill_nulls": "r01+r07+r13",
+    "op_indicators": "r01+r07+r13",
+    "op_date_filter": "r01+r07+r13",
+    "op_standardize_units": "r01+r07+r13",
+    "op_null_counts": "r01+r07+r13",
+    # r13 rotation (r12 window, all green in CORRECTNESS_r12)
     "curate_corpus": "r12",
     "docs_max_dup_extents_salted": "r12",
     "embedding_top_pc": "r12",
@@ -278,29 +297,6 @@ _ROTATED_OUT = {
     "docs_bpe_token_count": "r02+r05+r10",
     "join_regional_revenue": "r02+r05+r10",
     "rolling_7d_revenue": "r02+r05+r10",
-    "revenue_holt_forecast": "r08",
-    "docs_gopher_rules": "r08",
-    "lsh_recall_banded_eval": "r08",
-    "parts_entity_resolution": "r08",
-    "cdc_changelog_compact": "r08",
-    "revenue_holt_winters": "r08",
-    "docs_phrase_search": "r08",
-    "parts_snm_pairs": "r08",
-    "copurchase_kcore": "r08",
-    "embedding_hard_negatives": "r08",
-    "minhash_bbit_near_dup": "r08",
-    "events_debounce": "r08",
-    "price_psi_drift": "r08",
-    "totalprice_quantile_transform": "r08",
-    "ab_mannwhitney_events": "r08",
-    "copurchase_communities": "r08",
-    "matryoshka_recall_eval": "r08",
-    "corpus_zipf_fit": "r08",
-    "events_lead_lag": "r08",
-    "users_kaplan_meier": "r08",
-    "conversion_wilson_ci": "r08",
-    "cms_selfjoin_size": "r08",
-    "docs_rrf_fusion": "r08",
     "agg_quartiles_orders": "r04+r08",
     "window_ntile_orders": "r01+r08",
     "multimodal_meta": "r01+r08",
