@@ -960,3 +960,70 @@ def test_cluster_split_call_graph_has_no_driver_collect():
         if ".collect(" in src or ".toPandas(" in src or ".toLocalIterator(" in src:
             offenders.append(fn.__qualname__)
     assert not offenders, f"driver-side pulls in cluster-split call graph: {offenders}"
+
+
+def test_sql_q17_scalar_subquery_decorrelates_to_agg_join(spark):
+    """VERDICT r13 #4: the correlated scalar subquery (per-part avg
+    qty) must execute as the RewriteCorrelatedScalarSubquery shape —
+    an aggregate of lineitem joined back on l_partkey — never a
+    per-row subquery or a nested loop."""
+    from pyspark_data_processing_challenge_spark.queries import relational
+
+    df = relational.QUERIES["sql_small_qty_revenue"](spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Subquery" not in plan  # fully decorrelated, no per-row eval
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # the rewrite's fingerprint: the avg aggregate sits under a join
+    # keyed on l_partkey (plus the part dim join) — two equi-joins total
+    assert plan.count("Join") == 2
+    assert plan.count("HashAggregate") >= 4  # partial+final x (avg, group)
+
+
+def test_sql_q21_exists_pair_decorrelates_to_semi_anti(spark):
+    """The EXISTS / NOT EXISTS pair must plan as one left-semi and one
+    left-anti join against lineitem — the hardest standard
+    decorrelation — with no per-row subquery artifact."""
+    from pyspark_data_processing_challenge_spark.queries import relational
+
+    df = relational.QUERIES["sql_lone_late_supplier"](spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert plan.count("LeftSemi") == 1
+    assert plan.count("LeftAnti") == 1
+    assert "Subquery" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_sql_q18_in_over_having_decorrelates(spark):
+    """The IN-over-HAVING subquery must become a join against the
+    aggregated orderkey set (Catalyst may legally strengthen semi to
+    inner since aggregate keys are distinct) — never a per-row
+    subquery; the HAVING aggregate must survive as a pre-join
+    HashAggregate on l_orderkey."""
+    from pyspark_data_processing_challenge_spark.queries import relational
+
+    df = relational.QUERIES["sql_big_order_customers"](spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert "Subquery" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert plan.count("Join") == 2  # agg'd orderkeys ⋈ orders ⋈ customer
+    assert "HashAggregate" in plan
+
+
+def test_sql_q22_anti_join_and_scalar_once(spark):
+    """NOT EXISTS must plan as a left-anti join; the global-mean
+    scalar subquery is UNcorrelated so it may survive as a Subquery
+    node — but it must be the scalar-once kind (no join-keyed
+    correlation), and nothing may degenerate to a nested loop."""
+    from pyspark_data_processing_challenge_spark.queries import relational
+
+    df = relational.QUERIES["sql_dormant_rich_customers"](spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    assert plan.count("LeftAnti") == 1
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # uncorrelated scalar: executed once as its own subquery stage
+    # (one distinct subquery id, however many plan lines mention it —
+    # it shows in the Filter expr, the node, and the pushed scan
+    # description); a correlated leftover would add ids per reference
+    import re
+
+    assert len(set(re.findall(r"subquery#(\d+)", plan))) == 1
