@@ -30,6 +30,7 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
     # --- round-14 additions / behavior changes (fresh verdict needed) ---
+    "customers_dp_seeded_audit",  # new: sealed-seed DP twin + mechanism audit
     "snn_quality_eval",  # new: SNN cluster quality vs exact truth, p1 vs p2
     "embedding_knn_graph",  # CHANGED r14: serving default moved to p=2 membership
     "knn_graph_stats",  # CHANGED r14: stats over the p=2 graph
@@ -83,7 +84,6 @@ _VERDICT_PRIORITY = [
     "users_kaplan_meier",  # was r08-vintage
     "conversion_wilson_ci",  # was r08-vintage
     "cms_selfjoin_size",  # was r08-vintage
-    "docs_rrf_fusion",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -92,8 +92,8 @@ _ROTATED_OUT = {
     # (CORRECTNESS_r13 50/50) and rotates out — except the three kNN
     # graph queries whose BEHAVIOR changed this round (p=2 serving
     # default) and therefore re-enter the window. The r15 queue front
-    # is the six remaining r08-vintage rows below (agg_quartiles_orders
-    # ... minhash_signatures).
+    # is the remaining r08-vintage rows below (docs_rrf_fusion,
+    # agg_quartiles_orders ... minhash_signatures).
     "ivf_filtered_topk": "r13",
     "ivf_filtered_recall_eval": "r13",
     "ivf_filtered_cost_eval": "r13",
@@ -297,6 +297,7 @@ _ROTATED_OUT = {
     "docs_bpe_token_count": "r02+r05+r10",
     "join_regional_revenue": "r02+r05+r10",
     "rolling_7d_revenue": "r02+r05+r10",
+    "docs_rrf_fusion": "r08",
     "agg_quartiles_orders": "r04+r08",
     "window_ntile_orders": "r01+r08",
     "multimodal_meta": "r01+r08",
