@@ -132,6 +132,11 @@ HEADLINE = [
     "sql_lone_late_supplier",  # r13: Q21-shape EXISTS/NOT EXISTS pair
     "sql_big_order_customers",  # r13: Q18-shape IN-over-HAVING semi join
     "sql_dormant_rich_customers",  # r13: Q22-shape global-mean + anti join
+    # round-14 additions
+    "snn_quality_eval",  # r14: SNN quality + blob detector, 3 schemes
+    "decontam_bloom_screen",  # r14: 16 KiB Bloom decontamination screen
+    "decontam_bloom_fp_eval",  # r14: Bloom confusion summary (FN=0 pin)
+    "customers_dp_seeded_audit",  # r14: sealed-seed DP twin + mechanism audit
     "corpus_top_dup_extents",
     "ivf_list_stats",
     "ivf_staleness_eval",
@@ -469,6 +474,8 @@ def main() -> None:
     baselines: dict[str, float] = {}
     for name in BASELINES:
         run_with_retry_policy(name, baselines)
+
+    _bench_scaling_catalog(spark, sf, times, scaling)
 
     streaming = _bench_streaming(spark, sf_dir)
 
@@ -1336,6 +1343,58 @@ def _bench_scaling(spark, sf_dir: str, sf: float, big_times: dict) -> dict:
     }
 
 
+# catalog queries whose scale curve the scaling section also reports
+# (VERDICT r13 #8): the kNN-graph/SNN and filtered-ANN families. Their
+# LARGE-side time is the headline min (they are HEADLINE entries), so
+# this pass runs after the headline loop and only times the small side.
+SCALING_CATALOG = [
+    "embedding_knn_graph",
+    "embedding_snn_clusters",
+    "ivf_filtered_topk",
+    "ivf_filtered_adaptive_topk",
+]
+
+
+def _bench_scaling_catalog(spark, sf: float, times: dict, scaling: dict) -> None:
+    """Append measured exponents for SCALING_CATALOG to the scaling
+    section: t_large from the headline min at sf_dir, t_small from one
+    fresh run at SCALING_SMALL_DIR (memoized build-time state cleared,
+    same contract as run_once). Same flag-if > {SCALING_FLAG_EXPONENT}
+    rule; same fixed-overhead caveat — k bounds blowup from above."""
+    if not scaling or not os.path.isdir(SCALING_SMALL_DIR) or sf <= 0.01:
+        return
+    import __spark_entry__ as entrymod
+
+    from pyspark_data_processing_challenge_spark.queries import advanced as _adv
+    from pyspark_data_processing_challenge_spark.queries import extended as _ext
+    from pyspark_data_processing_challenge_spark.queries import llm as _llm
+
+    qs = entrymod.queries()
+    n_ratio = sf / 0.01
+    for name in SCALING_CATALOG:
+        t_large = times.get(name)
+        if not t_large or t_large <= 0:
+            continue
+        _adv._PCA_MEMO.clear()
+        _llm._CC_MEMO.clear()
+        _ext._KNN_MEMO.clear()
+        t0 = time.perf_counter()
+        qs[name](spark, SCALING_SMALL_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_small = round(time.perf_counter() - t0, 3)
+        if t_small <= 0:
+            continue
+        k = math.log(t_large / t_small) / math.log(n_ratio)
+        scaling["families"][name] = {
+            "t_small": t_small,
+            "t_large": t_large,
+            "exponent": round(k, 3),
+        }
+        if k > SCALING_FLAG_EXPONENT:
+            scaling["flagged"].append(name)
+
+
 def _bench_streaming(spark, sf_dir: str) -> dict:
     """Micro-batch cost of the stateful streaming surfaces: the
     applyInPandasWithState funnel (sticky-flag AND watermark-buffered
@@ -1722,6 +1781,27 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                 .parquet(esrc)
                 .writeStream.foreachBatch(sd_sink2)
                 .option("checkpointLocation", f"{tmp}/ck_sd2")
+                .start()
+            ),
+        )
+        # ... and for the cluster-split sink (VERDICT r13 #6): its
+        # epoch_ms_avg is the slowest of the sinks, and without the
+        # fixed/marginal split a reader can't tell minhash work from
+        # per-epoch store-replay overhead
+        cs_sink2 = sev.cluster_split_ingest_sink(
+            f"{tmp}/cs_out2", f"{tmp}/cs_store2",
+            num_hashes=llmq2.MH_HASHES, shingle_n=llmq2.MH_SHINGLE_N,
+            bands=llmq2.MH_ND_BANDS, threshold=llmq2.MH_ND_THRESHOLD,
+            weights=llmq2.SPLIT_WEIGHTS,
+        )
+        two_point(
+            "cluster_split_ingest",
+            lambda: (
+                spark.readStream.schema(sev.DOCS_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(dsrc)
+                .writeStream.foreachBatch(cs_sink2)
+                .option("checkpointLocation", f"{tmp}/ck_cs2")
                 .start()
             ),
         )

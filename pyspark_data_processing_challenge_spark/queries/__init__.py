@@ -30,6 +30,8 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
     # --- round-14 additions / behavior changes (fresh verdict needed) ---
+    "decontam_bloom_screen",  # new: 16 KiB Bloom decontamination screen
+    "decontam_bloom_fp_eval",  # new: Bloom screen confusion summary (FN=0 pin)
     "customers_dp_seeded_audit",  # new: sealed-seed DP twin + mechanism audit
     "snn_quality_eval",  # new: SNN cluster quality vs exact truth, p1 vs p2
     "embedding_knn_graph",  # CHANGED r14: serving default moved to p=2 membership
@@ -82,8 +84,6 @@ _VERDICT_PRIORITY = [
     "corpus_zipf_fit",  # was r08-vintage
     "events_lead_lag",  # was r08-vintage
     "users_kaplan_meier",  # was r08-vintage
-    "conversion_wilson_ci",  # was r08-vintage
-    "cms_selfjoin_size",  # was r08-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -297,6 +297,8 @@ _ROTATED_OUT = {
     "docs_bpe_token_count": "r02+r05+r10",
     "join_regional_revenue": "r02+r05+r10",
     "rolling_7d_revenue": "r02+r05+r10",
+    "conversion_wilson_ci": "r08",
+    "cms_selfjoin_size": "r08",
     "docs_rrf_fusion": "r08",
     "agg_quartiles_orders": "r04+r08",
     "window_ntile_orders": "r01+r08",

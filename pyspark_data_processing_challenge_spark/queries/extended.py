@@ -1433,7 +1433,7 @@ KNN_EVAL_LO, KNN_EVAL_HI = 100, 110  # fixed-size eval sample
 def knn_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN graph's MEASURED recall curve over assignment depth —
     the docstring claim ("multi-assign to the top-p centroids raises
-    recall at p× the pair cost") as a number, the
+    recall at ~p²× the pair cost") as a number, the
     ivfpq_rerank_recall_eval pattern: for a fixed {KNN_EVAL_HI -
     KNN_EVAL_LO}-node sample, each node's graph edges under p=1
     (own-list only) and p=2 (each vector indexed in its top-2 lists —

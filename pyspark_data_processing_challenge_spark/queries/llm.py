@@ -966,6 +966,133 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decon_bench(d: DataFrame) -> DataFrame:
+    """The planted eval benchmark docs_decontaminate screens against:
+    the first {DECON_EXCERPT_TOKENS} tokens of every
+    {DECON_BENCH_MOD}th document."""
+    excerpt = F.array_join(
+        F.slice(
+            textfns.tokens(F.lower(F.col("text"))), 1, DECON_EXCERPT_TOKENS
+        ),
+        " ",
+    )
+    return d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
+        excerpt.alias("text")
+    )
+
+
+def _decon_bloom_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus gram rows with their Bloom verdict (__hit) and gram key
+    (g) — shared by the screen and its FP eval."""
+    from ..operators import bloom
+
+    d = spread(t(spark, sf_dir, "documents"))
+    bench_hashes = (
+        _decon_bench(d)
+        .select(
+            F.explode(
+                textfns.shingles(F.col("text"), n=DECON_NGRAM)
+            ).alias("g")
+        )
+        .distinct()
+        .select(textfns.char_hash(F.col("g")).alias("gh"))
+    )
+    words = bloom.build_bloom(bench_hashes, "gh")
+    grams = d.select(
+        "doc_id",
+        F.explode(textfns.shingles(F.col("text"), n=DECON_NGRAM)).alias("g"),
+    ).withColumn("__gh", textfns.char_hash(F.col("g")))
+    return bloom.bloom_probe(grams, words, "__gh", out_col="__hit")
+
+
+def decontam_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of docs_decontaminate: benchmark n-grams fold
+    into a 64 Kbit Bloom filter (operators/bloom — ONE 16 KiB word
+    table no matter how many grams the eval suites hold), and the
+    corpus probes it with K broadcast word-joins + a bit-test
+    projection. docs_decontaminate broadcasts the RAW distinct gram
+    set — right while eval suites are thousands of items, but a
+    consortium-scale blocklist (every public benchmark, every
+    customer holdout — tens of millions of grams) outgrows a raw
+    broadcast while the filter stays 16 KiB. Guarantees by
+    construction: NO false negatives (the release-gate direction —
+    nothing contaminated slips through), false positives send a
+    clean doc to the exact-join confirm pass, quantified by
+    decontam_bloom_fp_eval's measured rate. Grams enter the filter
+    through the portable char_hash, so hash collisions are part of
+    the measured FP rate, exactly as deployed.
+
+    Scale shape: one bounded benchmark aggregate builds the words;
+    the corpus side is its own gram explode (the fan-out every
+    text-stats query pays) + K broadcast joins against a 2048-row
+    table + one per-doc aggregate — the corpus never shuffles on
+    gram keys, unlike the exact join's fallback mode when the
+    benchmark outgrows broadcast. Output: (doc_id, n_grams,
+    n_flagged_grams, flagged) for every document."""
+    probed = _decon_bloom_probed(spark, sf_dir)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("__hit").cast("long"))
+            .cast("long")
+            .alias("n_flagged_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_flagged_grams",
+            (F.col("n_flagged_grams") > 0).alias("flagged"),
+        )
+    )
+
+
+def decontam_bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom screen's honesty gate (the bloom_join_prune
+    confusion contract, at the gram-occurrence grain): every corpus
+    gram row gets both verdicts — the Bloom bit-test and the exact
+    broadcast join against the true benchmark gram set — and the
+    confusion summary pins false_negatives = 0 (a Bloom filter
+    cannot lose a member; a nonzero count here means the filter or
+    the hash family is broken, not noisy) while false_positives and
+    the measured fp_rate quantify the wasted confirm-pass work the
+    16 KiB filter trades for never shuffling the corpus. Output: one
+    exact row; fp_rate is the FP share of true negatives (integer
+    division, round_to 6)."""
+    probed = _decon_bloom_probed(spark, sf_dir)
+    d = spread(t(spark, sf_dir, "documents"))
+    truth = (
+        _decon_bench(d)
+        .select(
+            F.explode(
+                textfns.shingles(F.col("text"), n=DECON_NGRAM)
+            ).alias("g")
+        )
+        .distinct()
+        .withColumn("__t", F.lit(True))
+    )
+    j = probed.join(F.broadcast(truth), "g", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gram_rows"),
+        F.sum(F.col("__hit").cast("long")).cast("long").alias("n_bloom_pass"),
+        F.sum(F.col("__t").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_true"),
+        F.sum((F.col("__hit") & F.col("__t").isNull()).cast("long"))
+        .cast("long")
+        .alias("false_positives"),
+        F.sum((~F.col("__hit") & F.col("__t").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("false_negatives"),
+        round_to(
+            F.sum((F.col("__hit") & F.col("__t").isNull()).cast("long"))
+            .cast("double")
+            / F.sum(F.col("__t").isNull().cast("long")).cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10): a pure
     function of the doc id via the portable char_hash, so reruns,
@@ -1258,6 +1385,73 @@ SELECT d.doc_id,
   coalesce(h.n_hit_ngrams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """
+
+def _decon_bloom_ctes() -> str:
+    from ..operators.bloom import BLOOM_SEED, K_HASHES, M_BITS, WORD_BITS
+
+    coeffs = textfns.minhash_coeffs(K_HASHES, seed=BLOOM_SEED)
+    p, m, w = textfns.MINHASH_P, M_BITS, WORD_BITS
+    values = ", ".join(f"({a}::BIGINT, {b}::BIGINT)" for a, b in coeffs)
+    # char_hash < 1e9+7 < MINHASH_P, so gh % p = gh — elided like the
+    # Spark side's _pos (key % p with key already reduced)
+    kpos = f"((c.a * k.gh + c.b) % {p} % {m})"
+    opos = f"((c.a * o.gh + c.b) % {p} % {m})"
+    return f"""
+WITH coeffs(a, b) AS (VALUES {values}),
+benchg AS (
+  SELECT DISTINCT unnest({sql_shingles("excerpt", DECON_NGRAM)}) AS g
+  FROM (
+    SELECT array_to_string(({sql_tokens("lower(text)")})[1:{DECON_EXCERPT_TOKENS}], ' ')
+      AS excerpt
+    FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0
+  )
+),
+benchh AS (SELECT {sql_char_hash("g")} AS gh FROM benchg),
+bloomw AS (
+  SELECT {kpos} // {w} AS w,
+         bit_or(1::BIGINT << ({kpos} % {w})::INT) AS bits
+  FROM benchh k CROSS JOIN coeffs c GROUP BY 1
+),
+grams AS (
+  SELECT doc_id, g, {sql_char_hash("g")} AS gh
+  FROM (SELECT doc_id, unnest({sql_shingles("text", DECON_NGRAM)}) AS g
+        FROM documents)
+),
+probe AS (
+  SELECT doc_id, g,
+         bool_and((coalesce(b.bits, 0)
+                   & (1::BIGINT << ({opos} % {w})::INT)) != 0) AS hit
+  FROM grams o CROSS JOIN coeffs c
+  LEFT JOIN bloomw b ON b.w = {opos} // {w}
+  GROUP BY doc_id, g
+)"""
+
+
+_DECON_BLOOM_SCREEN_SQL = (
+    _decon_bloom_ctes()
+    + """
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(hit::INT)::BIGINT AS n_flagged_grams,
+       sum(hit::INT) > 0 AS flagged
+FROM probe GROUP BY doc_id
+"""
+)
+
+_DECON_BLOOM_FP_SQL = (
+    _decon_bloom_ctes()
+    + f"""
+SELECT count(*)::BIGINT AS n_gram_rows,
+  sum(hit::INT)::BIGINT AS n_bloom_pass,
+  sum((t.g IS NOT NULL)::INT)::BIGINT AS n_true,
+  sum((hit AND t.g IS NULL)::INT)::BIGINT AS false_positives,
+  sum((NOT hit AND t.g IS NOT NULL)::INT)::BIGINT AS false_negatives,
+  {sql_round(
+      "sum((hit AND t.g IS NULL)::INT)::DOUBLE"
+      " / sum((t.g IS NULL)::INT)::DOUBLE", 6)} AS fp_rate
+FROM probe p LEFT JOIN benchg t USING (g)
+"""
+)
+
 
 _SPLIT_SQL = f"""
 SELECT doc_id,
@@ -6483,6 +6677,8 @@ QUERIES = {
     "docs_bpe_pair_counts": docs_bpe_pair_counts,
     "docs_bpe_merge_step": docs_bpe_merge_step,
     "docs_decontaminate": docs_decontaminate,
+    "decontam_bloom_screen": decontam_bloom_screen,
+    "decontam_bloom_fp_eval": decontam_bloom_fp_eval,
     "docs_split_assign": docs_split_assign,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_domain_mix": docs_domain_mix,
@@ -6596,6 +6792,8 @@ ORACLES = {
     "docs_bpe_pair_counts": _bpe_pairs_sql(),
     "docs_bpe_merge_step": _bpe_merge_sql(),
     "docs_decontaminate": _DECON_SQL,
+    "decontam_bloom_screen": _DECON_BLOOM_SCREEN_SQL,
+    "decontam_bloom_fp_eval": _DECON_BLOOM_FP_SQL,
     "docs_split_assign": _SPLIT_SQL,
     "docs_pack_sequences": _PACK_SQL,
     "docs_domain_mix": _MIX_SQL,
