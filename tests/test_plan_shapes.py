@@ -1027,3 +1027,21 @@ def test_sql_q22_anti_join_and_scalar_once(spark):
     import re
 
     assert len(set(re.findall(r"subquery#(\d+)", plan))) == 1
+
+
+def test_decontam_bloom_probe_is_broadcast_only(spark):
+    """The Bloom screen's value IS its plan shape: the corpus side
+    must reach the per-doc aggregate through broadcast word-joins
+    only — a single sort-merge join would mean the gram keys shuffled
+    and the 16 KiB filter bought nothing."""
+    df = llm.decontam_bloom_screen(spark, SF_DIR)
+    plan = plans.executed_plan(df)
+    from pyspark_data_processing_challenge_spark.operators.bloom import K_HASHES
+
+    assert plans.sort_merge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) >= K_HASHES
+    assert "Cartesian" not in plan
+    # exchanges exist only on the bounded BENCHMARK build side (gram
+    # distinct + word-table aggregate, replicated under each broadcast
+    # branch) and in spread/aggregate — never a gram-keyed corpus
+    # shuffle, which the zero-SMJ assert above pins
