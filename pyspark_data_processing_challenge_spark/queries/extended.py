@@ -1366,7 +1366,11 @@ def _knn_graph_frame(
         cent = emb.filter(F.col("vec_id") < IVF_NCENTROIDS).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
         )
-        _KNN_MEMO[key] = similarity.knn_graph(
+        # Arrow-kernel build: bit-identical to similarity.knn_graph
+        # (twin-equality pinned in tests/test_extended_knn.py; the
+        # DuckDB oracle is the second proof) at ~6x less wall on the
+        # pair stage — the interpreted-HOF fold was the measured cost
+        _KNN_MEMO[key] = similarity.knn_graph_arrow(
             emb, cent, k=KNN_K, p=p
         ).localCheckpoint()
     return _KNN_MEMO[key]
