@@ -29,71 +29,121 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- round-14 additions / behavior changes (fresh verdict needed) ---
-    "decontam_bloom_screen",  # new: 16 KiB Bloom decontamination screen
-    "decontam_bloom_fp_eval",  # new: Bloom screen confusion summary (FN=0 pin)
-    "customers_dp_seeded_audit",  # new: sealed-seed DP twin + mechanism audit
-    "snn_quality_eval",  # new: SNN cluster quality vs exact truth, p1 vs p2
-    "embedding_knn_graph",  # CHANGED r14: serving default moved to p=2 membership
-    "knn_graph_stats",  # CHANGED r14: stats over the p=2 graph
-    "embedding_snn_clusters",  # CHANGED r14: clusters over the p=2 mutual set
-    # --- oldest-verdict re-verification (VERDICT r13 #2): the six
-    # r08 rows displaced by the r13b additions, then the two
-    # r01+r07-vintage stragglers (oldest verdicts in the catalog),
-    # then the r08 band in registry-queue order ---
-    "snapshot_merkle_diff",  # was r08-vintage
-    "customers_masked",  # was r08-vintage
-    "events_udtf_polymorphic",  # was r08-vintage
-    "domain_reweight_plan",  # was r08-vintage
-    "corpus_scaling_curve",  # was r08-vintage
-    "docs_blocklist_screen",  # was r08-vintage
-    "sort_top20_orders",  # was r01+r07-vintage (oldest in catalog)
-    "asof_join_purchases",  # was r01+r07-vintage (oldest in catalog)
-    "docs_semantic_dedup",  # was r08-vintage
-    "bootstrap_mean_ci",  # was r08-vintage
-    "lsh_recall_eval",  # was r08-vintage
-    "audio_fingerprint_near_dup",  # was r08-vintage
-    "video_remux_dedup",  # was r08-vintage
-    "image_tri_codec_near_dup",  # was r08-vintage
-    "spatial_grid_neighbors",  # was r08-vintage
-    "priority_mix_chi2",  # was r08-vintage
-    "events_dow_hour_profile",  # was r08-vintage
-    "lateral_top_customers",  # was r08-vintage
-    "events_hourly_tvf",  # was r08-vintage
-    "join_revenue_by_nation_shj",  # was r08-vintage
-    "semdedup_incremental_batch",  # was r08-vintage
-    "docs_dsir_weights",  # was r08-vintage
-    "customers_k_anonymity",  # was r08-vintage
-    "revenue_holt_forecast",  # was r08-vintage
-    "docs_gopher_rules",  # was r08-vintage
-    "lsh_recall_banded_eval",  # was r08-vintage
-    "parts_entity_resolution",  # was r08-vintage
-    "cdc_changelog_compact",  # was r08-vintage
-    "revenue_holt_winters",  # was r08-vintage
-    "docs_phrase_search",  # was r08-vintage
-    "parts_snm_pairs",  # was r08-vintage
-    "copurchase_kcore",  # was r08-vintage
-    "embedding_hard_negatives",  # was r08-vintage
-    "minhash_bbit_near_dup",  # was r08-vintage
-    "events_debounce",  # was r08-vintage
-    "price_psi_drift",  # was r08-vintage
-    "totalprice_quantile_transform",  # was r08-vintage
-    "ab_mannwhitney_events",  # was r08-vintage
-    "copurchase_communities",  # was r08-vintage
-    "matryoshka_recall_eval",  # was r08-vintage
-    "corpus_zipf_fit",  # was r08-vintage
-    "events_lead_lag",  # was r08-vintage
-    "users_kaplan_meier",  # was r08-vintage
+    # --- verdict-vintage drain (VERDICT r14 #2): the nine remaining
+    # r08-vintage rows lead the r15 window — no r15 catalog additions
+    # or behavior changes this round, so the drain takes the front and
+    # CORRECTNESS_r15 leaves no driver verdict older than r09 ---
+    "docs_rrf_fusion",  # was r08-vintage
+    "cms_selfjoin_size",  # was r08-vintage
+    "conversion_wilson_ci",  # was r08-vintage
+    "agg_quartiles_orders",  # was r04+r08-vintage
+    "window_ntile_orders",  # was r01+r08-vintage
+    "multimodal_meta",  # was r01+r08-vintage
+    "window_lag_delta",  # was r01+r08-vintage
+    "ngram_jaccard_pairs",  # was r01+r08-vintage
+    "minhash_signatures",  # was r01+r08-vintage
+    # --- oldest-verdict re-verification: the r09 band in
+    # registry-queue order (41 of 49 fit; the remaining 8 r09 rows
+    # lead the r16 queue) ---
+    "near_dup_keep_best",  # was r09-vintage
+    "image_video_cross_near_dup",  # was r09-vintage
+    "docs_kneser_ney_ppl",  # was r09-vintage
+    "revenue_mann_kendall",  # was r09-vintage
+    "customers_mahalanobis_outliers",  # was r09-vintage
+    "ivf_ndcg_eval",  # was r09-vintage
+    "parts_jaccard_similarity",  # was r09-vintage
+    "minhash_precision_eval",  # was r09-vintage
+    "semdedup_recall_eval",  # was r09-vintage
+    "revenue_runs_test",  # was r09-vintage
+    "corpus_tokenizer_fertility",  # was r09-vintage
+    "events_entropy_rate",  # was r09-vintage
+    "nation_revenue_gini",  # was r09-vintage
+    "ref_flagship_pipeline",  # was r09-vintage
+    "minhash_near_dup",  # was r09-vintage
+    "simhash_near_dup",  # was r09-vintage
+    "embedding_topk",  # was r09-vintage
+    "embedding_lsh_buckets",  # was r09-vintage
+    "near_dup_clusters",  # was r09-vintage
+    "minhash_signatures_fast",  # was r09-vintage
+    "dedup_drop_exact",  # was r09-vintage
+    "docs_quality",  # was r09-vintage
+    "docs_lang_id",  # was r09-vintage
+    "docs_token_stats",  # was r09-vintage
+    "op_dedup_subset",  # was r09-vintage
+    "agg_salted_revenue",  # was r09-vintage
+    "sessionize_events",  # was r09-vintage
+    "agg_pricing_summary",  # was r09-vintage
+    "join_revenue_by_nation",  # was r09-vintage
+    "docs_repetition",  # was r09-vintage
+    "events_variant_stats",  # was r09-vintage
+    "approx_percentiles_by_type",  # was r09-vintage
+    "image_phash",  # was r09-vintage
+    "image_phash_near_dup",  # was r09-vintage
+    "docs_decontaminate",  # was r09-vintage
+    "docs_split_assign",  # was r09-vintage
+    "docs_pack_sequences",  # was r09-vintage
+    "profile_orders",  # was r09-vintage
+    "kmeans_two_step",  # was r09-vintage
+    "docs_domain_mix",  # was r09-vintage
+    "embedding_quantize",  # was r09-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
-    # r14 rotation: the entire 50-slot r13 window came back green
-    # (CORRECTNESS_r13 50/50) and rotates out — except the three kNN
-    # graph queries whose BEHAVIOR changed this round (p=2 serving
-    # default) and therefore re-enter the window. The r15 queue front
-    # is the remaining r08-vintage rows below (docs_rrf_fusion,
-    # agg_quartiles_orders ... minhash_signatures).
+    # r15 rotation: the entire 50-slot r14 window came back green
+    # (CORRECTNESS_r14 50/50) and rotates out; vintage strings list
+    # every green driver-verdict round per query (derived from the
+    # committed CORRECTNESS_r* history).
+    "decontam_bloom_screen": "r14",
+    "decontam_bloom_fp_eval": "r14",
+    "customers_dp_seeded_audit": "r14",
+    "snn_quality_eval": "r14",
+    "embedding_knn_graph": "r13+r14",
+    "knn_graph_stats": "r13+r14",
+    "embedding_snn_clusters": "r13+r14",
+    "snapshot_merkle_diff": "r08+r14",
+    "customers_masked": "r08+r14",
+    "events_udtf_polymorphic": "r08+r14",
+    "domain_reweight_plan": "r08+r14",
+    "corpus_scaling_curve": "r08+r14",
+    "docs_blocklist_screen": "r08+r14",
+    "sort_top20_orders": "r01+r07+r14",
+    "asof_join_purchases": "r01+r07+r14",
+    "docs_semantic_dedup": "r08+r14",
+    "bootstrap_mean_ci": "r08+r14",
+    "lsh_recall_eval": "r08+r14",
+    "audio_fingerprint_near_dup": "r08+r14",
+    "video_remux_dedup": "r08+r14",
+    "image_tri_codec_near_dup": "r08+r14",
+    "spatial_grid_neighbors": "r08+r14",
+    "priority_mix_chi2": "r08+r14",
+    "events_dow_hour_profile": "r08+r14",
+    "lateral_top_customers": "r08+r14",
+    "events_hourly_tvf": "r08+r14",
+    "join_revenue_by_nation_shj": "r08+r14",
+    "semdedup_incremental_batch": "r08+r14",
+    "docs_dsir_weights": "r08+r14",
+    "customers_k_anonymity": "r08+r14",
+    "revenue_holt_forecast": "r08+r14",
+    "docs_gopher_rules": "r08+r14",
+    "lsh_recall_banded_eval": "r08+r14",
+    "parts_entity_resolution": "r08+r14",
+    "cdc_changelog_compact": "r08+r14",
+    "revenue_holt_winters": "r08+r14",
+    "docs_phrase_search": "r08+r14",
+    "parts_snm_pairs": "r08+r14",
+    "copurchase_kcore": "r08+r14",
+    "embedding_hard_negatives": "r08+r14",
+    "minhash_bbit_near_dup": "r08+r14",
+    "events_debounce": "r08+r14",
+    "price_psi_drift": "r08+r14",
+    "totalprice_quantile_transform": "r08+r14",
+    "ab_mannwhitney_events": "r08+r14",
+    "copurchase_communities": "r08+r14",
+    "matryoshka_recall_eval": "r08+r14",
+    "corpus_zipf_fit": "r08+r14",
+    "events_lead_lag": "r08+r14",
+    "users_kaplan_meier": "r08+r14",
     "ivf_filtered_topk": "r13",
     "ivf_filtered_recall_eval": "r13",
     "ivf_filtered_cost_eval": "r13",
@@ -297,56 +347,6 @@ _ROTATED_OUT = {
     "docs_bpe_token_count": "r02+r05+r10",
     "join_regional_revenue": "r02+r05+r10",
     "rolling_7d_revenue": "r02+r05+r10",
-    "conversion_wilson_ci": "r08",
-    "cms_selfjoin_size": "r08",
-    "docs_rrf_fusion": "r08",
-    "agg_quartiles_orders": "r04+r08",
-    "window_ntile_orders": "r01+r08",
-    "multimodal_meta": "r01+r08",
-    "window_lag_delta": "r01+r08",
-    "ngram_jaccard_pairs": "r01+r08",
-    "minhash_signatures": "r01+r08",
-    "near_dup_keep_best": "r09",
-    "image_video_cross_near_dup": "r09",
-    "docs_kneser_ney_ppl": "r09",
-    "revenue_mann_kendall": "r09",
-    "customers_mahalanobis_outliers": "r09",
-    "ivf_ndcg_eval": "r09",
-    "parts_jaccard_similarity": "r09",
-    "minhash_precision_eval": "r09",
-    "semdedup_recall_eval": "r09",
-    "revenue_runs_test": "r09",
-    "corpus_tokenizer_fertility": "r09",
-    "events_entropy_rate": "r09",
-    "nation_revenue_gini": "r09",
-    "ref_flagship_pipeline": "r01+r02+r09",
-    "minhash_near_dup": "r02+r03+r09",
-    "simhash_near_dup": "r02+r09",
-    "embedding_topk": "r02+r09",
-    "embedding_lsh_buckets": "r02+r09",
-    "near_dup_clusters": "r02+r09",
-    "minhash_signatures_fast": "r02+r09",
-    "dedup_drop_exact": "r02+r09",
-    "docs_quality": "r02+r09",
-    "docs_lang_id": "r02+r09",
-    "docs_token_stats": "r02+r09",
-    "op_dedup_subset": "r02+r09",
-    "agg_salted_revenue": "r02+r09",
-    "sessionize_events": "r01+r02+r04+r09",
-    "agg_pricing_summary": "r04+r09",
-    "join_revenue_by_nation": "r04+r09",
-    "docs_repetition": "r04+r09",
-    "events_variant_stats": "r04+r09",
-    "approx_percentiles_by_type": "r04+r09",
-    "image_phash": "r04+r09",
-    "image_phash_near_dup": "r04+r09",
-    "docs_decontaminate": "r04+r09",
-    "docs_split_assign": "r04+r09",
-    "docs_pack_sequences": "r04+r09",
-    "profile_orders": "r04+r09",
-    "kmeans_two_step": "r04+r09",
-    "docs_domain_mix": "r04+r09",
-    "embedding_quantize": "r04+r09",
     "docs_sentences_udtf": "r04+r09",
     "events_grouped_center": "r04+r09",
     "docs_dup_spans": "r05+r09",
