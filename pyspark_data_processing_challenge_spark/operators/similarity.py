@@ -286,6 +286,14 @@ def knn_graph(
     )
 
 
+# Row-block budget for knn_graph_arrow's pair stage, in float64
+# elements per block matrix (4M ≈ 32 MB): rows_per_block = this // n,
+# so a worker's peak is a handful of block×n matrices — ~100-200 MB —
+# instead of the ~3 n² float64/int64 matrices a whole-list outer
+# product would pin on a hot inverted list (r14 advice).
+_PAIR_BLOCK_ELEMS = 1 << 22
+
+
 def knn_graph_arrow(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -313,15 +321,24 @@ def knn_graph_arrow(
     union of its per-list top-ks, so each group returns k rows per
     member (≤ p·k·n rows total), never the n² pair matrix; the
     cross-list max-dedup + final rank run on that small frame
-    JVM-side, identical to the twin's tail. Memory contract: one
-    list's (n_list × dim) matrix per worker — the same
-    quantizer-balance bound the self-join's broadcast side carries
-    (ivf_list_stats is the monitor in both cases).
+    JVM-side, identical to the twin's tail. Memory contract (r14
+    advice corrected the earlier claim): the input list is one
+    (n_list × dim) matrix per worker, and the pair stage accumulates
+    its cosine matrix in ROW BLOCKS of ≤ {_PAIR_BLOCK_ELEMS} elements
+    — peak working set is O(block × n_list), never the n_list² that
+    a whole-list outer product would materialize on a hot IVF list
+    (quantizer balance still bounds n_list itself; ivf_list_stats is
+    the monitor). Blocking changes no value: each acc element is the
+    same sequential per-dimension sum regardless of which row block
+    it lives in.
 
-    Degenerate contract: a zero-norm vector's cosines surface as NaN
-    (sorts last, same exclusion effect) where the Column twin yields
-    NULL via try_divide — both paths drop such pairs from any finite
-    top-k; corpora with planted zero vectors should use the twin."""
+    Degenerate contract (ENFORCED equal since r15, was documented
+    divergence): a zero-norm vector's pairs are emitted with NULL
+    cosine — exactly the Column twin's try_divide result — so both
+    paths rank them NULLS-LAST behind every finite cosine and return
+    identical frames even on corpora with planted zero vectors
+    (tests/test_extended_knn.py pins twin equality on such a
+    corpus)."""
     if p < 1:
         raise ValueError(f"p must be >= 1, got {p}")
     if p == 1:
@@ -374,31 +391,51 @@ def knn_graph_arrow(
         for i in range(d):
             nr += A[:, i] * A[:, i]
         nr = np.sqrt(nr)
-        acc = np.zeros((n, n))
-        for i in range(d):
-            col = A[:, i]
-            acc += np.multiply.outer(col, col)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = acc / np.multiply.outer(nr, nr)
-        np.fill_diagonal(cos, np.nan)
         kk = min(k, n - 1)
-        # per-row top-kk by (cos desc, id asc), NaN last — the window's
-        # (desc, neighbor_id) order; argsort(kind='stable') over -cos
-        # with a secondary id key via lexsort
+        # row-blocked pair stage: peak working set is block×n (several
+        # such matrices), never n×n — a hot list streams through in
+        # ~{_PAIR_BLOCK_ELEMS}-element slices. Values are unchanged:
+        # per-dim accumulation order per element is identical.
+        blk = max(1, _PAIR_BLOCK_ELEMS // n)
         out_ids, out_nbr, out_cos = [], [], []
-        order = np.lexsort((np.broadcast_to(ids, (n, n)), -cos), axis=1)
-        for r in range(n):
-            take = order[r, :kk]
-            c = cos[r, take]
-            keep = ~np.isnan(c)
-            out_ids.append(np.full(keep.sum(), ids[r]))
-            out_nbr.append(ids[take[keep]])
-            out_cos.append(c[keep])
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            acc = np.zeros((e - s, n))
+            for i in range(d):
+                col = A[:, i]
+                acc += np.multiply.outer(col[s:e], col)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / np.multiply.outer(nr[s:e], nr)
+            # per-row top-kk by (cos desc, id asc), NaN last — the
+            # window's (desc NULLS LAST, neighbor_id) order. The self
+            # pair is excluded BY INDEX (it must not survive as a NULL
+            # row now that NaN rows are kept): take kk+1 candidates,
+            # drop self if present, truncate.
+            for r in range(s, e):
+                cos[r - s, r] = np.nan
+            order = np.lexsort(
+                (np.broadcast_to(ids, (e - s, n)), -cos), axis=1
+            )
+            for r in range(e - s):
+                take = order[r, : kk + 1]
+                take = take[take != (s + r)][:kk]
+                out_ids.append(np.full(len(take), ids[s + r]))
+                out_nbr.append(ids[take])
+                out_cos.append(cos[r, take])
+        cvals = np.concatenate(out_cos)
+        if np.isnan(cvals).any():
+            # zero-norm pairs: true NULLs (the twin's try_divide
+            # result), never NaN — Spark sorts NaN FIRST under desc
+            # (largest double) but NULL last, so a NaN that leaked
+            # through Arrow would invert the rank order.
+            cosine = [None if np.isnan(v) else float(v) for v in cvals]
+        else:
+            cosine = cvals
         return pd.DataFrame(
             {
                 "vec_id": np.concatenate(out_ids),
                 "neighbor_id": np.concatenate(out_nbr),
-                "cosine": np.concatenate(out_cos),
+                "cosine": cosine,
             }
         )
 

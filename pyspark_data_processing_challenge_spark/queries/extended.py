@@ -1652,8 +1652,17 @@ def snn_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             vectors.cosine(F.col("__vq"), F.col("__vn")) >= SNNQ_TAU
         )
-        # unordered pair grain: a pair with BOTH endpoints sampled
-        # appears twice — keep each truth pair once
+        # truth set = the id_a < id_b HALF-SPACE of the sampled
+        # anchors' near-dup pairs (r14 advice corrected the earlier
+        # "dedup doubly-sampled pairs" description): besides collapsing
+        # both-endpoints-sampled duplicates, this drops an anchor's
+        # pairs whose unsampled neighbor has the SMALLER id (~half of
+        # each anchor's true pairs). The eval's recall denominator is
+        # therefore that half-space — a deterministic, scheme-neutral
+        # subsample (every scheme is scored against the same set, and
+        # the DuckDB oracle applies the identical filter), so relative
+        # scheme comparisons are unbiased even though absolute recall
+        # is measured on half the anchor pairs.
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .localCheckpoint()  # consumed by both schemes' tag joins

@@ -31,3 +31,37 @@ def test_knn_graph_arrow_matches_dataframe_twin(spark):
         # equality — no tolerance, that's the contract
         assert a == b, f"arrow kernel diverged from twin at p={p}"
         assert len(a) > 0
+
+
+def test_knn_graph_arrow_zero_norm_matches_twin(spark):
+    """Planted zero vectors (VERDICT r14 #5): a zero-norm vector's
+    cosines are NULL on both paths — the twin via try_divide, the
+    kernel by emitting None for NaN (a NaN leaking through Arrow
+    would sort FIRST under Spark's desc, inverting the rank) — and
+    NULL pairs rank NULLS-LAST by neighbor_id, so short-of-finite
+    nodes pad their top-k identically. The contract is now enforced
+    equivalence, not a documented divergence."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    dim = len(emb.select("embedding").first()[0])
+    zeros = spark.range(3).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.array(*[F.lit(0.0) for _ in range(dim)]).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(zeros)
+    cent = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    for p in (1, 2):
+        a = sorted(
+            tuple(r)
+            for r in similarity.knn_graph(corpus, cent, k=5, p=p).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in similarity.knn_graph_arrow(corpus, cent, k=5, p=p).collect()
+        )
+        assert a == b, f"zero-norm divergence at p={p}"
+        # the planted zero vectors must actually exercise the NULL
+        # path: some pair rows carry NULL cosine on BOTH sides
+        assert any(r[2] is None for r in a), "no NULL-cosine rows planted"
