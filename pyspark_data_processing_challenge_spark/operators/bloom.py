@@ -101,3 +101,43 @@ def bloom_probe(
         if c.startswith("__bw") or c.startswith("__bb") or c.startswith("__bp")
     ]
     return out.withColumn(out_col, acc).drop(*drop)
+
+
+def bloom_probe_udf(words: list[tuple[int, int]]):
+    """Arrow-batched probe against a COLLECTED word table — the
+    per-micro-batch form of :func:`bloom_probe` for streaming sinks,
+    where re-planning K broadcast word-joins every epoch re-executes
+    the words frame's lineage per batch (the semdedup_ingest_sink
+    codebook lesson). ``words`` is the collected ``(w, bits)`` table —
+    {M_BITS//WORD_BITS} rows, bounded by construction (the
+    codebook-collect class of driver materialization).
+
+    BIT-IDENTICAL to the join path: same coeffs, same integer
+    arithmetic (``a < 2^31`` and ``key % p < 2^31`` keep products
+    under 2^62 — no int64 overflow in numpy either), only the word
+    lookup moves from joins to a dense int64 gather. NULL keys (e.g.
+    an explode_outer'd empty document) return NULL, matching
+    char_hash-of-NULL flowing through the join path's left joins."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = minhash_coeffs(K_HASHES, seed=BLOOM_SEED)
+    arr = np.zeros(M_BITS // WORD_BITS, dtype=np.int64)
+    for w, bits in words:
+        arr[int(w)] = int(bits)
+
+    @pandas_udf("boolean")
+    def probe(key):
+        import pandas as pd
+
+        null = key.isna()
+        k = key.fillna(0).to_numpy(dtype=np.int64) % MINHASH_P
+        acc = np.ones(len(k), dtype=bool)
+        for a, b in coeffs:
+            pos = ((a * k + b) % MINHASH_P) % M_BITS
+            acc &= (arr[pos // WORD_BITS] >> (pos % WORD_BITS)) & 1 != 0
+        out = pd.Series(acc, index=key.index, dtype=object)
+        out[null] = None
+        return out
+
+    return probe

@@ -165,6 +165,79 @@ def blocklist_stream(
     )
 
 
+def bloom_decontam_ingest_sink(
+    out_dir: str, words: DataFrame, *, ngram_n: int = 5
+):
+    """foreachBatch sink screening arriving documents through the
+    16 KiB Bloom decontamination filter (VERDICT r14 #6 — the
+    streaming face of queries/llm.decontam_bloom_screen): each
+    micro-batch's n-grams probe the STATIC word table and every doc
+    lands in ONE kind-partitioned write —
+    ``out_dir/__epoch=N/kind={accept,quarantine}`` — carrying its
+    verdict columns (n_grams, n_flagged_grams, flagged). Accepted
+    docs are corpus-ready; quarantined docs go to the exact-join
+    confirm pass (the Bloom contract: FN = 0 by construction, so
+    nothing contaminated can reach kind=accept; FPs cost only
+    confirm-pass work, at the rate decontam_bloom_fp_eval measures).
+
+    Per-epoch amortization (the semdedup_ingest_sink codebook
+    lesson): the word table is collected ONCE here — it is
+    {operators.bloom.M_BITS//WORD_BITS} rows by construction,
+    regardless of blocklist size — and baked into an Arrow-batched
+    probe UDF (operators/bloom.bloom_probe_udf, bit-identical to the
+    K-broadcast-join path). Re-planning the join form per epoch would
+    re-execute the benchmark-gram lineage behind ``words`` every
+    batch. Gram hashing stays JVM-side (textfns.char_hash), so the
+    verdicts equal the batch screen's row-for-row (the twin test).
+
+    Stateless across batches (the filter is static), so replay
+    idempotency is just the per-epoch directory overwrite;
+    ``explode_outer`` keeps zero-gram documents — an arriving doc
+    ALWAYS lands in exactly one kind, where the batch screen (inner
+    explode) simply emits no row for it."""
+    from ..functions import textfns
+    from ..operators.bloom import bloom_probe_udf
+
+    probe = bloom_probe_udf([(r["w"], r["bits"]) for r in words.collect()])
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        grams = batch_df.select(
+            "doc_id",
+            F.explode_outer(
+                textfns.shingles(F.col("text"), n=ngram_n)
+            ).alias("g"),
+        )
+        verdict = (
+            grams.withColumn(
+                "__hit", probe(textfns.char_hash(F.col("g")))
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.col("g")).cast("long").alias("n_grams"),
+                F.sum(F.coalesce(F.col("__hit").cast("long"), F.lit(0)))
+                .cast("long")
+                .alias("n_flagged_grams"),
+            )
+            .withColumn("flagged", F.col("n_flagged_grams") > 0)
+        )
+        bundle = batch_df.join(F.broadcast(verdict), "doc_id").withColumn(
+            "kind",
+            F.when(F.col("flagged"), F.lit("quarantine")).otherwise(
+                F.lit("accept")
+            ),
+        )
+        # ONE commit per epoch, coalesced (micro-batch-bounded output;
+        # 32 near-empty task files per epoch ~doubles commit overhead)
+        (
+            bundle.coalesce(1)
+            .write.partitionBy("kind")
+            .mode("overwrite")
+            .parquet(f"{out_dir}/__epoch={int(epoch_id)}")
+        )
+
+    return sink
+
+
 def hourly_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling 1-hour aggregation — streaming twin of the
     batch ``events_hourly`` query (same grouping, same aggregates)."""

@@ -1809,3 +1809,96 @@ def test_streaming_pca_moments_matches_batch(spark, tmp_path):
     sink(spark.read.parquet(str(src / "f1.parquet")), 0)
     after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
     assert after == before
+
+
+def test_streaming_bloom_decontam_ingest(spark, tmp_path):
+    """Bloom screen at ingest (VERDICT r14 #6): every arriving doc
+    lands in exactly ONE kind={accept,quarantine} partition of its
+    epoch's single write, verdict columns equal to the batch screen's
+    rows bit-for-bit (the probe UDF's integer arithmetic is the join
+    path's), FN = 0 surfaces as: no doc the batch screen flags may
+    reach kind=accept."""
+    from pyspark_data_processing_challenge_spark.operators import bloom
+    from pyspark_data_processing_challenge_spark.queries import llm
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench_hashes = (
+        llm._decon_bench(docs)
+        .select(
+            F.explode(
+                textfns.shingles(F.col("text"), n=llm.DECON_NGRAM)
+            ).alias("g")
+        )
+        .distinct()
+        .select(textfns.char_hash(F.col("g")).alias("gh"))
+    )
+    words = bloom.build_bloom(bench_hashes, "gh")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    out_dir = str(tmp_path / "out")
+    sink = sev.bloom_decontam_ingest_sink(
+        out_dir, words, ngram_n=llm.DECON_NGRAM
+    )
+    q = (
+        spark.readStream.schema(sev.DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    written = (
+        spark.read.schema(
+            "doc_id long, text string, n_grams long,"
+            " n_flagged_grams long, flagged boolean,"
+            " kind string, __epoch int"
+        )
+        .parquet(out_dir)
+    )
+    rows = written.collect()
+    assert {r["__epoch"] for r in rows} == {0, 1}
+    # every arriving doc lands exactly once, in the kind its verdict says
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    assert all(
+        r["kind"] == ("quarantine" if r["flagged"] else "accept")
+        for r in rows
+    )
+    got = {
+        (r["doc_id"], r["n_grams"], r["n_flagged_grams"], r["flagged"])
+        for r in rows
+        if r["n_grams"] > 0
+    }
+    want = {
+        (r["doc_id"], r["n_grams"], r["n_flagged_grams"], r["flagged"])
+        for r in llm.decontam_bloom_screen(spark, SF_DIR).collect()
+    }
+    assert got == want and want
+    # the planted benchmark excerpts guarantee true positives, and FN=0
+    # means none of them may sit in kind=accept
+    flagged = {r["doc_id"] for r in rows if r["kind"] == "quarantine"}
+    batch_flagged = {
+        r["doc_id"]
+        for r in llm.decontam_bloom_screen(spark, SF_DIR)
+        .filter(F.col("flagged"))
+        .collect()
+    }
+    assert batch_flagged and batch_flagged <= flagged
