@@ -52,11 +52,106 @@ from pyspark_data_processing_challenge_spark.session import get_session  # noqa:
 #      corpus_manifest) bounded by table width, not scale factor.
 # Every excluded query still runs per-session under the bit-exact
 # oracle-parity suite, so exclusion affects timing visibility only.
-# 1-min loadavg above which an ingest-ratio comparator measurement is
-# considered load-contaminated and re-repped with a fresh salt
-# (VERDICT r12 #5: dedup_full_1to600 bounced 10.9 -> 26.9 -> 12.2 s
-# across rounds purely with recorded load 16-18).
-QUIET_LOAD_MAX = 8.0
+# External busy-core ceiling for a measurement window to count as quiet
+# (VERDICT r14 #1's "loadavg <= ~5", restated in the only unit that can
+# actually arbitrate it — see _QuietGate; it replaces r12 #5's
+# QUIET_LOAD_MAX=8.0 loadavg check, under which dedup_full_1to600
+# bounced 10.9 -> 26.9 -> 12.2 s across rounds with recorded load
+# 16-18 nobody could attribute).
+QUIET_EXT_CORES = 5.0
+
+
+class _QuietGate:
+    """Defer load-sensitive measurement windows until the HOST is quiet
+    (VERDICT r14 #1: two consecutive rounds shipped ingest-ratio numbers
+    recorded under load 14-30, so the headline could no longer tell a
+    real 20% regression from host weather).
+
+    1-min loadavg cannot arbitrate quietness mid-run: every in-window
+    reading includes this bench's OWN local[N] saturation (~N for a
+    minute after any busy stage — the r13/r14 "load 14-28" entries are
+    partly self-load), and waiting out its 60 s decay before every
+    family would add minutes of idle per round. The gate instead
+    measures EXTERNAL cpu directly: a /proc/stat busy-jiffies delta
+    sampled while this process is idle counts only other tenants'
+    cores, reacts instantly (no decay lag), and costs ~1 s on a quiet
+    host. wait() polls until external busy cores <= threshold or the
+    shared budget (SPARK_GRAFT_QUIET_WAIT_SEC, default 240 s across the
+    whole run) expires, then returns the evidence dict the caller
+    attaches to query_stats: ext_load_pre (idle-sampled external cores)
+    plus load_deferred=True when the budget ran out while still noisy —
+    every gated entry carries either quiet evidence or an explicit
+    contamination flag, never an unadjudicable number. Falls back to
+    1-min loadavg if /proc/stat is unreadable."""
+
+    def __init__(
+        self,
+        threshold: float = QUIET_EXT_CORES,
+        budget_sec: float | None = None,
+        sample_sec: float = 1.0,
+    ) -> None:
+        self.threshold = threshold
+        self.budget = (
+            float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "240"))
+            if budget_sec is None
+            else budget_sec
+        )
+        self.sample_sec = sample_sec
+        try:
+            self._hz = float(os.sysconf("SC_CLK_TCK"))
+        except (ValueError, OSError, AttributeError):
+            self._hz = 100.0
+
+    @staticmethod
+    def _busy_jiffies() -> int | None:
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:]]
+        except (OSError, ValueError, IndexError):
+            return None
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals) - idle
+
+    def sample(self, sec: float | None = None) -> float:
+        """External busy cores over one idle interval. Only meaningful
+        while this process (and its Spark session) is between jobs —
+        which is exactly when the callers invoke it."""
+        sec = self.sample_sec if sec is None else sec
+        b0 = self._busy_jiffies()
+        t0 = time.monotonic()
+        time.sleep(sec)
+        dt = time.monotonic() - t0
+        b1 = self._busy_jiffies()
+        if b0 is None or b1 is None:
+            return float(os.getloadavg()[0])  # degraded fallback
+        return (b1 - b0) / (dt * self._hz)
+
+    def wait(self) -> dict:
+        ext = self.sample()
+        waited = 0.0
+        while ext > self.threshold and self.budget > 0:
+            step = min(5.0, self.budget)
+            self.budget -= step
+            waited += step
+            ext = self.sample(step)  # the sample IS the wait
+        out = {"ext_load_pre": round(ext, 1)}
+        if waited:
+            out["quiet_wait_sec"] = round(waited, 1)
+        if ext > self.threshold:
+            out["load_deferred"] = True
+        return out
+
+# Headline entries that must publish with positive quiet evidence
+# (VERDICT r14 #7): the three r12 movers whose in-band numbers were
+# load-inflated for two rounds while standalone quiet re-times measured
+# 2.95 / 1.34 / 0.98 s. Each gets a _QuietGate.wait() before its first
+# rep and carries ext_load_pre (or load_deferred) in query_stats.
+QUIET_WATCHLIST = {
+    "docs_containment_pairs",
+    "audio_transcode_features",
+    "image_rgb_histogram",
+}
 
 HEADLINE = [
     "ref_flagship_pipeline",
@@ -412,6 +507,8 @@ def main() -> None:
                 "load": round(os.getloadavg()[0], 1),
             }
 
+    gate = _QuietGate()
+
     def run_with_retry_policy(name: str, times_dict: dict) -> None:
         # The host is shared: a neighbor's burst can inflate one query
         # 5-10x in a single-shot measurement. Re-run the slow tail once
@@ -433,6 +530,10 @@ def main() -> None:
         # _bench_ingest_ratio); here the re-run exists only to shave
         # noise off the slow tail, and {min, median, reps} are all
         # recorded so a reader can tell which entries were re-run.
+        # r12-mover watchlist (VERDICT r14 #7): these entries must ship
+        # with positive quiet evidence, so they get the gate BEFORE the
+        # first rep and always record it.
+        evidence = gate.wait() if name in QUIET_WATCHLIST else None
         vals = [run_once(name)]
         if vals[-1] > 2.5:
             vals.append(run_once(name))
@@ -442,10 +543,14 @@ def main() -> None:
         # simhash_near_dup doubled to 2.45 s, sat just under the
         # 2.5 s threshold, and shipped as an un-repped single shot
         # nobody could classify. Flagged entries carry prior_min in
-        # query_stats so the detail line is self-diagnosing.
+        # query_stats so the detail line is self-diagnosing. The
+        # adjudicating reps run behind the quiet gate (VERDICT r14 #1):
+        # a >1.5x mover re-timed under a neighbor burst proves nothing.
         prior = prior_mins.get(name)
         flagged = prior is not None and min(vals) > 1.5 * prior
         if flagged:
+            evidence = dict(evidence or {})
+            evidence.update(gate.wait())
             while len(vals) < 3:
                 vals.append(run_once(name))
         if min(vals) > 8.0 and len(vals) < 4:
@@ -455,6 +560,10 @@ def main() -> None:
             stats.setdefault(name, {"min": round(min(vals), 3)})[
                 "prior_min"
             ] = prior
+        if evidence:
+            stats.setdefault(name, {"min": round(min(vals), 3)}).update(
+                evidence
+            )
 
     prior_mins = _prior_round_mins(sf)
 
@@ -465,9 +574,9 @@ def main() -> None:
     # warmup — not two hundred seconds of our own headline queries —
     # so their recorded load is the quiet-host evidence, not an
     # artifact of bench ordering.
-    _bench_ingest_ratio(spark, sf_dir, times, stats, prior_mins)
+    _bench_ingest_ratio(spark, sf_dir, times, stats, prior_mins, gate=gate)
 
-    scaling = _bench_scaling(spark, sf_dir, sf, times)
+    scaling = _bench_scaling(spark, sf_dir, sf, times, gate=gate)
 
     for name in HEADLINE:
         run_with_retry_policy(name, times)
@@ -475,7 +584,7 @@ def main() -> None:
     for name in BASELINES:
         run_with_retry_policy(name, baselines)
 
-    _bench_scaling_catalog(spark, sf, times, scaling)
+    _bench_scaling_catalog(spark, sf, times, scaling, gate=gate)
 
     streaming = _bench_streaming(spark, sf_dir)
 
@@ -577,11 +686,18 @@ def result_lines(
 
 
 def _bench_ingest_ratio(
-    spark, sf_dir: str, times: dict, stats: dict, prior_mins: dict | None = None
+    spark,
+    sf_dir: str,
+    times: dict,
+    stats: dict,
+    prior_mins: dict | None = None,
+    gate: _QuietGate | None = None,
 ) -> None:
     """Small-batch-vs-large-store ingest contract (VERDICT r09 item 1).
     ``prior_mins=None`` (direct/test invocation) degrades to no
-    flagging, same as an sf with no prior snapshot.
+    flagging, same as an sf with no prior snapshot. ``gate`` (shared
+    with the caller's other load-sensitive windows so the idle-wait
+    budget is global) quiet-gates every comparator — see _QuietGate.
 
     The incremental family's claim is O(batch) per-ingest cost against
     an unbounded store. Earlier rounds measured a 1:10 shape with
@@ -644,6 +760,7 @@ def _bench_ingest_ratio(
     from pyspark.sql import functions as SF
 
     prior_mins = prior_mins or {}
+    gate = gate or _QuietGate()
 
     from pyspark_data_processing_challenge_spark.operators import (
         curation as cur,
@@ -674,7 +791,17 @@ def _bench_ingest_ratio(
         dedup_full_1to600 at 2.46x) is classified by the bench itself,
         never shipped unclassifiable. Extra reps use salt indices
         >= nreps — every fn() call in this section salts its plan by
-        rep index, so the policy rep is an independent sample too."""
+        rep index, so the policy rep is an independent sample too.
+
+        Quiet-window protocol (VERDICT r14 #1, replacing r12 #5's
+        loadavg check, which conflated our own local[N] saturation with
+        neighbor load): the gate idle-waits for external cpu <=
+        {QUIET_EXT_CORES} cores BEFORE the warm pass (bounded shared
+        budget, load_deferred flag on expiry), and one more idle sample
+        AFTER the reps adjudicates whether a burst landed mid-window —
+        if it did, one extra salted rep (never a plan replay) runs
+        behind a fresh gate so the min has at least one quiet sample."""
+        evidence = gate.wait()
         if warm:
             fn(-1)
         vals = []
@@ -688,16 +815,10 @@ def _bench_ingest_ratio(
             t0 = time.perf_counter()
             fn(nreps)
             vals.append(round(time.perf_counter() - t0, 3))
-        # Quiet-host protocol (VERDICT r12 #5): the comparator family
-        # already runs at the START of the bench, but a neighbor's
-        # burst can still land on it. If the 1-min load is above the
-        # quiet threshold when a comparator finishes, take one more
-        # salted rep (distinct salt index — never a plan replay) and
-        # mark the entry, so the committed ratio either carries quiet
-        # evidence or an explicit high-load note.
-        load = round(os.getloadavg()[0], 1)
-        high_load = load > QUIET_LOAD_MAX
-        if high_load:
+        ext_post = round(gate.sample(0.5), 1)
+        burst = ext_post > gate.threshold
+        if burst:
+            evidence.update(gate.wait())  # re-quiet (or flag) first
             t0 = time.perf_counter()
             fn(nreps + 1)
             vals.append(round(time.perf_counter() - t0, 3))
@@ -707,13 +828,17 @@ def _bench_ingest_ratio(
                 "min": round(min(vals), 3),
                 "median": round(statistics.median(vals), 3),
                 "reps": len(vals),
-                "load": load,
+                # kept for round-over-round continuity; self-inflated
+                # (includes our own threads) — ext_load_* is the
+                # arbitrating number
+                "load": round(os.getloadavg()[0], 1),
+                "ext_load_post": ext_post,
+                **evidence,
             }
             if flagged:
                 stats[name]["prior_min"] = prior
-            if high_load:
+            if burst:
                 stats[name]["high_load_rerun"] = True
-                stats[name]["load_after"] = round(os.getloadavg()[0], 1)
 
     # A per-rep SALT: an always-true filter on a negative literal woven
     # below each side's first shuffle. This Spark build reuses shuffle
@@ -1296,7 +1421,9 @@ SCALING_SMALL_DIR = "/root/testdata/sf0.01"
 SCALING_FLAG_EXPONENT = 1.2
 
 
-def _bench_scaling(spark, sf_dir: str, sf: float, big_times: dict) -> dict:
+def _bench_scaling(
+    spark, sf_dir: str, sf: float, big_times: dict, gate: _QuietGate | None = None
+) -> dict:
     """Empirical scale-curve evidence (VERDICT r12 #7): re-run the
     salted ingest-ratio families at sf0.01 in the SAME session and
     record the measured scaling exponent k per family, where
@@ -1318,7 +1445,7 @@ def _bench_scaling(spark, sf_dir: str, sf: float, big_times: dict) -> dict:
     small_times: dict[str, float] = {}
     small_stats: dict[str, dict] = {}
     _bench_ingest_ratio(
-        spark, SCALING_SMALL_DIR, small_times, small_stats, {}
+        spark, SCALING_SMALL_DIR, small_times, small_stats, {}, gate=gate
     )
     families: dict[str, dict] = {}
     flagged: list[str] = []
@@ -1347,20 +1474,33 @@ def _bench_scaling(spark, sf_dir: str, sf: float, big_times: dict) -> dict:
 # (VERDICT r13 #8): the kNN-graph/SNN and filtered-ANN families. Their
 # LARGE-side time is the headline min (they are HEADLINE entries), so
 # this pass runs after the headline loop and only times the small side.
-SCALING_CATALOG = [
-    "embedding_knn_graph",
-    "embedding_snn_clusters",
-    "ivf_filtered_topk",
-    "ivf_filtered_adaptive_topk",
-]
+# Value = small-side rep count (r14 advice: a single-shot t_small on a
+# 5-10x-swinging host can flag a spurious exponent). The kNN pair reps
+# 3x with min — after the memo clear each rep rebuilds through a FRESH
+# localCheckpoint, so its plan is canonically distinct and immune to
+# this build's cross-execution shuffle-stage reuse. The ivf_filtered
+# pair stays single-shot: its plan is purely declarative (no
+# checkpoint, no external salt hook), so a second identical run would
+# read the first run's shuffle files and report a reuse-deflated
+# t_small (inflating the exponent); it relies on the quiet gate
+# instead.
+SCALING_CATALOG = {
+    "embedding_knn_graph": 3,
+    "embedding_snn_clusters": 3,
+    "ivf_filtered_topk": 1,
+    "ivf_filtered_adaptive_topk": 1,
+}
 
 
-def _bench_scaling_catalog(spark, sf: float, times: dict, scaling: dict) -> None:
+def _bench_scaling_catalog(
+    spark, sf: float, times: dict, scaling: dict, gate: _QuietGate | None = None
+) -> None:
     """Append measured exponents for SCALING_CATALOG to the scaling
-    section: t_large from the headline min at sf_dir, t_small from one
-    fresh run at SCALING_SMALL_DIR (memoized build-time state cleared,
-    same contract as run_once). Same flag-if > {SCALING_FLAG_EXPONENT}
-    rule; same fixed-overhead caveat — k bounds blowup from above."""
+    section: t_large from the headline min at sf_dir, t_small from the
+    min of its rep budget at SCALING_SMALL_DIR (memoized build-time
+    state cleared per rep, same contract as run_once), behind the
+    shared quiet gate. Same flag-if > {SCALING_FLAG_EXPONENT} rule;
+    same fixed-overhead caveat — k bounds blowup from above."""
     if not scaling or not os.path.isdir(SCALING_SMALL_DIR) or sf <= 0.01:
         return
     import __spark_entry__ as entrymod
@@ -1369,20 +1509,25 @@ def _bench_scaling_catalog(spark, sf: float, times: dict, scaling: dict) -> None
     from pyspark_data_processing_challenge_spark.queries import extended as _ext
     from pyspark_data_processing_challenge_spark.queries import llm as _llm
 
+    gate = gate or _QuietGate()
     qs = entrymod.queries()
     n_ratio = sf / 0.01
-    for name in SCALING_CATALOG:
+    for name, nreps in SCALING_CATALOG.items():
         t_large = times.get(name)
         if not t_large or t_large <= 0:
             continue
-        _adv._PCA_MEMO.clear()
-        _llm._CC_MEMO.clear()
-        _ext._KNN_MEMO.clear()
-        t0 = time.perf_counter()
-        qs[name](spark, SCALING_SMALL_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        t_small = round(time.perf_counter() - t0, 3)
+        evidence = gate.wait()
+        vals = []
+        for _ in range(nreps):
+            _adv._PCA_MEMO.clear()
+            _llm._CC_MEMO.clear()
+            _ext._KNN_MEMO.clear()
+            t0 = time.perf_counter()
+            qs[name](spark, SCALING_SMALL_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            vals.append(round(time.perf_counter() - t0, 3))
+        t_small = min(vals)
         if t_small <= 0:
             continue
         k = math.log(t_large / t_small) / math.log(n_ratio)
@@ -1390,6 +1535,8 @@ def _bench_scaling_catalog(spark, sf: float, times: dict, scaling: dict) -> None
             "t_small": t_small,
             "t_large": t_large,
             "exponent": round(k, 3),
+            "small_reps": len(vals),
+            **evidence,
         }
         if k > SCALING_FLAG_EXPONENT:
             scaling["flagged"].append(name)
@@ -1752,6 +1899,49 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             rows=n_docs_pc,
         )
 
+        # Bloom-decontamination-at-ingest (VERDICT r14 #6): the same
+        # document micro-batches screened through the static 16 KiB
+        # filter, every doc committed once under kind={accept,
+        # quarantine}. Word table built from the real documents table
+        # and collected at sink construction — outside the timer
+        # (stream-lifetime amortized, like the semdedup codebook).
+        from pyspark_data_processing_challenge_spark.functions import (
+            textfns as tfn2,
+        )
+        from pyspark_data_processing_challenge_spark.operators import (
+            bloom as bloom2,
+        )
+
+        raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        bl_words = bloom2.build_bloom(
+            llmq2._decon_bench(raw_docs)
+            .select(
+                SF.explode(
+                    tfn2.shingles(SF.col("text"), n=llmq2.DECON_NGRAM)
+                ).alias("g")
+            )
+            .distinct()
+            .select(tfn2.char_hash(SF.col("g")).alias("gh")),
+            "gh",
+        )
+        bl_sink = sev.bloom_decontam_ingest_sink(
+            f"{tmp}/bl_out", bl_words, ngram_n=llmq2.DECON_NGRAM
+        )
+        run(
+            "bloom_decontam_ingest",
+            lambda: (
+                spark.readStream.schema(sev.DOCS_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(dsrc)
+                .writeStream.foreachBatch(bl_sink)
+                .option("checkpointLocation", f"{tmp}/ck_bl")
+                .start()
+            ),
+            rows=n_docs_pc,
+        )
+
         # fixed-vs-marginal epoch decomposition for the two sinks whose
         # tiny-batch rows/s were flagged as overhead-bound (r12): a
         # second pass at double batch size, fresh state everywhere
@@ -1802,6 +1992,23 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                 .parquet(dsrc)
                 .writeStream.foreachBatch(cs_sink2)
                 .option("checkpointLocation", f"{tmp}/ck_cs2")
+                .start()
+            ),
+        )
+        # ... and for the new Bloom screen sink (VERDICT r14 #6 asks
+        # for the epoch decomposition explicitly): stateless, so the
+        # second pass only needs a fresh out dir + checkpoint
+        bl_sink2 = sev.bloom_decontam_ingest_sink(
+            f"{tmp}/bl_out2", bl_words, ngram_n=llmq2.DECON_NGRAM
+        )
+        two_point(
+            "bloom_decontam_ingest",
+            lambda: (
+                spark.readStream.schema(sev.DOCS_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(dsrc)
+                .writeStream.foreachBatch(bl_sink2)
+                .option("checkpointLocation", f"{tmp}/ck_bl2")
                 .start()
             ),
         )
