@@ -439,7 +439,20 @@ def knn_graph_arrow(
             }
         )
 
-    per_list = assigned.groupBy("centroid_id").applyInPandas(
+    # EXPLICIT partition count (the plant_phash_corpus/AQE lesson): the
+    # assignment table is small enough that AQE's size-based coalescing
+    # folds the grouping exchange to ONE post-shuffle partition and
+    # every list's kernel runs serially on one core. A keyed repartition
+    # with an explicit count keeps the group tasks spread (parallelism
+    # still bounded by |lists| — quantizer balance is the lever).
+    sess = assigned.sparkSession
+    n_parts = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    per_list = assigned.repartition(n_parts, "centroid_id").groupBy(
+        "centroid_id"
+    ).applyInPandas(
         _score_list, "vec_id long, neighbor_id long, cosine double"
     )
     deduped = (

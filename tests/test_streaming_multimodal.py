@@ -1902,3 +1902,41 @@ def test_streaming_bloom_decontam_ingest(spark, tmp_path):
         .collect()
     }
     assert batch_flagged and batch_flagged <= flagged
+
+
+def test_phash_hamming_pairs_arrow_matches_join_twin(spark):
+    """VERDICT r14 #4: the Arrow band-verify kernel (default impl) must
+    reproduce the banded self-join twin EXACTLY — integer Hamming, so
+    tuple equality, including the blocked hot-bucket path (forced by a
+    tiny threshold monkeypatch is unnecessary: the 10x replicated
+    corpus pushes buckets past the arrow hot threshold only at larger
+    SF, so instead pin both the production threshold path and a
+    hand-lowered one)."""
+    from pyspark_data_processing_challenge_spark.operators import multimodal as mm
+
+    ids = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    corpus = mm.plant_phash_corpus(ids, "doc_id", codec="jpeg")
+    hashes = (
+        mm.phash_batch(corpus)
+        .select("media_id", "h_hi", "h_lo")
+        .localCheckpoint()
+    )
+    a = sorted(
+        tuple(r) for r in mm.phash_hamming_pairs(hashes).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in mm.phash_hamming_pairs(hashes, impl="join").collect()
+    )
+    assert a == b and a, "arrow verify diverged from the join twin"
+
+    # force the blocked hot path through the kernel and re-prove
+    old = mm._HAM_ARROW_HOT_THRESHOLD
+    mm._HAM_ARROW_HOT_THRESHOLD = 8
+    try:
+        c = sorted(
+            tuple(r) for r in mm.phash_hamming_pairs(hashes).collect()
+        )
+    finally:
+        mm._HAM_ARROW_HOT_THRESHOLD = old
+    assert c == a, "blocked hot-bucket kernel diverged"
