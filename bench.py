@@ -436,6 +436,32 @@ def _prior_round_mins(sf: float) -> dict[str, float]:
     return {}
 
 
+def _disk_write_mbps(nbytes: int = 256 * 1024 * 1024) -> float | None:
+    """Sustained write bandwidth of the filesystem Spark spills and
+    shuffles to, measured once per run (fsync'd, ~3 s at the 88 MB/s
+    this host showed in r15). The arbitrating number for the
+    shuffle-bytes-bound entries: dedup_full_1to600 moved 13.1 → 21.4 s
+    between r13 and r15 with an identical plan, quiet external CPU,
+    and an unchanged 3.7 s map side — the delta was entirely the
+    ~3.6 GB full-row shuffle against degraded host write bandwidth.
+    Without this probe in the detail line that adjudication took a
+    round (r14 misattributed it to loadavg)."""
+    import tempfile
+
+    try:
+        chunk = b"\x5a" * (32 * 1024 * 1024)
+        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile(dir="/tmp") as f:
+            for _ in range(nbytes // len(chunk)):
+                f.write(chunk)
+            f.flush()
+            os.fsync(f.fileno())
+            dt = time.perf_counter() - t0
+        return round(nbytes / (1024 * 1024) / dt, 1)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -445,6 +471,7 @@ def main() -> None:
 
     spark = get_session("bench", master=f"local[{cpus}]")
     load_at_start = round(os.getloadavg()[0], 1)
+    disk_write_mbps = _disk_write_mbps()
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -591,6 +618,7 @@ def main() -> None:
     lines = result_lines(
         times, streaming, sf, stats=stats, baselines=baselines,
         scaling=scaling, load_at_start=load_at_start,
+        disk_write_mbps=disk_write_mbps,
     )
     for line in lines:
         print(line)
@@ -630,6 +658,7 @@ def result_lines(
     baselines: dict | None = None,
     scaling: dict | None = None,
     load_at_start: float | None = None,
+    disk_write_mbps: float | None = None,
 ) -> list[str]:
     """Render bench results as (detail_line, final_line). Pure so the
     length/round-trip contract is unit-testable without a Spark run.
@@ -652,6 +681,11 @@ def result_lines(
         # ~N whenever a stage is running — so only this baseline says
         # whether the HOST was quiet when the run began.
         detail_payload["load_at_start"] = load_at_start
+    if disk_write_mbps is not None:
+        # the IO-side twin of load_at_start: shuffle-bytes-bound
+        # entries (dedup_full_1to600 above all) track this number, not
+        # cpu load — see _disk_write_mbps
+        detail_payload["disk_write_mbps"] = disk_write_mbps
     if stats:
         detail_payload["query_stats"] = stats
     if baselines:
@@ -873,6 +907,13 @@ def _bench_ingest_ratio(
         # groupBy) is the cheapest of the five families, while the fp store
         # is 16 bytes/row — the byte asymmetry that IS this contract only
         # becomes visible against job-floor noise with more history.
+        # COST MODEL (r15 adjudication of the 13.1 → 21.4 s move): the
+        # full side is shuffle-WRITE-bound, not cpu-bound — the 36M-row
+        # union shuffles ~3.6 GB of full-width rows through the dedup
+        # aggregate while the map side (fingerprint everything, no
+        # exchange) is ~3.7 s flat. Read it against the detail line's
+        # disk_write_mbps (88 MB/s when 21.4 s was recorded at external
+        # cpu 0.1), not against loadavg.
         li = spread(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
         def li_frames(salt: int):
@@ -1942,6 +1983,55 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             rows=n_docs_pc,
         )
 
+        # pHash-at-ingest: media micro-batches (REAL JPEG payloads,
+        # each batch decodes once) maintain the 16-byte-per-image hash
+        # store and emit near-dup pairs vs store + within batch. Range
+        # chunks so planted copies pair across epochs.
+        from pyspark_data_processing_challenge_spark.operators import (
+            multimodal as mmod2,
+        )
+
+        media = mmod2.plant_phash_corpus(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")
+            .filter(SF.col("doc_id") % 10 == 0),
+            "doc_id",
+            codec="jpeg",
+        )
+        n_media = media.count()
+        msrc = f"{tmp}/msrc"
+        _os.makedirs(msrc)
+        mb_b = media.selectExpr(
+            "percentile(cast(media_id as double), array(0.25, 0.5, 0.75)) p"
+        ).first().p
+        mid = SF.col("media_id").cast("double")
+        mchunks = [
+            media.filter(mid <= mb_b[0]),
+            media.filter((mid > mb_b[0]) & (mid <= mb_b[1])),
+            media.filter((mid > mb_b[1]) & (mid <= mb_b[2])),
+            media.filter(mid > mb_b[2]),
+        ]
+        for i, ch in enumerate(mchunks):
+            ch.coalesce(1).write.parquet(f"{tmp}/m{i}")
+            shutil.copy(
+                glob.glob(f"{tmp}/m{i}/part-*.parquet")[0],
+                f"{msrc}/{i:02d}.parquet",
+            )
+        run(
+            "phash_ingest",
+            lambda: (
+                spark.readStream.schema(sev.MEDIA_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(msrc)
+                .writeStream.foreachBatch(
+                    sev.phash_ingest_sink(f"{tmp}/ph_out")
+                )
+                .option("checkpointLocation", f"{tmp}/ck_ph")
+                .start()
+            ),
+            rows=n_media,
+        )
+
         # fixed-vs-marginal epoch decomposition for the two sinks whose
         # tiny-batch rows/s were flagged as overhead-bound (r12): a
         # second pass at double batch size, fresh state everywhere
@@ -2009,6 +2099,19 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                 .parquet(dsrc)
                 .writeStream.foreachBatch(bl_sink2)
                 .option("checkpointLocation", f"{tmp}/ck_bl2")
+                .start()
+            ),
+        )
+        two_point(
+            "phash_ingest",
+            lambda: (
+                spark.readStream.schema(sev.MEDIA_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(msrc)
+                .writeStream.foreachBatch(
+                    sev.phash_ingest_sink(f"{tmp}/ph_out2")
+                )
+                .option("checkpointLocation", f"{tmp}/ck_ph2")
                 .start()
             ),
         )

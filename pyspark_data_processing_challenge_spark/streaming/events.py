@@ -238,6 +238,85 @@ def bloom_decontam_ingest_sink(
     return sink
 
 
+MEDIA_STREAM_SCHEMA = "media_id long, payload binary"
+
+
+def phash_ingest_sink(out_dir: str, *, max_distance: int = 3):
+    """foreachBatch sink maintaining the perceptual-hash store AT
+    INGEST — the image member of the streaming incremental family
+    (exact fingerprints, CMS, SemDeDup, IVF-PQ, PCA moments,
+    cluster-split, Bloom screen): each media micro-batch decodes ONCE
+    (operators/multimodal.phash_batch — real PNG/JPEG pixel decode +
+    dHash), pairs against the persisted 16-byte-per-image hash store
+    via operators/multimodal.incremental_phash_near_duplicates (batch
+    broadcast on both joins, the store streams through one scan and is
+    NEVER re-decoded or shuffled), and commits the batch's near-dup
+    pairs plus its fresh hash rows in ONE kind-partitioned write:
+    ``out_dir/__epoch=N/kind={pairs,hash}`` (the semdedup_ingest_sink
+    layout — readers prune on the kind partition).
+
+    Replay safety (the dedup_ingest_sink contract): the store read
+    filters to epochs strictly BEFORE the current one, so a replayed
+    epoch sees exactly the prior state it saw the first time and
+    overwrites exactly its own epoch directory — idempotent under
+    at-least-once delivery, including the pairing decision; the
+    replay guard inside the incremental operator additionally keeps a
+    re-ingested id from pairing with itself."""
+    from ..operators.multimodal import (
+        incremental_phash_near_duplicates,
+        phash_batch,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = (
+                spark.read.schema(
+                    "media_id long, h_hi long, h_lo long,"
+                    " id_a long, id_b long, hamming long,"
+                    " kind string, __epoch int"
+                )
+                .parquet(out_dir)
+                .filter(
+                    (F.col("__epoch") < F.lit(epoch_id))
+                    & (F.col("kind") == "hash")
+                )
+                .select("media_id", "h_hi", "h_lo")
+            )
+        except AnalysisException as e:
+            # ONLY a missing store means "first epoch" (see
+            # dedup_ingest_sink for why anything else must re-raise)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            store = spark.createDataFrame(
+                [], "media_id long, h_hi long, h_lo long"
+            )
+        hashes = phash_batch(batch_df).select("media_id", "h_hi", "h_lo")
+        caches: list = []
+        fresh_frames: list = []
+        pairs, _updated = incremental_phash_near_duplicates(
+            hashes,
+            store,
+            max_distance=max_distance,
+            cache_into=caches,
+            fresh_into=fresh_frames,
+        )
+        bundle = pairs.withColumn("kind", F.lit("pairs")).unionByName(
+            fresh_frames[0].withColumn("kind", F.lit("hash")),
+            allowMissingColumns=True,
+        )
+        (
+            bundle.coalesce(1)
+            .write.partitionBy("kind")
+            .mode("overwrite")
+            .parquet(f"{out_dir}/__epoch={int(epoch_id)}")
+        )
+        for c in caches:
+            c.unpersist()
+
+    return sink
+
+
 def hourly_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling 1-hour aggregation — streaming twin of the
     batch ``events_hourly`` query (same grouping, same aggregates)."""

@@ -165,3 +165,17 @@ def test_scaling_catalog_rep_policy():
     assert bench.SCALING_CATALOG["embedding_snn_clusters"] >= 2
     assert bench.SCALING_CATALOG["ivf_filtered_topk"] == 1
     assert bench.SCALING_CATALOG["ivf_filtered_adaptive_topk"] == 1
+
+
+def test_disk_probe_lands_in_detail_only():
+    """disk_write_mbps (the IO twin of load_at_start) rides the detail
+    line for regression adjudication and never the budgeted final
+    line; the probe itself degrades to None instead of raising."""
+    detail, final = bench.result_lines(
+        _fake_times(5), _fake_streaming(), 0.1, disk_write_mbps=88.2,
+    )
+    d, f = json.loads(detail), json.loads(final)
+    assert d["disk_write_mbps"] == 88.2
+    assert "disk_write_mbps" not in f
+    mbps = bench._disk_write_mbps(nbytes=32 * 1024 * 1024)
+    assert mbps is None or mbps > 0

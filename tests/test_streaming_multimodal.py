@@ -1940,3 +1940,62 @@ def test_phash_hamming_pairs_arrow_matches_join_twin(spark):
     finally:
         mm._HAM_ARROW_HOT_THRESHOLD = old
     assert c == a, "blocked hot-bucket kernel diverged"
+
+
+def test_streaming_phash_ingest(spark, tmp_path):
+    """pHash at ingest: the union of per-epoch pair outputs equals the
+    full banded recompute over the whole corpus (epoch-0 within pairs,
+    epoch-1 within pairs, and epoch-1-vs-store pairs — every pair has
+    a latest member, so the union is exhaustive), and the accumulated
+    hash store carries exactly one row per media id. RANGE batch split
+    (the twin-test rule): the planted copies live at id +
+    PHASH_COPY_OFFSET, so originals land in epoch 0 and their copies
+    in epoch 1 — cross-batch pairs are exercised by construction."""
+    from pyspark_data_processing_challenge_spark.operators import multimodal as mm
+
+    ids = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    corpus = mm.plant_phash_corpus(ids, "doc_id", codec="jpeg").localCheckpoint()
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus.filter(F.col("media_id") < mm.PHASH_COPY_OFFSET).coalesce(
+        1
+    ).write.parquet(str(src / "b1.parquet"))
+    corpus.filter(F.col("media_id") >= mm.PHASH_COPY_OFFSET).coalesce(
+        1
+    ).write.parquet(str(src / "b2.parquet"))
+    out_dir = str(tmp_path / "out")
+    q = (
+        spark.readStream.schema(sev.MEDIA_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+        .writeStream.foreachBatch(sev.phash_ingest_sink(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    written = spark.read.schema(
+        "media_id long, h_hi long, h_lo long,"
+        " id_a long, id_b long, hamming long, kind string, __epoch int"
+    ).parquet(out_dir)
+    got_pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in written.filter(F.col("kind") == "pairs").collect()
+    }
+    full = mm.phash_hamming_pairs(
+        mm.phash_batch(corpus).select("media_id", "h_hi", "h_lo")
+    )
+    want_pairs = {tuple(r) for r in full.collect()}
+    assert got_pairs == want_pairs and want_pairs
+    # one store row per media id, cross-epoch
+    store_ids = sorted(
+        r["media_id"]
+        for r in written.filter(F.col("kind") == "hash").collect()
+    )
+    assert store_ids == sorted(r["media_id"] for r in corpus.collect())
+    assert {r["__epoch"] for r in written.collect()} == {0, 1}
