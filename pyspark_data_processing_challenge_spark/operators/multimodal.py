@@ -348,6 +348,148 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
+_POW2 = [1 << k for k in range(24)]  # quantized DCT coeffs are << 2^23
+
+
+def _mag_size_amp_arrays(v, np):
+    """Vectorized :func:`_mag_bits` over an int64 array — exact
+    integer arithmetic (powers-of-two searchsorted, never a float
+    log), elementwise-equal including v == 0 -> (0, 0)."""
+    a = np.abs(v)
+    sizes = np.searchsorted(_POW2, a, side="right")
+    amps = np.where(
+        v > 0, v, v + np.left_shift(np.int64(1), sizes) - np.int64(1)
+    )
+    return sizes, amps
+
+
+def _pack_scan(c, ln) -> bytes:
+    """Vectorized twin of feeding (code, length) pairs through
+    :class:`_BitWriter` + ``flush()``: expand every symbol to its
+    MSB-first bits in one (nsym x maxlen) masked matrix, ``packbits``
+    the flat stream, pad the tail byte with 1-bits, byte-stuff 0x00
+    after every 0xFF (a stuffed pad byte included) — BYTE-IDENTICAL
+    output, pinned by the encoder equality test (the catalog's image
+    oracles replay values derived from decoded pixels, so the encoded
+    bytes may never drift)."""
+    import numpy as np
+
+    c = np.asarray(c, dtype=np.int64)
+    ln = np.asarray(ln, dtype=np.int64)
+    maxlen = int(ln.max())
+    sh = ln[:, None] - 1 - np.arange(maxlen)[None, :]
+    valid = sh >= 0
+    bits = (c[:, None] >> np.maximum(sh, 0)) & 1
+    flat = bits[valid].astype(np.uint8)  # row-major == stream order
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.ones(pad, dtype=np.uint8)])
+    by = np.packbits(flat)
+    stuff = np.nonzero(by == 0xFF)[0]
+    if len(stuff):
+        by = np.insert(by, stuff + 1, 0)
+    return by.tobytes()
+
+
+_HUFF_ARR_CACHE: dict = {}
+
+
+def _huff_arrays(np):
+    """DC/AC Huffman tables as dense int64 LUT arrays (code, length)
+    indexed by symbol — the array-gather form of _huff_codes for the
+    vectorized emitter. Built once per process."""
+    if "v" not in _HUFF_ARR_CACHE:
+        dc = _huff_codes(_DC_BITS, _DC_VALS)
+        ac = _huff_codes(_AC_BITS, _AC_VALS)
+        dcc = np.zeros(16, dtype=np.int64)
+        dcl = np.zeros(16, dtype=np.int64)
+        for s, (code, length) in dc.items():
+            dcc[s], dcl[s] = code, length
+        acc = np.zeros(256, dtype=np.int64)
+        acl = np.zeros(256, dtype=np.int64)
+        for s, (code, length) in ac.items():
+            acc[s], acl[s] = code, length
+        _HUFF_ARR_CACHE["v"] = (dcc, dcl, acc, acl)
+    return _HUFF_ARR_CACHE["v"]
+
+
+def _entropy_symbols(zz_arr, dc_deltas, np):
+    """Vectorized JPEG entropy-symbol stream for an interleaved block
+    sequence: ``zz_arr`` (n_blocks, 64) zigzag-ordered quantized
+    coefficients, ``dc_deltas`` the per-block DC prediction deltas
+    (already chained by the caller — per component for color). Returns
+    (codes, lengths) int64 arrays in exact stream order.
+
+    The run-length walk the python loop did per coefficient becomes
+    array algebra: nonzero positions in row-major order ARE stream
+    order; each nonzero's zero-run is its column gap to the previous
+    nonzero in the row; ZRL symbols are a ``repeat`` by run>>4; EOB
+    rows are those whose final zigzag slot is zero. Every symbol gets
+    a (block, intra-block) sort key and one stable lexsort interleaves
+    DC/ZRL/code/amplitude/EOB records exactly as the sequential writer
+    emitted them — byte-equality with the loop form is pinned by
+    tests on planted, flat, saturated, and random rasters."""
+    dcc, dcl, acc, acl = _huff_arrays(np)
+    n = zz_arr.shape[0]
+    dsz, damp = _mag_size_amp_arrays(dc_deltas, np)
+    A = zz_arr[:, 1:]
+    asz, aamp = _mag_size_amp_arrays(A, np)
+    rows_n = np.arange(n, dtype=np.int64)
+    parts_r: list = []
+    parts_k: list = []
+    parts_c: list = []
+    parts_l: list = []
+
+    def add(r, k, c, ln):
+        parts_r.append(r)
+        parts_k.append(k)
+        parts_c.append(c)
+        parts_l.append(ln)
+
+    # DC code, then DC amplitude where size > 0
+    add(rows_n, np.full(n, -3, dtype=np.int64), dcc[dsz], dcl[dsz])
+    m = dsz > 0
+    add(rows_n[m], np.full(int(m.sum()), -2, dtype=np.int64), damp[m], dsz[m])
+    rr, cc2 = np.nonzero(A != 0)
+    if len(rr):
+        first = np.empty(len(rr), dtype=bool)
+        first[0] = True
+        first[1:] = rr[1:] != rr[:-1]
+        prev = np.empty(len(cc2), dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = cc2[:-1]
+        prev[first] = -1
+        runs = cc2 - prev - 1
+        nzrl = runs >> 4
+        s = asz[rr, cc2]
+        sym = ((runs & 15) << 4) | s
+        zr = np.repeat(rr, nzrl)
+        zc = np.repeat(cc2, nzrl)
+        zrl_c, zrl_l = int(acc[0xF0]), int(acl[0xF0])
+        add(
+            zr,
+            4 * zc,
+            np.full(len(zr), zrl_c, dtype=np.int64),
+            np.full(len(zr), zrl_l, dtype=np.int64),
+        )
+        add(rr, 4 * cc2 + 1, acc[sym], acl[sym])
+        add(rr, 4 * cc2 + 2, aamp[rr, cc2], s)
+    eob = A[:, 62] == 0
+    ne = int(eob.sum())
+    add(
+        rows_n[eob],
+        np.full(ne, 400, dtype=np.int64),
+        np.full(ne, int(acc[0x00]), dtype=np.int64),
+        np.full(ne, int(acl[0x00]), dtype=np.int64),
+    )
+    rows = np.concatenate(parts_r)
+    keys = np.concatenate(parts_k)
+    codes = np.concatenate(parts_c)
+    lens = np.concatenate(parts_l)
+    order = np.lexsort((keys, rows))
+    return codes[order], lens[order]
+
+
 def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     """A REAL baseline-DCT grayscale JPEG (ITU T.81): 8x8 blocks with
     edge-replication padding, float DCT-II, flat quantization, and
@@ -367,49 +509,19 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     padded[:, width:] = padded[:, width - 1 : width]
     padded -= 128.0
     c = _dct_mat()
-    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
-    out = _BitWriter()
-    prev_dc = 0
-    # batched DCT + quantize + zigzag up front (see encode_jpeg_color —
-    # per-block numpy scalar indexing dominated the loop); bit-identical
-    # to the per-block form (same dgemm per 8x8 slice), pinned by the
-    # decode-checksum test
+    # batched DCT + quantize + zigzag up front (per-block numpy scalar
+    # indexing dominated the original loop) — bit-identical to the
+    # per-block form (same dgemm per 8x8 slice), pinned by the
+    # decode-checksum test. The entropy stage is fully vectorized too
+    # (_entropy_symbols + _pack_scan) — byte-equal to the sequential
+    # _BitWriter form, pinned by the encoder equality test.
     tiles = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
     qall = np.round((c @ tiles @ c.T) / _JPEG_QUANT).astype(np.int64)
-    zz_all = qall.reshape(bh, bw, 64)[..., _ZIGZAG].tolist()
-    for by in range(bh):
-        for bx in range(bw):
-            zz = zz_all[by][bx]
-            size, amp = _mag_bits(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            code, length = dc_codes[size]
-            out.write(code, length)
-            if size:
-                out.write(amp, size)
-            run = 0
-            last_nz = 0
-            for z in range(63, 0, -1):
-                if zz[z]:
-                    last_nz = z
-                    break
-            for z in range(1, last_nz + 1):
-                if zz[z] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    out.write(code, length)
-                    run -= 16
-                size, amp = _mag_bits(zz[z])
-                code, length = ac_codes[(run << 4) | size]
-                out.write(code, length)
-                out.write(amp, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                out.write(code, length)
-    scan = out.flush()
+    zz_arr = qall.reshape(bh * bw, 64)[:, _ZIGZAG]
+    codes, lens = _entropy_symbols(
+        zz_arr, np.diff(zz_arr[:, 0], prepend=np.int64(0)), np
+    )
+    scan = _pack_scan(codes, lens)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
@@ -1808,13 +1920,12 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
         pp[:, width:] = pp[:, width - 1 : width]
         padded.append(pp - 128.0)
     c = _dct_mat()
-    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
-    out = _BitWriter()
-    prev_dc = [0, 0, 0]
     # batched DCT + quantize + zigzag for every block of every plane up
     # front (per-block numpy scalar indexing dominated the loop); the
-    # Huffman writer then consumes plain-int lists
+    # entropy stage is the vectorized emitter shared with the gray
+    # encoder — interleaved (by, bx, ci) block order, DC prediction
+    # chained PER COMPONENT, byte-equal to the sequential _BitWriter
+    # form (encoder equality test).
     tiles = np.stack(
         [
             p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
@@ -1823,40 +1934,11 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
         axis=2,
     )  # (bh, bw, 3, 8, 8)
     qall = np.round((c @ tiles @ c.T) / _JPEG_QUANT).astype(np.int64)
-    zz_all = qall.reshape(bh, bw, 3, 64)[..., _ZIGZAG].tolist()
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(3):
-                zz = zz_all[by][bx][ci]
-                size, amp = _mag_bits(zz[0] - prev_dc[ci])
-                prev_dc[ci] = zz[0]
-                code, length = dc_codes[size]
-                out.write(code, length)
-                if size:
-                    out.write(amp, size)
-                run = 0
-                last_nz = 0
-                for z in range(63, 0, -1):
-                    if zz[z]:
-                        last_nz = z
-                        break
-                for z in range(1, last_nz + 1):
-                    if zz[z] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]
-                        out.write(code, length)
-                        run -= 16
-                    size, amp = _mag_bits(zz[z])
-                    code, length = ac_codes[(run << 4) | size]
-                    out.write(code, length)
-                    out.write(amp, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[0x00]
-                    out.write(code, length)
-    scan = out.flush()
+    zz_arr = qall.reshape(bh * bw * 3, 64)[:, _ZIGZAG]
+    dcs = zz_arr[:, 0].reshape(-1, 3)
+    deltas = np.diff(dcs, axis=0, prepend=np.zeros((1, 3), dtype=np.int64))
+    codes, lens = _entropy_symbols(zz_arr, deltas.reshape(-1), np)
+    scan = _pack_scan(codes, lens)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload

@@ -1999,3 +1999,56 @@ def test_streaming_phash_ingest(spark, tmp_path):
     )
     assert store_ids == sorted(r["media_id"] for r in corpus.collect())
     assert {r["__epoch"] for r in written.collect()} == {0, 1}
+
+
+def test_jpeg_encoder_bytes_pinned():
+    """The catalog's image oracles replay values derived from DECODED
+    pixels, so the encoded bytes may never drift — a 'faster but
+    slightly different' encoder would silently move every planted
+    phash. Pin one gray and one color stream's md5 (computed from the
+    sequential _BitWriter implementation; the vectorized
+    _entropy_symbols/_pack_scan emitter reproduced them byte-for-byte
+    across 476 corpus/flat/saturated/random images when it landed)."""
+    import hashlib
+
+    g = multimodal.encode_jpeg_gray(
+        20, 17, multimodal._phash_raster(42, 20, 17, 1)
+    )
+    assert hashlib.md5(g).hexdigest() == "00857aa71f237a6a5f818378373c8528"
+    rgb = (bytes(range(256)) * ((3 * 20 * 17) // 256 + 1))[: 3 * 20 * 17]
+    c = multimodal.encode_jpeg_color(20, 17, rgb)
+    assert hashlib.md5(c).hexdigest() == "7baf634f4e67f8f5991c96d24f8c9e4c"
+
+
+def test_pack_scan_equals_bitwriter_spec():
+    """_BitWriter is the sequential executable spec of the scan
+    byte format (bit accumulation, 0xFF byte stuffing, 1-padded
+    flush); _pack_scan is the vectorized emitter the encoders use.
+    Random symbol streams — including streams engineered to produce
+    0xFF bytes and every tail-pad length — must pack identically."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(50):
+        n = rng.randrange(1, 400)
+        codes, lens = [], []
+        for _ in range(n):
+            ln = rng.randrange(1, 17)
+            # bias toward all-ones codes so 0xFF bytes (and stuffed
+            # pads) actually occur
+            code = (1 << ln) - 1 if rng.random() < 0.3 else rng.randrange(1 << ln)
+            codes.append(code)
+            lens.append(ln)
+        w = multimodal._BitWriter()
+        for c, ln in zip(codes, lens):
+            w.write(c, ln)
+        assert w.flush() == multimodal._pack_scan(codes, lens), trial
+
+    # scalar magnitude coder is the contract _mag_size_amp_arrays
+    # vectorizes — spot-equal across the signed range
+    import numpy as np
+
+    vs = np.array([0, 1, -1, 2, -2, 7, -7, 8, -8, 255, -255, 1023, -1024])
+    sizes, amps = multimodal._mag_size_amp_arrays(vs, np)
+    for v, s, a in zip(vs.tolist(), sizes.tolist(), amps.tolist()):
+        assert (s, a) == multimodal._mag_bits(v), v
