@@ -29,71 +29,130 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
-    # --- verdict-vintage drain (VERDICT r14 #2): the nine remaining
-    # r08-vintage rows lead the r15 window — no r15 catalog additions
-    # or behavior changes this round, so the drain takes the front and
-    # CORRECTNESS_r15 leaves no driver verdict older than r09 ---
-    "docs_rrf_fusion",  # was r08-vintage
-    "cms_selfjoin_size",  # was r08-vintage
-    "conversion_wilson_ci",  # was r08-vintage
-    "agg_quartiles_orders",  # was r04+r08-vintage
-    "window_ntile_orders",  # was r01+r08-vintage
-    "multimodal_meta",  # was r01+r08-vintage
-    "window_lag_delta",  # was r01+r08-vintage
-    "ngram_jaccard_pairs",  # was r01+r08-vintage
-    "minhash_signatures",  # was r01+r08-vintage
-    # --- oldest-verdict re-verification: the r09 band in
-    # registry-queue order (41 of 49 fit; the remaining 8 r09 rows
-    # lead the r16 queue) ---
-    "near_dup_keep_best",  # was r09-vintage
-    "image_video_cross_near_dup",  # was r09-vintage
-    "docs_kneser_ney_ppl",  # was r09-vintage
-    "revenue_mann_kendall",  # was r09-vintage
-    "customers_mahalanobis_outliers",  # was r09-vintage
-    "ivf_ndcg_eval",  # was r09-vintage
-    "parts_jaccard_similarity",  # was r09-vintage
-    "minhash_precision_eval",  # was r09-vintage
-    "semdedup_recall_eval",  # was r09-vintage
-    "revenue_runs_test",  # was r09-vintage
-    "corpus_tokenizer_fertility",  # was r09-vintage
-    "events_entropy_rate",  # was r09-vintage
-    "nation_revenue_gini",  # was r09-vintage
-    "ref_flagship_pipeline",  # was r09-vintage
-    "minhash_near_dup",  # was r09-vintage
-    "simhash_near_dup",  # was r09-vintage
-    "embedding_topk",  # was r09-vintage
-    "embedding_lsh_buckets",  # was r09-vintage
-    "near_dup_clusters",  # was r09-vintage
-    "minhash_signatures_fast",  # was r09-vintage
-    "dedup_drop_exact",  # was r09-vintage
-    "docs_quality",  # was r09-vintage
-    "docs_lang_id",  # was r09-vintage
-    "docs_token_stats",  # was r09-vintage
-    "op_dedup_subset",  # was r09-vintage
-    "agg_salted_revenue",  # was r09-vintage
-    "sessionize_events",  # was r09-vintage
-    "agg_pricing_summary",  # was r09-vintage
-    "join_revenue_by_nation",  # was r09-vintage
-    "docs_repetition",  # was r09-vintage
-    "events_variant_stats",  # was r09-vintage
-    "approx_percentiles_by_type",  # was r09-vintage
-    "image_phash",  # was r09-vintage
-    "image_phash_near_dup",  # was r09-vintage
-    "docs_decontaminate",  # was r09-vintage
-    "docs_split_assign",  # was r09-vintage
-    "docs_pack_sequences",  # was r09-vintage
-    "profile_orders",  # was r09-vintage
-    "kmeans_two_step",  # was r09-vintage
-    "docs_domain_mix",  # was r09-vintage
-    "embedding_quantize",  # was r09-vintage
+    # --- verdict-vintage drain, final leg (VERDICT r15 #3): the eight
+    # remaining r09-vintage rows lead the r16 window — after this round
+    # no driver verdict in the catalog is older than r10 ---
+    "docs_sentences_udtf",  # was r04+r09-vintage
+    "events_grouped_center",  # was r04+r09-vintage
+    "docs_dup_spans",  # was r05+r09-vintage
+    "docs_strip_dup_spans",  # was r05+r09-vintage
+    "docs_weighted_sample",  # was r05+r09-vintage
+    "user_streaks",  # was r05+r09-vintage
+    "docs_char_entropy",  # was r05+r09-vintage
+    "events_arrow_scaled",  # was r05+r09-vintage
+    # --- oldest-verdict re-verification: the r10 band in
+    # registry-queue order (42 of 50 fit; the remaining 8 r10 rows
+    # lead the r17 queue) ---
+    "docs_quality_classifier",  # was r10-vintage
+    "embedding_kmeanspp_seeds",  # was r10-vintage
+    "docs_bpe_train_vocab",  # was r10-vintage
+    "docs_perceptron_train",  # was r10-vintage
+    "docs_classifier_calibration",  # was r10-vintage
+    "minhash_threshold_sweep",  # was r10-vintage
+    "ivf_nprobe_curve",  # was r10-vintage
+    "phash_precision_eval",  # was r10-vintage
+    "docs_hashed_embedding",  # was r10-vintage
+    "hashed_embedding_planted_cosine",  # was r10-vintage
+    "simhash_precision_eval",  # was r10-vintage
+    "parts_fs_weights",  # was r10-vintage
+    "corpus_dedup_funnel",  # was r10-vintage
+    "multimodal_decode",  # was r02+r05+r10-vintage
+    "ref_flagship_pipeline_keyed",  # was r02+r05+r10-vintage
+    "ivfpq_topk",  # was r05+r10-vintage
+    "orders_pit_acctbal",  # was r05+r10-vintage
+    "events_funnel",  # was r05+r10-vintage
+    "sketch_merge_distinct",  # was r05+r10-vintage
+    "docs_hashed_features",  # was r05+r10-vintage
+    "docs_bm25",  # was r05+r10-vintage
+    "events_m4_downsample",  # was r05+r10-vintage
+    "sessionize_events_native",  # was r05+r10-vintage
+    "pq_topk",  # was r05+r10-vintage
+    "orders_hilbert",  # was r05+r10-vintage
+    "orders_zvalue",  # was r05+r10-vintage
+    "approx_distinct_stats",  # was r04+r05+r10-vintage
+    "cdc_merge_orders",  # was r02+r05+r10-vintage
+    "scd2_customer_history",  # was r02+r05+r10-vintage
+    "ivf_assignments",  # was r02+r05+r10-vintage
+    "ivf_topk",  # was r02+r05+r10-vintage
+    "tfidf_top_terms",  # was r02+r05+r10-vintage
+    "cube_orders",  # was r02+r05+r10-vintage
+    "top_terms",  # was r02+r05+r10-vintage
+    "string_functions",  # was r02+r05+r10-vintage
+    "date_functions",  # was r02+r05+r10-vintage
+    "range_join_promos",  # was r02+r05+r10-vintage
+    "unpivot_lineitem",  # was r02+r05+r10-vintage
+    "grouping_sets_orders",  # was r02+r05+r10-vintage
+    "stratified_sample_docs",  # was r02+r05+r10-vintage
+    "posexplode_tokens",  # was r02+r05+r10-vintage
+    "regex_extract_parts",  # was r02+r05+r10-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
 _ROTATED_OUT = {
-    # r15 rotation: the entire 50-slot r14 window came back green
-    # (CORRECTNESS_r14 50/50) and rotates out; vintage strings list
+    # r16 rotation: the entire 50-slot r15 window came back green
+    # (CORRECTNESS_r15 50/50) and rotates out; vintage strings list
     # every green driver-verdict round per query (derived from the
     # committed CORRECTNESS_r* history).
+    "docs_rrf_fusion": "r08+r15",
+    "cms_selfjoin_size": "r08+r15",
+    "conversion_wilson_ci": "r08+r15",
+    "agg_quartiles_orders": "r04+r08+r15",
+    "window_ntile_orders": "r01+r08+r15",
+    "multimodal_meta": "r01+r08+r15",
+    "window_lag_delta": "r01+r08+r15",
+    "ngram_jaccard_pairs": "r01+r08+r15",
+    "minhash_signatures": "r01+r08+r15",
+    "near_dup_keep_best": "r09+r15",
+    "image_video_cross_near_dup": "r09+r15",
+    "docs_kneser_ney_ppl": "r09+r15",
+    "revenue_mann_kendall": "r09+r15",
+    "customers_mahalanobis_outliers": "r09+r15",
+    "ivf_ndcg_eval": "r09+r15",
+    "parts_jaccard_similarity": "r09+r15",
+    "minhash_precision_eval": "r09+r15",
+    "semdedup_recall_eval": "r09+r15",
+    "revenue_runs_test": "r09+r15",
+    "corpus_tokenizer_fertility": "r09+r15",
+    "events_entropy_rate": "r09+r15",
+    "nation_revenue_gini": "r09+r15",
+    "ref_flagship_pipeline": "r09+r15",
+    "minhash_near_dup": "r09+r15",
+    "simhash_near_dup": "r09+r15",
+    "embedding_topk": "r09+r15",
+    "embedding_lsh_buckets": "r09+r15",
+    "near_dup_clusters": "r09+r15",
+    "minhash_signatures_fast": "r09+r15",
+    "dedup_drop_exact": "r09+r15",
+    "docs_quality": "r09+r15",
+    "docs_lang_id": "r09+r15",
+    "docs_token_stats": "r09+r15",
+    "op_dedup_subset": "r09+r15",
+    "agg_salted_revenue": "r09+r15",
+    "sessionize_events": "r09+r15",
+    "agg_pricing_summary": "r09+r15",
+    "join_revenue_by_nation": "r09+r15",
+    "docs_repetition": "r09+r15",
+    "events_variant_stats": "r09+r15",
+    "approx_percentiles_by_type": "r09+r15",
+    "image_phash": "r09+r15",
+    "image_phash_near_dup": "r09+r15",
+    "docs_decontaminate": "r09+r15",
+    "docs_split_assign": "r09+r15",
+    "docs_pack_sequences": "r09+r15",
+    "profile_orders": "r09+r15",
+    "kmeans_two_step": "r09+r15",
+    "docs_domain_mix": "r09+r15",
+    "embedding_quantize": "r09+r15",
+    # front of the r17 re-verification queue: the 8 r10-vintage rows
+    # the 50-slot r16 window could not fit
+    "window_rank_stats": "r02+r05+r10",
+    "agg_conditional": "r02+r05+r10",
+    "kmeans_update_centroids": "r02+r05+r10",
+    "doc_length_histogram": "r02+r05+r10",
+    "multimodal_media_decode": "r04+r05+r10",
+    "docs_bpe_token_count": "r02+r05+r10",
+    "join_regional_revenue": "r02+r05+r10",
+    "rolling_7d_revenue": "r02+r05+r10",
     "decontam_bloom_screen": "r14",
     "decontam_bloom_fp_eval": "r14",
     "customers_dp_seeded_audit": "r14",
@@ -191,7 +250,6 @@ _ROTATED_OUT = {
     "op_date_filter": "r01+r07+r13",
     "op_standardize_units": "r01+r07+r13",
     "op_null_counts": "r01+r07+r13",
-    # r13 rotation (r12 window, all green in CORRECTNESS_r12)
     "curate_corpus": "r12",
     "docs_max_dup_extents_salted": "r12",
     "embedding_top_pc": "r12",
@@ -242,11 +300,6 @@ _ROTATED_OUT = {
     "corpus_manifest": "r07+r12",
     "events_json_stats": "r01+r07+r12",
     "percentiles_by_type": "r01+r07+r12",
-    # front of the r13 re-verification queue: the r01+r07 rows the
-    # 50-slot window could not fit this round
-    # r12 rotation: the entire 50-slot r11 window came back green
-    # (CORRECTNESS_r11 50/50) and rotates out to fund the r07-band
-    # re-verification set + the curate_corpus re-check.
     "ivfpq_residual_topk": "r11",
     "ivfpq_ingest_postings": "r11",
     "docs_trained_classifier_eval": "r11",
@@ -297,64 +350,6 @@ _ROTATED_OUT = {
     "rolling_7d_distinct_users": "r06+r11",
     "nation_trade_pagerank": "r06+r11",
     "max_concurrent_sessions": "r06+r11",
-    "docs_quality_classifier": "r10",
-    "embedding_kmeanspp_seeds": "r10",
-    "docs_bpe_train_vocab": "r10",
-    "docs_perceptron_train": "r10",
-    "docs_classifier_calibration": "r10",
-    "minhash_threshold_sweep": "r10",
-    "ivf_nprobe_curve": "r10",
-    "phash_precision_eval": "r10",
-    "docs_hashed_embedding": "r10",
-    "hashed_embedding_planted_cosine": "r10",
-    "simhash_precision_eval": "r10",
-    "parts_fs_weights": "r10",
-    "corpus_dedup_funnel": "r10",
-    "multimodal_decode": "r02+r05+r10",
-    "ref_flagship_pipeline_keyed": "r02+r05+r10",
-    "ivfpq_topk": "r05+r10",
-    "orders_pit_acctbal": "r05+r10",
-    "events_funnel": "r05+r10",
-    "sketch_merge_distinct": "r05+r10",
-    "docs_hashed_features": "r05+r10",
-    "docs_bm25": "r05+r10",
-    "events_m4_downsample": "r05+r10",
-    "sessionize_events_native": "r05+r10",
-    "pq_topk": "r05+r10",
-    "orders_hilbert": "r05+r10",
-    "orders_zvalue": "r05+r10",
-    "approx_distinct_stats": "r04+r05+r10",
-    "cdc_merge_orders": "r02+r05+r10",
-    "scd2_customer_history": "r02+r05+r10",
-    "ivf_assignments": "r02+r05+r10",
-    "ivf_topk": "r02+r05+r10",
-    "tfidf_top_terms": "r02+r05+r10",
-    "cube_orders": "r02+r05+r10",
-    "top_terms": "r02+r05+r10",
-    "string_functions": "r02+r05+r10",
-    "date_functions": "r02+r05+r10",
-    "range_join_promos": "r02+r05+r10",
-    "unpivot_lineitem": "r02+r05+r10",
-    "grouping_sets_orders": "r02+r05+r10",
-    "stratified_sample_docs": "r02+r05+r10",
-    "posexplode_tokens": "r02+r05+r10",
-    "regex_extract_parts": "r02+r05+r10",
-    "window_rank_stats": "r02+r05+r10",
-    "agg_conditional": "r02+r05+r10",
-    "kmeans_update_centroids": "r02+r05+r10",
-    "doc_length_histogram": "r02+r05+r10",
-    "multimodal_media_decode": "r04+r05+r10",
-    "docs_bpe_token_count": "r02+r05+r10",
-    "join_regional_revenue": "r02+r05+r10",
-    "rolling_7d_revenue": "r02+r05+r10",
-    "docs_sentences_udtf": "r04+r09",
-    "events_grouped_center": "r04+r09",
-    "docs_dup_spans": "r05+r09",
-    "docs_strip_dup_spans": "r05+r09",
-    "docs_weighted_sample": "r05+r09",
-    "user_streaks": "r05+r09",
-    "docs_char_entropy": "r05+r09",
-    "events_arrow_scaled": "r05+r09",
 }
 
 
