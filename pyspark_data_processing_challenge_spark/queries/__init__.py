@@ -29,6 +29,9 @@ _MODULES = (reference, relational, llm, extended, cdcq, extra, advanced, analyti
 # tests/test_oracle_parity.py's bit-exact full-catalog gate (enforced
 # by test_parity_covers_full_catalog).
 _VERDICT_PRIORITY = [
+    # --- new this round (needs a first driver verdict): the
+    # narrow-shuffle exact-dedup form (VERDICT r15 #2) ---
+    "dedup_drop_exact_narrow",
     # --- verdict-vintage drain, final leg (VERDICT r15 #3): the eight
     # remaining r09-vintage rows lead the r16 window — after this round
     # no driver verdict in the catalog is older than r10 ---
@@ -41,7 +44,7 @@ _VERDICT_PRIORITY = [
     "docs_char_entropy",  # was r05+r09-vintage
     "events_arrow_scaled",  # was r05+r09-vintage
     # --- oldest-verdict re-verification: the r10 band in
-    # registry-queue order (42 of 50 fit; the remaining 8 r10 rows
+    # registry-queue order (41 of 50 fit; the remaining 9 r10 rows
     # lead the r17 queue) ---
     "docs_quality_classifier",  # was r10-vintage
     "embedding_kmeanspp_seeds",  # was r10-vintage
@@ -84,7 +87,6 @@ _VERDICT_PRIORITY = [
     "grouping_sets_orders",  # was r02+r05+r10-vintage
     "stratified_sample_docs",  # was r02+r05+r10-vintage
     "posexplode_tokens",  # was r02+r05+r10-vintage
-    "regex_extract_parts",  # was r02+r05+r10-vintage
 ]
 # name -> CORRECTNESS round(s) with the green driver verdict backing
 # the rotation (all retain stricter local bit-exact parity coverage)
@@ -143,8 +145,9 @@ _ROTATED_OUT = {
     "kmeans_two_step": "r09+r15",
     "docs_domain_mix": "r09+r15",
     "embedding_quantize": "r09+r15",
-    # front of the r17 re-verification queue: the 8 r10-vintage rows
+    # front of the r17 re-verification queue: the 9 r10-vintage rows
     # the 50-slot r16 window could not fit
+    "regex_extract_parts": "r02+r05+r10",
     "window_rank_stats": "r02+r05+r10",
     "agg_conditional": "r02+r05+r10",
     "kmeans_update_centroids": "r02+r05+r10",

@@ -341,6 +341,20 @@ def dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def dedup_drop_exact_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row exact dedup via the NARROW-shuffle two-pass form
+    (operators/dedup.drop_duplicate_rows shuffle='narrow'): pass A
+    shuffles only the 16-byte fingerprint to find duplicated groups,
+    pass B streams unique rows through with no exchange and dedups only
+    the duplicate-bounded remainder. Corpus = documents ∪ an exact copy
+    of every 10th row (a realistic ~9% dup ratio), so the result is the
+    distinct row set — bit-identical to the wide form by construction
+    (whole-row groups are identical rows)."""
+    d = spread(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    corpus = d.unionByName(d.filter(F.col("doc_id") % 10 == 0))
+    return dedup.drop_duplicate_rows(corpus, shuffle="narrow")
+
+
 MH_HASHES, MH_SHINGLE_N = 16, 3
 JAC_THRESHOLD = 0.8
 MH_ND_BANDS, MH_ND_THRESHOLD = 4, 0.5
@@ -6638,6 +6652,7 @@ QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_drop_exact": dedup_drop_exact,
+    "dedup_drop_exact_narrow": dedup_drop_exact_narrow,
     "minhash_signatures": minhash_signatures,
     "minhash_signatures_fast": minhash_signatures_fast,
     "minhash_near_dup": minhash_near_dup,
@@ -6752,6 +6767,13 @@ ORACLES = {
           FROM aug
         )
         SELECT doc_id FROM ranked WHERE rn = 1
+    """,
+    "dedup_drop_exact_narrow": """
+        SELECT DISTINCT doc_id, text FROM (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        )
     """,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_signatures_fast": _MINHASH_SIG_SQL,

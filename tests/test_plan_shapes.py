@@ -1045,3 +1045,33 @@ def test_decontam_bloom_probe_is_broadcast_only(spark):
     # distinct + word-table aggregate, replicated under each broadcast
     # branch) and in spread/aggregate — never a gram-keyed corpus
     # shuffle, which the zero-SMJ assert above pins
+
+
+def test_narrow_dedup_shuffles_only_fingerprints(spark):
+    """The narrow-shuffle exact-dedup contract (VERDICT r15 #2): the
+    only shuffles are (a) the 16-byte fingerprint count aggregate and
+    (b) the duplicate-bounded survivor dedup — unique full-width rows
+    must stream through broadcast anti/semi probes with no exchange, so
+    the job's shuffle-write bytes are ~key-width, not row-width."""
+    from pyspark_data_processing_challenge_spark.operators import dedup as dd
+
+    wide = spark.range(10000).selectExpr(
+        "id as k", "repeat('x', 100) as pad", "id % 7 as v"
+    )
+    df = dd.drop_duplicate_rows(wide, shuffle="narrow")
+    plan = plans.executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plans.broadcast_join_count(df) == 2  # anti (uniques) + semi
+    # shuffle exchanges in the INITIAL plan: the fp-count aggregate
+    # (printed twice — once under each broadcast; the runtime collapses
+    # identical subtrees into one reused shuffle stage) + the
+    # duplicate-bounded survivor dedup, nothing else
+    assert plans.exchange_count(df) == 3
+    # every shuffle exchange partitions on the fingerprint pair only —
+    # a full-width hashpartitioning here would be the wide form leaking
+    # back in
+    import re as _re
+
+    for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__fp0" in m and "pad" not in m

@@ -765,3 +765,48 @@ def test_plant_guard_raises_on_id_collision(spark):
     ).select(F.col("node").alias("doc_id"), "component")
     joined = _plant_guarded(ok).join(comp, "doc_id", "left_anti")
     assert joined.count() == 2
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "x"])),
+            st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_drop_duplicate_rows_narrow_equals_wide(spark, rows):
+    """The narrow-shuffle two-pass form of whole-row exact dedup must be
+    SET-identical to the wide form and to dropDuplicates() on any input
+    — duplicates, nulls (position-tagged by the fingerprint), and
+    all-duplicate corpora (where the dup-fp broadcast carries every
+    group) included."""
+    from pyspark_data_processing_challenge_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(int(k), s, v) for k, s, v in rows], "k long, s string, v int"
+    )
+
+    def rowset(frame):  # None-safe canonical ordering
+        return sorted(
+            map(tuple, frame.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    expect = rowset(df.dropDuplicates())
+    narrow = rowset(dedup.drop_duplicate_rows(df, shuffle="narrow"))
+    wide = rowset(dedup.drop_duplicate_rows(df))
+    assert narrow == expect
+    assert wide == expect
+    # subset-keyed twin: one survivor per key group in both forms, and
+    # the surviving KEY sets agree (survivor's other columns are
+    # arbitrary in both, as in upstream dropDuplicates)
+    narrow_k = sorted(
+        r.k for r in dedup.drop_duplicate_rows(df, ["k"], shuffle="narrow").collect()
+    )
+    wide_k = sorted(r.k for r in dedup.drop_duplicate_rows(df, ["k"]).collect())
+    assert narrow_k == wide_k == sorted({int(k) for k, _, _ in rows})
