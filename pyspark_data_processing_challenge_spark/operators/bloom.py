@@ -38,11 +38,18 @@ BLOOM_SEED = 131
 
 
 def _pos(key: Column, a: int, b: int) -> Column:
-    # key reduces mod p BEFORE the affine map: a < 2^31 and key%p < 2^31
-    # keep a*key under 2^62 — no silent 64-bit overflow for key domains
-    # beyond 2^32 (surrogate ids at real scale)
+    # key reduces mod p BEFORE the affine map: a < 2^31 and pmod(key,p)
+    # < 2^31 keep a*key under 2^62 — no silent 64-bit overflow for key
+    # domains beyond 2^32 (surrogate ids at real scale). pmod, not %:
+    # Spark's % keeps the dividend's sign, so a NEGATIVE key (legal in
+    # an arbitrary surrogate-id domain) would yield a negative position
+    # — a guaranteed join miss where the numpy probe UDF (whose % is
+    # already non-negative for a positive divisor) probes a real bit,
+    # breaking the two paths' bit-identity (r15 advice). After the pmod
+    # the remaining operands are non-negative, so plain % is safe.
     return (
-        (F.lit(a) * (key % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
+        (F.lit(a) * F.pmod(key, F.lit(MINHASH_P)) + F.lit(b))
+        % F.lit(MINHASH_P)
     ) % F.lit(M_BITS)
 
 

@@ -1543,9 +1543,9 @@ def phash_batch(df: DataFrame) -> DataFrame:
 # uint64 matrices), same rationale as similarity._PAIR_BLOCK_ELEMS —
 # a hot band bucket streams through in bounded slices.
 _HAM_BLOCK_ELEMS = 1 << 22
-_HAM_HOT_THRESHOLD = 64
 _HAM_NUM_BLOCKS = 8
-# The Arrow verify's hot threshold is much higher than the join twin's:
+# The Arrow verify's hot threshold is much higher than the join twin's
+# (dedup.banded_pairs hot_threshold=64):
 # the kernel row-blocks internally (memory stays bounded), a 4096-row
 # bucket is ~16M vectorized XOR/popcount ops ≈ tens of ms in one task,
 # and splitting earlier costs more than it buys — the blocked scheme's

@@ -179,3 +179,30 @@ def test_disk_probe_lands_in_detail_only():
     assert "disk_write_mbps" not in f
     mbps = bench._disk_write_mbps(nbytes=32 * 1024 * 1024)
     assert mbps is None or mbps > 0
+
+
+def test_two_point_solve_clamps_and_reports_raw():
+    """The epoch decomposition never publishes a negative marginal or
+    fixed cost (VERDICT r15 #6: bloom shipped -27 us/row), and always
+    carries the raw points for diagnosis. The solve degrades to None
+    without a genuine row spread."""
+    # well-posed: 1000 rows/1500 ms vs 4000 rows/3000 ms -> 0.5 ms/row
+    d = bench._two_point_solve(1000, 1500, 4000, 3000)
+    assert d["row_us"] == 500.0 and d["epoch_fixed_ms"] == 1000.0
+    assert d["2pt_rows1"] == 1000 and d["2pt_ms2"] == 3000
+    # noise-inverted: bigger batch measured FASTER -> clamp to 0, keep raw
+    d = bench._two_point_solve(1000, 2000, 4000, 1500)
+    assert d["row_us"] == 0.0 and d["epoch_fixed_ms"] == 2000.0
+    assert d["2pt_ms2"] == 1500
+    # degenerate spread -> no solve at all
+    assert bench._two_point_solve(1000, 1500, 1000, 3000) is None
+    assert bench._two_point_solve(4000, 1500, 1000, 3000) is None
+
+
+def test_split_cluster_incremental_not_in_headline():
+    """VERDICT r15 #7: the correctness-frame query (history rebuilt
+    from scratch per run, ~90% of its wall) must not be double-counted
+    in the headline total — its production cost is the
+    clustersplit_incremental_1to300 ingest entry."""
+    assert "split_cluster_assign_incremental" not in bench.HEADLINE
+    assert "split_cluster_assign" in bench.HEADLINE

@@ -355,12 +355,25 @@ def test_prefix_filter_join_complete_on_random_corpora(spark, texts):
 
 @SETTINGS
 @given(
-    keys=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=40),
-    probes=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=40),
+    # negative keys included: the join path's _pos uses pmod so both
+    # probe forms stay bit-identical on arbitrary surrogate-id domains
+    # (r15 advice: Spark % keeps the dividend sign, numpy % does not)
+    keys=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6).filter(bool),
+        min_size=1,
+        max_size=40,
+    ),
+    probes=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6).filter(bool),
+        min_size=1,
+        max_size=40,
+    ),
 )
 def test_bloom_filter_no_false_negatives(spark, keys, probes):
     """Every key inserted into the Bloom filter must pass the probe —
-    the zero-false-negative guarantee pruning correctness rests on."""
+    the zero-false-negative guarantee pruning correctness rests on —
+    and the collected-word UDF probe must agree with the join probe on
+    EVERY key, negatives included."""
     from pyspark_data_processing_challenge_spark.operators import bloom
 
     dim = spark.createDataFrame([(k,) for k in set(keys)], "key long")
@@ -373,6 +386,14 @@ def test_bloom_filter_no_false_negatives(spark, keys, probes):
     ).collect()}
     for k in set(keys):
         assert out[k] is True
+    probe_udf = bloom.bloom_probe_udf(
+        [(r["w"], r["bits"]) for r in words.collect()]
+    )
+    udf_out = {
+        r["key"]: r["p"]
+        for r in fact.select("key", probe_udf("key").alias("p")).collect()
+    }
+    assert udf_out == out
 
 
 @SETTINGS
