@@ -164,6 +164,7 @@ HEADLINE = [
     "docs_token_stats",
     "docs_quality",
     "dedup_drop_exact",
+    "dedup_drop_exact_narrow",  # r16: narrow-shuffle full-recompute twin
     "minhash_near_dup",
     "simhash_near_dup",
     "embedding_topk",

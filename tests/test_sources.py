@@ -286,6 +286,12 @@ def test_python_datasource_connector(spark):
     from pyspark_data_processing_challenge_spark.sources import pysource
 
     pysource.register(spark)
+    # the reader implements pushFilters(), and Spark 4.1.2 REFUSES to
+    # even initialize such a reader unless python filter pushdown is on
+    # — set it here so the test doesn't depend on an earlier test in
+    # the shared session having run pyds_docs_pushdown (which sets it
+    # at query time, the driver-facing path)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = (
         spark.read.format("synthetic_docs")
         .option("rows", 97)
