@@ -1354,22 +1354,38 @@ def _bench_ingest_ratio(
 
         ph_store = tempfile.mkdtemp(prefix="ph100_")
         ph_scratch = tempfile.mkdtemp(prefix="ph100_scratch_")
+        ph_media_dir = tempfile.mkdtemp(prefix="ph100_media_")
         try:
-            _, m_hist0 = ph_media(900)
+            m_batch0, m_hist0 = ph_media(900)
             mmod.phash_batch(m_hist0).select(
                 "media_id", "h_hi", "h_lo"
             ).write.mode("overwrite").parquet(ph_store)
+            # media corpus written ONCE, untimed (r16): payload
+            # GENERATION (raster synth + JPEG encode, ~40% of the old
+            # in-band wall) is bench scaffolding, not the contract — a
+            # real full recompute scans stored image bytes and pays
+            # decode. The timed sides below scan these parquet bytes;
+            # reps salt an always-true filter above the scan so every
+            # shuffle stage stays canonically distinct per rep.
+            m_hist0.unionByName(m_batch0).write.mode("overwrite").parquet(
+                f"{ph_media_dir}/full"
+            )
+            m_batch0.write.mode("overwrite").parquet(f"{ph_media_dir}/batch")
+
+            def ph_scan(kind: str, salt: int):
+                return spread(
+                    spark.read.parquet(f"{ph_media_dir}/{kind}")
+                ).filter(SF.col("media_id") != SF.lit(-(salt + 2)))
 
             def full_ph(rep: int):
-                m_batch, m_hist = ph_media(100 + rep)
                 mmod.phash_hamming_pairs(
-                    mmod.phash_batch(m_hist.unionByName(m_batch)).select(
+                    mmod.phash_batch(ph_scan("full", 100 + rep)).select(
                         "media_id", "h_hi", "h_lo"
                     )
                 ).write.format("noop").mode("overwrite").save()
 
             def inc_ph(rep: int):
-                m_batch, _ = ph_media(200 + rep)
+                m_batch = ph_scan("batch", 200 + rep)
                 store = spark.read.parquet(ph_store)
                 caches3: list = []
                 fresh3: list = []
@@ -1396,8 +1412,7 @@ def _bench_ingest_ratio(
             # decode vs pair-verify in the artifact and a mover is
             # attributed to the right stage (or to weather) in-band
             def ph_decode_only(rep: int):
-                m_batch, m_hist = ph_media(400 + rep)
-                mmod.phash_batch(m_hist.unionByName(m_batch)).select(
+                mmod.phash_batch(ph_scan("full", 400 + rep)).select(
                     "media_id", "h_hi", "h_lo"
                 ).write.format("noop").mode("overwrite").save()
 
@@ -1410,6 +1425,7 @@ def _bench_ingest_ratio(
         finally:
             shutil.rmtree(ph_store, ignore_errors=True)
             shutil.rmtree(ph_scratch, ignore_errors=True)
+            shutil.rmtree(ph_media_dir, ignore_errors=True)
 
         # --- semantic (SemDeDup, 1:100) -------------------------------
         emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))

@@ -657,89 +657,113 @@ def decode_jpeg_gray(payload: bytes | None) -> tuple[int, int, bytes] | None:
     stream = scan.replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00"
     c = _dct_mat()
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    zz = np.zeros(64, dtype=np.float64)
     try:
-        return _jpeg_scan_decode(
-            stream, (dc_lut, ac_lut), bw, bh, w, h, q, c, out, zz, np
-        )
+        return _jpeg_scan_decode(stream, (dc_lut, ac_lut), bw, bh, w, h, q, c, np)
     except IndexError:
         raise ValueError("JPEG scan truncated") from None
 
 
-def _jpeg_scan_decode(stream, lut_list, bw, bh, w, h, q, c, out, zz, np):
-    """Hot loop of decode_jpeg_gray: buffered bit reader (`buf` holds
-    `nbits` pending bits) + one cached-LUT 16-bit peek per Huffman
-    symbol instead of the per-bit tree walk (measured ~3x on the JPEG
-    pHash corpus)."""
+def _jpeg_scan_decode(stream, lut_list, bw, bh, w, h, q, c, np):
+    """Hot loop of decode_jpeg_gray, two-phase (r16 — measured ~2x on
+    the pHash corpus over the r15 per-block form):
+
+    1. SERIAL entropy parse — buffered bit reader (`buf` holds `nbits`
+       pending bits) + one cached-LUT 16-bit peek per Huffman symbol
+       instead of a per-bit tree walk, emitting (block, zigzag-pos,
+       value) triples as plain Python ints. No numpy inside the
+       per-symbol loop: the r15 form paid ~6 small-array numpy calls
+       per 8x8 block (zero/scatter/2 matmuls/store), which dominated
+       once the bit reader was LUT-fast.
+    2. ONE vectorized tail — fancy-index scatter of all coefficients,
+       broadcast dequantize, one de-zigzag permutation, and a single
+       batched (n,8,8) IDCT. Identical float operations in identical
+       per-block order (elementwise zz*q then c.T @ B @ c per 8x8
+       slice), so decoded rasters are BYTE-IDENTICAL to the serial
+       form — pinned by the corpus sweep in
+       tests/test_streaming_multimodal.py."""
+    dc_lut, ac_lut = lut_list
     buf = nbits = pos = 0
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz[:] = 0.0
-            # DC symbol
+    nblocks = bw * bh
+    bidx: list = []
+    zpos: list = []
+    vals: list = []
+    for bi in range(nblocks):
+        # DC symbol
+        while nbits < 16:
+            buf = (buf << 8) | stream[pos]
+            pos += 1
+            nbits += 8
+        e = dc_lut[(buf >> (nbits - 16)) & 0xFFFF]
+        ln = e & 0xFF
+        if ln == 0:
+            raise ValueError("bad Huffman code in JPEG scan")
+        nbits -= ln
+        size = e >> 8
+        if size:
+            while nbits < size:
+                buf = (buf << 8) | stream[pos]
+                pos += 1
+                nbits += 8
+            amp = (buf >> (nbits - size)) & ((1 << size) - 1)
+            nbits -= size
+            prev_dc += (
+                amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+            )
+        buf &= (1 << nbits) - 1
+        bidx.append(bi)
+        zpos.append(0)
+        vals.append(prev_dc)
+        z = 1
+        while z < 64:
             while nbits < 16:
                 buf = (buf << 8) | stream[pos]
                 pos += 1
                 nbits += 8
-            e = lut_list[0][(buf >> (nbits - 16)) & 0xFFFF]
+            e = ac_lut[(buf >> (nbits - 16)) & 0xFFFF]
             ln = e & 0xFF
             if ln == 0:
                 raise ValueError("bad Huffman code in JPEG scan")
             nbits -= ln
-            size = e >> 8
-            if size:
-                while nbits < size:
-                    buf = (buf << 8) | stream[pos]
-                    pos += 1
-                    nbits += 8
-                amp = (buf >> (nbits - size)) & ((1 << size) - 1)
-                nbits -= size
-                prev_dc += (
-                    amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
-                )
-            buf &= (1 << nbits) - 1
-            zz[0] = prev_dc
-            z = 1
-            while z < 64:
-                while nbits < 16:
-                    buf = (buf << 8) | stream[pos]
-                    pos += 1
-                    nbits += 8
-                e = lut_list[1][(buf >> (nbits - 16)) & 0xFFFF]
-                ln = e & 0xFF
-                if ln == 0:
-                    raise ValueError("bad Huffman code in JPEG scan")
-                nbits -= ln
-                sym = e >> 8
-                if sym == 0x00:  # EOB
-                    buf &= (1 << nbits) - 1
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    z += 16  # ZRL
-                    buf &= (1 << nbits) - 1
-                    continue
-                z += run
-                if z >= 64:
-                    raise ValueError("AC run overflow")
-                while nbits < size:
-                    buf = (buf << 8) | stream[pos]
-                    pos += 1
-                    nbits += 8
-                amp = (buf >> (nbits - size)) & ((1 << size) - 1)
-                nbits -= size
+            sym = e >> 8
+            if sym == 0x00:  # EOB
                 buf &= (1 << nbits) - 1
-                zz[z] = (
-                    amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
-                )
-                z += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz * q
-            block = c.T @ coef.reshape(8, 8) @ c
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                break
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                z += 16  # ZRL
+                buf &= (1 << nbits) - 1
+                continue
+            z += run
+            if z >= 64:
+                raise ValueError("AC run overflow")
+            while nbits < size:
+                buf = (buf << 8) | stream[pos]
+                pos += 1
+                nbits += 8
+            amp = (buf >> (nbits - size)) & ((1 << size) - 1)
+            nbits -= size
+            buf &= (1 << nbits) - 1
+            bidx.append(bi)
+            zpos.append(z)
+            vals.append(
+                amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+            )
+            z += 1
+    coefs = np.zeros((nblocks, 64), dtype=np.float64)
+    coefs[bidx, zpos] = vals
+    coefs *= q  # q is zigzag-ordered; same elementwise product as zz*q
+    nat = np.zeros((nblocks, 64), dtype=np.float64)
+    nat[:, _ZIGZAG] = coefs
+    blocks = nat.reshape(nblocks, 8, 8)
+    res = (c.T @ blocks) @ c  # batched per-slice dgemm
+    out = (
+        res.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    )
     pix = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
     return w, h, pix.tobytes()
 

@@ -591,6 +591,27 @@ def test_jpeg_raster_roundtrip_near_lossless():
 _JPEG_PIN = "d941e9b0c6676f0bb8db79a1290ce241"
 
 
+def test_jpeg_decoder_corpus_sweep_pinned():
+    """Every dhash the image oracles verify is a function of DECODED
+    pixels, so the decoder may never drift either — pin the md5 over
+    120 decoded planted rasters sweeping the corpus's dim/flip domain
+    (computed from the r15 serial per-block scan decode; the r16
+    two-phase batched-IDCT form reproduced it byte-for-byte, which is
+    the equivalence its docstring cites)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for i in range(60):
+        w, hh = i % 48 + 16, (i * 7) % 32 + 16
+        for nflip in (0, i % 3):
+            pay = multimodal.encode_jpeg_gray(
+                w, hh, multimodal._phash_raster(i, w, hh, nflip)
+            )
+            _, _, dec = multimodal.decode_jpeg_gray(pay)
+            h.update(dec)
+    assert h.hexdigest() == "7f9712f047bf3b985c1734fc05fb4466"
+
+
 def test_jpeg_decode_rejects_non_baseline_and_stub():
     import pytest as _pytest
 
