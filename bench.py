@@ -147,6 +147,11 @@ class _QuietGate:
 # load-inflated for two rounds while standalone quiet re-times measured
 # 2.95 / 1.34 / 0.98 s. Each gets a _QuietGate.wait() before its first
 # rep and carries ext_load_pre (or load_deferred) in query_stats.
+# r16 postscript: the 2.95 s containment "standalone floor" turned out
+# to be CacheManager reuse of the prior rep's persisted shingle frame
+# (honest salted+cache-cleared reps measure 4.2-5.0 s); run_once now
+# clearCache()s per rep, and the r16 in-band min landed at 3.47 s with
+# ext_load 0.1 — the discrepancy is closed, not just gated.
 QUIET_WATCHLIST = {
     "docs_containment_pairs",
     "audio_transcode_features",
@@ -491,18 +496,24 @@ class _ShuffleProbe:
         except Exception:
             self._store = None
 
-    def total(self) -> int | None:
+    def total(self) -> tuple[int, int] | None:
+        """(cumulative shuffle-write bytes, cumulative disk-spill
+        bytes) across all completed stages. Spill is the second
+        disk-pressure channel: an entry can shuffle little yet still
+        be disk-bound via sort/aggregate spills."""
         if self._store is None:
             return None
         try:
             lst = self._store.stageList(
                 self._empty, False, False, self._quant, self._empty
             )
-            tot = 0
+            shuffle = spill = 0
             it = lst.iterator()
             while it.hasNext():
-                tot += it.next().shuffleWriteBytes()
-            return tot
+                sd = it.next()
+                shuffle += sd.shuffleWriteBytes()
+                spill += sd.diskBytesSpilled()
+            return shuffle, spill
         except Exception:
             return None
 
@@ -626,12 +637,15 @@ def main() -> None:
         vals = [run_once(name)]
         b1 = shuffle_probe.total()
         if b0 is not None and b1 is not None:
-            mb = (b1 - b0) / 1e6
-            # only the shuffle-heavy entries carry the number — a
+            mb = (b1[0] - b0[0]) / 1e6
+            spill_mb = (b1[1] - b0[1]) / 1e6
+            # only the disk-heavy entries carry the numbers — a
             # per-query byte line for 200+ sub-second queries would
             # bloat the detail line without adjudicating anything
             if mb > 64.0:
                 stats.setdefault(name, {})["shuffle_write_mb"] = round(mb, 1)
+            if spill_mb > 64.0:
+                stats.setdefault(name, {})["disk_spill_mb"] = round(spill_mb, 1)
         if vals[-1] > 2.5:
             vals.append(run_once(name))
         # Regression-vs-noise disambiguation (VERDICT r10 #1): any
@@ -914,7 +928,7 @@ def _bench_ingest_ratio(
         if warm:
             fn(-1)
         vals = []
-        shuffle_mb = None
+        shuffle_mb = spill_mb = None
         for i in range(nreps):
             b0 = shuffle_probe.total()
             t0 = time.perf_counter()
@@ -923,7 +937,8 @@ def _bench_ingest_ratio(
             if i == 0:
                 b1 = shuffle_probe.total()
                 if b0 is not None and b1 is not None:
-                    shuffle_mb = round((b1 - b0) / 1e6, 1)
+                    shuffle_mb = round((b1[0] - b0[0]) / 1e6, 1)
+                    spill_mb = round((b1[1] - b0[1]) / 1e6, 1)
         prior = prior_mins.get(name)
         flagged = prior is not None and min(vals) > 1.5 * prior
         if flagged:
@@ -961,6 +976,8 @@ def _bench_ingest_ratio(
                 # disk_write_mbps this normalizes any wall swing on a
                 # shuffle-bound entry to MB/s inside the artifact
                 stats[name]["shuffle_write_mb"] = shuffle_mb
+            if spill_mb:
+                stats[name]["disk_spill_mb"] = spill_mb
             if flagged:
                 stats[name]["prior_min"] = prior
             if burst:
