@@ -706,6 +706,10 @@ def main() -> None:
         times, streaming, sf, stats=stats, baselines=baselines,
         scaling=scaling, load_at_start=load_at_start,
         disk_write_mbps=disk_write_mbps,
+        # second probe at run END: disk weather drifts over a ~30 min
+        # run (r16 watched 6-24 MB/s swings within an hour), and a
+        # start-only number can mis-adjudicate the tail entries
+        disk_write_mbps_end=_disk_write_mbps(),
     )
     for line in lines:
         print(line)
@@ -746,6 +750,7 @@ def result_lines(
     scaling: dict | None = None,
     load_at_start: float | None = None,
     disk_write_mbps: float | None = None,
+    disk_write_mbps_end: float | None = None,
 ) -> list[str]:
     """Render bench results as (detail_line, final_line). Pure so the
     length/round-trip contract is unit-testable without a Spark run.
@@ -773,6 +778,8 @@ def result_lines(
         # entries (dedup_full_1to600 above all) track this number, not
         # cpu load — see _disk_write_mbps
         detail_payload["disk_write_mbps"] = disk_write_mbps
+    if disk_write_mbps_end is not None:
+        detail_payload["disk_write_mbps_end"] = disk_write_mbps_end
     if stats:
         detail_payload["query_stats"] = stats
     if baselines:
