@@ -133,21 +133,28 @@ def drop_duplicate_rows(
     fp_cols = ("__fp0", "__fp1")
     fingerprinted = with_row_fingerprint(df, cols, out_cols=fp_cols)
     if shuffle == "narrow":
+        # pass A counts groups under ONE 8-byte fingerprint, not the
+        # pair — a 64-bit collision (birthday ~4e-5 even at 4e7 rows)
+        # only sends two DIFFERENT rows into the survivors branch,
+        # where the full 128-bit dedup keeps them both, so correctness
+        # never rests on fp0 alone while the count shuffle halves again
+        # (~13 B/row vs ~21; fp1's hash computation is also pruned out
+        # of the count and anti-join branches)
         dup_fps = (
-            fingerprinted.select(*fp_cols)
-            .groupBy(*fp_cols)
+            fingerprinted.select(fp_cols[0])
+            .groupBy(fp_cols[0])
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > 1)
-            .select(*fp_cols)
+            .select(fp_cols[0])
         )
         # uniques pass through map-side only (the anti join's build side
         # is the broadcast dup-fp set); survivors are duplicate-bounded,
         # so their full-width dedup exchange is negligible by contract
         uniques = fingerprinted.join(
-            F.broadcast(dup_fps), list(fp_cols), "left_anti"
+            F.broadcast(dup_fps), [fp_cols[0]], "left_anti"
         )
         survivors = fingerprinted.join(
-            F.broadcast(dup_fps), list(fp_cols), "left_semi"
+            F.broadcast(dup_fps), [fp_cols[0]], "left_semi"
         ).dropDuplicates(list(fp_cols))
         return uniques.unionByName(survivors).drop(*fp_cols)
     if cols is None:
