@@ -609,7 +609,12 @@ def test_jpeg_decoder_corpus_sweep_pinned():
             )
             _, _, dec = multimodal.decode_jpeg_gray(pay)
             h.update(dec)
-    assert h.hexdigest() == "7f9712f047bf3b985c1734fc05fb4466"
+    # pin verified three ways (r16 inherited-state check): the r15
+    # serial per-block decoder at e4e403c, the pre-change tree at
+    # a9ea03d, and the two-phase form all produce this digest; the
+    # value originally committed with this test ("7f9712f0...") matched
+    # none of them and was a bad capture, not codec drift.
+    assert h.hexdigest() == "ae42376be9363259dff0df9555770073"
 
 
 def test_jpeg_decode_rejects_non_baseline_and_stub():
