@@ -158,6 +158,18 @@ QUIET_WATCHLIST = {
     "image_rgb_histogram",
 }
 
+# Attribution notes that ship IN the artifact (VERDICT r15 #7, option
+# b): a reader of BENCH_full must not need a source docstring to
+# classify an entry whose wall time is dominated by correctness-frame
+# scaffolding rather than production work.
+_ENTRY_NOTES = {
+    "split_cluster_assign_incremental": (
+        "correctness-frame timing: rebuilds the history stores in-band"
+        " so the oracle can prove history+batch==full; the production"
+        " per-batch cost is clustersplit_incremental_1to300"
+    ),
+}
+
 HEADLINE = [
     "ref_flagship_pipeline",
     "ref_flagship_pipeline_keyed",
@@ -213,15 +225,17 @@ HEADLINE = [
     "ivf_prefilter_vs_postfilter_eval",  # r13: measured pre-vs-post tradeoff
     "split_cluster_assign",  # r13: dedup-aware split assignment
     "split_cluster_leakage_eval",  # r13: doc-hash vs cluster leakage twin
-    # split_cluster_assign_incremental is deliberately NOT timed here
-    # (VERDICT r15 #7): the catalog query is a CORRECTNESS frame that
-    # rebuilds the history stores from scratch every run so the driver
-    # can hash history ⊕ batch == full — its 11-12 s was ~90% history
-    # rebuild (decomposition in its docstring, queries/llm.py), which
-    # the headline double-counted as production cost. The production
+    # split_cluster_assign_incremental stays timed (the bench contract
+    # never drops an entry) but is ANNOTATED as a correctness-frame
+    # timing (VERDICT r15 #7, option b): the catalog query rebuilds the
+    # history stores from scratch every run so the driver can hash
+    # history ⊕ batch == full — its 11-12 s is ~90% history rebuild
+    # (decomposition in its docstring, queries/llm.py). The production
     # per-ingest cost (stores prebuilt on disk, batch-only work) is
-    # what clustersplit_incremental_1to300 measures; the query stays
-    # under the driver window + oracle-parity suite for correctness.
+    # what clustersplit_incremental_1to300 measures; _ENTRY_NOTES puts
+    # that attribution in the artifact itself so the entry never again
+    # reads as an unexplained top-5 production cost.
+    "split_cluster_assign_incremental",  # r13: correctness-frame twin
     "split_balance_report",  # r13: realized vs target split mass
     "embedding_group_pca",  # r13: closed-form per-label PCA
     "docs_softdedup_weights",  # r13: duplicate-aware sampling weights
@@ -675,6 +689,11 @@ def main() -> None:
             stats.setdefault(name, {"min": round(min(vals), 3)}).update(
                 evidence
             )
+        note = _ENTRY_NOTES.get(name)
+        if note:
+            stats.setdefault(name, {"min": round(min(vals), 3)})[
+                "note"
+            ] = note
 
     prior_mins = _prior_round_mins(sf)
 

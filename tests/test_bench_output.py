@@ -199,10 +199,15 @@ def test_two_point_solve_clamps_and_reports_raw():
     assert bench._two_point_solve(4000, 1500, 1000, 3000) is None
 
 
-def test_split_cluster_incremental_not_in_headline():
-    """VERDICT r15 #7: the correctness-frame query (history rebuilt
-    from scratch per run, ~90% of its wall) must not be double-counted
-    in the headline total — its production cost is the
-    clustersplit_incremental_1to300 ingest entry."""
-    assert "split_cluster_assign_incremental" not in bench.HEADLINE
+def test_split_cluster_incremental_stays_timed_but_annotated():
+    """VERDICT r15 #7, resolved per the bench contract: entries may be
+    ADDED but never removed, so the correctness-frame query (history
+    rebuilt from scratch per run, ~90% of its wall) STAYS in the
+    headline — and must carry an in-artifact note attributing the cost
+    so it never again reads as an unexplained top-5 production entry
+    (the production cost is clustersplit_incremental_1to300)."""
+    assert "split_cluster_assign_incremental" in bench.HEADLINE
     assert "split_cluster_assign" in bench.HEADLINE
+    note = bench._ENTRY_NOTES["split_cluster_assign_incremental"]
+    assert "correctness-frame" in note
+    assert "clustersplit_incremental_1to300" in note
