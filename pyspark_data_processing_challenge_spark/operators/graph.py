@@ -89,7 +89,23 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    labels, n_changed = _cc_loop(sym, labels, max_iter, loop_sp)
+    labels, n_changed = _cc_loop(
+        sym,
+        labels,
+        max_iter,
+        loop_sp,
+        # Small-graph fast path (r16, guide §1.2 "per-task work"): the
+        # per-round ``stepped`` localCheckpoint exists so the pointer
+        # jump's self-join doesn't execute its subtree twice — but when
+        # the whole graph fits in the 2-partition floor, re-running the
+        # two tiny joins is cheaper than a materialization JOB (the
+        # job's fixed scheduler latency dominates). Interleaved A/B on
+        # the 11,880-edge minhash graph: 2.37/1.62 s -> 1.63/1.41 s per
+        # CC call. At loop_sp > 2 the checkpoint stays: recomputing
+        # stepped doubles the edge-join work per round, which is the
+        # loop's dominant cost at scale.
+        ckpt_stepped=loop_sp > 2,
+    )
     if n_changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
@@ -100,7 +116,11 @@ def connected_components(
 
 
 def _cc_loop(
-    sym: DataFrame, labels: DataFrame, max_iter: int, loop_sp: int
+    sym: DataFrame,
+    labels: DataFrame,
+    max_iter: int,
+    loop_sp: int,
+    ckpt_stepped: bool = True,
 ) -> tuple[DataFrame, int]:
     """Min-label propagation + pointer jumping; returns the final label
     table and the last round's changed probe (0 iff converged).
@@ -130,7 +150,11 @@ def _cc_loop(
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
-        ).localCheckpoint()  # both sides of the jump self-join read this
+        )
+        if ckpt_stepped:
+            # both sides of the jump self-join read this; without the
+            # checkpoint the subtree (incl. the edge join) runs twice
+            stepped = stepped.localCheckpoint()
         # pointer jump: label ← label(label). Labels only decrease toward
         # the component min and label(x) is in x's component, so this is
         # safe — and it at least halves the remaining chain depth.
