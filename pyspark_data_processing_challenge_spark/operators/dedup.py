@@ -1383,13 +1383,30 @@ def _rarest_sorted_shingles(
     docs: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
     """(doc_id, gs): each doc's shingle SET sorted rarest-first by
-    (corpus document-frequency, shingle) — the total order that makes
-    the prefix theorem apply, shared by the similarity and containment
-    joins. One aggregate for global df, one per-doc collect."""
+    (corpus document-frequency, shingle id) — the total order that
+    makes the prefix theorem apply, shared by the similarity and
+    containment joins. One aggregate for global df, one per-doc
+    collect.
+
+    Shingle identity is the 64-bit ``xxhash64`` of the string, not the
+    string itself (r16, guide §2.3 "narrower types"): every downstream
+    byte — the df aggregate, the posting-list join keys, the collected
+    per-doc arrays the verify join materializes per CANDIDATE PAIR,
+    and the ``array_intersect`` element comparisons — shrinks from
+    ~20-B strings to 8-B longs. On the 10k-doc corpus the verify stage
+    carries 833k candidate pairs x 2 x ~54-element arrays, and the
+    long form measured 55 -> 21 CPU-s on that stage alone. The prefix
+    theorem only needs A FIXED total order over the shingle universe,
+    which (df, hash) is. Correctness stands on 64-bit identity exactly
+    like the row-fingerprint store: two DISTINCT shingles colliding
+    within one compared pair's union (P ~ |union|^2 / 2^64 per pair)
+    is the birthday-negligible event the whole hash-dedup family
+    accepts; the string-based oracles stay brute-force, so the parity
+    suite re-proves no collision exists on every checked corpus."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(textfns.shingles(F.col(text_col), shingle_n)).alias("g"),
-    )
+        F.explode(textfns.shingles(F.col(text_col), shingle_n)).alias("__gs"),
+    ).select("doc_id", F.xxhash64("__gs").alias("g"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(dfreq, "g")
