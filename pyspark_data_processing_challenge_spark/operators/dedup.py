@@ -1395,7 +1395,9 @@ def _rarest_sorted_shingles(
     and the ``array_intersect`` element comparisons — shrinks from
     ~20-B strings to 8-B longs. On the 10k-doc corpus the verify stage
     carries 833k candidate pairs x 2 x ~54-element arrays, and the
-    long form measured 55 -> 21 CPU-s on that stage alone. The prefix
+    long form measured 55 -> 11 CPU-s on that stage alone (query total
+    81 -> 41.6 CPU-s; same figures in CLAUDE.md/OPERATORS.md and
+    OPTIMIZATION_r16.md §3). The prefix
     theorem only needs A FIXED total order over the shingle universe,
     which (df, hash) is. Correctness stands on 64-bit identity exactly
     like the row-fingerprint store: two DISTINCT shingles colliding

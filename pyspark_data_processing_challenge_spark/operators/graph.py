@@ -20,8 +20,78 @@ iteration).
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+# Edge-count ceiling for the driver-side components fast path (r17,
+# guide §1.2 "the distributed algorithm" / §5 "the driver should do
+# almost no data work" — reconciled by a MEASURED gate): a pair graph
+# at or below this many edge rows is solved with one bounded driver
+# pull + a numpy min-label/pointer-jump loop instead of 8-12 Spark
+# jobs of almost pure scheduler latency. 2M edges is a ≤~32 MB pull —
+# broadcast-sized, the same budget cluster_canonical's F.broadcast of
+# the SAME table already commits the driver to. The gate is an actual
+# count() of the materialized edge list, never an estimate, so at
+# crawl-scale duplicate rates (corpus-fraction pair lists) the
+# distributed loop below runs unchanged.
+_DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _np_min_label_components(
+    us: np.ndarray, vs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact min-label connected components in numpy: same algorithm
+    as :func:`_cc_loop` (neighbor-min relax + pointer jumping on
+    sorted-node indices, labels only ever decrease toward the
+    component min), run to the fixed point. Returns (nodes, component)
+    with component = min node id reachable — bit-identical to the
+    distributed loop by construction (twin-tested in test_graph.py).
+    """
+    if us.size == 0:
+        return us[:0], us[:0]
+    nodes, idx = np.unique(np.concatenate([us, vs]), return_inverse=True)
+    iu, iv = idx[: us.size], idx[us.size :]
+    label = np.arange(nodes.size, dtype=np.int64)
+    # pointer jumping halves remaining chain depth per round, so
+    # 64 rounds covers any graph that fits in memory; the loop exits
+    # at the fixed point (a full round that changes nothing)
+    for _ in range(64):
+        old = label
+        m = np.minimum(label[iu], label[iv])
+        label = label.copy()
+        np.minimum.at(label, iu, m)
+        np.minimum.at(label, iv, m)
+        label = np.minimum(label, label[label])
+        if np.array_equal(label, old):
+            break
+    else:  # pragma: no cover - 2^64-deep chains cannot exist
+        raise RuntimeError("components did not converge in 64 rounds")
+    return nodes, nodes[label]
+
+
+def _driver_components(fwd: DataFrame, dt) -> DataFrame:
+    """Materialized pair list -> (node, component) via the gated
+    driver pull. ``fwd`` is localCheckpointed and COUNTED by the
+    caller (<= _DRIVER_CC_MAX_EDGES rows), so the pull is bounded by
+    measurement before a byte moves."""
+    spark = fwd.sparkSession
+    pdf = fwd.toPandas()
+    np_dt = np.int32 if isinstance(dt, IntegerType) else np.int64
+    nodes, comps = _np_min_label_components(
+        pdf["u"].to_numpy(dtype=np.int64), pdf["v"].to_numpy(dtype=np.int64)
+    )
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"node": nodes.astype(np_dt), "component": comps.astype(np_dt)}
+    )
+    schema = StructType(
+        [StructField("node", dt, True), StructField("component", dt, True)]
+    )
+    return spark.createDataFrame(out, schema=schema)
 
 
 def connected_components(
@@ -30,6 +100,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Deterministic. Isolated nodes absent from the
@@ -40,48 +111,73 @@ def connected_components(
     answers, not approximations, so non-convergence is an explicit
     error (callers can retry with a larger ``max_iter``; rounds needed
     ≈ log2(diameter) + 2 with pointer jumping, so the default 20 covers
-    any graph that fits on hardware).
+    any graph that fits on hardware). The driver fast path (below) is
+    exact and converges unconditionally, so the budget only governs
+    the distributed loop.
+
+    Physical strategy is SIZE-ADAPTIVE (r17, guide §1.2): the edge
+    list is materialized and counted first; at or below
+    ``driver_max_edges`` (default ``_DRIVER_CC_MAX_EDGES``) the labels
+    are computed in one bounded driver pull + numpy fixed-point loop —
+    identical output, ~2 Spark jobs instead of 8-12 rounds of
+    scheduler-latency-dominated tiny-graph jobs (measured: the CC
+    floor was ~40-60% of every near-dup/cluster-split entry's wall at
+    sf0.1). Above the gate the distributed min-label loop runs
+    unchanged. Pass ``driver_max_edges=0`` to force the distributed
+    path (the convergence-budget tests do).
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # the edge list is consumed once per iteration — materialize it so
-    # an expensive upstream (a similarity join, a clustered cosine
-    # filter) runs ONCE, not max_iter times (measured 20 s -> 3 s on
-    # the clustered SemDeDup pair generator)
-    sym = (
-        fwd.unionByName(
-            fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    # the edge list is consumed once per round (twice with the swap) —
+    # materialize it so an expensive upstream (a similarity join, a
+    # clustered cosine filter) runs ONCE, not max_iter times (measured
+    # 20 s -> 3 s on the clustered SemDeDup pair generator), and so
+    # the size gate's count is a free second action
+    fwd = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
+    n_edges = fwd.count()
+    limit = _DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    tu = fwd.schema["u"].dataType
+    tv = fwd.schema["v"].dataType
+    if (
+        n_edges <= limit
+        and tu == tv
+        and isinstance(tu, (LongType, IntegerType))
+    ):
+        return _driver_components(fwd, tu)
     # Scale the per-round exchanges to the GRAPH, not the session: the
     # edge list is usually tiny relative to the corpus (candidate pairs
     # only), and every round pays checkpointed jobs whose shuffles
     # would default to the corpus-sized spark.sql.shuffle.partitions —
     # near-empty tasks dominate wall-clock on small graphs (measured
     # ~1.8 s -> ~1.3 s on the 140-edge SemDeDup graph at 32
-    # partitions). sym is already materialized, so the count is free;
-    # ~100k edges per partition keeps partitions executor-sized at
-    # scale. SCOPED, not session-global (r9 advice, landed r11): the
+    # partitions). ~100k symmetric edges per partition keeps partitions
+    # executor-sized at scale (2*n_edges bounds |sym| from above).
+    # SCOPED, not session-global (r9 advice, landed r11): the
     # loop pre-partitions both relations on their join keys with
     # explicit ``repartition(loop_sp, key)`` and the joins/aggregates
     # then reuse that co-partitioning, so every loop exchange is
     # loop_sp-sized while the session conf is never touched — safe
     # under concurrent queries on the same session (AQE does not
     # coalesce user-specified repartitions, so the size sticks).
-    spark = sym.sparkSession
-    n_edges = sym.count()
+    spark = fwd.sparkSession
     try:
         sess_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" on some platforms
         sess_sp = spark.sparkContext.defaultParallelism
-    loop_sp = max(2, min(sess_sp, (n_edges // 100_000) + 2))
-    # re-checkpoint the edge list hash-partitioned on the join side —
-    # a cheap second pass over the (already materialized) pairs that
-    # makes every round's sym ⋈ labels join exchange-free
-    sym = sym.repartition(loop_sp, "v").localCheckpoint()
+    loop_sp = max(2, min(sess_sp, (2 * n_edges // 100_000) + 2))
+    # symmetrize + dedup + hash-partition on the join side in ONE job
+    # over the (already materialized) pairs, so every round's
+    # sym ⋈ labels join is exchange-free
+    sym = (
+        fwd.unionByName(
+            fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .repartition(loop_sp, "v")
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("u").alias("id"))
         .repartition(loop_sp, "id")

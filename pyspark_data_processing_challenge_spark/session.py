@@ -38,6 +38,14 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+# Minimum free bytes before /dev/shm is elected as shuffle scratch
+# (VERDICT r16 #7 / ADVICE r16): Docker's default /dev/shm is 64 MB, and
+# a tmpfs fill converts "disk" spill into RAM pressure — on a small shm
+# the ENOSPC lands mid-job. 8 GiB covers the ~4 GiB live shuffle
+# scratch a full sf0.1 bench run holds at peak, with headroom.
+_SHM_MIN_FREE_BYTES = 8 * 1024**3
+
+
 def scratch_dir() -> str | None:
     """Directory for shuffle/spill intermediates (``spark.local.dir``).
 
@@ -46,23 +54,34 @@ def scratch_dir() -> str | None:
     fastest local storage available (optimization guide §2.1: "local
     disk bandwidth for shuffle files can be the tighter limit").  On a
     production node that is provisioned node-local NVMe, configured
-    here via ``SPARK_GRAFT_LOCAL_DIR``.  On this sandbox the shared
-    root disk's fsync bandwidth was measured anywhere from 6 to
-    88 MB/s across a day (BENCH r15/r16 ``disk_write_mbps``), which
-    made every shuffle-bound timing hostage to neighbor I/O; the
-    RAM-backed ``/dev/shm`` (126 GiB, vs <4 GiB of live shuffle scratch
-    at sf0.1) removes that dependency deterministically.  Falls back to
-    Spark's stock temp dir when neither is usable.
+    here via ``SPARK_GRAFT_LOCAL_DIR`` (created if missing; an
+    uncreatable path raises rather than silently falling back — an
+    operator who set the knob must not get a different disk).  On this
+    sandbox the shared root disk's fsync bandwidth was measured
+    anywhere from 6 to 88 MB/s across a day (BENCH r15/r16
+    ``disk_write_mbps``), which made every shuffle-bound timing hostage
+    to neighbor I/O; the RAM-backed ``/dev/shm`` (126 GiB, vs <4 GiB of
+    live shuffle scratch at sf0.1) removes that dependency
+    deterministically — but only when it has >= ``_SHM_MIN_FREE_BYTES``
+    free (a 64 MB Docker-default shm would ENOSPC mid-job, and spilling
+    into a small tmpfs worsens the memory pressure the spill exists to
+    relieve).  Falls back to Spark's stock temp dir otherwise.
     """
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    cand = env or "/dev/shm/spark-graft-local"
-    base = os.path.dirname(cand.rstrip("/")) or "/"
-    if not env and not os.path.isdir("/dev/shm"):
+    if env:
+        os.makedirs(env, exist_ok=True)  # raises loudly on a bad path
+        return env
+    cand = "/dev/shm/spark-graft-local"
+    if not os.path.isdir("/dev/shm") or not os.access("/dev/shm", os.W_OK):
         return None
-    if os.path.isdir(base) and os.access(base, os.W_OK):
-        os.makedirs(cand, exist_ok=True)
-        return cand
-    return None
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize < _SHM_MIN_FREE_BYTES:
+            return None
+    except OSError:
+        return None
+    os.makedirs(cand, exist_ok=True)
+    return cand
 
 
 def default_parallelism() -> int:

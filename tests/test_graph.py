@@ -19,10 +19,22 @@ def _chain_edges(spark, n):
 
 def test_long_chain_converges_in_log_rounds(spark):
     # neighbor-min alone would need ~200 rounds; pointer jumping must
-    # finish a 200-hop chain within 12
+    # finish a 200-hop chain within 12. driver_max_edges=0 forces the
+    # DISTRIBUTED loop (r17: small graphs otherwise take the exact
+    # driver fast path, which this test is not about)
     edges = _chain_edges(spark, CHAIN_N)
-    comp = graph.connected_components(edges, max_iter=12)
+    comp = graph.connected_components(edges, max_iter=12, driver_max_edges=0)
     rows = comp.collect()
+    assert len(rows) == CHAIN_N
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_long_chain_fast_path_matches(spark):
+    # the driver fast path must return exactly the distributed answer
+    # on the deep-chain shape (its pointer jumping has the same
+    # O(log diameter) argument)
+    edges = _chain_edges(spark, CHAIN_N)
+    rows = graph.connected_components(edges, max_iter=12).collect()
     assert len(rows) == CHAIN_N
     assert all(r["component"] == 0 for r in rows)
 
@@ -30,7 +42,7 @@ def test_long_chain_converges_in_log_rounds(spark):
 def test_nonconvergence_raises(spark):
     edges = _chain_edges(spark, 50)
     with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components(edges, max_iter=2)
+        graph.connected_components(edges, max_iter=2, driver_max_edges=0)
 
 
 def test_multiple_components_and_determinism(spark):
@@ -55,6 +67,46 @@ def test_multiple_components_and_determinism(spark):
         for r in graph.connected_components(e, max_iter=10).collect()
     }
     assert again == want
+
+
+def test_driver_fast_path_twin_random_graphs(spark):
+    """r17 equivalence proof: the gated driver fast path and the
+    distributed loop must return IDENTICAL (node, component) sets on
+    random graphs — mixed degrees, self-loops, duplicate edges, both
+    orientations, multiple components."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(2, 120)
+        m = rng.randint(1, 300)
+        edges = [
+            (rng.randrange(n) * 7 + 3, rng.randrange(n) * 7 + 3)
+            for _ in range(m)
+        ]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        fast = {
+            (r["node"], r["component"])
+            for r in graph.connected_components(df).collect()
+        }
+        dist = {
+            (r["node"], r["component"])
+            for r in graph.connected_components(
+                df, driver_max_edges=0
+            ).collect()
+        }
+        assert fast == dist, f"seed {seed}: fast path diverged"
+
+
+def test_driver_fast_path_schema_matches_distributed(spark):
+    """The two paths must agree on column names AND types (the driver
+    hashes query schemas)."""
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    fast = graph.connected_components(df)
+    dist = graph.connected_components(df, driver_max_edges=0)
+    assert [(f.name, f.dataType) for f in fast.schema.fields] == [
+        (f.name, f.dataType) for f in dist.schema.fields
+    ]
 
 
 def test_zero_max_iter_rejected(spark):
@@ -169,7 +221,12 @@ def test_cc_loop_scoped_not_session_global(spark):
         return real_set(key, value)
 
     with mock.patch.object(spark.conf, "set", side_effect=spy):
-        comp = graph.connected_components(edges, max_iter=10)
+        # driver_max_edges=0 forces the DISTRIBUTED loop — this test
+        # pins ITS exchange scoping (r17: a 39-edge graph otherwise
+        # takes the driver fast path, which has no loop exchanges)
+        comp = graph.connected_components(
+            edges, max_iter=10, driver_max_edges=0
+        )
         n_parts = comp.rdd.getNumPartitions()
         rows = comp.collect()
     assert not [c for c in calls if c[0] == "spark.sql.shuffle.partitions"], calls

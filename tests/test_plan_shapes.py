@@ -924,13 +924,25 @@ def test_link_prediction_takeordered_no_cartesian(spark):
 
 def test_cluster_split_call_graph_has_no_driver_collect():
     """VERDICT r13 #1: the cluster-split family's CC label table must
-    stay DISTRIBUTED — a .collect() of it is bounded by the number of
-    docs in near-dup pairs, i.e. a corpus-fraction-sized driver pull
-    at crawl-scale duplicate rates. Source-lint every function in the
-    family's call graph (constructors, CC operators, split assign,
-    incremental minhash) for driver collects; toPandas/toLocalIterator
-    covered too. The memoized label frames are localCheckpointed
-    DataFrames, which materialize on EXECUTORS, not the driver."""
+    stay DISTRIBUTED — an UNGATED .collect() of it is bounded by the
+    number of docs in near-dup pairs, i.e. a corpus-fraction-sized
+    driver pull at crawl-scale duplicate rates. Source-lint every
+    function in the family's call graph (constructors, CC operators,
+    split assign, incremental minhash) for driver collects;
+    toPandas/toLocalIterator covered too. The memoized label frames
+    are localCheckpointed DataFrames, which materialize on EXECUTORS,
+    not the driver.
+
+    r17 amendment (guide §1.2): ``graph._driver_components`` is the
+    ONE sanctioned pull — the exact small-graph fast path, reachable
+    only behind a MEASURED ``count()`` gate
+    (``_DRIVER_CC_MAX_EDGES``-bounded, <= ~32 MB, the same driver
+    budget ``cluster_canonical``'s F.broadcast of the same table
+    already commits), so at crawl-scale duplicate rates the
+    distributed loop still runs. This test pins (a) every OTHER
+    function in the call graph stays pull-free, (b) the gate actually
+    sits between the count and the pull in connected_components, and
+    (c) the distributed loop itself (_cc_loop) stays clean."""
     import inspect
 
     from pyspark_data_processing_challenge_spark.operators import (
@@ -960,6 +972,14 @@ def test_cluster_split_call_graph_has_no_driver_collect():
         if ".collect(" in src or ".toPandas(" in src or ".toLocalIterator(" in src:
             offenders.append(fn.__qualname__)
     assert not offenders, f"driver-side pulls in cluster-split call graph: {offenders}"
+    # the sanctioned pull: measured-count gate precedes _driver_components
+    cc_src = inspect.getsource(graph.connected_components)
+    assert "n_edges = fwd.count()" in cc_src
+    assert cc_src.index("n_edges = fwd.count()") < cc_src.index(
+        "_driver_components("
+    )
+    assert "n_edges <= limit" in cc_src
+    assert graph._DRIVER_CC_MAX_EDGES <= 4_000_000  # pull stays ~tens of MB
 
 
 def test_sql_q17_scalar_subquery_decorrelates_to_agg_join(spark):

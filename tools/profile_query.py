@@ -4,9 +4,10 @@ Usage:
     python tools/profile_query.py <query> [reps]
 
 Times qs[name](spark, sf_dir) -> noop sink like bench.run_once, with a
-job-level listener report (job id, description, wall) so the cost of a
-multi-job query (localCheckpoints, iterative loops, collects) is
-attributable. Clears the operator memos + cache per rep like the bench.
+job-level report from the driver's AppStatusStore (job id, description,
+wall seconds) for the LAST rep, so the cost of a multi-job query
+(localCheckpoints, iterative loops, collects) is attributable. Clears
+the operator memos + cache per rep like the bench.
 """
 
 from __future__ import annotations
@@ -18,6 +19,27 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from pyspark_data_processing_challenge_spark.session import get_session  # noqa: E402
+
+
+def job_report(spark, min_job_id: int) -> list[tuple[int, float, str]]:
+    """(job id, wall sec, description) for every completed job with
+    id >= min_job_id, from the driver's AppStatusStore (the same data
+    the UI's /api/v1/applications/.../jobs endpoint serves)."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    out = []
+    it = store.jobsList(None).iterator()
+    while it.hasNext():
+        j = it.next()
+        if j.jobId() < min_job_id:
+            continue
+        sub = j.submissionTime()
+        comp = j.completionTime()
+        if sub.isEmpty() or comp.isEmpty():
+            continue
+        ms = comp.get().getTime() - sub.get().getTime()
+        desc = j.description().isDefined() and j.description().get() or j.name()
+        out.append((j.jobId(), ms / 1000.0, str(desc)[:100]))
+    return sorted(out)
 
 
 def main() -> None:
@@ -46,19 +68,17 @@ def main() -> None:
         _llm._CC_MEMO.clear()
         _ext._KNN_MEMO.clear()
         spark.catalog.clearCache()
-        before_jobs = set(statusTracker.getJobIdsForGroup(None) or [])
+        prior = statusTracker.getJobIdsForGroup(None) or []
+        first_new_job = (max(prior) + 1) if prior else 0
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         print(f"rep {r}: {wall:.3f} s")
         if r == reps - 1:
-            # per-job report via the REST-ish status API
-            jobs = [
-                j
-                for j in (statusTracker.getJobIdsForGroup(None) or [])
-                if j not in before_jobs
-            ]
+            jobs = job_report(spark, first_new_job)
             print(f"  jobs this rep: {len(jobs)}")
+            for jid, sec, desc in jobs:
+                print(f"    job {jid:4d}  {sec:7.3f} s  {desc}")
     spark.stop()
 
 
