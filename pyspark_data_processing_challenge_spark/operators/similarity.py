@@ -1267,6 +1267,18 @@ def semdedup_pairs(
         )
         .withColumn("__sub", F.pmod(F.col(id_col), F.col("__nsplits")))
     )
+    # Pin the self-join's clustering to an EXPLICIT user-numbered
+    # repartition (r17, the post-shuffle one-core trap): the assigned
+    # table is a few MB, so AQE coalesces the join exchange to ~4
+    # partitions and the O(Σ sz²) cosine verify — the query's dominant
+    # CPU (12.1 CPU-s at the 1:100 bench corpus) — serializes on 4
+    # cores (~3.0 s of the 6.7 s wall; measured). Both join sides are
+    # projections of this one frame, so they share ONE reused exchange
+    # and the join plans exchange-free at defaultParallelism (scale:
+    # executor cores on a cluster); AQE never coalesces a
+    # user-numbered repartition.
+    n_parts = max(2, assigned.sparkSession.sparkContext.defaultParallelism)
+    keyed = keyed.repartition(n_parts, "centroid_id", "__sub")
     l = keyed.select(
         "centroid_id",
         "__sub",

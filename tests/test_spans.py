@@ -92,9 +92,10 @@ def test_incremental_equals_full_recompute(spark):
     batch_b = spark.createDataFrame(
         [(3, "b x y z w"), (4, "h i j k l")], ["doc_id", "text"]
     )
+    # the store keys on the 64-bit hashed gram id (r17 — _gram_id_array)
     empty_store = spark.createDataFrame(
         [], T.StructType([
-            T.StructField("gram", T.StringType()),
+            T.StructField("gram", T.LongType()),
             T.StructField("n", T.LongType()),
         ])
     )
@@ -118,9 +119,19 @@ def test_incremental_equals_full_recompute(spark):
     assert got_b == want
     assert got_b[3] == (1, 1, 4)  # 'x y z w' found via the store
 
-    # store accumulates totals across batches
+    # store accumulates totals across batches (gram = hashed id of
+    # 'x y z w', computed via the operator's own id expression)
+    from pyspark.sql import functions as SF
+
+    from pyspark_data_processing_challenge_spark.operators.dedup import (
+        _gram_id_array,
+    )
+
+    xyzw = spark.createDataFrame([(["x", "y", "z", "w"],)], ["t"]).select(
+        SF.transform(SF.col("t"), lambda x: SF.xxhash64(x)).alias("__th")
+    ).select(_gram_id_array("__th", 4)[0].alias("g")).first().g
     counts = {r.gram: r.n for r in store2.collect()}
-    assert counts["x y z w"] == 2
+    assert counts[xyzw] == 2
 
     # append-only store form: batch partials re-aggregated on read must
     # equal the combined store, and the stats must be identical

@@ -1,9 +1,9 @@
-"""Capture .explain('formatted') for catalog queries into plans/r16/.
+"""Capture .explain('formatted') for catalog queries into plans/r17/.
 
 Usage:
     python tools/capture_plans.py <suffix> <query> [<query> ...]
 
-Writes plans/r16/<query>_<suffix>.txt for each named query, using the
+Writes plans/r17/<query>_<suffix>.txt for each named query, using the
 sf0.1 test data (plan shape is SF-independent; the driver cannot run
 Spark and audits these files against the code).
 """
@@ -22,7 +22,7 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r16")
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r17")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("capture-plans")
     import __spark_entry__ as entrymod
