@@ -5003,6 +5003,23 @@ FROM per_doc GROUP BY split
 _CC_MEMO: dict = {}
 
 
+def _nd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perturbed corpus's near-dup pair list, materialized ONCE per
+    memo window (r17, the iterative-operator rule): the pair join is
+    ~2.4 s of signature+band work at sf0.1, and split_cluster_leakage_
+    eval consumed it twice per run (once for the CC labels, once for
+    the cross-split pair audit). localCheckpointed so both consumers
+    read the materialized RDD; pair-bounded rows, executor-side."""
+    key = ("nd_pairs", sf_dir)
+    if key not in _CC_MEMO:
+        _CC_MEMO[key] = (
+            minhash_near_dup(spark, sf_dir)
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+    return _CC_MEMO[key]
+
+
 def _cluster_keyed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perturbed corpus tagged with its near-dup CLUSTER key: minhash
     near-dup pairs → connected components → cluster = component's min
@@ -5023,7 +5040,7 @@ def _cluster_keyed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _perturbed_docs(spark, sf_dir)
     key = ("components", sf_dir)
     if key not in _CC_MEMO:
-        pairs = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
+        pairs = _nd_pairs(spark, sf_dir)
         _CC_MEMO[key] = (
             graph.connected_components(pairs)
             .select(
@@ -5132,7 +5149,7 @@ def split_cluster_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_majority_leaked"
         ),
     )
-    pairs = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
+    pairs = _nd_pairs(spark, sf_dir)
     a = assign.select(
         F.col("doc_id").alias("id_a"),
         F.col("scheme"),
