@@ -70,6 +70,35 @@ def round_to(c: Column, scale: int) -> Column:
     return round2(c, scale)
 
 
+def centroid_means(
+    assigned: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "centroid_id",
+    vec_col: str = "vec",
+    out_id: str = "cid",
+    out_vec: str = "cv",
+) -> Column:
+    """Per-centroid member-mean vector (the k-means M-step), rounded
+    6 dp, in ONE aggregate: ``dim`` column avgs over the vector
+    elements instead of posexplode + groupBy(cid, dim) +
+    collect_list/array_sort re-assembly (r17, guide §2.4: the long
+    form paid a dim-x explode plus TWO exchanges and an extra AQE
+    stage job per retrain — one exchange now). Values are identical:
+    the same Average aggregate over the same member rows per
+    (centroid, dimension), with the same 6-dp re-synchronization both
+    engines round through."""
+    return (
+        assigned.groupBy(id_col)
+        .agg(
+            F.array(
+                *[round_to(F.avg(F.col(vec_col)[i]), 6) for i in range(dim)]
+            ).alias(out_vec)
+        )
+        .select(F.col(id_col).alias(out_id), out_vec)
+    )
+
+
 def sql_round(expr: str, scale: int) -> str:
     """The DuckDB-side twin of :func:`round_to` — identical IEEE ops,
     identical overflow guard."""

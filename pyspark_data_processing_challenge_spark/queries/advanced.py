@@ -23,7 +23,15 @@ from ..functions.textfns import HASH_MOD
 from ..functions import textfns
 from ..operators import dedup, selection, similarity, temporal
 from . import relational
-from ._util import round_to, spread, sql_char_hash, sql_round, sql_tokens, t
+from ._util import (
+    centroid_means,
+    round_to,
+    spread,
+    sql_char_hash,
+    sql_round,
+    sql_tokens,
+    t,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str):
@@ -2169,21 +2177,8 @@ def _ivfpq_multi(
         a0 = similarity.ivf_assign(
             emb, cent0, centroid_id="cid", centroid_vec="cv"
         )
-        means = (
-            a0.select("centroid_id", F.posexplode("vec").alias("dim", "v"))
-            .groupBy("centroid_id", "dim")
-            .agg(round_to(F.avg("v"), 6).alias("c"))
-        )
-        cent = (
-            means.groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                    lambda x: x["c"],
-                ).alias("cv")
-            )
-            .select(F.col("centroid_id").alias("cid"), "cv")
-        )
+        # M-step in ONE aggregate (r17): see _util.centroid_means
+        cent = centroid_means(a0, dim=64)
         # the trained assignment feeds residuals AND the candidate
         # router, and the residuals feed init/Lloyd/encode — without
         # materialization the two-pass coarse training re-executes per

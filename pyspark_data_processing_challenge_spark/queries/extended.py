@@ -13,7 +13,15 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns, vectors
 from ..operators import similarity
-from ._util import round_to, spread, sql_char_hash, sql_round, sql_tokens, t
+from ._util import (
+    centroid_means,
+    round_to,
+    spread,
+    sql_char_hash,
+    sql_round,
+    sql_tokens,
+    t,
+)
 
 # ---------------------------------------------------------------------------
 # JSON surface
@@ -729,6 +737,7 @@ FROM orders
 # ---------------------------------------------------------------------------
 
 IVF_NCENTROIDS, IVF_NPROBE, IVF_K = 8, 2, 5
+EMB_DIM = 64  # embeddings.parquet vector width (same constant as llm.py)
 IVF_QUERY_LO, IVF_QUERY_HI = 100, 110
 
 
@@ -1250,16 +1259,8 @@ def kmeans_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     assigned = similarity.ivf_assign(emb, cent, centroid_id="cid", centroid_vec="cv")
-    means = (
-        assigned.select("centroid_id", F.posexplode("vec").alias("dim", "v"))
-        .groupBy("centroid_id", "dim")
-        .agg(round_to(F.avg("v"), 6).alias("c"))
-    )
-    cent2 = means.groupBy("centroid_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda x: x["c"]
-        ).alias("cv")
-    ).select(F.col("centroid_id").alias("cid"), "cv")
+    # M-step in ONE aggregate (r17): see _util.centroid_means
+    cent2 = centroid_means(assigned, dim=EMB_DIM)
     out = similarity.ivf_assign(emb, cent2, centroid_id="cid", centroid_vec="cv")
     return out.select(F.col("doc").alias("vec_id"), "centroid_id")
 
@@ -1280,20 +1281,9 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = similarity.ivf_assign(
         emb, cent, centroid_id="cid", centroid_vec="cv"
     )
-    means = (
-        assigned.select("centroid_id", F.posexplode("vec").alias("dim", "v"))
-        .groupBy("centroid_id", "dim")
-        .agg(round_to(F.avg("v"), 6).alias("c"))
-    )
-    cent2 = (
-        means.groupBy("centroid_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                lambda x: x["c"],
-            ).alias("embedding")
-        )
-        .select(F.col("centroid_id").alias("vec_id"), "embedding")
+    # M-step in ONE aggregate (r17): see _util.centroid_means
+    cent2 = centroid_means(
+        assigned, dim=EMB_DIM, out_id="vec_id", out_vec="embedding"
     )
     queries = emb.filter(
         (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
@@ -2000,23 +1990,12 @@ def ivf_staleness_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a0 = assign_cos(cent0)
-    means = (
+    # M-step in ONE aggregate (r17): see _util.centroid_means
+    cent1 = centroid_means(
         similarity.ivf_assign(
             emb, cent0, centroid_id="cid", centroid_vec="cv"
-        )
-        .select("centroid_id", F.posexplode("vec").alias("dim", "v"))
-        .groupBy("centroid_id", "dim")
-        .agg(round_to(F.avg("v"), 6).alias("c"))
-    )
-    cent1 = (
-        means.groupBy("centroid_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                lambda x: x["c"],
-            ).alias("cv")
-        )
-        .select(F.col("centroid_id").alias("cid"), "cv")
+        ),
+        dim=EMB_DIM,
     )
     a1 = assign_cos(cent1)
     j = a0.select(
